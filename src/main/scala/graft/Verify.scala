@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS) — read as raw long, see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write µs (not INT96) so dumped timestamps carry the same physical
+      // type the DuckDB oracle produces
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

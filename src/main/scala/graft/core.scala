@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One declared operator from SURVEY.md §2: a named query over the driver's
+  * testdata plus (when SQL-expressible) the equivalent DuckDB oracle SQL.
+  *
+  * Determinism contract (SURVEY.md §2 footer): every oracle-checked query ends
+  * with a total-order sort including a unique tiebreak, rounds float
+  * aggregates via [[util.r2]] (bitwise-identical across engines), and pins
+  * UTC. The reference checkout (/root/reference, v1) contains only LICENSE —
+  * capabilities are reconstructed per SURVEY.md §0 provenance tags.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Table loaders for the driver's parquet fixtures (TESTDATA.md).
+  *
+  * Scale posture: `spark.read.parquet` is a plain file-source scan — at
+  * 100 TB the same call reads a partitioned S3 prefix; predicate pushdown,
+  * column pruning and partition pruning all apply unchanged.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright. We read it as a raw nanosecond long
+    * (`nanosAsLong`) and floor-divide to microseconds — exactly the
+    * truncation DuckDB applies when it reads the same file, so oracle SQL can
+    * use `ts` directly. The original nanos are kept as `ts_ns` for
+    * precision-sensitive operators.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      // cast to NTZ: the rest of the fixtures read as TIMESTAMP_NTZ (naive
+      // parquet), and the DuckDB oracle sees naive TIMESTAMP too
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
+  }
+}
+
+object util {
+  /** Round a double to 2 decimals with a formula that is bitwise-identical
+    * in Spark and DuckDB: `floor(x*100 + 0.5)/100` uses only IEEE-exact ops
+    * (multiply, add, floor, divide) evaluated identically by both engines —
+    * unlike `round()`, whose half-up decimal expansion differs between them.
+    * SQL mirror: `floor(x * 100 + 0.5) / 100`.
+    */
+  def r2(c: Column): Column = floor(c * 100 + 0.5) / 100
+
+  /** Oracle-side mirror of [[r2]]. */
+  def r2sql(e: String): String = s"floor(($e) * 100 + 0.5) / 100"
+}

@@ -1,0 +1,200 @@
+package graft.ops
+
+import graft.{Q, Tables, util}
+import org.apache.spark.sql.functions._
+
+/** §2.4 aggregation. Shapes mirror the rollups an LMS-replica warehouse runs
+  * (SURVEY.md §2.4); every one is a `HashAggregateExec` with map-side partial
+  * aggregation, so at 100 TB the shuffle carries one row per (partition ×
+  * group), not per input row.
+  */
+object Aggregates {
+
+  /** TPC-H Q1 shape — the flagship `SparkEntry.entry` query. */
+  def q1(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        util.r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        util.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        util.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+          .as("sum_charge"),
+        util.r2(avg(col("l_quantity"))).as("avg_qty"),
+        util.r2(avg(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |       sum(l_quantity) AS sum_qty,
+       |       ${util.r2sql("sum(l_extendedprice)")} AS sum_base_price,
+       |       ${util.r2sql("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+       |       ${util.r2sql("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+       |       ${util.r2sql("avg(l_quantity)")} AS avg_qty,
+       |       ${util.r2sql("avg(l_extendedprice)")} AS avg_price,
+       |       count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q("agg_hash_group", (s, dir) => q1(s, dir), Some(q1Oracle)),
+    Q(
+      "agg_distinct_exact",
+      // countDistinct plans as Expand + two-phase aggregate: distinct keys
+      // are de-duplicated map-side before the shuffle — scale-safe.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |       count(DISTINCT o_custkey) AS n_customers,
+             |       count(*) AS n_orders
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "agg_approx_hll",
+      // HyperLogLog++ distinct — THE 100 TB cardinality answer (exact
+      // distinct shuffles every key; HLL ships a constant-size sketch).
+      // No oracle: sketch estimates are engine-specific; AggSpec bounds the
+      // error vs exact counts.
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None
+    ),
+    Q(
+      "agg_rollup",
+      (s, dir) => {
+        val n = Tables(s, dir, "nation")
+        val r = broadcast(Tables(s, dir, "region"))
+        val c = Tables(s, dir, "customer")
+        c.join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"), util.r2(sum(col("c_acctbal"))).as("total_bal"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n_cust,
+              |       ${util.r2sql("sum(c_acctbal)")} AS total_bal
+              |FROM customer
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP (r_name, n_name)
+              |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "agg_cube",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"), util.r2(sum(col("o_totalprice"))).as("total_price"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+      },
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+              |       ${util.r2sql("sum(o_totalprice)")} AS total_price
+              |FROM orders
+              |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "agg_grouping_sets",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+                 |FROM orders_gs
+                 |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                 |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "agg_collect_sorted",
+      // Ordered list per group, emitted as a CSV string so the hash compare
+      // is list-representation-independent. Sort happens INSIDE the array
+      // (sort_array), after a map-side collect_list — no global sort.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(
+            array_join(
+              transform(sort_array(collect_list(col("o_orderkey"))), x => x.cast("string")),
+              ",").as("order_keys"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey,
+             |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+             |       count(*) AS n_orders
+             |FROM orders GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)
+    ),
+    Q(
+      "agg_minmax_by",
+      // argmax/argmin — the CDC latest-row-per-key core (§2.10). The order
+      // value is made unique (epoch-seconds × 1e7 + key) so max_by is
+      // deterministic across engines.
+      (s, dir) => {
+        val ord = (unix_timestamp(col("o_orderdate")) * 10000000L + col("o_orderkey")).as("ord")
+        Tables(s, dir, "orders")
+          .withColumn("ord", ord)
+          .groupBy(col("o_custkey"))
+          .agg(
+            max_by(col("o_orderkey"), col("ord")).as("latest_orderkey"),
+            min_by(col("o_orderkey"), col("ord")).as("first_orderkey"),
+            max(col("o_orderdate")).as("latest_date"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey,
+             |       arg_max(o_orderkey, epoch(o_orderdate) * 10000000 + o_orderkey) AS latest_orderkey,
+             |       arg_min(o_orderkey, epoch(o_orderdate) * 10000000 + o_orderkey) AS first_orderkey,
+             |       max(o_orderdate) AS latest_date
+             |FROM orders GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)
+    ),
+    Q(
+      "agg_decimal_exact",
+      // Currency-exact totals: decimal arithmetic is associative → identical
+      // in any summation order, unlike double. The final cast pins an
+      // identical DECIMAL(18,2) physical type on both sides.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+              .as("total_price_dec"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price_dec
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+    ),
+    Q(
+      "udaf_weighted_avg",
+      (s, dir) => {
+        val wavg = udaf(graft.functions.WeightedAvg)
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(util.r2(wavg(col("l_extendedprice"), col("l_quantity"))).as("wavg_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag,
+              |       ${util.r2sql("sum(l_extendedprice * l_quantity) / sum(l_quantity)")} AS wavg_price
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    )
+  )
+}

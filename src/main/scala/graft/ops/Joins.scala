@@ -1,0 +1,264 @@
+package graft.ops
+
+import graft.{Q, Tables, util}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.3 join matrix. The reference's replica answers star-schema SQL via
+  * Athena (SURVEY.md §3.1 E3); each physical strategy Spark offers is pinned
+  * here with an explicit hint so plan-shape tests can assert it.
+  *
+  * Scale notes per operator:
+  *  - dims (region/nation/part/supplier) are broadcast — no shuffle of the
+  *    fact side; at 100 TB the fact table never moves for these joins.
+  *  - large-large joins (orders⋈lineitem) shuffle on the join key once;
+  *    AQE handles skew splitting.
+  *  - the non-equi joins keep one side broadcast-small by construction —
+  *    a cartesian range join on two 100 TB inputs is never the plan here.
+  *  - as-of is the union+window rewrite: ONE shuffle by key, no range
+  *    explosion, works at any scale (vs. a naive range join whose
+  *    intermediate is O(events × candidates)).
+  */
+object Joins {
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "join_broadcast_inner",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val part = Tables(s, dir, "part").filter(col("p_size") < 15)
+        li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("p_retailprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, p_brand, p_retailprice
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size < 15
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
+      "join_sort_merge",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders").hint("merge")
+        Tables(s, dir, "lineitem")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_totalprice"), col("l_extendedprice"))
+          .orderBy(col("o_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
+      "join_shuffle_hash",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").hint("shuffle_hash")
+        Tables(s, dir, "lineitem")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT o_orderkey, l_linenumber, o_orderstatus
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderstatus = 'F'
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
+      "join_star_5way",
+      // Revenue rollup across the full star: dims broadcast, one shuffle
+      // for the final aggregation. Catalyst/CBO reorders the join chain.
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val n = broadcast(Tables(s, dir, "nation"))
+        val r = broadcast(Tables(s, dir, "region"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            util.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name, count(*) AS n_lines,
+              |       ${util.r2sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation   ON c_nationkey = n_nationkey
+              |JOIN region   ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name
+              |ORDER BY r_name, n_name""".stripMargin)
+    ),
+    Q(
+      "join_left_outer",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("c_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+             |FROM customer LEFT JOIN (
+             |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+             |ON c_custkey = o_custkey
+             |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "join_full_outer",
+      // Snapshot-vs-replica reconciliation shape (SURVEY.md §2.3 [DAP]):
+      // two overlapping order subsets, full outer on the key.
+      (s, dir) => {
+        val a = Tables(s, dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("a_key"), col("o_totalprice").as("a_price"))
+        val b = Tables(s, dir, "orders").filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .select(col("o_orderkey").as("b_key"), col("o_totalprice").as("b_price"))
+        a.join(b, col("a_key") === col("b_key"), "full")
+          .select(
+            coalesce(col("a_key"), col("b_key")).as("o_orderkey"),
+            col("a_price"), col("b_price"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             |       a.o_totalprice AS a_price, b.o_totalprice AS b_price
+             |FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') a
+             |FULL JOIN (SELECT * FROM orders
+             |           WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) b
+             |ON a.o_orderkey = b.o_orderkey
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "join_left_semi",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val urgent = Tables(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey
+             |                AND o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "join_left_anti",
+      // NOT EXISTS — the CDC delete-application primitive (§2.10 reuses it).
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "join_theta_nl",
+      // Non-equi condition: part price within a band of supplier balance.
+      // Supplier side is tiny → BroadcastNestedLoopJoin; the big side
+      // streams, never shuffles.
+      (s, dir) => {
+        val p = Tables(s, dir, "part")
+        val sup = broadcast(Tables(s, dir, "supplier"))
+        p.join(
+            sup,
+            col("p_retailprice") > col("s_acctbal") &&
+              col("p_retailprice") <= col("s_acctbal") + 500)
+          .select(col("p_partkey"), col("s_suppkey"))
+          .orderBy(col("p_partkey"), col("s_suppkey"))
+      },
+      Some("""SELECT p_partkey, s_suppkey
+             |FROM part JOIN supplier
+             |ON p_retailprice > s_acctbal AND p_retailprice <= s_acctbal + 500
+             |ORDER BY p_partkey, s_suppkey""".stripMargin)
+    ),
+    Q(
+      "join_range_interval",
+      // Equi key + range residual: the scale-safe range-join form (the equi
+      // key bounds the match set; no cartesian blowup).
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        li.join(
+            o,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") <= col("o_orderdate") + expr("interval 60 days"))
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_orderdate"), col("l_shipdate"))
+          .orderBy(col("o_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
+             |FROM lineitem JOIN orders
+             |ON l_orderkey = o_orderkey
+             |AND l_shipdate >= o_orderdate
+             |AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+             |ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
+      "join_asof",
+      // As-of join (latest click at-or-before each purchase, per user).
+      // Spark has no native ASOF: rewrite as tagged-union + running
+      // last_value window — one shuffle on user_id, linear state, no range
+      // explosion; survives 100 TB where a range self-join would not.
+      // Build side pre-deduped per (user_id, ts) for determinism.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("is_probe"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(lit(null).cast("long").as("event_id"), col("user_id"),
+            col("ts"), lit(0).as("is_probe"), col("click_id"),
+            col("ts").as("click_ts"))
+        val tagged = purchases
+          .withColumn("click_id", lit(null).cast("long"))
+          .withColumn("click_ts", lit(null).cast("timestamp_ntz"))
+          .unionByName(clicks)
+        // Build rows sort before probes at equal ts (is_probe asc) → "<="
+        // inclusive semantics, matching DuckDB ASOF.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe"), col("event_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("m_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("m_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("m_click_ts").as("click_ts"), col("m_click_id").as("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       c.ts AS click_ts, c.click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
+      "join_cross",
+      (s, dir) => {
+        Tables(s, dir, "region")
+          .crossJoin(Tables(s, dir, "nation"))
+          .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
+          .orderBy(col("r_regionkey"), col("n_nationkey"))
+      },
+      Some("""SELECT r_regionkey, n_nationkey, r_name, n_name
+             |FROM region CROSS JOIN nation
+             |ORDER BY r_regionkey, n_nationkey""".stripMargin)
+    )
+  )
+}

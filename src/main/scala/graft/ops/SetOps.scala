@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** §2.7 set operations. `except` is the snapshot-diff primitive the
+  * reference's reconciliation relies on (SURVEY.md §2.7 [DAP]). Spark plans
+  * intersect/except as left-semi/anti joins after distinct — one shuffle on
+  * the full row, same as a key join at scale.
+  */
+object SetOps {
+
+  private def a(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def b(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private val aSql = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 100000"
+  private val bSql = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F'"
+  private val ord = "ORDER BY o_orderkey, o_orderstatus, o_totalprice"
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "set_union_all",
+      (s, dir) => a(s, dir).unionByName(b(s, dir))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Some(s"($aSql) UNION ALL ($bSql) $ord")
+    ),
+    Q(
+      "set_union_distinct",
+      (s, dir) => a(s, dir).unionByName(b(s, dir)).distinct()
+        .orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Some(s"($aSql) UNION ($bSql) $ord")
+    ),
+    Q(
+      "set_intersect",
+      (s, dir) => a(s, dir).intersect(b(s, dir))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Some(s"($aSql) INTERSECT ($bSql) $ord")
+    ),
+    Q(
+      "set_except",
+      (s, dir) => a(s, dir).except(b(s, dir))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Some(s"($aSql) EXCEPT ($bSql) $ord")
+    )
+  )
+}

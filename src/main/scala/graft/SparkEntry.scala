@@ -16,6 +16,8 @@ object SparkEntry {
       ops.Filters.defs ++
       ops.Joins.defs ++
       ops.Aggregates.defs ++
+      ops.Windows.defs ++
+      ops.ScalarFns.defs ++
       ops.SortLimit.defs ++
       ops.SetOps.defs
 

@@ -1,0 +1,216 @@
+package graft.ops
+
+import graft.{Q, Tables, util}
+import org.apache.spark.sql.functions._
+
+/** §2.8 scalar function tier. Everything here is a codegen'd built-in
+  * (`org.apache.spark.sql.functions._`) — no UDFs in the hot path, so the
+  * whole projection stays inside one WholeStageCodegen span at any scale.
+  *
+  * Cross-engine notes baked into the oracles:
+  *  - Spark `dayofweek` is 1=Sunday..7; DuckDB `dayofweek` is 0=Sunday..6.
+  *  - Spark `year()/month()` return INT; DuckDB's return BIGINT → cast.
+  *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *    replace-all semantics.
+  *  - libm `ln/sqrt` may differ in the last ulp → r2-rounded.
+  */
+object ScalarFns {
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "fn_string_core",
+      (s, dir) => {
+        Tables(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            substring(col("p_name"), 1, 8).as("name8"),
+            lower(col("p_name")).as("name_lo"),
+            upper(col("p_brand")).as("brand_up"),
+            trim(col("p_type")).as("type_trim"),
+            concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+            lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+            length(col("p_name")).cast("long").as("name_len"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |       substring(p_name, 1, 8) AS name8,
+             |       lower(p_name) AS name_lo,
+             |       upper(p_brand) AS brand_up,
+             |       trim(p_type) AS type_trim,
+             |       concat_ws('-', p_brand, p_type) AS brand_type,
+             |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+             |       CAST(length(p_name) AS BIGINT) AS name_len
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
+      "fn_regexp",
+      (s, dir) => {
+        Tables(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+            regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devowel"),
+            col("p_name").rlike("^[a-m]").as("starts_am"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |       coalesce(regexp_extract(p_brand, 'Brand#(\d+)', 1), '') AS brand_num,
+             |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+             |       regexp_matches(p_name, '^[a-m]') AS starts_am
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
+      "fn_date_core",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"),
+            (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
+            (col("o_orderdate") + expr("interval 3 months")).as("plus_3mo"),
+            datediff(lit("1999-01-01").cast("date"), col("o_orderdate")).cast("long")
+              .as("days_to_1999"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+             |       o_orderdate + INTERVAL 3 MONTH AS plus_3mo,
+             |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "fn_math",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            abs(col("o_totalprice") - 100000).as("abs_diff"),
+            util.r2(sqrt(col("o_totalprice"))).as("sqrt_price"),
+            util.r2(log(col("o_totalprice"))).as("ln_price"),
+            (col("o_totalprice") * col("o_totalprice")).as("price_sq"),
+            pmod(col("o_orderkey"), lit(7)).as("key_mod7"),
+            signum(col("o_totalprice") - 150000).as("above_150k"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey,
+              |       abs(o_totalprice - 100000) AS abs_diff,
+              |       ${util.r2sql("sqrt(o_totalprice)")} AS sqrt_price,
+              |       ${util.r2sql("ln(o_totalprice)")} AS ln_price,
+              |       o_totalprice * o_totalprice AS price_sq,
+              |       o_orderkey % 7 AS key_mod7,
+              |       CAST(sign(o_totalprice - 150000) AS DOUBLE) AS above_150k
+              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "fn_array_hof",
+      // Tokenize + higher-order lambdas; scalars out (list hashing is
+      // representation-dependent across engines).
+      (s, dir) => {
+        val toks = split(col("text"), " ")
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            array_contains(toks, "data").as("has_data"),
+            size(filter(toks, t => length(t) > 4)).cast("long").as("n_long_tokens"),
+            aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+              .as("total_chars"),
+            element_at(sort_array(toks), 1).as("first_token"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |       list_contains(string_split(text, ' '), 'data') AS has_data,
+             |       CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS BIGINT) AS n_long_tokens,
+             |       CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS total_chars,
+             |       list_sort(string_split(text, ' '))[1] AS first_token
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "fn_map_ops",
+      // No oracle: DuckDB MAP semantics/hashing differ — unit-tested in
+      // ScalarFnsSpec instead; scalar projections keep the dump stable.
+      (s, dir) => {
+        val m = map_from_arrays(
+          array(lit("status"), lit("priority")),
+          array(col("o_orderstatus"), col("o_orderpriority")))
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            element_at(m, "status").as("status_val"),
+            element_at(m, "priority").as("priority_val"),
+            size(map_keys(m)).as("n_keys"),
+            array_join(map_values(m), "|").as("vals_joined"))
+          .orderBy(col("o_orderkey"))
+      },
+      None
+    ),
+    Q(
+      "fn_json_extract",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "fn_conditional",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            when(col("o_totalprice") > 200000, "high")
+              .when(col("o_totalprice") > 100000, "mid")
+              .otherwise("low").as("price_band"),
+            least(col("o_totalprice"), lit(150000.0)).as("capped"),
+            greatest(col("o_totalprice"), lit(50000.0)).as("floored"),
+            coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_norm"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       CASE WHEN o_totalprice > 200000 THEN 'high'
+             |            WHEN o_totalprice > 100000 THEN 'mid'
+             |            ELSE 'low' END AS price_band,
+             |       least(o_totalprice, 150000.0) AS capped,
+             |       greatest(o_totalprice, 50000.0) AS floored,
+             |       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "fn_cast_formats",
+      // CSV-wire → typed round trip (SURVEY.md §2.8 [DAP]): format to
+      // string, parse back, cast across numeric/temporal types.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("date_str"),
+            to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+              "yyyy-MM-dd HH:mm:ss").cast("timestamp_ntz").as("date_rt"),
+            col("o_orderdate").cast("date").as("as_date"),
+            col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+            col("o_totalprice").cast("string").as("price_str"),
+            col("o_orderkey").cast("string").as("key_str"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_str,
+             |       strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS date_rt,
+             |       CAST(o_orderdate AS DATE) AS as_date,
+             |       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+             |       CAST(o_totalprice AS VARCHAR) AS price_str,
+             |       CAST(o_orderkey AS VARCHAR) AS key_str
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.{Q, Tables, util}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.5 window functions. All windows partition by a key before ordering —
+  * `WindowExec` shuffles once on the partition key and sorts within
+  * partitions; none of these require a global sort. Every `orderBy` inside a
+  * window includes a unique tiebreak so frame contents are deterministic
+  * across engines (SURVEY.md §2 footer rule 1).
+  */
+object Windows {
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "win_topn_group",
+      // Top-3 parts per brand. At scale this is the "grouped top-k" pattern:
+      // one shuffle on the group key, per-partition sort, early filter.
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        Tables(s, dir, "part")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+          .orderBy(col("p_brand"), col("rn"))
+      },
+      Some("""SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |         row_number() OVER (PARTITION BY p_brand
+             |                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+             |  FROM part) t
+             |WHERE rn <= 3
+             |ORDER BY p_brand, rn""".stripMargin)
+    ),
+    Q(
+      "win_rank_dense",
+      // l_quantity is integral-valued → plenty of ties; rank vs dense_rank
+      // tie semantics are the point.
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").asc)
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             |       rank()       OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC) AS rnk,
+             |       dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity ASC) AS drnk
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
+      "win_running_sum",
+      // Cumulative total per status in (date, key) order. Both engines
+      // accumulate left-to-right over the identical frame → bitwise equal.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"), col("o_totalprice"))
+          .withColumn("running_total", util.r2(sum(col("o_totalprice")).over(w)))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus, o_orderdate, o_totalprice,
+              |       ${util.r2sql("sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total
+              |FROM orders
+              |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "win_lag_lead",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+          .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+          .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |       lag(o_orderdate)  OVER w AS prev_date,
+             |       lead(o_orderdate) OVER w AS next_date,
+             |       date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+             |                 CAST(o_orderdate AS DATE)) AS gap_days
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+    Q(
+      "win_range_frame",
+      // Moving 1-hour sum over event time per user. Ordered by epoch
+      // seconds (identical floor-truncation both sides), RANGE frame peers
+      // by value not row.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("epoch_s"))
+          .rangeBetween(-3600, Window.currentRow)
+        ev.select(col("event_id"), col("user_id"), col("ts"), col("value"), col("ts_ns"))
+          .withColumn("epoch_s", expr("ts_ns div 1000000000"))
+          .withColumn("hour_sum", util.r2(sum(col("value")).over(w)))
+          .drop("epoch_s", "ts_ns")
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id, user_id, ts, value,
+              |       ${util.r2sql("sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)")} AS hour_sum
+              |FROM events
+              |ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "win_ntile_pct",
+      (s, dir) => {
+        val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+             |       ntile(10)      OVER w AS decile,
+             |       percent_rank() OVER w AS pct_rank,
+             |       cume_dist()    OVER w AS cume
+             |FROM customer
+             |WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "win_first_last",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+          .withColumn("first_key", first(col("o_orderkey")).over(w))
+          .withColumn("last_key", last(col("o_orderkey")).over(w))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_orderdate,
+             |       first_value(o_orderkey) OVER w AS first_key,
+             |       last_value(o_orderkey)  OVER w AS last_key
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |             ORDER BY o_orderdate ASC, o_orderkey ASC
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin)
+    )
+  )
+}

@@ -13,13 +13,15 @@ object SparkEntry {
   /** Every declared operator, one `Q` per SURVEY.md §2 row. */
   def all: Seq[Q] =
     ops.Scans.defs ++
+      ops.Sources.defs ++
       ops.Filters.defs ++
       ops.Joins.defs ++
       ops.Aggregates.defs ++
       ops.Windows.defs ++
       ops.ScalarFns.defs ++
       ops.SortLimit.defs ++
-      ops.SetOps.defs
+      ops.SetOps.defs ++
+      ops.Cdc.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.cdc.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.10 CDC / replication operators over a deterministic change feed
+  * synthesized from `events`: key = user_id, ordered by (ts, event_id),
+  * action = D for 'error' events, U otherwise. This mirrors the reference's
+  * incremental sync (SURVEY.md §3.1 E2 [DAP]): merge by primary key, latest
+  * meta.ts wins, deletes remove.
+  */
+object Cdc {
+
+  /** The synthetic change feed. */
+  def changes(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id"),
+      col("ts"),
+      when(col("event_type") === "error", "D").otherwise("U").as("action"),
+      col("value"),
+      col("event_id"))
+
+  private val changesSql =
+    """SELECT user_id, ts,
+      |       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS action,
+      |       value, event_id
+      |FROM events""".stripMargin
+
+  /** DuckDB mirror of Merge.fold over an arbitrary change subset. */
+  private def foldSql(pred: String): String =
+    s"""SELECT user_id, ts, action, value, event_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |                               ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM ($changesSql) c WHERE $pred) t
+       |WHERE rn = 1 AND action <> 'D'""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "cdc_upsert_latest",
+      (s, dir) => Merge.latestPerKey(changes(s, dir), Seq("user_id"), "ts", "event_id")
+        .orderBy(col("user_id")),
+      Some(s"""SELECT user_id, ts, action, value, event_id FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY user_id
+              |                               ORDER BY ts DESC, event_id DESC) AS rn
+              |  FROM ($changesSql) c) t
+              |WHERE rn = 1
+              |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "cdc_apply_deletes",
+      (s, dir) => Merge.fold(changes(s, dir), Seq("user_id"), "ts", "event_id")
+        .orderBy(col("user_id")),
+      Some(foldSql("TRUE") + "\nORDER BY user_id")
+    ),
+    Q(
+      "cdc_snapshot_reconcile",
+      // Diff an old replica (changes before 2024-01-15) against the current
+      // snapshot (all changes): added / removed / changed / same per key.
+      // Null-safe equality (<=>) classifies payload drift.
+      (s, dir) => {
+        val ch = changes(s, dir)
+        val replica = Merge.fold(ch.filter(col("ts") < lit("2024-01-15").cast("timestamp_ntz")),
+            Seq("user_id"), "ts", "event_id")
+          .select(col("user_id").as("r_key"), col("event_id").as("r_event_id"))
+        val snapshot = Merge.fold(ch, Seq("user_id"), "ts", "event_id")
+          .select(col("user_id").as("s_key"), col("event_id").as("s_event_id"))
+        replica.join(snapshot, col("r_key") === col("s_key"), "full")
+          .select(
+            coalesce(col("r_key"), col("s_key")).as("user_id"),
+            when(col("r_key").isNull, "added")
+              .when(col("s_key").isNull, "removed")
+              .when(!(col("r_event_id") <=> col("s_event_id")), "changed")
+              .otherwise("same").as("status"),
+            col("r_event_id"), col("s_event_id"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH replica AS (${foldSql("ts < TIMESTAMP '2024-01-15'")}),
+              |snapshot AS (${foldSql("TRUE")})
+              |SELECT coalesce(r.user_id, s.user_id) AS user_id,
+              |       CASE WHEN r.user_id IS NULL THEN 'added'
+              |            WHEN s.user_id IS NULL THEN 'removed'
+              |            WHEN r.event_id IS DISTINCT FROM s.event_id THEN 'changed'
+              |            ELSE 'same' END AS status,
+              |       r.event_id AS r_event_id, s.event_id AS s_event_id
+              |FROM replica r FULL JOIN snapshot s ON r.user_id = s.user_id
+              |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "cdc_incremental_fold",
+      // Fold three ordered incremental batches onto a base snapshot through
+      // Merge.applyDelta. Must equal the one-shot fold of the whole feed
+      // (same oracle as cdc_apply_deletes) — re-delivery-safe by
+      // construction.
+      (s, dir) => {
+        val ch = changes(s, dir)
+        val t1 = lit("2024-01-10").cast("timestamp_ntz")
+        val t2 = lit("2024-01-20").cast("timestamp_ntz")
+        val base = Merge.fold(ch.filter(col("ts") < t1), Seq("user_id"), "ts", "event_id")
+        val b1 = ch.filter(col("ts") >= t1 && col("ts") < t2)
+        val b2 = ch.filter(col("ts") >= t2)
+        val folded = Seq(b1, b2).foldLeft(base)(
+          (state, delta) => Merge.applyDelta(state, delta, Seq("user_id"), "ts", "event_id"))
+        folded.orderBy(col("user_id"))
+      },
+      Some(foldSql("TRUE") + "\nORDER BY user_id")
+    ),
+    Q(
+      "schema_evolution_merge",
+      // DAP schema-version bump mid-stream (SURVEY.md §2.10 [DAP]): a new
+      // column appears in later files; mergeSchema widens, missing → null.
+      // Both parquet generations are derived deterministically from orders,
+      // so the oracle recomputes the merged view straight from the source.
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_schema_evo_").toString
+        val o = Tables(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            concat(lit("note-"), col("o_orderkey")).as("o_note"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        s.read.option("mergeSchema", "true").parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_note"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |       CASE WHEN o_orderkey % 2 = 1
+             |            THEN 'note-' || CAST(o_orderkey AS VARCHAR) END AS o_note
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+
+/** §2.1 remaining sources / sinks. The reference's wire formats are
+  * gzip JSONL/CSV/TSV/Parquet with externally declared, versioned schemas
+  * (SURVEY.md §1.1 [DAP]) — everything here reads with an explicit
+  * `StructType`, never inference, matching that schema-first contract.
+  * Round trips are derived from the parquet fixtures so each oracle is just
+  * the identity query on the source table.
+  */
+object Sources {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "scan_csv_schema",
+      // TSV wire format, declared schema (no inference pass — at 100 TB a
+      // schema-inference pre-read of every object is a full extra scan).
+      (s, dir) => {
+        val tmp = tmpDir("graft_tsv_")
+        Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .coalesce(1)
+          .write.mode("overwrite").option("delimiter", "\t").csv(tmp)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.schema(schema).option("delimiter", "\t").csv(tmp)
+          .orderBy(col("n_nationkey"))
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+    ),
+    Q(
+      "scan_jsonl_envelope",
+      // The DAP record envelope {key, value, meta} (SURVEY.md §1.1 [DAP]):
+      // serialize orders into envelope JSONL, read back with the declared
+      // envelope StructType, flatten to columns.
+      (s, dir) => {
+        val tmp = tmpDir("graft_jsonl_")
+        Tables(s, dir, "orders")
+          .select(to_json(struct(
+            struct(col("o_orderkey")).as("key"),
+            struct(col("o_orderstatus"), col("o_totalprice")).as("value"),
+            struct(lit("U").as("action")).as("meta"))).as("line"))
+          .coalesce(1)
+          .write.mode("overwrite").text(tmp)
+        val envelope = StructType(Seq(
+          StructField("key", StructType(Seq(StructField("o_orderkey", LongType)))),
+          StructField("value", StructType(Seq(
+            StructField("o_orderstatus", StringType),
+            StructField("o_totalprice", DoubleType)))),
+          StructField("meta", StructType(Seq(StructField("action", StringType))))))
+        s.read.schema(envelope).json(tmp)
+          .select(col("key.o_orderkey"), col("value.o_orderstatus"),
+            col("value.o_totalprice"), col("meta.action"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, 'U' AS action
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "sink_parquet_partitioned",
+      // Partitioned landing layout (SURVEY.md §2.1 [CD2-AWS]): write
+      // partitionBy, read back, count per partition — partition pruning on
+      // the read-back path is what makes the layout pay off at scale.
+      (s, dir) => {
+        val tmp = tmpDir("graft_part_")
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+        s.read.parquet(tmp)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "sink_overwrite_snapshot",
+      // Snapshot replace semantics (`dap initdb` re-init): overwrite twice,
+      // read back — idempotent, so the oracle is the identity on orders.
+      (s, dir) => {
+        val tmp = tmpDir("graft_snap_")
+        val o = Tables(s, dir, "orders")
+        o.write.mode("overwrite").parquet(s"$tmp/orders")
+        o.write.mode("overwrite").parquet(s"$tmp/orders")
+        s.read.parquet(s"$tmp/orders").orderBy(col("o_orderkey"))
+      },
+      Some("SELECT * FROM orders ORDER BY o_orderkey")
+    ),
+    Q(
+      "source_streaming_files",
+      // The reference's poll-and-download loop as a file stream (SURVEY.md
+      // §2.1 [DAP]): Structured Streaming over the landed directory with
+      // Trigger.AvailableNow, counts by type, final state == batch oracle.
+      (s, dir) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw long
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+        // the file stream source requires a directory: stage the landed
+        // object into one (the reference's download step does the same move)
+        val stage = tmpDir("graft_stream_src_")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(s"$stage/events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val name = "stream_src_counts"
+        val q = s.readStream.schema(schema)
+          .parquet(stage)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    )
+  )
+}

@@ -21,7 +21,8 @@ object SparkEntry {
       ops.ScalarFns.defs ++
       ops.SortLimit.defs ++
       ops.SetOps.defs ++
-      ops.Cdc.defs
+      ops.Cdc.defs ++
+      ops.Streaming.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,268 @@
+package graft.ops
+
+import graft.{Q, util}
+import graft.cdc.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** §2.9 Structured Streaming tier, verified through `Trigger.AvailableNow`
+  * over staged copies of the `events` fixture: the stream runs to
+  * completion and the final state is compared to a batch oracle
+  * (SURVEY.md §5.5).
+  *
+  * Scale posture: every operator here is the same declarative plan Spark
+  * runs against a real unbounded source (Kafka / file landing zone at
+  * 100 TB/day): windowed aggs keep per-window state in the state store,
+  * watermarks bound that state, and `foreachBatch` merges reuse the batch
+  * CDC fold — one code path for batch and streaming (SURVEY.md §7.2.6).
+  */
+object Streaming {
+
+  private[ops] def stage(dir: String, copies: Int): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$tmp/events_$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    tmp
+  }
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with ts normalized to µs TIMESTAMP_NTZ —
+    * the same truncation `Tables.events` applies on the batch side.
+    */
+  private[ops] def eventsStream(s: SparkSession, staged: String, maxFilesPerTrigger: Option[Int] = None, ntz: Boolean = true): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val r = s.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    val ts = timestamp_micros(expr("ts_ns div 1000"))
+    r.parquet(staged)
+      .withColumnRenamed("ts", "ts_ns")
+      // watermarks require tz-aware TIMESTAMP (UTC session → same instant)
+      .withColumn("ts", if (ntz) ts.cast("timestamp_ntz") else ts)
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink, return the
+    * resulting table.
+    */
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "stream_tumbling_count",
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 1))
+        val agg = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        runToMemory(s, agg, "t_tumbling", "complete")
+          .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n_events"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             |       count(*) AS n_events
+             |FROM events GROUP BY 1, 2
+             |ORDER BY hour_start, event_type""".stripMargin)
+    ),
+    Q(
+      "stream_sliding_sum",
+      // 1h window sliding 15m: each event lands in 4 overlapping windows,
+      // aligned to epoch-0 slide boundaries in both engines.
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 1))
+        val agg = ev.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(util.r2(sum(col("value"))).as("total_value"), count(lit(1)).as("n_events"))
+        runToMemory(s, agg, "t_sliding", "complete")
+          .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("total_value"), col("n_events"))
+          .orderBy(col("window_start"))
+      },
+      Some(s"""SELECT make_timestamp((((epoch_us(ts) // 1000000) // 900) * 900 - 900 * k) * 1000000) AS window_start,
+              |       ${util.r2sql("sum(value)")} AS total_value,
+              |       count(*) AS n_events
+              |FROM events, unnest([0, 1, 2, 3]) AS t(k)
+              |GROUP BY 1
+              |ORDER BY window_start""".stripMargin)
+    ),
+    Q(
+      "stream_session_window",
+      // Per-user sessions with a 30-minute gap. A new session opens when
+      // the inter-event gap is >= the gap duration (Spark merges only
+      // strictly-overlapping [ts, ts+gap) intervals); the oracle replays
+      // that as gaps-and-islands SQL.
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 1))
+        val agg = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), util.r2(sum(col("value"))).as("total_value"))
+        runToMemory(s, agg, "t_session", "complete")
+          .select(col("user_id"),
+            col("session_window.start").cast("timestamp_ntz").as("session_start"),
+            col("session_window.end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"), col("total_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some(s"""WITH m AS (
+              |  SELECT user_id, ts, value,
+              |         CASE WHEN lag(ts) OVER w IS NULL
+              |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              |              THEN 1 ELSE 0 END AS new_s
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |g AS (
+              |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s
+              |                             ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM m)
+              |SELECT user_id, min(ts) AS session_start,
+              |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+              |       count(*) AS n_events, ${util.r2sql("sum(value)")} AS total_value
+              |FROM g GROUP BY user_id, sid
+              |ORDER BY user_id, session_start""".stripMargin)
+    ),
+    Q(
+      "stream_watermark_late",
+      // Late-data policy: two identical files, one per micro-batch. After
+      // batch 1 the watermark advances to max(ts) - 10min; append mode then
+      // finalizes only windows closed below it — the streaming tail stays
+      // in state, which is exactly the bounded-state guarantee. No oracle
+      // (emission timing is engine semantics); StreamingSpec injects late
+      // rows via MemoryStream and asserts they are dropped.
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 2), maxFilesPerTrigger = Some(1), ntz = false)
+        val agg = ev.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        runToMemory(s, agg, "t_watermark", "append")
+          .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n_events"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      None
+    ),
+    Q(
+      "stream_dedup_keys",
+      // Exactly-once by event_id: the staged source delivers every event
+      // twice; dropDuplicates with a watermark keeps state bounded and
+      // emits each key once. Duplicate rows are byte-identical, so which
+      // copy survives is immaterial.
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 2), ntz = false)
+        val dedup = ev.withWatermark("ts", "1 hour")
+          .dropDuplicates("event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        runToMemory(s, dedup, "t_dedup", "append")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "stream_stateful_running",
+      // Explicit keyed state: per-user running count/sum emitted per event
+      // via flatMapGroupsWithState. Batch arrival order within a group is
+      // arbitrary → sort by (ts_us, event_id) inside the state function.
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, stage(dir, 1))
+          .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+          .as[(Long, Long, Long, Double)]
+        val out = ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Double), (Long, Long, Long, Double)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (user, rows, state) =>
+              var (n, total) = state.getOption.getOrElse((0L, 0.0))
+              val emitted = rows.toSeq.sortBy(r => (r._3, r._2)).map { r =>
+                n += 1; total += r._4
+                (user, r._2, n, total)
+              }
+              state.update((n, total))
+              emitted.iterator
+          }
+          .toDF("user_id", "event_id", "run_n", "run_sum")
+          .withColumn("run_sum", util.r2(col("run_sum")))
+        runToMemory(s, out, "t_stateful", "append")
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT user_id, event_id,
+              |       count(*) OVER w AS run_n,
+              |       ${util.r2sql("sum(value) OVER w")} AS run_sum
+              |FROM events
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "stream_static_join",
+      // Enrich the stream with a static dimension: stream-static joins need
+      // no state at all (the dim is broadcast per micro-batch).
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 1))
+        val cust = graft.Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val joined = ev.join(cust, col("user_id") === col("c_custkey"), "left")
+          .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+        runToMemory(s, joined, "t_static_join", "append")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, c_mktsegment
+             |FROM events LEFT JOIN customer ON user_id = c_custkey
+             |ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "stream_foreachBatch_upsert",
+      // The reference's core write path (SURVEY.md §2.9 [DAP]): each
+      // micro-batch of changes merges into a versioned parquet replica via
+      // the SAME Merge.applyDelta used in batch CDC. Two identical feed
+      // copies arrive in two batches — re-delivery of a batch leaves the
+      // replica unchanged (idempotent), which the shared oracle with
+      // cdc_apply_deletes certifies.
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_replica_").toString
+        val ev = eventsStream(s, stage(dir, 2), maxFilesPerTrigger = Some(1))
+        val changes = ev.select(
+          col("user_id"), col("ts"),
+          when(col("event_type") === "error", "D").otherwise("U").as("action"),
+          col("value"), col("event_id"))
+        @volatile var version = 0
+        val q = changes.writeStream.outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val state =
+              if (version == 0) batch.limit(0)
+              else batch.sparkSession.read.parquet(s"$tmp/v$version")
+            val next = Merge.applyDelta(state, batch, Seq("user_id"), "ts", "event_id")
+            version += 1
+            next.write.mode("overwrite").parquet(s"$tmp/v$version")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/v$version").orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, ts, action, value, event_id FROM (
+             |  SELECT user_id, ts,
+             |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS action,
+             |         value, event_id,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 AND action <> 'D'
+             |ORDER BY user_id""".stripMargin)
+    )
+  )
+}

@@ -22,7 +22,10 @@ object SparkEntry {
       ops.SortLimit.defs ++
       ops.SetOps.defs ++
       ops.Cdc.defs ++
-      ops.Streaming.defs
+      ops.Streaming.defs ++
+      ops.TextOps.defs ++
+      ops.SimOps.defs ++
+      ops.Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** §2.12 extension-point surface: scalar UDF, generator (UDTF shape), and
+  * the multimodal binary-column pipeline. The UDF exists to prove the
+  * registration surface — the scaladoc notes why the equivalent built-in
+  * chain is preferred in hot paths (codegen, no serialization wall).
+  */
+object Extensions {
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "udf_scalar_norm",
+      // Scalar UDF text normalizer. A UDF is a codegen black box — fine at
+      // the surface, but the oracle shows the same logic is expressible as
+      // built-ins (lower∘trim∘regexp_replace), which is the 100 TB-path.
+      (s, dir) => {
+        val normText = udf((t: String) =>
+          if (t == null) null else t.trim.toLowerCase.replaceAll(" +", " "))
+        s.udf.register("norm_text", normText)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), normText(col("text")).as("norm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lower(regexp_replace(trim(text), ' +', ' ', 'g')) AS norm
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "udtf_generate",
+      // Table-function shape: one row per (doc, position, token) via the
+      // built-in posexplode generator (a custom path would subclass
+      // Catalyst's Generator — unnecessary here, SURVEY.md §7.3).
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, token
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+             |             generate_subscripts(string_split(text, ' '), 1) AS pos
+             |      FROM documents WHERE doc_id < 50) t
+             |ORDER BY doc_id, pos""".stripMargin)
+    ),
+    Q(
+      "multimodal_binary_pipeline",
+      // Multimodal column plumbing (SURVEY.md §2.11): media as an opaque
+      // binary column + typed metadata struct, processed per-partition in
+      // batches. The Spark-side plumbing (schema, partitioning, batch
+      // shape) is real; the media decode itself is a STUB — a
+      // deterministic fake standing in for an image/audio codec, since no
+      // media libraries exist in this container. Swap `fakeDecode` for a
+      // real codec call; everything else is production shape.
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        // "media" = utf-8 bytes of the text (stands in for image bytes)
+        val withBin = Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"),
+            struct(col("lang"), col("n_chars")).as("meta"))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("byte_len", LongType),
+          StructField("head_hex", StringType),
+          StructField("feature_sum", LongType)))
+        // STUB decode: replace with a real image/audio feature extractor.
+        def fakeDecode(bytes: Array[Byte]): (Long, String, Long) = {
+          val head = bytes.take(4).map(b => f"${b & 0xff}%02x").mkString
+          val fsum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+          (bytes.length.toLong, head, fsum)
+        }
+        val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+        withBin.mapPartitions { rows =>
+          // batch shape: decode per partition, never per-driver
+          rows.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val (len, head, fsum) = fakeDecode(bytes)
+            Row(id, len, head, fsum)
+          }
+        }(rowEnc)
+          .orderBy(col("doc_id"))
+      },
+      // Oracle works because the STUB is deterministic byte math (the
+      // fixture text is pure ASCII, so ascii() == byte value).
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |       lower(hex(encode(substring(text, 1, 4)))) AS head_hex,
+             |       CAST(list_sum(list_transform(range(1, length(text) + 1),
+             |                     i -> ascii(substring(text, i, 1)))) AS BIGINT) AS feature_sum
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

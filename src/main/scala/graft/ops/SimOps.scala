@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.{Q, Tables, util}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.11 similarity-search operators over the `embeddings` fixture
+  * (64-dim float vectors).
+  *
+  * Scale posture: brute-force cosine top-k is the CORRECTNESS baseline —
+  * its cost is |queries|·|corpus| and it only survives when the query set
+  * is small (here: 2% of vectors). The scale path is `sim_cosine_ann_lsh`:
+  * random-hyperplane signatures bucket the corpus so each query only scores
+  * its bucket — the same banding idea as MinHash, trading recall for a
+  * bounded join. Rank (not float score) is the output everywhere so the
+  * hash-compare is ulp-proof.
+  */
+object SimOps {
+
+  /** Elementwise dot product Σ aᵢ·bᵢ, float→double per element,
+    * left-to-right — mirrors the DuckDB oracle formula bitwise.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, 65), i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))"
+
+  /** Queries = every 50th vector; the rest of the corpus is the candidate
+    * set.
+    */
+  private def querySet(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "sim_cosine_topk",
+      // Brute-force cosine top-5 per query vector; the broadcast of the
+      // (small) query set keeps the corpus un-shuffled.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = broadcast(querySet(emb).withColumn("q_norm", norm(col("q_emb"))))
+        val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+          .withColumn("c_norm", norm(col("c_emb")))
+        val scored = q.crossJoin(c)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        rankTopK(scored, 5)
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS query_id, embedding AS q_emb,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS q_norm
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |c AS (
+              |  SELECT vec_id AS neighbor_id, embedding AS c_emb,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS c_norm
+              |  FROM embeddings),
+              |scored AS (
+              |  SELECT query_id, neighbor_id,
+              |         $dotSql / (q_norm * c_norm) AS cos
+              |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+              |SELECT query_id, rank, neighbor_id FROM (
+              |  SELECT query_id, neighbor_id,
+              |         CAST(row_number() OVER (PARTITION BY query_id
+              |                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "sim_cosine_topk_native",
+      // Same query through the custom codegen'd Catalyst expression
+      // (graft.functions.CosineSimilarity) — identical results, one fused
+      // loop instead of HOF intermediates; shares the brute-force oracle.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = broadcast(querySet(emb))
+        val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+        val scored = q.crossJoin(c)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos",
+            graft.functions.CosineSimilarity(s, col("q_emb"), col("c_emb")))
+        rankTopK(scored, 5)
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS query_id, embedding AS q_emb
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+              |scored AS (
+              |  SELECT query_id, neighbor_id,
+              |         $dotSql / (sqrt(list_sum(list_transform(range(1, 65), i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE))) *
+              |                    sqrt(list_sum(list_transform(range(1, 65), i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE)))) AS cos
+              |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+              |SELECT query_id, rank, neighbor_id FROM (
+              |  SELECT query_id, neighbor_id,
+              |         CAST(row_number() OVER (PARTITION BY query_id
+              |                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "sim_cosine_ann_lsh",
+      // ANN scale path: 8-bit random-hyperplane signature (hyperplane j's
+      // i-th component is a deterministic ±1 from crc32) buckets the
+      // corpus; each query scores only its bucket. No oracle — recall vs
+      // brute force is property-tested in SimSpec.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        def sigBit(e: Column, j: Int): Column = {
+          val proj = aggregate(
+            transform(sequence(lit(1), size(e)),
+              i => e(i - 1).cast("double") *
+                (crc32(concat(lit(j.toString), lit("_"), i.cast("string"))) % 2 * 2 - 1)
+                  .cast("double")),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
+        }
+        def bucket(e: Column): Column = (0 until 8).map(j => sigBit(e, j)).reduce(_ + _)
+        val q = querySet(emb).withColumn("bucket", bucket(col("q_emb")))
+          .withColumn("q_norm", norm(col("q_emb")))
+        val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+          .withColumn("bucket", bucket(col("c_emb")))
+          .withColumn("c_norm", norm(col("c_emb")))
+        val scored = q.join(c, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        rankTopK(scored, 5)
+      },
+      None
+    ),
+    Q(
+      "sim_centroid_by_label",
+      // Mean vector per label via posexplode → (label, pos) partial avg —
+      // the shuffle carries label×dim rows, never whole vectors.
+      (s, dir) => {
+        Tables(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(util.r2(avg(col("v").cast("double"))).as("mean_component"))
+          .select(col("label"), col("pos").cast("long").as("pos"), col("mean_component"))
+          .orderBy(col("label"), col("pos"))
+      },
+      Some(s"""SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+              |       ${util.r2sql("avg(v::DOUBLE)")} AS mean_component
+              |FROM (SELECT label, unnest(embedding) AS v,
+              |             generate_subscripts(embedding, 1) AS pos
+              |      FROM embeddings) t
+              |GROUP BY label, pos
+              |ORDER BY label, pos""".stripMargin)
+    ),
+    Q(
+      "multimodal_join",
+      // One logical row per document: text + metadata + embedding, nested
+      // struct projection (SURVEY.md §2.11).
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val e = Tables(s, dir, "embeddings")
+        d.join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"),
+            struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+            col("label"), size(col("embedding")).cast("long").as("dim"))
+          .select(col("doc_id"), col("meta.lang").as("lang"),
+            col("meta.source").as("source"), col("meta.n_chars").as("n_chars"),
+            col("label"), col("dim"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars, label,
+             |       CAST(len(embedding) AS BIGINT) AS dim
+             |FROM documents JOIN embeddings ON doc_id = vec_id
+             |ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

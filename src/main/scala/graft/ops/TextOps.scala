@@ -1,0 +1,273 @@
+package graft.ops
+
+import graft.{Q, Tables, util}
+import graft.text.{MinHash, SimHash}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.11 text-analysis / dedup operators for the LLM-data-pipeline charter
+  * extension, over the `documents` fixture. Everything is per-row HOF work
+  * plus at most one keyed shuffle — the shapes that survive a 100 TB corpus:
+  * exact dedup is a hash groupBy, near-dup is banded LSH (never all-pairs),
+  * n-gram Jaccard is blocked by source before pairing.
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Marker-token vocabularies for the n-gram/stopword language heuristic. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "des"),
+    "de" -> Seq("der", "die", "und"),
+    "zh" -> Seq("de5", "le5", "shi4"))
+
+  private def markerCount(ts: Seq[String]): Column =
+    size(filter(toks, t => t.isin(ts.map(lit): _*)))
+
+  private def markerCountSql(ts: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${ts.map(t => s"'$t'").mkString(", ")})))"
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "text_exact_dedup",
+      // Exact dedup on normalized text: hash-groupBy, min doc_id keeps.
+      // One shuffle on the 256-bit digest — at 100 TB the digest (not the
+      // document) is what moves.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(sha2(lower(trim(col("text"))), 256).as("text_hash"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("keeper_doc_id"))
+      },
+      Some("""SELECT sha256(lower(trim(text))) AS text_hash,
+             |       min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin)
+    ),
+    Q(
+      "text_neardup_minhash",
+      // MinHash/LSH candidate pairs (no oracle: crc32 is unavailable in
+      // DuckDB; MinHashSpec property-tests Jaccard bounds + determinism).
+      (s, dir) => MinHash.nearDupPairs(
+          Tables(s, dir, "documents"), "doc_id", "text", k = 16, bands = 8,
+          minEstJaccard = 0.2)
+        .orderBy(col("doc_a"), col("doc_b")),
+      None
+    ),
+    Q(
+      "text_neardup_simhash",
+      // SimHash fingerprints + half-bucket candidate pairs with Hamming
+      // distance. Fingerprint is pure per-row HOF math; pairing buckets on
+      // 16-bit halves.
+      (s, dir) => {
+        val fp = Tables(s, dir, "documents")
+          .select(col("doc_id"), SimHash.simhash(col("text")).as("fp"))
+        val ex = fp.select(col("doc_id"), col("fp"), explode(SimHash.halves(col("fp"))).as("h"))
+          .select(col("doc_id"), col("fp"), col("h.half_id"), col("h.half"))
+        val a = ex.select(col("half_id"), col("half"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+        val b = ex.select(col("half_id"), col("half"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+        a.join(b, Seq("half_id", "half")).filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None
+    ),
+    Q(
+      "text_ngram_jaccard",
+      // Exact token-3-gram Jaccard for pairs blocked by source (the
+      // blocking key is what makes exact pairwise feasible at scale; the
+      // unblocked path is text_neardup_minhash). count arithmetic only →
+      // bitwise-equal doubles.
+      (s, dir) => {
+        val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(MinHash.shingles(col("text"), 3)).as("gram"))
+        val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("gram"))
+        val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("gram"))
+        a.join(b, Seq("source", "gram")).filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.05)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, source,
+             |         unnest(list_distinct(list_transform(
+             |           range(1, len(string_split(text, ' ')) - 1),
+             |           i -> string_split(text, ' ')[i] || ' ' ||
+             |                string_split(text, ' ')[i+1] || ' ' ||
+             |                string_split(text, ' ')[i+2]))) AS gram
+             |  FROM documents),
+             |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+             |  FROM grams a JOIN grams b ON a.source = b.source AND a.gram = b.gram
+             |  WHERE a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       CAST(common AS DOUBLE) / (na.n_grams + nb.n_grams - common) AS jaccard
+             |FROM pairs
+             |JOIN sizes na ON na.doc_id = doc_a
+             |JOIN sizes nb ON nb.doc_id = doc_b
+             |WHERE CAST(common AS DOUBLE) / (na.n_grams + nb.n_grams - common) >= 0.05
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+    Q(
+      "text_langid",
+      // Language-ID by marker-token counts with a fixed priority order —
+      // an n-gram-heuristic classifier expressible on both engines.
+      (s, dir) => {
+        val counts = markers.map { case (l, ts) => l -> markerCount(ts) }
+        val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+        // fold from the last language so earlier ones win ties
+        val g2 = counts.reverse.foldLeft(lit("und"): Column) {
+          case (acc, (l, c)) => when(c === best && best > 0, l).otherwise(acc)
+        }
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+            counts.head._2.cast("long").as("n_en_markers"),
+            g2.as("lang_guess"))
+          .withColumn("agrees", col("lang_guess") === col("labeled_lang"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        val cs = markers.map { case (l, ts) => l -> markerCountSql(ts) }
+        val best = s"greatest(${cs.map(_._2).mkString(", ")})"
+        val guess = cs.reverse.foldLeft("'und'") {
+          case (acc, (l, c)) => s"CASE WHEN $c = $best AND $best > 0 THEN '$l' ELSE $acc END"
+        }
+        Some(s"""SELECT doc_id, lang AS labeled_lang,
+                |       CAST(${cs.head._2} AS BIGINT) AS n_en_markers,
+                |       $guess AS lang_guess,
+                |       ($guess = lang) AS agrees
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      }
+    ),
+    Q(
+      "text_quality_score",
+      // Heuristic quality scoring: length, mean token length, stopword
+      // ratio — pure arithmetic, identical on both engines.
+      (s, dir) => {
+        val nTok = size(toks).cast("double")
+        val avgLen = length(col("text")).cast("double") / nTok
+        val stopRatio = markerCount(markers.head._2).cast("double") / nTok
+        val score =
+          lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - abs(avgLen - 5.0) / 5.0) +
+            lit(0.3) * stopRatio
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            nTok.cast("long").as("n_tokens"),
+            util.r2(avgLen).as("avg_token_len"),
+            util.r2(stopRatio).as("stopword_ratio"),
+            util.r2(score).as("quality_score"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        val avgLen = s"CAST(length(text) AS DOUBLE) / $nTok"
+        val stopRatio = s"CAST(${markerCountSql(markers.head._2)} AS DOUBLE) / $nTok"
+        val score = s"0.4 * least($nTok / 100.0, 1.0) + 0.3 * (1.0 - abs($avgLen - 5.0) / 5.0) + 0.3 * $stopRatio"
+        Some(s"""SELECT doc_id,
+                |       CAST($nTok AS BIGINT) AS n_tokens,
+                |       ${util.r2sql(avgLen)} AS avg_token_len,
+                |       ${util.r2sql(stopRatio)} AS stopword_ratio,
+                |       ${util.r2sql(score)} AS quality_score
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      }
+    ),
+    Q(
+      "text_token_count",
+      // Whitespace tokens, regex word tokens, and a BPE-ish length/4
+      // subword estimate.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("ws_tokens"),
+            expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long").as("word_tokens"),
+            expr("(length(text) + 3) div 4").as("bpe_est_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+             |       (length(text) + 3) // 4 AS bpe_est_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_fingerprint",
+      // Positional document fingerprint: Σ (pos·(len(tok)+1)·φ) mod p —
+      // order-sensitive, overflow-free, bitwise-identical cross-engine.
+      (s, dir) => {
+        val fp = aggregate(
+          transform(sequence(lit(1), size(toks)),
+            i => (i.cast("long") * (length(element_at(toks, i)) + 1).cast("long")
+              * 2654435761L) % 1000000007L),
+          lit(0L), (acc, v) => acc + v)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), fp.as("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(list_sum(list_transform(
+             |         range(1, len(string_split(text, ' ')) + 1),
+             |         i -> (i * (length(string_split(text, ' ')[i]) + 1) * 2654435761) % 1000000007))
+             |       AS BIGINT) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_token_stats",
+      // Top-5 tokens per language: explode → two-phase count → grouped
+      // top-k window.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("token").asc)
+        Tables(s, dir, "documents")
+          .select(col("lang"), explode(toks).as("token"))
+          .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("lang"), col("rnk"))
+      },
+      Some("""SELECT lang, token, n, rnk FROM (
+             |  SELECT lang, token, count(*) AS n,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY count(*) DESC, token ASC) AS rnk
+             |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+             |        FROM documents) t
+             |  GROUP BY lang, token) r
+             |WHERE rnk <= 5
+             |ORDER BY lang, rnk""".stripMargin)
+    ),
+    Q(
+      "text_corpus_profile",
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            util.r2(avg(col("n_chars"))).as("avg_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some(s"""SELECT lang, source, count(*) AS n_docs,
+              |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              |       ${util.r2sql("avg(n_chars)")} AS avg_chars,
+              |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+              |FROM documents GROUP BY lang, source
+              |ORDER BY lang, source""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash/LSH near-duplicate detection over token shingles — the standard
+  * web-scale dedup pipeline (shingle → k seeded min-hashes → band →
+  * bucket-join), built entirely from codegen'd built-ins: `crc32` as the
+  * base hash, affine reseeding `(a_j·h + b_j) mod P`, `array_min` per seed.
+  * Fully deterministic — no RNG at runtime (SURVEY.md §2.11).
+  *
+  * Scale: the signature is computed per-row with zero shuffles; the ONLY
+  * shuffle is the band-bucket self-join, whose intermediate is bounded by
+  * bucket sizes (vs. O(n²) all-pairs). Band count/row count trade recall
+  * for cost: b bands of r rows catch pairs with Jaccard ≳ (1/b)^(1/r).
+  */
+object MinHash {
+
+  /** Large prime modulus for the affine hash family. */
+  val P: Long = 2038074743L
+
+  /** Deterministic seed pairs (a_j, b_j), j = 0..k-1. */
+  private def seeds(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { j =>
+      val a = (1103515245L * (j + 1) + 12345L) % P
+      val b = (69069L * (j + 7) + 1234567L) % P
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** Token n-gram shingles of a text column (space-tokenized). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    // guard: sequence(0, negative) would generate a DESCENDING range
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** k-wide MinHash signature of a shingle array. */
+  def signature(sh: Column, k: Int = 16): Column =
+    array(seeds(k).map { case (a, b) =>
+      array_min(transform(sh, s => (lit(a) * crc32(s) + lit(b)) % P))
+    }: _*)
+
+  /** LSH band keys: `bands` hashes, each over `k/bands` consecutive
+    * signature rows.
+    */
+  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"), xxhash64(lit(b), slice(sig, b * r + 1, r)).as("band_hash"))
+    }: _*)
+  }
+
+  /** Candidate near-duplicate pairs with estimated Jaccard (fraction of
+    * agreeing signature positions). `df` must carry (`idCol`, `textCol`).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 8, minEstJaccard: Double = 0.2): DataFrame = {
+    val sigs = df.select(
+        col(idCol).as("doc"),
+        signature(shingles(col(textCol)), k).as("sig"))
+      .withColumn("bands", bandKeys(col("sig"), k, bands))
+    val exploded = sigs.select(col("doc"), col("sig"), explode(col("bands")).as("b"))
+      .select(col("doc"), col("sig"), col("b.band_id"), col("b.band_hash"))
+    val a = exploded.select(col("band_id"), col("band_hash"),
+      col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val b = exploded.select(col("band_id"), col("band_hash"),
+      col("doc").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+}

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  private[ops] def stage(dir: String, copies: Int): String = {
+  private[graft] def stage(dir: String, copies: Int): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
     (1 to copies).foreach { i =>
       java.nio.file.Files.copy(
@@ -42,7 +42,7 @@ object Streaming {
   /** File-source stream of events with ts normalized to µs TIMESTAMP_NTZ —
     * the same truncation `Tables.events` applies on the batch side.
     */
-  private[ops] def eventsStream(s: SparkSession, staged: String, maxFilesPerTrigger: Option[Int] = None, ntz: Boolean = true): DataFrame = {
+  private[graft] def eventsStream(s: SparkSession, staged: String, maxFilesPerTrigger: Option[Int] = None, ntz: Boolean = true): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val r = s.readStream.schema(rawSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
@@ -102,10 +102,11 @@ object Streaming {
     ),
     Q(
       "stream_session_window",
-      // Per-user sessions with a 30-minute gap. A new session opens when
-      // the inter-event gap is >= the gap duration (Spark merges only
-      // strictly-overlapping [ts, ts+gap) intervals); the oracle replays
-      // that as gaps-and-islands SQL.
+      // Per-user sessions with a 30-minute gap. Spark merges an event into
+      // the session when its gap to the previous event is <= the gap
+      // duration (boundary-INCLUSIVE, verified in StreamingSpec); a new
+      // session opens only on a strictly greater gap. The oracle replays
+      // that as gaps-and-islands SQL with `>`.
       (s, dir) => {
         val ev = eventsStream(s, stage(dir, 1))
         val agg = ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -120,7 +121,7 @@ object Streaming {
       Some(s"""WITH m AS (
               |  SELECT user_id, ts, value,
               |         CASE WHEN lag(ts) OVER w IS NULL
-              |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               |              THEN 1 ELSE 0 END AS new_s
               |  FROM events
               |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -1,0 +1,76 @@
+package graft
+
+import graft.cdc.Merge
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CDC fold semantics (SURVEY.md §5.3): idempotence, delete-wins-latest,
+  * arrival-order independence, incremental ≡ one-shot.
+  */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // (user_id, ts, action, value, event_id)
+  private def feed(rows: (Long, String, String, Double, Long)*): DataFrame =
+    rows.toSeq.toDF("user_id", "ts_s", "action", "value", "event_id")
+      .selectExpr("user_id", "cast(ts_s as timestamp_ntz) as ts", "action", "value", "event_id")
+
+  private val base = feed(
+    (1L, "2024-01-01 00:00:00", "U", 1.0, 1L),
+    (1L, "2024-01-02 00:00:00", "U", 2.0, 2L),
+    (2L, "2024-01-01 00:00:00", "U", 5.0, 3L),
+    (2L, "2024-01-03 00:00:00", "D", 0.0, 4L),
+    (3L, "2024-01-01 00:00:00", "D", 0.0, 5L),
+    (3L, "2024-01-02 00:00:00", "U", 7.0, 6L))
+
+  private def result(df: DataFrame): Set[(Long, Double, Long)] =
+    Merge.fold(df, Seq("user_id"), "ts", "event_id")
+      .select("user_id", "value", "event_id").as[(Long, Double, Long)]
+      .collect().toSet
+
+  test("latest upsert wins, deletes remove, re-upsert after delete survives") {
+    assert(result(base) === Set((1L, 2.0, 2L), (3L, 7.0, 6L)))
+  }
+
+  test("fold is idempotent: folding the fold changes nothing") {
+    val once = Merge.fold(base, Seq("user_id"), "ts", "event_id")
+    val twice = Merge.fold(once, Seq("user_id"), "ts", "event_id")
+    assert(once.collect().toSet === twice.collect().toSet)
+  }
+
+  test("arrival order within the feed does not matter") {
+    val shuffled = base.orderBy(org.apache.spark.sql.functions.col("event_id").desc)
+    assert(result(base) === result(shuffled))
+  }
+
+  test("incremental applyDelta equals one-shot fold of the whole feed") {
+    val d1 = base.filter($"event_id" <= 3)
+    val d2 = base.filter($"event_id" > 3)
+    val incremental = Merge.applyDelta(
+      Merge.fold(d1, Seq("user_id"), "ts", "event_id"),
+      d2, Seq("user_id"), "ts", "event_id")
+    assert(incremental.select("user_id", "value", "event_id").as[(Long, Double, Long)]
+      .collect().toSet === result(base))
+  }
+
+  test("re-delivering the same delta is a no-op (exactly-once effect)") {
+    val once = Merge.applyDelta(base.limit(0), base, Seq("user_id"), "ts", "event_id")
+    val redelivered = Merge.applyDelta(once, base, Seq("user_id"), "ts", "event_id")
+    assert(once.select("user_id", "value", "event_id").as[(Long, Double, Long)].collect().toSet ===
+      redelivered.select("user_id", "value", "event_id").as[(Long, Double, Long)].collect().toSet)
+  }
+
+  test("ties on ts break by tiebreak column (higher event_id wins)") {
+    val tied = feed(
+      (9L, "2024-01-01 00:00:00", "U", 1.0, 10L),
+      (9L, "2024-01-01 00:00:00", "U", 2.0, 11L))
+    assert(result(tied) === Set((9L, 2.0, 11L)))
+  }
+
+  test("empty delta leaves state unchanged") {
+    val state = Merge.fold(base, Seq("user_id"), "ts", "event_id")
+    val after = Merge.applyDelta(state, base.limit(0), Seq("user_id"), "ts", "event_id")
+    assert(state.collect().toSet === after.collect().toSet)
+  }
+}

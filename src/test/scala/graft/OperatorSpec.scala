@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator unit checks on tiny inputs + registry invariants
+  * (SURVEY.md §5.2), plus set-op algebra (§5.3).
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  private val dir = SparkTestBase.sfDir
+
+  test("registry: every oracle key is a query key; names are unique") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size === names.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("every query runs and returns a non-negative row count at sf0.001") {
+    // smoke over the full inventory — streaming queries included
+    val failures = SparkEntry.all.flatMap { q =>
+      try { q.fn(spark, dir).count(); None }
+      catch { case e: Throwable => Some(q.name -> e.getMessage) }
+    }
+    assert(failures.isEmpty, s"queries failed: $failures")
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("weighted avg Aggregator matches hand computation") {
+    val wavg = udaf(functions.WeightedAvg)
+    val got = Seq((2.0, 1.0), (4.0, 3.0)).toDF("v", "w")
+      .agg(wavg(col("v"), col("w"))).head.getDouble(0)
+    assert(math.abs(got - (2.0 * 1 + 4.0 * 3) / 4.0) < 1e-12)
+  }
+
+  test("weighted avg handles empty input (NaN, not crash)") {
+    val wavg = udaf(functions.WeightedAvg)
+    val got = Seq.empty[(Double, Double)].toDF("v", "w")
+      .agg(wavg(col("v"), col("w"))).head.getDouble(0)
+    assert(got.isNaN)
+  }
+
+  test("cosine expression equals the HOF formula on the fixtures") {
+    val emb = Tables(spark, dir, "embeddings").limit(20)
+    val a = emb.select(col("vec_id"), col("embedding").as("a"))
+    val b = emb.select(col("vec_id").as("vid2"), col("embedding").as("b"))
+    val pairs = a.crossJoin(b).filter(col("vec_id") < col("vid2")).limit(50)
+    def hofDot(x: String, y: String) =
+      aggregate(zip_with(col(x), col(y), (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val hof = hofDot("a", "b") / (sqrt(hofDot("a", "a")) * sqrt(hofDot("b", "b")))
+    val rows = pairs.select(
+      functions.CosineSimilarity(spark, col("a"), col("b")).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine expression interpreted path (eval) matches codegen result") {
+    val e = functions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 0.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 0.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("set-op algebra: |a\\b| + |a∩b| == |distinct a| over common schema") {
+    val a = Tables(spark, dir, "orders").filter(col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_orderstatus")
+    val b = Tables(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderstatus")
+    assert(a.except(b).count() + a.intersect(b).count() === a.distinct().count())
+  }
+
+  test("ann lsh recall: bucketed candidates overlap brute-force top-5") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = SparkEntry.queries("sim_cosine_ann_lsh")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall > 0.15, s"ANN recall too low: $recall") // 8-bit sig, 1 table
+  }
+}

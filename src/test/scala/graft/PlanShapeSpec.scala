@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards (SURVEY.md §5.4): the physical strategies pinned by
+  * hints/broadcasts must actually appear, filters must reach the parquet
+  * scan, and projections must prune the read schema — the properties that
+  * decide whether a plan survives 100 TB.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("join_broadcast_inner plans a BroadcastHashJoin") {
+    assert(planOf("join_broadcast_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sort_merge plans a SortMergeJoin") {
+    assert(planOf("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("join_shuffle_hash plans a ShuffledHashJoin") {
+    assert(planOf("join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("join_theta_nl plans a BroadcastNestedLoopJoin") {
+    assert(planOf("join_theta_nl").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("filter_pushdown_date pushes the date predicates into the parquet scan") {
+    val plan = planOf("filter_pushdown_date")
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"))
+  }
+
+  test("project_prune reads only the three projected columns") {
+    val plan = planOf("project_prune")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_discount"))
+  }
+
+  test("topk_order_limit plans TakeOrderedAndProject (never a full sort)") {
+    assert(planOf("topk_order_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_hash_group plans a two-phase HashAggregate (partial then final)") {
+    val plan = planOf("agg_hash_group")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("join_star_5way broadcasts the small dimensions") {
+    assert(planOf("join_star_5way").contains("BroadcastHashJoin"))
+  }
+
+  test("sim_cosine_topk_native uses the custom expression and partial top-k") {
+    val plan = planOf("sim_cosine_topk_native")
+    assert(plan.contains("cosine_sim"))
+    // Spark 4 pushes row_number()<=k down as a partial WindowGroupLimit —
+    // each partition keeps only k rows before the shuffle
+    assert(plan.contains("WindowGroupLimit"))
+  }
+}

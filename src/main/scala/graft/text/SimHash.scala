@@ -17,9 +17,12 @@ object SimHash {
 
   val Bits = 32
 
-  /** 32-bit SimHash of a space-tokenized text column, as a long. */
-  def simhash(text: Column): Column = {
-    val toks = split(text, " ")
+  /** 32-bit SimHash of a token-array column, as a long. Callers should
+    * alias the token array in a prior projection: the per-bit aggregates
+    * reference it Bits× and an inlined split() would be re-evaluated per
+    * reference (HOFs are codegen-fallback — no runtime CSE).
+    */
+  def simhash(toks: Column): Column = {
     (0 until Bits).map { b =>
       val bitSum = aggregate(
         toks,

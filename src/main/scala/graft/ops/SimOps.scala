@@ -122,12 +122,17 @@ object SimOps {
       // brute force is property-tested in SimSpec.
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
+        // hyperplane components are deterministic constants — computed
+        // driver-side once (CRC32 of "j_i") and embedded as literals, so
+        // each row does only the multiply-accumulate
+        def plane(j: Int): Seq[Double] = (0 until 64).map { i =>
+          val c = new java.util.zip.CRC32
+          c.update(s"${j}_$i".getBytes("UTF-8"))
+          if (c.getValue % 2 == 0) -1.0 else 1.0
+        }
         def sigBit(e: Column, j: Int): Column = {
           val proj = aggregate(
-            transform(sequence(lit(1), size(e)),
-              i => e(i - 1).cast("double") *
-                (crc32(concat(lit(j.toString), lit("_"), i.cast("string"))) % 2 * 2 - 1)
-                  .cast("double")),
+            zip_with(e, typedlit(plane(j)), (x, r) => x.cast("double") * r),
             lit(0.0), (acc, v) => acc + v)
           when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
         }

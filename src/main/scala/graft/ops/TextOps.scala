@@ -63,8 +63,8 @@ object TextOps {
       // 16-bit halves.
       (s, dir) => {
         val fp = Tables(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), SimHash.simhash(col("toks")).as("fp"))
+          .select(col("doc_id"), MinHash.tokenCrcs(col("text")).as("crcs"))
+          .select(col("doc_id"), SimHash.simhash(col("crcs")).as("fp"))
           .persist()
         val ex = fp.select(col("doc_id"), col("fp"), explode(SimHash.halves(col("fp"))).as("h"))
           .select(col("doc_id"), col("fp"), col("h.half_id"), col("h.half"))
@@ -86,9 +86,14 @@ object TextOps {
       // unblocked path is text_neardup_minhash). count arithmetic only →
       // bitwise-equal doubles.
       (s, dir) => {
+        // grams join on 54-bit hashes, not strings: distinct-set identity
+        // is preserved (collision odds ~1e-8) and the self-join shuffle
+        // carries longs instead of 3-token strings
         val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), MinHash.tokenCrcs(col("text")).as("crcs"))
           .select(col("doc_id"), col("source"),
-            explode(MinHash.shingles(col("text"), 3)).as("gram"))
+            explode(MinHash.shingleHashes(col("crcs"), 3, distinct = true, modP = false))
+              .as("gram"))
         val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
         val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("gram"))
         val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("gram"))

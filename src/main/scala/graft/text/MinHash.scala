@@ -38,10 +38,46 @@ object MinHash {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** k-wide MinHash signature of a shingle array. */
+  /** Per-token crc32 hashes. Alias this before feeding [[shingleHashes]] —
+    * one crc32 per token total, instead of n per shingle.
+    */
+  def tokenCrcs(text: Column): Column = transform(split(text, " "), t => crc32(t))
+
+  /** Numeric n-gram shingle hashes from pre-computed token hashes: the
+    * shingle at i hashes as a position-weighted combination of its tokens'
+    * crc32s — no string concatenation, no per-shingle crc32. Duplicates are
+    * kept (array_min is multiset-invariant) unless `distinct`.
+    */
+  def shingleHashes(crcs: Column, n: Int = 3, distinct: Boolean = false,
+      modP: Boolean = true): Column = {
+    val weights = Seq(1000003L, 999979L, 999961L, 999959L, 999953L)
+    // without modP the combination stays < 2^54 (crc32 < 2^32, weights
+    // < 2^20): a ~54-bit gram identity whose collision rate is negligible
+    // for exact Jaccard counting; with modP it fits the affine MinHash
+    // family (a·h + b must not overflow a long)
+    val raw = when(size(crcs) >= n,
+      transform(
+        sequence(lit(0), size(crcs) - n),
+        i => {
+          val c = (0 until n).map(o => element_at(crcs, i + o + 1) * weights(o)).reduce(_ + _)
+          if (modP) c % P else c
+        }))
+      .otherwise(array().cast("array<bigint>"))
+    if (distinct) array_distinct(raw) else raw
+  }
+
+  /** k-wide MinHash signature of a string shingle array. */
   def signature(sh: Column, k: Int = 16): Column =
     array(seeds(k).map { case (a, b) =>
       array_min(transform(sh, s => (lit(a) * crc32(s) + lit(b)) % P))
+    }: _*)
+
+  /** k-wide MinHash signature of a numeric shingle-hash array
+    * ([[shingleHashes]]) — the hot path: pure long arithmetic per element.
+    */
+  def signatureFromHashes(sh: Column, k: Int = 16): Column =
+    array(seeds(k).map { case (a, b) =>
+      array_min(transform(sh, h => (lit(a) * h + lit(b)) % P))
     }: _*)
 
   /** LSH band keys: `bands` hashes, each over `k/bands` consecutive
@@ -65,8 +101,9 @@ object MinHash {
     // computation once PER REFERENCE (~k·bands× per row). CollapseProject
     // keeps multi-referenced non-trivial aliases materialized, making each
     // level a single evaluation. (Measured: 210s → ~2s at sf0.1.)
-    val sh = df.select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
-    val sigs = sh.select(col("doc"), signature(col("sh"), k).as("sig"))
+    val crcs = df.select(col(idCol).as("doc"), tokenCrcs(col(textCol)).as("crcs"))
+    val sh = crcs.select(col("doc"), shingleHashes(col("crcs")).as("sh"))
+    val sigs = sh.select(col("doc"), signatureFromHashes(col("sh"), k).as("sig"))
       .persist() // reused by both join sides + signature re-attachment
     val exploded = sigs
       .select(col("doc"), explode(bandKeys(col("sig"), k, bands)).as("b"))

@@ -17,17 +17,18 @@ object SimHash {
 
   val Bits = 32
 
-  /** 32-bit SimHash of a token-array column, as a long. Callers should
-    * alias the token array in a prior projection: the per-bit aggregates
-    * reference it Bits× and an inlined split() would be re-evaluated per
-    * reference (HOFs are codegen-fallback — no runtime CSE).
+  /** 32-bit SimHash of a pre-hashed token array (crc32 per token, e.g.
+    * [[MinHash.tokenCrcs]]), as a long. Callers must alias the crc array in
+    * a prior projection: the Bits per-bit aggregates each traverse it, and
+    * HOFs are codegen-fallback (no runtime CSE) — hashing inline would
+    * re-run crc32 Bits× per token.
     */
-  def simhash(toks: Column): Column = {
+  def simhash(crcs: Column): Column = {
     (0 until Bits).map { b =>
       val bitSum = aggregate(
-        toks,
+        crcs,
         lit(0L),
-        (a, t) => a + when(shiftright(crc32(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        (a, c) => a + when(shiftright(c, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -51,8 +51,8 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("simhash: identical docs share fingerprint; hamming to near-dup is small") {
-    val fps = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), SimHash.simhash(col("toks")).as("fp"))
+    val fps = docs.select(col("doc_id"), MinHash.tokenCrcs(col("text")).as("crcs"))
+      .select(col("doc_id"), SimHash.simhash(col("crcs")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(3L) === fps(4L))
     val hammingNear = java.lang.Long.bitCount(fps(1L) ^ fps(2L))

@@ -94,6 +94,39 @@ object Extensions {
              |       CAST(list_sum(list_transform(range(1, length(text) + 1),
              |                     i -> ascii(substring(text, i, 1)))) AS BIGINT) AS feature_sum
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "multimodal_frame_sample",
+      // Frame sampling over an opaque media blob: every 64th 16-byte block
+      // is a "frame"; per frame emit (index, stub feature). The iterator →
+      // iterator mapPartitions shape is the real streaming-decode plumbing
+      // (constant memory per partition); the frame decode itself is a STUB
+      // for a video codec. No oracle — covered by MultimodalSpec.
+      (s, dir) => {
+        val spark = s
+        val withBin = Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("frame_idx", LongType),
+          StructField("frame_feature", LongType)))
+        val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+        withBin.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            // STUB frame decode: byte-sum of each sampled 16-byte block
+            Iterator.range(0, bytes.length, 64).zipWithIndex.map { case (off, idx) =>
+              val end = math.min(off + 16, bytes.length)
+              var f = 0L; var i = off
+              while (i < end) { f += bytes(i) & 0xff; i += 1 }
+              Row(id, idx.toLong, f)
+            }
+          }
+        }(rowEnc)
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      None
     )
   )
 }

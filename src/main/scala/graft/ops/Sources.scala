@@ -97,6 +97,36 @@ object Sources {
       Some("SELECT * FROM orders ORDER BY o_orderkey")
     ),
     Q(
+      "sink_bucketed_join",
+      // Bucketed layout → co-located join (SURVEY.md §4): both sides
+      // written bucketBy(8, key); the join then requires NO Exchange on
+      // either side (asserted in PlanShapeSpec). At 100 TB this is the
+      // difference between shuffling two fact tables and shuffling
+      // nothing.
+      (s, dir) => {
+        val db = "graft_buckets"
+        // unique location per call: a stale warehouse dir from a previous
+        // session (fresh metastore, surviving filesystem) would otherwise
+        // fail CREATE with LOCATION_ALREADY_EXISTS
+        val loc = tmpDir("graft_buckets_db_")
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+        val o = Tables(s, dir, "orders")
+        val li = Tables(s, dir, "lineitem")
+        o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").format("parquet").saveAsTable(s"$db.orders_b")
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").format("parquet").saveAsTable(s"$db.lineitem_b")
+        s.table(s"$db.lineitem_b")
+          .join(s.table(s"$db.orders_b"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "source_streaming_files",
       // The reference's poll-and-download loop as a file stream (SURVEY.md
       // §2.1 [DAP]): Structured Streaming over the landed directory with

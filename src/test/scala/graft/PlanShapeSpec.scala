@@ -57,6 +57,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("join_star_5way").contains("BroadcastHashJoin"))
   }
 
+  test("sink_bucketed_join joins co-located buckets without shuffling either side") {
+    // run the query once to (re)create the bucketed tables
+    val plan0 = planOf("sink_bucketed_join")
+    assert(plan0.contains("Bucketed: true"), s"scans not bucketed:\n$plan0")
+    // at fixture scale Catalyst rightly broadcasts; simulate both sides
+    // too big to broadcast — the bucketed SMJ must then need NO exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val join = spark.table("graft_buckets.lineitem_b")
+        .join(spark.table("graft_buckets.orders_b"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .select("o_orderpriority")
+      val plan = join.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("sim_cosine_topk_native uses the custom expression and partial top-k") {
     val plan = planOf("sim_cosine_topk_native")
     assert(plan.contains("cosine_sim"))

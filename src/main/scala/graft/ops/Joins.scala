@@ -249,6 +249,32 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "join_skew_salted",
+      // Skew-mitigation pattern: l_suppkey is pathologically skewed (6M·sf
+      // rows over 10 suppliers). Salting splits each hot key into S
+      // sub-keys — the fact side derives a deterministic salt, the dim side
+      // replicates each row S times — so the shuffle spreads every hot key
+      // over S reducers instead of one. (AQE's OptimizeSkewedJoin does this
+      // adaptively; the explicit form works on any static planner too.)
+      (s, dir) => {
+        val S = 8
+        val li = Tables(s, dir, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(S)).cast("int"))
+        val sup = Tables(s, dir, "supplier")
+          .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+          .hint("merge") // pin SMJ so the salted shuffle actually runs
+        li.join(sup, col("l_suppkey") === col("s_suppkey") && li("salt") === sup("salt"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n_lines"),
+            util.r2(sum(col("l_extendedprice"))).as("total_price"))
+          .orderBy(col("s_name"))
+      },
+      Some(s"""SELECT s_name, count(*) AS n_lines,
+              |       ${util.r2sql("sum(l_extendedprice)")} AS total_price
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_name ORDER BY s_name""".stripMargin)
+    ),
+    Q(
       "join_cross",
       (s, dir) => {
         Tables(s, dir, "region")

@@ -150,6 +150,41 @@ object SimOps {
       None
     ),
     Q(
+      "embed_neardup_cosine",
+      // Embedding-cosine near-duplicate audit (charter dedup method #5):
+      // candidate pairs blocked by label + id-decimation sampling, kept
+      // when cosine exceeds the threshold. At corpus scale the blocking
+      // key is an ANN bucket (sim_cosine_ann_lsh); the exact pairwise form
+      // here is the audit/recall-measurement path. The fixtures carry no
+      // true dups (max pairwise cos ≈ 0.48), so the threshold reports the
+      // suspicious tail rather than actual removals.
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+        val a = base.select(col("label"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = base.select(col("label"), col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+          .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .filter(col("cos") >= 0.3)
+          .select(col("label"), col("vec_a"), col("vec_b"), util.r2(col("cos")).as("cos_r2"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, label, embedding,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+              |  FROM embeddings WHERE vec_id % 3 = 0),
+              |pairs AS (
+              |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |         list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) AS cos
+              |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+              |SELECT label, vec_a, vec_b, ${util.r2sql("cos")} AS cos_r2
+              |FROM pairs WHERE cos >= 0.3
+              |ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+    Q(
       "sim_centroid_by_label",
       // Mean vector per label via posexplode → (label, pos) partial avg —
       // the shuffle carries label×dim rows, never whole vectors.

@@ -37,8 +37,15 @@ object Merge {
       .drop("__rn")
   }
 
-  /** Latest state per key with deletes applied (rows whose final action is
-    * `deleteMarker` disappear).
+  /** The queryable replica view: latest state per key with delete
+    * tombstones hidden.
+    */
+  def snapshot(state: DataFrame, actionCol: String = "action",
+      deleteMarker: String = "D"): DataFrame =
+    state.filter(col(actionCol) =!= deleteMarker)
+
+  /** One-shot: latest state per key with deletes applied (rows whose final
+    * action is `deleteMarker` disappear).
     */
   def fold(
       changes: DataFrame,
@@ -47,21 +54,23 @@ object Merge {
       tiebreak: String,
       actionCol: String = "action",
       deleteMarker: String = "D"): DataFrame =
-    latestPerKey(changes, keys, tsCol, tiebreak)
-      .filter(col(actionCol) =!= deleteMarker)
+    snapshot(latestPerKey(changes, keys, tsCol, tiebreak), actionCol, deleteMarker)
 
-  /** Fold one incremental batch onto an existing state. State rows must
-    * still carry (tsCol, tiebreak, actionCol) so later deltas can win by
-    * timestamp. Equivalent to folding the concatenated feed (CdcSpec
-    * property), which is what makes re-delivery safe.
+  /** Fold one incremental batch onto an existing state.
+    *
+    * The state RETAINS delete rows as tombstones — dropping them would let
+    * an out-of-order upsert in a later batch resurrect a key whose delete
+    * carried a higher ts (caught by CdcPropertySpec's random-split
+    * property). Read through [[snapshot]]; at scale a compaction pass may
+    * drop tombstones older than the source's maximum lateness. Equivalent
+    * to `latestPerKey` of the concatenated feed for ANY batch split or
+    * arrival order, which is what makes re-delivery safe.
     */
   def applyDelta(
       state: DataFrame,
       delta: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      tiebreak: String,
-      actionCol: String = "action",
-      deleteMarker: String = "D"): DataFrame =
-    fold(state.unionByName(delta), keys, tsCol, tiebreak, actionCol, deleteMarker)
+      tiebreak: String): DataFrame =
+    latestPerKey(state.unionByName(delta), keys, tsCol, tiebreak)
 }

@@ -97,12 +97,13 @@ object Cdc {
         val ch = changes(s, dir)
         val t1 = lit("2024-01-10").cast("timestamp_ntz")
         val t2 = lit("2024-01-20").cast("timestamp_ntz")
-        val base = Merge.fold(ch.filter(col("ts") < t1), Seq("user_id"), "ts", "event_id")
+        // state keeps tombstones; only the final snapshot view drops them
+        val base = Merge.latestPerKey(ch.filter(col("ts") < t1), Seq("user_id"), "ts", "event_id")
         val b1 = ch.filter(col("ts") >= t1 && col("ts") < t2)
         val b2 = ch.filter(col("ts") >= t2)
         val folded = Seq(b1, b2).foldLeft(base)(
           (state, delta) => Merge.applyDelta(state, delta, Seq("user_id"), "ts", "event_id"))
-        folded.orderBy(col("user_id"))
+        Merge.snapshot(folded).orderBy(col("user_id"))
       },
       Some(foldSql("TRUE") + "\nORDER BY user_id")
     ),

@@ -243,6 +243,8 @@ object Streaming {
         val q = changes.writeStream.outputMode("append")
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, _: Long) =>
+            // the stored replica retains delete tombstones (Merge.applyDelta
+            // scaladoc); readers go through Merge.snapshot
             val state =
               if (version == 0) batch.limit(0)
               else batch.sparkSession.read.parquet(s"$tmp/v$version")
@@ -253,7 +255,7 @@ object Streaming {
           }
           .start()
         q.awaitTermination()
-        s.read.parquet(s"$tmp/v$version").orderBy(col("user_id"))
+        Merge.snapshot(s.read.parquet(s"$tmp/v$version")).orderBy(col("user_id"))
       },
       Some("""SELECT user_id, ts, action, value, event_id FROM (
              |  SELECT user_id, ts,

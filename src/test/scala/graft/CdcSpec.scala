@@ -47,9 +47,10 @@ class CdcSpec extends AnyFunSuite {
   test("incremental applyDelta equals one-shot fold of the whole feed") {
     val d1 = base.filter($"event_id" <= 3)
     val d2 = base.filter($"event_id" > 3)
-    val incremental = Merge.applyDelta(
-      Merge.fold(d1, Seq("user_id"), "ts", "event_id"),
-      d2, Seq("user_id"), "ts", "event_id")
+    // state keeps tombstones (latestPerKey); snapshot drops them at read
+    val incremental = Merge.snapshot(Merge.applyDelta(
+      Merge.latestPerKey(d1, Seq("user_id"), "ts", "event_id"),
+      d2, Seq("user_id"), "ts", "event_id"))
     assert(incremental.select("user_id", "value", "event_id").as[(Long, Double, Long)]
       .collect().toSet === result(base))
   }
@@ -57,8 +58,18 @@ class CdcSpec extends AnyFunSuite {
   test("re-delivering the same delta is a no-op (exactly-once effect)") {
     val once = Merge.applyDelta(base.limit(0), base, Seq("user_id"), "ts", "event_id")
     val redelivered = Merge.applyDelta(once, base, Seq("user_id"), "ts", "event_id")
-    assert(once.select("user_id", "value", "event_id").as[(Long, Double, Long)].collect().toSet ===
-      redelivered.select("user_id", "value", "event_id").as[(Long, Double, Long)].collect().toSet)
+    assert(once.collect().toSet === redelivered.collect().toSet)
+  }
+
+  test("tombstone retention: an out-of-order late upsert cannot resurrect a newer delete") {
+    // delete at ts 2024-01-03 arrives in batch 1; an upsert at 01-02
+    // (older!) arrives in batch 2 — the key must stay deleted
+    val d1 = feed((7L, "2024-01-03 00:00:00", "D", 0.0, 2L))
+    val late = feed((7L, "2024-01-02 00:00:00", "U", 9.9, 1L))
+    val state = Merge.applyDelta(
+      Merge.latestPerKey(d1, Seq("user_id"), "ts", "event_id"),
+      late, Seq("user_id"), "ts", "event_id")
+    assert(Merge.snapshot(state).filter($"user_id" === 7L).count() === 0L)
   }
 
   test("ties on ts break by tiebreak column (higher event_id wins)") {

@@ -73,6 +73,37 @@ object Aggregates {
       None
     ),
     Q(
+      "agg_approx_quantile",
+      // KLL/GK-style quantile sketch (approx_percentile): like HLL, the
+      // 100 TB answer — constant-size sketch per group vs a full sort.
+      // No oracle (sketch internals are engine-specific); AggSpec bounds
+      // the estimates against exact percentiles.
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+              .as("price_quartiles"),
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      None
+    ),
+    Q(
+      "agg_median_exact",
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(median(col("l_quantity")).as("median_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, median(l_quantity) AS median_qty,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
       "agg_rollup",
       (s, dir) => {
         val n = Tables(s, dir, "nation")

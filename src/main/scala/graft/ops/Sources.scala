@@ -97,6 +97,37 @@ object Sources {
       Some("SELECT * FROM orders ORDER BY o_orderkey")
     ),
     Q(
+      "sink_partition_overwrite_dynamic",
+      // Partition-level rewrite — what makes the CDC merge
+      // "partition-overwrite-capable" (SURVEY.md §7.4.4): land lineitem
+      // partitioned by l_returnflag, then overwrite ONLY partition 'R'
+      // (prices zeroed) with dynamic partitionOverwriteMode; partitions A/N
+      // must survive untouched. At 100 TB this is the difference between
+      // rewriting the partitions containing changed keys and rewriting the
+      // table.
+      (s, dir) => {
+        val tmp = tmpDir("graft_dynpart_")
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_returnflag"))
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          li.filter(col("l_returnflag") === "R")
+            .withColumn("l_extendedprice", lit(0.0))
+            .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+        } finally prev.foreach(s.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+        s.read.parquet(tmp)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_returnflag"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_extendedprice END AS l_extendedprice,
+             |       l_returnflag
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
       "sink_bucketed_join",
       // Bucketed layout → co-located join (SURVEY.md §4): both sides
       // written bucketBy(8, key); the join then requires NO Exchange on

@@ -68,6 +68,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("approx quantiles land within 5% rank error of exact percentiles") {
+    val got = SparkEntry.queries("agg_approx_quantile")(spark, dir)
+      .selectExpr("l_returnflag", "price_quartiles[1] as approx_median")
+      .as[(String, Double)].collect().toMap
+    val exact = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (flag, approx) =>
+      // rank-error bound translated loosely to value space: within the
+      // 45th..55th percentile band
+      val band = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === flag)
+        .selectExpr("percentile(l_extendedprice, 0.45) lo", "percentile(l_extendedprice, 0.55) hi")
+        .as[(Double, Double)].head()
+      assert(approx >= band._1 && approx <= band._2,
+        s"$flag: approx $approx outside [$band] around exact ${exact(flag)}")
+    }
+  }
+
   test("set-op algebra: |a\\b| + |a∩b| == |distinct a| over common schema") {
     val a = Tables(spark, dir, "orders").filter(col("o_totalprice") > 100000)
       .select("o_orderkey", "o_orderstatus")

@@ -71,7 +71,11 @@ object ScalarFns {
             (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
             (col("o_orderdate") + expr("interval 3 months")).as("plus_3mo"),
             datediff(lit("1999-01-01").cast("date"), col("o_orderdate")).cast("long")
-              .as("days_to_1999"))
+              .as("days_to_1999"),
+            // roundOff=false: raw (ym + day_frac/31) double — the rounded
+            // variant's 8-decimal HALF_UP is not reproducible cross-engine
+            months_between(lit("1999-01-15").cast("timestamp_ntz"), col("o_orderdate"), false)
+              .as("months_to_19990115"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
@@ -80,7 +84,9 @@ object ScalarFns {
              |       CAST(month(o_orderdate) AS BIGINT) AS mo,
              |       CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
              |       o_orderdate + INTERVAL 3 MONTH AS plus_3mo,
-             |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999
+             |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999,
+             |       ((1999 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)))
+             |         + (15 - day(o_orderdate)) / 31.0 AS months_to_19990115
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
@@ -161,6 +167,24 @@ object ScalarFns {
       },
       Some("""SELECT event_id,
              |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "fn_json_variant",
+      // Spark 4 VariantType path for semi-structured payloads: parse once
+      // into the binary variant encoding, extract typed fields — at scale
+      // this beats per-access string re-parsing (one parse per row, shredded
+      // access). Same oracle shape as fn_json_extract.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            try_variant_get(parse_json(col("props")), "$.k", "long").as("prop_k"),
+            is_variant_null(parse_json(col("props"))).as("props_is_null"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+             |       false AS props_is_null
              |FROM events ORDER BY event_id""".stripMargin)
     ),
     Q(

@@ -27,7 +27,9 @@ object Sources {
         Tables(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           .coalesce(1)
-          .write.mode("overwrite").option("delimiter", "\t").csv(tmp)
+          // gzip: the DAP wire delivers gzip-compressed objects [DAP]
+          .write.mode("overwrite").option("delimiter", "\t")
+          .option("compression", "gzip").csv(tmp)
         val schema = StructType(Seq(
           StructField("n_nationkey", IntegerType),
           StructField("n_name", StringType),

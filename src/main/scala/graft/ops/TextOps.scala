@@ -257,6 +257,49 @@ object TextOps {
              |ORDER BY lang, rnk""".stripMargin)
     ),
     Q(
+      "pipeline_corpus_clean",
+      // The LLM tier composed end-to-end: quality-filter → exact dedup →
+      // per-language corpus stats. One declarative plan — Catalyst fuses
+      // the filter into the scan, the dedup is one digest-keyed shuffle,
+      // the stats one more; this is the training-data cleaning pass as it
+      // would run over 100 TB.
+      (s, dir) => {
+        val nTok = size(toks).cast("double")
+        val stopRatio = markerCount(markers.head._2).cast("double") / nTok
+        val quality =
+          lit(0.4) * least(nTok / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - abs(length(col("text")).cast("double") / nTok - 5.0) / 5.0) +
+            lit(0.3) * stopRatio
+        Tables(s, dir, "documents")
+          .withColumn("q", quality)
+          .filter(col("q") >= 0.3)
+          .groupBy(sha2(lower(trim(col("text"))), 256).as("h"), col("lang"))
+          .agg(min(col("doc_id")).as("keeper"), first(col("q")).as("q"),
+            min(size(toks)).cast("long").as("n_tokens"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs_kept"),
+            sum(col("n_tokens")).as("total_tokens"),
+            util.r2(avg(col("q"))).as("avg_quality"))
+          .orderBy(col("lang"))
+      },
+      {
+        val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        val stopRatio = s"CAST(${markerCountSql(markers.head._2)} AS DOUBLE) / $nTok"
+        val quality = s"0.4 * least($nTok / 100.0, 1.0) + 0.3 * (1.0 - abs(CAST(length(text) AS DOUBLE) / $nTok - 5.0) / 5.0) + 0.3 * $stopRatio"
+        Some(s"""WITH scored AS (
+                |  SELECT *, $quality AS q FROM documents WHERE $quality >= 0.3),
+                |dedup AS (
+                |  SELECT sha256(lower(trim(text))) AS h, lang,
+                |         min(doc_id) AS keeper, any_value(q) AS q,
+                |         CAST(min(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                |  FROM scored GROUP BY 1, 2)
+                |SELECT lang, count(*) AS n_docs_kept,
+                |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                |       ${util.r2sql("avg(q)")} AS avg_quality
+                |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin)
+      }
+    ),
+    Q(
       "text_corpus_profile",
       (s, dir) => {
         Tables(s, dir, "documents")

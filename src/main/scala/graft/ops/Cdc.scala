@@ -108,6 +108,35 @@ object Cdc {
       Some(foldSql("TRUE") + "\nORDER BY user_id")
     ),
     Q(
+      "cdc_scd2_history",
+      // Slowly-changing-dimension type 2: every change becomes a validity
+      // interval [valid_from, valid_to) per key — lead() over the ordered
+      // change feed; the open row has NULL valid_to. One keyed shuffle,
+      // same window as the fold — this is the "history table" a
+      // replication warehouse keeps next to the latest-state replica.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        changes(s, dir)
+          .withColumn("valid_from", col("ts"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull && col("action") =!= "D")
+          .select(col("user_id"), col("event_id"), col("action"), col("value"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      Some(s"""SELECT user_id, event_id,
+              |       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS action,
+              |       value,
+              |       ts AS valid_from,
+              |       lead(ts) OVER w AS valid_to,
+              |       (lead(ts) OVER w IS NULL AND event_type <> 'error') AS is_current
+              |FROM events
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              |ORDER BY user_id, valid_from, event_id""".stripMargin)
+    ),
+    Q(
       "schema_evolution_merge",
       // DAP schema-version bump mid-stream (SURVEY.md §2.10 [DAP]): a new
       // column appears in later files; mergeSchema widens, missing → null.

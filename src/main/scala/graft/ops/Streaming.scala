@@ -54,12 +54,20 @@ object Streaming {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink, return the
-    * resulting table.
+    * resulting table. Stateful operators materialize one state-store
+    * instance per shuffle partition — size that to the stream's key
+    * cardinality, not the batch session default (at cluster scale this is
+    * the `spark.sql.shuffle.partitions` the streaming job is launched
+    * with; here it trims fixed per-micro-batch overhead).
     */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

@@ -214,6 +214,29 @@ object Aggregates {
              |ORDER BY o_orderstatus""".stripMargin)
     ),
     Q(
+      "typed_dataset_agg",
+      // The typed Dataset surface: case-class rows, groupByKey, a typed
+      // Aggregator — compile-time field checks with the same partial-agg
+      // physical plan as the untyped API.
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .as[graft.functions.LineRev]
+        ds.groupByKey(_.l_returnflag)
+          .agg(graft.functions.RevenueStats.toColumn)
+          .map { case (flag, b) => (flag, b.n, b.qty, b.revenue) }
+          .toDF("l_returnflag", "n_rows", "sum_qty", "revenue")
+          .withColumn("revenue", util.r2(col("revenue")))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n_rows,
+              |       sum(l_quantity) AS sum_qty,
+              |       ${util.r2sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
       "udaf_weighted_avg",
       (s, dir) => {
         val wavg = udaf(graft.functions.WeightedAvg)

@@ -214,6 +214,65 @@ object Aggregates {
              |ORDER BY o_orderstatus""".stripMargin)
     ),
     Q(
+      "agg_pivot",
+      // Cross-tab: order counts per priority pivoted on status. Pivot
+      // values are declared (not discovered) — at scale that skips the
+      // extra distinct-scan pass.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+             |       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+             |       count(*) FILTER (o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "agg_unpivot",
+      // Melt wide → long (Spark 3.4 unpivot / SQL UNPIVOT): the inverse
+      // reshaping, one narrow pass, no shuffle at all.
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_discount"), col("l_tax"))
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "measure", "value")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
+    ),
+    Q(
+      "sample_stratified",
+      // Stratified sampling (train/val split machinery): per-stratum
+      // fractions with a fixed seed — deterministic for a given seed and
+      // partitioning, distributed, no driver collection. No oracle (the
+      // sampling RNG is engine-specific); AggSpec bounds the per-stratum
+      // rates and asserts seed-determinism.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .stat.sampleBy("o_orderstatus",
+            Map("F" -> 0.5, "O" -> 0.2, "P" -> 1.0), 42L)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      None
+    ),
+    Q(
       "typed_dataset_agg",
       // The typed Dataset surface: case-class rows, groupByKey, a typed
       // Aggregator — compile-time field checks with the same partial-agg

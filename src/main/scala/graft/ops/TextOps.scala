@@ -257,6 +257,32 @@ object TextOps {
              |ORDER BY lang, rnk""".stripMargin)
     ),
     Q(
+      "fn_levenshtein",
+      // Fuzzy string matching for entity resolution: edit distance over
+      // pairs blocked by (p_brand, p_size) — blocking bounds the pair
+      // count exactly like the dedup tiers.
+      (s, dir) => {
+        val p = Tables(s, dir, "part")
+          .select(col("p_brand"), col("p_size"), col("p_partkey"), col("p_name"))
+        val a = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        val b = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("p_brand", "p_size")).filter(col("key_a") < col("key_b"))
+          .select(col("key_a"), col("key_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"))
+          .filter(col("edit_dist") <= 15)
+          .orderBy(col("key_a"), col("key_b"))
+      },
+      Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             | AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 15
+             |ORDER BY key_a, key_b""".stripMargin)
+    ),
+    Q(
       "pipeline_corpus_clean",
       // The LLM tier composed end-to-end: quality-filter → exact dedup →
       // per-language corpus stats. One declarative plan — Catalyst fuses

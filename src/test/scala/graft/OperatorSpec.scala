@@ -87,6 +87,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: deterministic for a seed, per-stratum rates in bounds") {
+    val s1 = SparkEntry.queries("sample_stratified")(spark, dir).collect()
+    val s2 = SparkEntry.queries("sample_stratified")(spark, dir).collect()
+    assert(s1.toSeq === s2.toSeq, "same seed must give identical samples")
+    val rates = SparkEntry.queries("sample_stratified")(spark, dir)
+      .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
+    val totals = Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
+    val expected = Map("F" -> 0.5, "O" -> 0.2, "P" -> 1.0)
+    expected.foreach { case (k, frac) =>
+      val got = rates.getOrElse(k, 0L).toDouble / totals(k)
+      assert(math.abs(got - frac) < 0.15, s"stratum $k rate $got vs $frac")
+    }
+  }
+
   test("set-op algebra: |a\\b| + |a∩b| == |distinct a| over common schema") {
     val a = Tables(spark, dir, "orders").filter(col("o_totalprice") > 100000)
       .select("o_orderkey", "o_orderstatus")

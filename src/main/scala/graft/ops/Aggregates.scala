@@ -104,6 +104,47 @@ object Aggregates {
              |ORDER BY l_returnflag""".stripMargin)
     ),
     Q(
+      "stat_bloom_semi_filter",
+      // Bloom-filter membership pre-filter (the distributed semi-join
+      // optimization: ship a constant-size filter to the fact scan instead
+      // of shuffling it). Built distributed via df.stat, then applied to
+      // lineitem with the urgent-order key set. FPP admits supersets in
+      // principle; OperatorSpec asserts zero false negatives and bounds
+      // false positives vs the true semi-join.
+      (s, dir) => {
+        val urgent = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        // size to the actual key count (an upstream estimate at scale)
+        val nKeys = math.max(urgent.count(), 1000L)
+        val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.001)
+        val bloomB = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+        Tables(s, dir, "lineitem")
+          .filter(mightContain(col("l_orderkey")))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"))
+          .orderBy(col("l_returnflag"))
+      },
+      None
+    ),
+    Q(
+      "stat_countmin_heavyhitters",
+      // Count-Min sketch heavy hitters: sketch built distributed over the
+      // full stream, point estimates read for the candidate set (here the
+      // event types). Estimates over-count by design — AggSpec bounds the
+      // error vs exact counts. No oracle (sketch internals engine-specific).
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val cms = ev.stat.countMinSketch("event_type", 0.001, 0.99, 42)
+        val types = Seq("click", "purchase", "error", "signup", "view")
+        types.map(t => (t, cms.estimateCount(t)))
+          .toDF("event_type", "est_count")
+          .orderBy(col("event_type"))
+      },
+      None
+    ),
+    Q(
       "agg_rollup",
       (s, dir) => {
         val n = Tables(s, dir, "nation")

@@ -143,8 +143,10 @@ object Sources {
         // fail CREATE with LOCATION_ALREADY_EXISTS
         val loc = tmpDir("graft_buckets_db_")
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-        val o = Tables(s, dir, "orders")
-        val li = Tables(s, dir, "lineitem")
+        // land only the join/agg columns — bucketed layout is a physical
+        // design choice, and a narrow landed projection is part of it
+        val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        val li = Tables(s, dir, "lineitem").select(col("l_orderkey"))
         o.write.mode("overwrite").bucketBy(8, "o_orderkey")
           .sortBy("o_orderkey").format("parquet").saveAsTable(s"$db.orders_b")
         li.write.mode("overwrite").bucketBy(8, "l_orderkey")

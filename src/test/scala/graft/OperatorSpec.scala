@@ -87,6 +87,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom semi-filter: no false negatives, false positives within fpp slack") {
+    val filtered = SparkEntry.queries("stat_bloom_semi_filter")(spark, dir)
+      .agg(sum(col("n_lines"))).head.getLong(0)
+    val exact = Tables(spark, dir, "lineitem").join(
+      Tables(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(filtered >= exact, "bloom filter dropped a true member (false negative)")
+    assert(filtered <= (exact * 1.01 + 10).toLong, s"too many false positives: $filtered vs $exact")
+  }
+
+  test("count-min heavy hitters: estimates >= exact, within epsilon overcount") {
+    val est = SparkEntry.queries("stat_countmin_heavyhitters")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, dir).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS undercounted $k")
+      assert(est(k) <= n + (0.001 * total).toLong + 1, s"CMS overcount too large for $k")
+    }
+  }
+
   test("stratified sample: deterministic for a seed, per-stratum rates in bounds") {
     val s1 = SparkEntry.queries("sample_stratified")(spark, dir).collect()
     val s2 = SparkEntry.queries("sample_stratified")(spark, dir).collect()

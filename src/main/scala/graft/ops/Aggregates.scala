@@ -62,7 +62,7 @@ object Aggregates {
       "agg_approx_hll",
       // HyperLogLog++ distinct — THE 100 TB cardinality answer (exact
       // distinct shuffles every key; HLL ships a constant-size sketch).
-      // No oracle: sketch estimates are engine-specific; AggSpec bounds the
+      // No oracle: sketch estimates are engine-specific; OperatorSpec bounds the
       // error vs exact counts.
       (s, dir) => {
         Tables(s, dir, "lineitem")
@@ -76,7 +76,7 @@ object Aggregates {
       "agg_approx_quantile",
       // KLL/GK-style quantile sketch (approx_percentile): like HLL, the
       // 100 TB answer — constant-size sketch per group vs a full sort.
-      // No oracle (sketch internals are engine-specific); AggSpec bounds
+      // No oracle (sketch internals are engine-specific); OperatorSpec bounds
       // the estimates against exact percentiles.
       (s, dir) => {
         Tables(s, dir, "lineitem")
@@ -131,7 +131,7 @@ object Aggregates {
       "stat_countmin_heavyhitters",
       // Count-Min sketch heavy hitters: sketch built distributed over the
       // full stream, point estimates read for the candidate set (here the
-      // event types). Estimates over-count by design — AggSpec bounds the
+      // event types). Estimates over-count by design — OperatorSpec bounds the
       // error vs exact counts. No oracle (sketch internals engine-specific).
       (s, dir) => {
         import s.implicits._
@@ -302,7 +302,7 @@ object Aggregates {
       // Stratified sampling (train/val split machinery): per-stratum
       // fractions with a fixed seed — deterministic for a given seed and
       // partitioning, distributed, no driver collection. No oracle (the
-      // sampling RNG is engine-specific); AggSpec bounds the per-stratum
+      // sampling RNG is engine-specific); OperatorSpec bounds the per-stratum
       // rates and asserts seed-determinism.
       (s, dir) => {
         Tables(s, dir, "orders")

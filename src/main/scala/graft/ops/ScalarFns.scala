@@ -140,7 +140,7 @@ object ScalarFns {
     Q(
       "fn_map_ops",
       // No oracle: DuckDB MAP semantics/hashing differ — unit-tested in
-      // ScalarFnsSpec instead; scalar projections keep the dump stable.
+      // OperatorSpec instead; scalar projections keep the dump stable.
       (s, dir) => {
         val m = map_from_arrays(
           array(lit("status"), lit("priority")),

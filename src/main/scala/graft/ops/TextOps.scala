@@ -49,7 +49,7 @@ object TextOps {
     Q(
       "text_neardup_minhash",
       // MinHash/LSH candidate pairs (no oracle: crc32 is unavailable in
-      // DuckDB; MinHashSpec property-tests Jaccard bounds + determinism).
+      // DuckDB; TextDedupSpec property-tests Jaccard bounds + determinism).
       (s, dir) => MinHash.nearDupPairs(
           Tables(s, dir, "documents"), "doc_id", "text", k = 16, bands = 8,
           minEstJaccard = 0.2)

@@ -87,6 +87,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL approx distinct within rsd bound of exact") {
+    val approx = SparkEntry.queries("agg_approx_hll")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      // rsd 0.02 → allow 3 sigma ≈ 6%
+      assert(math.abs(approx(k) - n) <= math.max(1, (0.06 * n).toLong),
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("map ops: element_at/keys/values semantics on a constructed map") {
+    val row = SparkEntry.queries("fn_map_ops")(spark, dir)
+      .filter(col("o_orderkey") === 1L).head
+    val src = Tables(spark, dir, "orders").filter(col("o_orderkey") === 1L)
+      .select("o_orderstatus", "o_orderpriority").head
+    assert(row.getAs[String]("status_val") === src.getString(0))
+    assert(row.getAs[String]("priority_val") === src.getString(1))
+    assert(row.getAs[Int]("n_keys") === 2)
+    assert(row.getAs[String]("vals_joined") === s"${src.getString(0)}|${src.getString(1)}")
+  }
+
   test("bloom semi-filter: no false negatives, false positives within fpp slack") {
     val filtered = SparkEntry.queries("stat_bloom_semi_filter")(spark, dir)
       .agg(sum(col("n_lines"))).head.getLong(0)

@@ -145,6 +145,47 @@ object Aggregates {
       None
     ),
     Q(
+      "agg_corr_stats",
+      // Second-moment statistics: correlation, covariance, stddev,
+      // variance — all single-pass mergeable co-moment aggregates
+      // (partial+final like any sum), r2-rounded for cross-engine parity.
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            util.r2(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+            util.r2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_qty_price"),
+            util.r2(stddev_samp(col("l_extendedprice"))).as("stddev_price"),
+            util.r2(var_samp(col("l_quantity"))).as("var_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag,
+              |       ${util.r2sql("corr(l_quantity, l_extendedprice)")} AS corr_qty_price,
+              |       ${util.r2sql("covar_samp(l_quantity, l_extendedprice)")} AS covar_qty_price,
+              |       ${util.r2sql("stddev_samp(l_extendedprice)")} AS stddev_price,
+              |       ${util.r2sql("var_samp(l_quantity)")} AS var_qty
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "agg_bool_and_or",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+            bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |       bool_and(o_totalprice > 1000) AS all_over_1k,
+             |       bool_or(o_totalprice > 400000) AS any_over_400k,
+             |       count(*) AS n
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "agg_rollup",
       (s, dir) => {
         val n = Tables(s, dir, "nation")

@@ -157,6 +157,45 @@ object ScalarFns {
       None
     ),
     Q(
+      "fn_string_extra",
+      (s, dir) => {
+        Tables(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            translate(col("p_brand"), "#", "-").as("brand_dash"),
+            reverse(col("p_name")).as("name_rev"),
+            repeat(col("p_type"), 2).as("type_x2"),
+            regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+            instr(col("p_name"), "a").cast("long").as("first_a"),
+            substring_index(col("p_name"), " ", 1).as("first_word"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |       translate(p_brand, '#', '-') AS brand_dash,
+             |       reverse(p_name) AS name_rev,
+             |       repeat(p_type, 2) AS type_x2,
+             |       replace(p_name, ' ', '_') AS name_snake,
+             |       CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+             |       split_part(p_name, ' ', 1) AS first_word
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
+      "fn_hash_digests",
+      // Content digests for landing-zone integrity checks (the reference
+      // verifies downloaded objects): md5 + sha256 hex, oracled; the
+      // Spark-only 64-bit hashes (xxhash64/crc32) are covered via the
+      // MinHash/SimHash tiers.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(to_binary(col("text"), lit("utf-8"))).as("md5_hex"),
+            sha2(col("text"), 256).as("sha256_hex"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "fn_json_extract",
       (s, dir) => {
         Tables.events(s, dir)

@@ -132,6 +132,27 @@ object Windows {
              |ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "win_nth_value",
+      // nth_value over the full frame: the "second-highest per group"
+      // pattern without a self-join.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("second_highest", nth_value(col("o_totalprice"), 2).over(w))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |       nth_value(o_totalprice, 2) OVER w AS second_highest
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |             ORDER BY o_totalprice DESC, o_orderkey ASC
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "win_first_last",
       (s, dir) => {
         val w = Window.partitionBy(col("o_orderstatus"))

@@ -249,6 +249,53 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "subq_scalar_correlated",
+      // Correlated scalar subquery written as SQL over the replica catalog:
+      // Catalyst decorrelates (RewriteCorrelatedScalarSubquery) into an
+      // aggregate + join — no per-row re-execution, which is the only
+      // shape that survives scale. SURVEY.md §4.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice
+                 |FROM orders o
+                 |WHERE o_totalprice > 1.5 * (
+                 |  SELECT avg(o2.o_totalprice) FROM orders o2
+                 |  WHERE o2.o_custkey = o.o_custkey)
+                 |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders o
+             |WHERE o_totalprice > 1.5 * (
+             |  SELECT avg(o2.o_totalprice) FROM orders o2
+             |  WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "subq_in_exists",
+      // IN + NOT EXISTS subqueries in SQL form — Catalyst rewrites to
+      // left-semi / left-anti joins (same physical plans as the DSL
+      // variants join_left_semi / join_left_anti).
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(s"""SELECT c_custkey, c_name
+                 |FROM customer
+                 |WHERE c_custkey IN (SELECT o_custkey FROM orders
+                 |                    WHERE o_orderpriority = '1-URGENT')
+                 |  AND NOT EXISTS (SELECT 1 FROM orders
+                 |                  WHERE o_custkey = c_custkey
+                 |                    AND o_orderstatus = 'P')
+                 |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name
+             |FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders
+             |                    WHERE o_orderpriority = '1-URGENT')
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
       "join_skew_salted",
       // Skew-mitigation pattern: l_suppkey is pathologically skewed (6M·sf
       // rows over 10 suppliers). Salting splits each hot key into S

@@ -78,6 +78,16 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("correlated subqueries decorrelate (no per-row re-execution)") {
+    val scalar = planOf("subq_scalar_correlated")
+    // decorrelated = aggregate + join, not a Subquery node per row
+    assert(scalar.contains("HashAggregate") &&
+      (scalar.contains("SortMergeJoin") || scalar.contains("BroadcastHashJoin") ||
+        scalar.contains("ShuffledHashJoin")), scalar)
+    val semi = planOf("subq_in_exists")
+    assert(semi.contains("LeftSemi") && semi.contains("LeftAnti"), semi)
+  }
+
   test("sim_cosine_topk_native uses the custom expression and partial top-k") {
     val plan = planOf("sim_cosine_topk_native")
     assert(plan.contains("cosine_sim"))

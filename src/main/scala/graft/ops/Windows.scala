@@ -132,6 +132,47 @@ object Windows {
              |ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "ts_resample_ffill",
+      // Time-series resample + forward fill: per-user hourly grid over the
+      // fixture's event month, hourly sums gap-filled with the last
+      // observed value. Grid explode is per-user (no cross-user blowup);
+      // the fill is one window pass. The feature-generation staple for
+      // event streams.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+          .agg(sum(col("value")).as("hour_sum"))
+        val users = ev.select(col("user_id")).distinct()
+        val grid = users.select(
+          col("user_id"),
+          explode(expr(
+            "sequence(timestamp_ntz'2024-01-01 00:00:00', timestamp_ntz'2024-01-30 23:00:00', interval 1 hour)"))
+            .as("hour"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hour"), "left")
+          .withColumn("filled", coalesce(
+            util.r2(last(col("hour_sum"), ignoreNulls = true).over(w)), lit(0.0)))
+          .select(col("user_id"), col("hour"), col("filled"))
+          .orderBy(col("user_id"), col("hour"))
+      },
+      Some(s"""WITH hourly AS (
+              |  SELECT user_id, date_trunc('hour', ts) AS hour, sum(value) AS hour_sum
+              |  FROM events GROUP BY 1, 2),
+              |grid AS (
+              |  SELECT u.user_id, g.hour
+              |  FROM (SELECT DISTINCT user_id FROM events) u
+              |  CROSS JOIN (SELECT unnest(generate_series(
+              |    TIMESTAMP '2024-01-01 00:00:00',
+              |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour) g)
+              |SELECT grid.user_id, grid.hour,
+              |       coalesce(${util.r2sql("last_value(hour_sum IGNORE NULLS) OVER (PARTITION BY grid.user_id ORDER BY grid.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")}, 0.0) AS filled
+              |FROM grid LEFT JOIN hourly
+              |  ON grid.user_id = hourly.user_id AND grid.hour = hourly.hour
+              |ORDER BY grid.user_id, grid.hour""".stripMargin)
+    ),
+    Q(
       "win_nth_value",
       // nth_value over the full frame: the "second-highest per group"
       // pattern without a self-join.

@@ -196,6 +196,45 @@ object ScalarFns {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "fn_base64_roundtrip",
+      // Binary transport encoding (pre-signed payloads on the wire):
+      // text → bytes → base64 → decode round trip.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            base64(to_binary(substring(col("text"), 1, 24), lit("utf-8"))).as("b64_head"),
+            (decode(unbase64(base64(to_binary(col("text"), lit("utf-8")))), "UTF-8")
+              === col("text")).as("roundtrip_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       to_base64(encode(substring(text, 1, 24))) AS b64_head,
+             |       (decode(from_base64(to_base64(encode(text)))) = text) AS roundtrip_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "fn_bitops",
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            col("o_orderkey").bitwiseAND(255L).as("low_byte"),
+            col("o_orderkey").bitwiseOR(1L).as("set_low"),
+            col("o_orderkey").bitwiseXOR(lit(0x5aL)).as("xored"),
+            shiftleft(col("o_orderkey"), 2).as("shl2"),
+            shiftright(col("o_orderkey"), 3).as("shr3"),
+            expr("bit_count(o_orderkey)").cast("long").as("popcount"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       o_orderkey & 255 AS low_byte,
+             |       o_orderkey | 1 AS set_low,
+             |       xor(o_orderkey, 90) AS xored,
+             |       o_orderkey << 2 AS shl2,
+             |       o_orderkey >> 3 AS shr3,
+             |       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "fn_json_extract",
       (s, dir) => {
         Tables.events(s, dir)

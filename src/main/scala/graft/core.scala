@@ -55,4 +55,31 @@ object util {
 
   /** Oracle-side mirror of [[r2]]. */
   def r2sql(e: String): String = s"floor(($e) * 100 + 0.5) / 100"
+
+  /** One staging root per JVM run, deleted recursively on exit — queries
+    * that need scratch dirs (stream sinks, schema-evolution fixtures,
+    * replicated sources) allocate under it instead of leaking a fresh
+    * `/tmp/graft_*` per invocation.
+    */
+  private lazy val runRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_run_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))
+    p
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try {
+        walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { Files.deleteIfExists(f); () })
+      } finally walk.close()
+    }
+  }
+
+  /** Fresh scratch dir under the per-run staging root. */
+  def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(runRoot, prefix).toString
 }

@@ -77,14 +77,22 @@ object Aggregates {
       // KLL/GK-style quantile sketch (approx_percentile): like HLL, the
       // 100 TB answer — constant-size sketch per group vs a full sort.
       // No oracle (sketch internals are engine-specific); OperatorSpec bounds
-      // the estimates against exact percentiles.
+      // the estimates against exact percentiles. Quartiles are emitted as
+      // three scalar columns — "scalars out" convention: the gate tooling
+      // sorts/hashes cell values and chokes on array cells.
       (s, dir) => {
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
             expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-              .as("price_quartiles"),
+              .as("qs"),
             expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"))
+          .select(
+            col("l_returnflag"),
+            element_at(col("qs"), 1).as("price_q25"),
+            element_at(col("qs"), 2).as("price_q50"),
+            element_at(col("qs"), 3).as("price_q75"),
+            col("median_qty"))
           .orderBy(col("l_returnflag"))
       },
       None
@@ -280,20 +288,23 @@ object Aggregates {
     Q(
       "agg_decimal_exact",
       // Currency-exact totals: decimal arithmetic is associative → identical
-      // in any summation order, unlike double. The final cast pins an
-      // identical DECIMAL(18,2) physical type on both sides.
+      // in any summation order, unlike double. The raw double is first pinned
+      // to exact cents via util.r2 (floor(x*100+0.5)/100 — IEEE-exact ops,
+      // identical both engines); a direct double→decimal cast is NOT portable
+      // (Spark rounds the shortest decimal repr half-up, DuckDB rounds the
+      // exact binary expansion — e.g. the double nearest 2.675 diverges).
       (s, dir) => {
         Tables(s, dir, "orders")
           .groupBy(col("o_orderstatus"))
           .agg(
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
-              .as("total_price_dec"))
+            sum(util.r2(col("o_totalprice")).cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("total_price_dec"))
           .orderBy(col("o_orderstatus"))
       },
-      Some("""SELECT o_orderstatus,
-             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price_dec
-             |FROM orders GROUP BY o_orderstatus
-             |ORDER BY o_orderstatus""".stripMargin)
+      Some(s"""SELECT o_orderstatus,
+              |       CAST(sum(CAST(${util.r2sql("o_totalprice")} AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price_dec
+              |FROM orders GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin)
     ),
     Q(
       "agg_pivot",

@@ -143,7 +143,7 @@ object Cdc {
       // Both parquet generations are derived deterministically from orders,
       // so the oracle recomputes the merged view straight from the source.
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_schema_evo_").toString
+        val tmp = graft.util.tempDir("graft_schema_evo_")
         val o = Tables(s, dir, "orders")
         o.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_totalprice"))

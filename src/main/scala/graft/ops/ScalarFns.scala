@@ -300,17 +300,22 @@ object ScalarFns {
             to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
               "yyyy-MM-dd HH:mm:ss").cast("timestamp_ntz").as("date_rt"),
             col("o_orderdate").cast("date").as("as_date"),
-            col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
-            col("o_totalprice").cast("string").as("price_str"),
+            // double→decimal must go through a shared rounding path
+            // (util.r2): direct casts round differently across engines, and
+            // double→string formatting is engine-specific — so price_str is
+            // derived from the pinned decimal, whose textual form is plain
+            // fixed-point on both sides.
+            util.r2(col("o_totalprice")).cast("decimal(18,2)").as("price_dec"),
+            util.r2(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("price_str"),
             col("o_orderkey").cast("string").as("key_str"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey,
              |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_str,
              |       strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS date_rt,
+             |       CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS price_dec,
+             |       CAST(CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
              |       CAST(o_orderdate AS DATE) AS as_date,
-             |       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
-             |       CAST(o_totalprice AS VARCHAR) AS price_str,
              |       CAST(o_orderkey AS VARCHAR) AS key_str
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     )

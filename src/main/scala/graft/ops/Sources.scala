@@ -14,8 +14,7 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Sources {
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = graft.util.tempDir(prefix)
 
   val defs: Seq[Q] = Seq(
     Q(

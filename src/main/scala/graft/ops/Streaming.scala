@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
 object Streaming {
 
   private[graft] def stage(dir: String, copies: Int): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    val tmp = graft.util.tempDir("graft_stream_")
     (1 to copies).foreach { i =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -241,7 +241,7 @@ object Streaming {
       // replica unchanged (idempotent), which the shared oracle with
       // cdc_apply_deletes certifies.
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_replica_").toString
+        val tmp = graft.util.tempDir("graft_replica_")
         val ev = eventsStream(s, stage(dir, 2), maxFilesPerTrigger = Some(1))
         val changes = ev.select(
           col("user_id"), col("ts"),

@@ -58,24 +58,28 @@ object TextOps {
     ),
     Q(
       "text_neardup_simhash",
-      // SimHash fingerprints + half-bucket candidate pairs with Hamming
-      // distance. Fingerprint is pure per-row HOF math; pairing buckets on
-      // 16-bit halves.
+      // SimHash fingerprints + banded candidate pairs with Hamming distance.
+      // Fingerprint is pure per-row HOF math; pairing buckets on 7 bit-bands
+      // of the 64-bit fingerprint, which by pigeonhole guarantees FULL recall
+      // at hamming ≤ 6 (k+1 bands cover distance ≤ k — two halves would only
+      // cover d ≤ 1) while each 9–10-bit band still blocks into ~1k buckets.
       (s, dir) => {
-        val fp = Tables(s, dir, "documents")
-          .select(col("doc_id"), MinHash.tokenCrcs(col("text")).as("crcs"))
-          .select(col("doc_id"), SimHash.simhash(col("crcs")).as("fp"))
+        val fp = SimHash.fingerprints(Tables(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("doc", "doc_id")
           .persist()
-        val ex = fp.select(col("doc_id"), col("fp"), explode(SimHash.halves(col("fp"))).as("h"))
-          .select(col("doc_id"), col("fp"), col("h.half_id"), col("h.half"))
-        val a = ex.select(col("half_id"), col("half"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-        val b = ex.select(col("half_id"), col("half"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-        a.join(b, Seq("half_id", "half")).filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 6)
-          .orderBy(col("doc_a"), col("doc_b"))
+        try {
+          val ex = fp.select(col("doc_id"), col("fp"), explode(SimHash.bands(col("fp"))).as("h"))
+            .select(col("doc_id"), col("fp"), col("h.band_id"), col("h.band"))
+          val a = ex.select(col("band_id"), col("band"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+          val b = ex.select(col("band_id"), col("band"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+          a.join(b, Seq("band_id", "band")).filter(col("doc_a") < col("doc_b"))
+            .select(col("doc_a"), col("doc_b"),
+              expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+            .distinct()
+            .filter(col("hamming") <= SimHash.GuaranteedHamming)
+            .localCheckpoint(true) // materialize while fp is cached, then release
+            .orderBy(col("doc_a"), col("doc_b"))
+        } finally fp.unpersist(false)
       },
       None
     ),

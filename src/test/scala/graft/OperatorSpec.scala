@@ -70,7 +70,7 @@ class OperatorSpec extends AnyFunSuite {
 
   test("approx quantiles land within 5% rank error of exact percentiles") {
     val got = SparkEntry.queries("agg_approx_quantile")(spark, dir)
-      .selectExpr("l_returnflag", "price_quartiles[1] as approx_median")
+      .selectExpr("l_returnflag", "price_q50 as approx_median")
       .as[(String, Double)].collect().toMap
     val exact = Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")

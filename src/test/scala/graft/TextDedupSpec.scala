@@ -51,12 +51,54 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("simhash: identical docs share fingerprint; hamming to near-dup is small") {
-    val fps = docs.select(col("doc_id"), MinHash.tokenCrcs(col("text")).as("crcs"))
-      .select(col("doc_id"), SimHash.simhash(col("crcs")).as("fp"))
+    val fps = docs.select(col("doc_id"), SimHash.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), SimHash.simhash(col("hs")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(3L) === fps(4L))
     val hammingNear = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
     val hammingFar = java.lang.Long.bitCount(fps(1L) ^ fps(5L))
     assert(hammingNear < hammingFar)
+  }
+
+  test("simhash DataFrame fingerprints match the per-row HOF form exactly") {
+    val hof = docs.select(col("doc_id"), SimHash.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), SimHash.simhash(col("hs")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = SimHash.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg === hof)
+  }
+
+  test("simhash banding: full recall at hamming <= 6 (pigeonhole over 7 bands)") {
+    // adversarial fingerprint pairs: distance exactly 6 with the flipped
+    // bits spread to straddle any fixed half-split — the case the old
+    // two-half bucketing missed
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 200).map { _ =>
+      val base = rnd.nextLong()
+      val flips = rnd.shuffle((0 until SimHash.Bits).toList).take(6)
+      (base, flips.foldLeft(base)((f, b) => f ^ (1L << b)))
+    }
+    val df = pairs.toDF("fp_a", "fp_b")
+      .select(SimHash.bands(col("fp_a")).as("ba"), SimHash.bands(col("fp_b")).as("bb"))
+      .select(size(array_intersect(col("ba"), col("bb"))).as("shared"))
+    assert(df.filter(col("shared") < 1).count() === 0L)
+  }
+
+  test("simhash band widths cover all 32 bits exactly once") {
+    // reconstruct the fingerprint from its bands: OR of band << offset
+    val fp = 0xDEADBEEFL
+    val row = Seq(Tuple1(fp)).toDF("fp")
+      .select(explode(SimHash.bands(col("fp"))).as("b"))
+      .select(col("b.band_id"), col("b.band"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val widths = {
+      val base = SimHash.Bits / SimHash.NBands
+      val extra = SimHash.Bits % SimHash.NBands
+      (0 until SimHash.NBands).map(i => if (i < extra) base + 1 else base)
+    }
+    val offsets = widths.scanLeft(0)(_ + _)
+    val rebuilt = (0 until SimHash.NBands).map(i => row(i) << offsets(i)).reduce(_ | _)
+    assert(rebuilt === fp)
   }
 }

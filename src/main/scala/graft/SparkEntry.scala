@@ -25,6 +25,7 @@ object SparkEntry {
       ops.Streaming.defs ++
       ops.TextOps.defs ++
       ops.SimOps.defs ++
+      ops.Graph.defs ++
       ops.Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

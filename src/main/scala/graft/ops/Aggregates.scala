@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables, util}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.4 aggregation. Shapes mirror the rollups an LMS-replica warehouse runs
@@ -348,6 +349,76 @@ object Aggregates {
              |  UNION ALL
              |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
              |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
+    ),
+    Q(
+      "agg_mode",
+      // Deterministic mode (most frequent value, ties → smallest value):
+      // built-in `mode()` leaves tie order engine-defined, so the modal
+      // value is derived from a count + ranked-window pass that pins the
+      // tiebreak identically on both engines. Two shuffles (group count,
+      // per-flag window) — both on already-reduced group cardinality.
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("n").desc, col("l_quantity").asc)
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n").as("n_mode"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, l_quantity AS mode_qty, n AS n_mode FROM (
+             |  SELECT l_returnflag, l_quantity, count(*) AS n,
+             |         row_number() OVER (PARTITION BY l_returnflag
+             |                            ORDER BY count(*) DESC, l_quantity ASC) AS rn
+             |  FROM lineitem GROUP BY 1, 2) t
+             |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "agg_histogram",
+      // Fixed-width histogram: bucket index from pure integer arithmetic
+      // (width_bucket is not portable — DuckDB lacks it), then one
+      // group-count. The profiling primitive: at 100 TB the result is 12
+      // rows regardless of input size, with map-side partial counts.
+      (s, dir) => {
+        val bucket = least(floor(col("o_totalprice") / 50000), lit(11.0)).cast("long")
+        Tables(s, dir, "orders")
+          .select(bucket.as("bucket"), col("o_totalprice"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            util.r2(min(col("o_totalprice"))).as("lo"),
+            util.r2(max(col("o_totalprice"))).as("hi"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""SELECT CAST(least(floor(o_totalprice / 50000), 11.0) AS BIGINT) AS bucket,
+              |       count(*) AS n,
+              |       ${util.r2sql("min(o_totalprice)")} AS lo,
+              |       ${util.r2sql("max(o_totalprice)")} AS hi
+              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
+    Q(
+      "sample_hash_deterministic",
+      // Hash-based stratified sampling: membership decided by key
+      // arithmetic (multiplicative hash mod 1000 vs a per-stratum
+      // threshold), not an RNG — so the sample is reproducible across
+      // engines, runs, and repartitioning, and the oracle can check it
+      // exactly (unlike sample_stratified's engine-specific Bernoulli
+      // draw). This is how a 100 TB pipeline pins train/val splits.
+      (s, dir) => {
+        val h = (col("o_orderkey") * 2654435761L) % 1000
+        val thresh = when(col("o_orderstatus") === "F", 500)
+          .when(col("o_orderstatus") === "O", 200)
+          .otherwise(1000)
+        Tables(s, dir, "orders")
+          .filter(h < thresh)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE (o_orderkey * 2654435761) % 1000 <
+             |      CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 200 ELSE 1000 END
+             |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
       "sample_stratified",

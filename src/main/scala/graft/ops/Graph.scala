@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** §2.13 graph tier: connected components over a near-duplicate candidate
+  * graph — the step that turns pairwise dedup candidates into dedup GROUPS
+  * (keep one doc per component). This is the standard web-scale dedup
+  * closer (MinHash/SimHash emit pairs; components decide keepers).
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping —
+  * each round every node takes the min label over itself and its
+  * neighbors (one join + partial-agg groupBy), then labels compress one
+  * hop (`comp ← comp(comp)`, a second self-join), giving O(log diameter)
+  * rounds instead of O(diameter). All data stays distributed; the driver
+  * only reads a single convergence scalar per round (labels decrease
+  * monotonically, so an unchanged sum IS the fixpoint). Each round is
+  * localCheckpoint'ed to truncate lineage — without it the plan doubles
+  * per iteration and the job dies on planning time long before data size
+  * matters.
+  */
+object Graph {
+
+  /** Min-label-propagation connected components.
+    * `edges` must be symmetric (both directions present); isolated nodes
+    * keep their own id as component.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val e = edges.localCheckpoint(true) // computed once, reused every round
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    var prevSum = -1L
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = e
+        .join(labels.select(col("doc_id").as("dst"), col("comp").as("nbr")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr")).as("nbr"))
+      val step1 = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer jump: comp ← comp(comp) — halves label-chain length
+      val step2 = step1
+        .join(step1.select(col("doc_id").as("c2"), col("comp").as("cc")),
+          col("comp") === col("c2"), "left")
+        .select(col("doc_id"), coalesce(col("cc"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = step2.agg(sum(col("comp"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = step2
+      iter += 1
+    }
+    labels
+  }
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "dedup_connected_components",
+      // Candidate edges: same source, |n_chars| within 1 — a deterministic,
+      // SQL-expressible stand-in for LSH candidate pairs that produces real
+      // multi-hop chains (n_chars 100–101–102 links transitively). The
+      // |Δ| ≤ 1 band join is rewritten as an equi-join by exploding each
+      // probe row to its 3 neighbor values — at scale an equi-join shuffle
+      // beats a range theta-join by orders of magnitude.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val probe = docs.select(col("source"),
+          explode(array(col("n_chars") - 1, col("n_chars"), col("n_chars") + 1)).as("nc"),
+          col("doc_id").as("src"))
+        val build = docs.select(col("source"), col("n_chars").as("nc"),
+          col("doc_id").as("dst"))
+        val edges = probe.join(build, Seq("source", "nc"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+        connectedComponents(docs, edges)
+          .select(col("doc_id"), col("comp").as("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM documents a JOIN documents b
+             |    ON a.source = b.source
+             |   AND abs(a.n_chars - b.n_chars) <= 1
+             |   AND a.doc_id <> b.doc_id),
+             |reach(doc, r) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc)
+             |SELECT doc AS doc_id, min(r) AS component
+             |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

@@ -332,6 +332,30 @@ object Joins {
       Some("""SELECT r_regionkey, n_nationkey, r_name, n_name
              |FROM region CROSS JOIN nation
              |ORDER BY r_regionkey, n_nationkey""".stripMargin)
+    ),
+    Q(
+      "join_null_safe",
+      // Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+      // match each other instead of vanishing — the dimension-conforming
+      // join for feeds where "unknown" is a real key value. Spark hashes
+      // NULL like any other key under <=>, so it shuffles/broadcasts the
+      // same as a plain equi-join (no fallback to nested-loop). Nulls are
+      // synthesized deterministically via nullif on one nation key.
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+          .select(nullif(col("c_nationkey"), lit(3)).cast("long").as("ck"))
+        val sup = Tables(s, dir, "supplier")
+          .select(nullif(col("s_nationkey"), lit(3)).cast("long").as("sk"))
+        c.join(sup, col("ck") <=> col("sk"))
+          .groupBy(coalesce(col("ck"), lit(-1L)).as("k"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT CAST(coalesce(ck, -1) AS BIGINT) AS k, count(*) AS n_pairs
+             |FROM (SELECT nullif(c_nationkey, 3) AS ck FROM customer) c
+             |JOIN (SELECT nullif(s_nationkey, 3) AS sk FROM supplier) s
+             |  ON ck IS NOT DISTINCT FROM sk
+             |GROUP BY 1 ORDER BY k""".stripMargin)
     )
   )
 }

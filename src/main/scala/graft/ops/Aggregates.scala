@@ -351,6 +351,32 @@ object Aggregates {
              |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
     ),
     Q(
+      "agg_conditional_counts",
+      // Conditional aggregation — count_if / filtered sums and means — the
+      // one-pass profile query (vs one scan per predicate). All predicates
+      // evaluate inside a single HashAggregate.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            expr("count_if(o_totalprice > 150000)").as("n_big"),
+            expr("count_if(o_orderstatus = 'F')").as("n_finished"),
+            sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0))
+              .as("open_total_raw"),
+            count(lit(1)).as("n"))
+          .select(col("o_orderpriority"), col("n_big"), col("n_finished"),
+            util.r2(col("open_total_raw")).as("open_total"), col("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority,
+              |       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+              |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+              |       ${util.r2sql("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END)")} AS open_total,
+              |       count(*) AS n
+              |FROM orders GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "agg_mode",
       // Deterministic mode (most frequent value, ties → smallest value):
       // built-in `mode()` leaves tie order engine-defined, so the modal

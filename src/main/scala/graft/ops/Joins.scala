@@ -296,6 +296,27 @@ object Joins {
              |ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "sql_recursive_cte",
+      // WITH RECURSIVE (new in Spark 4): recursion generates the month
+      // dimension driver-free, then a left join + group rolls orders onto
+      // it — the calendar-spine pattern. The same SQL text runs on both
+      // engines; Spark plans the recursion as UnionLoop.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH RECURSIVE months(m) AS (
+                |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+                |SELECT m, count(o_orderkey) AS n_orders
+                |FROM months LEFT JOIN orders ON month(o_orderdate) = m
+                |GROUP BY m ORDER BY m""".stripMargin)
+          .select(col("m").cast("long").as("m"), col("n_orders"))
+      },
+      Some("""WITH RECURSIVE months(m) AS (
+             |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+             |SELECT CAST(m AS BIGINT) AS m, count(o_orderkey) AS n_orders
+             |FROM months LEFT JOIN orders ON month(o_orderdate) = m
+             |GROUP BY m ORDER BY m""".stripMargin)
+    ),
+    Q(
       "join_skew_salted",
       // Skew-mitigation pattern: l_suppkey is pathologically skewed (6M·sf
       // rows over 10 suppliers). Salting splits each hot key into S

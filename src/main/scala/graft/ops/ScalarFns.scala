@@ -298,6 +298,35 @@ object ScalarFns {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "fn_url_parse",
+      // URL decomposition via parse_url (host/path/query/param). The URL is
+      // synthesized from part columns, so the DuckDB oracle — which has no
+      // URL functions — checks parse_url's contract by reconstructing each
+      // component from the same source expressions.
+      (s, dir) => {
+        val url = concat(lit("https://shop.example.com/"),
+          regexp_replace(col("p_type"), " ", "-"),
+          lit("?brand="), regexp_replace(col("p_brand"), "#", ""),
+          lit("&size="), col("p_size"))
+        Tables(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            parse_url(url, lit("HOST")).as("host"),
+            parse_url(url, lit("PATH")).as("path"),
+            parse_url(url, lit("QUERY")).as("query"),
+            parse_url(url, lit("QUERY"), lit("brand")).as("brand_param"),
+            parse_url(url, lit("QUERY"), lit("size")).as("size_param"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+             |       'shop.example.com' AS host,
+             |       '/' || replace(p_type, ' ', '-') AS path,
+             |       'brand=' || replace(p_brand, '#', '') || '&size=' || p_size AS query,
+             |       replace(p_brand, '#', '') AS brand_param,
+             |       CAST(p_size AS VARCHAR) AS size_param
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
       "fn_cast_formats",
       // CSV-wire → typed round trip (SURVEY.md §2.8 [DAP]): format to
       // string, parse back, cast across numeric/temporal types.

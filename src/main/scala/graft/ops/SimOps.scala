@@ -150,6 +150,55 @@ object SimOps {
       None
     ),
     Q(
+      "sim_cosine_ann_ivf",
+      // ANN scale path #2 — IVF (inverted-file) layout: a small coarse
+      // codebook (here the per-label mean vectors, computed distributedly
+      // exactly like sim_centroid_by_label), every corpus vector assigned
+      // to its nearest centroid cell, and each query probing only its
+      // nProbe=2 closest cells. At 100 TB the cell assignment is the
+      // partition key: a query touches nProbe partitions instead of the
+      // whole corpus. Codebook is label-count sized → broadcast side.
+      // No oracle (cell membership at ulp-close centroid boundaries is not
+      // hash-stable); SimSpec property-tests recall against brute force.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        // codebook: mean vector per label, re-assembled in pos order
+        val centroids = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(avg(col("v").cast("double")).as("m"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cent"))
+          .select(col("label").as("cell"), col("cent"),
+            norm(col("cent")).as("cent_norm"))
+        val cb = broadcast(centroids)
+        def cellRank(e: Column, eNorm: Column) =
+          (dot(e, col("cent")) / (eNorm * col("cent_norm"))).as("cell_cos")
+        // corpus side: nearest cell only (nProbe applies to queries)
+        val cWide = emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+          .crossJoin(cb)
+          .withColumn("cell_cos", cellRank(col("c_emb"), col("c_norm")))
+        val wc = Window.partitionBy(col("neighbor_id"))
+          .orderBy(col("cell_cos").desc, col("cell").asc)
+        val corpus = cWide.withColumn("r", row_number().over(wc)).filter(col("r") === 1)
+          .select(col("cell"), col("neighbor_id"), col("c_emb"), col("c_norm"))
+        val qWide = querySet(emb).withColumn("q_norm", norm(col("q_emb")))
+          .crossJoin(cb)
+          .withColumn("cell_cos", cellRank(col("q_emb"), col("q_norm")))
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("cell_cos").desc, col("cell").asc)
+        val queries = qWide.withColumn("r", row_number().over(wq)).filter(col("r") <= 2)
+          .select(col("cell"), col("query_id"), col("q_emb"), col("q_norm"))
+        val scored = queries.join(corpus, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        rankTopK(scored, 5)
+      },
+      None
+    ),
+    Q(
       "embed_neardup_cosine",
       // Embedding-cosine near-duplicate audit (charter dedup method #5):
       // candidate pairs blocked by label + id-decimation sampling, kept

@@ -233,6 +233,43 @@ object Streaming {
              |ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "stream_stream_join",
+      // Stream-stream interval self-join: clicks matched to errors by the
+      // same user within the following 10 minutes. BOTH sides carry
+      // watermarks and the join condition bounds event time — that pair is
+      // what lets Spark expire buffered state instead of holding every row
+      // forever (the unbounded-state trap of stream-stream joins at scale).
+      // With AvailableNow over one staged file everything lands in one
+      // micro-batch, so the emitted matches equal the batch oracle exactly.
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 1), ntz = false)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("uid"), col("ts").as("ts_click"),
+            col("event_id").as("click_id"))
+          .withWatermark("ts_click", "1 hour")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("uid_e"), col("ts").as("ts_error"),
+            col("event_id").as("error_id"))
+          .withWatermark("ts_error", "1 hour")
+        val joined = clicks.join(errors,
+          expr("""uid = uid_e AND
+                 |ts_error >= ts_click AND
+                 |ts_error <= ts_click + interval 10 minutes""".stripMargin))
+        runToMemory(s, joined, "t_ss_join", "append")
+          .select(col("click_id"), col("error_id"), col("uid"),
+            col("ts_click").cast("timestamp_ntz").as("ts_click"),
+            col("ts_error").cast("timestamp_ntz").as("ts_error"))
+          .orderBy(col("click_id"), col("error_id"))
+      },
+      Some("""SELECT a.event_id AS click_id, b.event_id AS error_id,
+             |       a.user_id AS uid, a.ts AS ts_click, b.ts AS ts_error
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'click' AND b.event_type = 'error'
+             | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+             |ORDER BY click_id, error_id""".stripMargin)
+    ),
+    Q(
       "stream_foreachBatch_upsert",
       // The reference's core write path (SURVEY.md §2.9 [DAP]): each
       // micro-batch of changes merges into a versioned parquet replica via

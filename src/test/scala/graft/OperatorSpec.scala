@@ -164,4 +164,18 @@ class OperatorSpec extends AnyFunSuite {
     val recall = (brute intersect ann).size.toDouble / brute.size
     assert(recall > 0.15, s"ANN recall too low: $recall") // 8-bit sig, 1 table
   }
+
+  test("ann ivf recall: probed-cell candidates overlap brute-force top-5") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SparkEntry.queries("sim_cosine_ann_ivf")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // nProbe=2 of 8 label cells; fixture labels correlate with geometry
+    assert(recall > 0.3, s"IVF recall too low: $recall")
+    // determinism: same plan twice → same candidate set
+    val again = SparkEntry.queries("sim_cosine_ann_ivf")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again === ivf)
+  }
 }

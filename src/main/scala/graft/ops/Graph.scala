@@ -28,26 +28,34 @@ object Graph {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val e = edges.localCheckpoint(true) // computed once, reused every round
+    // self-loops fold the "min with own label" step into the neighbor-min
+    // aggregate — one join+groupBy per round instead of join+groupBy+join
+    val e = edges
+      .unionByName(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .localCheckpoint(true) // computed once, reused every round
     var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
     var prevSum = -1L
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = e
+      val step1 = e
         .join(labels.select(col("doc_id").as("dst"), col("comp").as("nbr")), "dst")
         .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nbr")).as("nbr"))
-      val step1 = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-      // pointer jump: comp ← comp(comp) — halves label-chain length
+        .agg(min(col("nbr")).as("comp"))
+      // pointer jump: comp ← comp(comp) — halves label-chain length.
+      // LAZY localCheckpoint: the convergence aggregate below is the
+      // materializing action (labels only decrease, so an unchanged sum is
+      // the fixpoint) — one job per round instead of two with an eager
+      // checkpoint, while still truncating lineage (a persist()-only chain
+      // keeps the logical plan, which doubles per round and OOMs the
+      // planner; superseded checkpoint blocks are reclaimed by the
+      // ContextCleaner).
       val step2 = step1
         .join(step1.select(col("doc_id").as("c2"), col("comp").as("cc")),
           col("comp") === col("c2"), "left")
         .select(col("doc_id"), coalesce(col("cc"), col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = step2.agg(sum(col("comp"))).head.getLong(0)
       converged = s == prevSum
       prevSum = s

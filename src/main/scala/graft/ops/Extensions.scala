@@ -127,6 +127,37 @@ object Extensions {
           .orderBy(col("doc_id"), col("frame_idx"))
       },
       None
+    ),
+    Q(
+      "multimodal_image_header",
+      // Binary header encode → decode round trip, entirely in codegen'd
+      // built-ins (no UDF): a PNG-like header is synthesized per doc
+      // (magic ‖ 4-byte width ‖ 4-byte height, hex-assembled then unhex'd
+      // to real BINARY), and the decode side parses the dimensions back
+      // out of the raw bytes with hex/conv — the typed-metadata-from-blob
+      // shape every image pipeline needs before the (external) codec runs.
+      // The oracle recomputes the fields from the same source expressions.
+      (s, dir) => {
+        val w = col("n_chars") % 640
+        val h = col("doc_id") % 480
+        val headerHex = concat(lit("89504e47"),
+          lpad(lower(hex(w)), 8, "0"), lpad(lower(hex(h)), 8, "0"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), unhex(headerHex).as("header"))
+          .select(
+            col("doc_id"),
+            length(col("header")).cast("long").as("header_len"),
+            lower(hex(substring(col("header"), 1, 4))).as("magic"),
+            conv(hex(substring(col("header"), 5, 4)), 16, 10).cast("long").as("width"),
+            conv(hex(substring(col("header"), 9, 4)), 16, 10).cast("long").as("height"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(12 AS BIGINT) AS header_len,
+             |       '89504e47' AS magic,
+             |       n_chars % 640 AS width,
+             |       doc_id % 480 AS height
+             |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -298,6 +298,29 @@ object ScalarFns {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "fn_try_arithmetic",
+      // ANSI-safe scalar variants: try_divide and try_cast return NULL on
+      // failure instead of aborting the job — the dirty-feed posture (one
+      // malformed record must not kill a 100 TB batch). DuckDB mirrors via
+      // x / nullif(...) and TRY_CAST.
+      (s, dir) => {
+        Tables(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            expr("try_divide(p_retailprice, p_size % 4)").as("div_maybe"),
+            expr("try_cast(substring(p_brand, 7) AS INT)").cast("long").as("brand_num"),
+            expr("try_cast(p_type AS INT)").cast("long").as("type_num"))
+          .select(col("p_partkey"), util.r2(col("div_maybe")).as("div_maybe"),
+            col("brand_num"), col("type_num"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(s"""SELECT p_partkey,
+              |       ${util.r2sql("p_retailprice / nullif(p_size % 4, 0)")} AS div_maybe,
+              |       CAST(TRY_CAST(substring(p_brand, 7) AS INTEGER) AS BIGINT) AS brand_num,
+              |       CAST(TRY_CAST(p_type AS INTEGER) AS BIGINT) AS type_num
+              |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    Q(
       "fn_url_parse",
       // URL decomposition via parse_url (host/path/query/param). The URL is
       // synthesized from part columns, so the DuckDB oracle — which has no

@@ -67,6 +67,22 @@ object Sources {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "scan_orc_roundtrip",
+      // ORC interchange (the other columnar wire format Spark ships
+      // natively): write a projection as ORC, read it back with the file's
+      // embedded schema. Identity oracle on the source table — the
+      // round trip must be lossless including nulls and doubles.
+      (s, dir) => {
+        val tmp = tmpDir("graft_orc_")
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp).orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
       "sink_parquet_partitioned",
       // Partitioned landing layout (SURVEY.md §2.1 [CD2-AWS]): write
       // partitionBy, read back, count per partition — partition pruning on

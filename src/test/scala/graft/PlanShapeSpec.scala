@@ -95,4 +95,28 @@ class PlanShapeSpec extends AnyFunSuite {
     // each partition keeps only k rows before the shuffle
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("join_null_safe hashes <=> keys (no nested-loop fallback)") {
+    val plan = planOf("join_null_safe")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("agg_conditional_counts runs all predicates in one two-phase aggregate") {
+    val plan = planOf("agg_conditional_counts")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // one scan, not one per predicate
+    assert("FileScan parquet".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("sql_recursive_cte plans Spark 4 recursion (union loop)") {
+    val plan = planOf("sql_recursive_cte")
+    assert(plan.contains("UnionLoop") || plan.contains("CTERelation"), plan)
+  }
+
+  test("sample_hash_deterministic stays a single scan + filter (no shuffle)") {
+    val plan = planOf("sample_hash_deterministic")
+    // global sort for output determinism is the ONLY exchange
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
 }

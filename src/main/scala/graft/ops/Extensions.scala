@@ -101,7 +101,8 @@ object Extensions {
       // is a "frame"; per frame emit (index, stub feature). The iterator →
       // iterator mapPartitions shape is the real streaming-decode plumbing
       // (constant memory per partition); the frame decode itself is a STUB
-      // for a video codec. No oracle — covered by MultimodalSpec.
+      // for a video codec. The stub is deterministic byte math over ASCII
+      // text, so the oracle recomputes each frame's byte-sum with ascii().
       (s, dir) => {
         val spark = s
         val withBin = Tables(s, dir, "documents")
@@ -126,7 +127,15 @@ object Extensions {
         }(rowEnc)
           .orderBy(col("doc_id"), col("frame_idx"))
       },
-      None
+      Some("""SELECT doc_id,
+             |       CAST(off // 64 AS BIGINT) AS frame_idx,
+             |       CAST(list_sum(list_transform(range(1, 17),
+             |              j -> CASE WHEN off + j <= length(text)
+             |                        THEN ascii(substring(text, off + j, 1))
+             |                        ELSE 0 END)) AS BIGINT) AS frame_feature
+             |FROM (SELECT doc_id, text, unnest(range(0, length(text), 64)) AS off
+             |      FROM documents) t
+             |ORDER BY doc_id, frame_idx""".stripMargin)
     ),
     Q(
       "multimodal_image_header",

@@ -145,12 +145,16 @@ object Streaming {
     ),
     Q(
       "stream_watermark_late",
-      // Late-data policy: two identical files, one per micro-batch. After
-      // batch 1 the watermark advances to max(ts) - 10min; append mode then
-      // finalizes only windows closed below it — the streaming tail stays
-      // in state, which is exactly the bounded-state guarantee. No oracle
-      // (emission timing is engine semantics); StreamingSpec injects late
-      // rows via MemoryStream and asserts they are dropped.
+      // Watermark finalization policy: two identical files, one per
+      // micro-batch. Trigger.AvailableNow pre-plans every batch's offsets
+      // at query start, so BOTH copies process under the initial watermark
+      // (numRowsDroppedByWatermark = 0 — intra-run late-DROPPING is
+      // asserted separately in StreamingSpec via MemoryStream, where the
+      // watermark advances between injected batches); what this pipeline
+      // pins is append-mode emission: the terminal no-data batch finalizes
+      // exactly the windows closed below max(ts) − 10min, at full 2×
+      // counts, while the open tail stays unemitted in state. That
+      // schedule is deterministic, so the emitted set is SQL-expressible.
       (s, dir) => {
         val ev = eventsStream(s, stage(dir, 2), maxFilesPerTrigger = Some(1), ntz = false)
         val agg = ev.withWatermark("ts", "10 minutes")
@@ -161,7 +165,13 @@ object Streaming {
             col("event_type"), col("n_events"))
           .orderBy(col("hour_start"), col("event_type"))
       },
-      None
+      Some("""WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+             |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             |       2 * count(*) AS n_events
+             |FROM events, m
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+             |GROUP BY 1, 2, wm
+             |ORDER BY hour_start, event_type""".stripMargin)
     ),
     Q(
       "stream_dedup_keys",

@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
   *
-  * Currently: `cosine_sim(array<float>, array<float>) → double`, the
-  * codegen'd Catalyst expression backing the similarity tier. No custom
+  * Currently: `cosine_sim(array<float>, array<float>) → double` and
+  * `simhash_fp(array<bigint>) → bigint`, the codegen'd Catalyst
+  * expressions backing the similarity and near-dup tiers. No custom
   * planner strategies are injected — the declared surface never needs one
   * (SURVEY.md §7.3).
   */
@@ -20,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => functions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[functions.SimHashFingerprint].getName, "simhash_fp"),
+      (exprs: Seq[Expression]) => functions.SimHashFingerprint(exprs(0))))
   }
 }

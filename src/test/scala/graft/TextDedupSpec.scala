@@ -60,13 +60,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hammingNear < hammingFar)
   }
 
-  test("simhash DataFrame fingerprints match the per-row HOF form exactly") {
+  test("simhash forms agree: HOF, aggregate, and native expression") {
     val hof = docs.select(col("doc_id"), SimHash.tokenHashes(col("text")).as("hs"))
       .select(col("doc_id"), SimHash.simhash(col("hs")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agg = SimHash.fingerprints(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = docs
+      .select(col("doc_id"), SimHash.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), graft.functions.SimHashFingerprint(spark, col("hs")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(agg === hof)
+    assert(native === hof)
+  }
+
+  test("simhash_fp interpreted eval matches codegen result") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val hashes: Array[java.lang.Long] =
+      Array(0x0f0f0f0fL, 0x0f0f0f0fL, -1L).map(java.lang.Long.valueOf)
+    val e = graft.functions.SimHashFingerprint(
+      Literal.create(hashes.map(_.longValue), ArrayType(LongType)))
+    val interp = e.eval(null).asInstanceOf[Long]
+    val viaDf = Seq(Tuple1(hashes.map(_.longValue).toSeq)).toDF("hs")
+      .select(graft.functions.SimHashFingerprint(spark, col("hs")).as("fp"))
+      .head.getLong(0)
+    assert(interp === viaDf)
+    // majority of 3 with two 0x0f0f0f0f votes: low nibbles win, -1 alone loses
+    assert(interp === 0x0f0f0f0fL)
   }
 
   test("simhash banding: full recall at hamming <= 6 (pigeonhole over 7 bands)") {

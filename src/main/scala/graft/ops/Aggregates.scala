@@ -351,6 +351,24 @@ object Aggregates {
              |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
     ),
     Q(
+      "agg_string_agg",
+      // Ordered string aggregation (listagg WITHIN GROUP, new in Spark 4 /
+      // string_agg in DuckDB): the deterministic ORDER BY inside the
+      // aggregate is what makes concatenation reproducible under any
+      // partitioning — unordered listagg would be a per-run lottery.
+      (s, dir) => {
+        Tables(s, dir, "nation")
+          .select(col("n_regionkey"), col("n_name"))
+          .groupBy(col("n_regionkey"))
+          .agg(expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)")
+            .as("nations_csv"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations_csv
+             |FROM nation GROUP BY n_regionkey
+             |ORDER BY n_regionkey""".stripMargin)
+    ),
+    Q(
       "agg_conditional_counts",
       // Conditional aggregation — count_if / filtered sums and means — the
       // one-pass profile query (vs one scan per predicate). All predicates

@@ -63,7 +63,7 @@ object Streaming {
   private def runToMemory(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

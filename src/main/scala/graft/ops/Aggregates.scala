@@ -351,6 +351,27 @@ object Aggregates {
              |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
     ),
     Q(
+      "agg_count_distinct_multi",
+      // Multi-column exact distinct: count(DISTINCT a, b) — planned as an
+      // Expand + two-phase aggregate, so the shuffle carries deduplicated
+      // (group × key-pair) rows, not raw input. Both key columns are
+      // non-null in the fixture (the engines disagree on null-tuple
+      // semantics, so this operator pins the non-null contract).
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            countDistinct(col("o_custkey"), col("o_orderdate")).as("n_cust_days"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+             |       count(DISTINCT (o_custkey, o_orderdate)) AS n_cust_days,
+             |       count(*) AS n
+             |FROM orders GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)
+    ),
+    Q(
       "agg_string_agg",
       // Ordered string aggregation (listagg WITHIN GROUP, new in Spark 4 /
       // string_agg in DuckDB): the deterministic ORDER BY inside the

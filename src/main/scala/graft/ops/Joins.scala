@@ -296,6 +296,28 @@ object Joins {
              |ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "join_lateral_topn",
+      // LATERAL correlated subquery: per-customer order stats computed by a
+      // subquery that references the outer row. Catalyst decorrelates it
+      // into an aggregate + join (same survivable shape as
+      // subq_scalar_correlated) — never a per-row re-execution.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(s"""SELECT c_custkey, s.max_price, s.n_orders
+                 |FROM customer,
+                 |LATERAL (SELECT ${graft.util.r2sql("max(o_totalprice)")} AS max_price,
+                 |                count(o_orderkey) AS n_orders
+                 |         FROM orders WHERE o_custkey = c_custkey) s
+                 |ORDER BY c_custkey""".stripMargin)
+      },
+      Some(s"""SELECT c_custkey, s.max_price, s.n_orders
+              |FROM customer,
+              |LATERAL (SELECT ${util.r2sql("max(o_totalprice)")} AS max_price,
+              |                count(o_orderkey) AS n_orders
+              |         FROM orders WHERE o_custkey = c_custkey) s
+              |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
       "sql_recursive_cte",
       // WITH RECURSIVE (new in Spark 4): recursion generates the month
       // dimension driver-free, then a left join + group rolls orders onto

@@ -298,6 +298,29 @@ object ScalarFns {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "fn_struct_ops",
+      // Struct construction, field access, and whole-struct equality — the
+      // nested-record surface a replicated feed's envelope columns need.
+      // Struct comparison is field-wise on both engines.
+      (s, dir) => {
+        val s1 = struct(col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
+        val s2 = struct(lit("O").as("a"), lit("1-URGENT").as("b"))
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            s1.getField("a").as("field_a"),
+            s1.getField("b").as("field_b"),
+            (s1 === s2).as("is_urgent_open"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       s1.a AS field_a, s1.b AS field_b,
+             |       (s1 = {'a': 'O', 'b': '1-URGENT'}) AS is_urgent_open
+             |FROM (SELECT *, {'a': o_orderstatus, 'b': o_orderpriority} AS s1
+             |      FROM orders) t
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "fn_try_arithmetic",
       // ANSI-safe scalar variants: try_divide and try_cast return NULL on
       // failure instead of aborting the job — the dirty-feed posture (one

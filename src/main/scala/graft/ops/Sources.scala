@@ -67,6 +67,32 @@ object Sources {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "scan_csv_malformed",
+      // Dirty-feed handling: every 10th CSV line carries an unparsable
+      // numeric field; DROPMALFORMED mode sheds exactly those rows instead
+      // of failing the batch — the row-level quarantine posture a landing
+      // zone needs (one bad record must never kill a 100 TB load). The
+      // oracle selects the complement of the corruption rule.
+      (s, dir) => {
+        val tmp = tmpDir("graft_badcsv_")
+        Tables(s, dir, "orders")
+          .select(concat(
+            col("o_orderkey").cast("string"), lit(","),
+            when(col("o_orderkey") % 10 === 0, lit("XX"))
+              .otherwise(col("o_totalprice").cast("string"))).as("line"))
+          .coalesce(1)
+          .write.mode("overwrite").text(tmp)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(schema).option("mode", "DROPMALFORMED").csv(tmp)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 10 <> 0
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "scan_orc_roundtrip",
       // ORC interchange (the other columnar wire format Spark ships
       // natively): write a projection as ORC, read it back with the file's

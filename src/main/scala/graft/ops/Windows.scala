@@ -173,6 +173,48 @@ object Windows {
               |ORDER BY grid.user_id, grid.hour""".stripMargin)
     ),
     Q(
+      "win_range_interval_7d",
+      // Event-time RANGE frame with an INTERVAL bound: trailing-7-day spend
+      // per customer — the moving-window feature every behavioral pipeline
+      // computes. RANGE (not ROWS) makes the frame calendar-correct under
+      // gaps and date peers; one window pass, no self-join.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(s"""SELECT o_orderkey, o_custkey, o_orderdate,
+                 |  ${graft.util.r2sql(
+                   """sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                     |      RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)""".stripMargin)} AS trailing_7d
+                 |FROM orders ORDER BY o_orderkey""".stripMargin)
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_orderdate,
+              |  ${util.r2sql(
+                """sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  |      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)""".stripMargin)} AS trailing_7d
+              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "win_lag_ignore_nulls",
+      // lag(... IGNORE NULLS): last OBSERVED reading per user, skipping
+      // gap rows — the sensor/telemetry carry-forward shape. Nulls are
+      // synthesized deterministically (error events report no value).
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .withColumn("reading",
+            when(col("event_type") =!= "error", col("value")))
+          .withColumn("prev_reading",
+            lag(col("reading"), 1, null, ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"), col("reading"), col("prev_reading"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |       CASE WHEN event_type <> 'error' THEN value END AS reading,
+             |       lag(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             |         OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_reading
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "ts_interpolate_linear",
       // Time-series linear interpolation: missing hours get
       // pv + (nv−pv)·(t−pt)/(nt−pt) between the previous and next observed

@@ -106,7 +106,7 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.filter(col("shared") < 1).count() === 0L)
   }
 
-  test("simhash band widths cover all 32 bits exactly once") {
+  test("simhash band widths cover all fingerprint bits exactly once") {
     // reconstruct the fingerprint from its bands: OR of band << offset
     val fp = 0xDEADBEEFL
     val row = Seq(Tuple1(fp)).toDF("fp")

@@ -137,6 +137,38 @@ object Cdc {
               |ORDER BY user_id, valid_from, event_id""".stripMargin)
     ),
     Q(
+      "cdc_point_in_time",
+      // Point-in-time (time-travel) lookup against the SCD2 history: the
+      // state of every key AS OF a probe instant — filter the validity
+      // interval covering T. At scale this is a partition-pruned scan of
+      // the history table (valid_from ≤ T < valid_to), never a replay of
+      // the change feed.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val asOf = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+        changes(s, dir)
+          .withColumn("valid_from", col("ts"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .filter(col("valid_from") <= asOf &&
+            (col("valid_to").isNull || col("valid_to") > asOf))
+          .select(col("user_id"), col("event_id"), col("action"), col("value"),
+            col("valid_from"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS action,
+             |       value, valid_from
+             |FROM (SELECT user_id, event_id, event_type, value,
+             |             ts AS valid_from, lead(ts) OVER w AS valid_to
+             |      FROM events
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) h
+             |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+             |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+             |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "schema_evolution_merge",
       // DAP schema-version bump mid-stream (SURVEY.md §2.10 [DAP]): a new
       // column appears in later files; mergeSchema widens, missing → null.

@@ -298,6 +298,31 @@ object ScalarFns {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "fn_datetime_extra",
+      // Calendar arithmetic beyond fn_date_core: quarter/day-of-year
+      // extraction, month-end snap, month addition with end-of-month
+      // clamping (Jan 31 + 1 month → Feb 29), and date construction.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            quarter(col("o_orderdate")).cast("long").as("qtr"),
+            dayofyear(col("o_orderdate")).cast("long").as("doy"),
+            last_day(col("o_orderdate")).as("month_end"),
+            add_months(col("o_orderdate"), 1).as("next_month"),
+            make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+              .as("month_start"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+             |       CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+             |       last_day(o_orderdate) AS month_end,
+             |       CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+             |       make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "fn_struct_ops",
       // Struct construction, field access, and whole-struct equality — the
       // nested-record surface a replicated feed's envelope columns need.

@@ -99,6 +99,31 @@ object Aggregates {
       None
     ),
     Q(
+      "agg_percentile_exact",
+      // Exact interpolated quartiles (percentile ↔ quantile_cont): the
+      // precise counterpart to agg_approx_quantile — full sort per group,
+      // only affordable when groups are few; the sketch is the 100 TB
+      // default. Both engines use linear interpolation on the sorted
+      // values; r2 pins the arithmetic tail.
+      (s, dir) => {
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
+          .select(
+            col("l_returnflag"),
+            util.r2(element_at(col("qs"), 1)).as("price_q25"),
+            util.r2(element_at(col("qs"), 2)).as("price_q50"),
+            util.r2(element_at(col("qs"), 3)).as("price_q75"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag,
+              |       ${util.r2sql("quantile_cont(l_extendedprice, 0.25)")} AS price_q25,
+              |       ${util.r2sql("quantile_cont(l_extendedprice, 0.50)")} AS price_q50,
+              |       ${util.r2sql("quantile_cont(l_extendedprice, 0.75)")} AS price_q75
+              |FROM lineitem GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
       "agg_median_exact",
       (s, dir) => {
         Tables(s, dir, "lineitem")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Q, Tables, util}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.Trigger
@@ -65,6 +65,42 @@ object Sources {
       },
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, 'U' AS action
              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "filter_dynamic_partition_pruning",
+      // Dynamic partition pruning: the fact side is partitioned on the join
+      // key (o_orderpriority); the dim side is filtered on a DIFFERENT
+      // column (o_orderstatus = 'P'), so the surviving join keys are only
+      // known at run time — Catalyst injects a dynamicpruning subquery into
+      // the fact scan instead of reading every partition. (A filter on the
+      // join key itself would constant-propagate into a static partition
+      // filter — no DPP needed.) At 100 TB the partitioned table reads ONLY
+      // the partitions the filtered dim selects; PlanShapeSpec asserts the
+      // pruning expression is present.
+      (s, dir) => {
+        val tmp = tmpDir("graft_dpp_")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+        val dim = Tables(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_orderstatus")).distinct()
+          .filter(col("o_orderstatus") === "P")
+        s.read.parquet(tmp)
+          .join(broadcast(dim), Seq("o_orderpriority"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            util.r2(sum(col("o_totalprice"))).as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+              |       ${util.r2sql("sum(o_totalprice)")} AS total
+              |FROM (
+              |  SELECT f.o_orderpriority, f.o_totalprice
+              |  FROM orders f
+              |  JOIN (SELECT DISTINCT o_orderpriority, o_orderstatus
+              |        FROM orders WHERE o_orderstatus = 'P') d
+              |    ON f.o_orderpriority = d.o_orderpriority) t
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
       "scan_csv_malformed",

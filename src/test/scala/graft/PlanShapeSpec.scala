@@ -114,6 +114,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("UnionLoop") || plan.contains("CTERelation"), plan)
   }
 
+  test("filter_dynamic_partition_pruning injects a pruning subquery into the fact scan") {
+    val plan = planOf("filter_dynamic_partition_pruning")
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("sample_hash_deterministic stays a single scan + filter (no shuffle)") {
     val plan = planOf("sample_hash_deterministic")
     // global sort for output determinism is the ONLY exchange

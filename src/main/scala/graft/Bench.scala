@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Prints per-query timings (one long JSON line) and
+  * then a SHORT `{"metric":"total",...}` JSON object on its own, final line —
+  * the driver captures the tail of stdout, so the parseable summary must be
+  * last (a 140-query map pushed the metric prefix out of the captured tail in
+  * rounds 1–2).
+  *
+  * Timing protocol: queries run in sorted-name order (Map hash order changed
+  * per round, making per-query deltas incomparable), each query runs twice
+  * and the MIN is reported — the first pass absorbs janino codegen + shuffle
+  * file warmup, so round-over-round deltas reflect plan changes, not JVM
+  * noise.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,15 +30,19 @@ object Bench {
     // JVM/session warmup (codegen, shuffle machinery) so first-query
     // timing reflects the query, not session init
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> math.min(time(fn), time(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate
 
 /** SparkSessionExtensions entry point (SURVEY.md §2.12): installs the
   * engine's native functions into any session at build time —
@@ -11,9 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Currently: `cosine_sim(array<float>, array<float>) → double` and
   * `simhash_fp(array<bigint>) → bigint`, the codegen'd Catalyst
-  * expressions backing the similarity and near-dup tiers. No custom
-  * planner strategies are injected — the declared surface never needs one
-  * (SURVEY.md §7.3).
+  * expressions backing the similarity and near-dup tiers, plus SQL-callable
+  * handles on Spark's own bloom-filter expressions (`graft_bloom_agg`,
+  * `graft_might_contain` — the pair Catalyst itself uses for runtime
+  * semi-join filters, not registered in the public FunctionRegistry), so
+  * the bloom probe stays a codegen'd native expression instead of a Scala
+  * UDF. No custom planner strategies are injected — the declared surface
+  * never needs one (SURVEY.md §7.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -25,5 +30,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[functions.SimHashFingerprint].getName, "simhash_fp"),
       (exprs: Seq[Expression]) => functions.SimHashFingerprint(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new aggregate.BloomFilterAggregate(c)
+        case Seq(c, n, b) => new aggregate.BloomFilterAggregate(c, n, b)
+        case other => new aggregate.BloomFilterAggregate(other(0), other(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

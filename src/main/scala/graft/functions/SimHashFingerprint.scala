@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * position, the sign of each bit-sum is one fingerprint bit.
   *
   * Versus the two declarative forms in [[graft.text.SimHash]] — 64
-  * interpreted HOF passes per row, or an explode + 16-lane packed
+  * interpreted HOF passes per row, or an explode + lane-packed
   * HashAggregate (one shuffle, large cold codegen) — this generates ONE
   * fused Java loop inside WholeStageCodegen: per row, tokens × 64 bit
   * tests, no shuffle, no intermediate rows, compact generated code.

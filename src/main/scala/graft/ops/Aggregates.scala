@@ -141,23 +141,26 @@ object Aggregates {
       "stat_bloom_semi_filter",
       // Bloom-filter membership pre-filter (the distributed semi-join
       // optimization: ship a constant-size filter to the fact scan instead
-      // of shuffling it). Built distributed via df.stat, then applied to
-      // lineitem with the urgent-order key set. FPP admits supersets in
-      // principle; OperatorSpec asserts zero false negatives and bounds
-      // false positives vs the true semi-join.
+      // of shuffling it). Uses Spark's OWN runtime-filter expression pair —
+      // `graft_bloom_agg` builds the filter distributed, and the probe is a
+      // scalar subquery feeding `graft_might_contain`, the codegen'd native
+      // expression Catalyst injects for its runtime semi-join filters (no
+      // UDF, no driver-side count: the size hint is a static upstream
+      // estimate, as it would be from table stats at 100 TB). FPP admits
+      // supersets in principle; OperatorSpec asserts zero false negatives
+      // and bounds false positives vs the true semi-join.
       (s, dir) => {
-        val urgent = Tables(s, dir, "orders")
-          .filter(col("o_orderpriority") === "1-URGENT")
-        // size to the actual key count (an upstream estimate at scale)
-        val nKeys = math.max(urgent.count(), 1000L)
-        val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.001)
-        val bloomB = s.sparkContext.broadcast(bloom)
-        val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
-        Tables(s, dir, "lineitem")
-          .filter(mightContain(col("l_orderkey")))
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n_lines"))
-          .orderBy(col("l_returnflag"))
+        Tables(s, dir, "orders").createOrReplaceTempView("g_bloom_orders")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("g_bloom_lineitem")
+        s.sql("""SELECT l_returnflag, count(1) AS n_lines
+                |FROM g_bloom_lineitem
+                |WHERE graft_might_contain(
+                |        (SELECT graft_bloom_agg(o_orderkey, 100000L, 800000L)
+                |         FROM g_bloom_orders
+                |         WHERE o_orderpriority = '1-URGENT'),
+                |        l_orderkey)
+                |GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
       },
       None
     ),
@@ -319,16 +322,19 @@ object Aggregates {
       // identical both engines); a direct double→decimal cast is NOT portable
       // (Spark rounds the shortest decimal repr half-up, DuckDB rounds the
       // exact binary expansion — e.g. the double nearest 2.675 diverges).
+      // The summation runs in DECIMAL(18,2) internally; the OUTPUT is integer
+      // cents (BIGINT) because DECIMAL rendering differs between the two
+      // engines' hashers even when values are identical.
       (s, dir) => {
         Tables(s, dir, "orders")
           .groupBy(col("o_orderstatus"))
           .agg(
-            sum(util.r2(col("o_totalprice")).cast("decimal(18,2)"))
-              .cast("decimal(18,2)").as("total_price_dec"))
+            (sum(util.r2(col("o_totalprice")).cast("decimal(18,2)")) * lit(100))
+              .cast("long").as("total_cents"))
           .orderBy(col("o_orderstatus"))
       },
       Some(s"""SELECT o_orderstatus,
-              |       CAST(sum(CAST(${util.r2sql("o_totalprice")} AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price_dec
+              |       CAST(sum(CAST(${util.r2sql("o_totalprice")} AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
               |FROM orders GROUP BY o_orderstatus
               |ORDER BY o_orderstatus""".stripMargin)
     ),
@@ -510,22 +516,11 @@ object Aggregates {
              |      CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 200 ELSE 1000 END
              |ORDER BY o_orderkey""".stripMargin)
     ),
-    Q(
-      "sample_stratified",
-      // Stratified sampling (train/val split machinery): per-stratum
-      // fractions with a fixed seed — deterministic for a given seed and
-      // partitioning, distributed, no driver collection. No oracle (the
-      // sampling RNG is engine-specific); OperatorSpec bounds the per-stratum
-      // rates and asserts seed-determinism.
-      (s, dir) => {
-        Tables(s, dir, "orders")
-          .stat.sampleBy("o_orderstatus",
-            Map("F" -> 0.5, "O" -> 0.2, "P" -> 1.0), 42L)
-          .select(col("o_orderkey"), col("o_orderstatus"))
-          .orderBy(col("o_orderkey"))
-      },
-      None
-    ),
+    // NOTE: a Bernoulli `stat.sampleBy` variant ("sample_stratified") was
+    // retired in round 3: its engine-specific RNG made it permanently
+    // un-oracled, and `sample_hash_deterministic` above is the canonical —
+    // and reproducible — train/val sampling pin (still spec-tested in
+    // OperatorSpec for rate bounds and seed determinism).
     Q(
       "typed_dataset_agg",
       // The typed Dataset surface: case-class rows, groupByKey, a typed

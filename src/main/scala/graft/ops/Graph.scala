@@ -35,7 +35,6 @@ object Graph {
       .localCheckpoint(true) // computed once, reused every round
     var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
-    var prevSum = -1L
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -44,11 +43,10 @@ object Graph {
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr")).as("comp"))
       // pointer jump: comp ← comp(comp) — halves label-chain length.
-      // LAZY localCheckpoint: the convergence aggregate below is the
-      // materializing action (labels only decrease, so an unchanged sum is
-      // the fixpoint) — one job per round instead of two with an eager
-      // checkpoint, while still truncating lineage (a persist()-only chain
-      // keeps the logical plan, which doubles per round and OOMs the
+      // LAZY localCheckpoint: the convergence count below is the
+      // materializing action — one job per round instead of two with an
+      // eager checkpoint, while still truncating lineage (a persist()-only
+      // chain keeps the logical plan, which doubles per round and OOMs the
       // planner; superseded checkpoint blocks are reclaimed by the
       // ContextCleaner).
       val step2 = step1
@@ -56,9 +54,14 @@ object Graph {
           col("comp") === col("c2"), "left")
         .select(col("doc_id"), coalesce(col("cc"), col("comp")).as("comp"))
         .localCheckpoint(false)
-      val s = step2.agg(sum(col("comp"))).head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
+      // fixpoint = no label changed this round. An exact count — unlike a
+      // sum-of-labels fingerprint it can't overflow under ANSI arithmetic
+      // on huge ids, and it is well-defined (0 → converged) on an empty
+      // node set, where sum() returns NULL. One driver-side Long per round.
+      val changed = step2
+        .join(labels.select(col("doc_id"), col("comp").as("prev")), "doc_id")
+        .filter(col("comp") =!= col("prev")).count()
+      converged = changed == 0
       labels = step2
       iter += 1
     }

@@ -411,10 +411,13 @@ object ScalarFns {
             col("o_orderdate").cast("date").as("as_date"),
             // double→decimal must go through a shared rounding path
             // (util.r2): direct casts round differently across engines, and
-            // double→string formatting is engine-specific — so price_str is
-            // derived from the pinned decimal, whose textual form is plain
-            // fixed-point on both sides.
-            util.r2(col("o_totalprice")).cast("decimal(18,2)").as("price_dec"),
+            // double→string formatting is engine-specific. The typed price is
+            // emitted as integer cents (BIGINT — DECIMAL renders differently
+            // in the two engines' hashers); price_str is derived from the
+            // pinned decimal, whose textual form is plain fixed-point on both
+            // sides.
+            (util.r2(col("o_totalprice")).cast("decimal(18,2)") * lit(100))
+              .cast("long").as("price_cents"),
             util.r2(col("o_totalprice")).cast("decimal(18,2)").cast("string").as("price_str"),
             col("o_orderkey").cast("string").as("key_str"))
           .orderBy(col("o_orderkey"))
@@ -422,9 +425,9 @@ object ScalarFns {
       Some("""SELECT o_orderkey,
              |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_str,
              |       strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS date_rt,
-             |       CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS price_dec,
-             |       CAST(CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
              |       CAST(o_orderdate AS DATE) AS as_date,
+             |       CAST(CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+             |       CAST(CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
              |       CAST(o_orderkey AS VARCHAR) AS key_str
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     )

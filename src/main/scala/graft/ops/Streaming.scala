@@ -31,6 +31,38 @@ object Streaming {
     tmp
   }
 
+  /** Stage `events` as TWO files split at the midpoint timestamp, with
+    * staggered mtimes so the file source (oldest-first by default) delivers
+    * the early half as micro-batch 1 and the late half as micro-batch 2 —
+    * a deterministic two-batch arrival that lets cross-batch state be
+    * verified against a batch oracle.
+    */
+  private[graft] def stageSplitByTime(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = graft.util.tempDir("graft_stream_split_")
+    val ev = s.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+    val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut = lo + (hi - lo) / 2
+    // scratch lives OUTSIDE the streamed dir: the file source must see only
+    // the two final parquet files, not writer droppings (_SUCCESS, subdirs)
+    val scratch = graft.util.tempDir("graft_stream_scratch_")
+    Seq(("early", col("ts") <= cut, 1000000000000L),
+        ("late", col("ts") > cut, 1000000060000L)).foreach {
+      case (tag, pred, mtime) =>
+        val part = s"$scratch/stage_$tag"
+        ev.filter(pred).coalesce(1).write.parquet(part)
+        val file = Files.list(Paths.get(part)).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet")).head
+        Files.move(Paths.get(file), Paths.get(s"$tmp/events_$tag.parquet"))
+        Files.setLastModifiedTime(
+          Paths.get(s"$tmp/events_$tag.parquet"), FileTime.fromMillis(mtime))
+    }
+    tmp
+  }
+
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw long
@@ -192,38 +224,112 @@ object Streaming {
     ),
     Q(
       "stream_stateful_running",
-      // Explicit keyed state: per-user running count/sum emitted per event
-      // via flatMapGroupsWithState. Batch arrival order within a group is
-      // arbitrary → sort by (ts_us, event_id) inside the state function.
+      // Per-event running count/sum per user, continued across micro-batches.
+      // The order-sensitive part — ranking each batch's rows by
+      // (ts, event_id) within user — runs as a SQL window function INSIDE
+      // foreachBatch, so the sort is Catalyst's spillable SortExec;
+      // cross-batch continuity comes from a compact per-user offsets table
+      // (two longs per user), not from buffering rows. Per-key memory is
+      // O(1) no matter how hot a key gets — the earlier
+      // flatMapGroupsWithState form materialized and heap-sorted every
+      // user×batch group, an executor OOM waiting to happen at 100 TB.
+      // Sums run in exact integer cents: cross-batch addition of doubles
+      // would regroup FP operations vs the oracle's sequential window sum.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val staged = stageSplitByTime(s, dir)
+        val outDir = graft.util.tempDir("graft_stateful_out_")
+        val ev = eventsStream(s, staged, maxFilesPerTrigger = Some(1))
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        // per-user offsets carried across batches; distributed DF state,
+        // eagerly localCheckpoint'ed because a micro-batch's source frame
+        // is only valid inside its own batch
+        val offsets = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+        val q = ev.writeStream.outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val ranked = batch
+              .withColumn("bn", count(lit(1)).over(w))
+              .withColumn("bsum", sum(col("cents")).over(w))
+            val withPrior = Option(offsets.get()) match {
+              case None => ranked
+                .withColumn("n0", lit(0L)).withColumn("sum0", lit(0L))
+              case Some(prev) => ranked.join(prev, Seq("user_id"), "left")
+                .na.fill(0L, Seq("n0", "sum0"))
+            }
+            withPrior
+              .select(col("user_id"), col("event_id"),
+                (col("bn") + col("n0")).as("run_n"),
+                (col("bsum") + col("sum0")).as("run_sum_cents"))
+              .write.mode("append").parquet(outDir)
+            val totals = batch.groupBy("user_id")
+              .agg(count(lit(1)).as("dn"), sum(col("cents")).as("dsum"))
+            val next = Option(offsets.get()) match {
+              case None => totals.select(col("user_id"),
+                col("dn").as("n0"), col("dsum").as("sum0"))
+              case Some(prev) => prev.join(totals, Seq("user_id"), "full_outer")
+                .select(col("user_id"),
+                  (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n0"),
+                  (coalesce(col("sum0"), lit(0L)) + coalesce(col("dsum"), lit(0L))).as("sum0"))
+            }
+            offsets.set(next.localCheckpoint())
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir).orderBy(col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |       count(*) OVER w AS run_n,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS run_sum_cents
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "stream_stateful_agg",
+      // Explicit keyed state via mapGroupsWithState, the bounded way: the
+      // fold over each group's iterator is single-pass and ORDER-INSENSITIVE
+      // (count, exact-cents sum, max), so no buffering or sorting is needed
+      // — per-key state is three longs regardless of group size. Update
+      // mode emits each user's state once per batch it appears in; the
+      // final state per user is the row with the highest n (counts are
+      // monotone across updates; sums need not be, hence max_by on n).
       (s, dir) => {
         import s.implicits._
-        val ev = eventsStream(s, stage(dir, 1))
-          .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
-          .as[(Long, Long, Long, Double)]
+        val ev = eventsStream(s, stageSplitByTime(s, dir))
+          .select(col("user_id"), col("event_id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+          .as[(Long, Long, Long)]
         val out = ev.groupByKey(_._1)
-          .flatMapGroupsWithState[(Long, Double), (Long, Long, Long, Double)](
-            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+            GroupStateTimeout.NoTimeout) {
             case (user, rows, state) =>
-              var (n, total) = state.getOption.getOrElse((0L, 0.0))
-              val emitted = rows.toSeq.sortBy(r => (r._3, r._2)).map { r =>
-                n += 1; total += r._4
-                (user, r._2, n, total)
+              var (n, total, hi) = state.getOption.getOrElse((0L, 0L, Long.MinValue))
+              rows.foreach { r =>
+                n += 1; total += r._3; if (r._3 > hi) hi = r._3
               }
-              state.update((n, total))
-              emitted.iterator
+              state.update((n, total, hi))
+              (user, n, total, hi)
           }
-          .toDF("user_id", "event_id", "run_n", "run_sum")
-          .withColumn("run_sum", util.r2(col("run_sum")))
-        runToMemory(s, out, "t_stateful", "append")
-          .orderBy(col("event_id"))
+          .toDF("user_id", "n_events", "sum_cents", "max_cents")
+        runToMemory(s, out, "t_stateful_agg", "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max_by(col("sum_cents"), col("n_events")).as("sum_cents"),
+            max(col("max_cents")).as("max_cents"))
+          .orderBy(col("user_id"))
       },
-      Some(s"""SELECT user_id, event_id,
-              |       count(*) OVER w AS run_n,
-              |       ${util.r2sql("sum(value) OVER w")} AS run_sum
-              |FROM events
-              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              |ORDER BY event_id""".stripMargin)
+      Some("""SELECT user_id,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)
     ),
     Q(
       "stream_static_join",

@@ -48,13 +48,21 @@ object SimHash {
     * intended two's-complement pattern).
     */
   def simhash(hashes: Column): Column = {
-    (0 until Bits).map { b =>
+    val fp = (0 until Bits).map { b =>
+      // a NULL element votes 0, matching the native expression
+      // (SimHashFingerprint) and fingerprints(), which both skip nulls —
+      // without the guard `otherwise(-1L)` would catch NULL as a down-vote
       val bitSum = aggregate(
         hashes,
         lit(0L),
-        (a, c) => a + when(shiftright(c, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        (a, c) => a + when(c.isNull, 0L)
+          .when(shiftright(c, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // NULL array → NULL fingerprint (not 0): `when(NULL > 0)` would fall
+    // through to otherwise(0L) per bit, silently mapping null input to the
+    // all-zeros fingerprint — the native expression is null-propagating
+    when(hashes.isNull, lit(null).cast("long")).otherwise(fp)
   }
 
   /** Fingerprints as a DataFrame op — the scale path. [[simhash]]'s per-row
@@ -66,13 +74,17 @@ object SimHash {
     */
   def fingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    // SWAR lane packing: 4 bit-counters per aggregate long (16-bit lanes),
-    // so the HashAggregate keeps 16 buffers instead of 64 — smaller
+    // SWAR lane packing: 2 bit-counters per aggregate long (32-bit lanes),
+    // so the HashAggregate keeps 32 buffers instead of 64 — smaller
     // generated code (cold janino compile was the dominant cost) and the
-    // same one-pass shape. A 16-bit lane caps docs at 65 535 tokens; the
-    // per-bit vote `bitSum > 0` is equivalent to `2·ones > n`.
-    val lanes = 4
-    val laneBits = 16
+    // same one-pass shape. 32-bit lanes were chosen over 16-bit ones
+    // (which would halve the buffers again) because a 16-bit counter
+    // silently wraps at 65 536 tokens — corrupt fingerprints with no error,
+    // and million-token documents are plausible in a 100 TB corpus. A
+    // 32-bit lane is safe to 2^31 tokens/doc. The per-bit vote
+    // `bitSum > 0` is equivalent to `2·ones > n`.
+    val lanes = 2
+    val laneBits = 32
     val nSums = Bits / lanes
     val tok = df.select(col(idCol).as("doc"),
       explode_outer(tokenHashes(col(textCol))).as("h"))
@@ -89,12 +101,16 @@ object SimHash {
     // 3.3 s → 1.6 s cold at sf0.1, identical warm)
     tok.groupBy(col("doc")).agg(count(col("h")).as("n"), packed: _*)
       .withColumn("arr", array((0 until nSums).map(g => col(s"p$g")): _*))
-      .select(col("doc"), expr(
-        s"""aggregate(sequence(0, ${Bits - 1}), 0L, (acc, b) -> acc +
-           |  IF((shiftright(element_at(arr, cast(b div $lanes as int) + 1),
-           |                 cast((b % $lanes) * $laneBits as int))
-           |      & ${(1L << laneBits) - 1}L) * 2 > n,
-           |     shiftleft(1L, cast(b as int)), 0L))""".stripMargin).as("fp"))
+      // n = 0 can only mean a NULL text (split never yields an empty
+      // array), and the native expression returns NULL fp for a NULL token
+      // array — keep the two forms bit-for-bit interchangeable on nulls too
+      .select(col("doc"), when(col("n") === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          s"""aggregate(sequence(0, ${Bits - 1}), 0L, (acc, b) -> acc +
+             |  IF((shiftright(element_at(arr, cast(b div $lanes as int) + 1),
+             |                 cast((b % $lanes) * $laneBits as int))
+             |      & ${(1L << laneBits) - 1}L) * 2 > n,
+             |     shiftleft(1L, cast(b as int)), 0L))""".stripMargin)).as("fp"))
   }
 
   /** LSH bucket keys: `n` contiguous bit-bands of the fingerprint (widths

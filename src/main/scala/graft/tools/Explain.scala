@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Dev tool: dump the formatted physical plan of every registered query
   * (or the ones named in args) — the `.explain("formatted")` review loop.
@@ -15,15 +16,33 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     SparkEntry.all.filter(q => only.isEmpty || only(q.name)).foreach { q =>
       println(s"\n===== ${q.name} =====")
-      try println(q.fn(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      try {
+        if (q.name == "sink_bucketed_join") {
+          // run once to (re)create the bucketed tables, then show the plan
+          // with broadcast DISABLED — the zero-Exchange co-located SMJ is
+          // the property bucketing buys; at fixture scale Catalyst would
+          // otherwise (rightly) broadcast the small side and hide it.
+          q.fn(spark, sfDir).collect()
+          val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+          try {
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            println(fmt(spark.table("graft_buckets.lineitem_b")
+              .join(spark.table("graft_buckets.orders_b"),
+                col("l_orderkey") === col("o_orderkey"))
+              .select("o_orderpriority")))
+          } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        } else println(fmt(q.fn(spark, sfDir)))
+      }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()

@@ -134,10 +134,17 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("stratified sample: deterministic for a seed, per-stratum rates in bounds") {
-    val s1 = SparkEntry.queries("sample_stratified")(spark, dir).collect()
-    val s2 = SparkEntry.queries("sample_stratified")(spark, dir).collect()
+    // retired from the query registry (round 3: engine-specific RNG can't be
+    // oracled; sample_hash_deterministic is the canonical pin) but the
+    // Bernoulli sampleBy capability itself stays spec-tested here
+    def sample = Tables(spark, dir, "orders")
+      .stat.sampleBy("o_orderstatus", Map("F" -> 0.5, "O" -> 0.2, "P" -> 1.0), 42L)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+    val s1 = sample.collect()
+    val s2 = sample.collect()
     assert(s1.toSeq === s2.toSeq, "same seed must give identical samples")
-    val rates = SparkEntry.queries("sample_stratified")(spark, dir)
+    val rates = sample
       .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
     val totals = Tables(spark, dir, "orders")
       .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap

@@ -119,6 +119,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("stat_bloom_semi_filter probes via native might_contain (no UDF in the scan path)") {
+    val plan = planOf("stat_bloom_semi_filter")
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"bloom probe fell back to a UDF:\n$plan")
+  }
+
   test("sample_hash_deterministic stays a single scan + filter (no shuffle)") {
     val plan = planOf("sample_hash_deterministic")
     // global sort for output determinism is the ONLY exchange

@@ -74,6 +74,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
+  test("simhash forms agree on null text and null token-hash elements") {
+    val withNull = Seq((1L, "alpha beta gamma"), (2L, null: String))
+      .toDF("doc_id", "text")
+    def fpMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("fp"))).toMap
+    val hof = fpMap(withNull
+      .select(col("doc_id"), SimHash.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"), SimHash.simhash(col("hs")).as("fp")).collect())
+    val agg = fpMap(SimHash.fingerprints(withNull, "doc_id", "text").collect())
+    val native = fpMap(withNull
+      .select(col("doc_id"), SimHash.tokenHashes(col("text")).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.SimHashFingerprint(spark, col("hs")).as("fp")).collect())
+    assert(hof(2L).isEmpty && agg(2L).isEmpty && native(2L).isEmpty,
+      "null text must yield NULL fingerprint in all three forms")
+    assert(agg === hof)
+    assert(native === hof)
+    // a null ELEMENT votes 0 (is skipped) in both per-row forms
+    val arr: Seq[java.lang.Long] =
+      Seq(java.lang.Long.valueOf(0x0f0fL), null, java.lang.Long.valueOf(0x0f0fL))
+    val df = Seq(Tuple1(arr)).toDF("hs")
+    val h = df.select(SimHash.simhash(col("hs")).as("fp")).head.getLong(0)
+    val n = df.select(
+      graft.functions.SimHashFingerprint(spark, col("hs")).as("fp")).head.getLong(0)
+    assert(h === n)
+    assert(h === 0x0f0fL, "two identical votes must win with the null skipped")
+  }
+
   test("simhash_fp interpreted eval matches codegen result") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, LongType}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables, util}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -20,6 +21,22 @@ import org.apache.spark.sql.expressions.Window
   *    intermediate is O(events × candidates)).
   */
 object Joins {
+
+  /** Shared sides for the as-of family: purchases as probes (is_probe=1),
+    * clicks as build rows pre-deduped per (user_id, ts) for determinism.
+    */
+  private def asofSides(s: SparkSession, dir: String) = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("is_probe"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(lit(null).cast("long").as("event_id"), col("user_id"),
+        col("ts"), lit(0).as("is_probe"), col("click_id"),
+        col("ts").as("click_ts"))
+    (purchases, clicks)
+  }
 
   val defs: Seq[Q] = Seq(
     Q(
@@ -211,15 +228,7 @@ object Joins {
       // explosion; survives 100 TB where a range self-join would not.
       // Build side pre-deduped per (user_id, ts) for determinism.
       (s, dir) => {
-        val ev = Tables.events(s, dir)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("is_probe"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .groupBy(col("user_id"), col("ts"))
-          .agg(max(col("event_id")).as("click_id"))
-          .select(lit(null).cast("long").as("event_id"), col("user_id"),
-            col("ts"), lit(0).as("is_probe"), col("click_id"),
-            col("ts").as("click_ts"))
+        val (purchases, clicks) = asofSides(s, dir)
         val tagged = purchases
           .withColumn("click_id", lit(null).cast("long"))
           .withColumn("click_ts", lit(null).cast("timestamp_ntz"))
@@ -247,6 +256,101 @@ object Joins {
              |FROM purchases p ASOF LEFT JOIN clicks c
              |  ON p.user_id = c.user_id AND c.ts <= p.ts
              |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
+      "join_asof_forward",
+      // Forward as-of: EARLIEST click at-or-after each purchase, per user —
+      // the mirror of join_asof, same union+window rewrite (one shuffle on
+      // user_id, linear state, no range explosion). Probes sort BEFORE
+      // build rows at equal ts (is_probe desc) so the equal-ts click falls
+      // inside the probe's [current, following) frame → inclusive ">=",
+      // matching DuckDB's forward ASOF.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        val tagged = purchases
+          .withColumn("click_id", lit(null).cast("long"))
+          .withColumn("click_ts", lit(null).cast("timestamp_ntz"))
+          .unionByName(clicks)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe").desc, col("event_id").asc_nulls_last)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        tagged
+          .withColumn("m_click_id", first(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("m_click_ts", first(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("m_click_ts").as("click_ts"), col("m_click_id").as("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       c.ts AS click_ts, c.click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts >= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
+      "join_asof_nearest",
+      // Nearest as-of: the closest click in EITHER direction, ties to the
+      // at-or-before side. Both directional candidates come out of one
+      // tagged union with two window passes over the same user_id
+      // partitioning — a second SortExec but still a single Exchange, so
+      // the 100 TB cost is one shuffle, same as the one-directional forms.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        val tagged = purchases
+          .withColumn("click_id", lit(null).cast("long"))
+          .withColumn("click_ts", lit(null).cast("timestamp_ntz"))
+          .unionByName(clicks)
+        val wB = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe"), col("event_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe").desc, col("event_id").asc_nulls_last)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+        val pickB = col("f_ts").isNull ||
+          (col("b_ts").isNotNull &&
+            us(col("ts")) - us(col("b_ts")) <= us(col("f_ts")) - us(col("ts")))
+        tagged
+          .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(wB))
+          .withColumn("b_ts", last(col("click_ts"), ignoreNulls = true).over(wB))
+          .withColumn("f_id", first(col("click_id"), ignoreNulls = true).over(wF))
+          .withColumn("f_ts", first(col("click_ts"), ignoreNulls = true).over(wF))
+          .filter(col("is_probe") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(pickB, col("b_ts")).otherwise(col("f_ts")).as("click_ts"),
+            when(pickB, col("b_id")).otherwise(col("f_id")).as("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts),
+             |b AS (
+             |  SELECT p.event_id, p.user_id, p.ts, c.ts AS b_ts, c.click_id AS b_id
+             |  FROM purchases p ASOF LEFT JOIN clicks c
+             |    ON p.user_id = c.user_id AND c.ts <= p.ts),
+             |f AS (
+             |  SELECT p.event_id, c.ts AS f_ts, c.click_id AS f_id
+             |  FROM purchases p ASOF LEFT JOIN clicks c
+             |    ON p.user_id = c.user_id AND c.ts >= p.ts)
+             |SELECT b.event_id, b.user_id, b.ts,
+             |       CASE WHEN f.f_ts IS NULL THEN b.b_ts
+             |            WHEN b.b_ts IS NULL THEN f.f_ts
+             |            WHEN epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts)
+             |            THEN b.b_ts ELSE f.f_ts END AS click_ts,
+             |       CASE WHEN f.f_ts IS NULL THEN b.b_id
+             |            WHEN b.b_ts IS NULL THEN f.f_id
+             |            WHEN epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts)
+             |            THEN b.b_id ELSE f.f_id END AS click_id
+             |FROM b JOIN f USING (event_id)
+             |ORDER BY event_id""".stripMargin)
     ),
     Q(
       "subq_scalar_correlated",

@@ -39,6 +39,26 @@ object Aggregates {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Shared skewness/kurtosis projection over exact power sums (n, s1..s4).
+    * The SAME SQL text runs on Spark (`selectExpr`) and DuckDB, so both
+    * engines evaluate an identical double expression tree on identical
+    * integer inputs — the only way a third/fourth-moment statistic can
+    * hash-match across engines (their built-ins differ on sample vs
+    * population and on summation order).
+    */
+  private val skewKurtExprs: Seq[String] = {
+    val m1 = "(CAST(s1 AS DOUBLE) / n)"
+    val r2m = "(CAST(s2 AS DOUBLE) / n)"
+    val r3m = "(CAST(s3 AS DOUBLE) / n)"
+    val r4m = "(CAST(s4 AS DOUBLE) / n)"
+    val m2 = s"($r2m - $m1 * $m1)"
+    val m3 = s"($r3m - 3.0 * $m1 * $r2m + 2.0 * $m1 * $m1 * $m1)"
+    val m4 = s"($r4m - 4.0 * $m1 * $r3m + 6.0 * $m1 * $m1 * $r2m - 3.0 * $m1 * $m1 * $m1 * $m1)"
+    Seq(
+      s"${util.r2sql(s"$m3 / ($m2 * sqrt($m2))")} AS skewness",
+      s"${util.r2sql(s"$m4 / ($m2 * $m2) - 3.0")} AS excess_kurtosis")
+  }
+
   val defs: Seq[Q] = Seq(
     Q("agg_hash_group", (s, dir) => q1(s, dir), Some(q1Oracle)),
     Q(
@@ -203,6 +223,35 @@ object Aggregates {
               |       ${util.r2sql("var_samp(l_quantity)")} AS var_qty
               |FROM lineitem GROUP BY l_returnflag
               |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "agg_skew_kurt",
+      // Third/fourth-moment statistics: skewness and excess kurtosis per
+      // group. Spark's skewness() is population-based and DuckDB's is
+      // sample-based, so neither built-in can oracle the other — instead
+      // both engines compute the SAME formula over EXACT integer power sums
+      // (l_quantity is integer-valued; Σq^4 stays far below 2^53, so the
+      // sums are order-independent and bit-identical), then the identical
+      // double expression tree yields identical IEEE results. Still a
+      // single-pass mergeable aggregate — four sums and a count.
+      (s, dir) => {
+        val q = col("l_quantity").cast("long")
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),
+            sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+          .selectExpr(Seq("l_returnflag", "n") ++ skewKurtExprs: _*)
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT l_returnflag, count(*) AS n,
+              |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+              |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+              |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+              |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l_returnflag, n, ${skewKurtExprs.mkString(", ")}
+              |FROM base ORDER BY l_returnflag""".stripMargin)
     ),
     Q(
       "agg_bool_and_or",

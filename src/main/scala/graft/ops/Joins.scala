@@ -294,6 +294,44 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "join_asof_tolerance",
+      // Backward as-of with a max-gap tolerance (pandas merge_asof
+      // `tolerance`): a match older than 1 hour is discarded, not carried
+      // forward — the practical guard against joining against stale state.
+      // Same single-shuffle union+window rewrite; the tolerance is a
+      // post-projection, free at any scale.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        val tagged = purchases
+          .withColumn("click_id", lit(null).cast("long"))
+          .withColumn("click_ts", lit(null).cast("timestamp_ntz"))
+          .unionByName(clicks)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_probe"), col("event_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inTol = col("m_click_ts") >= col("ts") - expr("interval 1 hour")
+        tagged
+          .withColumn("m_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("m_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("is_probe") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            when(inTol, col("m_click_ts")).as("click_ts"),
+            when(inTol, col("m_click_id")).as("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END AS click_ts,
+             |       CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END AS click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
       "join_asof_nearest",
       // Nearest as-of: the closest click in EITHER direction, ties to the
       // at-or-before side. Both directional candidates come out of one

@@ -145,6 +145,49 @@ object Sources {
              |FROM customer ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "sink_csv_roundtrip",
+      // CSV export/import fidelity: write with header, read back with an
+      // explicit schema (never inference in a pipeline — a schema drift
+      // must fail loudly, not silently retype a column). Doubles survive
+      // because Spark writes the shortest round-trippable representation.
+      // Identity oracle on the source projection.
+      (s, dir) => {
+        val tmp = tmpDir("graft_csvsink_")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"))
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_orderdate", DateType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(schema).option("header", "true").csv(tmp)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "sink_json_roundtrip",
+      // JSON-lines export/import fidelity (the interchange format of the
+      // reference's envelope feeds): same explicit-schema read-back
+      // discipline, identity oracle.
+      (s, dir) => {
+        val tmp = tmpDir("graft_jsonsink_")
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .write.mode("overwrite").json(tmp)
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_acctbal", DoubleType)))
+        s.read.schema(schema).json(tmp).orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
       "sink_parquet_partitioned",
       // Partitioned landing layout (SURVEY.md §2.1 [CD2-AWS]): write
       // partitionBy, read back, count per partition — partition pruning on

@@ -223,6 +223,34 @@ object Streaming {
              |FROM events ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "stream_dedup_rocksdb",
+      // Exactly-once dedup again, on the RocksDB state store provider —
+      // the 100 TB posture for stateful streaming: keyed state lives
+      // off-heap on local disk instead of the executor heap, so state size
+      // is bounded by SSD, not memory, and snapshots upload incrementally.
+      // The results must be byte-identical to the default provider's
+      // (same oracle as stream_dedup_keys certifies exactly that).
+      (s, dir) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ev = eventsStream(s, stage(dir, 2), ntz = false)
+          val dedup = ev.withWatermark("ts", "1 hour")
+            .dropDuplicates("event_id")
+            .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          runToMemory(s, dedup, "t_dedup_rocks", "append")
+            .orderBy(col("event_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "stream_stateful_running",
       // Per-event running count/sum per user, continued across micro-batches.
       // The order-sensitive part — ranking each batch's rows by

@@ -351,6 +351,121 @@ object TextOps {
               |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
               |FROM documents GROUP BY lang, source
               |ORDER BY lang, source""".stripMargin)
+    ),
+    Q(
+      "text_pii_scrub",
+      // PII redaction pass (training-corpus hygiene): emails and
+      // phone-shaped tokens are regex-replaced with typed placeholders.
+      // The fixture text is synthetic-clean, so deterministic PII is first
+      // INJECTED from doc_id (the same construction on both engines) —
+      // what's verified is the scrub itself: per-row regex work, no
+      // shuffle, and the scrubbed text is compared by sha256 so the full
+      // redacted string is pinned without shipping it through the gate.
+      (s, dir) => {
+        val emailRe = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+        val phoneRe = "\\d{3}-\\d{4}"
+        val noisy = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val scrubbed = regexp_replace(
+          regexp_replace(noisy, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(noisy, lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(noisy, lit(phoneRe)).cast("long").as("n_phones"),
+            length(scrubbed).cast("long").as("scrubbed_len"),
+            sha2(scrubbed, 256).as("scrubbed_sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH noisy AS (
+             |  SELECT doc_id,
+             |         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+             |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+             |       CAST(len(regexp_extract_all(t, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+             |       CAST(length(regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'), '\d{3}-\d{4}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len,
+             |       sha256(regexp_replace(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'), '\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_sha
+             |FROM noisy ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_repetition_ratio",
+      // Repetition signals (C4/Gopher-style quality filter): duplicate-token
+      // ratio and top-token fraction per document. One explode + two-level
+      // aggregation — the shuffle carries (doc_id, token) counts, never the
+      // text, so the shape holds on a 100 TB corpus.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("n")).as("top_n"))
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("n_distinct").cast("long").as("n_distinct"),
+            util.r2(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_ratio"),
+            util.r2(col("top_n").cast("double") / col("n_tokens")).as("top_token_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+              |cnt AS (
+              |  SELECT doc_id, tok, count(*) AS n FROM tk GROUP BY doc_id, tok),
+              |agg AS (
+              |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+              |         count(*) AS n_distinct, max(n) AS top_n
+              |  FROM cnt GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, n_distinct,
+              |       ${util.r2sql("1.0 - CAST(n_distinct AS DOUBLE) / n_tokens")} AS dup_ratio,
+              |       ${util.r2sql("CAST(top_n AS DOUBLE) / n_tokens")} AS top_token_frac
+              |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_gopher_quality",
+      // Gopher-style hard quality gates: word-count window, mean word
+      // length window, short-word fraction cap, stopword presence — each
+      // flag emitted plus the conjunction, all per-row HOF arithmetic
+      // (no shuffle; at scale this is a free pre-filter before dedup).
+      (s, dir) => {
+        val nTok = size(toks).cast("double")
+        val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+          .cast("double") / nTok
+        val shortFrac = size(filter(toks, t => length(t) <= 2)).cast("double") / nTok
+        val hasStop = markerCount(markers.head._2) > 0
+        val okWords = nTok >= 10 && nTok <= 10000
+        val okLen = meanLen >= lit(2.0) && meanLen <= lit(10.0)
+        val okShort = shortFrac <= lit(0.4)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            nTok.cast("long").as("n_words"),
+            util.r2(meanLen).as("mean_word_len"),
+            util.r2(shortFrac).as("short_word_frac"),
+            okWords.as("ok_words"), okLen.as("ok_len"),
+            okShort.as("ok_short"), hasStop.as("has_stopword"),
+            (okWords && okLen && okShort && hasStop).as("passes"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        val nTok = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+        val meanLen = s"CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE) / $nTok"
+        val shortFrac = s"CAST(len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) AS DOUBLE) / $nTok"
+        val hasStop = s"${markerCountSql(markers.head._2)} > 0"
+        val okWords = s"($nTok >= 10 AND $nTok <= 10000)"
+        val okLen = s"($meanLen >= 2.0 AND $meanLen <= 10.0)"
+        val okShort = s"($shortFrac <= 0.4)"
+        Some(s"""SELECT doc_id,
+                |       CAST($nTok AS BIGINT) AS n_words,
+                |       ${util.r2sql(meanLen)} AS mean_word_len,
+                |       ${util.r2sql(shortFrac)} AS short_word_frac,
+                |       $okWords AS ok_words, $okLen AS ok_len,
+                |       $okShort AS ok_short, $hasStop AS has_stopword,
+                |       ($okWords AND $okLen AND $okShort AND $hasStop) AS passes
+                |FROM documents ORDER BY doc_id""".stripMargin)
+      }
     )
   )
 }

@@ -17,8 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.aggregate
   * `graft_might_contain` — the pair Catalyst itself uses for runtime
   * semi-join filters, not registered in the public FunctionRegistry), so
   * the bloom probe stays a codegen'd native expression instead of a Scala
-  * UDF. No custom planner strategies are injected — the declared surface
-  * never needs one (SURVEY.md §7.3).
+  * UDF. Also injects the optimizer rule lowering the custom
+  * [[graft.plans.GraftAsOfJoin]] logical operator (§2.12 whole-operator
+  * extension demo). No custom physical strategies are injected — every
+  * lowering lands on operators Spark already executes well, which keeps
+  * column pruning/AQE applicable (SURVEY.md §7.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -44,5 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
+    e.injectOptimizerRule(session => plans.RewriteGraftAsOfJoin(session))
   }
 }

@@ -258,6 +258,35 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "join_asof_ext",
+      // The SAME as-of semantics through the §2.12 extension surface: a
+      // custom GraftAsOfJoin LogicalPlan node built by AsOf.joinBackward,
+      // lowered by the injected Rule[LogicalPlan] (GraftExtensions) into
+      // the single-shuffle union+window plan. Shares join_asof's oracle —
+      // the two paths must be value-identical.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        graft.plans.AsOf.joinBackward(
+            purchases.select(col("event_id"), col("user_id"), col("ts")),
+            clicks.select(col("user_id"), col("ts"), col("click_id")),
+            probeKey = "user_id", probeTs = "ts",
+            buildKey = "user_id", buildTs = "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       c.ts AS click_ts, c.click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
       "join_asof_forward",
       // Forward as-of: EARLIEST click at-or-after each purchase, per user —
       // the mirror of join_asof, same union+window rewrite (one shuffle on

@@ -126,6 +126,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bloom probe fell back to a UDF:\n$plan")
   }
 
+  test("join_asof_ext: custom node survives analysis, is lowered by the injected rule") {
+    val df = SparkEntry.queries("join_asof_ext")(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(analyzed.contains("GraftAsOfJoin"),
+      s"custom logical node missing from analyzed plan:\n$analyzed")
+    assert(!optimized.contains("GraftAsOfJoin"),
+      s"injected rule did not lower the custom node:\n$optimized")
+    assert(df.queryExecution.executedPlan.toString.contains("Window"),
+      "lowered plan should execute via WindowExec")
+  }
+
+  test("as-of family shuffles ONCE on the key (plus the output sort)") {
+    for (q <- Seq("join_asof", "join_asof_forward", "join_asof_tolerance",
+        "join_asof_nearest", "join_asof_ext")) {
+      val plan = planOf(q)
+      val keyShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(keyShuffles <= 2, // probe union + pre-deduped build side
+        s"$q: expected at most 2 key shuffles (probe+build prep), got $keyShuffles:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"$q fell back to a range product:\n$plan")
+    }
+  }
+
+  test("text_repetition_ratio aggregates token counts, never shipping text") {
+    val plan = planOf("text_repetition_ratio")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // the text column must not survive into any Exchange
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"token-count shuffle carries raw text:\n$plan")
+  }
+
   test("sample_hash_deterministic stays a single scan + filter (no shuffle)") {
     val plan = planOf("sample_hash_deterministic")
     // global sort for output determinism is the ONLY exchange

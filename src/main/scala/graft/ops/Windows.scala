@@ -173,6 +173,39 @@ object Windows {
               |ORDER BY grid.user_id, grid.hour""".stripMargin)
     ),
     Q(
+      "ts_ewma_window",
+      // Exponentially-weighted moving average over each user's trailing 8
+      // events (α = 1/2). Because the weights are powers of two, numerator
+      // and denominator are EXACT integer sums (cents × 2^j): the single
+      // final division is the only floating-point op, so the result is
+      // bit-identical cross-engine with no summation-order drift — the
+      // trick that makes an EWMA hash-oracle-able at all. One window pass,
+      // 8 rows of frame state.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-7, Window.currentRow)
+        val nInt = "aggregate(transform(trail, (x, i) -> x * shiftleft(cast(1 as bigint), i)), cast(0 as bigint), (a, x) -> a + x)"
+        val dInt = "(shiftleft(cast(1 as bigint), size(trail)) - 1)"
+        Tables.events(s, dir)
+          .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .withColumn("trail", collect_list(col("cents")).over(w))
+          .select(col("event_id"), col("user_id"),
+            expr(s"floor(cast($nInt as double) / $dInt + 0.5) / 100").as("ewma"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT event_id, user_id,
+             |         list(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS trail
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |       floor(CAST(CAST(list_sum(list_transform(trail, (x, i) -> x * (1::BIGINT << (i - 1)))) AS BIGINT) AS DOUBLE)
+             |             / ((1::BIGINT << len(trail)) - 1) + 0.5) / 100 AS ewma
+             |FROM base ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "win_range_interval_7d",
       // Event-time RANGE frame with an INTERVAL bound: trailing-7-day spend
       // per customer — the moving-window feature every behavioral pipeline

@@ -430,6 +430,50 @@ object ScalarFns {
              |       CAST(CAST(floor(o_totalprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
              |       CAST(o_orderkey AS VARCHAR) AS key_str
              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "fn_aes_roundtrip",
+      // Column-level encryption at rest (PII columns in a landing zone):
+      // AES-encrypt, decrypt back, both codegen'd built-ins. ECB mode is
+      // used deliberately — it is DETERMINISTIC, which is what makes the
+      // ciphertext length checkable and encrypted columns joinable (GCM's
+      // random IV breaks both; that trade is the real-world design choice
+      // this row documents). The oracle can't run AES, so it checks the
+      // roundtrip identity plus the PKCS7-padded ciphertext length
+      // computed arithmetically.
+      (s, dir) => {
+        val key = lit("0123456789abcdef") // 16-byte demo key
+        val cipher = aes_encrypt(col("c_name").cast("binary"), key.cast("binary"),
+          lit("ECB"), lit("PKCS"))
+        Tables(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            aes_decrypt(cipher, key.cast("binary"), lit("ECB"), lit("PKCS"))
+              .cast("string").as("name_rt"),
+            length(cipher).cast("long").as("cipher_len"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name AS name_rt,
+             |       CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS cipher_len
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "fn_printf_format",
+      // C-style formatting for export keys / padded ids. %.Nf is avoided on
+      // purpose: Java formats half-up, C half-even — %d/%s/%x are the
+      // portable subset.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            format_string("%09d|%s|%x", col("o_orderkey"), col("o_orderstatus"),
+              col("o_orderkey")).as("export_key"),
+            lpad(col("o_orderkey").cast("string"), 12, "0").as("padded"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       printf('%09d|%s|%x', o_orderkey, o_orderstatus, o_orderkey) AS export_key,
+             |       lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
     )
   )
 }

@@ -63,6 +63,28 @@ object SetOps {
       (s, dir) => a(s, dir).intersectAll(b(s, dir))
         .orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
       Some(s"($aSql) INTERSECT ALL ($bSql) $ord")
+    ),
+    Q(
+      "set_union_by_name",
+      // Schema-drift-tolerant union: two feeds with overlapping but
+      // unequal columns align BY NAME, absent columns null-fill — the
+      // evolving-landing-zone concatenation (positional UNION would
+      // silently misalign). Matches DuckDB's UNION ALL BY NAME.
+      (s, dir) => {
+        val v1 = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val v2 = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .orderBy(col("o_orderkey"), col("o_totalprice").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |  UNION ALL BY NAME
+             |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders)
+             |ORDER BY o_orderkey, o_totalprice ASC NULLS FIRST,
+             |         o_orderpriority ASC NULLS FIRST""".stripMargin)
     )
   )
 }

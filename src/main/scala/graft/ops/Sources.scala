@@ -129,6 +129,42 @@ object Sources {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "scan_json_rescue",
+      // PERMISSIVE + corrupt-record capture — the rescue-column posture:
+      // a malformed JSON record must not be dropped silently (DROPMALFORMED)
+      // or kill the load (FAILFAST); it lands with typed fields null and
+      // the raw line preserved for quarantine/replay. Every 10th line is
+      // corrupted deterministically; the oracle reconstructs both the
+      // parsed rows and the expected raw rescue text.
+      (s, dir) => {
+        val tmp = tmpDir("graft_badjson_")
+        Tables(s, dir, "orders")
+          .select(concat(
+            lit("{\"k\":"), col("o_orderkey").cast("string"),
+            lit(",\"qty\":"),
+            when(col("o_orderkey") % 10 === 0, lit("XX"))
+              .otherwise((col("o_orderkey") % 7).cast("string")),
+            lit("}")).as("line"))
+          .coalesce(1)
+          .write.mode("overwrite").text(tmp)
+        val schema = StructType(Seq(
+          StructField("k", LongType),
+          StructField("qty", LongType),
+          StructField("_rescued", StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_rescued")
+          .json(tmp)
+          .orderBy(col("k").asc_nulls_first, col("_rescued").asc_nulls_first)
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderkey END AS k,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderkey % 7 END AS qty,
+             |       CASE WHEN o_orderkey % 10 = 0
+             |            THEN '{"k":' || CAST(o_orderkey AS VARCHAR) || ',"qty":XX}' END AS _rescued
+             |FROM orders
+             |ORDER BY k ASC NULLS FIRST, _rescued ASC NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "scan_orc_roundtrip",
       // ORC interchange (the other columnar wire format Spark ships
       // natively): write a projection as ORC, read it back with the file's

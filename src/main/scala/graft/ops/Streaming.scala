@@ -4,8 +4,36 @@ import graft.{Q, util}
 import graft.cdc.Merge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 import org.apache.spark.sql.types._
+
+/** Per-user running totals through Spark 4's arbitrary-state v2 API
+  * (`transformWithState`): a [[StatefulProcessor]] holding one typed
+  * [[ValueState]] of three longs per key — the bounded, order-insensitive
+  * fold shape. State lives in the (mandatory for this API) RocksDB
+  * provider, so per-executor state is disk-bounded, with incremental
+  * snapshot upload at checkpoint — the v2 replacement for
+  * mapGroupsWithState at 100 TB.
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+  @transient private var totals: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    var (n, total, hi) =
+      if (totals.exists()) totals.get() else (0L, 0L, Long.MinValue)
+    rows.foreach { r =>
+      n += 1; total += r._3; if (r._3 > hi) hi = r._3
+    }
+    totals.update((n, total, hi))
+    Iterator.single((key, n, total, hi))
+  }
+}
 
 /** §2.9 Structured Streaming tier, verified through `Trigger.AvailableNow`
   * over staged copies of the `events` fixture: the stream runs to
@@ -361,6 +389,46 @@ object Streaming {
             max_by(col("sum_cents"), col("n_events")).as("sum_cents"),
             max(col("max_cents")).as("max_cents"))
           .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "stream_transform_with_state",
+      // Spark 4 arbitrary-state v2 (transformWithState + StatefulProcessor
+      // + typed ValueState) — see RunningTotalsProcessor. Same per-user
+      // totals as stream_stateful_agg, so the oracle also certifies the
+      // v1 (mapGroupsWithState) and v2 APIs agree. RocksDB provider is
+      // required by this API.
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ev = eventsStream(s, stageSplitByTime(s, dir))
+            .select(col("user_id"), col("event_id"),
+              floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+            .as[(Long, Long, Long)]
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new RunningTotalsProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_events", "sum_cents", "max_cents")
+          runToMemory(s, out, "t_tws", "update")
+            .groupBy(col("user_id"))
+            .agg(max(col("n_events")).as("n_events"),
+              max_by(col("sum_cents"), col("n_events")).as("sum_cents"),
+              max(col("max_cents")).as("max_cents"))
+            .orderBy(col("user_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
       },
       Some("""SELECT user_id,
              |       count(*) AS n_events,

@@ -353,6 +353,57 @@ object TextOps {
               |ORDER BY lang, source""".stripMargin)
     ),
     Q(
+      "text_shingle_containment",
+      // Directional containment C(A⊆B) = |A∩B| / |A| over token-3-gram
+      // sets: catches SUBSET duplicates (a doc quoted inside a longer one)
+      // that symmetric Jaccard scores low — the second dedup axis a
+      // training corpus needs. Same source-blocked pair shape and 54-bit
+      // gram hashes as text_ngram_jaccard; integer-count division only,
+      // so the doubles are bitwise-equal cross-engine.
+      (s, dir) => {
+        val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), MinHash.tokenCrcs(col("text")).as("crcs"))
+          .select(col("doc_id"), col("source"),
+            explode(MinHash.shingleHashes(col("crcs"), 3, distinct = true, modP = false))
+              .as("gram"))
+        val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("gram"))
+        val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("gram"))
+        a.join(b, Seq("source", "gram")).filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("common").cast("double") / col("na")).as("c_a_in_b"),
+            (col("common").cast("double") / col("nb")).as("c_b_in_a"))
+          .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= 0.1)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, source,
+             |         unnest(list_distinct(list_transform(
+             |           range(1, len(string_split(text, ' ')) - 1),
+             |           i -> string_split(text, ' ')[i] || ' ' ||
+             |                string_split(text, ' ')[i+1] || ' ' ||
+             |                string_split(text, ' ')[i+2]))) AS gram
+             |  FROM documents),
+             |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+             |  FROM grams a JOIN grams b ON a.source = b.source AND a.gram = b.gram
+             |  WHERE a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |       CAST(common AS DOUBLE) / na.n_grams AS c_a_in_b,
+             |       CAST(common AS DOUBLE) / nb.n_grams AS c_b_in_a
+             |FROM pairs
+             |JOIN sizes na ON na.doc_id = doc_a
+             |JOIN sizes nb ON nb.doc_id = doc_b
+             |WHERE greatest(CAST(common AS DOUBLE) / na.n_grams,
+             |               CAST(common AS DOUBLE) / nb.n_grams) >= 0.1
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+    Q(
       "text_pii_scrub",
       // PII redaction pass (training-corpus hygiene): emails and
       // phone-shaped tokens are regex-replaced with typed placeholders.

@@ -173,6 +173,56 @@ object Windows {
               |ORDER BY grid.user_id, grid.hour""".stripMargin)
     ),
     Q(
+      "win_session_gaps",
+      // BATCH sessionization (gaps-and-islands): a new session opens on a
+      // >30 min silence; two window passes (lag for the gap flag, running
+      // sum for the session id) then one aggregate — the replay-side twin
+      // of stream_session_window, same 30-minute close semantics, same
+      // one-shuffle-per-key scale shape. Cumulative ordering mirrors the
+      // oracle's (ts, new_s) exactly so tied timestamps land in the same
+      // session on both engines.
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wCum = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("new_s"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull ||
+              col("ts") > col("prev_ts") + expr("interval 30 minutes"), 1)
+              .otherwise(0))
+          .withColumn("sid", sum(col("new_s")).over(wCum))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("session_start"),
+            (max(col("ts")) + expr("interval 30 minutes")).as("session_end"),
+            count(lit(1)).as("n_events"),
+            util.r2(sum(col("value"))).as("total_value"))
+          .select(col("user_id"), col("sid").cast("long").as("session_no"),
+            col("session_start"), col("session_end"),
+            col("n_events"), col("total_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some(s"""WITH m AS (
+              |  SELECT user_id, ts, value,
+              |         CASE WHEN lag(ts) OVER w IS NULL
+              |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              |              THEN 1 ELSE 0 END AS new_s
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |g AS (
+              |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s
+              |                             ROWS UNBOUNDED PRECEDING) AS sid
+              |  FROM m)
+              |SELECT user_id, CAST(sid AS BIGINT) AS session_no,
+              |       min(ts) AS session_start,
+              |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+              |       count(*) AS n_events, ${util.r2sql("sum(value)")} AS total_value
+              |FROM g GROUP BY user_id, sid
+              |ORDER BY user_id, session_start""".stripMargin)
+    ),
+    Q(
       "ts_ewma_window",
       // Exponentially-weighted moving average over each user's trailing 8
       // events (α = 1/2). Because the weights are powers of two, numerator

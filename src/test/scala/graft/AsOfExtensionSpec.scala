@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior of the §2.12 custom-operator surface (GraftAsOfJoin +
+  * RewriteGraftAsOfJoin) beyond the registry query: mismatched column
+  * names between probe and build sides (exercises the rename path in the
+  * lowering), unmatched probes, and the payload-collision guard.
+  */
+class AsOfExtensionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def probe = Seq(
+    (1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))
+    .toDF("pid", "uid", "t")
+
+  private def build = Seq(
+    (10L, 90L, "a"), (10L, 100L, "b"), (10L, 200L, "c"), (30L, 10L, "z"))
+    .toDF("user", "at", "tag")
+
+  test("mismatched probe/build column names resolve through the rename path") {
+    val out = plans.AsOf.joinBackward(probe, build,
+        probeKey = "uid", probeTs = "t", buildKey = "user", buildTs = "at")
+      .orderBy(col("pid"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("tag")),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue)))
+    assert(out === Array(
+      (1L, Some("b"), Some(100L)), // inclusive: at == t matches
+      (2L, Some("c"), Some(200L)), // latest at-or-before 205
+      (3L, None, None)))           // user 20 has no build rows at all
+  }
+
+  test("later probe columns keep resolving against the node's output") {
+    // references created AFTER the join must survive the rule's re-aliasing
+    val out = plans.AsOf.joinBackward(probe, build, "uid", "t", "user", "at")
+      .withColumn("lag_us", col("t") - col("asof_ts"))
+      .filter(col("tag").isNotNull)
+      .orderBy(col("pid"))
+      .select(col("pid"), col("lag_us"))
+      .as[(Long, Long)].collect()
+    assert(out === Array((1L, 0L), (2L, 5L)))
+  }
+
+  test("payload column colliding with a probe column is rejected") {
+    val bad = build.withColumnRenamed("tag", "pid")
+    assertThrows[IllegalArgumentException] {
+      plans.AsOf.joinBackward(probe, bad, "uid", "t", "user", "at")
+    }
+  }
+}

@@ -129,6 +129,38 @@ object Sources {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "source_custom_calendar",
+      // DataSource V2 TableProvider (graft.sources.CalendarSource): a
+      // partitioned calendar-dimension GENERATOR — no files, the table is
+      // a pure function of its options, synthesized in parallel partition
+      // readers. Attributes derive via ordinary codegen'd projections on
+      // the emitted date. The portable dow basis is ISO (Mon=1): Spark
+      // weekday() is 0=Mon, DuckDB isodow() is 1=Mon.
+      (s, dir) => {
+        s.read.format("graft.sources.CalendarSource")
+          .option("start", "2024-01-01").option("end", "2024-12-31")
+          .load()
+          .select(col("d").as("cal_date"),
+            year(col("d")).cast("long").as("y"),
+            quarter(col("d")).cast("long").as("q"),
+            month(col("d")).cast("long").as("m"),
+            dayofmonth(col("d")).cast("long").as("dom"),
+            (weekday(col("d")) + 1).cast("long").as("iso_dow"),
+            (weekday(col("d")) >= 5).as("is_weekend"))
+          .orderBy(col("cal_date"))
+      },
+      Some("""SELECT CAST(g AS DATE) AS cal_date,
+             |       CAST(year(g) AS BIGINT) AS y,
+             |       CAST(quarter(g) AS BIGINT) AS q,
+             |       CAST(month(g) AS BIGINT) AS m,
+             |       CAST(day(g) AS BIGINT) AS dom,
+             |       CAST(isodow(g) AS BIGINT) AS iso_dow,
+             |       (isodow(g) >= 6) AS is_weekend
+             |FROM (SELECT unnest(generate_series(
+             |        DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY)) AS g)
+             |ORDER BY cal_date""".stripMargin)
+    ),
+    Q(
       "scan_json_rescue",
       // PERMISSIVE + corrupt-record capture — the rescue-column posture:
       // a malformed JSON record must not be dropped silently (DROPMALFORMED)

@@ -159,6 +159,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"token-count shuffle carries raw text:\n$plan")
   }
 
+  test("source_custom_calendar: DSv2 scan parallelizes across input partitions") {
+    val plan = planOf("source_custom_calendar")
+    assert(plan.contains("BatchScan"), s"expected a DSv2 BatchScan:\n$plan")
+    def days(parts: String) = spark.read.format("graft.sources.CalendarSource")
+      .option("start", "2024-01-01").option("end", "2024-12-31")
+      .option("partitions", parts).load()
+    assert(days("4").rdd.getNumPartitions === 4)
+    assert(days("7").rdd.getNumPartitions === 7)
+    // ranges are disjoint + exhaustive regardless of the split count
+    assert(days("7").count() === 366)
+    assert(days("7").distinct().count() === 366)
+  }
+
   test("sample_hash_deterministic stays a single scan + filter (no shuffle)") {
     val plan = planOf("sample_hash_deterministic")
     // global sort for output determinism is the ONLY exchange

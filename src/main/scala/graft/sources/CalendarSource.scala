@@ -8,7 +8,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DateType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -26,9 +27,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * projections on top, keeping the connector minimal and the attribute
   * logic optimizable.
   *
+  * Range predicates on `d` PUSH DOWN ([[SupportsPushDownFilters]]): a
+  * `d >= X` filter narrows the generated range at PLANNING time — the
+  * connector-level analogue of partition pruning, observable in the
+  * scan's `description()` and asserted in PlanShapeSpec. Consumed filters
+  * are exact, so they are removed from the post-scan Filter node.
+  *
   * At 100 TB scale the same pattern serves manifest/range/replica-catalog
   * tables: metadata-defined relations surfaced as first-class, partitioned
-  * Spark tables.
+  * Spark tables with pruning.
   */
 class CalendarSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -56,36 +63,69 @@ private[sources] class CalendarTable(start: LocalDate, end: LocalDate, nParts: I
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
-      override def readSchema(): StructType = CalendarSource.schema
-      override def toBatch: Batch = this
+    new CalendarScanBuilder(start.toEpochDay, end.toEpochDay, nParts)
+}
 
-      override def planInputPartitions(): Array[InputPartition] = {
-        val first = start.toEpochDay
-        val last = end.toEpochDay
-        val total = last - first + 1
-        val n = math.min(nParts.toLong, total).toInt
-        (0 until n).map { i =>
-          // contiguous, disjoint, exhaustive day ranges
-          CalendarPartition(
-            first + total * i / n,
-            first + total * (i + 1) / n - 1): InputPartition
-        }.toArray
-      }
+private[sources] class CalendarScanBuilder(
+    private var lo: Long, private var hi: Long, nParts: Int)
+    extends ScanBuilder with SupportsPushDownFilters {
 
-      override def createReaderFactory(): PartitionReaderFactory =
-        (partition: InputPartition) => {
-          val p = partition.asInstanceOf[CalendarPartition]
-          new PartitionReader[InternalRow] {
-            private var day = p.firstDay - 1
-            override def next(): Boolean = { day += 1; day <= p.lastDay }
-            // DateType physical form = days since epoch (Int)
-            override def get(): InternalRow = InternalRow(day.toInt)
-            override def close(): Unit = ()
-          }
-        }
+  private var accepted: Array[Filter] = Array.empty
+
+  private def epochDay(v: Any): Option[Long] = v match {
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (consumed, residual) = filters.partition {
+      case GreaterThanOrEqual("d", v) => epochDay(v).exists { e => lo = math.max(lo, e); true }
+      case GreaterThan("d", v) => epochDay(v).exists { e => lo = math.max(lo, e + 1); true }
+      case LessThanOrEqual("d", v) => epochDay(v).exists { e => hi = math.min(hi, e); true }
+      case LessThan("d", v) => epochDay(v).exists { e => hi = math.min(hi, e - 1); true }
+      case EqualTo("d", v) => epochDay(v).exists { e =>
+        lo = math.max(lo, e); hi = math.min(hi, e); true }
+      case _ => false
     }
+    accepted = consumed
+    residual // consumed ranges are exact — no post-scan re-evaluation needed
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = CalendarSource.schema
+    override def toBatch: Batch = this
+
+    override def description(): String =
+      s"CalendarScan[${LocalDate.ofEpochDay(lo)}..${LocalDate.ofEpochDay(hi)}]" +
+        (if (accepted.nonEmpty) s" pushed=${accepted.mkString(",")}" else "")
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val total = hi - lo + 1
+      if (total <= 0) return Array.empty // filters excluded the whole range
+      val n = math.min(nParts.toLong, total).toInt
+      (0 until n).map { i =>
+        // contiguous, disjoint, exhaustive day ranges
+        CalendarPartition(
+          lo + total * i / n,
+          lo + total * (i + 1) / n - 1): InputPartition
+      }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      (partition: InputPartition) => {
+        val p = partition.asInstanceOf[CalendarPartition]
+        new PartitionReader[InternalRow] {
+          private var day = p.firstDay - 1
+          override def next(): Boolean = { day += 1; day <= p.lastDay }
+          // DateType physical form = days since epoch (Int)
+          override def get(): InternalRow = InternalRow(day.toInt)
+          override def close(): Unit = ()
+        }
+      }
+  }
 }
 
 private[sources] case class CalendarPartition(firstDay: Long, lastDay: Long)

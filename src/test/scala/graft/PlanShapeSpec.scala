@@ -172,6 +172,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(days("7").distinct().count() === 366)
   }
 
+  test("source_custom_calendar: range filters push into the connector (planning-time pruning)") {
+    import org.apache.spark.sql.functions.col
+    val dec = spark.read.format("graft.sources.CalendarSource")
+      .option("start", "2024-01-01").option("end", "2024-12-31").load()
+      .filter(col("d") >= "2024-12-01")
+    val plan = dec.queryExecution.executedPlan.toString
+    // the scan description reflects the NARROWED generated range, proving
+    // the predicate pruned generation rather than filtering afterwards
+    assert(plan.contains("CalendarScan[2024-12-01..2024-12-31]"),
+      s"pushdown did not narrow the generated range:\n$plan")
+    assert(dec.count() === 31)
+    val none = spark.read.format("graft.sources.CalendarSource")
+      .option("start", "2024-01-01").option("end", "2024-12-31").load()
+      .filter(col("d") > "2025-06-01")
+    assert(none.count() === 0)
+  }
+
   test("sample_hash_deterministic stays a single scan + filter (no shuffle)") {
     val plan = planOf("sample_hash_deterministic")
     // global sort for output determinism is the ONLY exchange

@@ -59,6 +59,29 @@ object Aggregates {
       s"${util.r2sql(s"$m4 / ($m2 * $m2) - 3.0")} AS excess_kurtosis")
   }
 
+  /** Shared least-squares projection over exact sums (n, sx, sy, sxx, sxy,
+    * syy) — same cross-engine trick as [[skewKurtExprs]]: identical SQL
+    * text evaluates an identical double expression tree on identical exact
+    * inputs (per-row products stay in BIGINT, the engine-exact wide sums —
+    * DECIMAL(38,0) in Spark, HUGEINT in DuckDB — convert to the same
+    * nearest double).
+    */
+  private val regrExprs: Seq[String] = {
+    val n = "CAST(n AS DOUBLE)"
+    val sx = "CAST(sx AS DOUBLE)"
+    val sy = "CAST(sy AS DOUBLE)"
+    val sxx = "CAST(sxx AS DOUBLE)"
+    val sxy = "CAST(sxy AS DOUBLE)"
+    val syy = "CAST(syy AS DOUBLE)"
+    val cov = s"($n * $sxy - $sx * $sy)"
+    val varx = s"($n * $sxx - $sx * $sx)"
+    val vary = s"($n * $syy - $sy * $sy)"
+    Seq(
+      s"${util.r2sql(s"$cov / $varx")} AS slope",
+      s"${util.r2sql(s"($sy - ($cov / $varx) * $sx) / $n")} AS intercept",
+      s"${util.r2sql(s"$cov / (sqrt($varx) * sqrt($vary))")} AS r")
+  }
+
   val defs: Seq[Q] = Seq(
     Q("agg_hash_group", (s, dir) => q1(s, dir), Some(q1Oracle)),
     Q(
@@ -251,6 +274,37 @@ object Aggregates {
               |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
               |  FROM lineitem GROUP BY l_returnflag)
               |SELECT l_returnflag, n, ${skewKurtExprs.mkString(", ")}
+              |FROM base ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "agg_regr_moments",
+      // Least-squares regression (price-vs-quantity slope/intercept/r per
+      // flag) from exact moment sums — the same cross-engine determinism
+      // trick as agg_skew_kurt: per-row products in BIGINT (qty ≤ 50,
+      // cents ≤ ~10^7 → every product < 2^63), summed exactly
+      // (DECIMAL(38,0) here, HUGEINT in the oracle — Σcents² overflows
+      // BIGINT at this row count), then one shared double formula. Still
+      // one single-pass mergeable aggregate.
+      (s, dir) => {
+        val x = col("l_quantity").cast("long")
+        val yc = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+        def d38(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), d38(x).as("sx"), d38(yc).as("sy"),
+            d38(x * x).as("sxx"), d38(x * yc).as("sxy"), d38(yc * yc).as("syy"))
+          .selectExpr(Seq("l_returnflag", "n") ++ regrExprs: _*)
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT l_returnflag, count(*) AS n,
+              |         sum(CAST(l_quantity AS BIGINT)) AS sx,
+              |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+              |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+              |         sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
+              |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l_returnflag, n, ${regrExprs.mkString(", ")}
               |FROM base ORDER BY l_returnflag""".stripMargin)
     ),
     Q(

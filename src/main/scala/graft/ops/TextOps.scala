@@ -404,6 +404,41 @@ object TextOps {
              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
     Q(
+      "text_chunk_windows",
+      // Training-sample chunking: overlapping token windows (size 32,
+      // stride 24) per document — the batch op that turns a cleaned corpus
+      // into fixed-length training samples. Pure per-row explode (window
+      // starts are an arithmetic sequence; chunk_id derives from the
+      // start, so no ordinality dependence), chunks pinned by sha256 so
+      // the gate verifies full chunk CONTENT without shipping it.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(1, greatest(size(split(text, ' ')) - 31, 1), 24)"))
+              .as("start_tok"))
+          .select(col("doc_id"),
+            ((col("start_tok") - 1) / 24).cast("long").as("chunk_id"),
+            col("start_tok").cast("long").as("start_tok"),
+            expr("slice(split(text, ' '), start_tok, 32)").as("chunk"))
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            size(col("chunk")).cast("long").as("chunk_len"),
+            sha2(concat_ws(" ", col("chunk")), 256).as("chunk_sha"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |st AS (
+             |  SELECT doc_id, toks,
+             |         unnest(range(1, greatest(len(toks) - 31, 1) + 1, 24)) AS start_tok
+             |  FROM t)
+             |SELECT doc_id,
+             |       CAST((start_tok - 1) // 24 AS BIGINT) AS chunk_id,
+             |       CAST(start_tok AS BIGINT) AS start_tok,
+             |       CAST(len(toks[start_tok : start_tok + 31]) AS BIGINT) AS chunk_len,
+             |       sha256(array_to_string(toks[start_tok : start_tok + 31], ' ')) AS chunk_sha
+             |FROM st ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+    Q(
       "text_pii_scrub",
       // PII redaction pass (training-corpus hygiene): emails and
       // phone-shaped tokens are regex-replaced with typed placeholders.

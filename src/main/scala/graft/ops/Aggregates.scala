@@ -308,6 +308,48 @@ object Aggregates {
               |FROM base ORDER BY l_returnflag""".stripMargin)
     ),
     Q(
+      "agg_weighted_median",
+      // Exact WEIGHTED median (price cents weighted by quantity): sort by
+      // value within group, running weight, first value whose cumulative
+      // weight reaches half the total. All integer arithmetic; ties at the
+      // crossing value are order-independent because only min(value) over
+      // qualifying rows is emitted. One window pass + one aggregate — the
+      // same shape at any scale.
+      (s, dir) => {
+        val cents = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+        val qty = col("l_quantity").cast("long")
+        val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), cents.as("cents"), qty.as("qty"))
+          .withColumn("cumw", sum(col("qty")).over(wCum))
+          .withColumn("tot", sum(col("qty")).over(wAll))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            min(when(col("cumw") * 2 >= col("tot"), col("cents")))
+              .as("wmedian_cents"),
+            max(col("tot")).as("total_weight"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             |         CAST(l_quantity AS BIGINT) AS qty
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT l_returnflag, cents, qty,
+             |         sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents
+             |                        ROWS UNBOUNDED PRECEDING) AS cumw,
+             |         sum(qty) OVER (PARTITION BY l_returnflag) AS tot
+             |  FROM b)
+             |SELECT l_returnflag,
+             |       CAST(min(CASE WHEN cumw * 2 >= tot THEN cents END) AS BIGINT) AS wmedian_cents,
+             |       CAST(max(tot) AS BIGINT) AS total_weight
+             |FROM c GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
       "agg_bool_and_or",
       (s, dir) => {
         Tables(s, dir, "orders")

@@ -221,6 +221,49 @@ object Joins {
              |ORDER BY o_orderkey, l_linenumber""".stripMargin)
     ),
     Q(
+      "join_range_bucketed",
+      // Range join with NO equi key — the case where a naive plan is a
+      // cartesian product. The scale rewrite: quantize time into day
+      // buckets, explode each interval to the buckets it covers (≤ 4
+      // here), equi-join on the bucket, then apply the exact range
+      // residual — an O(|probe|·coverage) shuffle join instead of
+      // |probe|×|build| pairs. Output is aggregated per order (event
+      // count + exact cents) to keep the gate compact.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+            to_date(col("ts")).as("bucket"))
+        // probe windows anchored inside the events month via key arithmetic
+        // (the orders fixture predates the events feed): deterministic and
+        // identical on both engines
+        val orders = Tables(s, dir, "orders")
+          .filter(col("o_orderkey") % 100 === 0) // bounded probe set
+          .select(col("o_orderkey"),
+            expr("cast(date_add(date'2024-01-01', cast(o_orderkey % 27 as int)) as timestamp_ntz)")
+              .as("w_start"))
+          .withColumn("w_end", col("w_start") + expr("interval 3 days"))
+        val exploded = orders.select(col("o_orderkey"), col("w_start"), col("w_end"),
+          explode(expr("sequence(to_date(w_start), to_date(w_end), interval 1 day)"))
+            .as("bucket"))
+        exploded.join(ev, Seq("bucket"))
+          .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH probes AS (
+             |  SELECT o_orderkey,
+             |         CAST(DATE '2024-01-01' + CAST(o_orderkey % 27 AS INT) AS TIMESTAMP) AS w_start
+             |  FROM orders WHERE o_orderkey % 100 = 0)
+             |SELECT o_orderkey, count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM probes JOIN events
+             |  ON ts >= w_start AND ts < w_start + INTERVAL 3 DAY
+             |GROUP BY o_orderkey
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "join_asof",
       // As-of join (latest click at-or-before each purchase, per user).
       // Spark has no native ASOF: rewrite as tagged-union + running

@@ -173,6 +173,38 @@ object Windows {
               |ORDER BY grid.user_id, grid.hour""".stripMargin)
     ),
     Q(
+      "win_running_distinct",
+      // Running DISTINCT count per key — the windowed distinct Spark (and
+      // SQL generally) can't express directly with frames: rewrite as the
+      // first-seen flag (row_number = 1 over (key, value)) summed
+      // cumulatively. Two window passes, no per-row set state — at scale
+      // this replaces an O(distinct) window buffer with two sorts.
+      (s, dir) => {
+        val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val wCum = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("first_seen",
+            when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+          .withColumn("n_distinct_types", sum(col("first_seen")).over(wCum))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("n_distinct_types"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT event_id, user_id, event_type, ts,
+             |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+             |                                      ORDER BY ts, event_id) = 1
+             |              THEN 1 ELSE 0 END AS first_seen
+             |  FROM events)
+             |SELECT event_id, user_id, event_type,
+             |       CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_types
+             |FROM f ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "win_session_gaps",
       // BATCH sessionization (gaps-and-islands): a new session opens on a
       // >30 min silence; two window passes (lag for the gap flag, running

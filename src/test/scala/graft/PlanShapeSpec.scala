@@ -189,6 +189,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(none.count() === 0)
   }
 
+  test("join_range_bucketed plans an equi hash/merge join, never a cartesian") {
+    val plan = planOf("join_range_bucketed")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"no-equi-key range join fell back to a product:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("sample_hash_deterministic stays a single scan + filter (no shuffle)") {
     val plan = planOf("sample_hash_deterministic")
     // global sort for output determinism is the ONLY exchange

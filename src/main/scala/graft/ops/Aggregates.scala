@@ -308,6 +308,28 @@ object Aggregates {
               |FROM base ORDER BY l_returnflag""".stripMargin)
     ),
     Q(
+      "agg_hll_partial_merge",
+      // REAGGREGATABLE distinct sketches (Datasketches HLL, Spark 3.5+):
+      // per-(priority, status) partial sketches union-merge up to
+      // priority — the pre-aggregated-cube pattern that makes distinct
+      // counts roll up WITHOUT rescanning raw data at 100 TB. HLL union
+      // at equal lgK is lossless, so merging partials gives the SAME
+      // estimate as sketching the raw group directly (asserted exactly in
+      // OperatorSpec, alongside the error bound vs exact). No oracle —
+      // sketch internals are engine-specific.
+      (s, dir) => {
+        val partials = Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        partials
+          .groupBy(col("o_orderpriority"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .cast("long").as("approx_customers"))
+          .orderBy(col("o_orderpriority"))
+      },
+      None
+    ),
+    Q(
       "agg_weighted_median",
       // Exact WEIGHTED median (price cents weighted by quantity): sort by
       // value within group, running weight, first value whose cumulative

@@ -121,6 +121,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(filtered <= (exact * 1.01 + 10).toLong, s"too many false positives: $filtered vs $exact")
   }
 
+  test("hll partial-merge: union of partials equals direct sketch; bounded error vs exact") {
+    val merged = SparkEntry.queries("agg_hll_partial_merge")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    // lossless union at equal lgK: merging per-status partials must give
+    // EXACTLY the estimate of sketching each priority group directly
+    val direct = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).cast("long").as("est"))
+      .as[(String, Long)].collect().toMap
+    assert(merged === direct, "partial-merge estimate diverged from direct sketch")
+    val exact = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n")).as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n).toDouble / n < 0.05,
+        s"HLL estimate for $k off by >5%: ${merged(k)} vs $n")
+    }
+  }
+
   test("count-min heavy hitters: estimates >= exact, within epsilon overcount") {
     val est = SparkEntry.queries("stat_countmin_heavyhitters")(spark, dir)
       .as[(String, Long)].collect().toMap

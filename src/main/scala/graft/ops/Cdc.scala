@@ -192,6 +192,44 @@ object Cdc {
              |       CASE WHEN o_orderkey % 2 = 1
              |            THEN 'note-' || CAST(o_orderkey AS VARCHAR) END AS o_note
              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "cdc_audit_counts",
+      // CDC observability: classify each delta row against the base
+      // snapshot BEFORE applying it — inserts (new key, U), updates
+      // (known key, U), effective deletes (known key, D) and no-op
+      // deletes (unknown key, D). The counts are what a merge job should
+      // log per batch; drift here is how replica corruption gets caught.
+      // One broadcast-or-shuffle semi-probe against the base keys.
+      (s, dir) => {
+        val ch = changes(s, dir)
+        val cut = lit("2024-01-15").cast("timestamp_ntz")
+        val baseKeys = Merge.fold(ch.filter(col("ts") < cut),
+            Seq("user_id"), "ts", "event_id")
+          .select(col("user_id")).distinct().withColumn("in_base", lit(true))
+        ch.filter(col("ts") >= cut)
+          .join(baseKeys, Seq("user_id"), "left")
+          .select(col("action"), coalesce(col("in_base"), lit(false)).as("in_base"))
+          .groupBy(col("action"), col("in_base"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("kind",
+            when(col("action") === "U" && !col("in_base"), "insert")
+              .when(col("action") === "U", "update")
+              .when(col("in_base"), "delete").otherwise("delete_noop"))
+          .select(col("kind"), col("action"), col("in_base"), col("n"))
+          .orderBy(col("kind"))
+      },
+      Some(s"""WITH base AS (${foldSql("ts < TIMESTAMP '2024-01-15'")}),
+              |d AS (SELECT * FROM ($changesSql) WHERE ts >= TIMESTAMP '2024-01-15'),
+              |cls AS (
+              |  SELECT d.action, (b.user_id IS NOT NULL) AS in_base
+              |  FROM d LEFT JOIN (SELECT DISTINCT user_id FROM base) b USING (user_id))
+              |SELECT CASE WHEN action = 'U' AND NOT in_base THEN 'insert'
+              |            WHEN action = 'U' THEN 'update'
+              |            WHEN in_base THEN 'delete' ELSE 'delete_noop' END AS kind,
+              |       action, in_base, count(*) AS n
+              |FROM cls GROUP BY action, in_base
+              |ORDER BY kind""".stripMargin)
     )
   )
 }

@@ -318,6 +318,28 @@ object Sources {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     ),
     Q(
+      "sink_compact_small_files",
+      // Small-file compaction — the maintenance job every landing zone
+      // needs: a fragmented table (64 shards here; think one file per
+      // micro-batch per partition after a week of streaming) rewrites to a
+      // handful of right-sized files. Content must survive byte-exact
+      // (identity oracle); OperatorSpec asserts the file counts. At scale
+      // the repartition count comes from target_size / avg_row_size, and
+      // compaction runs per partition predicate, not whole-table.
+      (s, dir) => {
+        val frag = tmpDir("graft_frag_")
+        val compact = tmpDir("graft_compact_")
+        val src = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        src.repartition(64).write.mode("overwrite").parquet(frag)
+        s.read.parquet(frag).repartition(2)
+          .write.mode("overwrite").parquet(compact)
+        s.read.parquet(compact).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sink_bucketed_join",
       // Bucketed layout → co-located join (SURVEY.md §4): both sides
       // written bucketBy(8, key); the join then requires NO Exchange on

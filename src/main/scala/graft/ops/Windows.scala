@@ -173,6 +173,38 @@ object Windows {
               |ORDER BY grid.user_id, grid.hour""".stripMargin)
     ),
     Q(
+      "win_pct_change",
+      // Period-over-period change per key (the metrics-dashboard staple):
+      // delta and ratio vs the previous event's value. Values pin to exact
+      // cents first, so the only FP op is one division of exact integers —
+      // bitwise-identical cross-engine; first-in-key and zero-previous
+      // rows yield NULL via nullif, not errors.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+          .select(col("event_id"), col("user_id"), col("cents"),
+            (col("cents") - col("prev_cents")).as("delta_cents"),
+            util.r2(col("cents").cast("double") / nullif(col("prev_cents"), lit(0)))
+              .as("ratio"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""WITH c AS (
+              |  SELECT event_id, user_id, ts,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              |  FROM events),
+              |l AS (
+              |  SELECT event_id, user_id, cents,
+              |         lag(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+              |  FROM c)
+              |SELECT event_id, user_id, cents,
+              |       CAST(cents - prev_cents AS BIGINT) AS delta_cents,
+              |       ${util.r2sql("CAST(cents AS DOUBLE) / nullif(prev_cents, 0)")} AS ratio
+              |FROM l ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "win_running_distinct",
       // Running DISTINCT count per key — the windowed distinct Spark (and
       // SQL generally) can't express directly with frames: rewrite as the

@@ -140,6 +140,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("small-file compaction: 64 shards -> 2 files, rows byte-identical") {
+    def partFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val frag = graft.util.tempDir("spec_frag_")
+    val compact = graft.util.tempDir("spec_compact_")
+    val src = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    assert(partFiles(frag) === 64)
+    spark.read.parquet(frag).repartition(2)
+      .write.mode("overwrite").parquet(compact)
+    assert(partFiles(compact) === 2)
+    val back = spark.read.parquet(compact)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("count-min heavy hitters: estimates >= exact, within epsilon overcount") {
     val est = SparkEntry.queries("stat_countmin_heavyhitters")(spark, dir)
       .as[(String, Long)].collect().toMap

@@ -221,6 +221,30 @@ object Joins {
              |ORDER BY o_orderkey, l_linenumber""".stripMargin)
     ),
     Q(
+      "join_exists_flag",
+      // Mark join: EXISTS as a COLUMN, not a filter — every customer with
+      // a flag for urgent orders. Rewrite: aggregate the inner side to
+      // distinct keys, left join, null-test — one semi-shape shuffle, no
+      // row duplication from the many-side (joining raw orders would fan
+      // out customers before a re-dedup).
+      (s, dir) => {
+        val urgentKeys = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+          .withColumn("has_urgent", lit(true))
+        Tables(s, dir, "customer")
+          .join(urgentKeys, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            coalesce(col("has_urgent"), lit(false)).as("has_urgent"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |       EXISTS (SELECT 1 FROM orders
+             |               WHERE o_custkey = c_custkey
+             |                 AND o_orderpriority = '1-URGENT') AS has_urgent
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
       "join_range_bucketed",
       // Range join with NO equi key — the case where a naive plan is a
       // cartesian product. The scale rewrite: quantize time into day

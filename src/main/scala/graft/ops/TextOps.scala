@@ -404,6 +404,28 @@ object TextOps {
              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
     Q(
+      "text_df_vocab",
+      // Vocabulary with document frequencies — the integer half of tf-idf
+      // (the idf logarithm is deliberately NOT computed here: libm log is
+      // not guaranteed bit-identical across engines, and df/n_docs carries
+      // the same information exactly). distinct (doc, token) then one
+      // count per token; integer counts only.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("token"))
+          .distinct()
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("doc_freq"))
+          .filter(col("doc_freq") >= 5)
+          .orderBy(col("token"))
+      },
+      Some("""SELECT token, count(*) AS doc_freq FROM (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents) t
+             |GROUP BY token HAVING count(*) >= 5
+             |ORDER BY token""".stripMargin)
+    ),
+    Q(
       "text_chunk_windows",
       // Training-sample chunking: overlapping token windows (size 32,
       // stride 24) per document — the batch op that turns a cleaned corpus

@@ -39,8 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[aggregate.BloomFilterAggregate].getName, "graft_bloom_agg"),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(c) => new aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) => new aggregate.BloomFilterAggregate(c, n)
         case Seq(c, n, b) => new aggregate.BloomFilterAggregate(c, n, b)
-        case other => new aggregate.BloomFilterAggregate(other(0), other(1))
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_agg expects 1-3 arguments, got ${other.size}")
       }))
     e.injectFunction((
       new FunctionIdentifier("graft_might_contain"),

@@ -92,8 +92,10 @@ object Streaming {
       case (tag, pred, mtime) =>
         val part = s"$scratch/stage_$tag"
         ev.filter(pred).coalesce(1).write.parquet(part)
-        val file = Files.list(Paths.get(part)).toArray.map(_.toString)
-          .filter(p => p.endsWith(".parquet")).head
+        val listing = Files.list(Paths.get(part))
+        val file =
+          try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+          finally listing.close()
         Files.move(Paths.get(file), Paths.get(s"$tmp/events_$tag.parquet"))
         Files.setLastModifiedTime(
           Paths.get(s"$tmp/events_$tag.parquet"), FileTime.fromMillis(mtime))
@@ -367,7 +369,9 @@ object Streaming {
       // monotone across updates; sums need not be, hence max_by on n).
       (s, dir) => {
         import s.implicits._
-        val ev = eventsStream(s, stageSplitByTime(s, dir))
+        // maxFilesPerTrigger=1: the split stage MUST arrive as two
+        // micro-batches, or the cross-batch state path is never exercised
+        val ev = eventsStream(s, stageSplitByTime(s, dir), maxFilesPerTrigger = Some(1))
           .select(col("user_id"), col("event_id"),
             floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
           .as[(Long, Long, Long)]
@@ -411,7 +415,9 @@ object Streaming {
         try {
           s.conf.set(key,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-          val ev = eventsStream(s, stageSplitByTime(s, dir))
+          // two micro-batches (see stream_stateful_agg) so state.exists()
+          // takes the true branch on the second batch
+          val ev = eventsStream(s, stageSplitByTime(s, dir), maxFilesPerTrigger = Some(1))
             .select(col("user_id"), col("event_id"),
               floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
             .as[(Long, Long, Long)]

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -67,9 +67,16 @@ object AsOf {
       buildKey: String, buildTs: String): DataFrame = {
     val lp = Bridge.planOf(probe)
     val rp = Bridge.planOf(build)
+    def requireCol(side: LogicalPlan, name: String, which: String): Unit =
+      require(side.output.exists(_.name == name), s"no column $name in $which side")
+    requireCol(lp, probeKey, "probe"); requireCol(lp, probeTs, "probe")
+    requireCol(rp, buildKey, "build")
     val payload = rp.output.filterNot(a => a.name == buildKey || a.name == buildTs)
     require(payload.map(_.name).toSet.intersect(lp.output.map(_.name).toSet).isEmpty,
       "build payload column names must not clash with probe columns")
+    val reserved = Set("__is_probe", "__asof_ts", "__match")
+    require((lp.output ++ rp.output).forall(a => !reserved(a.name)),
+      s"column names ${reserved.mkString("/")} are reserved by the as-of lowering")
     val buildTsAttr = rp.output.find(_.name == buildTs)
       .getOrElse(throw new IllegalArgumentException(s"no $buildTs in build side"))
     val outs =
@@ -99,37 +106,43 @@ case class RewriteGraftAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     val payload = j.right.output.map(_.name)
       .filterNot(n => n == j.buildKey || n == j.buildTs)
     val buildSchema = build.schema
-    def buildType(n: String) = buildSchema(n).dataType
     val probeSchema = probe.schema
 
-    // common union schema: probe cols (typed nulls on build rows), payload
-    // (typed nulls on probe rows), the build ts duplicated as __asof_ts,
-    // and the probe/build tag that makes equal-ts ordering inclusive
+    // the matched build row travels as ONE struct, carried atomically by a
+    // single last(ignoreNulls) — carrying payload columns independently
+    // would let a NULL payload value in the matched row be replaced by a
+    // stale value from an older build row (mixing columns across rows)
+    val matchType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "asof_ts", buildSchema(j.buildTs).dataType) +:
+        payload.map(p => org.apache.spark.sql.types.StructField(
+          p, buildSchema(p).dataType)))
+
+    // common union schema: probe cols (typed nulls on build rows), the
+    // build-row struct (null on probe rows), and the probe/build tag that
+    // makes equal-ts ordering inclusive
     val pTagged = probe.select(
-      probeCols.map(col) ++
-        payload.map(p => lit(null).cast(buildType(p)).as(p)) ++ Seq(
-          lit(null).cast(buildType(j.buildTs)).as("__asof_ts"),
-          lit(1).as("__is_probe")): _*)
+      probeCols.map(col) ++ Seq(
+        lit(null).cast(matchType).as("__match"),
+        lit(1).as("__is_probe")): _*)
     val bTagged = build.select(
       probeCols.map {
         case n if n == j.probeKey => col(j.buildKey).as(n)
         case n if n == j.probeTs => col(j.buildTs).as(n)
         case n => lit(null).cast(probeSchema(n).dataType).as(n)
-      } ++ payload.map(col) ++ Seq(
-        col(j.buildTs).as("__asof_ts"),
+      } ++ Seq(
+        struct(col(j.buildTs).as("asof_ts") +: payload.map(col): _*).as("__match"),
         lit(0).as("__is_probe")): _*)
 
     val w = Window.partitionBy(col(j.probeKey))
       .orderBy(col(j.probeTs), col("__is_probe"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried: Seq[(String, Column)] =
-      (payload :+ "__asof_ts").map(p => p -> last(col(p), ignoreNulls = true).over(w))
-    val lowered = carried.foldLeft(pTagged.unionByName(bTagged)) {
-      case (df, (n, c)) => df.withColumn(n, c)
-    }
+    val lowered = pTagged.unionByName(bTagged)
+      .withColumn("__match", last(col("__match"), ignoreNulls = true).over(w))
       .filter(col("__is_probe") === 1)
-      .select(probeCols.map(col) ++ payload.map(col) :+
-        col("__asof_ts").as("asof_ts"): _*)
+      .select(probeCols.map(col) ++
+        payload.map(p => col("__match").getField(p).as(p)) :+
+        col("__match").getField("asof_ts").as("asof_ts"): _*)
 
     // splice back under the node's declared output exprIds so parent
     // operators' attribute references keep resolving

@@ -44,6 +44,29 @@ class AsOfExtensionSpec extends AnyFunSuite {
     assert(out === Array((1L, 0L), (2L, 5L)))
   }
 
+  test("NULL payload in the matched row is NOT replaced by a stale older value") {
+    // build rows: (10, 90, 'a') then (10, 200, NULL); probe at t=205 must
+    // match the t=200 row and surface its NULL tag — carrying payload
+    // columns independently with last(ignoreNulls) would resurrect 'a'
+    val b = Seq((10L, 90L, Some("a")), (10L, 200L, None: Option[String]))
+      .toDF("user", "at", "tag")
+    val out = plans.AsOf.joinBackward(
+        probe.filter(col("pid") === 2L), b, "uid", "t", "user", "at")
+      .select(col("pid"), col("tag"), col("asof_ts")).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(2) === 200L, "must match the t=200 build row")
+    assert(out(0).isNullAt(1), "matched row's NULL payload must stay NULL")
+  }
+
+  test("misspelled key columns fail fast at construction, not at action time") {
+    assertThrows[IllegalArgumentException] {
+      plans.AsOf.joinBackward(probe, build, "nope", "t", "user", "at")
+    }
+    assertThrows[IllegalArgumentException] {
+      plans.AsOf.joinBackward(probe, build, "uid", "t", "nope", "at")
+    }
+  }
+
   test("payload column colliding with a probe column is rejected") {
     val bad = build.withColumnRenamed("tag", "pid")
     assertThrows[IllegalArgumentException] {

@@ -173,6 +173,55 @@ object Windows {
               |ORDER BY grid.user_id, grid.hour""".stripMargin)
     ),
     Q(
+      "ts_bucket_arbitrary",
+      // Batch `window()` bucketing with a NON-calendar width (7 minutes):
+      // the same tumbling-window expression streaming uses, here as a
+      // plain groupBy key — buckets are epoch-aligned intervals, which the
+      // oracle reproduces with integer epoch arithmetic. One two-phase
+      // aggregate; the window struct is just a derived grouping column.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "7 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("timestamp_ntz").as("bucket_start"),
+            col("window.end").cast("timestamp_ntz").as("bucket_end"),
+            col("event_type"), col("n"))
+          .orderBy(col("bucket_start"), col("event_type"))
+      },
+      Some("""SELECT to_timestamp((epoch_us(ts) // 420000000) * 420)::TIMESTAMP AS bucket_start,
+             |       to_timestamp((epoch_us(ts) // 420000000) * 420 + 420)::TIMESTAMP AS bucket_end,
+             |       event_type, count(*) AS n
+             |FROM events GROUP BY 1, 2, 3
+             |ORDER BY bucket_start, event_type""".stripMargin)
+    ),
+    Q(
+      "win_event_transitions",
+      // First-order transition counts (the Markov matrix of behavioral
+      // analytics): each event paired with the user's NEXT event type via
+      // lead, then counted per (from, to). One window pass + one
+      // aggregate; terminal events land in the 'END' row so the matrix
+      // rows sum to per-type totals.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("next_type",
+            coalesce(lead(col("event_type"), 1).over(w), lit("END")))
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH nxt AS (
+             |  SELECT event_type AS from_type,
+             |         coalesce(lead(event_type) OVER (PARTITION BY user_id
+             |                                         ORDER BY ts, event_id),
+             |                  'END') AS to_type
+             |  FROM events)
+             |SELECT from_type, to_type, count(*) AS n
+             |FROM nxt GROUP BY from_type, to_type
+             |ORDER BY from_type, to_type""".stripMargin)
+    ),
+    Q(
       "win_pct_change",
       // Period-over-period change per key (the metrics-dashboard staple):
       // delta and ratio vs the previous event's value. Values pin to exact

@@ -173,6 +173,79 @@ object Windows {
               |ORDER BY grid.user_id, grid.hour""".stripMargin)
     ),
     Q(
+      "win_funnel_steps",
+      // Ordered funnel (view → click → purchase): a user converts a step
+      // only if it happens AFTER the previous step's first completion —
+      // min-ts of each step computed conditionally on the previous step's
+      // min-ts in one aggregate pass per user, then one count row per
+      // step. No self-joins: the funnel is two chained conditional mins.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val perUser = ev.groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+        val withClick = ev.join(perUser, Seq("user_id"))
+          .groupBy(col("user_id"), col("t_view"))
+          .agg(min(when(col("event_type") === "click" &&
+            col("ts") >= col("t_view"), col("ts"))).as("t_click"))
+        val withPurchase = ev.join(withClick, Seq("user_id"))
+          .groupBy(col("user_id"), col("t_view"), col("t_click"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("t_click"), col("ts"))).as("t_purchase"))
+        withPurchase.agg(
+          count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_view_click"),
+          count(col("t_purchase")).as("n_view_click_purchase"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+             |  FROM events GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, v.t_view,
+             |         min(CASE WHEN e.event_type = 'click' AND e.ts >= v.t_view
+             |                  THEN e.ts END) AS t_click
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  GROUP BY e.user_id, v.t_view),
+             |p AS (
+             |  SELECT e.user_id, c.t_view, c.t_click,
+             |         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= c.t_click
+             |                  THEN e.ts END) AS t_purchase
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |  GROUP BY e.user_id, c.t_view, c.t_click)
+             |SELECT count(t_view) AS n_view,
+             |       count(t_click) AS n_view_click,
+             |       count(t_purchase) AS n_view_click_purchase
+             |FROM p""".stripMargin)
+    ),
+    Q(
+      "agg_retention_cohorts",
+      // Retention cohorts: users grouped by first-activity day, counted by
+      // day offset of each later active day — the triangle every growth
+      // dashboard draws. Distinct (user, day) first, so the shuffle
+      // carries activity DAYS, not events; offsets are exact date
+      // arithmetic.
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        days.join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .select(col("cohort_day"), col("day_offset").cast("long").as("day_offset"),
+            col("n_active"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |cohorts AS (
+             |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+             |SELECT c.cohort_day,
+             |       CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+             |       count(DISTINCT d.user_id) AS n_active
+             |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+             |GROUP BY c.cohort_day, d.day - c.cohort_day
+             |ORDER BY cohort_day, day_offset""".stripMargin)
+    ),
+    Q(
       "ts_bucket_arbitrary",
       // Batch `window()` bucketing with a NON-calendar width (7 minutes):
       // the same tumbling-window expression streaming uses, here as a

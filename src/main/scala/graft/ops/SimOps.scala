@@ -275,6 +275,55 @@ object SimOps {
              |ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "sim_kmeans_assign",
+      // One k-means ASSIGNMENT step — the inner loop of corpus clustering:
+      // r2-pinned per-label centroids (the deterministic init an iteration
+      // would start from) broadcast to the corpus, squared-L2 computed as
+      // an ordered fold (same element order both engines → identical
+      // doubles → identical argmin), nearest cell per vector, cell sizes
+      // out. The corpus never shuffles — at 100 TB this is one broadcast
+      // of k×dim doubles and a map-side argmin, the Lloyd's-step shape.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cent = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(util.r2(avg(col("v").cast("double"))).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("carr"))
+          .select(col("label").as("cell"), col("carr"))
+        val scored = emb.crossJoin(broadcast(cent))
+          .withColumn("dist", aggregate(
+            zip_with(col("embedding"), col("carr"),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (a, v) => a + v))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("cell").asc)
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_assigned"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT label, pos, ${util.r2sql("avg(v::DOUBLE)")} AS c
+              |  FROM (SELECT label, unnest(embedding) AS v,
+              |               generate_subscripts(embedding, 1) AS pos FROM embeddings) t
+              |  GROUP BY label, pos),
+              |centl AS (
+              |  SELECT label AS cell, list(c ORDER BY pos) AS carr FROM cent GROUP BY label),
+              |d AS (
+              |  SELECT e.vec_id, c.cell,
+              |         list_sum(list_transform(range(1, 65),
+              |           i -> (e.embedding[i]::DOUBLE - c.carr[i]) * (e.embedding[i]::DOUBLE - c.carr[i]))) AS dist
+              |  FROM embeddings e CROSS JOIN centl c),
+              |a AS (
+              |  SELECT vec_id, cell,
+              |         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+              |  FROM d)
+              |SELECT cell, count(*) AS n_assigned FROM a WHERE rn = 1
+              |GROUP BY cell ORDER BY cell""".stripMargin)
+    ),
+    Q(
       "sim_quantized_topk",
       // Top-k on int8-QUANTIZED embeddings — the memory-bandwidth scale
       // path: symmetric quantization to [-127,127] shrinks the corpus 4×

@@ -318,6 +318,28 @@ object Sources {
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     ),
     Q(
+      "project_nested_prune",
+      // Nested-schema pruning: land documents with a nested meta struct,
+      // read back ONLY meta.lang — the parquet scan must read the single
+      // subfield, not the whole struct (PlanShapeSpec asserts the
+      // ReadSchema). On a struct-heavy corpus (multimodal metadata
+      // envelopes) this is the difference between scanning one column
+      // chunk and the whole envelope.
+      (s, dir) => {
+        val tmp = tmpDir("graft_nested_")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            struct(col("lang"), col("source"), col("n_chars"), col("text")).as("meta"))
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .groupBy(col("meta.lang").as("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "sink_compact_small_files",
       // Small-file compaction — the maintenance job every landing zone
       // needs: a fragmented table (64 shards here; think one file per

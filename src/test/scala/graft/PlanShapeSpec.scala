@@ -196,6 +196,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("project_nested_prune reads only the meta.lang subfield from the struct") {
+    val plan = planOf("project_nested_prune")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("lang"), readSchema)
+    // the sibling subfields (incl. the large text payload) must be pruned
+    assert(!readSchema.contains("text") && !readSchema.contains("n_chars"),
+      s"nested pruning failed — whole struct read:\n$readSchema")
+  }
+
   test("sample_hash_deterministic stays a single scan + filter (no shuffle)") {
     val plan = planOf("sample_hash_deterministic")
     // global sort for output determinism is the ONLY exchange

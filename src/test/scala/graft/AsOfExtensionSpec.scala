@@ -73,4 +73,33 @@ class AsOfExtensionSpec extends AnyFunSuite {
       plans.AsOf.joinBackward(probe, bad, "uid", "t", "user", "at")
     }
   }
+
+  test("property: lowering agrees with a plain-Scala reference on random inputs") {
+    val rnd = new scala.util.Random(97)
+    for (round <- 1 to 5) {
+      val nKeys = 5
+      val probes = (1 to 120).map(i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong))
+      // build rows deduped per (key, ts) — the operator's documented contract
+      val builds = (1 to 150).map(_ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong))
+        .distinct.map { case (u, ts) => (u, ts, s"v$u-$ts") }
+      val expected = probes.map { case (pid, u, t) =>
+        val m = builds.filter(b => b._1 == u && b._2 <= t)
+          .sortBy(_._2).lastOption
+        pid -> ((m.map(_._3), m.map(_._2)))
+      }.toMap
+      val got = plans.AsOf.joinBackward(
+          probes.toDF("pid", "uid", "t"), builds.toDF("user", "at", "tag"),
+          "uid", "t", "user", "at")
+        .collect()
+        .map(r => r.getLong(0) -> (Option(r.getAs[String]("tag")),
+          Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue)))
+        .toMap
+      probes.foreach { case (pid, _, _) =>
+        assert(got(pid) === expected(pid),
+          s"round $round probe $pid: got ${got(pid)}, want ${expected(pid)}")
+      }
+    }
+  }
 }

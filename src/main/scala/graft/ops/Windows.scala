@@ -217,6 +217,37 @@ object Windows {
              |FROM p""".stripMargin)
     ),
     Q(
+      "agg_dau_wau",
+      // DAU / trailing-7-day WAU: COUNT DISTINCT over a trailing window
+      // isn't expressible as a frame, so WAU joins the distinct
+      // (user, day) activity set to the day grid on a 7-day band — at day
+      // granularity that band join is |days| × active-users, tiny compared
+      // to the raw events it replaces.
+      (s, dir) => {
+        val active = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val days = active.select(col("day")).distinct()
+        val dau = active.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        val wau = days.select(col("day").as("d"))
+          .join(active, col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+          .groupBy(col("d").as("day"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, Seq("day")).orderBy(col("day"))
+      },
+      Some("""WITH active AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |days AS (SELECT DISTINCT day FROM active),
+             |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM active GROUP BY day),
+             |wau AS (
+             |  SELECT d.day, count(DISTINCT a.user_id) AS wau
+             |  FROM days d JOIN active a
+             |    ON a.day >= d.day - 6 AND a.day <= d.day
+             |  GROUP BY d.day)
+             |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin)
+    ),
+    Q(
       "agg_retention_cohorts",
       // Retention cohorts: users grouped by first-activity day, counted by
       // day offset of each later active day — the triangle every growth

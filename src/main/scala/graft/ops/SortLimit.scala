@@ -23,6 +23,30 @@ object SortLimit {
              |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin)
     ),
     Q(
+      "sort_global_sequence",
+      // Global dense sequence WITHOUT the single-partition window trap:
+      // `row_number() OVER (ORDER BY …)` funnels all rows through one task,
+      // which is the classic 100 TB killer. Instead: range-partitioned sort
+      // (parallel) + per-partition offsets via zipWithIndex — one extra
+      // cheap count job, order preserved, every partition stays parallel.
+      // This is the ONE place RDD-level code is the right tool (genuine
+      // per-partition imperative logic, per the build charter).
+      (s, dir) => {
+        val s2 = s
+        import s2.implicits._
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+          .rdd.zipWithIndex
+          .map { case (r, i) => (r.getLong(0), i + 1) }
+          .toDF("o_orderkey", "seq")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       row_number() OVER (ORDER BY o_orderkey) AS seq
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "topk_order_limit",
       (s, dir) => {
         Tables(s, dir, "lineitem")

@@ -258,20 +258,27 @@ object Aggregates {
       // double expression tree yields identical IEEE results. Still a
       // single-pass mergeable aggregate — four sums and a count.
       (s, dir) => {
+        // Power sums accumulate in DECIMAL(38,0) (HUGEINT on the oracle
+        // side): the per-row q^4 products fit a long, but a hot group's
+        // RUNNING sum must not silently wrap under non-ANSI LongType
+        // addition at 100 TB — same posture as agg_regr_moments. The final
+        // CAST(sx AS DOUBLE) in the shared formula text is the nearest
+        // double of an exact integer on both engines.
         val q = col("l_quantity").cast("long")
+        def d38(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
         Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),
-            sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+          .agg(count(lit(1)).as("n"), d38(q).as("s1"), d38(q * q).as("s2"),
+            d38(q * q * q).as("s3"), d38(q * q * q * q).as("s4"))
           .selectExpr(Seq("l_returnflag", "n") ++ skewKurtExprs: _*)
           .orderBy(col("l_returnflag"))
       },
       Some(s"""WITH base AS (
               |  SELECT l_returnflag, count(*) AS n,
-              |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
-              |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
-              |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
-              |         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+              |         sum(CAST(l_quantity AS BIGINT)) AS s1,
+              |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+              |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s3,
+              |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
               |  FROM lineitem GROUP BY l_returnflag)
               |SELECT l_returnflag, n, ${skewKurtExprs.mkString(", ")}
               |FROM base ORDER BY l_returnflag""".stripMargin)

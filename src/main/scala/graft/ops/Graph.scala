@@ -86,12 +86,16 @@ object Graph {
     * probe row to its 3 neighbor values — at scale an equi-join shuffle
     * beats a range theta-join by orders of magnitude.
     */
+  // Keyed by (session, dir), not dir alone: the cached DataFrame is bound to
+  // the SparkSession that built it, and a dir-only key would hand a frame
+  // from a stopped/foreign session to the next caller in the same JVM.
   private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
   private def labeledComponents(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    ccCache.computeIfAbsent(dir, { _ =>
+    ccCache.computeIfAbsent((s, dir), { _ =>
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
       val probe = docs.select(col("source"),

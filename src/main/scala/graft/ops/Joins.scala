@@ -446,10 +446,13 @@ object Joins {
         val wF = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("is_probe").desc, col("event_id").asc_nulls_last)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+        // Distances compared as NTZ-subtraction intervals (day-time interval
+        // is orderable) — no cast through TIMESTAMP, so the tie-break cannot
+        // shift under a non-UTC session time zone the way
+        // unix_micros(ntz.cast("timestamp")) would.
         val pickB = col("f_ts").isNull ||
           (col("b_ts").isNotNull &&
-            us(col("ts")) - us(col("b_ts")) <= us(col("f_ts")) - us(col("ts")))
+            (col("ts") - col("b_ts")) <= (col("f_ts") - col("ts")))
         tagged
           .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(wB))
           .withColumn("b_ts", last(col("click_ts"), ignoreNulls = true).over(wB))

@@ -433,14 +433,15 @@ object ScalarFns {
     ),
     Q(
       "fn_aes_roundtrip",
-      // Column-level encryption at rest (PII columns in a landing zone):
-      // AES-encrypt, decrypt back, both codegen'd built-ins. ECB mode is
-      // used deliberately — it is DETERMINISTIC, which is what makes the
-      // ciphertext length checkable and encrypted columns joinable (GCM's
-      // random IV breaks both; that trade is the real-world design choice
-      // this row documents). The oracle can't run AES, so it checks the
-      // roundtrip identity plus the PKCS7-padded ciphertext length
-      // computed arithmetically.
+      // Column-level encryption built-ins: AES-encrypt, decrypt back, both
+      // codegen'd. ECB mode here is ORACLE-motivated, not a production
+      // recommendation — the gate needs a deterministic ciphertext (GCM's
+      // random IV would break the length check and the bench's repeat
+      // runs). Real deployments needing joinable encrypted columns should
+      // use deterministic AEAD (AES-SIV) or HMAC blind indexes; raw ECB
+      // leaks plaintext block-equality. The oracle can't run AES, so it
+      // checks the roundtrip identity plus the PKCS7-padded ciphertext
+      // length computed arithmetically.
       (s, dir) => {
         val key = lit("0123456789abcdef") // 16-byte demo key
         val cipher = aes_encrypt(col("c_name").cast("binary"), key.cast("binary"),

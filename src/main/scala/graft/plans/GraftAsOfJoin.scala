@@ -74,7 +74,11 @@ object AsOf {
     val payload = rp.output.filterNot(a => a.name == buildKey || a.name == buildTs)
     require(payload.map(_.name).toSet.intersect(lp.output.map(_.name).toSet).isEmpty,
       "build payload column names must not clash with probe columns")
-    val reserved = Set("__is_probe", "__asof_ts", "__match")
+    // "asof_ts" is reserved too: it is the minted output column, and a build
+    // payload with that name would make the lowering's struct carry two
+    // "asof_ts" fields — failing late with an ambiguous getField instead of
+    // here at construction.
+    val reserved = Set("__is_probe", "__asof_ts", "__match", "asof_ts")
     require((lp.output ++ rp.output).forall(a => !reserved(a.name)),
       s"column names ${reserved.mkString("/")} are reserved by the as-of lowering")
     val buildTsAttr = rp.output.find(_.name == buildTs)

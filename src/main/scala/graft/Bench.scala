@@ -5,18 +5,30 @@ import org.apache.spark.sql.SparkSession
   * then a SHORT `{"metric":"total",...}` JSON object on its own, final line —
   * the driver captures the tail of stdout, so the parseable summary must be
   * last (a 140-query map pushed the metric prefix out of the captured tail in
-  * rounds 1–2).
+  * rounds 1–2). Because even the tail-most detail line overflowed the driver's
+  * capture window at 181 queries (BENCH_r04 `tail` starts mid-dict), the full
+  * detail map is ALSO persisted to `BENCH_DETAIL.json` in the working
+  * directory so round-over-round per-query comparison survives the artifact.
   *
   * Timing protocol: queries run in sorted-name order (Map hash order changed
   * per round, making per-query deltas incomparable), each query runs twice
   * and the MIN is reported — the first pass absorbs janino codegen + shuffle
   * file warmup, so round-over-round deltas reflect plan changes, not JVM
-  * noise.
+  * noise. `stream_*` queries run three times and report the MEDIAN: their
+  * micro-batch machinery showed 2–5× sandbox-contention swings in round 4
+  * that min-of-2 did not absorb.
+  *
+  * Failures are counted, not swallowed: a query that throws contributes its
+  * elapsed time and is listed in the `failed` field of the total line, so a
+  * breaking query deflates neither silently nor invisibly.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // one-time sweep of scratch dirs left by pre-round-3 runs (before the
+    // runRoot shutdown hook existed) so long-lived sandboxes stay tidy
+    util.sweepStaleScratch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,19 +42,34 @@ object Bench {
     // JVM/session warmup (codegen, shuffle machinery) so first-query
     // timing reflects the query, not session init
     spark.range(1000000).selectExpr("sum(id)").collect()
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (elapsed seconds, succeeded?)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(time(fn), time(fn))
+      val runs =
+        if (name.startsWith("stream_")) Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
+        else Seq(time(fn), time(fn)).sortBy(_._1)
+      val rep = if (runs.size == 3) runs(1) else runs.head // median-of-3 | min-of-2
+      val ok = runs.forall(_._2)
+      (name, rep._1, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val detail = s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.mkString(",")}]}"""
+    // committed artifact: the full per-query map survives even when the
+    // driver's stdout tail capture truncates the detail line
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(detail)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,6 +10,7 @@ object Verify {
     // driver always passes exactly two args → full run)
     val only = rest.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    util.sweepStaleScratch()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -82,4 +82,26 @@ object util {
   /** Fresh scratch dir under the per-run staging root. */
   def tempDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(runRoot, prefix).toString
+
+  /** Delete stale `/tmp/graft_*` scratch dirs left by earlier JVM runs
+    * (pre-round-3 runs predate the runRoot shutdown hook and leaked one dir
+    * per invocation). The live runRoot of THIS run is excluded; dirs of a
+    * concurrently-running JVM are at worst recreated by it on demand — the
+    * sweep is for long-lived sandboxes where rounds accrete scratch state.
+    */
+  def sweepStaleScratch(): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"))
+    val live = runRoot // force allocation so it exists and is excluded
+    if (Files.isDirectory(tmp)) {
+      val ds = Files.newDirectoryStream(tmp, "graft_*")
+      try {
+        ds.forEach { p =>
+          if (p != live)
+            try deleteRecursively(p)
+            catch { case _: java.io.IOException => () } // in use elsewhere
+        }
+      } finally ds.close()
+    }
+  }
 }

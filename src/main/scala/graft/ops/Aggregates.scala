@@ -261,9 +261,15 @@ object Aggregates {
         // Power sums accumulate in DECIMAL(38,0) (HUGEINT on the oracle
         // side): the per-row q^4 products fit a long, but a hot group's
         // RUNNING sum must not silently wrap under non-ANSI LongType
-        // addition at 100 TB — same posture as agg_regr_moments. The final
-        // CAST(sx AS DOUBLE) in the shared formula text is the nearest
-        // double of an exact integer on both engines.
+        // addition at 100 TB — same posture as agg_regr_moments. Hash
+        // parity on the final CAST(sx AS DOUBLE) is guaranteed only while
+        // the sums stay ≤ 2^64: up to there both engines produce the
+        // correctly-rounded double of an exact integer, but DuckDB's
+        // HUGEINT→DOUBLE composes upper*2^64 + lower in double arithmetic
+        // and can double-round beyond that, while Spark's Decimal→Double
+        // is correctly rounded. (Σq^4 here is ~10^10 at sf0.1 and grows
+        // linearly with rows — ~2×10^14 even at the 100 TB SF — so the
+        // regime stays exact in practice.)
         val q = col("l_quantity").cast("long")
         def d38(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
         Tables(s, dir, "lineitem")

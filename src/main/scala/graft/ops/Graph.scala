@@ -94,7 +94,12 @@ object Graph {
       (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
   private def labeledComponents(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // Evict entries whose session has stopped: the map would otherwise
+    // strongly retain every SparkSession (and its checkpointed blocks) for
+    // JVM lifetime — unbounded growth in long-lived JVMs that cycle
+    // sessions (test suites, notebooks).
+    ccCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     ccCache.computeIfAbsent((s, dir), { _ =>
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -108,6 +113,7 @@ object Graph {
         .select(col("src"), col("dst"))
       connectedComponents(docs, edges).localCheckpoint(true)
     })
+  }
 
   val defs: Seq[Q] = Seq(
     Q(

@@ -542,6 +542,74 @@ object Streaming {
              |  FROM events) t
              |WHERE rn = 1 AND action <> 'D'
              |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "stream_schema_evolution",
+      // DAP schema-version bump BETWEEN micro-batches (the streaming twin of
+      // schema_evolution_merge, SURVEY.md §2.10 [DAP]): generation 2 of the
+      // feed adds o_note mid-stream. A fixed-schema parquet readStream can't
+      // absorb that, so the stream carries a MANIFEST (one text file per
+      // landed generation — the landing-zone pattern); each micro-batch
+      // foreachBatch-reads the listed generation with mergeSchema and
+      // upserts it into the replica via unionByName(allowMissingColumns):
+      // pre-evolution replica rows are null-filled for the new column,
+      // incoming keys replace stored keys (left_anti on the key set). The
+      // driver collects only the manifest paths (O(generations), never
+      // data). Both generations derive deterministically from orders, so
+      // the oracle recomputes the evolved replica straight from the source.
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        import java.nio.file.attribute.FileTime
+        val gens = graft.util.tempDir("graft_sevo_gens_")
+        val inbox = graft.util.tempDir("graft_sevo_inbox_")
+        val tmp = graft.util.tempDir("graft_sevo_replica_")
+        val o = graft.Tables(s, dir, "orders")
+        // gen 1: full snapshot, v1 schema
+        o.select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$gens/gen1")
+        // gen 2: odd keys re-delivered with the NEW column
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            concat(lit("note-"), col("o_orderkey")).as("o_note"))
+          .write.mode("overwrite").parquet(s"$gens/gen2")
+        Seq(("m1.txt", s"$gens/gen1", 1000000000000L),
+            ("m2.txt", s"$gens/gen2", 1000000060000L)).foreach {
+          case (name, path, mtime) =>
+            Files.writeString(Paths.get(s"$inbox/$name"), path)
+            Files.setLastModifiedTime(
+              Paths.get(s"$inbox/$name"), FileTime.fromMillis(mtime))
+        }
+        val manifests = s.readStream.option("maxFilesPerTrigger", 1).text(inbox)
+        @volatile var version = 0
+        val q = manifests.writeStream.outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val paths = batch.collect().map(_.getString(0)) // manifest only
+            if (paths.nonEmpty) {
+              val sp = batch.sparkSession
+              val incoming = sp.read
+                .option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
+              val state =
+                if (version == 0) incoming.limit(0)
+                else sp.read.parquet(s"$tmp/v$version")
+              val kept = state.join(
+                incoming.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+              val next = incoming.unionByName(kept, allowMissingColumns = true)
+              version += 1
+              next.write.mode("overwrite").parquet(s"$tmp/v$version")
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/v$version")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_note"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |       CASE WHEN o_orderkey % 2 = 1
+             |            THEN 'note-' || CAST(o_orderkey AS VARCHAR) END AS o_note
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
     )
   )
 }

@@ -426,6 +426,64 @@ object TextOps {
              |ORDER BY token""".stripMargin)
     ),
     Q(
+      "text_tfidf_topk",
+      // tf-idf top terms per document — the standard corpus-relevance
+      // primitive, composed from the same pieces as text_df_vocab: per-doc
+      // term frequency (one shuffle keyed by (doc, token)), document
+      // frequency over the same counts (one shuffle keyed by token, df ≥ 5
+      // as in text_df_vocab), then score = tf * ln(n_docs / df). The df
+      // vocabulary and the one-row doc count are broadcast, so the corpus
+      // shuffles exactly twice and never moves text — scale-safe. Ranking
+      // is over the r2-ROUNDED score (tie-break token asc): both engines
+      // rank the identical rounded value, so a 1-ulp libm-log divergence
+      // can't flip ranks — the only residual risk is the same
+      // rounding-boundary class every r2 operator already carries.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(toks).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("token"))
+          .agg(count(lit(1)).as("doc_freq"))
+          .filter(col("doc_freq") >= 5)
+        val nDocs = docs.agg(count_distinct(col("doc_id")).as("n_docs"))
+        val scored = tf
+          .join(broadcast(dfreq), Seq("token"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf",
+            util.r2(col("tf") *
+              log(col("n_docs").cast("double") / col("doc_freq"))))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))
+        scored
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some(s"""WITH tfc AS (
+              |  SELECT doc_id, token, count(*) AS tf FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              |    FROM documents) t
+              |  GROUP BY doc_id, token),
+              |dfreq AS (
+              |  SELECT token, count(*) AS doc_freq FROM tfc
+              |  GROUP BY token HAVING count(*) >= 5),
+              |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT t.doc_id, t.token, t.tf,
+              |         ${util.r2sql("t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.doc_freq)")} AS tfidf
+              |  FROM tfc t JOIN dfreq d USING (token) CROSS JOIN nd n),
+              |ranked AS (
+              |  SELECT doc_id, token, tf, tfidf,
+              |         row_number() OVER (PARTITION BY doc_id
+              |                            ORDER BY tfidf DESC, token) AS rk
+              |  FROM scored)
+              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, tf, tfidf
+              |FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin)
+    ),
+    Q(
       "text_chunk_windows",
       // Training-sample chunking: overlapping token windows (size 32,
       // stride 24) per document — the batch op that turns a cleaned corpus

@@ -16,6 +16,56 @@ object Sources {
 
   private def tmpDir(prefix: String): String = graft.util.tempDir(prefix)
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integer dimensions — bit i of x lands at position 2i, bit
+    * i of y at 2i+1. Emitted as a plain integer-arithmetic sum so the SAME
+    * formula runs on both engines; `shift` abstracts the one syntax
+    * difference (Spark `shiftright(x, i)` vs DuckDB `(x >> i)`). All terms
+    * are exact BIGINT ops — no float anywhere, so the key is trivially
+    * hash-stable.
+    */
+  private[graft] def zkeyExpr(
+      x: String, y: String, bits: Int, shift: (String, Int) => String): String =
+    (0 until bits).map { i =>
+      val px = 1L << (2 * i)
+      val py = 1L << (2 * i + 1)
+      s"((${shift(x, i)} & 1) * $px + (${shift(y, i)} & 1) * $py)"
+    }.mkString("(", " + ", ")")
+
+  private[graft] def zkeySpark(x: String, y: String, bits: Int): String =
+    zkeyExpr(x, y, bits, (c, i) => s"shiftright($c, $i)")
+
+  private[graft] def zkeyDuck(x: String, y: String, bits: Int): String =
+    zkeyExpr(x, y, bits, (c, i) => s"($c >> $i)")
+
+  /** Orders with a Z-order key over (o_custkey, days-since-1992). Raw
+    * values must NOT be interleaved directly: with unequal domain widths
+    * (150 custkeys vs ~2400 days at sf0.001) the wider dimension owns all
+    * the high bits and the curve degenerates to a single-column sort. Both
+    * dimensions are first scaled to a common 1024-cell grid — the
+    * range-rank trick production Z-order writers use — with pure integer
+    * arithmetic (`* 1024 div span`; both inputs non-negative, so Spark's
+    * truncating `div` and DuckDB's floor `//` agree), keeping the key
+    * exactly reproducible in the oracle. The min/max bounds come from a
+    * broadcast one-row aggregate — at scale, a column-statistics read.
+    */
+  private[graft] def zorderOrders(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("day_idx",
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long"))
+    val bounds = o.agg(
+      min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+      min(col("day_idx")).as("dmin"), max(col("day_idx")).as("dmax"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("cs", expr("((o_custkey - cmin) * 1024) div (cmax - cmin + 1)"))
+      .withColumn("ds", expr("((day_idx - dmin) * 1024) div (dmax - dmin + 1)"))
+      .withColumn("zkey", expr(zkeySpark("cs", "ds", 10)))
+      .select(col("o_orderkey"), col("o_custkey"), col("day_idx"), col("zkey"))
+  }
+
   val defs: Seq[Q] = Seq(
     Q(
       "scan_csv_schema",
@@ -392,6 +442,48 @@ object Sources {
       Some("""SELECT o_orderpriority, count(*) AS n_lines
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "sink_zorder_layout",
+      // Multi-dimensional layout (SURVEY.md §4): orders landed sorted by a
+      // Z-order (Morton) key over (o_custkey, days-since-1992) — the
+      // data-layout technique beyond partitioning and bucketing that makes
+      // min/max skipping effective for BOTH dimensions at once. A sort on
+      // either raw column leaves file/row-group ranges for the other
+      // dimension spanning the whole domain; a contiguous Z-range is a
+      // small box in (custkey × date) space, so predicates on either
+      // column prune files. Layout = repartitionByRange(zkey) +
+      // sortWithinPartitions(zkey): a total order across files, one range
+      // shuffle, no global single-partition sort. ZOrderLayoutSpec asserts
+      // the per-file bounding boxes actually narrow vs an unsorted land;
+      // the oracle verifies content + the exact interleave arithmetic
+      // (20 bits/dimension, pure BIGINT — no float in the key).
+      (s, dir) => {
+        val tmp = tmpDir("graft_zorder_")
+        zorderOrders(s, dir)
+          .repartitionByRange(8, col("zkey"))
+          .sortWithinPartitions(col("zkey"))
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .select(col("o_orderkey"), col("o_custkey"), col("day_idx"), col("zkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""WITH src AS (
+              |  SELECT o_orderkey, o_custkey,
+              |         CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_idx
+              |  FROM orders),
+              |b AS (
+              |  SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+              |         min(day_idx) AS dmin, max(day_idx) AS dmax
+              |  FROM src),
+              |sc AS (
+              |  SELECT o_orderkey, o_custkey, day_idx,
+              |         ((o_custkey - cmin) * 1024) // (cmax - cmin + 1) AS cs,
+              |         ((day_idx - dmin) * 1024) // (dmax - dmin + 1) AS ds
+              |  FROM src CROSS JOIN b)
+              |SELECT o_orderkey, o_custkey, day_idx,
+              |       CAST(${zkeyDuck("cs", "ds", 10)} AS BIGINT) AS zkey
+              |FROM sc ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
       "source_streaming_files",

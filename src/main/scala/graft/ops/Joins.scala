@@ -490,6 +490,106 @@ object Joins {
              |ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "join_asof_forward_ext",
+      // Forward as-of through the §2.12 extension surface: the SAME
+      // GraftAsOfJoin node as join_asof_ext with direction="forward",
+      // lowered by the injected rule into first(ignoreNulls) over the
+      // following frame. Shares join_asof_forward's oracle — the two paths
+      // must be value-identical.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        graft.plans.AsOf.joinForward(
+            purchases.select(col("event_id"), col("user_id"), col("ts")),
+            clicks.select(col("user_id"), col("ts"), col("click_id")),
+            probeKey = "user_id", probeTs = "ts",
+            buildKey = "user_id", buildTs = "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       c.ts AS click_ts, c.click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts >= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
+      "join_asof_tolerance_ext",
+      // Toleranced backward as-of through the extension surface: the node's
+      // tolerance field nulls any match older than 1 hour during lowering.
+      // Shares join_asof_tolerance's oracle.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        graft.plans.AsOf.joinBackward(
+            purchases.select(col("event_id"), col("user_id"), col("ts")),
+            clicks.select(col("user_id"), col("ts"), col("click_id")),
+            probeKey = "user_id", probeTs = "ts",
+            buildKey = "user_id", buildTs = "ts",
+            tolerance = Some("INTERVAL 1 HOUR"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END AS click_ts,
+             |       CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END AS click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
+      "join_asof_nearest_ext",
+      // Nearest as-of through the extension surface: direction="nearest"
+      // computes both directional candidates over one Exchange and picks by
+      // NTZ-interval distance, ties backward. Shares join_asof_nearest's
+      // oracle.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        graft.plans.AsOf.joinNearest(
+            purchases.select(col("event_id"), col("user_id"), col("ts")),
+            clicks.select(col("user_id"), col("ts"), col("click_id")),
+            probeKey = "user_id", probeTs = "ts",
+            buildKey = "user_id", buildTs = "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts),
+             |b AS (
+             |  SELECT p.event_id, p.user_id, p.ts, c.ts AS b_ts, c.click_id AS b_id
+             |  FROM purchases p ASOF LEFT JOIN clicks c
+             |    ON p.user_id = c.user_id AND c.ts <= p.ts),
+             |f AS (
+             |  SELECT p.event_id, c.ts AS f_ts, c.click_id AS f_id
+             |  FROM purchases p ASOF LEFT JOIN clicks c
+             |    ON p.user_id = c.user_id AND c.ts >= p.ts)
+             |SELECT b.event_id, b.user_id, b.ts,
+             |       CASE WHEN f.f_ts IS NULL THEN b.b_ts
+             |            WHEN b.b_ts IS NULL THEN f.f_ts
+             |            WHEN epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts)
+             |            THEN b.b_ts ELSE f.f_ts END AS click_ts,
+             |       CASE WHEN f.f_ts IS NULL THEN b.b_id
+             |            WHEN b.b_ts IS NULL THEN f.f_id
+             |            WHEN epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts)
+             |            THEN b.b_id ELSE f.f_id END AS click_id
+             |FROM b JOIN f USING (event_id)
+             |ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "subq_scalar_correlated",
       // Correlated scalar subquery written as SQL over the replica catalog:
       // Catalyst decorrelates (RewriteCorrelatedScalarSubquery) into an

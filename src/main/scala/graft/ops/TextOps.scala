@@ -30,6 +30,57 @@ object TextOps {
   private def markerCountSql(ts: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${ts.map(t => s"'$t'").mkString(", ")})))"
 
+  /** DuckDB mirror of the PORTABLE MinHash pipeline (k=16, bands=8, r=2,
+    * 3-gram shingles, est_jaccard ≥ 0.2): token hashes are the same
+    * character fold, signatures the same affine family with the literal
+    * seeds from [[MinHash.seeds]], band keys the same polynomial fold —
+    * so the candidate-pair SET matches exactly; hash collisions (possible
+    * at mod-P width) occur identically in both engines.
+    */
+  private def minhashOracleSql: String = {
+    val P = MinHash.P
+    val sigExprs = MinHash.seeds(16).map { case (a, b) =>
+      s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
+    }.mkString("[\n           ", ",\n           ", "\n         ]")
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |         list_transform(string_split(text, ' '), t ->
+       |           list_reduce(
+       |             list_prepend(CAST(0 AS BIGINT),
+       |               list_transform(generate_series(1, length(t)),
+       |                 i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+       |             (acc, c) -> (acc * 131 + c) % $P)) AS hs
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, len(hs) - 3),
+       |           i -> (hs[i+1]*1000003 + hs[i+2]*999979 + hs[i+3]*999961) % $P) AS sh
+       |  FROM hs WHERE len(hs) >= 3),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $sigExprs AS sig
+       |  FROM sh WHERE len(sh) >= 1),
+       |bandrows AS (
+       |  SELECT doc_id, j AS band_id,
+       |         list_reduce(list_prepend(j, sig[j*2+1 : j*2+2]),
+       |           (acc, v) -> (acc * 1000003 + v) % $P) AS band_hash
+       |  FROM sig, range(0, 8) t(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandrows a JOIN bandrows b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_filter(generate_series(1, 16), j -> sa.sig[j] = sb.sig[j])) / 16.0 AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = doc_a
+       |  JOIN sig sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
     Q(
       "text_exact_dedup",
@@ -48,13 +99,19 @@ object TextOps {
     ),
     Q(
       "text_neardup_minhash",
-      // MinHash/LSH candidate pairs (no oracle: crc32 is unavailable in
-      // DuckDB; TextDedupSpec property-tests Jaccard bounds + determinism).
+      // MinHash/LSH candidate pairs, fully DuckDB-oracled (r5): the
+      // portable hash family (character-fold token hash, polynomial band
+      // fold — all integer arithmetic mod P) lets the oracle recompute
+      // shingle hashes, signatures, band buckets, the candidate join and
+      // the est_jaccard filter bit-for-bit. Same plan shape as the crc32
+      // family: zero shuffles until the band-bucket self-join, which
+      // carries 3 longs per row. TextDedupSpec keeps the recall/bounds
+      // property tests for both families.
       (s, dir) => MinHash.nearDupPairs(
           Tables(s, dir, "documents"), "doc_id", "text", k = 16, bands = 8,
-          minEstJaccard = 0.2)
+          minEstJaccard = 0.2, portable = true)
         .orderBy(col("doc_a"), col("doc_b")),
-      None
+      Some(minhashOracleSql)
     ),
     Q(
       "text_neardup_simhash",

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -8,12 +8,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 
-/** Custom logical operator for the backward-inclusive as-of join — the
-  * §2.12 whole-operator extension-point demo: a [[BinaryNode]] users create
-  * through [[AsOf.joinBackward]], carried through analysis as a first-class
-  * plan node, then lowered by the injected optimizer rule
-  * [[RewriteGraftAsOfJoin]] (registered in `graft.GraftExtensions`) into
-  * the same single-shuffle union+window form as `Joins.join_asof`.
+/** Custom logical operator for the as-of join family — the §2.12
+  * whole-operator extension-point demo: a [[BinaryNode]] users create
+  * through [[AsOf.joinBackward]] / [[AsOf.joinForward]] /
+  * [[AsOf.joinNearest]] (each optionally toleranced), carried through
+  * analysis as a first-class plan node, then lowered by the injected
+  * optimizer rule [[RewriteGraftAsOfJoin]] (registered in
+  * `graft.GraftExtensions`) into the same single-shuffle union+window form
+  * as the `Joins.join_asof*` DSL twins.
   *
   * Why a logical node + `Rule[LogicalPlan]` and NOT a custom `SparkPlan`:
   * the lowering is expressible entirely in relational operators Spark
@@ -26,7 +28,17 @@ import org.apache.spark.sql.graftbridge.Bridge
   * Contract: the build side must be unique per (key, ts) — pre-aggregate it
   * (ties at equal ts would otherwise make "latest" nondeterministic).
   * Output: every probe column, then each build payload column (nullable),
-  * then the matched build timestamp as `asof_ts`.
+  * then the matched build timestamp as `asof_ts`. Chaining: to use an
+  * as-of output as a new PROBE side, rename its `asof_ts` column first —
+  * the name is re-minted by every as-of node.
+  *
+  * @param direction "backward" (latest build row at-or-before probe ts),
+  *                  "forward" (earliest at-or-after), or "nearest"
+  *                  (closest in either direction, ties to backward)
+  * @param tolerance optional SQL interval text (e.g. "INTERVAL 1 HOUR");
+  *                  a candidate farther than this from the probe ts is
+  *                  discarded (nulled), not carried — the guard against
+  *                  joining stale state
   */
 case class GraftAsOfJoin(
     left: LogicalPlan,
@@ -35,6 +47,8 @@ case class GraftAsOfJoin(
     probeTs: String,
     buildKey: String,
     buildTs: String,
+    direction: String,
+    tolerance: Option[String],
     outputAttrs: Seq[Attribute]) extends BinaryNode {
 
   override def output: Seq[Attribute] = outputAttrs
@@ -64,7 +78,28 @@ case class GraftAsOfJoin(
 object AsOf {
   def joinBackward(probe: DataFrame, build: DataFrame,
       probeKey: String, probeTs: String,
-      buildKey: String, buildTs: String): DataFrame = {
+      buildKey: String, buildTs: String,
+      tolerance: Option[String] = None): DataFrame =
+    join(probe, build, probeKey, probeTs, buildKey, buildTs, "backward", tolerance)
+
+  def joinForward(probe: DataFrame, build: DataFrame,
+      probeKey: String, probeTs: String,
+      buildKey: String, buildTs: String,
+      tolerance: Option[String] = None): DataFrame =
+    join(probe, build, probeKey, probeTs, buildKey, buildTs, "forward", tolerance)
+
+  def joinNearest(probe: DataFrame, build: DataFrame,
+      probeKey: String, probeTs: String,
+      buildKey: String, buildTs: String,
+      tolerance: Option[String] = None): DataFrame =
+    join(probe, build, probeKey, probeTs, buildKey, buildTs, "nearest", tolerance)
+
+  def join(probe: DataFrame, build: DataFrame,
+      probeKey: String, probeTs: String,
+      buildKey: String, buildTs: String,
+      direction: String, tolerance: Option[String]): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown as-of direction $direction")
     val lp = Bridge.planOf(probe)
     val rp = Bridge.planOf(build)
     def requireCol(side: LogicalPlan, name: String, which: String): Unit =
@@ -74,12 +109,15 @@ object AsOf {
     val payload = rp.output.filterNot(a => a.name == buildKey || a.name == buildTs)
     require(payload.map(_.name).toSet.intersect(lp.output.map(_.name).toSet).isEmpty,
       "build payload column names must not clash with probe columns")
-    // "asof_ts" is reserved too: it is the minted output column, and a build
-    // payload with that name would make the lowering's struct carry two
-    // "asof_ts" fields — failing late with an ambiguous getField instead of
-    // here at construction.
-    val reserved = Set("__is_probe", "__asof_ts", "__match", "asof_ts")
-    require((lp.output ++ rp.output).forall(a => !reserved(a.name)),
+    // Reserved names are checked on the columns the lowering actually
+    // touches — probe columns and the build PAYLOAD. The internal tags
+    // would collide in the tagged-union frame; "asof_ts" is the minted
+    // output column, so a probe or payload column with that name would
+    // duplicate it (a build key/ts column named asof_ts is fine — both are
+    // excluded from the payload). Chained as-of joins must rename the
+    // previous output's asof_ts before using it as a probe.
+    val reserved = Set("__is_probe", "__match", "__mb", "__mf", "asof_ts")
+    require((lp.output ++ payload).forall(a => !reserved(a.name)),
       s"column names ${reserved.mkString("/")} are reserved by the as-of lowering")
     val buildTsAttr = rp.output.find(_.name == buildTs)
       .getOrElse(throw new IllegalArgumentException(s"no $buildTs in build side"))
@@ -88,14 +126,20 @@ object AsOf {
         payload.map(a => AttributeReference(a.name, a.dataType, nullable = true)()) :+
         AttributeReference("asof_ts", buildTsAttr.dataType, nullable = true)()
     Bridge.ofRows(probe.sparkSession,
-      GraftAsOfJoin(lp, rp, probeKey, probeTs, buildKey, buildTs, outs))
+      GraftAsOfJoin(lp, rp, probeKey, probeTs, buildKey, buildTs,
+        direction, tolerance, outs))
   }
 }
 
-/** Lowers [[GraftAsOfJoin]] to the tagged-union + running-`last` window
-  * rewrite: ONE shuffle on the key, linear window state, no range
-  * explosion — the as-of shape that survives 100 TB. Build rows sort
-  * before probe rows at equal ts, giving inclusive `<=` semantics.
+/** Lowers [[GraftAsOfJoin]] to the tagged-union + window rewrite: ONE
+  * shuffle on the key, linear window state, no range explosion — the as-of
+  * shape that survives 100 TB. Backward runs `last(ignoreNulls)` over the
+  * preceding frame with build rows sorting before probes at equal ts
+  * (inclusive `<=`); forward runs `first(ignoreNulls)` over the following
+  * frame with probes sorting first (inclusive `>=`); nearest computes both
+  * candidates over the SAME partitioning (a second SortExec but still a
+  * single Exchange) and picks by interval distance, ties to backward.
+  * Tolerance is a post-projection null-out — free at any scale.
   */
 case class RewriteGraftAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -113,9 +157,10 @@ case class RewriteGraftAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     val probeSchema = probe.schema
 
     // the matched build row travels as ONE struct, carried atomically by a
-    // single last(ignoreNulls) — carrying payload columns independently
-    // would let a NULL payload value in the matched row be replaced by a
-    // stale value from an older build row (mixing columns across rows)
+    // single last/first(ignoreNulls) — carrying payload columns
+    // independently would let a NULL payload value in the matched row be
+    // replaced by a stale value from an older build row (mixing columns
+    // across rows)
     val matchType = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(
         "asof_ts", buildSchema(j.buildTs).dataType) +:
@@ -124,7 +169,7 @@ case class RewriteGraftAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // common union schema: probe cols (typed nulls on build rows), the
     // build-row struct (null on probe rows), and the probe/build tag that
-    // makes equal-ts ordering inclusive
+    // makes equal-ts ordering inclusive in either direction
     val pTagged = probe.select(
       probeCols.map(col) ++ Seq(
         lit(null).cast(matchType).as("__match"),
@@ -138,11 +183,59 @@ case class RewriteGraftAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         struct(col(j.buildTs).as("asof_ts") +: payload.map(col): _*).as("__match"),
         lit(0).as("__is_probe")): _*)
 
-    val w = Window.partitionBy(col(j.probeKey))
+    // backward frame: build rows (tag 0) sort BEFORE probes at equal ts
+    val wB = Window.partitionBy(col(j.probeKey))
       .orderBy(col(j.probeTs), col("__is_probe"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val lowered = pTagged.unionByName(bTagged)
-      .withColumn("__match", last(col("__match"), ignoreNulls = true).over(w))
+    // forward frame: probes (tag 1) sort BEFORE build rows at equal ts
+    val wF = Window.partitionBy(col(j.probeKey))
+      .orderBy(col(j.probeTs), col("__is_probe").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val tol = j.tolerance.map(expr)
+    // null the whole candidate struct when its ts is farther than the
+    // tolerance from the probe ts (direction-appropriate side). Phrased as
+    // distance <= tolerance, NOT ts ± tolerance: this rule runs after the
+    // optimizer's ReplaceExpressions batch, so a `timestamp - interval`
+    // built here would survive as an un-replaced RuntimeReplaceable and
+    // fail codegen; `timestamp - timestamp` lowers directly to
+    // SubtractTimestamps (codegen-able), and the day-time interval it
+    // yields compares fine against an interval literal.
+    def guard(m: Column, forward: Boolean): Column = tol match {
+      case None => m
+      case Some(t) =>
+        val mts = m.getField("asof_ts")
+        val dist = if (forward) mts - col(j.probeTs) else col(j.probeTs) - mts
+        when(m.isNotNull && dist <= t, m)
+    }
+
+    val union = pTagged.unionByName(bTagged)
+    val matched = j.direction match {
+      case "backward" =>
+        union.withColumn("__match",
+          guard(last(col("__match"), ignoreNulls = true).over(wB), forward = false))
+      case "forward" =>
+        union.withColumn("__match",
+          guard(first(col("__match"), ignoreNulls = true).over(wF), forward = true))
+      case "nearest" =>
+        // distances compared as NTZ-subtraction intervals (day-time
+        // interval is orderable) — no cast through TIMESTAMP, so the
+        // tie-break cannot shift under a non-UTC session time zone
+        val withBoth = union
+          .withColumn("__mb",
+            guard(last(col("__match"), ignoreNulls = true).over(wB), forward = false))
+          .withColumn("__mf",
+            guard(first(col("__match"), ignoreNulls = true).over(wF), forward = true))
+        val bts = col("__mb").getField("asof_ts")
+        val fts = col("__mf").getField("asof_ts")
+        val pickB = col("__mf").isNull ||
+          (col("__mb").isNotNull &&
+            (col(j.probeTs) - bts) <= (fts - col(j.probeTs)))
+        withBoth
+          .withColumn("__match", when(pickB, col("__mb")).otherwise(col("__mf")))
+          .drop("__mb", "__mf")
+    }
+    val lowered = matched
       .filter(col("__is_probe") === 1)
       .select(probeCols.map(col) ++
         payload.map(p => col("__match").getField(p).as(p)) :+

@@ -19,8 +19,10 @@ object MinHash {
   /** Large prime modulus for the affine hash family. */
   val P: Long = 2038074743L
 
-  /** Deterministic seed pairs (a_j, b_j), j = 0..k-1. */
-  private def seeds(k: Int): Seq[(Long, Long)] =
+  /** Deterministic seed pairs (a_j, b_j), j = 0..k-1. Public so the DuckDB
+    * oracle for the portable family can inline the same literals.
+    */
+  def seeds(k: Int): Seq[(Long, Long)] =
     (0 until k).map { j =>
       val a = (1103515245L * (j + 1) + 12345L) % P
       val b = (69069L * (j + 7) + 1234567L) % P
@@ -90,24 +92,69 @@ object MinHash {
     }: _*)
   }
 
+  // ---------------------------------------------------------------------
+  // Portable hash family: every step is plain integer arithmetic over
+  // character codes, so a DuckDB oracle can recompute the ENTIRE pipeline
+  // (token hash → shingle hash → signature → band key → candidate pairs)
+  // bit-for-bit. Collisions are slightly more likely than crc32/xxhash64
+  // (band space is mod P ≈ 2^31, not 2^64) but collisions only add
+  // low-jaccard candidates that the est_jaccard filter drops IDENTICALLY
+  // in both engines — determinism, not collision-freedom, is what the
+  // correctness gate needs. The crc32/xxhash64 family above remains for
+  // callers that want the cheapest codegen'd hashes and no oracle.
+  // ---------------------------------------------------------------------
+
+  /** Portable per-token hashes: fold of character codes,
+    * `h = fold(acc * 131 + code) mod P` — the same fold `list_reduce`
+    * expresses in DuckDB. Empty tokens hash to 0 (the fold's zero) on both
+    * engines; the `length >= 1` guard dodges Spark's descending
+    * `sequence(1, 0)` surprise.
+    */
+  def portableTokenHashes(text: Column): Column =
+    transform(split(text, " "), t =>
+      aggregate(
+        when(length(t) >= 1,
+          transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")))
+          .otherwise(array().cast("array<bigint>")),
+        lit(0L),
+        (acc, c) => (acc * 131L + c) % P))
+
+  /** Portable LSH band keys: polynomial fold of the band's signature rows
+    * seeded by the band id, `fold(acc * 1000003 + v) mod P` (acc < P, so
+    * the product stays < 2^51 — no overflow).
+    */
+  def portableBandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        aggregate(slice(sig, b * r + 1, r), lit(b.toLong),
+          (acc, v) => (acc * 1000003L + v) % P).as("band_hash"))
+    }: _*)
+  }
+
   /** Candidate near-duplicate pairs with estimated Jaccard (fraction of
     * agreeing signature positions). `df` must carry (`idCol`, `textCol`).
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, bands: Int = 8, minEstJaccard: Double = 0.2): DataFrame = {
+      k: Int = 16, bands: Int = 8, minEstJaccard: Double = 0.2,
+      portable: Boolean = false): DataFrame = {
     // Each stage aliases its result before the next references it many
     // times: HOF expressions are codegen-fallback, so a nested
     // bandKeys(signature(shingles(...))) tree would re-evaluate the shingle
     // computation once PER REFERENCE (~k·bands× per row). CollapseProject
     // keeps multi-referenced non-trivial aliases materialized, making each
     // level a single evaluation. (Measured: 210s → ~2s at sf0.1.)
-    val crcs = df.select(col(idCol).as("doc"), tokenCrcs(col(textCol)).as("crcs"))
+    val tokHash = if (portable) portableTokenHashes(col(textCol))
+                  else tokenCrcs(col(textCol))
+    val crcs = df.select(col(idCol).as("doc"), tokHash.as("crcs"))
     val sh = crcs.select(col("doc"), shingleHashes(col("crcs")).as("sh"))
     val sigs = sh.select(col("doc"), signatureFromHashes(col("sh"), k).as("sig"))
       .persist() // reused by both join sides + signature re-attachment
     try {
+      val bk = if (portable) portableBandKeys(col("sig"), k, bands)
+               else bandKeys(col("sig"), k, bands)
       val exploded = sigs
-        .select(col("doc"), explode(bandKeys(col("sig"), k, bands)).as("b"))
+        .select(col("doc"), explode(bk).as("b"))
         .select(col("doc"), col("b.band_id"), col("b.band_hash"))
       // pair on ids only — signatures re-attach after pair dedup, so the
       // band shuffle carries 3 longs per row, not 2·k-wide arrays

@@ -102,4 +102,85 @@ class AsOfExtensionSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Shared random-input harness for the direction/tolerance variants: the
+    * plain-Scala reference picks the candidate per the declared semantics
+    * (inclusive bounds, nearest ties to backward, tolerance discards).
+    */
+  private def variantProperty(
+      direction: String, tolerance: Option[Long], seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    for (round <- 1 to 3) {
+      val nKeys = 5
+      val probes = (1 to 120).map(i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong))
+      val builds = (1 to 150).map(_ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong))
+        .distinct.map { case (u, ts) => (u, ts, s"v$u-$ts") }
+      def backOf(u: Long, t: Long) = builds
+        .filter(b => b._1 == u && b._2 <= t &&
+          tolerance.forall(tol => b._2 >= t - tol))
+        .sortBy(_._2).lastOption
+      def fwdOf(u: Long, t: Long) = builds
+        .filter(b => b._1 == u && b._2 >= t &&
+          tolerance.forall(tol => b._2 <= t + tol))
+        .sortBy(_._2).headOption
+      val expected = probes.map { case (pid, u, t) =>
+        val m = direction match {
+          case "backward" => backOf(u, t)
+          case "forward" => fwdOf(u, t)
+          case "nearest" =>
+            (backOf(u, t), fwdOf(u, t)) match {
+              case (Some(b), Some(f)) =>
+                if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+              case (b, f) => b.orElse(f)
+            }
+        }
+        pid -> ((m.map(_._3), m.map(_._2)))
+      }.toMap
+      val got = plans.AsOf.join(
+          probes.toDF("pid", "uid", "t"), builds.toDF("user", "at", "tag"),
+          "uid", "t", "user", "at", direction, tolerance.map(_.toString))
+        .collect()
+        .map(r => r.getLong(0) -> (Option(r.getAs[String]("tag")),
+          Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue)))
+        .toMap
+      probes.foreach { case (pid, _, _) =>
+        assert(got(pid) === expected(pid),
+          s"$direction/tol=$tolerance round $round probe $pid: " +
+            s"got ${got(pid)}, want ${expected(pid)}")
+      }
+    }
+  }
+
+  test("property: forward lowering agrees with a plain-Scala reference") {
+    variantProperty("forward", None, seed = 31)
+  }
+
+  test("property: nearest lowering agrees with a plain-Scala reference") {
+    variantProperty("nearest", None, seed = 53)
+  }
+
+  test("property: toleranced backward/forward/nearest agree with the reference") {
+    variantProperty("backward", Some(7L), seed = 71)
+    variantProperty("forward", Some(7L), seed = 89)
+    variantProperty("nearest", Some(7L), seed = 101)
+  }
+
+  test("build ts column named asof_ts is accepted (excluded from payload)") {
+    // ADVICE r4: the reserved-name guard must not reject a build side whose
+    // TS column is itself asof_ts — it never reaches the payload
+    val b = build.withColumnRenamed("at", "asof_ts")
+    val out = plans.AsOf.joinBackward(probe, b, "uid", "t", "user", "asof_ts")
+      .orderBy(col("pid")).collect()
+    assert(out.length === 3)
+    assert(Option(out(0).getAs[java.lang.Long]("asof_ts")).map(_.longValue) === Some(100L))
+  }
+
+  test("probe column named asof_ts is still rejected (chaining requires rename)") {
+    val p = probe.withColumnRenamed("t", "asof_ts")
+    assertThrows[IllegalArgumentException] {
+      plans.AsOf.joinBackward(p, build, "uid", "asof_ts", "user", "at")
+    }
+  }
 }

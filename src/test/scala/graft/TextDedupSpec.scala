@@ -38,6 +38,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 5L)) && !pairs.contains((3L, 5L)))
   }
 
+  test("portable family: same qualitative behavior as the crc32 family") {
+    // exact dup at jaccard 1.0, near-dup found high, disjoint never paired
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text",
+        minEstJaccard = 0.05, portable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 3L && b == 4L && j == 1.0 })
+    val nd = pairs.find { case (a, b, _) => a == 1L && b == 2L }
+    assert(nd.isDefined && nd.get._3 >= 0.5)
+    assert(!pairs.exists { case (a, b, _) => (a, b) == ((1L, 5L)) || (a, b) == ((3L, 5L)) })
+  }
+
+  test("portable token hashes: deterministic, empty token folds to 0, all < P") {
+    val hs = Seq((1L, "abc  def")).toDF("doc_id", "text")
+      .select(MinHash.portableTokenHashes(col("text")).as("hs"))
+      .head.getSeq[Long](0)
+    assert(hs.length === 3)      // "abc", "" (double space), "def"
+    assert(hs(1) === 0L)         // empty token = fold zero
+    assert(hs.forall(h => h >= 0 && h < MinHash.P))
+    // reference fold for "abc": ((0*131+97)*131+98)*131+99 mod P
+    val ref = "abc".foldLeft(0L)((acc, c) => (acc * 131 + c) % MinHash.P)
+    assert(hs(0) === ref)
+  }
+
   test("signatures are deterministic across evaluations") {
     val s1 = docs.select(MinHash.signature(MinHash.shingles(col("text"))).as("sig")).collect()
     val s2 = docs.select(MinHash.signature(MinHash.shingles(col("text"))).as("sig")).collect()

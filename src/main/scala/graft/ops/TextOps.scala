@@ -81,6 +81,55 @@ object TextOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB mirror of the PORTABLE SimHash pipeline (62-bit fingerprints,
+    * 7 bands, hamming ≤ 6): token hashes are the same two character folds
+    * concatenated `hi·2^31 + lo`, the fingerprint the same per-bit
+    * majority vote (strict `> 0` on the ±1 sum, i.e. `2·ones > n`), band
+    * masks/offsets the same widths-differ-by-one split — so the candidate
+    * set and Hamming distances match exactly.
+    */
+  private def simhashOracleSql: String = {
+    val P = MinHash.P
+    def fold(m: Long) =
+      s"""list_reduce(
+         |             list_prepend(CAST(0 AS BIGINT),
+         |               list_transform(generate_series(1, length(t)),
+         |                 i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+         |             (acc, c) -> (acc * $m + c) % $P)""".stripMargin
+    val bits = SimHash.PortableBits
+    val bitTerms = (0 until bits).map { b =>
+      s"(CASE WHEN sum(2 * ((h >> $b) & 1) - 1) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" +\n         ")
+    val base = bits / SimHash.NBands
+    val extra = bits % SimHash.NBands
+    val widths = (0 until SimHash.NBands).map(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val offsetList = offsets.init.mkString("[", ", ", "]")
+    val maskList = widths.map(w => (1L << w) - 1).mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(string_split(text, ' '), t ->
+       |           (${fold(137)}) * ${1L << 31} +
+       |           (${fold(131)}))) AS h
+       |  FROM documents),
+       |fp AS (
+       |  SELECT doc_id,
+       |         $bitTerms AS fp
+       |  FROM tok GROUP BY doc_id),
+       |bandrows AS (
+       |  SELECT doc_id, fp, j AS band_id,
+       |         (fp >> $offsetList[j+1]) & $maskList[j+1] AS band
+       |  FROM fp, range(0, ${SimHash.NBands}) t(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |  FROM bandrows a JOIN bandrows b
+       |    ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM cand
+       |WHERE hamming <= ${SimHash.GuaranteedHamming}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
     Q(
       "text_exact_dedup",
@@ -115,22 +164,25 @@ object TextOps {
     ),
     Q(
       "text_neardup_simhash",
-      // SimHash fingerprints + banded candidate pairs with Hamming distance.
-      // Fingerprint is the native codegen'd expression (one fused per-row
-      // loop, zero shuffles — see graft.functions.SimHashFingerprint);
-      // pairing buckets on 7 bit-bands of the 64-bit fingerprint, which by
-      // pigeonhole guarantees FULL recall at hamming ≤ 6 (k+1 bands cover
-      // distance ≤ k — two halves would only cover d ≤ 1) while each
-      // 9–10-bit band still blocks into ~1k buckets.
-      // No cache: with the native expression the fingerprint scan is ~0.2 s
-      // at sf0.1, cheaper than the persist + checkpoint machinery it would
-      // take to avoid computing it on each join side.
+      // SimHash fingerprints + banded candidate pairs with Hamming distance,
+      // fully DuckDB-oracled (r6) via the PORTABLE hash family: 62-bit token
+      // hashes from two character folds (SimHash.portableTokenHashes), the
+      // one-pass explode+HashAggregate vote (SimHash.fingerprints — the
+      // scale path: shuffle carries 31 packed lane-sums per (doc×partition),
+      // never token arrays), then 7 bit-bands which by pigeonhole guarantee
+      // FULL recall at hamming ≤ 6 (k+1 bands cover distance ≤ k) while
+      // each 8–9-bit band still blocks into 256–512 buckets. The oracle
+      // replays token-fold → per-bit majority vote → band buckets → Hamming
+      // pairs bit-for-bit. The 64-bit xxhash64/native-expression family
+      // (graft.functions.SimHashFingerprint) remains the cheapest-codegen
+      // path and stays spec-pinned in TextDedupSpec.
       (s, dir) => {
-        val fp = Tables(s, dir, "documents")
-          .select(col("doc_id"), SimHash.tokenHashes(col("text")).as("hs"))
-          .select(col("doc_id"),
-            graft.functions.SimHashFingerprint(s, col("hs")).as("fp"))
-        val ex = fp.select(col("doc_id"), col("fp"), explode(SimHash.bands(col("fp"))).as("h"))
+        val fp = SimHash.fingerprints(Tables(s, dir, "documents"),
+            "doc_id", "text", bits = SimHash.PortableBits,
+            hashFn = SimHash.portableTokenHashes)
+          .withColumnRenamed("doc", "doc_id")
+        val ex = fp.select(col("doc_id"), col("fp"),
+            explode(SimHash.bands(col("fp"), SimHash.NBands, SimHash.PortableBits)).as("h"))
           .select(col("doc_id"), col("fp"), col("h.band_id"), col("h.band"))
         val a = ex.select(col("band_id"), col("band"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
         val b = ex.select(col("band_id"), col("band"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
@@ -141,7 +193,7 @@ object TextOps {
           .filter(col("hamming") <= SimHash.GuaranteedHamming)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      None
+      Some(simhashOracleSql)
     ),
     Q(
       "text_ngram_jaccard",

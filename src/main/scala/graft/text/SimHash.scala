@@ -27,6 +27,13 @@ object SimHash {
 
   val Bits = 64
 
+  /** Fingerprint width of the PORTABLE family (see [[portableTokenHashes]]):
+    * two 31-bit character folds concatenated give a 62-bit token hash, so
+    * votes exist for bits 0..61 only. 62 = 2·31 keeps the SWAR lane packing
+    * in [[fingerprints]] intact (31 packed sums of 2 lanes).
+    */
+  val PortableBits = 62
+
   /** Max Hamming distance with guaranteed candidate recall under the
     * default banding (`NBands` − 1, by pigeonhole).
     */
@@ -41,6 +48,27 @@ object SimHash {
     */
   def tokenHashes(text: Column): Column =
     transform(split(text, " "), t => xxhash64(t))
+
+  /** Portable per-token 62-bit hashes: two independent character folds
+    * `fold(acc·m + code) mod P` (m = 137 for the high half, 131 for the
+    * low), concatenated as `hi·2^31 + lo` — every step is plain integer
+    * arithmetic a DuckDB oracle replays bit-for-bit (the same fold family
+    * proven on MinHash, `MinHash.portableTokenHashes`). Values stay
+    * < P·2^31 + P < 2^62, so no overflow on either engine (DuckDB BIGINT
+    * errors on overflow rather than wrapping). Slightly weaker diffusion
+    * than xxhash64 per bit, but SimHash only needs per-bit vote balance,
+    * and the fold's low bits mix every character.
+    */
+  def portableTokenHashes(text: Column): Column = {
+    def fold(t: Column, m: Long): Column =
+      aggregate(
+        when(length(t) >= 1,
+          transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")))
+          .otherwise(array().cast("array<bigint>")),
+        lit(0L),
+        (acc, c) => (acc * m + c) % MinHash.P)
+    transform(split(text, " "), t => fold(t, 137L) * (1L << 31) + fold(t, 131L))
+  }
 
   /** 64-bit SimHash of a pre-hashed token array ([[tokenHashes]]), as a
     * long. One statically-unrolled aggregate per bit; disjoint bit values
@@ -73,7 +101,9 @@ object SimHash {
     * longs per (doc × partition). Measured ~10× cheaper at sf0.1.
     */
   def fingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String): org.apache.spark.sql.DataFrame = {
+      textCol: String, bits: Int = Bits,
+      hashFn: Column => Column = tokenHashes): org.apache.spark.sql.DataFrame = {
+    require(bits % 2 == 0, s"bits must be even for 2-lane packing: $bits")
     // SWAR lane packing: 2 bit-counters per aggregate long (32-bit lanes),
     // so the HashAggregate keeps 32 buffers instead of 64 — smaller
     // generated code (cold janino compile was the dominant cost) and the
@@ -85,9 +115,9 @@ object SimHash {
     // `bitSum > 0` is equivalent to `2·ones > n`.
     val lanes = 2
     val laneBits = 32
-    val nSums = Bits / lanes
+    val nSums = bits / lanes
     val tok = df.select(col(idCol).as("doc"),
-      explode_outer(tokenHashes(col(textCol))).as("h"))
+      explode_outer(hashFn(col(textCol))).as("h"))
     val packed = (0 until nSums).map { g =>
       val e = (0 until lanes).map { j =>
         shiftleft(shiftright(col("h"), g * lanes + j).bitwiseAND(1), laneBits * j)
@@ -106,7 +136,7 @@ object SimHash {
       // array — keep the two forms bit-for-bit interchangeable on nulls too
       .select(col("doc"), when(col("n") === 0, lit(null).cast("long"))
         .otherwise(expr(
-          s"""aggregate(sequence(0, ${Bits - 1}), 0L, (acc, b) -> acc +
+          s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) -> acc +
              |  IF((shiftright(element_at(arr, cast(b div $lanes as int) + 1),
              |                 cast((b % $lanes) * $laneBits as int))
              |      & ${(1L << laneBits) - 1}L) * 2 > n,
@@ -117,9 +147,9 @@ object SimHash {
     * differ by at most one, e.g. 64 bits / 7 bands → 10,9,9,9,9,9,9). A
     * pair within Hamming distance n−1 is guaranteed to collide on ≥ 1 band.
     */
-  def bands(fp: Column, n: Int = NBands): Column = {
-    val base = Bits / n
-    val extra = Bits % n // first `extra` bands get one more bit
+  def bands(fp: Column, n: Int = NBands, bits: Int = Bits): Column = {
+    val base = bits / n
+    val extra = bits % n // first `extra` bands get one more bit
     val widths = (0 until n).map(i => if (i < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
     array((0 until n).map { i =>

@@ -157,6 +157,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.filter(col("shared") < 1).count() === 0L)
   }
 
+  test("portable simhash: 62-bit fps, identical docs collide, near-dups within threshold") {
+    val fps = SimHash.fingerprints(docs, "doc_id", "text",
+        bits = SimHash.PortableBits, hashFn = SimHash.portableTokenHashes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 62-bit family: all fingerprints are non-negative and < 2^62
+    fps.values.foreach(fp => assert(fp >= 0L && fp < (1L << SimHash.PortableBits)))
+    assert(fps(3L) === fps(4L), "identical docs must share a fingerprint")
+    val hammingNear = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val hammingFar = java.lang.Long.bitCount(fps(1L) ^ fps(5L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("portable token hash matches the reference character fold") {
+    val hs = Seq(Tuple1("abc")).toDF("text")
+      .select(SimHash.portableTokenHashes(col("text")).as("hs"))
+      .head.getSeq[Long](0)
+    def fold(m: Long) = "abc".foldLeft(0L)((acc, c) => (acc * m + c) % MinHash.P)
+    assert(hs(0) === fold(137) * (1L << 31) + fold(131))
+  }
+
+  test("portable banding: full recall at hamming <= 6 over 62 bits") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 200).map { _ =>
+      val base = rnd.nextLong() & ((1L << SimHash.PortableBits) - 1)
+      val flips = rnd.shuffle((0 until SimHash.PortableBits).toList).take(6)
+      (base, flips.foldLeft(base)((f, b) => f ^ (1L << b)))
+    }
+    val df = pairs.toDF("fp_a", "fp_b")
+      .select(
+        SimHash.bands(col("fp_a"), SimHash.NBands, SimHash.PortableBits).as("ba"),
+        SimHash.bands(col("fp_b"), SimHash.NBands, SimHash.PortableBits).as("bb"))
+      .select(size(array_intersect(col("ba"), col("bb"))).as("shared"))
+    assert(df.filter(col("shared") < 1).count() === 0L)
+  }
+
   test("simhash band widths cover all fingerprint bits exactly once") {
     // reconstruct the fingerprint from its bands: OR of band << offset
     val fp = 0xDEADBEEFL

@@ -230,6 +230,94 @@ object Cdc {
               |       action, in_base, count(*) AS n
               |FROM cls GROUP BY action, in_base
               |ORDER BY kind""".stripMargin)
+    ),
+    Q(
+      "pipeline_dap_replica",
+      // The reference's E1/E2 lifecycle END-TO-END as one row (SURVEY.md
+      // §3.1): the change feed is serialized into three gzip JSONL envelope
+      // batches ({key,value,meta} — the DAP wire shape), then a poll loop
+      // replays them: read envelope → flatten → gate on the persisted
+      // cursor (only rows past the last-synced position) → Merge.applyDelta
+      // → LAND the replica to parquet → cursor.advance. Batch 1 is
+      // delivered TWICE: the cursor gate makes the re-delivery a no-op, the
+      // crash-recovery contract (advance only after land) the whole design
+      // hinges on. Final answer = snapshot view of the last landed replica,
+      // so the oracle (one-shot window fold of the whole feed) checks the
+      // COMPOSED semantics: envelope round-trip, cursor arithmetic,
+      // incremental fold, tombstone handling.
+      // Scale: each iteration is one keyed shuffle of state∪delta (state
+      // side pre-bucketed at real scale); landing truncates lineage so N
+      // polls never stack N windows; driver touches two scalars per batch
+      // (cursor position, batch max-ts) — never data.
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val scratch = graft.util.tempDir("graft_dap_")
+        val cursor = new graft.cdc.Cursor(s"$scratch/cursor")
+        // micros since epoch carried IN the envelope meta — integers
+        // round-trip JSON exactly; ts_ns div 1000 matches Tables.events'
+        // micro truncation so the rebuilt ts equals the oracle's
+        val feed = Tables.events(s, dir).select(
+          col("user_id"),
+          expr("ts_ns div 1000").as("ts_us"),
+          when(col("event_type") === "error", "D").otherwise("U").as("action"),
+          col("value"),
+          col("event_id"))
+        def us(date: String): Long =
+          java.time.LocalDate.parse(date).atStartOfDay
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        val (t1, t2) = (us("2024-01-10"), us("2024-01-20"))
+        val cuts = Seq(
+          feed.filter(col("ts_us") < t1),
+          feed.filter(col("ts_us") >= t1 && col("ts_us") < t2),
+          feed.filter(col("ts_us") >= t2))
+        cuts.zipWithIndex.foreach { case (b, i) =>
+          b.select(to_json(struct(
+              struct(col("user_id")).as("key"),
+              struct(col("value"), col("event_id")).as("value"),
+              struct(col("action"), col("ts_us")).as("meta"))).as("line"))
+            .write.mode("overwrite").option("compression", "gzip")
+            .text(s"$scratch/batch=$i")
+        }
+        val envelope = StructType(Seq(
+          StructField("key", StructType(Seq(StructField("user_id", LongType)))),
+          StructField("value", StructType(Seq(
+            StructField("value", DoubleType),
+            StructField("event_id", LongType)))),
+          StructField("meta", StructType(Seq(
+            StructField("action", StringType),
+            StructField("ts_us", LongType))))))
+        val stateSchema = StructType(Seq(
+          StructField("user_id", LongType), StructField("ts", TimestampNTZType),
+          StructField("action", StringType), StructField("value", DoubleType),
+          StructField("event_id", LongType)))
+        var state = s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row], stateSchema)
+        // poll sequence with batch 1 re-delivered (crash between land and
+        // the NEXT pull re-pulls the same files)
+        Seq(0, 1, 1, 2).zipWithIndex.foreach { case (b, gen) =>
+          val since = cursor.read().getOrElse(Long.MinValue)
+          val delta = s.read.schema(envelope).json(s"$scratch/batch=$b")
+            .select(col("key.user_id"), col("meta.ts_us"), col("meta.action"),
+              col("value.value"), col("value.event_id"))
+            .filter(col("ts_us") > since)
+          val hi = delta.agg(max(col("ts_us"))).head.get(0)
+          if (hi != null) { // empty re-delivery: nothing new, loop sleeps
+            val next = Merge.applyDelta(state,
+              delta.withColumn("ts",
+                  timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+                .select(stateSchema.fieldNames.map(col).toIndexedSeq: _*),
+              Seq("user_id"), "ts", "event_id")
+            next.write.mode("overwrite").parquet(s"$scratch/replica/gen=$gen")
+            // advance ONLY after the replica landed — a crash above re-pulls
+            cursor.advance(hi.asInstanceOf[Long])
+            state = s.read.parquet(s"$scratch/replica/gen=$gen")
+          }
+        }
+        Merge.snapshot(state)
+          .select(col("user_id"), col("ts"), col("action"), col("value"), col("event_id"))
+          .orderBy(col("user_id"))
+      },
+      Some(foldSql("TRUE") + "\nORDER BY user_id")
     )
   )
 }

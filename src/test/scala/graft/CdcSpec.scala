@@ -84,4 +84,41 @@ class CdcSpec extends AnyFunSuite {
     val after = Merge.applyDelta(state, base.limit(0), Seq("user_id"), "ts", "event_id")
     assert(state.collect().toSet === after.collect().toSet)
   }
+
+  test("restart idempotence: crash between land and cursor advance re-pulls safely") {
+    // the pipeline_dap_replica contract: cursor advances ONLY after the
+    // replica lands. Simulate the crash window — batch applied and landed,
+    // process dies BEFORE advance, restart re-pulls the same batch (cursor
+    // still at the old position) and applies it AGAIN on top of the landed
+    // state. Final snapshot must equal the clean single-delivery run.
+    val dir = graft.util.tempDir("graft_cdc_restart_")
+    val cursor = new graft.cdc.Cursor(s"$dir/cursor")
+    val d1 = base.filter($"event_id" <= 3)
+    val d2 = base.filter($"event_id" > 3)
+
+    // poll 1: clean — land, then advance
+    val s1 = Merge.applyDelta(base.limit(0), d1, Seq("user_id"), "ts", "event_id")
+    s1.write.mode("overwrite").parquet(s"$dir/gen1")
+    cursor.advance(1L)
+
+    // poll 2: d2 lands but the process crashes before advance
+    val landed1 = spark.read.parquet(s"$dir/gen1")
+    Merge.applyDelta(landed1, d2, Seq("user_id"), "ts", "event_id")
+      .write.mode("overwrite").parquet(s"$dir/gen2")
+    assert(cursor.read() === Some(1L), "crash before advance: cursor unchanged")
+
+    // restart: cursor says d2 not yet synced → re-pull d2, apply onto the
+    // ALREADY-APPLIED landed state, land, advance
+    val landed2 = spark.read.parquet(s"$dir/gen2")
+    val recovered = Merge.applyDelta(landed2, d2, Seq("user_id"), "ts", "event_id")
+    recovered.write.mode("overwrite").parquet(s"$dir/gen3")
+    cursor.advance(2L)
+
+    val clean = Merge.fold(base, Seq("user_id"), "ts", "event_id")
+      .select("user_id", "value", "event_id").as[(Long, Double, Long)].collect().toSet
+    val rec = Merge.snapshot(spark.read.parquet(s"$dir/gen3"))
+      .select("user_id", "value", "event_id").as[(Long, Double, Long)].collect().toSet
+    assert(rec === clean)
+    assert(cursor.read() === Some(2L))
+  }
 }

@@ -43,9 +43,9 @@ import org.apache.spark.sql.graftbridge.Bridge
 case class GraftAsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    probeKey: String,
+    probeKeys: Seq[String],
     probeTs: String,
-    buildKey: String,
+    buildKeys: Seq[String],
     buildTs: String,
     direction: String,
     tolerance: Option[String],
@@ -80,33 +80,49 @@ object AsOf {
       probeKey: String, probeTs: String,
       buildKey: String, buildTs: String,
       tolerance: Option[String] = None): DataFrame =
-    join(probe, build, probeKey, probeTs, buildKey, buildTs, "backward", tolerance)
+    join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs, "backward", tolerance)
 
   def joinForward(probe: DataFrame, build: DataFrame,
       probeKey: String, probeTs: String,
       buildKey: String, buildTs: String,
       tolerance: Option[String] = None): DataFrame =
-    join(probe, build, probeKey, probeTs, buildKey, buildTs, "forward", tolerance)
+    join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs, "forward", tolerance)
 
   def joinNearest(probe: DataFrame, build: DataFrame,
       probeKey: String, probeTs: String,
       buildKey: String, buildTs: String,
       tolerance: Option[String] = None): DataFrame =
-    join(probe, build, probeKey, probeTs, buildKey, buildTs, "nearest", tolerance)
+    join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs, "nearest", tolerance)
 
   def join(probe: DataFrame, build: DataFrame,
       probeKey: String, probeTs: String,
       buildKey: String, buildTs: String,
+      direction: String, tolerance: Option[String]): DataFrame =
+    join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs,
+      direction, tolerance)
+
+  /** Composite-key form: real CD2-style entity streams key on
+    * (namespace, table, id), not one column — `probeKeys(i)` pairs with
+    * `buildKeys(i)`. The lowering shuffles ONCE on the whole key tuple.
+    */
+  def join(probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], probeTs: String,
+      buildKeys: Seq[String], buildTs: String,
       direction: String, tolerance: Option[String]): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"unknown as-of direction $direction")
+    require(probeKeys.nonEmpty && probeKeys.size == buildKeys.size,
+      s"probe/build key lists must be non-empty and the same length " +
+        s"(got ${probeKeys.size} vs ${buildKeys.size})")
+    require(probeKeys.distinct == probeKeys && buildKeys.distinct == buildKeys,
+      "duplicate column in as-of key list")
     val lp = Bridge.planOf(probe)
     val rp = Bridge.planOf(build)
     def requireCol(side: LogicalPlan, name: String, which: String): Unit =
       require(side.output.exists(_.name == name), s"no column $name in $which side")
-    requireCol(lp, probeKey, "probe"); requireCol(lp, probeTs, "probe")
-    requireCol(rp, buildKey, "build")
-    val payload = rp.output.filterNot(a => a.name == buildKey || a.name == buildTs)
+    probeKeys.foreach(requireCol(lp, _, "probe")); requireCol(lp, probeTs, "probe")
+    buildKeys.foreach(requireCol(rp, _, "build"))
+    val payload = rp.output.filterNot(a => buildKeys.contains(a.name) || a.name == buildTs)
     require(payload.map(_.name).toSet.intersect(lp.output.map(_.name).toSet).isEmpty,
       "build payload column names must not clash with probe columns")
     // Reserved names are checked on the columns the lowering actually
@@ -126,7 +142,7 @@ object AsOf {
         payload.map(a => AttributeReference(a.name, a.dataType, nullable = true)()) :+
         AttributeReference("asof_ts", buildTsAttr.dataType, nullable = true)()
     Bridge.ofRows(probe.sparkSession,
-      GraftAsOfJoin(lp, rp, probeKey, probeTs, buildKey, buildTs,
+      GraftAsOfJoin(lp, rp, probeKeys, probeTs, buildKeys, buildTs,
         direction, tolerance, outs))
   }
 }
@@ -152,7 +168,9 @@ case class RewriteGraftAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
     val build = Bridge.ofRows(spark, j.right)
     val probeCols = j.left.output.map(_.name)
     val payload = j.right.output.map(_.name)
-      .filterNot(n => n == j.buildKey || n == j.buildTs)
+      .filterNot(n => j.buildKeys.contains(n) || n == j.buildTs)
+    // positional pairing: build key i lands in probe key i's column slot
+    val keyForProbeCol = j.probeKeys.zip(j.buildKeys).toMap
     val buildSchema = build.schema
     val probeSchema = probe.schema
 
@@ -176,19 +194,20 @@ case class RewriteGraftAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         lit(1).as("__is_probe")): _*)
     val bTagged = build.select(
       probeCols.map {
-        case n if n == j.probeKey => col(j.buildKey).as(n)
+        case n if keyForProbeCol.contains(n) => col(keyForProbeCol(n)).as(n)
         case n if n == j.probeTs => col(j.buildTs).as(n)
         case n => lit(null).cast(probeSchema(n).dataType).as(n)
       } ++ Seq(
         struct(col(j.buildTs).as("asof_ts") +: payload.map(col): _*).as("__match"),
         lit(0).as("__is_probe")): _*)
 
+    val partKeys = j.probeKeys.map(col)
     // backward frame: build rows (tag 0) sort BEFORE probes at equal ts
-    val wB = Window.partitionBy(col(j.probeKey))
+    val wB = Window.partitionBy(partKeys: _*)
       .orderBy(col(j.probeTs), col("__is_probe"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // forward frame: probes (tag 1) sort BEFORE build rows at equal ts
-    val wF = Window.partitionBy(col(j.probeKey))
+    val wF = Window.partitionBy(partKeys: _*)
       .orderBy(col(j.probeTs), col("__is_probe").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 

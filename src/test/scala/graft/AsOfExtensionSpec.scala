@@ -167,6 +167,50 @@ class AsOfExtensionSpec extends AnyFunSuite {
     variantProperty("nearest", Some(7L), seed = 101)
   }
 
+  test("property: composite-key lowering agrees with a plain-Scala reference") {
+    // 2-part key (ns, uid) with DIFFERENT names on the build side — the
+    // positional pairing must land build key i in probe key i's slot.
+    // Includes cross-key collisions: same uid under different ns must NOT
+    // match (the bug a single-column partition key would produce).
+    val rnd = new scala.util.Random(113)
+    for (round <- 1 to 3) {
+      val probes = (1 to 150).map(i =>
+        (i.toLong, s"ns${rnd.nextInt(3)}", rnd.nextInt(4).toLong,
+          rnd.nextInt(40).toLong))
+      val builds = (1 to 120).map(_ =>
+        (s"ns${rnd.nextInt(3)}", rnd.nextInt(4).toLong, rnd.nextInt(40).toLong))
+        .distinct.map { case (ns, u, ts) => (ns, u, ts, s"$ns/$u@$ts") }
+      val expected = probes.map { case (pid, ns, u, t) =>
+        val m = builds.filter(b => b._1 == ns && b._2 == u && b._3 <= t)
+          .sortBy(_._3).lastOption
+        pid -> ((m.map(_._4), m.map(_._3)))
+      }.toMap
+      val got = plans.AsOf.join(
+          probes.toDF("pid", "pns", "uid", "t"),
+          builds.toDF("bns", "user", "at", "tag"),
+          Seq("pns", "uid"), "t", Seq("bns", "user"), "at", "backward", None)
+        .collect()
+        .map(r => r.getLong(0) -> (Option(r.getAs[String]("tag")),
+          Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue)))
+        .toMap
+      probes.foreach { case (pid, _, _, _) =>
+        assert(got(pid) === expected(pid),
+          s"round $round probe $pid: got ${got(pid)}, want ${expected(pid)}")
+      }
+    }
+  }
+
+  test("composite-key validation: length mismatch and duplicates rejected") {
+    assertThrows[IllegalArgumentException] {
+      plans.AsOf.join(probe, build, Seq("uid", "pid"), "t", Seq("user"), "at",
+        "backward", None)
+    }
+    assertThrows[IllegalArgumentException] {
+      plans.AsOf.join(probe, build, Seq("uid", "uid"), "t", Seq("user", "user"),
+        "at", "backward", None)
+    }
+  }
+
   test("build ts column named asof_ts is accepted (excluded from payload)") {
     // ADVICE r4: the reserved-name guard must not reject a build side whose
     // TS column is itself asof_ts — it never reaches the payload

@@ -610,6 +610,71 @@ object Streaming {
              |       CASE WHEN o_orderkey % 2 = 1
              |            THEN 'note-' || CAST(o_orderkey AS VARCHAR) END AS o_note
              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "stream_restart_recovery",
+      // The reference's actual lifecycle is a POLL LOOP: the process exits
+      // between polls and every run restores from the checkpoint (SURVEY.md
+      // §3.1). Nothing else in the stream tier crosses a process restart,
+      // so this row runs the SAME windowed-agg query as TWO separate
+      // streaming queries sharing one checkpoint: run 1 sees only the early
+      // half of the feed (windowed count+sum under a 10-minute watermark,
+      // append mode, parquet sink), the query STOPS, the late half arrives
+      // as new files, run 2 restarts from the checkpoint. Recovery is
+      // load-bearing three ways, and each failure breaks the oracle hash:
+      // re-reading the early file doubles counts (source offset log),
+      // losing window state undercounts every window spanning the cut
+      // (state restore), and re-emitting run-1 windows duplicates output
+      // rows (sink commit log). Exactly-once across restart = the final
+      // parquet equals one clean batch fold of the whole feed, truncated at
+      // the terminal watermark.
+      (s, dir) => {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val split = stageSplitByTime(s, dir)
+        val streamed = graft.util.tempDir("graft_restart_src_")
+        val ckpt = graft.util.tempDir("graft_restart_ckpt_")
+        val outDir = graft.util.tempDir("graft_restart_out_")
+        def runOnce(): Unit = {
+          val prev = s.conf.get("spark.sql.shuffle.partitions")
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "4")
+            val agg = eventsStream(s, streamed, ntz = false)
+              .withWatermark("ts", "10 minutes")
+              .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+              .agg(count(lit(1)).as("n_events"),
+                sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_cents"))
+              .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+                col("event_type"), col("n_events"), col("sum_cents"))
+            val q = agg.writeStream.outputMode("append").format("parquet")
+              .option("path", outDir).option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
+        // run 1: only the early half exists yet
+        Files.copy(Paths.get(s"$split/events_early.parquet"),
+          Paths.get(s"$streamed/events_early.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        runOnce()
+        // process "restart": the late half lands, same checkpoint
+        Files.copy(Paths.get(s"$split/events_late.parquet"),
+          Paths.get(s"$streamed/events_late.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        runOnce()
+        // the parquet sink's _spark_metadata log scopes this read to
+        // committed files only
+        s.read.parquet(outDir).orderBy(col("hour_start"), col("event_type"))
+      },
+      // one clean fold of the whole feed, truncated at the final watermark:
+      // windows closed below max(ts) − 10min, each event counted ONCE
+      Some("""WITH m AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+             |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events, m
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+             |GROUP BY 1, 2, wm
+             |ORDER BY hour_start, event_type""".stripMargin)
     )
   )
 }

@@ -60,6 +60,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions(2L) === Seq(2L)) // boundary-equal gap merges (inclusive)
   }
 
+  test("restart recovery: window state, source offsets and sink log survive a stop") {
+    // hand-built two-file feed so each recovery property is visible in the
+    // INTERMEDIATE output, not just the end state the oracle certifies:
+    //   early: 10:05, 11:30  → run-1 watermark 11:20 → only w10 emits
+    //   late:  11:45, 13:30  → run-2 spans w11 across the restart
+    import java.nio.file.{Files, Paths}
+    val src = graft.util.tempDir("graft_restart_spec_src_")
+    val ckpt = graft.util.tempDir("graft_restart_spec_ckpt_")
+    val out = graft.util.tempDir("graft_restart_spec_out_")
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val scratch = graft.util.tempDir("graft_restart_spec_scratch_")
+      rows.map { case (id, t) => (id, ts(t).getTime * 1000000L) }
+        .toDF("event_id", "ts")
+        .withColumn("user_id", lit(1L)).withColumn("event_type", lit("e"))
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
+      val listing = Files.list(Paths.get(scratch))
+      val f = try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+              finally listing.close()
+      Files.move(Paths.get(f), Paths.get(s"$src/$name"))
+    }
+    def runOnce(): Unit = {
+      val agg = ops.Streaming.eventsStream(spark, src, ntz = false)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("w"), col("n"))
+      val q = agg.writeStream.outputMode(OutputMode.Append).format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    land("early.parquet", Seq((1L, "2024-01-01 10:05:00"), (2L, "2024-01-01 11:30:00")))
+    runOnce()
+    val after1 = spark.read.parquet(out).select(col("w").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(after1 === Map("2024-01-01 10:00:00" -> 1L),
+      "run 1 must emit only the window closed under max(early) - 10min")
+    land("late.parquet", Seq((3L, "2024-01-01 11:45:00"), (4L, "2024-01-01 13:30:00")))
+    runOnce()
+    val after2 = spark.read.parquet(out).select(col("w").cast("string"), col("n"))
+      .as[(String, Long)].collect()
+    assert(after2.length === after2.map(_._1).distinct.length,
+      "restart must not re-emit run-1 windows (sink commit log)")
+    assert(after2.toMap === Map(
+      "2024-01-01 10:00:00" -> 1L, // unchanged: early file not re-read
+      "2024-01-01 11:00:00" -> 2L  // spans the restart: 11:30 from run-1 STATE
+    ), "spanning window must carry run-1 state; 13:00 stays open under wm")
+  }
+
   test("AvailableNow file stream over staged events equals batch counts") {
     val staged = ops.Streaming.stage(SparkTestBase.sfDir, 1)
     val stream = ops.Streaming.eventsStream(spark, staged)

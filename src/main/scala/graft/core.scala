@@ -85,19 +85,27 @@ object util {
 
   /** Delete stale `/tmp/graft_*` scratch dirs left by earlier JVM runs
     * (pre-round-3 runs predate the runRoot shutdown hook and leaked one dir
-    * per invocation). The live runRoot of THIS run is excluded; dirs of a
-    * concurrently-running JVM are at worst recreated by it on demand — the
-    * sweep is for long-lived sandboxes where rounds accrete scratch state.
+    * per invocation). The live runRoot of THIS run is excluded, and the
+    * sweep is AGE-GATED: only dirs untouched for an hour are removed, so a
+    * concurrently-running graft JVM (Verify while Bench runs, two Verify
+    * shards) cannot lose in-flight stream checkpoints or half-written
+    * parquet to the sweep. The sweep is for long-lived sandboxes where
+    * rounds accrete scratch state, and anything a live run cares about has
+    * a recent mtime.
     */
   def sweepStaleScratch(): Unit = {
     import java.nio.file.{Files, Paths}
     val tmp = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"))
     val live = runRoot // force allocation so it exists and is excluded
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     if (Files.isDirectory(tmp)) {
       val ds = Files.newDirectoryStream(tmp, "graft_*")
       try {
         ds.forEach { p =>
-          if (p != live)
+          val stale =
+            try Files.getLastModifiedTime(p).toMillis < cutoff
+            catch { case _: java.io.IOException => false } // racing delete
+          if (p != live && stale)
             try deleteRecursively(p)
             catch { case _: java.io.IOException => () } // in use elsewhere
         }

@@ -457,7 +457,7 @@ object Sources {
       // shuffle, no global single-partition sort. ZOrderLayoutSpec asserts
       // the per-file bounding boxes actually narrow vs an unsorted land;
       // the oracle verifies content + the exact interleave arithmetic
-      // (20 bits/dimension, pure BIGINT — no float in the key).
+      // (10 bits per dimension → 20-bit key, pure BIGINT — no float).
       (s, dir) => {
         val tmp = tmpDir("graft_zorder_")
         zorderOrders(s, dir)

@@ -63,13 +63,65 @@ class ZOrderLayoutSpec extends AnyFunSuite {
   }
 
   test("zkey interleave is collision-free over the scaled grid") {
+    // recompute the scaled cells (cs, ds) from the same bounds arithmetic
+    // and check distinct cells == distinct zkeys — a broken interleave that
+    // merged two cells into one key would fail this (the earlier form
+    // decomposed zkey against itself, which could not)
     val base = ops.Sources.zorderOrders(spark, SparkTestBase.sfDir)
-    // distinct scaled cells = distinct zkeys (interleave is a bijection)
-    val cells = base
-      .select(($"zkey" % 2048).as("lo"), ($"zkey" - ($"zkey" % 2048)).as("hi"))
-      .distinct().count()
-    val keys = base.select($"zkey").distinct().count()
+    val withCells = base
+      .crossJoin(broadcast(base.agg(
+        min($"o_custkey").as("cmin"), max($"o_custkey").as("cmax"),
+        min($"day_idx").as("dmin"), max($"day_idx").as("dmax"))))
+      .withColumn("cs", expr("((o_custkey - cmin) * 1024) div (cmax - cmin + 1)"))
+      .withColumn("ds", expr("((day_idx - dmin) * 1024) div (dmax - dmin + 1)"))
+    val Array(cells, keys) = withCells
+      .agg(countDistinct($"cs", $"ds"), countDistinct($"zkey"))
+      .first().toSeq.map(_.asInstanceOf[Long]).toArray
     assert(keys == cells)
+  }
+
+  test("reader actually skips row groups under a range predicate on either dimension") {
+    // the claim behind the layout: a filtered READ of the z-ordered land
+    // touches less data, not merely that bounding boxes look narrower.
+    // Each landed file is one row group at this size; parquet pushdown
+    // evaluates the predicate against row-group stats, so rows DELIVERED
+    // by the scan (numOutputRows of the leaf) counts exactly the row
+    // groups the reader could not skip. RANGE predicates, not point
+    // equality: a narrow range intersects every unsorted file's stats AND
+    // dictionary (point values can be absent from a small file's
+    // dictionary, letting even the unsorted layout skip — measured), so
+    // the unsorted baseline reads everything and the whole gap is the
+    // layout's doing.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = ops.Sources.zorderOrders(spark, SparkTestBase.sfDir)
+    val total = base.count()
+    val unsortedDir = util.tempDir("graft_zskip_unsorted_")
+    val zDir = util.tempDir("graft_zskip_z_")
+    base.repartition(64).write.mode("overwrite").parquet(unsortedDir)
+    base.repartitionByRange(64, $"zkey").sortWithinPartitions($"zkey")
+      .write.mode("overwrite").parquet(zDir)
+
+    def rowsDelivered(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(dir).filter(pred)
+      df.collect()
+      df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+        .head.metrics("numOutputRows").value
+    }
+
+    val (ck, di) = base.select(median($"o_custkey").cast("long"),
+      median($"day_idx").cast("long")).as[(Long, Long)].first()
+
+    for ((name, pred) <- Seq(
+        "custkey" -> $"o_custkey".between(ck - 5, ck + 5),
+        "day" -> $"day_idx".between(di - 60, di + 60))) {
+      val full = rowsDelivered(unsortedDir, pred)
+      val z = rowsDelivered(zDir, pred)
+      assert(full === total,
+        s"$name baseline invalid: unsorted layout skipped ${total - full} rows")
+      assert(z < total / 2,
+        s"$name range read delivered $z of $total rows from the z-layout " +
+          "— row groups were not skipped")
+    }
   }
 
   test("zkey bit interleave matches a reference scala implementation") {

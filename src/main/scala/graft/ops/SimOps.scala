@@ -37,6 +37,42 @@ object SimOps {
     df.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
+  /** Random-hyperplane component i of plane j in table t: a deterministic
+    * ±1 from CRC32. Table 0 uses the same tag as the single-table query, so
+    * `sim_cosine_ann_multitable`'s candidate set is a structural SUPERSET
+    * of `sim_cosine_ann_lsh`'s — its recall can only be higher.
+    */
+  private[graft] def lshPlane(t: Int, j: Int): Seq[Double] = (0 until 64).map { i =>
+    val c = new java.util.zip.CRC32
+    val tag = if (t == 0) s"${j}_$i" else s"t${t}_${j}_$i"
+    c.update(tag.getBytes("UTF-8"))
+    if (c.getValue % 2 == 0) -1.0 else 1.0
+  }
+
+  /** 8-bit signature for table t: bit j = sign of the projection onto
+    * plane (t, j). Planes are driver-side literals; each row does only the
+    * multiply-accumulate.
+    */
+  private def lshBucket(e: Column, t: Int): Column =
+    (0 until 8).map { j =>
+      val proj = aggregate(
+        zip_with(e, typedlit(lshPlane(t, j)), (x, r) => x.cast("double") * r),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** The same signature arithmetic as DuckDB SQL, plane literals inlined —
+    * what lets the multi-table ANN carry a full hash oracle instead of the
+    * sketch exemption: both engines fold the projection left-to-right in
+    * double, so the sign (and hence the bucket) matches bit-for-bit.
+    */
+  private def lshBucketSql(e: String, t: Int): String =
+    (0 until 8).map { j =>
+      val plane = lshPlane(t, j).map(d => if (d < 0) "-1.0" else "1.0")
+        .mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(range(1, 65), i -> $e[i]::DOUBLE * ($plane)[i])) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -122,25 +158,10 @@ object SimOps {
       // brute force is property-tested in SimSpec.
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
-        // hyperplane components are deterministic constants — computed
-        // driver-side once (CRC32 of "j_i") and embedded as literals, so
-        // each row does only the multiply-accumulate
-        def plane(j: Int): Seq[Double] = (0 until 64).map { i =>
-          val c = new java.util.zip.CRC32
-          c.update(s"${j}_$i".getBytes("UTF-8"))
-          if (c.getValue % 2 == 0) -1.0 else 1.0
-        }
-        def sigBit(e: Column, j: Int): Column = {
-          val proj = aggregate(
-            zip_with(e, typedlit(plane(j)), (x, r) => x.cast("double") * r),
-            lit(0.0), (acc, v) => acc + v)
-          when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
-        }
-        def bucket(e: Column): Column = (0 until 8).map(j => sigBit(e, j)).reduce(_ + _)
-        val q = querySet(emb).withColumn("bucket", bucket(col("q_emb")))
+        val q = querySet(emb).withColumn("bucket", lshBucket(col("q_emb"), 0))
           .withColumn("q_norm", norm(col("q_emb")))
         val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-          .withColumn("bucket", bucket(col("c_emb")))
+          .withColumn("bucket", lshBucket(col("c_emb"), 0))
           .withColumn("c_norm", norm(col("c_emb")))
         val scored = q.join(c, Seq("bucket"))
           .filter(col("query_id") =!= col("neighbor_id"))
@@ -148,6 +169,79 @@ object SimOps {
         rankTopK(scored, 5)
       },
       None
+    ),
+    Q(
+      "sim_cosine_ann_multitable",
+      // OR-amplified LSH: L=4 INDEPENDENT 8-bit tables; a corpus vector is
+      // a candidate when it collides with the query in ANY table — the
+      // standard recall lever when a single table's buckets are too fine.
+      // Table 0 is the single-table query's planes verbatim, so this
+      // candidate set is a superset of sim_cosine_ann_lsh's (recall floor
+      // asserted in OperatorSpec). Layout: one (vector, table) row per
+      // table via explode, equi-join on (table, bucket) — at 100 TB each
+      // table is an independent shuffle key, no cross-table fanout — then
+      // pair-dedup BEFORE scoring so a pair colliding in 3 tables is
+      // scored once. Unlike the single-table row this one carries a full
+      // DuckDB oracle: the plane constants are inlined into the SQL and
+      // both engines fold projections left-to-right in double, so buckets
+      // (and the final ranks) hash-match.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val L = 4
+        def withTables(df: DataFrame, emCol: String): DataFrame =
+          df.withColumn("tb", explode(array((0 until L).map(t =>
+              struct(lit(t).as("t"), lshBucket(col(emCol), t).as("bucket"))): _*)))
+            .select(df.columns.map(col) :+ col("tb.t").as("t") :+
+              col("tb.bucket").as("bucket"): _*)
+        val q = withTables(
+          querySet(emb).withColumn("q_norm", norm(col("q_emb"))), "q_emb")
+        val c = withTables(
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+            .withColumn("c_norm", norm(col("c_emb"))), "c_emb")
+        val cand = q.join(c, Seq("t", "bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .dropDuplicates("query_id", "neighbor_id")
+        val scored = cand.withColumn("cos",
+          dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        rankTopK(scored, 5)
+      },
+      Some {
+        val selfDot = (e: String) =>
+          s"sqrt(list_sum(list_transform(range(1, 65), i -> $e[i]::DOUBLE * $e[i]::DOUBLE)))"
+        val qb = (0 until 4).map(t =>
+          s"SELECT query_id, $t AS t, ${lshBucketSql("q_emb", t)} AS bucket FROM q")
+          .mkString("\n  UNION ALL ")
+        val cb = (0 until 4).map(t =>
+          s"SELECT neighbor_id, $t AS t, ${lshBucketSql("c_emb", t)} AS bucket FROM c")
+          .mkString("\n  UNION ALL ")
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS q_emb,
+           |         ${selfDot("embedding")} AS q_norm
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |c AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS c_emb,
+           |         ${selfDot("embedding")} AS c_norm
+           |  FROM embeddings),
+           |qb AS (
+           |  $qb),
+           |cb AS (
+           |  $cb),
+           |cand AS (
+           |  SELECT DISTINCT query_id, neighbor_id
+           |  FROM qb JOIN cb USING (t, bucket)
+           |  WHERE query_id <> neighbor_id),
+           |scored AS (
+           |  SELECT cand.query_id, cand.neighbor_id,
+           |         $dotSql / (q_norm * c_norm) AS cos
+           |  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id))
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
     ),
     Q(
       "sim_cosine_ann_ivf",

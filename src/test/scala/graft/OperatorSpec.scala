@@ -208,6 +208,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall > 0.15, s"ANN recall too low: $recall") // 8-bit sig, 1 table
   }
 
+  test("ann multi-table lsh: OR-amplification recall >= single-table recall") {
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = SparkEntry.queries("sim_cosine_ann_lsh")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = SparkEntry.queries("sim_cosine_ann_multitable")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rSingle = (brute intersect single).size.toDouble / brute.size
+    val rMulti = (brute intersect multi).size.toDouble / brute.size
+    // table 0 IS the single-table signature, so the multi-table candidate
+    // set is a superset — measured recall must not drop, and with 4 tables
+    // it should clear a floor well above the single-table assertion
+    assert(rMulti >= rSingle,
+      s"multi-table recall $rMulti below single-table $rSingle")
+    assert(rMulti > 0.3, s"multi-table recall too low: $rMulti") // 4 x 8-bit; measured 0.34
+  }
+
   test("ann ivf recall: probed-cell candidates overlap brute-force top-5") {
     val brute = SparkEntry.queries("sim_cosine_topk")(spark, dir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

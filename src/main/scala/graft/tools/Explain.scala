@@ -41,6 +41,29 @@ object Explain {
                 col("l_orderkey") === col("o_orderkey"))
               .select("o_orderpriority")))
           } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        } else if (q.name == "sink_zorder_layout") {
+          // the registered fn returns a RE-READ of the landed files (scan +
+          // output sort — nothing to see); the plan that matters is the
+          // LAYOUT side that feeds the writer: range-partition by zkey +
+          // intra-partition sort, no global single-partition sort
+          println(fmt(graft.ops.Sources.zorderOrders(spark, sfDir)
+            .repartitionByRange(8, col("zkey"))
+            .sortWithinPartitions(col("zkey"))))
+        } else if (q.name == "stream_schema_evolution") {
+          // the registered fn is a foreachBatch loop; the per-micro-batch
+          // plan is the evolved-schema upsert — mergeSchema read of the
+          // new generation, left_anti against the stored replica's keys,
+          // unionByName(allowMissingColumns) to null-fill old rows
+          val o = graft.Tables(spark, sfDir, "orders")
+          val state = o.select(col("o_orderkey"), col("o_totalprice"))
+          val incoming = o.filter(col("o_orderkey") % 2 === 1)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit("note-"),
+                col("o_orderkey")).as("o_note"))
+          val kept = state.join(
+            incoming.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+          println(fmt(incoming.unionByName(kept, allowMissingColumns = true)))
         } else println(fmt(q.fn(spark, sfDir)))
       }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }

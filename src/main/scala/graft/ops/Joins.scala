@@ -717,6 +717,28 @@ object Joins {
              |GROUP BY m ORDER BY m""".stripMargin)
     ),
     Q(
+      "sql_pipe_syntax",
+      // Spark 4 SQL pipe operators (|>): the linear FROM → WHERE →
+      // AGGREGATE → ORDER BY chain plans to exactly the same operators as
+      // the classic nested form — the DuckDB oracle IS that classic form,
+      // so the equivalence is hash-certified, not claimed.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(s"""FROM orders
+                 ||> WHERE o_orderstatus = 'O'
+                 ||> AGGREGATE count(*) AS n_orders,
+                 |             ${util.r2sql("sum(o_totalprice)")} AS total_price
+                 |   GROUP BY o_orderpriority
+                 ||> ORDER BY o_orderpriority""".stripMargin)
+          .select(col("o_orderpriority"), col("n_orders"), col("total_price"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_orders,
+              |       ${util.r2sql("sum(o_totalprice)")} AS total_price
+              |FROM orders WHERE o_orderstatus = 'O'
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "join_skew_salted",
       // Skew-mitigation pattern: l_suppkey is pathologically skewed (6M·sf
       // rows over 10 suppliers). Salting splits each hot key into S

@@ -150,6 +150,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_asof_multikey_ext shuffles once on the WHOLE key tuple") {
+    val df = SparkEntry.queries("join_asof_multikey_ext")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the union's window partitioning must carry BOTH key columns — a
+    // single-column partitioning would co-group rows across segments
+    val windowExchange = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("user_id") && l.contains("seg"))
+    assert(windowExchange.nonEmpty,
+      s"no exchange partitioning on the (user_id, seg) tuple:\n$plan")
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(keyShuffles <= 2, // probe union + pre-deduped build side
+      s"expected at most 2 key shuffles, got $keyShuffles:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"fell back to a range product:\n$plan")
+  }
+
   test("text_repetition_ratio aggregates token counts, never shipping text") {
     val plan = planOf("text_repetition_ratio")
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)

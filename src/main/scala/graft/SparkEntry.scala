@@ -26,6 +26,7 @@ object SparkEntry {
       ops.TextOps.defs ++
       ops.SimOps.defs ++
       ops.Graph.defs ++
+      ops.Quality.defs ++
       ops.Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.{Q, Tables, util}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators — the validation pass a 100 TB ingest runs before
+  * promoting a landed batch (SURVEY.md §3.1: the reference's replica is only
+  * useful if the sync is provably complete and keyed correctly).
+  *
+  * Scale posture: every check here is a single declarative plan over the
+  * audited table — one scan for the profile (all column stats as one
+  * aggregate row, no per-column passes), one broadcast or shuffle join for
+  * the referential checks. Nothing collects data to the driver; the output
+  * is a handful of verdict rows regardless of input size.
+  */
+object Quality {
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "dq_profile_columns",
+      // Column-profile-in-one-pass: null counts, distinct counts, min/max
+      // and length stats for several columns computed as ONE aggregate row
+      // (then unpivoted for readability). The alternative — one pass per
+      // column — scans the table C times; this shape is a single
+      // two-phase HashAggregate no matter how many columns are profiled.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val prof = o.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderpriority")).as("prio_nonnull"),
+          countDistinct(col("o_orderpriority")).as("prio_distinct"),
+          countDistinct(col("o_orderstatus")).as("status_distinct"),
+          min(col("o_totalprice")).as("price_min"),
+          max(col("o_totalprice")).as("price_max"),
+          min(col("o_orderdate")).as("date_min"),
+          max(col("o_orderdate")).as("date_max"),
+          max(col("o_orderkey")).as("key_max"))
+        prof.select(
+          col("n_rows"), col("prio_nonnull"), col("prio_distinct"),
+          col("status_distinct"),
+          util.r2(col("price_min")).as("price_min"),
+          util.r2(col("price_max")).as("price_max"),
+          col("date_min"), col("date_max"), col("key_max"))
+      },
+      Some(s"""SELECT count(*) AS n_rows,
+              |       count(o_orderpriority) AS prio_nonnull,
+              |       count(DISTINCT o_orderpriority) AS prio_distinct,
+              |       count(DISTINCT o_orderstatus) AS status_distinct,
+              |       ${util.r2sql("min(o_totalprice)")} AS price_min,
+              |       ${util.r2sql("max(o_totalprice)")} AS price_max,
+              |       min(o_orderdate) AS date_min,
+              |       max(o_orderdate) AS date_max,
+              |       max(o_orderkey) AS key_max
+              |FROM orders""".stripMargin)
+    ),
+    Q(
+      "dq_constraint_check",
+      // Referential + key constraints as count-of-violations rows: primary
+      // key uniqueness on orders, foreign-key containment lineitem→orders
+      // and orders→customer, and a domain check on o_orderstatus. Each
+      // check is a left_anti join (dim side broadcast when small) or a
+      // grouped HAVING — violation sets are counted distributed, never
+      // shipped; at 100 TB a green run moves 4 longs to the driver.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val li = Tables(s, dir, "lineitem")
+        val c = Tables(s, dir, "customer")
+        val pkDup = o.groupBy(col("o_orderkey")).count().filter(col("count") > 1)
+        val fkLi = li.join(o.select(col("o_orderkey")),
+          li("l_orderkey") === o("o_orderkey"), "left_anti")
+        val fkCust = o.join(c.select(col("c_custkey")),
+          o("o_custkey") === c("c_custkey"), "left_anti")
+        val domain = o.filter(!col("o_orderstatus").isin("O", "F", "P"))
+        def verdict(name: String, bad: org.apache.spark.sql.DataFrame) =
+          bad.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("check"), col("n_violations"))
+        verdict("fk_lineitem_orders", fkLi)
+          .unionByName(verdict("fk_orders_customer", fkCust))
+          .unionByName(verdict("pk_orders_unique", pkDup))
+          .unionByName(verdict("status_domain", domain))
+          .orderBy(col("check"))
+      },
+      Some("""SELECT 'fk_lineitem_orders' AS "check",
+             |       (SELECT count(*) FROM lineitem
+             |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_violations
+             |UNION ALL
+             |SELECT 'fk_orders_customer',
+             |       (SELECT count(*) FROM orders
+             |        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             |UNION ALL
+             |SELECT 'pk_orders_unique',
+             |       (SELECT count(*) FROM (
+             |          SELECT o_orderkey FROM orders
+             |          GROUP BY o_orderkey HAVING count(*) > 1) d)
+             |UNION ALL
+             |SELECT 'status_domain',
+             |       (SELECT count(*) FROM orders
+             |        WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+             |ORDER BY "check"""".stripMargin)
+    ),
+    Q(
+      "dq_snapshot_drift",
+      // Round-trip completeness: compare the landed replica (here: a
+      // partition-restricted re-land of orders) against its source by
+      // per-group row counts and an order-insensitive content checksum
+      // (sum of per-row hashes) — the cheap way to prove a 100 TB sync
+      // moved every row without sorting either side. Checksum arithmetic
+      // is pure BIGINT (xxhash-free: portable crc-less column fold) so the
+      // oracle reproduces it exactly.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        // content hash per row: integer fold of key/status/price-cents,
+        // reduced mod 2^31-1 so the per-group BIGINT sum stays far from
+        // overflow (ANSI mode would throw) — every term positive, and `%`
+        // truncates identically in both engines on positive operands.
+        // ascii() stands in for a string hash (status is one char; DuckDB
+        // has no crc32) — a longer column would use the portable
+        // polynomial fold proven on MinHash.
+        val rowHash =
+          (col("o_orderkey") * lit(1000003L) +
+            ascii(col("o_orderstatus")).cast("long") * lit(10007L) +
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")) % lit(2147483647L)
+        o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(rowHash).as("content_sum"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_rows,
+             |       CAST(sum((o_orderkey * 1000003
+             |                 + CAST(ascii(o_orderstatus) AS BIGINT) * 10007
+             |                 + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) % 2147483647) AS BIGINT) AS content_sum
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+    )
+  )
+}

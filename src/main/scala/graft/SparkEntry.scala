@@ -26,6 +26,7 @@ object SparkEntry {
       ops.TextOps.defs ++
       ops.SimOps.defs ++
       ops.Graph.defs ++
+      ops.GraphAnalytics.defs ++
       ops.Quality.defs ++
       ops.Extensions.defs
 

@@ -737,6 +737,28 @@ object Aggregates {
               |       ${util.r2sql("sum(l_extendedprice * l_quantity) / sum(l_quantity)")} AS wavg_price
               |FROM lineitem GROUP BY l_returnflag
               |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "agg_bitmap_distinct",
+      // EXACT distinct counting via bucketed bitmaps — the ClickHouse/
+      // Doris/Druid pattern for 100 TB COUNT(DISTINCT): bucket the id
+      // space (bitmap_bucket_number), build one fixed-size bitmap per
+      // (group, bucket) in PARTIAL aggregation (bitmap_construct_agg), then
+      // count bits and sum per group. The shuffle carries 4 KB bitmap
+      // blobs, not raw ids — state is O(groups x buckets), independent of
+      // row count, and unlike HLL the answer is exact. Oracle: plain
+      // COUNT(DISTINCT) — same numbers, different physics.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("bitmap_bucket_number(user_id)").as("bkt"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+          .groupBy(col("event_type"))
+          .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -318,6 +318,39 @@ object Cdc {
           .orderBy(col("user_id"))
       },
       Some(foldSql("TRUE") + "\nORDER BY user_id")
+    ),
+    Q(
+      "pipeline_incremental_agg",
+      // Incremental view maintenance for distributive aggregates: a
+      // materialized per-group (count, sum) is folded with a delta batch's
+      // partial aggregate via full-outer merge — the 100 TB pattern where
+      // re-aggregating history per sync is unpayable and only the delta is
+      // touched. Base = events before Jan 20, delta = the rest; each side
+      // aggregates INDEPENDENTLY (the base agg would be a stored table in
+      // production, so the merge input is O(groups), not O(rows)), then
+      // counts/sums add. Sums are BIGINT cents — merge order can't change
+      // the answer. Oracle: one-shot aggregate over the whole feed —
+      // incremental must equal recompute exactly.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        val cut = "2024-01-20"
+        def aggOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        val base = aggOf(ev.filter(col("ts") < lit(cut).cast("timestamp_ntz")))
+          .withColumnRenamed("n", "bn").withColumnRenamed("sum_cents", "bs")
+        val delta = aggOf(ev.filter(col("ts") >= lit(cut).cast("timestamp_ntz")))
+          .withColumnRenamed("n", "dn").withColumnRenamed("sum_cents", "ds")
+        base.join(delta, Seq("event_type"), "full")
+          .select(col("event_type"),
+            (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("sum_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

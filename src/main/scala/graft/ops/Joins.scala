@@ -38,7 +38,65 @@ object Joins {
     (purchases, clicks)
   }
 
+  /** Inner join whose probe side is prunable by a runtime bloom filter:
+    * the build side (orders) carries a selective predicate, the probe side
+    * (lineitem) is the big scan the filter should reduce BEFORE the join
+    * shuffle. Kept builder-visible so PlanShapeSpec can assert the
+    * `might_contain` filter appears under the right configs.
+    */
+  private[graft] def bloomProneJoin(s: SparkSession, dir: String) = {
+    val small = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+    Tables(s, dir, "lineitem")
+      .join(small, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Scope the runtime-filter configs to `body` and restore after: the
+    * application-side size threshold must drop to 0 at fixture scale (the
+    * default only injects above 10 GB scans — at 100 TB it fires on its
+    * own), and broadcast is disabled so the join is the shuffle join the
+    * bloom filter exists to reduce.
+    */
+  private[graft] def withBloomConfs[T](s: SparkSession)(body: => T): T = {
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach { case (k, vo) =>
+      vo.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
+
   val defs: Seq[Q] = Seq(
+    Q(
+      "join_bloom_pruned",
+      // Semi-join reduction via Spark's runtime bloom filter
+      // (InjectRuntimeFilter): a bloom built from the filtered orders keys
+      // is pushed into the lineitem scan as `might_contain`, so most probe
+      // rows die at the scan instead of crossing the join shuffle — THE
+      // technique for selective big-big joins at 100 TB (the exchange
+      // carries ~2% of lineitem here, not all of it). The result lands to
+      // parquet inside the scoped configs (forced shuffle join + zero scan
+      // threshold at fixture scale) and is read back for the compare;
+      // content is identical to the plain join, which is exactly the
+      // point — the oracle certifies the reduction is lossless.
+      (s, dir) => {
+        val out = util.tempDir("graft_bloomjoin_")
+        withBloomConfs(s) {
+          bloomProneJoin(s, dir).write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out).orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_totalprice
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
     Q(
       "join_broadcast_inner",
       (s, dir) => {
@@ -799,6 +857,50 @@ object Joins {
              |JOIN (SELECT nullif(s_nationkey, 3) AS sk FROM supplier) s
              |  ON ck IS NOT DISTINCT FROM sk
              |GROUP BY 1 ORDER BY k""".stripMargin)
+    ),
+    Q(
+      "join_null_aware_anti",
+      // NOT IN (subquery) under 3-valued logic: one NULL in the subquery
+      // makes NOT IN unknowable for every probe row (x <> NULL is NULL),
+      // so the whole result must go empty — the classic silent-wrong-answer
+      // trap when NOT IN is "optimized" to a plain anti join. Catalyst
+      // plans this as a NULL-AWARE anti join (single-column null-aware
+      // BroadcastHashJoin since 3.1); the row pins both halves: the clean
+      // subquery behaves as an anti join, the null-poisoned one (nullif
+      // injects NULL for one supplier) yields zero matches. Counts by
+      // segment keep the output stable under scale.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          s"""SELECT m.c_mktsegment,
+             |       count(*) FILTER (WHERE kind = 'clean') AS n_clean,
+             |       count(*) FILTER (WHERE kind = 'poisoned') AS n_poisoned
+             |FROM (
+             |  SELECT c_mktsegment, 'clean' AS kind FROM customer
+             |  WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+             |                            WHERE s_acctbal > 5000)
+             |  UNION ALL
+             |  SELECT c_mktsegment, 'poisoned' AS kind FROM customer
+             |  WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, s_nationkey)
+             |                            FROM supplier WHERE s_acctbal > 5000)
+             |) m
+             |GROUP BY m.c_mktsegment
+             |ORDER BY m.c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT m.c_mktsegment,
+             |       count(*) FILTER (WHERE kind = 'clean') AS n_clean,
+             |       count(*) FILTER (WHERE kind = 'poisoned') AS n_poisoned
+             |FROM (
+             |  SELECT c_mktsegment, 'clean' AS kind FROM customer
+             |  WHERE c_nationkey NOT IN (SELECT s_nationkey FROM supplier
+             |                            WHERE s_acctbal > 5000)
+             |  UNION ALL
+             |  SELECT c_mktsegment, 'poisoned' AS kind FROM customer
+             |  WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, s_nationkey)
+             |                            FROM supplier WHERE s_acctbal > 5000)
+             |) m
+             |GROUP BY m.c_mktsegment
+             |ORDER BY m.c_mktsegment""".stripMargin)
     )
   )
 }

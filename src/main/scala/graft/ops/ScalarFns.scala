@@ -475,6 +475,37 @@ object ScalarFns {
              |       printf('%09d|%s|%x', o_orderkey, o_orderstatus, o_orderkey) AS export_key,
              |       lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded
              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "fn_collation_lcase",
+      // Spark 4 collation surface: grouping under UTF8_LCASE folds case
+      // variants at the SHUFFLE level (the collation-aware hash/compare is
+      // inside the exchange + aggregate, not a per-row lower() rewrite of
+      // the data). Mixed-case segment labels are synthesized
+      // deterministically (Title case on even keys), grouped under the
+      // case-insensitive collation, and the group key is re-anchored with
+      // lower() + a plain-string cast so the dumped schema is
+      // collation-free. Oracle: lower()-keyed grouping — same fold, the
+      // portable way.
+      (s, dir) => {
+        val seg = lower(col("c_mktsegment"))
+        Tables(s, dir, "customer")
+          .withColumn("seg_mixed",
+            when(col("c_custkey") % 2 === 0,
+              concat(upper(substring(seg, 1, 1)), substring(seg, 2, 100)))
+              .otherwise(seg))
+          .groupBy(expr("collate(seg_mixed, 'UTF8_LCASE')").as("k"))
+          .agg(count(lit(1)).as("n_customers"))
+          .select(lower(col("k")).cast("string").as("segment"), col("n_customers"))
+          .orderBy(col("segment"))
+      },
+      Some("""SELECT lower(seg_mixed) AS segment, count(*) AS n_customers
+             |FROM (SELECT CASE WHEN c_custkey % 2 = 0
+             |        THEN upper(substr(lower(c_mktsegment), 1, 1))
+             |             || substr(lower(c_mktsegment), 2, 100)
+             |        ELSE lower(c_mktsegment) END AS seg_mixed
+             |      FROM customer) t
+             |GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin)
     )
   )
 }

@@ -628,6 +628,61 @@ object Windows {
              |             ORDER BY o_orderdate ASC, o_orderkey ASC
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "win_percent_rank_cume",
+      // Relative-standing analytics: percent_rank ((rank-1)/(n-1)) and
+      // cume_dist (peers-or-below / n) per priority, ordered by order
+      // date. Ties are real (many orders share a date) and both functions
+      // are tie-stable — values depend only on the date, not row order —
+      // so the doubles are the SAME integer ratios in both engines
+      // (single IEEE division, no summation order). One window shuffle.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderdate").asc)
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_orderdate,
+             |       percent_rank() OVER w AS pct_rank,
+             |       cume_dist()    OVER w AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate ASC)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "ts_moving_median",
+      // Moving median over a trailing 7-row frame per user — the robust
+      // smoother (spike-resistant where moving average is not). Spark has
+      // no native windowed median; the portable lowering is collect_list
+      // over the frame + array_sort + middle pick — frame is 7 rows so
+      // the per-row state is O(7), not O(partition). Values are exact
+      // BIGINT cents; the even-count midpoint (a+b)/2.0 is IEEE-exact
+      // (x.0/x.5), matching DuckDB's interpolating window median
+      // bit-for-bit.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-6, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .withColumn("arr", array_sort(collect_list(col("cents")).over(w)))
+          .select(col("event_id"), col("user_id"),
+            expr("""(element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))
+                    |+ element_at(arr, CAST(size(arr) DIV 2 + 1 AS INT))) / CAST(2 AS DOUBLE)"""
+              .stripMargin.replace("\n", " "))
+              .as("mov_median"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |       median(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS mov_median
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-6 batch-2 rows: bitmap distinct equals
+  * exact distinct, NOT-IN 3VL null poisoning empties the result, moving
+  * median matches a local reference, IVM merge equals recompute, and
+  * collation grouping folds case variants. DuckDB value parity is the
+  * driver gate's job; these pin cross-implementation invariants.
+  */
+class AnalyticsExtrasSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("agg_bitmap_distinct equals exact countDistinct per group") {
+    val got = q("agg_bitmap_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("join_null_aware_anti: poisoned NOT IN is empty, clean matches anti join") {
+    val rows = q("join_null_aware_anti").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) == 0L), "null-poisoned NOT IN must yield 0")
+    val highBalNations = Tables(spark, dir, "supplier")
+      .filter(col("s_acctbal") > 5000).select(col("s_nationkey")).distinct()
+    val want = Tables(spark, dir, "customer")
+      .join(highBalNations,
+        col("c_nationkey") === col("s_nationkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("ts_moving_median matches a local trailing-median reference") {
+    val ev = Tables.events(spark, dir)
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        val n = frame.length
+        val med = (frame((n + 1) / 2 - 1) + frame(n / 2)) / 2.0
+        sorted(i)._3 -> med
+      }
+    }.toMap
+    val got = q("ts_moving_median").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == want)
+  }
+
+  test("pipeline_incremental_agg equals one-shot recompute") {
+    val got = q("pipeline_incremental_agg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Tables.events(spark, dir)
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("fn_collation_lcase folds the synthesized case variants") {
+    val rows = q("fn_collation_lcase").collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables(spark, dir, "customer").count())
+    // grouping by the collated mixed-case column must not split segments
+    val nSegments = Tables(spark, dir, "customer")
+      .select(lower(col("c_mktsegment"))).distinct().count()
+    assert(rows.length.toLong == nSegments)
+  }
+
+  test("win_percent_rank_cume values are tie-stable ratios in [0,1]") {
+    val rows = q("win_percent_rank_cume")
+      .collect().map(r => (r.getString(1), r.get(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, pr, cd) =>
+      pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0 })
+    // tie stability: same (priority, date) => same pct_rank and cume
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length == 1)
+      assert(g.map(_._4).distinct.length == 1)
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.GraphAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural properties of the graph-analytics tier on the sf0.001
+  * fixture graph (top-3 co-supplier similarity graph): bounded degree,
+  * PageRank mass conservation, BFS lattice bounds, triangle credit
+  * identity. Exact-value parity vs DuckDB is the driver gate's job; these
+  * pin the algorithm-level invariants the oracle can't see.
+  */
+class GraphAnalyticsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("top-k sparsifier bounds symmetric degree by 2k") {
+    val hist = q("graph_degree_histogram").collect()
+    assert(hist.nonEmpty)
+    // each node keeps <= 3 partners, symmetrization adds <= 3 more
+    assert(hist.map(_.getLong(0)).max <= 6)
+    assert(hist.map(_.getLong(0)).min >= 1)
+  }
+
+  test("oriented edge list is strictly ordered and duplicate-free") {
+    val e = q("graph_topk_similarity").collect()
+    assert(e.nonEmpty)
+    assert(e.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(e.map(r => (r.getLong(0), r.getLong(1))).distinct.length == e.length)
+  }
+
+  test("pagerank: every rank >= teleport mass and total mass is bounded") {
+    val pr = q("graph_pagerank_fixedpoint").collect()
+    val n = pr.length.toLong
+    assert(n > 0)
+    val teleport = 150000000000L
+    val scale = 1000000000000L
+    assert(pr.forall(_.getLong(1) >= teleport))
+    // damped mass can't exceed the initial total (floor-division only loses)
+    val total = pr.map(_.getLong(1)).sum
+    assert(total <= n * scale)
+  }
+
+  test("bfs: sources at distance 0, all distances within round bound") {
+    val d = q("graph_bfs_frontier").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d.nonEmpty)
+    d.foreach { case (node, dist) =>
+      if (node % 17 == 0) assert(dist == 0L, s"source $node")
+      assert(dist >= 0L && dist <= 3L)
+    }
+    // every non-source reached node has a neighbor one hop closer
+    val edges = q("graph_topk_similarity").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    d.filter(_._2 > 0).foreach { case (node, dist) =>
+      assert(edges(node).exists(nbr => d.get(nbr).exists(_ == dist - 1)),
+        s"node $node dist $dist has no predecessor")
+    }
+  }
+
+  test("triangle credits sum to 3x the triangle count and match brute force") {
+    val perNode = q("graph_triangle_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = q("graph_topk_similarity").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // brute-force: count each unordered triangle once
+    val nodes = adj.keys.toSeq.sorted
+    var tri = 0L
+    val credit = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (a, b) <- e
+      c <- adj(a) if c > b && adj(b).contains(c)
+    } {
+      tri += 1
+      credit(a) += 1; credit(b) += 1; credit(c) += 1
+    }
+    assert(perNode.values.sum == 3 * tri)
+    assert(perNode == credit.toMap)
+  }
+}

@@ -227,4 +227,39 @@ class PlanShapeSpec extends AnyFunSuite {
     // global sort for output determinism is the ONLY exchange
     assert("Exchange".r.findAllIn(plan).size <= 1, plan)
   }
+
+  test("join_null_aware_anti plans anti joins, not a per-row subquery") {
+    val plan = planOf("join_null_aware_anti")
+    // both NOT IN subqueries must lower to join operators (the poisoned
+    // one is the null-aware variant); none may survive as an uncorrelated
+    // per-row InSubquery probe
+    assert("LeftAnti".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("agg_bitmap_distinct builds bitmaps map-side before the shuffle") {
+    val plan = planOf("agg_bitmap_distinct")
+    // the scale property: a PARTIAL bitmap_construct_agg runs before the
+    // (group, bucket) exchange, so the shuffle carries bitmap blobs — raw
+    // ids never cross the wire
+    assert(plan.contains("partial_bitmap_construct_agg"), plan)
+    assert("bitmap_construct_agg".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("join_bloom_pruned pushes a runtime bloom filter into the probe scan") {
+    val plan = ops.Joins.withBloomConfs(spark) {
+      ops.Joins.bloomProneJoin(spark, dir).queryExecution.executedPlan.toString
+    }
+    // InjectRuntimeFilter: the lineitem side must carry a might_contain
+    // probe fed by a bloom_filter_agg subquery over the filtered orders
+    assert(plan.contains("might_contain"), plan)
+    assert(plan.contains("bloom_filter_agg"), plan)
+  }
+
+  test("graph analytics reuse one materialized edge list (no rebuild per row)") {
+    // the memoized localCheckpoint means downstream plans scan an RDD,
+    // not the lineitem self-join
+    val plan = planOf("graph_pagerank_fixedpoint")
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("parquet"), s"pagerank re-read parquet:\n$plan")
+  }
 }

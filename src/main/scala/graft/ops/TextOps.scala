@@ -177,10 +177,14 @@ object TextOps {
       // (graft.functions.SimHashFingerprint) remains the cheapest-codegen
       // path and stays spec-pinned in TextDedupSpec.
       (s, dir) => {
+        // lazy localCheckpoint: both join sides and every band read ONE
+        // materialized fingerprint table — without it the whole
+        // token-fold/vote pipeline runs twice (once per join side)
         val fp = SimHash.fingerprints(Tables(s, dir, "documents"),
             "doc_id", "text", bits = SimHash.PortableBits,
             hashFn = SimHash.portableTokenHashes)
           .withColumnRenamed("doc", "doc_id")
+          .localCheckpoint(false)
         val ex = fp.select(col("doc_id"), col("fp"),
             explode(SimHash.bands(col("fp"), SimHash.NBands, SimHash.PortableBits)).as("h"))
           .select(col("doc_id"), col("fp"), col("h.band_id"), col("h.band"))
@@ -189,8 +193,14 @@ object TextOps {
         a.join(b, Seq("band_id", "band")).filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
-          .distinct()
+          // Hamming filter BEFORE the pair-dedup: on a homogeneous corpus
+          // the 8–9-bit bands collide heavily (measured 10.4M join rows /
+          // 7.3M distinct pairs from 5k docs at sf0.1, 551k of them within
+          // hamming 6), so the distinct's exchange must see the 5%
+          // survivors, not every banded collision. Same result set —
+          // hamming is a function of the pair — 13× less shuffled.
           .filter(col("hamming") <= SimHash.GuaranteedHamming)
+          .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(simhashOracleSql)

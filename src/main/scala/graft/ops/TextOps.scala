@@ -452,6 +452,104 @@ object TextOps {
       }
     ),
     Q(
+      "pipeline_training_mix",
+      // The full training-data assembly line as ONE row: integer quality
+      // gate → exact dedup → near-dup closure (connected components over
+      // the blocked candidate graph) → per-language token-budget fill in
+      // quality order. This is the pipeline a 100 TB corpus actually runs
+      // to produce a training mix, composed from the engine's own tiers:
+      // every stage is a keyed shuffle or an iterative join (components),
+      // the corpus text never moves after the scoring scan, and the
+      // greedy fill is one window pass per language. All arithmetic is
+      // BIGINT (integer quality score, token counts, running totals) so
+      // the greedy selection order — and therefore WHICH docs make the
+      // mix — is bit-identical in both engines; a float score could flip
+      // a rank at the budget boundary and change the output set.
+      (s, dir) => {
+        val toksM = split(col("text"), " ")
+        val stopArr = array(Seq("the", "and", "of", "a", "to", "in", "is").map(lit): _*)
+        val scored = Tables(s, dir, "documents")
+          .withColumn("n_tokens", size(toksM).cast("long"))
+          .withColumn("stop_hits",
+            size(filter(toksM, t => array_contains(stopArr, t))).cast("long"))
+          .withColumn("q_int",
+            least(col("n_tokens"), lit(80L)) * 100 + least(col("stop_hits"), lit(10L)) * 50)
+          .filter(col("q_int") >= 3000)
+        // exact dedup keeps the min-id row per normalized text; the hash
+        // (not the text) is the shuffle key
+        val keepers = scored
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(sha2(lower(trim(col("text"))), 256))
+              .orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            col("n_tokens"), col("q_int"))
+        // near-dup closure over the survivor set: same blocking band as the
+        // dedup tier (source, |Δ n_chars| ≤ 1 via explode-to-equi-join),
+        // components by iterative min-label propagation
+        val probe = keepers.select(col("source"),
+          explode(array(col("n_chars") - 1, col("n_chars"), col("n_chars") + 1)).as("nc"),
+          col("doc_id").as("src"))
+        val build = keepers.select(col("source"), col("n_chars").as("nc"),
+          col("doc_id").as("dst"))
+        val edges = probe.join(build, Seq("source", "nc"))
+          .filter(col("src") =!= col("dst")).select(col("src"), col("dst"))
+        val comp = Graph.connectedComponents(keepers.select(col("doc_id")), edges)
+        val reps = keepers.join(comp, "doc_id").filter(col("doc_id") === col("comp"))
+        // greedy budget fill: 3000 tokens per language, best quality first;
+        // a doc is kept iff the budget is not exhausted BEFORE it
+        val order = Window.partitionBy(col("lang"))
+          .orderBy(col("q_int").desc, col("doc_id").asc)
+        reps
+          .withColumn("cum_before", coalesce(
+            sum(col("n_tokens")).over(order.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .filter(col("cum_before") < 3000)
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("q_int"),
+            (col("cum_before") + col("n_tokens")).as("cum_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE scored AS (
+             |  SELECT doc_id, lang, source, n_chars, text,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |         CAST(len(list_filter(string_split(text, ' '),
+             |              t -> t IN ('the','and','of','a','to','in','is'))) AS BIGINT) AS stop_hits
+             |  FROM documents),
+             |gated AS (
+             |  SELECT *, least(n_tokens, 80) * 100 + least(stop_hits, 10) * 50 AS q_int
+             |  FROM scored
+             |  WHERE least(n_tokens, 80) * 100 + least(stop_hits, 10) * 50 >= 3000),
+             |keepers AS (
+             |  SELECT doc_id, lang, source, n_chars, n_tokens, q_int FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY lower(trim(text))
+             |                                 ORDER BY doc_id) AS rn
+             |    FROM gated) WHERE rn = 1),
+             |edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM keepers a JOIN keepers b
+             |    ON a.source = b.source
+             |   AND abs(a.n_chars - b.n_chars) <= 1
+             |   AND a.doc_id <> b.doc_id),
+             |reach(doc, r) AS (
+             |  SELECT doc_id, doc_id FROM keepers
+             |  UNION
+             |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc),
+             |labeled AS (
+             |  SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc),
+             |reps AS (
+             |  SELECT k.* FROM keepers k
+             |  JOIN labeled l ON k.doc_id = l.doc_id AND k.doc_id = l.component),
+             |filled AS (
+             |  SELECT doc_id, lang, n_tokens, q_int,
+             |         coalesce(sum(n_tokens) OVER (
+             |           PARTITION BY lang ORDER BY q_int DESC, doc_id ASC
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM reps)
+             |SELECT doc_id, lang, n_tokens, q_int,
+             |       CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+             |FROM filled WHERE cum_before < 3000 ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_corpus_profile",
       (s, dir) => {
         Tables(s, dir, "documents")

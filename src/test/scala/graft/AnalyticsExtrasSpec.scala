@@ -80,6 +80,26 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(rows.length.toLong == nSegments)
   }
 
+  test("pipeline_training_mix respects the per-language budget and fill order") {
+    val rows = q("pipeline_training_mix").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      val byFill = g.sortBy(t => (-t._4, t._1)) // q_int desc, doc_id asc
+      // running totals are consistent with the fill order
+      var cum = 0L
+      byFill.foreach { case (_, _, nTok, _, cumTok) =>
+        assert(cum < 3000L, s"$lang doc admitted after budget exhausted")
+        cum += nTok
+        assert(cumTok == cum, s"$lang cum mismatch")
+      }
+      // only the LAST admitted doc may overshoot the budget
+      assert(byFill.init.forall(_._5 <= 3000L) || byFill.size == 1, lang)
+    }
+    // the mix contains no exact duplicates (dedup stage really ran)
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("win_percent_rank_cume values are tie-stable ratios in [0,1]") {
     val rows = q("win_percent_rank_cume")
       .collect().map(r => (r.getString(1), r.get(2), r.getDouble(3), r.getDouble(4)))

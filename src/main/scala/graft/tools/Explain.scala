@@ -64,6 +64,13 @@ object Explain {
           val kept = state.join(
             incoming.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
           println(fmt(incoming.unionByName(kept, allowMissingColumns = true)))
+        } else if (q.name == "join_bloom_pruned") {
+          // the registered fn returns a re-read of landed parquet; the
+          // plan that matters is the joined side under the runtime-filter
+          // configs — bloom_filter_agg subquery + might_contain at the scan
+          println(graft.ops.Joins.withBloomConfs(spark) {
+            fmt(graft.ops.Joins.bloomProneJoin(spark, sfDir))
+          })
         } else println(fmt(q.fn(spark, sfDir)))
       }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }

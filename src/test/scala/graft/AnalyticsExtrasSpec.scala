@@ -100,6 +100,28 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(rows.map(_._1).distinct.length == rows.length)
   }
 
+  test("sim_pq_topk recall@5 vs exact int8 L2 clears the refine floor") {
+    def q8(v: Seq[Float]): Array[Long] =
+      v.map(x => math.max(-127L, math.min(127L, math.floor(x * 254.0 + 0.5).toLong))).toArray
+    val vecs = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> q8(r.getSeq[Float](1))).toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vecs.keys.filter(_ % 50 == 0).map { qid =>
+      qid -> vecs.toSeq.filter(_._1 != qid)
+        .map { case (nid, v) => (l2(vecs(qid), v), nid) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    val got = q("sim_pq_topk").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(got.keySet == exact.keySet)
+    val hits = exact.map { case (qid, want) => (got(qid) & want).size }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    // measured 0.60 at sf0.001 (tiny 4-code codebooks) / 0.72 at sf0.01;
+    // floor set under the small-fixture figure
+    assert(recall >= 0.5, s"recall@5 $recall")
+  }
+
   test("win_percent_rank_cume values are tie-stable ratios in [0,1]") {
     val rows = q("win_percent_rank_cume")
       .collect().map(r => (r.getString(1), r.get(2), r.getDouble(3), r.getDouble(4)))

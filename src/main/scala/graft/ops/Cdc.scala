@@ -194,6 +194,42 @@ object Cdc {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "schema_evolution_widen",
+      // The OTHER schema-version bump: a column's TYPE widens mid-feed
+      // (int ids outgrow 32 bits, float prices move to double). Parquet
+      // mergeSchema refuses type promotion outright, so the engine-level
+      // answer is per-generation reads cast to the widest type and
+      // unioned — the upgrade path a 100 TB replica actually takes (cast
+      // at read, rewrite never). The narrowing float detour is
+      // deterministic IEEE truncation both engines reproduce exactly.
+      (s, dir) => {
+        val tmp = graft.util.tempDir("graft_schema_widen_")
+        val o = Tables(s, dir, "orders")
+        // gen1 wrote narrow types (INT key, FLOAT price)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_totalprice").cast("float").as("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        // gen2 widened at the producer (BIGINT key, DOUBLE price)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=2")
+        val g1 = s.read.parquet(s"$tmp/gen=1")
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"))
+        val g2 = s.read.parquet(s"$tmp/gen=2")
+        g1.unionByName(g2)
+          .withColumn("gen", when(col("o_orderkey") % 2 === 0, 1L).otherwise(2L))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       CASE WHEN o_orderkey % 2 = 0
+             |            THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+             |            ELSE o_totalprice END AS o_totalprice,
+             |       CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS gen
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "cdc_audit_counts",
       // CDC observability: classify each delta row against the base
       // snapshot BEFORE applying it — inserts (new key, U), updates

@@ -797,6 +797,27 @@ object Joins {
               |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "sql_group_by_all",
+      // GROUP BY ALL: the analyst-SQL dialect feature (group by every
+      // non-aggregate select item) that Spark and DuckDB both implement —
+      // the SAME query text runs on both engines, so the oracle string IS
+      // the Spark SQL and the dialect-parity claim is hash-certified. The
+      // resolved plan is an ordinary two-phase hash aggregate.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+                |       CAST(min(o_orderkey) AS BIGINT) AS first_key
+                |FROM orders
+                |GROUP BY ALL
+                |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+             |       CAST(min(o_orderkey) AS BIGINT) AS first_key
+             |FROM orders
+             |GROUP BY ALL
+             |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
+    ),
+    Q(
       "join_skew_salted",
       // Skew-mitigation pattern: l_suppkey is pathologically skewed (6M·sf
       // rows over 10 suppliers). Salting splits each hot key into S

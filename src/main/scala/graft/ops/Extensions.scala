@@ -167,6 +167,38 @@ object Extensions {
              |       n_chars % 640 AS width,
              |       doc_id % 480 AS height
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "sink_custom_commit",
+      // DSv2 WRITE path with a visible two-phase commit protocol
+      // (graft.sources.ManifestSink): tasks stream rows to uniquely-named
+      // files, only the driver's job commit publishes a manifest listing
+      // exactly the committed files, and reads resolve through the
+      // manifest. The row exercises the whole contract: overwrite batch →
+      // a planted ZOMBIE file (durable output of a crashed/speculative
+      // attempt that never task-committed) → append batch → connector
+      // read-back. The zombie is on disk in data/ but MUST NOT appear —
+      // exactly-once visibility is the manifest's doing, not a rename
+      // race. Oracle: the two batches are a disjoint split of orders, so
+      // the committed view is just the source projection.
+      (s, dir) => {
+        val out = graft.util.tempDir("graft_manifest_sink_")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format("graft.sources.ManifestSink").option("path", out)
+          .mode("overwrite").save()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "data", "part-9-999-zombie.tsv"),
+          "-1\t0.0\tZOMBIE\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.format("graft.sources.ManifestSink").option("path", out)
+          .mode("append").save()
+        s.read.format("graft.sources.ManifestSink").option("path", out).load()
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
     )
   )
 }

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{ManifestSink, ManifestTableAccess}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Commit-protocol properties of the DSv2 manifest sink that the oracle
+  * row can't see: task abort removes the attempt's file, job abort
+  * unpublishes task-committed files, overwrite truncates the manifest,
+  * and crashed-attempt orphans stay invisible while remaining on disk.
+  */
+class ManifestSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def freshDir() = util.tempDir("graft_manifest_spec_")
+
+  private def writeVia(dir: String, mode: String, from: Long, until: Long): Unit =
+    (from until until).map(i => (i, i * 1.5, s"s$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .mode(mode).save()
+
+  private def readVia(dir: String) =
+    spark.read.format("graft.sources.ManifestSink").option("path", dir).load()
+
+  test("roundtrip preserves longs, doubles, strings and nulls") {
+    val dir = freshDir()
+    Seq((1L, 1.25, "plain"), (2L, Double.MinPositiveValue, "tab\there"),
+        (3L, -0.0, null))
+      .toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .mode("overwrite").save()
+    val got = readVia(dir).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    assert(got(0) == ((1L, 1.25, "plain")))
+    assert(got(1) == ((2L, Double.MinPositiveValue, "tab\there")))
+    assert(got(2)._3 == null)
+    assert(java.lang.Double.doubleToRawLongBits(got(2)._2) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+  }
+
+  test("overwrite truncates; append folds the prior manifest") {
+    val dir = freshDir()
+    writeVia(dir, "overwrite", 0, 10)
+    writeVia(dir, "append", 10, 25)
+    assert(readVia(dir).count() == 25)
+    writeVia(dir, "overwrite", 0, 5)
+    assert(readVia(dir).count() == 5)
+  }
+
+  test("durable files of never-committed attempts are invisible") {
+    val dir = freshDir()
+    writeVia(dir, "overwrite", 0, 10)
+    Files.write(Paths.get(dir, "data", "part-7-77-zombie.tsv"),
+      "999\t9.9\tzombie\n".getBytes)
+    assert(readVia(dir).count() == 10)
+    assert(!readVia(dir).collect().exists(_.getLong(0) == 999L))
+    // the orphan is still on disk — invisibility is the manifest's doing
+    assert(Files.exists(Paths.get(dir, "data", "part-7-77-zombie.tsv")))
+  }
+
+  test("task abort deletes the attempt's file; job abort unpublishes") {
+    val dir = freshDir()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val (batch, factory) = ManifestTableAccess.batchWrite(dir, schema, truncate = true)
+    // attempt 1 writes then aborts (simulated task failure)
+    val w1 = factory.createWriter(0, 1L)
+    w1.write(org.apache.spark.sql.catalyst.InternalRow(1L))
+    w1.abort()
+    val dataDir = Paths.get(dir, "data")
+    assert(!Files.exists(dataDir) || Files.list(dataDir).count() == 0)
+    // attempt 2 task-commits, then the JOB aborts → file unpublished
+    val w2 = factory.createWriter(0, 2L)
+    w2.write(org.apache.spark.sql.catalyst.InternalRow(2L))
+    val msg = w2.commit()
+    batch.abort(Array(msg))
+    assert(Files.list(dataDir).count() == 0)
+    assert(ManifestSink.readManifest(dir).isEmpty)
+  }
+}

@@ -544,6 +544,46 @@ object Streaming {
              |ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "stream_exactly_once_sink",
+      // End-to-end exactly-once into the custom DSv2 manifest sink: each
+      // micro-batch appends its partial counts tagged with txnId=batchId;
+      // the sink's job commit records the txn in the manifest, so a
+      // RE-DELIVERED batch (sink-side crash after commit, replayed on
+      // restart — the failure the manifest txn log exists for) publishes
+      // nothing. The row replays txnId=0 with a POISON payload after the
+      // stream drains: if idempotence failed, the poison row would corrupt
+      // the counts and the oracle would catch it. This is the
+      // transactional-sink pattern (Delta's txn appId/version) on the
+      // engine's own connector.
+      (s, dir) => {
+        import s.implicits._
+        val sinkDir = graft.util.tempDir("graft_eos_sink_")
+        val ev = eventsStream(s, stageSplitByTime(s, dir), maxFilesPerTrigger = Some(1))
+        val q = ev.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n"))
+              .write.format("graft.sources.ManifestSink")
+              .option("path", sinkDir).option("txnId", batchId.toString)
+              .mode("append").save()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        // replay of txn 0 with poison: MUST be a published no-op
+        Seq(("poison", 1000000L)).toDF("event_type", "n")
+          .write.format("graft.sources.ManifestSink")
+          .option("path", sinkDir).option("txnId", "0")
+          .mode("append").save()
+        s.read.format("graft.sources.ManifestSink").option("path", sinkDir).load()
+          .groupBy(col("event_type")).agg(sum(col("n")).as("n_events"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
       "stream_schema_evolution",
       // DAP schema-version bump BETWEEN micro-batches (the streaming twin of
       // schema_evolution_merge, SURVEY.md §2.10 [DAP]): generation 2 of the

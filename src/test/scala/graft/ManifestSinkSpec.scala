@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.sources.{ManifestSink, ManifestTableAccess}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -59,6 +61,29 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(!readVia(dir).collect().exists(_.getLong(0) == 999L))
     // the orphan is still on disk — invisibility is the manifest's doing
     assert(Files.exists(Paths.get(dir, "data", "part-7-77-zombie.tsv")))
+  }
+
+  test("txnId makes appends idempotent and cleans up the replay's files") {
+    val dir = freshDir()
+    (0L until 5L).map(i => (i, i * 1.0, s"a$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .option("txnId", "7").mode("append").save()
+    assert(readVia(dir).count() == 5)
+    // replay of txn 7 with different content publishes nothing...
+    (100L until 200L).map(i => (i, 0.0, "replay")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .option("txnId", "7").mode("append").save()
+    assert(readVia(dir).count() == 5)
+    // ...and its data files were deleted, not orphaned
+    val manifestFiles = ManifestSink.readManifest(dir).get._2.toSet
+    val onDisk = Files.list(Paths.get(dir, "data")).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(onDisk == manifestFiles)
+    // a NEW txn still appends
+    Seq((9L, 9.0, "b")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .option("txnId", "8").mode("append").save()
+    assert(readVia(dir).count() == 6)
   }
 
   test("task abort deletes the attempt's file; job abort unpublishes") {

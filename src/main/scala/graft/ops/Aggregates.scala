@@ -759,6 +759,68 @@ object Aggregates {
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "agg_grouping_id",
+      // grouping_id(): the bitmask that tells a NULL subtotal row apart
+      // from a NULL data value — without it, rollup output over nullable
+      // dimensions is ambiguous and downstream consumers mis-bucket the
+      // grand total. Same two-phase aggregate as agg_rollup; the id is
+      // computed from the grouping-set shape, not the data.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+             |       CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+             |FROM orders
+             |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+             |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+    Q(
+      "dq_anomaly_iqr",
+      // Tukey-fence outlier screening per group — the post-sync anomaly
+      // check run before a corpus ships. Quartiles are interpolated on
+      // BIGINT cents, so every q1/q3 is an exact multiple of 0.25 and the
+      // 1.5·IQR fences are exact multiples of 0.125 — the outlier
+      // CLASSIFICATION (a strict threshold compare) cannot flip on a ulp
+      // between engines. One pass for quartiles (percentile is a single
+      // mergeable aggregate), one to classify — both two-phase.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        val fences = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(cents, array(0.25, 0.75))").as("qs"))
+          .select(col("event_type"),
+            element_at(col("qs"), 1).as("q1"),
+            element_at(col("qs"), 2).as("q3"))
+          .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+          .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+        ev.join(broadcast(fences), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("cents") < col("lo") || col("cents") > col("hi"), 1))
+              .as("n_outliers"),
+            first(col("q1")).as("q1"), first(col("q3")).as("q3"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |f AS (
+             |  SELECT event_type,
+             |         quantile_cont(cents, 0.25) AS q1,
+             |         quantile_cont(cents, 0.75) AS q3
+             |  FROM c GROUP BY event_type)
+             |SELECT c.event_type, count(*) AS n_rows,
+             |       count(*) FILTER (WHERE cents < q1 - (q3 - q1) * 1.5
+             |                           OR cents > q3 + (q3 - q1) * 1.5) AS n_outliers,
+             |       any_value(q1) AS q1, any_value(q3) AS q3
+             |FROM c JOIN f USING (event_type)
+             |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin)
     )
   )
 }

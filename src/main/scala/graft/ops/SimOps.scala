@@ -586,6 +586,101 @@ object SimOps {
              |  JOIN q8 b ON b.vec_id = s.neighbor_id) t
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "sim_ann_ivf_quantized",
+      // IVF with a FULL oracle — the float IVF (sim_cosine_ann_ivf) can't
+      // be hash-checked because cell membership at ulp-close centroid
+      // boundaries isn't stable; this variant makes the whole index
+      // integer-exact: vectors shift to the non-negative int8 grid
+      // (u = q8+127, so floor-division is truncation in BOTH engines),
+      // cells are fixed-point centroids (1024·Σu div n — one shared
+      // scale, cross-cell comparable), corpus vectors assign to their
+      // nearest cell, queries probe nProbe=2 cells, and scoring is exact
+      // integer L2 inside the probed cells. At 100 TB the cell id is the
+      // partition key — a query touches 2 partitions, and every replica
+      // of the computation (retry, speculation, another engine) builds
+      // bit-for-bit the SAME index.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        def u8(c: Column): Column = transform(c, x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") * 254.0 + 0.5).cast("long"))) + 127)
+        val base = emb.select(col("vec_id"), col("label"), u8(col("embedding")).as("ue"))
+        val cells = broadcast(base
+          .select(col("label"), posexplode(col("ue")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .withColumn("c", expr("(1024 * s) div n"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cent"))
+          .select(col("label").as("cell"), col("cent")))
+        val cellDist = aggregate(
+          zip_with(col("ue"), col("cent"),
+            (x, y) => (x * 1024 - y) * (x * 1024 - y)),
+          lit(0L), (a, v) => a + v)
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cd").asc, col("cell").asc)
+        val assign = base.crossJoin(cells)
+          .withColumn("cd", cellDist)
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") <= 2)
+        val corpus = assign.filter(col("rn") === 1)
+          .select(col("cell"), col("vec_id").as("neighbor_id"), col("ue").as("n_ue"))
+        val queries = assign.filter(col("vec_id") % 50 === 0)
+          .select(col("cell"), col("vec_id").as("query_id"), col("ue").as("q_ue"))
+        def sq(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v)
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("neighbor_id").asc)
+        queries.join(corpus, "cell")
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("dist", sq(col("q_ue"), col("n_ue")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH u8 AS (
+             |  SELECT vec_id, label, list_transform(embedding, x ->
+             |    greatest(-127::BIGINT, least(127::BIGINT,
+             |      CAST(floor(x::DOUBLE * 254.0 + 0.5) AS BIGINT))) + 127) AS ue
+             |  FROM embeddings),
+             |comp AS (
+             |  SELECT label, r.i AS pos, CAST(sum(ue[r.i]) AS BIGINT) AS s, count(*) AS n
+             |  FROM u8, range(1, 65) r(i) GROUP BY label, r.i),
+             |cells AS (
+             |  SELECT label AS cell, list((1024 * s) // n ORDER BY pos) AS cent
+             |  FROM comp GROUP BY label),
+             |assign AS (
+             |  SELECT vec_id, cell, rn FROM (
+             |    SELECT u.vec_id, c.cell,
+             |           row_number() OVER (PARTITION BY u.vec_id ORDER BY
+             |             list_sum(list_transform(range(1, 65),
+             |               i -> (1024*u.ue[i]-c.cent[i])*(1024*u.ue[i]-c.cent[i]))) ASC,
+             |             c.cell ASC) AS rn
+             |    FROM u8 u CROSS JOIN cells c) t WHERE rn <= 2),
+             |corpus AS (
+             |  SELECT a.cell, u.vec_id AS neighbor_id, u.ue
+             |  FROM assign a JOIN u8 u USING (vec_id) WHERE a.rn = 1),
+             |queries AS (
+             |  SELECT a.cell, u.vec_id AS query_id, u.ue
+             |  FROM assign a JOIN u8 u USING (vec_id) WHERE u.vec_id % 50 = 0),
+             |scored AS (
+             |  SELECT q.query_id, c.neighbor_id,
+             |         CAST(list_sum(list_transform(range(1, 65),
+             |           i -> (q.ue[i]-c.ue[i])*(q.ue[i]-c.ue[i]))) AS BIGINT) AS dist
+             |  FROM queries q JOIN corpus c USING (cell)
+             |  WHERE q.query_id <> c.neighbor_id)
+             |SELECT query_id, rank, neighbor_id, dist FROM (
+             |  SELECT query_id, neighbor_id, dist,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |           ORDER BY dist ASC, neighbor_id ASC) AS BIGINT) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)
     )
   )
 }

@@ -520,6 +520,45 @@ object Sources {
       },
       Some("""SELECT event_type, count(*) AS n_events
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "scan_parquet_encrypted",
+      // Parquet Modular Encryption: encryption at rest INSIDE the format —
+      // the footer and chosen columns are AES-GCM-encrypted per file, keys
+      // wrapped by a KMS (here graft.sources.InMemoryKms; swap one method
+      // for a real key server). Unlike fn_aes_roundtrip (cell-level crypto
+      // in query expressions) this is transparent to every query: scans
+      // decrypt, pushdown/pruning still work, and a reader WITHOUT keys
+      // gets a hard failure, not garbage (EncryptionSpec pins both the
+      // PARE footer magic and the no-keys failure). Configs are scoped:
+      // write-encrypt + read-decrypt happen inside, a plaintext staging
+      // copy is what the compare reads.
+      (s, dir) => {
+        val enc = tmpDir("graft_parquet_enc_")
+        val plain = tmpDir("graft_parquet_dec_")
+        val hc = s.sparkContext.hadoopConfiguration
+        val scoped = Map(
+          "parquet.crypto.factory.class" ->
+            "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory",
+          "parquet.encryption.kms.client.class" -> "graft.sources.InMemoryKms")
+        val saved = scoped.keys.map(k => k -> Option(hc.get(k))).toMap
+        try {
+          scoped.foreach { case (k, v) => hc.set(k, v) }
+          Tables(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+            .write
+            .option("parquet.encryption.footer.key", "kf")
+            .option("parquet.encryption.column.keys", "kc:c_name,c_acctbal")
+            .mode("overwrite").parquet(enc)
+          // decrypting scan (keys present) → plaintext staging copy
+          s.read.parquet(enc).write.mode("overwrite").parquet(plain)
+        } finally saved.foreach { case (k, vo) =>
+          vo.fold(hc.unset(k))(v => hc.set(k, v))
+        }
+        s.read.parquet(plain).orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer ORDER BY c_custkey""".stripMargin)
     )
   )
 }

@@ -387,6 +387,48 @@ object Cdc {
       Some("""SELECT event_type, count(*) AS n,
              |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "cdc_deletion_vectors",
+      // Lakehouse deletion vectors: deletes land as a COMPACT SET OF ROW
+      // POSITIONS next to the immutable base file instead of rewriting it
+      // — the merge-on-read pattern (Delta DVs, Iceberg positional
+      // deletes) that makes deletes O(deleted) instead of O(table). Base
+      // lands once with stable positions; a later delete commit writes
+      // only the position list; readers anti-join base against the
+      // broadcast DV (positions, not keys — no wide-row shuffle, and the
+      // base row needs no key lookup). Two delete commits accumulate;
+      // the oracle recomputes the survivor set from the predicates.
+      (s, dir) => {
+        val tmp = graft.util.tempDir("graft_dv_")
+        // positions are PER SHARD (here: status; at scale: per file) — a
+        // partitioned window, never a single-partition global sequence
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("pos", row_number().over(w).cast("long") - 1)
+          .write.mode("overwrite").parquet(s"$tmp/base")
+        val base = s.read.parquet(s"$tmp/base")
+        // delete commit 1: cancel F-status rows; commit 2: high-value O
+        base.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderstatus"), col("pos"))
+          .write.mode("overwrite").parquet(s"$tmp/dv/commit=1")
+        base.filter(col("o_orderstatus") === "O" && col("o_totalprice") > 400000)
+          .select(col("o_orderstatus"), col("pos"))
+          .write.mode("overwrite").parquet(s"$tmp/dv/commit=2")
+        val dv = s.read.parquet(s"$tmp/dv")
+        base.join(
+          broadcast(dv.select(col("o_orderstatus"), col("pos")).distinct()),
+          Seq("o_orderstatus", "pos"), "left_anti")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders
+             |WHERE NOT (o_orderstatus = 'F')
+             |  AND NOT (o_orderstatus = 'O' AND o_totalprice > 400000)
+             |ORDER BY o_orderkey""".stripMargin)
     )
   )
 }

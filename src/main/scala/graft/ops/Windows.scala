@@ -683,6 +683,55 @@ object Windows {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "win_interval_concurrency",
+      // Peak concurrent intervals per type via SWEEP LINE: each interval
+      // contributes a +1 at its start and a −1 at its (half-open) end, a
+      // running sum over the endpoint stream is the live concurrency, and
+      // its max is the answer — O(n log n) against the O(n²)
+      // interval-overlap self-join, which is the difference between a
+      // window pass and an unrunnable cartesian at 100 TB. Tie rule is
+      // pinned (ends before starts at the same instant, event_id as final
+      // tiebreak) so the running sum is a total order both engines walk
+      // identically. Durations are integer seconds from cents.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("dur", expr("CAST(floor(value * 100 + 0.5) AS BIGINT) % 3600 + 60"))
+          .withColumn("s_us", expr("ts_ns div 1000"))
+          .withColumn("e_us", expr("ts_ns div 1000 + dur * 1000000"))
+        val ends = ev.select(col("event_type"), col("e_us").as("t"),
+          lit(-1L).as("delta"), col("event_id"))
+        val starts = ev.select(col("event_type"), col("s_us").as("t"),
+          lit(1L).as("delta"), col("event_id"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        starts.unionByName(ends)
+          .withColumn("live", sum(col("delta")).over(w))
+          .groupBy(col("event_type"))
+          .agg(max(col("live")).as("max_concurrent"),
+            (count(lit(1)) / 2).cast("long").as("n_intervals"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT event_type, event_id,
+             |         epoch_us(ts) AS s_us,
+             |         epoch_us(ts) + (CAST(floor(value * 100 + 0.5) AS BIGINT) % 3600 + 60) * 1000000 AS e_us
+             |  FROM events),
+             |pts AS (
+             |  SELECT event_type, s_us AS t, CAST(1 AS BIGINT) AS delta, event_id FROM iv
+             |  UNION ALL
+             |  SELECT event_type, e_us AS t, CAST(-1 AS BIGINT) AS delta, event_id FROM iv),
+             |run AS (
+             |  SELECT event_type,
+             |         CAST(sum(delta) OVER (PARTITION BY event_type
+             |           ORDER BY t ASC, delta ASC, event_id ASC
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS live
+             |  FROM pts)
+             |SELECT event_type, max(live) AS max_concurrent,
+             |       CAST(count(*) // 2 AS BIGINT) AS n_intervals
+             |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 }

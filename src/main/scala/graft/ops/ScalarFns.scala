@@ -506,6 +506,62 @@ object ScalarFns {
              |        ELSE lower(c_mktsegment) END AS seg_mixed
              |      FROM customer) t
              |GROUP BY lower(seg_mixed) ORDER BY segment""".stripMargin)
+    ),
+    Q(
+      "fn_xml_extract",
+      // XML feed surface: xpath extraction over per-row XML payloads —
+      // the wire format half the enterprise sources still speak. The XML
+      // is synthesized deterministically from orders (so the oracle can
+      // recompute the extracted fields straight from the columns), the
+      // extraction exercises typed xpath_* plus a node-count xpath over a
+      // repeated element. Per-row parse, no shuffle added.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .withColumn("xml", concat(
+            lit("<order id=\""), col("o_orderkey"), lit("\"><status>"),
+            col("o_orderstatus"), lit("</status><lines>"),
+            lit("<l n=\"1\"/><l n=\"2\"/>"),
+            when(col("o_orderkey") % 3 === 0, lit("<l n=\"3\"/>")).otherwise(lit("")),
+            lit("</lines></order>")))
+          .select(col("o_orderkey"),
+            expr("xpath_long(xml, '/order/@id')").as("xml_id"),
+            expr("xpath_string(xml, '/order/status')").as("xml_status"),
+            expr("CAST(xpath_number(xml, 'count(/order/lines/l)') AS BIGINT)").as("n_lines"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderkey AS xml_id,
+             |       o_orderstatus AS xml_status,
+             |       CAST(CASE WHEN o_orderkey % 3 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_lines
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "fn_csv_embedded",
+      // Embedded-CSV columns: from_csv parses a delimited payload column
+      // against an explicit schema (the no-inference rule at scale),
+      // to_csv re-serializes — covering feeds that nest CSV inside a
+      // column the way props nests JSON. Quoted fields with embedded
+      // delimiters round-trip.
+      (s, dir) => {
+        val schema = "k BIGINT, seg STRING, bal DOUBLE"
+        Tables(s, dir, "customer")
+          .withColumn("line", concat(
+            col("c_custkey"), lit(","),
+            lit("\""), col("c_mktsegment"), lit(",inner\""), lit(","),
+            col("c_acctbal")))
+          .withColumn("parsed", expr(s"from_csv(line, '$schema')"))
+          .select(col("c_custkey"),
+            col("parsed.k").as("k"),
+            col("parsed.seg").as("seg"),
+            col("parsed.bal").as("bal"),
+            expr("to_csv(parsed)").as("round_trip"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_custkey AS k,
+             |       c_mktsegment || ',inner' AS seg,
+             |       c_acctbal AS bal,
+             |       CAST(c_custkey AS VARCHAR) || ',"' || c_mktsegment || ',inner",'
+             |         || CAST(c_acctbal AS VARCHAR) AS round_trip
+             |FROM customer ORDER BY c_custkey""".stripMargin)
     )
   )
 }

@@ -255,6 +255,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("bloom_filter_agg"), plan)
   }
 
+  test("sim_ann_ivf_quantized broadcasts the codebook, never shuffles the corpus to it") {
+    val plan = planOf("sim_ann_ivf_quantized")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cdc_deletion_vectors applies deletes as a broadcast anti join") {
+    val plan = planOf("cdc_deletion_vectors")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("win_interval_concurrency is one union + one window pass, no self-join") {
+    val plan = planOf("win_interval_concurrency")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), s"sweep line must not join:\n$plan")
+  }
+
   test("graph analytics reuse one materialized edge list (no rebuild per row)") {
     // the memoized localCheckpoint means downstream plans scan an RDD,
     // not the lineitem self-join

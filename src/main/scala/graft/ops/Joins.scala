@@ -818,6 +818,31 @@ object Joins {
              |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
     ),
     Q(
+      "sql_parameterized",
+      // Named-parameter SQL (spark.sql(text, args)): the injection-safe
+      // templating surface — parameters bind as Catalyst literals, so the
+      // plan is identical to inlined constants (constant folding, filter
+      // pushdown all apply) and the query TEXT is cacheable across
+      // bindings. Oracle: the same query with the constants inlined.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS n_orders,
+            |       CAST(max(o_totalprice) AS DOUBLE) AS max_price
+            |FROM orders
+            |WHERE o_orderstatus = :status AND o_totalprice > :floor
+            |GROUP BY o_orderpriority
+            |ORDER BY o_orderpriority""".stripMargin,
+          Map("status" -> "O", "floor" -> 100000))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |       CAST(max(o_totalprice) AS DOUBLE) AS max_price
+             |FROM orders
+             |WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "join_skew_salted",
       // Skew-mitigation pattern: l_suppkey is pathologically skewed (6M·sf
       // rows over 10 suppliers). Salting splits each hot key into S

@@ -17,6 +17,38 @@ object Quality {
 
   val defs: Seq[Q] = Seq(
     Q(
+      "dq_observed_metrics",
+      // In-flight pipeline observability via `observe()` (CollectMetrics):
+      // the metrics ride INSIDE the job that does the real work — no
+      // second scan, no separate audit query, which at 100 TB is the
+      // difference between free telemetry and doubling the read bill. The
+      // row runs a filtered projection while observing row count, sum,
+      // and null count; the metrics row (read back from the executed
+      // QueryExecution) is the output. Oracle: recompute the same
+      // aggregates declaratively.
+      (s, dir) => {
+        val obs = new org.apache.spark.sql.Observation()
+        val observed = Tables.events(s, dir)
+          .filter(col("event_type") =!= "error")
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum(col("cents")).as("sum_cents"),
+            count(when(col("props").isNull, 1)).as("n_null_props"))
+        // the observed action: a distributed count — metrics ride with it
+        observed.count()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long], m("sum_cents").asInstanceOf[Long],
+          m("n_null_props").asInstanceOf[Long]))
+          .toDF("n_rows", "sum_cents", "n_null_props")
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       count(*) FILTER (WHERE props IS NULL) AS n_null_props
+             |FROM events WHERE event_type <> 'error'""".stripMargin)
+    ),
+    Q(
       "dq_profile_columns",
       // Column-profile-in-one-pass: null counts, distinct counts, min/max
       // and length stats for several columns computed as ONE aggregate row

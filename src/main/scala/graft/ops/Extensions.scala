@@ -169,6 +169,55 @@ object Extensions {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "multimodal_audio_energy",
+      // Audio-specific plumbing: PCM frames → per-frame energy, the
+      // feature every VAD/diarization/loudness pipeline computes first.
+      // A deterministic 1024-sample signed-8-bit waveform is synthesized
+      // per doc AS REAL BINARY (hex-assembled, unhex'd); the decoder is an
+      // iterator-to-iterator mapPartitions that walks the bytes in fixed
+      // 256-sample frames and emits Σ s² per frame — constant memory per
+      // task, one output row per frame, media libs swappable at the
+      // decode call exactly like the image stub. The oracle replays the
+      // generator arithmetic (no binary) — sample_i = (doc_id·31 + i²)
+      // mod 256 − 128 — so the whole binary round-trip is hash-checked.
+      (s, dir) => {
+        val spark = s
+        // synthesize the waveform as real bytes: hex per sample → unhex
+        val sampleHex = transform(sequence(lit(0), lit(1023)),
+          i => lpad(lower(hex((col("doc_id") * 31 + i.cast("long") * i.cast("long")) % 256)), 2, "0"))
+        val withPcm = Tables(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0) // bounded media subset
+          .select(col("doc_id"), unhex(concat_ws("", sampleHex)).as("pcm"))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("frame", LongType),
+          StructField("energy", LongType)))
+        val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+        withPcm.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val pcm = r.getAs[Array[Byte]](1)
+            // signed-8-bit decode: byte 0..255 → sample −128..127
+            pcm.grouped(256).zipWithIndex.map { case (fr, fi) =>
+              val energy = fr.foldLeft(0L) { (a, b) =>
+                val s8 = (b & 0xff) - 128L; a + s8 * s8
+              }
+              Row(id, fi.toLong, energy)
+            }
+          }
+        }(rowEnc)
+          .orderBy(col("doc_id"), col("frame"))
+      },
+      Some("""SELECT doc_id, f.f AS frame,
+             |       CAST(list_sum(list_transform(range(0, 256),
+             |         j -> ((doc_id * 31 + (f.f * 256 + j) * (f.f * 256 + j)) % 256 - 128)
+             |            * ((doc_id * 31 + (f.f * 256 + j) * (f.f * 256 + j)) % 256 - 128)))
+             |       AS BIGINT) AS energy
+             |FROM documents, range(0, 4) f(f)
+             |WHERE doc_id % 10 = 0
+             |ORDER BY doc_id, frame""".stripMargin)
+    ),
+    Q(
       "sink_custom_commit",
       // DSv2 WRITE path with a visible two-phase commit protocol
       // (graft.sources.ManifestSink): tasks stream rows to uniquely-named

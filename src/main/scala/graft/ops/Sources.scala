@@ -522,6 +522,43 @@ object Sources {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
     Q(
+      "scan_recursive_glob",
+      // Data-lake directory discovery: a nested landing layout
+      // (year/month subdirs plus a _scratch dir of non-data droppings)
+      // read with recursiveFileLookup + pathGlobFilter — the listing
+      // rules that decide what a 100 TB prefix scan even enumerates.
+      // The glob excludes the scratch files at LISTING time (they are
+      // never opened), and recursive lookup ignores partition-discovery
+      // so the nested dirs are plain containers. Oracle: the landed
+      // subset recomputed from source.
+      (s, dir) => {
+        val root = tmpDir("graft_lake_")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        o.filter(year(col("o_orderdate")) === 1995)
+          .write.mode("overwrite").parquet(s"$root/y=1995/m=all")
+        o.filter(year(col("o_orderdate")) === 1996)
+          .write.mode("overwrite").parquet(s"$root/y=1996/m=all")
+        // non-data droppings a real landing zone accumulates
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/_scratch"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/_scratch/notes.txt"),
+          "not data".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/y=1995/m=all/readme.md"),
+          "not data".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s.read
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(root)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderdate
+             |FROM orders
+             |WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "scan_parquet_encrypted",
       // Parquet Modular Encryption: encryption at rest INSIDE the format —
       // the footer and chosen columns are AES-GCM-encrypted per file, keys

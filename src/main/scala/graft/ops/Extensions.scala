@@ -248,6 +248,48 @@ object Extensions {
       },
       Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "sink_time_travel",
+      // Snapshot retention + time travel + OPTIMIZE on the manifest sink:
+      // every job commit is also a retained snapshot (manifest.v<N>), so
+      // `versionAsOf` pins a scan to any past state — and compaction is
+      // just a new snapshot that lists one big file instead of many small
+      // ones, leaving history readable (the lakehouse OPTIMIZE contract:
+      // data files are immutable, only the manifest moves). v1 =
+      // overwrite evens, v2 = append odds, v3 = compact; the row reads
+      // all three snapshots back and summarizes them — identical totals
+      // for v2 and v3 prove compaction changed layout, not content.
+      (s, dir) => {
+        val out = graft.util.tempDir("graft_timetravel_")
+        val fmt = "graft.sources.ManifestSink"
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.format(fmt).option("path", out).mode("append").save()
+        // OPTIMIZE: rewrite the current snapshot as one file, new version
+        s.read.format(fmt).option("path", out).load().coalesce(1)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        (1 to 3).map { v =>
+          s.read.format(fmt).option("path", out)
+            .option("versionAsOf", v.toString).load()
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("o_orderkey")).as("sum_key"))
+            .select(lit(v.toLong).as("version"), col("n_rows"),
+              col("sum_key").cast("long").as("sum_key"))
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+             |         CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
+             |  UNION ALL
+             |  SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders) t
+             |ORDER BY version""".stripMargin)
     )
   )
 }

@@ -86,6 +86,29 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(readVia(dir).count() == 6)
   }
 
+  test("snapshots are retained: time travel reads past states; compaction keeps history") {
+    val dir = freshDir()
+    writeVia(dir, "overwrite", 0, 10)        // v1
+    writeVia(dir, "append", 10, 30)          // v2
+    // OPTIMIZE: compact into one file as a NEW snapshot
+    readVia(dir).coalesce(1)
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .mode("overwrite").save()              // v3
+    assert(ManifestSink.latestVersion(dir) == 3)
+    def at(v: Int) = spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).option("versionAsOf", v.toString).load()
+    assert(at(1).count() == 10)
+    assert(at(2).count() == 30)
+    assert(at(3).count() == 30)
+    // compaction changed layout only: one file now, same keys
+    assert(ManifestSink.readManifestAt(dir, Some(3)).get._2.size == 1)
+    assert(ManifestSink.readManifestAt(dir, Some(2)).get._2.size > 1)
+    assert(at(2).collect().map(_.getLong(0)).sorted.toSeq ==
+      at(3).collect().map(_.getLong(0)).sorted.toSeq)
+    // current pointer == latest snapshot
+    assert(readVia(dir).count() == 30)
+  }
+
   test("task abort deletes the attempt's file; job abort unpublishes") {
     val dir = freshDir()
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog plugin (§2.12 extension surface): a [[TableCatalog]] over the
+  * manifest table format, so the engine's own tables are addressable as
+  * `<catalog>.<namespace>.<table>` from PLAIN SQL — `CREATE TABLE`,
+  * `INSERT INTO`, `INSERT OVERWRITE`, `SELECT`, `DROP TABLE` all resolve
+  * through this class to [[ManifestTable]]s under a warehouse directory.
+  * This is the remaining DSv2 integration point after the read connector,
+  * the write connector, and the commit protocol: name resolution. At
+  * scale the identifier→path map is a metastore call; here it is
+  * `warehouse/namespace/table`, and table EXISTENCE is manifest existence
+  * (an empty v1 manifest is written at CREATE — consistent with the
+  * format's "visibility = manifest" rule).
+  *
+  * Configure:
+  *   spark.sql.catalog.<name> = graft.sources.GraftCatalog
+  *   spark.sql.catalog.<name>.warehouse = <dir>
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = Paths.get(s"$warehouse/${namespace.mkString("/")}")
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    val s = Files.list(ns)
+    try s.iterator().asScala
+      .filter(p => Files.exists(p.resolve("manifest.json")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = pathOf(ident)
+    ManifestSink.readManifest(dir) match {
+      case Some((schema, _)) => new ManifestTable(dir, schema)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val dir = pathOf(ident)
+    // CREATE = publish an empty snapshot; existence IS the manifest
+    ManifestSink.writeManifest(dir, schema, Seq.empty)
+    new ManifestTable(dir, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = Paths.get(pathOf(ident))
+    if (!Files.exists(dir.resolve("manifest.json"))) false
+    else {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    Files.createDirectories(Paths.get(pathOf(newIdent)).getParent)
+    Files.move(Paths.get(pathOf(oldIdent)), Paths.get(pathOf(newIdent)))
+    ()
+  }
+
+  // ---- namespaces: plain directories under the warehouse ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) Array.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(p => Array(p.getFileName.toString)).toArray
+      finally s.close()
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    Files.isDirectory(Paths.get(s"$warehouse/${namespace.mkString("/")}"))
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(s"$warehouse/${namespace.mkString("/")}"))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = Paths.get(s"$warehouse/${namespace.mkString("/")}")
+    if (!Files.isDirectory(dir)) false
+    else {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+      true
+    }
+  }
+}

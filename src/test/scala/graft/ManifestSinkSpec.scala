@@ -109,6 +109,25 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(readVia(dir).count() == 30)
   }
 
+  test("catalog: create/list/insert-overwrite/rename/drop through SQL identifiers") {
+    val wh = util.tempDir("graft_cat_spec_")
+    spark.conf.set("spark.sql.catalog.graft_spec_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_spec_cat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_spec_cat.ns")
+    spark.sql("CREATE TABLE graft_spec_cat.ns.t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft_spec_cat.ns.t VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT * FROM graft_spec_cat.ns.t").count() == 2)
+    spark.sql("INSERT OVERWRITE graft_spec_cat.ns.t VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM graft_spec_cat.ns.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    assert(spark.sql("SHOW TABLES IN graft_spec_cat.ns").collect()
+      .exists(_.getString(1) == "t"))
+    spark.sql("ALTER TABLE graft_spec_cat.ns.t RENAME TO ns.t2")
+    assert(spark.sql("SELECT * FROM graft_spec_cat.ns.t2").count() == 1)
+    spark.sql("DROP TABLE graft_spec_cat.ns.t2")
+    assert(spark.sql("SHOW TABLES IN graft_spec_cat.ns").collect().isEmpty)
+  }
+
   test("task abort deletes the attempt's file; job abort unpublishes") {
     val dir = freshDir()
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -289,6 +289,56 @@ object Extensions {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sql_merge_into",
+      // SQL MERGE INTO on the engine's own table format — the reference's
+      // entire job (CD2 incremental upsert/delete) as ONE standard SQL
+      // statement against a SupportsRowLevelOperations table: matched
+      // deletes, matched updates, and not-matched inserts in a single
+      // atomic commit (group-based copy-on-write → truncating manifest
+      // publish, so the merge is all-or-nothing and the pre-merge
+      // snapshot stays time-travel readable). Oracle: the merge relation
+      // recomputed as a FULL JOIN with the same three-way CASE.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.replica")
+        // the row-id column (first) must be provably non-null for
+        // row-level ops — declared NOT NULL, inserts coalesced to match
+        s.sql("""CREATE TABLE graft_cat.marts.replica
+                |(o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, st STRING)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.replica
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin)
+        s.sql("""MERGE INTO graft_cat.marts.replica t
+                |USING (SELECT o_orderkey, o_totalprice, o_orderstatus
+                |       FROM orders WHERE o_orderkey % 2 = 0) s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+                |WHEN NOT MATCHED THEN
+                |  INSERT (o_orderkey, o_totalprice, st)
+                |  VALUES (coalesce(s.o_orderkey, -1), s.o_totalprice, s.o_orderstatus)""".stripMargin)
+        s.sql("""SELECT o_orderkey, o_totalprice, st
+                |FROM graft_cat.marts.replica ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""WITH t0 AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+             |  FROM orders WHERE o_orderkey % 3 <> 0),
+             |s AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+             |  FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT coalesce(t0.k, s.k) AS o_orderkey,
+             |       CASE WHEN t0.k IS NOT NULL AND s.k IS NOT NULL THEN s.p * 2
+             |            WHEN t0.k IS NOT NULL THEN t0.p
+             |            ELSE s.p END AS o_totalprice,
+             |       CASE WHEN t0.k IS NOT NULL THEN t0.st ELSE s.st END AS st
+             |FROM t0 FULL JOIN s ON t0.k = s.k
+             |WHERE NOT (t0.k IS NOT NULL AND s.k IS NOT NULL AND s.st = 'F')
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sink_time_travel",
       // Snapshot retention + time travel + OPTIMIZE on the manifest sink:
       // every job commit is also a retained snapshot (manifest.v<N>), so

@@ -128,6 +128,35 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft_spec_cat.ns").collect().isEmpty)
   }
 
+  test("MERGE INTO is merge-on-read: base files survive, deletes land as files") {
+    val wh = util.tempDir("graft_merge_spec_")
+    spark.conf.set("spark.sql.catalog.graft_m_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_m_cat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_m_cat.ns")
+    spark.sql("CREATE TABLE graft_m_cat.ns.t (k BIGINT NOT NULL, s STRING, v DOUBLE)")
+    spark.sql("INSERT INTO graft_m_cat.ns.t VALUES (1,'x',10.0),(2,'y',20.0),(4,'z',40.0)")
+    val dirT = s"$wh/ns/t"
+    val preFiles = ManifestSink.readState(dirT).get.files.map(_._1).toSet
+    Seq((1L, 100.0), (3L, 300.0), (4L, -1.0)).toDF("k", "v")
+      .createOrReplaceTempView("m_src")
+    spark.sql("""MERGE INTO graft_m_cat.ns.t t USING m_src s ON t.k = s.k
+                |WHEN MATCHED AND s.v < 0 THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, 'new', s.v)"""
+      .stripMargin)
+    val got = spark.sql("SELECT k, s, v FROM graft_m_cat.ns.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    // update keeps the untouched column (delete+insert reconstructs the row)
+    assert(got == Seq((1L, "x", 100.0), (2L, "y", 20.0), (3L, "new", 300.0)))
+    val st = ManifestSink.readState(dirT).get
+    // merge-on-read: every pre-merge data file still listed, deletes as files
+    assert(preFiles.subsetOf(st.files.map(_._1).toSet))
+    assert(st.deletes.nonEmpty)
+    // the pre-merge snapshot (v2 = after the INSERT) is still readable
+    assert(spark.read.format("graft.sources.ManifestSink")
+      .option("path", dirT).option("versionAsOf", "2").load().count() == 3)
+  }
+
   test("task abort deletes the attempt's file; job abort unpublishes") {
     val dir = freshDir()
     val schema = org.apache.spark.sql.types.StructType(Seq(

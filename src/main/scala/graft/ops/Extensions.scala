@@ -339,6 +339,37 @@ object Extensions {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sql_update_delete",
+      // UPDATE ... WHERE and DELETE ... WHERE as plain SQL on the manifest
+      // format — the same SupportsDelta machinery MERGE uses, exercised
+      // through the two simpler row-level commands: the UPDATE lands as
+      // delete+insert delta files, the DELETE as an equality-delete file,
+      // each in its own atomic snapshot. Cost is O(affected rows); the
+      // table is never rewritten.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.upd")
+        s.sql("""CREATE TABLE graft_cat.marts.upd
+                |(o_orderkey BIGINT NOT NULL, price DOUBLE, st STRING)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.upd
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders""".stripMargin)
+        s.sql("UPDATE graft_cat.marts.upd SET price = price * 1.1 WHERE st = 'O'")
+        s.sql("DELETE FROM graft_cat.marts.upd WHERE st = 'F'")
+        s.sql("""SELECT o_orderkey, price, st FROM graft_cat.marts.upd
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |       CASE WHEN o_orderstatus = 'O'
+             |            THEN o_totalprice * 1.1 ELSE o_totalprice END AS price,
+             |       o_orderstatus AS st
+             |FROM orders WHERE o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sink_time_travel",
       // Snapshot retention + time travel + OPTIMIZE on the manifest sink:
       // every job commit is also a retained snapshot (manifest.v<N>), so

@@ -83,6 +83,12 @@ object util {
   def tempDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(runRoot, prefix).toString
 
+  /** ONE warehouse per JVM for the graft catalog: Spark caches catalog
+    * instances per session at first use, so every row that mounts
+    * `graft_cat` must agree on the same warehouse path.
+    */
+  lazy val catalogWarehouse: String = tempDir("graft_warehouse_")
+
   /** Delete stale `/tmp/graft_*` scratch dirs left by earlier JVM runs
     * (pre-round-3 runs predate the runRoot shutdown hook and leaked one dir
     * per invocation). The live runRoot of THIS run is excluded, and the

@@ -12,12 +12,7 @@ import org.apache.spark.sql.types._
   */
 object Extensions {
 
-  /** One warehouse per JVM for the catalog row: Spark caches catalog
-    * instances per session after first use, so the path must be stable
-    * across invocations (bench runs every query twice).
-    */
-  private lazy val catalogWarehouse: String =
-    graft.util.tempDir("graft_warehouse_")
+  private def catalogWarehouse: String = graft.util.catalogWarehouse
 
   val defs: Seq[Q] = Seq(
     Q(

@@ -584,6 +584,68 @@ object Streaming {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
     Q(
+      "stream_merge_into",
+      // The reference's poll loop in its MODERN form: each micro-batch of
+      // changes applies to the replica via SQL MERGE INTO on the engine's
+      // own transactional format — matched deletes, matched updates,
+      // not-matched inserts, one atomic snapshot per batch, merge-on-read
+      // deltas (no replica rewrite per poll). The batch is deduped to its
+      // latest row per key first (MERGE requires unique source matches);
+      // the two-batch time-split arrival makes cross-batch ordering real.
+      // Same oracle family as stream_foreachBatch_upsert: the replica
+      // must equal the one-shot latest-per-key fold of the whole feed.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+          graft.util.catalogWarehouse)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.stream")
+        s.sql("DROP TABLE IF EXISTS graft_cat.stream.replica")
+        s.sql("""CREATE TABLE graft_cat.stream.replica
+                |(user_id BIGINT NOT NULL, ts_us BIGINT, value DOUBLE,
+                | event_id BIGINT)""".stripMargin)
+        val ev = eventsStream(s, stageSplitByTime(s, dir), maxFilesPerTrigger = Some(1))
+        val q = ev.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // dedupe on µs (the oracle's granularity), event_id tiebreak
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts_us").desc, col("event_id").desc)
+            batch
+              .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+                when(col("event_type") === "error", "D").otherwise("U").as("action"),
+                col("value"), col("event_id"))
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn")
+              .createOrReplaceTempView("graft_merge_batch")
+            batch.sparkSession.sql(
+              """MERGE INTO graft_cat.stream.replica t
+                |USING graft_merge_batch s
+                |ON t.user_id = s.user_id
+                |WHEN MATCHED AND s.action = 'D' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET
+                |  ts_us = s.ts_us, value = s.value, event_id = s.event_id
+                |WHEN NOT MATCHED AND s.action <> 'D' THEN
+                |  INSERT (user_id, ts_us, value, event_id)
+                |  VALUES (s.user_id, s.ts_us, s.value, s.event_id)""".stripMargin)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.sql("""SELECT user_id, ts_us, value, event_id
+                |FROM graft_cat.stream.replica ORDER BY user_id""".stripMargin)
+      },
+      Some("""SELECT user_id, ts_us, value, event_id FROM (
+             |  SELECT user_id, epoch_us(ts) AS ts_us,
+             |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS action,
+             |         value, event_id,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) t
+             |WHERE rn = 1 AND action <> 'D'
+             |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "stream_schema_evolution",
       // DAP schema-version bump BETWEEN micro-batches (the streaming twin of
       // schema_evolution_merge, SURVEY.md §2.10 [DAP]): generation 2 of the

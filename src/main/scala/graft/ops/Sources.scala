@@ -559,6 +559,44 @@ object Sources {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "stream_from_table_feed",
+      // The manifest format as a STREAMING SOURCE: the snapshot log is
+      // the change feed (offsets = manifest versions, a micro-batch
+      // delivers the data files its snapshots appended) — the CDF pattern
+      // that closes the loop: the engine's own tables are both the sink
+      // of one pipeline and the source of the next, with exactly-once
+      // hand-off riding on the commit protocol instead of a message bus.
+      // Three append commits seed the feed; the streamed aggregate must
+      // equal the batch recompute.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val tableDir = tmpDir("graft_feed_")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        o.filter(col("o_orderkey") % 3 === 0)
+          .write.format(fmt).option("path", tableDir).mode("overwrite").save()
+        o.filter(col("o_orderkey") % 3 === 1)
+          .write.format(fmt).option("path", tableDir).mode("append").save()
+        o.filter(col("o_orderkey") % 3 === 2)
+          .write.format(fmt).option("path", tableDir).mode("append").save()
+        val name = "graft_feed_counts"
+        val q = s.readStream.format(fmt).option("path", tableDir).load()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            util.r2(sum(col("o_totalprice"))).as("total_price"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_orders,
+              |       ${util.r2sql("sum(o_totalprice)")} AS total_price
+              |FROM orders GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "scan_parquet_encrypted",
       // Parquet Modular Encryption: encryption at rest INSIDE the format —
       // the footer and chosen columns are AES-GCM-encrypted per file, keys

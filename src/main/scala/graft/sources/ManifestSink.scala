@@ -186,6 +186,13 @@ object ManifestTableAccess {
       : (BatchWrite, DataWriterFactory) =
     (new ManifestBatchWrite(dir, schema, truncate),
       new ManifestWriterFactory(dir, schema))
+
+  def microBatchPlan(dir: String, schema: StructType, fromVersion: Int,
+      toVersion: Int): Seq[String] =
+    new ManifestMicroBatchStream(dir, schema)
+      .planInputPartitions(
+        ManifestVersionOffset(fromVersion), ManifestVersionOffset(toVersion))
+      .map(_.asInstanceOf[ManifestFilePartition].path).toSeq
 }
 
 private[sources] class ManifestTable(dir: String, writeSchema: StructType)
@@ -199,7 +206,7 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info.schema(),
@@ -253,7 +260,54 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType)
         }.getOrElse(Array.empty)
       override def createReaderFactory(): PartitionReaderFactory =
         new ManifestReaderFactory(readSch)
+
+      // ---- streaming source: the snapshot log IS the change feed ----
+      // Offsets are manifest versions; batch (a, b] delivers the data
+      // files committed by snapshots a+1..b (append-only feed — the
+      // Delta/Iceberg CDF pattern with inserts only). New commits after
+      // the stream starts surface as new offsets.
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new ManifestMicroBatchStream(dir, readSch)
     }
+}
+
+private[sources] case class ManifestVersionOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] class ManifestMicroBatchStream(dir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = ManifestVersionOffset(0)
+
+  override def latestOffset(): Offset =
+    ManifestVersionOffset(ManifestSink.latestVersion(dir))
+
+  override def deserializeOffset(json: String): Offset =
+    ManifestVersionOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[ManifestVersionOffset].version
+    val b = end.asInstanceOf[ManifestVersionOffset].version
+    // files first visible in snapshots (a, b]: present at b, absent at a
+    val atB = ManifestSink.readState(dir, Some(b)).map(_.files).getOrElse(Seq.empty)
+    val atA = if (a == 0) Seq.empty
+      else ManifestSink.readState(dir, Some(a)).map(_.files).getOrElse(Seq.empty)
+    val seen = atA.map(_._1).toSet
+    atB.collect {
+      case (f, _) if !seen(f) =>
+        ManifestFilePartition(s"$dir/data/$f"): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(schema)
+
+  override def commit(offset: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class ManifestFilePartition(

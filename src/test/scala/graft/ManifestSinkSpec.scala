@@ -157,6 +157,24 @@ class ManifestSinkSpec extends AnyFunSuite {
       .option("path", dirT).option("versionAsOf", "2").load().count() == 3)
   }
 
+  test("streaming source: a micro-batch delivers exactly its snapshots' new files") {
+    val dir = freshDir()
+    writeVia(dir, "overwrite", 0, 10)   // v1
+    writeVia(dir, "append", 10, 20)     // v2
+    writeVia(dir, "append", 20, 30)     // v3
+    val schema = ManifestSink.readState(dir).get.schema
+    def plan(a: Int, b: Int) = ManifestTableAccess.microBatchPlan(dir, schema, a, b)
+    val all = plan(0, 3)
+    assert(all.size == ManifestSink.readState(dir).get.files.size)
+    // consecutive batches partition the feed with no overlap and no gap
+    val b1 = plan(0, 1); val b2 = plan(1, 2); val b3 = plan(2, 3)
+    assert((b1 ++ b2 ++ b3).sorted == all.sorted)
+    assert(b1.toSet.intersect(b2.toSet).isEmpty)
+    assert(b2.toSet.intersect(b3.toSet).isEmpty)
+    // an empty offset range delivers nothing
+    assert(plan(3, 3).isEmpty)
+  }
+
   test("task abort deletes the attempt's file; job abort unpublishes") {
     val dir = freshDir()
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -685,6 +685,39 @@ object Windows {
              |ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "ts_ohlc_bars",
+      // OHLC candle bars per (type, hour): open/close are the first/last
+      // value by event time (min_by/max_by — single-pass mergeable
+      // aggregates, no window sort), high/low plain min/max. This is the
+      // downsampling shape every metrics/market pipeline runs; at 100 TB
+      // it is one partial-aggregated shuffle on (type, hour), state one
+      // row per bar. Time key is the raw NANOSECOND long (globally unique
+      // in the fixtures — verified — so argmin/argmax are deterministic;
+      // at scale the key would be (ts, source_seq) to break exchange
+      // ties). Values in BIGINT cents.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"))
+          .agg(
+            min_by(col("cents"), col("ts_ns")).as("open"),
+            max(col("cents")).as("high"),
+            min(col("cents")).as("low"),
+            max_by(col("cents"), col("ts_ns")).as("close"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"), col("hour_start"))
+      },
+      Some("""SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             |       arg_min(CAST(floor(value * 100 + 0.5) AS BIGINT), epoch_ns(ts)) AS open,
+             |       max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS high,
+             |       min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS low,
+             |       arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT), epoch_ns(ts)) AS close,
+             |       count(*) AS n_events
+             |FROM events GROUP BY event_type, date_trunc('hour', ts)
+             |ORDER BY event_type, hour_start""".stripMargin)
+    ),
+    Q(
       "win_interval_concurrency",
       // Peak concurrent intervals per type via SWEEP LINE: each interval
       // contributes a +1 at its start and a −1 at its (half-open) end, a

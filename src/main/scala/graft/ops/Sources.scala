@@ -559,6 +559,29 @@ object Sources {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "scan_csv_multichar_delim",
+      // Multi-character delimiter CSV ("||") — the enterprise-feed dialect
+      // single-char parsers can't read: values containing commas and tabs
+      // pass through unquoted because the delimiter can't collide with
+      // them. Landed and re-read with a declared schema, no inference.
+      (s, dir) => {
+        val tmp = tmpDir("graft_mcd_")
+        Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+          .coalesce(1)
+          .write.mode("overwrite").option("delimiter", "||").csv(tmp)
+        val schema = StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_nationkey", IntegerType),
+          StructField("s_acctbal", DoubleType)))
+        s.read.schema(schema).option("delimiter", "||").csv(tmp)
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)
+    ),
+    Q(
       "stream_from_table_feed",
       // The manifest format as a STREAMING SOURCE: the snapshot log is
       // the change feed (offsets = manifest versions, a micro-batch

@@ -452,6 +452,37 @@ object TextOps {
       }
     ),
     Q(
+      "text_bpe_pair_counts",
+      // BPE vocabulary training, iteration zero: count adjacent token
+      // pairs across the corpus and rank the merge candidates — the inner
+      // loop of byte-pair-encoding tokenizer training, which at corpus
+      // scale is exactly this shuffle (pair → count) repeated per merge.
+      // Bigrams are formed per document with a positional transform (no
+      // self-join), the count is map-side combinable, and only the top-20
+      // merge candidates leave the aggregation. Deterministic tiebreak on
+      // the pair string.
+      (s, dir) => {
+        val bigrams = transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+        Tables(s, dir, "documents")
+          .filter(size(toks) >= 2)
+          .select(explode(bigrams).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(20)
+      },
+      Some("""SELECT pair, count(*) AS n FROM (
+             |  SELECT unnest(list_transform(
+             |           range(1, len(string_split(text, ' '))),
+             |           i -> string_split(text, ' ')[i] || ' ' ||
+             |                string_split(text, ' ')[i + 1])) AS pair
+             |  FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 2) t
+             |GROUP BY pair
+             |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin)
+    ),
+    Q(
       "pipeline_training_mix",
       // The full training-data assembly line as ONE row: integer quality
       // gate → exact dedup → near-dup closure (connected components over

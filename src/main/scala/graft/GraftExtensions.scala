@@ -19,9 +19,13 @@ import org.apache.spark.sql.catalyst.expressions.aggregate
   * the bloom probe stays a codegen'd native expression instead of a Scala
   * UDF. Also injects the optimizer rule lowering the custom
   * [[graft.plans.GraftAsOfJoin]] logical operator (§2.12 whole-operator
-  * extension demo). No custom physical strategies are injected — every
-  * lowering lands on operators Spark already executes well, which keeps
-  * column pruning/AQE applicable (SURVEY.md §7.3).
+  * extension demo) — that lowering lands on operators Spark already
+  * executes well, keeping column pruning/AQE applicable (SURVEY.md §7.3).
+  * ONE custom physical strategy IS injected: [[graft.plans.PlanBroadcastAsOf]]
+  * plans [[graft.plans.BroadcastAsOfJoin]] to a custom SparkPlan for the
+  * small-build-side as-of, where the union+window rewrite would shuffle
+  * the (huge) probe side and a broadcast + binary-search probe shuffles
+  * nothing — the case where a custom operator genuinely beats composition.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -50,5 +54,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectOptimizerRule(session => plans.RewriteGraftAsOfJoin(session))
+    e.injectPlannerStrategy(session => plans.PlanBroadcastAsOf(session))
   }
 }

@@ -412,6 +412,40 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "join_asof_broadcast_exec",
+      // The as-of join through the FULL custom-operator stack (§2.12):
+      // BroadcastAsOfJoin LogicalPlan → injected planner Strategy →
+      // BroadcastAsOfJoinExec, a custom SparkPlan whose doExecute
+      // broadcasts the (small) build side and binary-searches each probe
+      // row against a per-key sorted index. The union+window lowering
+      // shuffles the probe side on the key; this operator shuffles
+      // NOTHING on the probe side — the winning physical shape when a
+      // huge event stream as-of-joins a small reference table. Shares
+      // join_asof's oracle: three as-of paths (DSL window, extension
+      // rule, custom exec), one answer.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        graft.plans.BroadcastAsOf.joinBackwardBroadcast(
+            purchases.select(col("event_id"), col("user_id"), col("ts")),
+            clicks.select(col("user_id"), col("ts"), col("click_id")),
+            probeKey = "user_id", probeTs = "ts",
+            buildKey = "user_id", buildTs = "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       c.ts AS click_ts, c.click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
       "join_asof_multikey_ext",
       // Composite-key as-of through the extension node: CD2-style entity
       // streams key on a TUPLE (namespace, table, id), not one column —

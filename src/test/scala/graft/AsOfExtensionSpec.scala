@@ -227,4 +227,44 @@ class AsOfExtensionSpec extends AnyFunSuite {
       plans.AsOf.joinBackward(p, build, "uid", "asof_ts", "user", "at")
     }
   }
+
+  test("broadcast exec matches the window lowering on edge cases") {
+    // ties at equal ts, probe with no build rows, null key/ts probes
+    val pr = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 10L, 100L), (2L, 10L, 99L), (3L, 10L, 205L), (4L, 20L, 50L),
+      (5L, null, 100L), (6L, 10L, null))
+      .toDF("pid", "uid", "t")
+    val bd = Seq((10L, 90L, "a"), (10L, 100L, "b"), (10L, 200L, "c"),
+      (30L, 10L, "z")).toDF("user", "at", "tag")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.orderBy(col("pid"))
+      .collect().map(r => (r.getLong(0), Option(r.getAs[String]("tag")),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue))).toSeq
+    val viaWindow = norm(plans.AsOf.joinBackward(pr, bd, "uid", "t", "user", "at"))
+    val viaExec = norm(plans.BroadcastAsOf.joinBackwardBroadcast(
+      pr, bd, "uid", "t", "user", "at"))
+    assert(viaExec == viaWindow)
+    assert(viaExec == Seq(
+      (1L, Some("b"), Some(100L)), (2L, Some("a"), Some(90L)),
+      (3L, Some("c"), Some(200L)), (4L, None, None),
+      (5L, None, None), (6L, None, None)))
+  }
+
+  test("broadcast exec agrees with the window lowering on random data") {
+    val rnd = new scala.util.Random(7)
+    val pr = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "uid", "t")
+    // pre-deduped per (key, ts): the as-of contract both paths require
+    val bd = (1 to 300).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong, s"v$i"))
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+      .toDF("user", "at", "tag")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.orderBy(col("pid"))
+      .collect().map(r => (r.getLong(0), Option(r.getAs[String]("tag")),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue))).toSeq
+    assert(norm(plans.BroadcastAsOf.joinBackwardBroadcast(
+        pr, bd, "uid", "t", "user", "at")) ==
+      norm(plans.AsOf.joinBackward(pr, bd, "uid", "t", "user", "at")))
+  }
+
 }

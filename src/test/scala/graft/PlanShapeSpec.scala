@@ -274,6 +274,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"sweep line must not join:\n$plan")
   }
 
+  test("join_asof_broadcast_exec plans the custom exec with a broadcast build") {
+    val plan = planOf("join_asof_broadcast_exec")
+    // physical nodes print without the Exec suffix
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(plan.contains("BroadcastExchange IdentityBroadcastMode"), plan)
+  }
+
+  test("broadcast as-of shuffles nothing when the build side needs no prep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pr = graft.Tables(spark, dir, "events")
+      .select(col("event_id").as("pid"), col("user_id").as("uid"),
+        col("event_id").as("t"))
+    val bd = Seq((1L, 5L, "x"), (2L, 7L, "y")).toDF("user", "at", "tag")
+    val plan = graft.plans.BroadcastAsOf
+      .joinBackwardBroadcast(pr, bd, "uid", "t", "user", "at")
+      .queryExecution.executedPlan.toString
+    // probe: scan → custom exec; build: local rows → broadcast. The
+    // union+window lowering would hash-exchange the whole probe side here.
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(!plan.contains("hashpartitioning"), s"probe side was shuffled:\n$plan")
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("graph analytics reuse one materialized edge list (no rebuild per row)") {
     // the memoized localCheckpoint means downstream plans scan an RDD,
     // not the lineitem self-join

@@ -114,6 +114,10 @@ case class BroadcastAsOfJoinExec(
 
   override def output: Seq[Attribute] = outputAttrs
 
+  // minted outputs are PRODUCED here; without this QueryPlan counts them
+  // as unresolved references and prints the node with a "!" marker
+  override def producedAttributes: AttributeSet = AttributeSet(outputAttrs)
+
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
 

@@ -50,11 +50,24 @@ object Bench {
         catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // batch rows that showed 1.5–5.6× sandbox-contention swings in round 6
+    // with ZERO code changes (r7 isolation re-bench: all returned to r5
+    // levels, e.g. join_range_interval 2.63 s → 0.43 s — the cause was
+    // shared-JVM GC/disk pressure, not plans): min-of-3 instead of
+    // min-of-2 so one contended run can't set the reported number.
+    val noisy = Set("join_range_interval", "join_range_bucketed",
+      "join_shuffle_hash", "join_skew_salted")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs =
         if (name.startsWith("stream_")) Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
+        else if (noisy(name)) Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
         else Seq(time(fn), time(fn)).sortBy(_._1)
-      val rep = if (runs.size == 3) runs(1) else runs.head // median-of-3 | min-of-2
+      // streams: median-of-3 (their micro-batch machinery swings both
+      // ways); noisy batch rows: MIN-of-3 (steady-state cost is the
+      // signal); everything else: min-of-2
+      val rep =
+        if (name.startsWith("stream_") && runs.size == 3) runs(1)
+        else runs.head
       val ok = runs.forall(_._2)
       (name, rep._1, ok)
     }

@@ -483,6 +483,44 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "join_asof_multikey_broadcast",
+      // The SAME composite-key as-of through the custom broadcast exec:
+      // BroadcastAsOfJoinExec now indexes on the full key TUPLE (packed
+      // Array[Long] with value equality), so the tuple-keyed CD2-style
+      // streams get the zero-probe-shuffle path too — the build index is
+      // assembled ONCE on the driver inside the BroadcastExchange
+      // (AsOfIndexMode.transform) and shipped ready to binary-search.
+      // Shares join_asof_multikey_ext's oracle: two physical shapes, one
+      // answer.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val seg = get_json_object(col("props"), "$.k").cast("long") % 2
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), seg.as("seg"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("uid"), seg.as("cseg"), col("ts"))
+          .agg(max(col("event_id")).as("click_id"))
+        graft.plans.BroadcastAsOf.joinBackwardBroadcast(purchases, clicks,
+            Seq("user_id", "seg"), "ts", Seq("uid", "cseg"), "ts")
+          .select(col("event_id"), col("user_id"), col("seg"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id,
+             |         CAST(props->>'$.k' AS BIGINT) % 2 AS seg, ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id AS uid, CAST(props->>'$.k' AS BIGINT) % 2 AS cseg,
+             |         ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY 1, 2, 3)
+             |SELECT p.event_id, p.user_id, p.seg, p.ts,
+             |       c.ts AS click_ts, c.click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.uid AND p.seg = c.cseg AND c.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
       "join_asof_forward",
       // Forward as-of: EARLIEST click at-or-after each purchase, per user —
       // the mirror of join_asof, same union+window rewrite (one shuffle on

@@ -154,8 +154,13 @@ object SimOps {
       "sim_cosine_ann_lsh",
       // ANN scale path: 8-bit random-hyperplane signature (hyperplane j's
       // i-th component is a deterministic ±1 from crc32) buckets the
-      // corpus; each query scores only its bucket. No oracle — recall vs
-      // brute force is property-tested in SimSpec.
+      // corpus; each query scores only its bucket. Fully DuckDB-oracled
+      // (r7) by inlining the plane literals into the SQL — the same
+      // technique that oracled sim_cosine_ann_multitable (whose table 0 IS
+      // these planes): both engines fold the projection left-to-right in
+      // double, so the sign, the bucket, and the final ranks match
+      // bit-for-bit. Recall vs brute force stays property-tested in
+      // SimSpec.
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         val q = querySet(emb).withColumn("bucket", lshBucket(col("q_emb"), 0))
@@ -168,7 +173,31 @@ object SimOps {
           .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
         rankTopK(scored, 5)
       },
-      None
+      Some {
+        val selfDot =
+          "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))"
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS q_emb,
+           |         $selfDot AS q_norm,
+           |         ${lshBucketSql("embedding", 0)} AS bucket
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |c AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS c_emb,
+           |         $selfDot AS c_norm,
+           |         ${lshBucketSql("embedding", 0)} AS bucket
+           |  FROM embeddings),
+           |scored AS (
+           |  SELECT query_id, neighbor_id,
+           |         $dotSql / (q_norm * c_norm) AS cos
+           |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
     ),
     Q(
       "sim_cosine_ann_multitable",

@@ -5,10 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, BroadcastMode, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** The OTHER physical shape for as-of joins — and the §2.12 demo of the
   * full custom-operator stack (LogicalPlan + planner `Strategy` + custom
@@ -19,23 +19,29 @@ import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, Time
   * build side is small (an as-of against a slowly-changing reference
   * table), that shuffle is the whole cost — at 100 TB it moves the entire
   * event stream to join against megabytes. [[BroadcastAsOfJoinExec]]
-  * instead declares a [[BroadcastDistribution]] on the build side (Spark
-  * inserts the BroadcastExchange), builds one sorted-per-key index per
-  * executor from the broadcast, and answers each probe row with a binary
-  * search — the probe side is never exchanged at all, the same trade
-  * BroadcastHashJoin makes for equi-joins.
+  * instead declares a [[BroadcastDistribution]] with a CUSTOM
+  * [[BroadcastMode]] ([[AsOfIndexMode]]): the BroadcastExchange Spark
+  * inserts runs the mode's `transform` ONCE on the driver, which filters
+  * null keys and sorts the build rows by (key…, ts) right there — the
+  * broadcast ships in binary-search order. (`BroadcastExchangeExec` only
+  * accepts `Array[InternalRow]` or the sealed `HashedRelation` as
+  * transform results, so the sorted array IS the wire format.) Each
+  * executor then extracts the primitive key/ts columns for cache-friendly
+  * search in ONE O(n) pass, memoized per broadcast id
+  * ([[AsOfIndexCache]]) — tasks after the first do zero build work, and
+  * the probe side is never exchanged at all.
   *
-  * Scope (the broadcast case, deliberately minimal): backward direction,
-  * single key, no tolerance; key and timestamp must be long-backed
-  * (BIGINT / INT / TIMESTAMP / TIMESTAMP_NTZ). Everything else stays on
+  * Scope: backward direction, single or COMPOSITE key, no tolerance; keys
+  * and timestamps must be long-backed (BIGINT / INT / TIMESTAMP /
+  * TIMESTAMP_NTZ). Everything else (forward/nearest/tolerance) stays on
   * the union+window path, where the optimizer keeps working on the plan.
   */
 case class BroadcastAsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
-    probeKey: String,
+    probeKeys: Seq[String],
     probeTs: String,
-    buildKey: String,
+    buildKeys: Seq[String],
     buildTs: String,
     outputAttrs: Seq[Attribute]) extends BinaryNode {
 
@@ -55,8 +61,7 @@ case class BroadcastAsOfJoin(
 
 object BroadcastAsOf {
   private val longBacked =
-    Set[org.apache.spark.sql.types.DataType](
-      LongType, IntegerType, TimestampType, TimestampNTZType)
+    Set[DataType](LongType, IntegerType, TimestampType, TimestampNTZType)
 
   /** Backward as-of against a SMALL build side, executed by the custom
     * broadcast operator — output contract identical to [[AsOf.joinBackward]]
@@ -64,17 +69,32 @@ object BroadcastAsOf {
     */
   def joinBackwardBroadcast(probe: DataFrame, build: DataFrame,
       probeKey: String, probeTs: String,
-      buildKey: String, buildTs: String): DataFrame = {
+      buildKey: String, buildTs: String): DataFrame =
+    joinBackwardBroadcast(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs)
+
+  /** Composite-key variant: CD2-style entity streams key on a TUPLE
+    * (namespace, table, id); all key legs must be long-backed.
+    */
+  def joinBackwardBroadcast(probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], probeTs: String,
+      buildKeys: Seq[String], buildTs: String): DataFrame = {
+    require(probeKeys.nonEmpty && probeKeys.length == buildKeys.length,
+      s"probe/build key lists must be same non-zero length, got $probeKeys vs $buildKeys")
+    require(probeKeys.distinct.length == probeKeys.length &&
+      buildKeys.distinct.length == buildKeys.length, "duplicate key columns")
     val lp = Bridge.planOf(probe)
     val rp = Bridge.planOf(build)
     def attr(side: LogicalPlan, n: String, which: String): Attribute =
       side.output.find(_.name == n)
         .getOrElse(throw new IllegalArgumentException(s"no column $n in $which side"))
-    val (pk, pt) = (attr(lp, probeKey, "probe"), attr(lp, probeTs, "probe"))
-    val (bk, bt) = (attr(rp, buildKey, "build"), attr(rp, buildTs, "build"))
-    Seq(pk, pt, bk, bt).foreach(a => require(longBacked(a.dataType),
+    val pks = probeKeys.map(attr(lp, _, "probe"))
+    val pt = attr(lp, probeTs, "probe")
+    val bks = buildKeys.map(attr(rp, _, "build"))
+    val bt = attr(rp, buildTs, "build")
+    (pks ++ bks :+ pt :+ bt).foreach(a => require(longBacked(a.dataType),
       s"broadcast as-of needs long-backed key/ts, got ${a.dataType} for ${a.name}"))
-    val payload = rp.output.filterNot(a => a.name == buildKey || a.name == buildTs)
+    val excluded = buildKeys.toSet + buildTs
+    val payload = rp.output.filterNot(a => excluded(a.name))
     require(payload.map(_.name).toSet.intersect(lp.output.map(_.name).toSet).isEmpty,
       "build payload column names must not clash with probe columns")
     val outs =
@@ -82,7 +102,7 @@ object BroadcastAsOf {
         payload.map(a => AttributeReference(a.name, a.dataType, nullable = true)()) :+
         AttributeReference("asof_ts", bt.dataType, nullable = true)()
     Bridge.ofRows(probe.sparkSession,
-      BroadcastAsOfJoin(lp, rp, probeKey, probeTs, buildKey, buildTs, outs))
+      BroadcastAsOfJoin(lp, rp, probeKeys, probeTs, buildKeys, buildTs, outs))
   }
 }
 
@@ -94,21 +114,122 @@ case class PlanBroadcastAsOf(spark: SparkSession)
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case b: BroadcastAsOfJoin =>
       BroadcastAsOfJoinExec(planLater(b.left), planLater(b.right),
-        b.probeKey, b.probeTs, b.buildKey, b.buildTs, b.outputAttrs) :: Nil
+        b.probeKeys, b.probeTs, b.buildKeys, b.buildTs, b.outputAttrs) :: Nil
     case _ => Nil
   }
 }
 
-/** Custom physical operator: broadcast build side → per-executor sorted
-  * index → binary-search probe. The probe child keeps whatever
-  * partitioning it had (no required distribution), which is the point.
+/** Custom [[BroadcastMode]]: runs ONCE on the driver inside the
+  * BroadcastExchange. Drops null-key/null-ts build rows (they can never
+  * match) and sorts the survivors lexicographically by (key legs…, ts) —
+  * so the broadcast arrives in binary-search order and executors never
+  * sort or group anything.
+  */
+case class AsOfIndexMode(
+    keyOrds: Seq[Int], keyTypes: Seq[DataType],
+    tsOrd: Int, tsType: DataType) extends BroadcastMode {
+
+  override def canonicalized: BroadcastMode = this
+
+  override def transform(rows: Array[InternalRow]): Array[InternalRow] =
+    transform(rows.iterator, None)
+
+  override def transform(
+      rows: Iterator[InternalRow], sizeHint: Option[Long]): Array[InternalRow] = {
+    val kOrds = keyOrds.toArray
+    val kTypes = keyTypes.toArray
+    val kept = rows.filterNot(r =>
+        r.isNullAt(tsOrd) || kOrds.exists(r.isNullAt))
+      .map(_.copy()).toArray
+    val ord = new Ordering[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        var i = 0
+        while (i < kOrds.length) {
+          val c = java.lang.Long.compare(
+            AsOfIndexMode.asLong(a, kOrds(i), kTypes(i)),
+            AsOfIndexMode.asLong(b, kOrds(i), kTypes(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Long.compare(
+          AsOfIndexMode.asLong(a, tsOrd, tsType),
+          AsOfIndexMode.asLong(b, tsOrd, tsType))
+      }
+    }
+    java.util.Arrays.sort(kept, ord)
+    kept
+  }
+}
+
+object AsOfIndexMode {
+  def asLong(r: InternalRow, ord: Int, dt: DataType): Long = dt match {
+    case IntegerType => r.getInt(ord).toLong
+    case _ => r.getLong(ord) // LongType / TimestampType / TimestampNTZType
+  }
+}
+
+/** Executor-side search structure over the (key…, ts)-sorted broadcast:
+  * primitive per-leg key columns + ts column for cache-friendly binary
+  * search, plus the row array for payload extraction. Built in one O(n)
+  * pass — no sorting, no hashing.
+  */
+final class AsOfIdx(
+    val keyCols: Array[Array[Long]], val tss: Array[Long],
+    val rows: Array[InternalRow]) {
+
+  /** Largest i with keys(i) == probe && tss(i) <= t, else -1. One
+    * lexicographic upper-bound search over (keys…, ts); rows of one key
+    * are contiguous, so the found row either carries the probe key (a
+    * match) or the probe key is absent/all-later.
+    */
+  def lookup(probe: Array[Long], t: Long): Int = {
+    // we want the last i whose (keys…, ts) tuple is <= (probe…, t)
+    var lo = 0; var hi = tss.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      var c = 0
+      var leg = 0
+      while (c == 0 && leg < keyCols.length) {
+        c = java.lang.Long.compare(keyCols(leg)(mid), probe(leg))
+        leg += 1
+      }
+      if (c == 0) c = java.lang.Long.compare(tss(mid), t)
+      if (c <= 0) { ans = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    if (ans < 0) return -1
+    var leg = 0
+    while (leg < keyCols.length) {
+      if (keyCols(leg)(ans) != probe(leg)) return -1
+      leg += 1
+    }
+    ans
+  }
+}
+
+/** Per-executor memo of [[AsOfIdx]] keyed by broadcast id: the O(n)
+  * column extraction happens once per executor, not once per task.
+  * Bounded: clears wholesale past 64 live broadcasts (the cache only
+  * saves a rebuild; correctness never depends on a hit).
+  */
+object AsOfIndexCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, AsOfIdx]()
+  def get(id: Long, build: () => AsOfIdx): AsOfIdx = {
+    if (cache.size > 64) cache.clear()
+    cache.computeIfAbsent(id, _ => build())
+  }
+}
+
+/** Custom physical operator: broadcast pre-sorted build rows →
+  * per-executor primitive index (memoized) → binary-search probe. The
+  * probe child keeps whatever partitioning it had (no required
+  * distribution), which is the point.
   */
 case class BroadcastAsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
-    probeKey: String,
+    probeKeys: Seq[String],
     probeTs: String,
-    buildKey: String,
+    buildKeys: Seq[String],
     buildTs: String,
     outputAttrs: Seq[Attribute]) extends BinaryExecNode {
 
@@ -118,8 +239,16 @@ case class BroadcastAsOfJoinExec(
   // as unresolved references and prints the node with a "!" marker
   override def producedAttributes: AttributeSet = AttributeSet(outputAttrs)
 
+  private def buildMode: AsOfIndexMode = {
+    val bSchema = right.output
+    val kOrds = buildKeys.map(k => bSchema.indexWhere(_.name == k))
+    val tsOrd = bSchema.indexWhere(_.name == buildTs)
+    AsOfIndexMode(kOrds, kOrds.map(bSchema(_).dataType),
+      tsOrd, bSchema(tsOrd).dataType)
+  }
+
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+    Seq(UnspecifiedDistribution, BroadcastDistribution(buildMode))
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
@@ -128,63 +257,64 @@ case class BroadcastAsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     val bSchema = right.output
-    val bKeyOrd = bSchema.indexWhere(_.name == buildKey)
+    val bKeyOrds = buildKeys.map(k => bSchema.indexWhere(_.name == k)).toArray
+    val bKeyTypes = bKeyOrds.map(bSchema(_).dataType)
     val bTsOrd = bSchema.indexWhere(_.name == buildTs)
+    val bTsType = bSchema(bTsOrd).dataType
+    val buildKeySet = buildKeys.toSet
     val payloadOrds = bSchema.zipWithIndex
-      .filterNot { case (a, _) => a.name == buildKey || a.name == buildTs }
+      .filterNot { case (a, _) => buildKeySet(a.name) || a.name == buildTs }
       .map(_._2).toArray
     val payloadTypes = payloadOrds.map(bSchema(_).dataType)
     val pSchema = left.output
-    val pKeyOrd = pSchema.indexWhere(_.name == probeKey)
+    val pKeyOrds = probeKeys.map(k => pSchema.indexWhere(_.name == k)).toArray
+    val pKeyTypes = pKeyOrds.map(pSchema(_).dataType)
     val pTsOrd = pSchema.indexWhere(_.name == probeTs)
-    val pKeyType = pSchema(pKeyOrd).dataType
     val pTsType = pSchema(pTsOrd).dataType
-    val bKeyType = bSchema(bKeyOrd).dataType
-    val bTsType = bSchema(bTsOrd).dataType
-    val bTsDataType = bSchema(bTsOrd).dataType
-    val outTypes = (pSchema.map(_.dataType) ++ payloadTypes :+ bTsDataType).toArray
-
-    def asLong(r: InternalRow, ord: Int,
-        dt: org.apache.spark.sql.types.DataType): Long = dt match {
-      case IntegerType => r.getInt(ord).toLong
-      case _ => r.getLong(ord) // LongType / TimestampType / TimestampNTZType
-    }
+    val outTypes = (pSchema.map(_.dataType) ++ payloadTypes :+ bTsType).toArray
 
     left.execute().mapPartitions { iter =>
-      // one index per task, built lazily from the broadcast: key →
-      // (sorted ts array, matching build rows) — O(build) memory, shared
-      // via the broadcast block across tasks on the executor
-      lazy val index: Map[Long, (Array[Long], Array[InternalRow])] =
-        bcast.value.toSeq
-          .filterNot(r => r.isNullAt(bKeyOrd) || r.isNullAt(bTsOrd))
-          .groupBy(r => asLong(r, bKeyOrd, bKeyType))
-          .map { case (k, rows) =>
-            val sorted = rows.sortBy(r => asLong(r, bTsOrd, bTsType)).toArray
-            (k, (sorted.map(r => asLong(r, bTsOrd, bTsType)), sorted))
+      // rows arrive pre-filtered + pre-sorted (AsOfIndexMode); the one
+      // O(n) primitive-column extraction is memoized per executor
+      val index = AsOfIndexCache.get(bcast.id, () => {
+        val rows = bcast.value
+        val keyCols = Array.ofDim[Long](bKeyOrds.length, rows.length)
+        val tss = new Array[Long](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          var leg = 0
+          while (leg < bKeyOrds.length) {
+            keyCols(leg)(i) = AsOfIndexMode.asLong(rows(i), bKeyOrds(leg), bKeyTypes(leg))
+            leg += 1
           }
+          tss(i) = AsOfIndexMode.asLong(rows(i), bTsOrd, bTsType)
+          i += 1
+        }
+        new AsOfIdx(keyCols, tss, rows)
+      })
       val proj = UnsafeProjection.create(outTypes)
       val joined = new JoinedRow
       val extraWidth = payloadOrds.length + 1
+      val probeKs = new Array[Long](pKeyOrds.length) // reused per row
       iter.map { p =>
         val extra = new GenericInternalRow(extraWidth)
-        if (!p.isNullAt(pKeyOrd) && !p.isNullAt(pTsOrd)) {
-          index.get(asLong(p, pKeyOrd, pKeyType)).foreach { case (tss, rows) =>
-            // binary search: last build ts <= probe ts (backward, inclusive)
-            val t = asLong(p, pTsOrd, pTsType)
-            var lo = 0; var hi = tss.length - 1; var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (tss(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        val nullKey = p.isNullAt(pTsOrd) || pKeyOrds.exists(p.isNullAt)
+        if (!nullKey) {
+          var i = 0
+          while (i < pKeyOrds.length) {
+            probeKs(i) = AsOfIndexMode.asLong(p, pKeyOrds(i), pKeyTypes(i)); i += 1
+          }
+          val ans = index.lookup(probeKs, AsOfIndexMode.asLong(p, pTsOrd, pTsType))
+          if (ans >= 0) {
+            val m = index.rows(ans)
+            var j = 0
+            while (j < payloadOrds.length) {
+              extra.update(j, m.get(payloadOrds(j), payloadTypes(j)))
+              j += 1
             }
-            if (ans >= 0) {
-              val m = rows(ans)
-              var i = 0
-              while (i < payloadOrds.length) {
-                extra.update(i, m.get(payloadOrds(i), payloadTypes(i)))
-                i += 1
-              }
-              extra.update(extraWidth - 1, asLong(m, bTsOrd, bTsType))
-            }
+            // copy with the DECLARED type: an INT build ts must land as a
+            // boxed Integer or the UnsafeProjection's getInt throws CCE
+            extra.update(extraWidth - 1, m.get(bTsOrd, bTsType))
           }
         }
         proj(joined(p, extra))

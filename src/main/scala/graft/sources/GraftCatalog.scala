@@ -5,7 +5,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -66,6 +66,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val dir = pathOf(ident)
+    // TableCatalog contract (ADVICE r6): CREATE of an existing table must
+    // throw, not silently reset the table's current manifest — direct API
+    // use and DDL paths that skip the exists-check both land here
+    if (Files.exists(Paths.get(dir, "manifest.json")))
+      throw new TableAlreadyExistsException(ident)
     // CREATE = publish an empty snapshot; existence IS the manifest
     ManifestSink.writeManifest(dir, schema, Seq.empty)
     new ManifestTable(dir, schema)
@@ -87,6 +92,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // map filesystem preconditions to the TableCatalog contract exceptions
+    // (ADVICE r6) instead of surfacing raw NoSuchFileException
+    if (!Files.exists(Paths.get(pathOf(oldIdent), "manifest.json")))
+      throw new NoSuchTableException(oldIdent)
+    if (Files.exists(Paths.get(pathOf(newIdent), "manifest.json")))
+      throw new TableAlreadyExistsException(newIdent)
     Files.createDirectories(Paths.get(pathOf(newIdent)).getParent)
     Files.move(Paths.get(pathOf(oldIdent)), Paths.get(pathOf(newIdent)))
     ()

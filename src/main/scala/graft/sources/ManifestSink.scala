@@ -120,11 +120,18 @@ object ManifestSink {
         state.deletes.map { case (f, q) => s"#del:$q:$f" } ++
         state.files.map { case (f, q) => s"$q:$f" }))
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
+    // every publish is ALSO a retained snapshot (manifest.v<N>.json) — the
+    // time-travel log; manifest.json stays the "current" pointer. BOTH land
+    // via tmp + ATOMIC_MOVE (ADVICE r6): a time-travel or streaming reader
+    // resolves v-files directly, so a torn v-file would be a torn snapshot;
+    // and with the v-file moved FIRST, a crash between the two publishes
+    // leaves only an unreferenced v-file while the current pointer is intact.
+    val vtmp = Paths.get(dir, s".manifest.${util.UUID.randomUUID()}.tmp")
+    Files.write(vtmp, body)
+    Files.move(vtmp, Paths.get(dir, s"manifest.v${latestVersion(dir) + 1}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
     val tmp = Paths.get(dir, s".manifest.${util.UUID.randomUUID()}.tmp")
     Files.write(tmp, body)
-    // every publish is ALSO a retained snapshot (manifest.v<N>.json) —
-    // the time-travel log; manifest.json stays the "current" pointer
-    Files.write(Paths.get(dir, s"manifest.v${latestVersion(dir) + 1}.json"), body)
     Files.move(tmp, Paths.get(dir, "manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -296,6 +303,18 @@ private[sources] class ManifestMicroBatchStream(dir: String, schema: StructType)
     val atB = ManifestSink.readState(dir, Some(b)).map(_.files).getOrElse(Seq.empty)
     val atA = if (a == 0) Seq.empty
       else ManifestSink.readState(dir, Some(a)).map(_.files).getOrElse(Seq.empty)
+    val inB = atB.map(_._1).toSet
+    // the feed's append-only assumption is ENFORCED, not just documented
+    // (ADVICE r6): an overwrite/compaction inside the offset range would
+    // re-deliver surviving rows as "new" files and silently drop removed
+    // ones — fail the batch loudly instead so the operator re-seeds the
+    // stream from the new snapshot.
+    val removed = atA.collect { case (f, _) if !inB(f) => f }
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"manifest change feed at $dir requires append-only commits, but " +
+        s"snapshot range ($a, $b] removed ${removed.size} file(s) " +
+        s"(e.g. ${removed.head}) — an overwrite/compaction landed mid-stream; " +
+        "restart the stream from the current snapshot")
     val seen = atA.map(_._1).toSet
     atB.collect {
       case (f, _) if !seen(f) =>
@@ -379,18 +398,21 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
   // nothing — its fresh files are deleted, the manifest is untouched.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case CommittedFile(Some(f)) => f }.toSeq
-    val prior =
-      if (truncate) None
-      else ManifestSink.readState(dir)
+    // prior state is ALWAYS read — a truncate discards prior files and
+    // deletes but must still CARRY the txn set forward (ADVICE r6):
+    // otherwise a re-delivered overwrite with the same txnId republishes,
+    // and every overwrite wipes the history that catches later replays of
+    // old append txns.
+    val prior = ManifestSink.readState(dir)
     val priorTxns = prior.map(_.txns).getOrElse(Set.empty)
     if (txnId.exists(priorTxns.contains)) {
       fresh.foreach(f => Files.deleteIfExists(Paths.get(dir, "data", f)))
     } else {
       val seq = ManifestSink.latestVersion(dir) + 1
+      val keptFiles = if (truncate) Seq.empty else prior.map(_.files).getOrElse(Seq.empty)
+      val keptDels = if (truncate) Seq.empty else prior.map(_.deletes).getOrElse(Seq.empty)
       ManifestSink.writeState(dir, ManifestSink.State(schema,
-        prior.map(_.files).getOrElse(Seq.empty) ++ fresh.map((_, seq)),
-        prior.map(_.deletes).getOrElse(Seq.empty),
-        priorTxns ++ txnId))
+        keptFiles ++ fresh.map((_, seq)), keptDels, priorTxns ++ txnId))
     }
   }
 

@@ -59,16 +59,24 @@ object SimHash {
     * than xxhash64 per bit, but SimHash only needs per-bit vote balance,
     * and the fold's low bits mix every character.
     */
-  def portableTokenHashes(text: Column): Column = {
-    def fold(t: Column, m: Long): Column =
+  def portableTokenHashes(text: Column): Column =
+    transform(split(text, " "), { t =>
+      // ONE character pass: both folds advance together in a struct
+      // accumulator (r6 ran two separate `aggregate` traversals, each
+      // re-materializing the char array — HOFs are interpreted with no
+      // runtime CSE, so the duplicate pass was real cost, ~2× the hash
+      // stage at sf0.1)
+      val chars = when(length(t) >= 1,
+        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")))
+        .otherwise(array().cast("array<bigint>"))
       aggregate(
-        when(length(t) >= 1,
-          transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1))).cast("long")))
-          .otherwise(array().cast("array<bigint>")),
-        lit(0L),
-        (acc, c) => (acc * m + c) % MinHash.P)
-    transform(split(text, " "), t => fold(t, 137L) * (1L << 31) + fold(t, 131L))
-  }
+        chars,
+        struct(lit(0L).as("hi"), lit(0L).as("lo")),
+        (acc, c) => struct(
+          ((acc.getField("hi") * 137L + c) % MinHash.P).as("hi"),
+          ((acc.getField("lo") * 131L + c) % MinHash.P).as("lo")),
+        acc => acc.getField("hi") * (1L << 31) + acc.getField("lo"))
+    })
 
   /** 64-bit SimHash of a pre-hashed token array ([[tokenHashes]]), as a
     * long. One statically-unrolled aggregate per bit; disjoint bit values

@@ -249,6 +249,45 @@ class AsOfExtensionSpec extends AnyFunSuite {
       (5L, None, None), (6L, None, None)))
   }
 
+  test("broadcast exec handles an INT-typed build timestamp (no CCE)") {
+    // ADVICE r6: the exec used to store a Long into the asof_ts slot while
+    // declaring the build column's own type — an IntegerType build ts made
+    // the output projection throw ClassCastException. The slot must carry
+    // the declared type.
+    val pr = Seq((1L, 10L, 100), (2L, 10L, 99), (3L, 20L, 50))
+      .toDF("pid", "uid", "t")
+    val bd = Seq((10L, 90, "a"), (10L, 100, "b")).toDF("user", "at", "tag")
+    assert(pr.schema("t").dataType === org.apache.spark.sql.types.IntegerType)
+    val out = plans.BroadcastAsOf.joinBackwardBroadcast(
+        pr, bd, "uid", "t", "user", "at")
+      .orderBy(col("pid")).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("tag")),
+        Option(r.getAs[java.lang.Integer]("asof_ts")).map(_.intValue))).toSeq
+    assert(out === Seq(
+      (1L, Some("b"), Some(100)), (2L, Some("a"), Some(90)), (3L, None, None)))
+  }
+
+  test("broadcast exec composite key matches the window lowering") {
+    val pr = Seq(
+      (1L, 10L, 0L, 100L), (2L, 10L, 1L, 100L), (3L, 10L, 0L, 80L),
+      (4L, 20L, 0L, 100L))
+      .toDF("pid", "uid", "seg", "t")
+    val bd = Seq(
+      (10L, 0L, 90L, "a0"), (10L, 1L, 95L, "a1"), (10L, 0L, 50L, "b0"))
+      .toDF("user", "cseg", "at", "tag")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.orderBy(col("pid"))
+      .collect().map(r => (r.getLong(0), Option(r.getAs[String]("tag")),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue))).toSeq
+    val viaWindow = norm(plans.AsOf.join(pr, bd,
+      Seq("uid", "seg"), "t", Seq("user", "cseg"), "at", "backward", None))
+    val viaExec = norm(plans.BroadcastAsOf.joinBackwardBroadcast(
+      pr, bd, Seq("uid", "seg"), "t", Seq("user", "cseg"), "at"))
+    assert(viaExec == viaWindow)
+    assert(viaExec == Seq(
+      (1L, Some("a0"), Some(90L)), (2L, Some("a1"), Some(95L)),
+      (3L, Some("b0"), Some(50L)), (4L, None, None)))
+  }
+
   test("broadcast exec agrees with the window lowering on random data") {
     val rnd = new scala.util.Random(7)
     val pr = (1 to 400).map(i =>

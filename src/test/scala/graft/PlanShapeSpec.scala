@@ -278,7 +278,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf("join_asof_broadcast_exec")
     // physical nodes print without the Exec suffix
     assert(plan.contains("BroadcastAsOfJoin"), plan)
-    assert(plan.contains("BroadcastExchange IdentityBroadcastMode"), plan)
+    // the custom mode means the exchange itself builds the sorted per-key
+    // index on the driver — executors receive it ready to probe
+    assert(plan.contains("BroadcastExchange AsOfIndexMode"), plan)
   }
 
   test("broadcast as-of shuffles nothing when the build side needs no prep") {

@@ -24,6 +24,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args: run only these queries (isolated re-bench mode — the
+    // r6→r7 regression adjudication tool; the driver passes no args)
+    val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // one-time sweep of scratch dirs left by pre-round-3 runs (before the
@@ -57,7 +60,9 @@ object Bench {
     // min-of-2 so one contended run can't set the reported number.
     val noisy = Set("join_range_interval", "join_range_bucketed",
       "join_shuffle_hash", "join_skew_salted")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val runs =
         if (name.startsWith("stream_")) Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
         else if (noisy(name)) Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
@@ -77,8 +82,9 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val detail = s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.mkString(",")}]}"""
     // committed artifact: the full per-query map survives even when the
-    // driver's stdout tail capture truncates the detail line
-    java.nio.file.Files.write(
+    // driver's stdout tail capture truncates the detail line. Subset
+    // (isolation-mode) runs must not clobber the full-run artifact.
+    if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(detail)

@@ -182,15 +182,26 @@ object TextOps {
         // token-fold/vote pipeline runs twice (once per join side)
         val fp = SimHash.fingerprints(Tables(s, dir, "documents"),
             "doc_id", "text", bits = SimHash.PortableBits,
-            hashFn = SimHash.portableTokenHashes)
+            // the NATIVE fold expression (one fused Java loop per row);
+            // value-identical to SimHash.portableTokenHashes, ~2.5× cheaper
+            // at sf0.1 — the HOF form interprets a Column tree per character
+            hashFn = c => graft.functions.PortableTokenHashes(s, c))
           .withColumnRenamed("doc", "doc_id")
           .localCheckpoint(false)
         val ex = fp.select(col("doc_id"), col("fp"),
             explode(SimHash.bands(col("fp"), SimHash.NBands, SimHash.PortableBits)).as("h"))
           .select(col("doc_id"), col("fp"), col("h.band_id"), col("h.band"))
+        // the join's INPUTS are tiny (5k docs × 7 bands) but its OUTPUT is
+        // huge (10.4M rows at sf0.1 — the corpus shares vocabulary, so
+        // band values cluster): broadcast the build side and round-robin
+        // the probe side so the fan-out spreads over every core instead of
+        // serializing in the few skewed (band_id, band) shuffle partitions
+        // a sort-merge join would give. At 100 TB the same shape holds per
+        // LSH shard: the bandrows table is always O(docs), never O(pairs).
         val a = ex.select(col("band_id"), col("band"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+          .repartition(s.sparkContext.defaultParallelism)
         val b = ex.select(col("band_id"), col("band"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-        a.join(b, Seq("band_id", "band")).filter(col("doc_a") < col("doc_b"))
+        a.join(broadcast(b), Seq("band_id", "band")).filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
             expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
           // Hamming filter BEFORE the pair-dedup: on a homogeneous corpus

@@ -177,6 +177,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hs(0) === fold(137) * (1L << 31) + fold(131))
   }
 
+  test("native portable token hashes match the HOF form on edge cases") {
+    // r7: the registry row hashes with the codegen'd expression
+    // (graft.functions.PortableTokenHashes); the declarative HOF form is
+    // the reference. Split semantics (trailing/doubled spaces → empty
+    // tokens), empty string, and multi-token strings must agree exactly.
+    val texts = Seq("abc", "a b", "a  b", "a ", " a", "", "xy z zz",
+      "the quick brown fox")
+    val df = texts.map(Tuple1(_)).toDF("text")
+    val hof = df.select(SimHash.portableTokenHashes(col("text")).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    val native = df.select(
+        graft.functions.PortableTokenHashes(spark, col("text")).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(native.toSeq === hof.toSeq)
+  }
+
+  test("native portable token hashes: interpreted eval matches codegen") {
+    val e = graft.functions.PortableTokenHashes(
+      org.apache.spark.sql.catalyst.expressions.Literal("ab cd "))
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val viaDf = Seq(Tuple1("ab cd ")).toDF("text")
+      .select(graft.functions.PortableTokenHashes(spark, col("text")))
+      .head.getSeq[Long](0)
+    assert(interp.toSeq === viaDf.toSeq)
+  }
+
   test("portable banding: full recall at hamming <= 6 over 62 bits") {
     val rnd = new scala.util.Random(11)
     val pairs = (0 until 200).map { _ =>

@@ -205,14 +205,55 @@ object Aggregates {
                 |GROUP BY l_returnflag
                 |ORDER BY l_returnflag""".stripMargin)
       },
-      None
+      // Full DuckDB oracle (r7): the V2 bloom's bit math is pure integer
+      // arithmetic — Murmur3_x86_32.hashLong replayed as a lateral-alias
+      // chain (u32 in BIGINT, HUGEINT for the wrapping multiplies), then
+      // the scatter `h1·2^31-1 + i·h2 → ~ if negative → mod numBits`.
+      // A probe key is a member iff ALL k of its positions were set by
+      // some build key — false positives and all. SketchOracleSpec pins
+      // the same math against the real BloomFilter class.
+      Some {
+        val so = graft.tools.SketchOracle
+        val k = so.bloomNumHashes(100000, 800000)
+        val (steps1, h1) = so.hashLongSteps("q1", "low", "high", "0")
+        val (steps2, h2) = so.hashLongSteps("q2", "low", "high", h1)
+        val base = "SELECT k, k % 4294967296 AS low, " +
+          "(k // 4294967296) % 4294967296 AS high FROM keys"
+        val sig = Seq(
+          "h1s" -> s"CASE WHEN $h1 >= 2147483648 THEN $h1 - 4294967296 ELSE $h1 END",
+          "h2s" -> s"CASE WHEN $h2 >= 2147483648 THEN $h2 - 4294967296 ELSE $h2 END")
+        val hashed = so.chainSql(base, steps1 ++ steps2 ++ sig)
+        s"""WITH build_keys AS (
+           |  SELECT DISTINCT o_orderkey AS k FROM orders
+           |  WHERE o_orderpriority = '1-URGENT'),
+           |probe_keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+           |keys AS (SELECT k FROM build_keys UNION SELECT k FROM probe_keys),
+           |hashed AS (SELECT k, h1s, h2s FROM ($hashed)),
+           |pos AS (
+           |  SELECT k, i,
+           |         CASE WHEN c < 0 THEN (-c - 1) % 800000
+           |              ELSE c % 800000 END AS pos
+           |  FROM (SELECT k, i, h1s * 2147483647 + i * h2s AS c
+           |        FROM hashed CROSS JOIN range(1, ${k + 1}) t(i))),
+           |build_pos AS (SELECT DISTINCT pos FROM pos JOIN build_keys USING (k)),
+           |member AS (
+           |  SELECT p.k
+           |  FROM pos p JOIN probe_keys USING (k)
+           |  LEFT JOIN build_pos bp ON p.pos = bp.pos
+           |  GROUP BY p.k
+           |  HAVING count(*) = count(bp.pos))
+           |SELECT l_returnflag, count(1) AS n_lines
+           |FROM lineitem JOIN member ON l_orderkey = member.k
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin
+      }
     ),
     Q(
       "stat_countmin_heavyhitters",
       // Count-Min sketch heavy hitters: sketch built distributed over the
       // full stream, point estimates read for the candidate set (here the
       // event types). Estimates over-count by design — OperatorSpec bounds the
-      // error vs exact counts. No oracle (sketch internals engine-specific).
+      // error vs exact counts.
       (s, dir) => {
         import s.implicits._
         val ev = Tables.events(s, dir)
@@ -222,7 +263,36 @@ object Aggregates {
           .toDF("event_type", "est_count")
           .orderBy(col("event_type"))
       },
-      None
+      // Full DuckDB oracle (r7): string items hash with Spark's murmur
+      // double-hashing (seed-independent — the ctor seed only feeds the
+      // LONG path), so bucket positions are computable driver-side
+      // (SketchOracle.cmBuckets, pinned against the real CountMinSketch in
+      // SketchOracleSpec) and inlined as literals. table[i][b] = total
+      // count of event types landing in (i, b); estimate = min over
+      // depth. The buckets VALUES list covers the fixture's full
+      // event_type domain — a NEW type in the data would drop out of the
+      // inner join, under-count vs Spark, and FAIL the hash gate (wrong
+      // answers fail loudly, never pass silently).
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val depth = graft.tools.SketchOracle.cmDepth(0.99)
+        val width = graft.tools.SketchOracle.cmWidth(0.001)
+        val rows = types.flatMap(t =>
+          graft.tools.SketchOracle.cmBuckets(t, depth, width).zipWithIndex.map {
+            case (b, i) => s"('$t', $i, $b)"
+          })
+        s"""WITH counts AS (
+           |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+           |buckets(et, i, b) AS (VALUES ${rows.mkString(", ")}),
+           |cells AS (
+           |  SELECT b.i, b.b, CAST(sum(c.n) AS BIGINT) AS cell
+           |  FROM counts c JOIN buckets b ON c.event_type = b.et
+           |  GROUP BY 1, 2)
+           |SELECT qb.et AS event_type, min(cells.cell) AS est_count
+           |FROM buckets qb JOIN cells ON cells.i = qb.i AND cells.b = qb.b
+           |GROUP BY 1
+           |ORDER BY event_type""".stripMargin
+      }
     ),
     Q(
       "agg_corr_stats",

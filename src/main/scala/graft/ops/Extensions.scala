@@ -365,6 +365,47 @@ object Extensions {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sql_time_travel",
+      // The lakehouse SQL idiom over the manifest format's snapshot log:
+      // `SELECT … FROM <cat>.<ns>.<tbl> VERSION AS OF n` routes through
+      // TableCatalog.loadTable(ident, version) (GraftCatalog) to a
+      // ManifestTable pinned at snapshot n — the same retained
+      // manifest.v<N> files the versionAsOf READ OPTION uses, now
+      // addressable from plain SQL. v1 = CREATE (empty), v2 = evens
+      // insert, v3 = odds insert; the row reads all three pinned
+      // snapshots and the oracle recomputes each from the fixture.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.tt_orders")
+        s.sql("""CREATE TABLE graft_cat.marts.tt_orders
+                |(o_orderkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.tt_orders
+                |SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.tt_orders
+                |SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_orderkey % 2 = 1""".stripMargin)
+        def snap(v: Int) =
+          s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
+             |       coalesce(CAST(sum(o_orderkey) AS BIGINT), 0L) AS sum_key
+             |FROM graft_cat.marts.tt_orders VERSION AS OF $v""".stripMargin
+        s.sql(s"""SELECT * FROM (${snap(1)} UNION ALL ${snap(2)} UNION ALL ${snap(3)})
+                 |ORDER BY version""".stripMargin)
+      },
+      Some("""SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_rows,
+             |         CAST(0 AS BIGINT) AS sum_key
+             |  UNION ALL
+             |  SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
+             |  WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders) t
+             |ORDER BY version""".stripMargin)
+    ),
+    Q(
       "sink_time_travel",
       // Snapshot retention + time travel + OPTIMIZE on the manifest sink:
       // every job commit is also a retained snapshot (manifest.v<N>), so

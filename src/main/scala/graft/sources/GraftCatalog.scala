@@ -63,6 +63,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** SQL time travel: `SELECT … FROM <cat>.<ns>.<tbl> VERSION AS OF n`
+    * routes here — the snapshot log the sink already retains
+    * (manifest.v<N>.json) IS the version history, so the lakehouse SQL
+    * idiom works against any past commit. Timestamp-based travel
+    * (`TIMESTAMP AS OF`) is not offered: the manifest records no commit
+    * wall-clock (determinism contract — no wall-clock anywhere).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = pathOf(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft time travel takes a numeric snapshot version, got '$version'")
+    }
+    if (!Files.exists(Paths.get(dir, s"manifest.v$v.json")))
+      throw new NoSuchTableException(ident)
+    val schema = ManifestSink.readState(dir, Some(v)).get.schema
+    new ManifestTable(dir, schema, pinnedVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val dir = pathOf(ident)

@@ -202,14 +202,16 @@ object ManifestTableAccess {
       .map(_.asInstanceOf[ManifestFilePartition].path).toSeq
 }
 
-private[sources] class ManifestTable(dir: String, writeSchema: StructType)
+private[sources] class ManifestTable(dir: String, writeSchema: StructType,
+    pinnedVersion: Option[Int] = None)
     extends Table with SupportsWrite with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  override def name(): String = s"manifest[$dir]"
+  override def name(): String =
+    s"manifest[$dir${pinnedVersion.map(v => s"@v$v").getOrElse("")}]"
 
   override def schema(): StructType =
-    ManifestSink.readManifest(dir).map(_._1).getOrElse(writeSchema)
+    ManifestSink.readState(dir, pinnedVersion).map(_.schema).getOrElse(writeSchema)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
@@ -248,9 +250,11 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
-      // time travel: versionAsOf pins the scan to a retained snapshot
+      // time travel: versionAsOf (read option) or a catalog-pinned version
+      // (SQL `VERSION AS OF n` → TableCatalog.loadTable(ident, version))
+      // pins the scan to a retained snapshot
       private val state = ManifestSink.readState(dir,
-        Option(options.get("versionAsOf")).map(_.toInt))
+        Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion))
       private val readSch = state.map(_.schema).getOrElse(writeSchema)
       override def build(): Scan = this
       override def readSchema(): StructType = readSch

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import graft.sources.{ManifestSink, ManifestTableAccess}
+import graft.sources.{GraftCatalog, ManifestSink, ManifestTableAccess}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -126,6 +126,69 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft_spec_cat.ns.t2").count() == 1)
     spark.sql("DROP TABLE graft_spec_cat.ns.t2")
     assert(spark.sql("SHOW TABLES IN graft_spec_cat.ns").collect().isEmpty)
+  }
+
+  test("SQL VERSION AS OF pins a catalog table to a retained snapshot") {
+    val wh = util.tempDir("graft_tt_spec_")
+    spark.conf.set("spark.sql.catalog.graft_tt_cat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tt_cat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_tt_cat.ns")
+    spark.sql("CREATE TABLE graft_tt_cat.ns.tt (k BIGINT)") // v1: empty
+    spark.sql("INSERT INTO graft_tt_cat.ns.tt VALUES (1), (2)") // v2
+    spark.sql("INSERT INTO graft_tt_cat.ns.tt VALUES (3)") // v3
+    def n(v: Int) = spark
+      .sql(s"SELECT * FROM graft_tt_cat.ns.tt VERSION AS OF $v").count()
+    assert(n(1) == 0 && n(2) == 2 && n(3) == 3)
+    // current read is unpinned
+    assert(spark.sql("SELECT * FROM graft_tt_cat.ns.tt").count() == 3)
+    // a version that was never committed is NoSuchTable, not a blank scan
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_tt_cat.ns.tt VERSION AS OF 99").count()
+    }
+  }
+
+  test("catalog contract: CREATE of existing throws, rename maps precondition errors") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val wh = util.tempDir("graft_contract_spec_")
+    val cat = new GraftCatalog
+    cat.initialize("c",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+    val id = Identifier.of(Array("ns"), "t")
+    cat.createNamespace(Array("ns"), java.util.Collections.emptyMap())
+    cat.createTable(id, schema, Array.empty, java.util.Collections.emptyMap())
+    // ADVICE r6: a second CREATE must throw, not silently reset the manifest
+    assertThrows[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      cat.createTable(id, schema, Array.empty, java.util.Collections.emptyMap())
+    }
+    val id2 = Identifier.of(Array("ns"), "t2")
+    assertThrows[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      cat.renameTable(id2, Identifier.of(Array("ns"), "t3"))
+    }
+    cat.createTable(id2, schema, Array.empty, java.util.Collections.emptyMap())
+    assertThrows[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      cat.renameTable(id2, id)
+    }
+  }
+
+  test("change feed fails loudly when an overwrite lands inside the offset range") {
+    val dir = freshDir()
+    writeVia(dir, "append", 0, 5) // v1
+    writeVia(dir, "append", 5, 8) // v2
+    // compaction/overwrite mid-stream: v3 lists ONE new file, drops old ones
+    readVia(dir).coalesce(1)
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .mode("overwrite").save() // v3
+    val schema = ManifestSink.readState(dir).get.schema
+    // (0, 2] is append-only — plans fine
+    assert(ManifestTableAccess.microBatchPlan(dir, schema, 0, 2).size >= 2)
+    // (2, 3] removed files — must throw, not re-deliver survivors as new
+    val e = intercept[IllegalStateException] {
+      ManifestTableAccess.microBatchPlan(dir, schema, 2, 3)
+    }
+    assert(e.getMessage.contains("append-only"))
   }
 
   test("MERGE INTO is merge-on-read: base files survive, deletes land as files") {

@@ -521,6 +521,36 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "join_asof_forward_broadcast",
+      // Forward as-of through the custom broadcast exec (r7): the SAME
+      // (key, ts)-sorted broadcast index answers forward probes with a
+      // lower-bound search — earliest click at-or-after each purchase,
+      // zero probe-side shuffle. Shares join_asof_forward's oracle: the
+      // window lowering and the custom exec must agree in both
+      // directions.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        graft.plans.BroadcastAsOf.joinForwardBroadcast(
+            purchases.select(col("event_id"), col("user_id"), col("ts")),
+            clicks.select(col("user_id"), col("ts"), col("click_id")),
+            probeKey = "user_id", probeTs = "ts",
+            buildKey = "user_id", buildTs = "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       c.ts AS click_ts, c.click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts >= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
       "join_asof_forward",
       // Forward as-of: EARLIEST click at-or-after each purchase, per user —
       // the mirror of join_asof, same union+window rewrite (one shuffle on

@@ -31,10 +31,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampNTZ
   * ([[AsOfIndexCache]]) — tasks after the first do zero build work, and
   * the probe side is never exchanged at all.
   *
-  * Scope: backward direction, single or COMPOSITE key, no tolerance; keys
-  * and timestamps must be long-backed (BIGINT / INT / TIMESTAMP /
-  * TIMESTAMP_NTZ). Everything else (forward/nearest/tolerance) stays on
-  * the union+window path, where the optimizer keeps working on the plan.
+  * Scope: backward and FORWARD directions, single or COMPOSITE key, no
+  * tolerance; keys and timestamps must be long-backed (BIGINT / INT /
+  * TIMESTAMP / TIMESTAMP_NTZ). Nearest/tolerance stay on the
+  * union+window path, where the optimizer keeps working on the plan.
   */
 case class BroadcastAsOfJoin(
     left: LogicalPlan,
@@ -43,6 +43,7 @@ case class BroadcastAsOfJoin(
     probeTs: String,
     buildKeys: Seq[String],
     buildTs: String,
+    forward: Boolean,
     outputAttrs: Seq[Attribute]) extends BinaryNode {
 
   override def output: Seq[Attribute] = outputAttrs
@@ -77,7 +78,22 @@ object BroadcastAsOf {
     */
   def joinBackwardBroadcast(probe: DataFrame, build: DataFrame,
       probeKeys: Seq[String], probeTs: String,
-      buildKeys: Seq[String], buildTs: String): DataFrame = {
+      buildKeys: Seq[String], buildTs: String): DataFrame =
+    join(probe, build, probeKeys, probeTs, buildKeys, buildTs, forward = false)
+
+  /** Forward as-of (EARLIEST build row at-or-after each probe, inclusive)
+    * through the same exec: the prebuilt (key…, ts)-sorted index answers
+    * forward probes with a lower-bound search — same zero-probe-shuffle
+    * shape, mirror semantics of [[AsOf.joinForward]].
+    */
+  def joinForwardBroadcast(probe: DataFrame, build: DataFrame,
+      probeKey: String, probeTs: String,
+      buildKey: String, buildTs: String): DataFrame =
+    join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs, forward = true)
+
+  private def join(probe: DataFrame, build: DataFrame,
+      probeKeys: Seq[String], probeTs: String,
+      buildKeys: Seq[String], buildTs: String, forward: Boolean): DataFrame = {
     require(probeKeys.nonEmpty && probeKeys.length == buildKeys.length,
       s"probe/build key lists must be same non-zero length, got $probeKeys vs $buildKeys")
     require(probeKeys.distinct.length == probeKeys.length &&
@@ -102,7 +118,7 @@ object BroadcastAsOf {
         payload.map(a => AttributeReference(a.name, a.dataType, nullable = true)()) :+
         AttributeReference("asof_ts", bt.dataType, nullable = true)()
     Bridge.ofRows(probe.sparkSession,
-      BroadcastAsOfJoin(lp, rp, probeKeys, probeTs, buildKeys, buildTs, outs))
+      BroadcastAsOfJoin(lp, rp, probeKeys, probeTs, buildKeys, buildTs, forward, outs))
   }
 }
 
@@ -114,7 +130,8 @@ case class PlanBroadcastAsOf(spark: SparkSession)
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case b: BroadcastAsOfJoin =>
       BroadcastAsOfJoinExec(planLater(b.left), planLater(b.right),
-        b.probeKeys, b.probeTs, b.buildKeys, b.buildTs, b.outputAttrs) :: Nil
+        b.probeKeys, b.probeTs, b.buildKeys, b.buildTs, b.forward,
+        b.outputAttrs) :: Nil
     case _ => Nil
   }
 }
@@ -204,6 +221,32 @@ final class AsOfIdx(
     }
     ans
   }
+
+  /** Forward mirror: smallest i with keys(i) == probe && tss(i) >= t,
+    * else -1 — a lexicographic lower-bound search.
+    */
+  def lookupForward(probe: Array[Long], t: Long): Int = {
+    // first i whose (keys…, ts) tuple is >= (probe…, t)
+    var lo = 0; var hi = tss.length - 1; var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      var c = 0
+      var leg = 0
+      while (c == 0 && leg < keyCols.length) {
+        c = java.lang.Long.compare(keyCols(leg)(mid), probe(leg))
+        leg += 1
+      }
+      if (c == 0) c = java.lang.Long.compare(tss(mid), t)
+      if (c >= 0) { ans = mid; hi = mid - 1 } else lo = mid + 1
+    }
+    if (ans < 0) return -1
+    var leg = 0
+    while (leg < keyCols.length) {
+      if (keyCols(leg)(ans) != probe(leg)) return -1
+      leg += 1
+    }
+    ans
+  }
 }
 
 /** Per-executor memo of [[AsOfIdx]] keyed by broadcast id: the O(n)
@@ -231,6 +274,7 @@ case class BroadcastAsOfJoinExec(
     probeTs: String,
     buildKeys: Seq[String],
     buildTs: String,
+    forward: Boolean,
     outputAttrs: Seq[Attribute]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = outputAttrs
@@ -304,7 +348,9 @@ case class BroadcastAsOfJoinExec(
           while (i < pKeyOrds.length) {
             probeKs(i) = AsOfIndexMode.asLong(p, pKeyOrds(i), pKeyTypes(i)); i += 1
           }
-          val ans = index.lookup(probeKs, AsOfIndexMode.asLong(p, pTsOrd, pTsType))
+          val t = AsOfIndexMode.asLong(p, pTsOrd, pTsType)
+          val ans = if (forward) index.lookupForward(probeKs, t)
+                    else index.lookup(probeKs, t)
           if (ans >= 0) {
             val m = index.rows(ans)
             var j = 0

@@ -192,7 +192,15 @@ case class RewriteGraftAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       probeCols.map(col) ++ Seq(
         lit(null).cast(matchType).as("__match"),
         lit(1).as("__is_probe")): _*)
-    val bTagged = build.select(
+    // SQL as-of semantics (r7, found by the broadcast-exec differential):
+    // a NULL key or ts can never satisfy `b.key = p.key AND b.ts <= p.ts`,
+    // but the window frames would happily match them — null keys group
+    // into their own window partition (matching other null-key rows), and
+    // a null-ts build row sorts to the frame edge. Drop null build rows
+    // before the union; null probes keep their row but match nothing
+    // (guarded below).
+    val bNotNull = (j.buildKeys :+ j.buildTs).map(col(_).isNotNull).reduce(_ && _)
+    val bTagged = build.filter(bNotNull).select(
       probeCols.map {
         case n if keyForProbeCol.contains(n) => col(keyForProbeCol(n)).as(n)
         case n if n == j.probeTs => col(j.buildTs).as(n)
@@ -254,8 +262,10 @@ case class RewriteGraftAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
           .withColumn("__match", when(pickB, col("__mb")).otherwise(col("__mf")))
           .drop("__mb", "__mf")
     }
+    val pNotNull = (j.probeKeys :+ j.probeTs).map(col(_).isNotNull).reduce(_ && _)
     val lowered = matched
       .filter(col("__is_probe") === 1)
+      .withColumn("__match", when(pNotNull, col("__match")))
       .select(probeCols.map(col) ++
         payload.map(p => col("__match").getField(p).as(p)) :+
         col("__match").getField("asof_ts").as("asof_ts"): _*)

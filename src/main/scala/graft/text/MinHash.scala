@@ -144,8 +144,14 @@ object MinHash {
     // computation once PER REFERENCE (~k·bands× per row). CollapseProject
     // keeps multi-referenced non-trivial aliases materialized, making each
     // level a single evaluation. (Measured: 210s → ~2s at sf0.1.)
-    val tokHash = if (portable) portableTokenHashes(col(textCol))
-                  else tokenCrcs(col(textCol))
+    // the native fold expression computes BOTH 31-bit character folds
+    // packed (hi·2^31 + lo); MinHash's portable token hash IS the low
+    // half (m = 131), so one mask per TOKEN replaces the interpreted
+    // per-CHARACTER HOF — value-identical (TextDedupSpec parity test)
+    val tokHash = if (portable)
+      transform(graft.functions.PortableTokenHashes(df.sparkSession, col(textCol)),
+        h => h.bitwiseAND((1L << 31) - 1))
+    else tokenCrcs(col(textCol))
     val crcs = df.select(col(idCol).as("doc"), tokHash.as("crcs"))
     val sh = crcs.select(col("doc"), shingleHashes(col("crcs")).as("sh"))
     val sigs = sh.select(col("doc"), signatureFromHashes(col("sh"), k).as("sig"))

@@ -288,6 +288,26 @@ class AsOfExtensionSpec extends AnyFunSuite {
       (3L, Some("b0"), Some(50L)), (4L, None, None)))
   }
 
+  test("forward broadcast exec matches the forward window lowering") {
+    val pr = Seq[(java.lang.Long, java.lang.Long, java.lang.Long)](
+      (1L, 10L, 100L), (2L, 10L, 95L), (3L, 10L, 201L), (4L, 20L, 50L),
+      (5L, null, 100L), (6L, 10L, null))
+      .toDF("pid", "uid", "t")
+    val bd = Seq((10L, 90L, "a"), (10L, 100L, "b"), (10L, 200L, "c"),
+      (30L, 10L, "z")).toDF("user", "at", "tag")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.orderBy(col("pid"))
+      .collect().map(r => (r.getLong(0), Option(r.getAs[String]("tag")),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue))).toSeq
+    val viaWindow = norm(plans.AsOf.joinForward(pr, bd, "uid", "t", "user", "at"))
+    val viaExec = norm(plans.BroadcastAsOf.joinForwardBroadcast(
+      pr, bd, "uid", "t", "user", "at"))
+    assert(viaExec == viaWindow)
+    // at-or-after inclusive: pid 1 probes t=100 and matches ts=100 ("b")
+    assert(viaExec == Seq(
+      (1L, Some("b"), Some(100L)), (2L, Some("b"), Some(100L)),
+      (3L, None, None), (4L, None, None), (5L, None, None), (6L, None, None)))
+  }
+
   test("broadcast exec agrees with the window lowering on random data") {
     val rnd = new scala.util.Random(7)
     val pr = (1 to 400).map(i =>

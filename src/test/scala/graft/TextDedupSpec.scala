@@ -193,6 +193,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(native.toSeq === hof.toSeq)
   }
 
+  test("native fold's low half equals MinHash.portableTokenHashes") {
+    val texts = Seq("abc def", "a", "", "x  y ", "the quick brown fox")
+    val df = texts.map(Tuple1(_)).toDF("text")
+    val hof = df.select(MinHash.portableTokenHashes(col("text")).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    val masked = df.select(
+        transform(graft.functions.PortableTokenHashes(spark, col("text")),
+          h => h.bitwiseAND((1L << 31) - 1)).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(masked.toSeq === hof.toSeq)
+  }
+
   test("native portable token hashes: interpreted eval matches codegen") {
     val e = graft.functions.PortableTokenHashes(
       org.apache.spark.sql.catalyst.expressions.Literal("ab cd "))

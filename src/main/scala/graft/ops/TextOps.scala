@@ -267,6 +267,57 @@ object TextOps {
              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
     Q(
+      "text_contamination_ngram",
+      // Benchmark decontamination — the GPT-3/Pile method: a training
+      // document is contaminated when any of its token 5-grams also
+      // appears in the held-out eval set (here: doc_id % 37 == 0 plays
+      // the benchmark). The eval gram set is SMALL by construction, so it
+      // broadcasts and the corpus never shuffles — at 100 TB the corpus
+      // side stays map-only: gram-hash, broadcast-hash-join, partial
+      // count. Grams join on 54-bit hashes (collision odds ~1e-8), the
+      // oracle on the gram strings themselves — same trade as
+      // text_ngram_jaccard.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val grams = docs
+          .select(col("doc_id"), MinHash.tokenCrcs(col("text")).as("crcs"))
+          .select(col("doc_id"),
+            explode(MinHash.shingleHashes(col("crcs"), 5, distinct = true, modP = false))
+              .as("gram"))
+        val evalGrams = grams.filter(col("doc_id") % 37 === 0)
+          .select(col("gram")).distinct()
+        val hits = grams.filter(col("doc_id") % 37 =!= 0)
+          .join(broadcast(evalGrams), Seq("gram"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        docs.filter(col("doc_id") % 37 =!= 0)
+          .select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("contaminated", col("n_hits") > 0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(string_split(text, ' ')) - 3),
+             |    i -> string_split(text, ' ')[i] || ' ' ||
+             |         string_split(text, ' ')[i+1] || ' ' ||
+             |         string_split(text, ' ')[i+2] || ' ' ||
+             |         string_split(text, ' ')[i+3] || ' ' ||
+             |         string_split(text, ' ')[i+4]))) AS gram
+             |  FROM documents),
+             |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+             |hits AS (
+             |  SELECT g.doc_id, count(*) AS n_hits
+             |  FROM grams g JOIN eval_grams e USING (gram)
+             |  WHERE g.doc_id % 37 <> 0
+             |  GROUP BY 1)
+             |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+             |       coalesce(h.n_hits, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN hits h USING (doc_id)
+             |WHERE d.doc_id % 37 <> 0
+             |ORDER BY d.doc_id""".stripMargin)
+    ),
+    Q(
       "text_langid",
       // Language-ID by marker-token counts with a fixed priority order —
       // an n-gram-heuristic classifier expressible on both engines.

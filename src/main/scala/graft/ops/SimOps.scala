@@ -357,6 +357,49 @@ object SimOps {
               |ORDER BY vec_a, vec_b""".stripMargin)
     ),
     Q(
+      "embed_semantic_dedup",
+      // SemDeDup-style semantic dedup DECISION over embedding cells: a
+      // vector is dropped when an earlier (lower-id) vector in the same
+      // cell is more similar than the threshold — the dominance filter
+      // that turns near-dup PAIRS into a deterministic keep/drop corpus
+      // split (the text-side twin is dedup_cluster_representative). Cells
+      // here are labels; at 100 TB the cell is an ANN bucket or k-means
+      // cell (sim_kmeans_assign), and the shape is identical: bounded
+      // within-cell pairs, one anti-join, corpus never exchanged globally.
+      // Threshold 0.3 reports the suspicious tail — the fixture carries no
+      // true dups (max pairwise cos ≈ 0.48).
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+        val a = base.select(col("label"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = base.select(col("label"), col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        val dropped = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+          .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .filter(col("cos") >= 0.3)
+          .select(col("vec_b").as("vec_id")).distinct()
+          .withColumn("is_dropped", lit(true))
+        base.select(col("vec_id"), col("label"))
+          .join(dropped, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("label"),
+            coalesce(!col("is_dropped"), lit(true)).as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, label, embedding,
+             |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+             |  FROM embeddings WHERE vec_id % 3 = 0),
+             |dropped AS (
+             |  SELECT DISTINCT b.vec_id
+             |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+             |  WHERE list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) >= 0.3)
+             |SELECT n.vec_id, n.label, d.vec_id IS NULL AS kept
+             |FROM n LEFT JOIN dropped d ON n.vec_id = d.vec_id
+             |ORDER BY n.vec_id""".stripMargin)
+    ),
+    Q(
       "sim_centroid_by_label",
       // Mean vector per label via posexplode → (label, pos) partial avg —
       // the shuffle carries label×dim rows, never whole vectors.

@@ -281,15 +281,19 @@ object SimOps {
       // nProbe=2 closest cells. At 100 TB the cell assignment is the
       // partition key: a query touches nProbe partitions instead of the
       // whole corpus. Codebook is label-count sized → broadcast side.
-      // No oracle (cell membership at ulp-close centroid boundaries is not
-      // hash-stable); SimSpec property-tests recall against brute force.
+      // Fully DuckDB-oracled since r7: the r6 blocker was RAW avg
+      // centroids (a distributed partial avg is shuffle-order-dependent at
+      // ulp level, so cell membership at close boundaries wasn't
+      // hash-stable) — r2-pinning the codebook (the sim_kmeans_assign
+      // technique) makes every downstream fold IEEE-identical on both
+      // engines. SimSpec still property-tests recall against brute force.
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
         // codebook: mean vector per label, re-assembled in pos order
         val centroids = emb
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("label"), col("pos"))
-          .agg(avg(col("v").cast("double")).as("m"))
+          .agg(util.r2(avg(col("v").cast("double"))).as("m"))
           .groupBy(col("label"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             x => x.getField("m")).as("cent"))
@@ -319,7 +323,53 @@ object SimOps {
           .withColumn("cos", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
         rankTopK(scored, 5)
       },
-      None
+      Some {
+        val selfDot = (e: String) =>
+          s"sqrt(list_sum(list_transform(range(1, 65), i -> $e[i]::DOUBLE * $e[i]::DOUBLE)))"
+        val centDot = (e: String) =>
+          s"list_sum(list_transform(range(1, 65), i -> $e[i]::DOUBLE * cent[i]))"
+        s"""WITH comp AS (
+           |  SELECT label, pos, ${graft.util.r2sql("avg(v::DOUBLE)")} AS m
+           |  FROM (SELECT label, unnest(embedding) AS v,
+           |               generate_subscripts(embedding, 1) AS pos FROM embeddings) t
+           |  GROUP BY label, pos),
+           |centl AS (
+           |  SELECT label AS cell, list(m ORDER BY pos) AS cent FROM comp GROUP BY label),
+           |cb AS (
+           |  SELECT cell, cent,
+           |         sqrt(list_sum(list_transform(range(1, 65), i -> cent[i] * cent[i]))) AS cent_norm
+           |  FROM centl),
+           |corpus AS (
+           |  SELECT cell, neighbor_id, c_emb, c_norm FROM (
+           |    SELECT cb.cell, e.vec_id AS neighbor_id, e.embedding AS c_emb,
+           |           ${selfDot("e.embedding")} AS c_norm,
+           |           row_number() OVER (
+           |             PARTITION BY e.vec_id
+           |             ORDER BY ${centDot("e.embedding")} / (${selfDot("e.embedding")} * cb.cent_norm) DESC,
+           |                      cb.cell ASC) AS r
+           |    FROM embeddings e CROSS JOIN cb) t WHERE r = 1),
+           |queries AS (
+           |  SELECT cell, query_id, q_emb, q_norm FROM (
+           |    SELECT cb.cell, e.vec_id AS query_id, e.embedding AS q_emb,
+           |           ${selfDot("e.embedding")} AS q_norm,
+           |           row_number() OVER (
+           |             PARTITION BY e.vec_id
+           |             ORDER BY ${centDot("e.embedding")} / (${selfDot("e.embedding")} * cb.cent_norm) DESC,
+           |                      cb.cell ASC) AS r
+           |    FROM embeddings e CROSS JOIN cb WHERE e.vec_id % 50 = 0) t WHERE r <= 2),
+           |scored AS (
+           |  SELECT q.query_id, c.neighbor_id,
+           |         list_sum(list_transform(range(1, 65), i -> q.q_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE)) / (q.q_norm * c.c_norm) AS cos
+           |  FROM queries q JOIN corpus c USING (cell)
+           |  WHERE q.query_id <> c.neighbor_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }
     ),
     Q(
       "embed_neardup_cosine",

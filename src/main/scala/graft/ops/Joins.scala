@@ -625,6 +625,39 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "join_asof_tolerance_broadcast",
+      // Backward-with-tolerance through the custom broadcast exec (r7):
+      // the max-gap check runs INSIDE the exec right after the binary
+      // search (micros arithmetic on the matched index entry), so the
+      // tolerance variant keeps the zero-probe-shuffle shape too. Shares
+      // join_asof_tolerance's oracle — with the exec nulling BOTH payload
+      // and ts on an out-of-tolerance match, exactly like the window
+      // lowering's post-projection.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        graft.plans.BroadcastAsOf.joinBackwardToleranceBroadcast(
+            purchases.select(col("event_id"), col("user_id"), col("ts")),
+            clicks.select(col("user_id"), col("ts"), col("click_id")),
+            probeKey = "user_id", probeTs = "ts",
+            buildKey = "user_id", buildTs = "ts",
+            toleranceMicros = 3600L * 1000000L)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END AS click_ts,
+             |       CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END AS click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
       "join_asof_nearest",
       // Nearest as-of: the closest click in EITHER direction, ties to the
       // at-or-before side. Both directional candidates come out of one

@@ -31,9 +31,9 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampNTZ
   * ([[AsOfIndexCache]]) — tasks after the first do zero build work, and
   * the probe side is never exchanged at all.
   *
-  * Scope: backward and FORWARD directions, single or COMPOSITE key, no
-  * tolerance; keys and timestamps must be long-backed (BIGINT / INT /
-  * TIMESTAMP / TIMESTAMP_NTZ). Nearest/tolerance stay on the
+  * Scope: backward and FORWARD directions, single or COMPOSITE key,
+  * optional max-gap TOLERANCE; keys and timestamps must be long-backed
+  * (BIGINT / INT / TIMESTAMP / TIMESTAMP_NTZ). Only nearest stays on the
   * union+window path, where the optimizer keeps working on the plan.
   */
 case class BroadcastAsOfJoin(
@@ -44,6 +44,7 @@ case class BroadcastAsOfJoin(
     buildKeys: Seq[String],
     buildTs: String,
     forward: Boolean,
+    toleranceMicros: Option[Long],
     outputAttrs: Seq[Attribute]) extends BinaryNode {
 
   override def output: Seq[Attribute] = outputAttrs
@@ -81,6 +82,18 @@ object BroadcastAsOf {
       buildKeys: Seq[String], buildTs: String): DataFrame =
     join(probe, build, probeKeys, probeTs, buildKeys, buildTs, forward = false)
 
+  /** Backward as-of with a max-gap tolerance (pandas merge_asof style):
+    * a match farther than `toleranceMicros` behind the probe is nulled —
+    * applied INSIDE the exec right after the binary search, so the
+    * broadcast path keeps its zero-probe-shuffle shape. Long-backed ts
+    * columns are micros (TIMESTAMP/_NTZ) or raw longs.
+    */
+  def joinBackwardToleranceBroadcast(probe: DataFrame, build: DataFrame,
+      probeKey: String, probeTs: String,
+      buildKey: String, buildTs: String, toleranceMicros: Long): DataFrame =
+    join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs,
+      forward = false, tolerance = Some(toleranceMicros))
+
   /** Forward as-of (EARLIEST build row at-or-after each probe, inclusive)
     * through the same exec: the prebuilt (key…, ts)-sorted index answers
     * forward probes with a lower-bound search — same zero-probe-shuffle
@@ -93,7 +106,8 @@ object BroadcastAsOf {
 
   private def join(probe: DataFrame, build: DataFrame,
       probeKeys: Seq[String], probeTs: String,
-      buildKeys: Seq[String], buildTs: String, forward: Boolean): DataFrame = {
+      buildKeys: Seq[String], buildTs: String, forward: Boolean,
+      tolerance: Option[Long] = None): DataFrame = {
     require(probeKeys.nonEmpty && probeKeys.length == buildKeys.length,
       s"probe/build key lists must be same non-zero length, got $probeKeys vs $buildKeys")
     require(probeKeys.distinct.length == probeKeys.length &&
@@ -118,7 +132,8 @@ object BroadcastAsOf {
         payload.map(a => AttributeReference(a.name, a.dataType, nullable = true)()) :+
         AttributeReference("asof_ts", bt.dataType, nullable = true)()
     Bridge.ofRows(probe.sparkSession,
-      BroadcastAsOfJoin(lp, rp, probeKeys, probeTs, buildKeys, buildTs, forward, outs))
+      BroadcastAsOfJoin(lp, rp, probeKeys, probeTs, buildKeys, buildTs, forward,
+        tolerance, outs))
   }
 }
 
@@ -131,7 +146,7 @@ case class PlanBroadcastAsOf(spark: SparkSession)
     case b: BroadcastAsOfJoin =>
       BroadcastAsOfJoinExec(planLater(b.left), planLater(b.right),
         b.probeKeys, b.probeTs, b.buildKeys, b.buildTs, b.forward,
-        b.outputAttrs) :: Nil
+        b.toleranceMicros, b.outputAttrs) :: Nil
     case _ => Nil
   }
 }
@@ -275,6 +290,7 @@ case class BroadcastAsOfJoinExec(
     buildKeys: Seq[String],
     buildTs: String,
     forward: Boolean,
+    toleranceMicros: Option[Long],
     outputAttrs: Seq[Attribute]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = outputAttrs
@@ -349,8 +365,12 @@ case class BroadcastAsOfJoinExec(
             probeKs(i) = AsOfIndexMode.asLong(p, pKeyOrds(i), pKeyTypes(i)); i += 1
           }
           val t = AsOfIndexMode.asLong(p, pTsOrd, pTsType)
-          val ans = if (forward) index.lookupForward(probeKs, t)
-                    else index.lookup(probeKs, t)
+          val found = if (forward) index.lookupForward(probeKs, t)
+                      else index.lookup(probeKs, t)
+          // tolerance: a match farther than the max gap is no match
+          val ans = if (found >= 0 && toleranceMicros.exists(tol =>
+              (if (forward) index.tss(found) - t else t - index.tss(found)) > tol))
+            -1 else found
           if (ans >= 0) {
             val m = index.rows(ans)
             var j = 0

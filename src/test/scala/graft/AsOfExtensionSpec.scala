@@ -308,6 +308,21 @@ class AsOfExtensionSpec extends AnyFunSuite {
       (3L, None, None), (4L, None, None), (5L, None, None), (6L, None, None)))
   }
 
+  test("tolerance broadcast exec nulls matches beyond the max gap") {
+    val pr = Seq((1L, 10L, 100L), (2L, 10L, 500L), (3L, 10L, 205L))
+      .toDF("pid", "uid", "t")
+    val bd = Seq((10L, 90L, "a"), (10L, 200L, "c")).toDF("user", "at", "tag")
+    val out = plans.BroadcastAsOf.joinBackwardToleranceBroadcast(
+        pr, bd, "uid", "t", "user", "at", toleranceMicros = 50L)
+      .orderBy(col("pid")).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("tag")),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue))).toSeq
+    // pid 1: match at 90, gap 10 <= 50 → kept; pid 2: match at 200, gap
+    // 300 > 50 → nulled; pid 3: match at 200, gap 5 → kept
+    assert(out === Seq(
+      (1L, Some("a"), Some(90L)), (2L, None, None), (3L, Some("c"), Some(200L))))
+  }
+
   test("broadcast exec agrees with the window lowering on random data") {
     val rnd = new scala.util.Random(7)
     val pr = (1 to 400).map(i =>

@@ -287,6 +287,61 @@ object Sources {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "scan_text_lines",
+      // Plain text-line source/sink — the rawest ingest format (one
+      // string column, one row per line): stage documents as
+      // "doc_id<TAB>text" lines through the text SINK, read back through
+      // the text SOURCE, re-split on the first tab. The fixture's text
+      // carries no newlines/tabs, so the roundtrip is an identity the
+      // oracle checks against the parquet original. At scale this is the
+      // log-file / WET-dump ingestion path: splittable, schema applied at
+      // parse time, malformed lines visible rather than silently typed.
+      (s, dir) => {
+        val tmp = tmpDir("graft_textsrc_")
+        Tables(s, dir, "documents")
+          .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(
+            split(col("value"), "\t", 2).getItem(0).cast("long").as("doc_id"),
+            split(col("value"), "\t", 2).getItem(1).as("text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")
+    ),
+    Q(
+      "scan_binary_files",
+      // Whole-file binary source — the multimodal ingest path: stage each
+      // document's bytes as its own .bin file, read the directory back
+      // with format("binaryFile") (path, modificationTime, length,
+      // content), and emit per-file length + sha256(content). The
+      // wall-clock modificationTime column is deliberately excluded
+      // (determinism contract); the oracle recomputes name/length/digest
+      // from the parquet original. At 100 TB this is the image/audio blob
+      // pattern: content stays opaque binary, metadata is typed columns.
+      (s, dir) => {
+        val tmp = tmpDir("graft_binsrc_")
+        val stage = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")).collect()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        stage.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, f"doc_${r.getLong(0)}%06d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        s.read.format("binaryFile").load(tmp)
+          .select(
+            element_at(split(col("path"), "/"), -1).as("file_name"),
+            col("length"),
+            sha2(col("content"), 256).as("content_sha"))
+          .orderBy(col("file_name"))
+      },
+      Some("""SELECT printf('doc_%06d.bin', doc_id) AS file_name,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS length,
+             |       sha256(text) AS content_sha
+             |FROM documents ORDER BY file_name""".stripMargin)
+    ),
+    Q(
       "sink_json_roundtrip",
       // JSON-lines export/import fidelity (the interchange format of the
       // reference's envelope feeds): same explicit-schema read-back

@@ -365,6 +365,37 @@ object Extensions {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sql_alter_add_column",
+      // Lakehouse schema evolution from SQL: ALTER TABLE ADD COLUMN
+      // publishes a new snapshot carrying the widened schema while every
+      // data file stays untouched — rows written before the change read
+      // with NULL in the new trailing column (merge-on-read evolution, the
+      // Iceberg/Delta contract; the batch-file twin is
+      // schema_evolution_merge). Old generation = evens without `note`,
+      // new generation = odds with it; the oracle recomputes both.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.evo")
+        s.sql("""CREATE TABLE graft_cat.marts.evo
+                |(o_orderkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.evo
+                |SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("ALTER TABLE graft_cat.marts.evo ADD COLUMN note STRING")
+        s.sql("""INSERT INTO graft_cat.marts.evo
+                |SELECT o_orderkey, o_totalprice, concat('n', o_orderkey)
+                |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+        s.sql("""SELECT o_orderkey, o_totalprice, note
+                |FROM graft_cat.marts.evo ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |       CASE WHEN o_orderkey % 2 = 1 THEN 'n' || o_orderkey END AS note
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sql_time_travel",
       // The lakehouse SQL idiom over the manifest format's snapshot log:
       // `SELECT … FROM <cat>.<ns>.<tbl> VERSION AS OF n` routes through

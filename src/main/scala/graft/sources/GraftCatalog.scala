@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Catalog plugin (§2.12 extension surface): a [[TableCatalog]] over the
@@ -95,8 +95,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new ManifestTable(dir, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution, lakehouse-style: ADD COLUMN publishes a new
+    * snapshot carrying the WIDENED schema while every data file stays
+    * untouched — files written before the change simply have fewer TSV
+    * fields, and the reader null-fills the new trailing columns
+    * (`ManifestSink.decode`). Only top-level ADD COLUMN is supported;
+    * drops/renames/retypes would need per-file column remapping.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = pathOf(ident)
+    val prior = ManifestSink.readState(dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    val newSchema = changes.foldLeft(prior.schema) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "only top-level ADD COLUMN is supported")
+        sch.add(StructField(add.fieldNames.head, add.dataType, nullable = true))
+      case (_, other) =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change not supported: $other")
+    }
+    ManifestSink.writeState(dir, prior.copy(schema = newSchema))
+    new ManifestTable(dir, newSchema)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(pathOf(ident))

@@ -173,7 +173,9 @@ object ManifestSink {
   private[sources] def decode(line: String, schema: StructType): InternalRow = {
     val parts = line.split("\t", -1)
     InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
-      if (parts(i) == " ") null
+      // schema evolution: files written before an ADD COLUMN carry fewer
+      // fields — the new trailing columns read as NULL
+      if (i >= parts.length || parts(i) == " ") null
       else f.dataType match {
         case LongType => parts(i).toLong
         case DoubleType => parts(i).toDouble

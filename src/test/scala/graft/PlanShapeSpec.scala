@@ -300,6 +300,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("simhash band join broadcasts the build side (fan-out spreads, no skewed SMJ)") {
+    // r7 perf fix: the band join's inputs are tiny but its output is ~10M
+    // rows clustered in few band values — a sort-merge join serializes
+    // that fan-out into the skewed band partitions. The broadcast shape
+    // must not regress.
+    val plan = planOf("text_neardup_simhash")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"band join must broadcast:\n$plan")
+  }
+
   test("graph analytics reuse one materialized edge list (no rebuild per row)") {
     // the memoized localCheckpoint means downstream plans scan an RDD,
     // not the lineitem self-join

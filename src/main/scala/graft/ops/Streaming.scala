@@ -164,6 +164,46 @@ object Streaming {
              |ORDER BY hour_start, event_type""".stripMargin)
     ),
     Q(
+      "stream_observed_metrics",
+      // DQ on streams: `observe()` attaches named aggregates to the
+      // streaming plan and each micro-batch reports them through
+      // StreamingQueryProgress — quality metrics ride the pipeline for
+      // FREE (no second scan), the streaming twin of dq_observed_metrics.
+      // Per-batch partials sum exactly across batches because the metrics
+      // are associative integers (count + cents-scaled BIGINT sum) — the
+      // totals are batch-split-invariant, so the batch oracle applies
+      // regardless of how AvailableNow slices the files. The split-staged
+      // source (two mtime-ordered files) forces ≥ 2 micro-batches, so the
+      // accumulation path is actually exercised.
+      (s, dir) => {
+        import s.implicits._
+        val ev = eventsStream(s, stageSplitByTime(s, dir))
+        val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        val observed = ev.observe("gate",
+          count(lit(1)).as("n_rows"),
+          sum(cents).as("sum_cents"),
+          count(when(col("user_id").isNull, 1)).as("n_null_user"))
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val q0 = observed.writeStream.format("noop")
+            .trigger(Trigger.AvailableNow()).start()
+          q0.awaitTermination(); q0
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        val totals = q.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get("gate")))
+          .foldLeft((0L, 0L, 0L)) { (acc, r) =>
+            def nz(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+            (acc._1 + nz(0), acc._2 + nz(1), acc._3 + nz(2))
+          }
+        Seq(totals).toDF("n_rows", "sum_cents", "n_null_user")
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS n_null_user
+             |FROM events""".stripMargin)
+    ),
+    Q(
       "stream_sliding_sum",
       // 1h window sliding 15m: each event lands in 4 overlapping windows,
       // aligned to epoch-0 slide boundaries in both engines.

@@ -205,6 +205,35 @@ object ScalarFns {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "fn_stable_uuid",
+      // Deterministic name-based surrogate keys (the UUIDv5 idea via md5):
+      // CDC pipelines need entity ids that are STABLE across reruns and
+      // engines — random uuid() is banned by the determinism contract, so
+      // the key derives from the natural key's digest, formatted as an
+      // RFC-4122-shaped string with the version nibble pinned to 5 and the
+      // variant nibble to 8. Pure string surgery over md5 hex — identical
+      // on both engines.
+      (s, dir) => {
+        val hex = md5(to_binary(
+          concat_ws("|", lit("graft"), col("o_orderkey")), lit("utf-8")))
+        val uuid = concat(
+          substring(hex, 1, 8), lit("-"),
+          substring(hex, 9, 4), lit("-"),
+          lit("5"), substring(hex, 14, 3), lit("-"),
+          lit("8"), substring(hex, 18, 3), lit("-"),
+          substring(hex, 21, 12))
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), uuid.as("stable_uuid"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |       substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-5' ||
+             |       substring(h, 14, 3) || '-8' || substring(h, 18, 3) || '-' ||
+             |       substring(h, 21, 12) AS stable_uuid
+             |FROM (SELECT o_orderkey, md5('graft|' || o_orderkey) AS h FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "fn_base64_roundtrip",
       // Binary transport encoding (pre-signed payloads on the wire):
       // text → bytes → base64 → decode round trip.

@@ -658,6 +658,50 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "join_asof_nearest_broadcast",
+      // Nearest as-of through the custom broadcast exec (r7): one
+      // backward + one forward binary search per probe over the SAME
+      // prebuilt index, closer candidate wins, ties to at-or-before —
+      // completing the exec's direction matrix (backward / forward /
+      // tolerance / nearest, single + composite keys). Shares
+      // join_asof_nearest's oracle.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        graft.plans.BroadcastAsOf.joinNearestBroadcast(
+            purchases.select(col("event_id"), col("user_id"), col("ts")),
+            clicks.select(col("user_id"), col("ts"), col("click_id")),
+            probeKey = "user_id", probeTs = "ts",
+            buildKey = "user_id", buildTs = "ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts),
+             |b AS (
+             |  SELECT p.event_id, p.user_id, p.ts, c.ts AS b_ts, c.click_id AS b_id
+             |  FROM purchases p ASOF LEFT JOIN clicks c
+             |    ON p.user_id = c.user_id AND c.ts <= p.ts),
+             |f AS (
+             |  SELECT p.event_id, c.ts AS f_ts, c.click_id AS f_id
+             |  FROM purchases p ASOF LEFT JOIN clicks c
+             |    ON p.user_id = c.user_id AND c.ts >= p.ts)
+             |SELECT b.event_id, b.user_id, b.ts,
+             |       CASE WHEN f.f_ts IS NULL THEN b.b_ts
+             |            WHEN b.b_ts IS NULL THEN f.f_ts
+             |            WHEN epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts)
+             |            THEN b.b_ts ELSE f.f_ts END AS click_ts,
+             |       CASE WHEN f.f_ts IS NULL THEN b.b_id
+             |            WHEN b.b_ts IS NULL THEN f.f_id
+             |            WHEN epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts)
+             |            THEN b.b_id ELSE f.f_id END AS click_id
+             |FROM b JOIN f USING (event_id)
+             |ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "join_asof_nearest",
       // Nearest as-of: the closest click in EITHER direction, ties to the
       // at-or-before side. Both directional candidates come out of one

@@ -31,10 +31,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, TimestampNTZ
   * ([[AsOfIndexCache]]) — tasks after the first do zero build work, and
   * the probe side is never exchanged at all.
   *
-  * Scope: backward and FORWARD directions, single or COMPOSITE key,
-  * optional max-gap TOLERANCE; keys and timestamps must be long-backed
-  * (BIGINT / INT / TIMESTAMP / TIMESTAMP_NTZ). Only nearest stays on the
-  * union+window path, where the optimizer keeps working on the plan.
+  * Scope: the FULL direction matrix (backward / forward / nearest),
+  * single or COMPOSITE key, optional max-gap TOLERANCE; keys and
+  * timestamps must be long-backed (BIGINT / INT / TIMESTAMP /
+  * TIMESTAMP_NTZ). The union+window lowering remains the shape for a
+  * LARGE build side, where broadcasting is not an option.
   */
 case class BroadcastAsOfJoin(
     left: LogicalPlan,
@@ -43,7 +44,7 @@ case class BroadcastAsOfJoin(
     probeTs: String,
     buildKeys: Seq[String],
     buildTs: String,
-    forward: Boolean,
+    direction: String, // backward | forward | nearest
     toleranceMicros: Option[Long],
     outputAttrs: Seq[Attribute]) extends BinaryNode {
 
@@ -80,7 +81,7 @@ object BroadcastAsOf {
   def joinBackwardBroadcast(probe: DataFrame, build: DataFrame,
       probeKeys: Seq[String], probeTs: String,
       buildKeys: Seq[String], buildTs: String): DataFrame =
-    join(probe, build, probeKeys, probeTs, buildKeys, buildTs, forward = false)
+    join(probe, build, probeKeys, probeTs, buildKeys, buildTs, "backward")
 
   /** Backward as-of with a max-gap tolerance (pandas merge_asof style):
     * a match farther than `toleranceMicros` behind the probe is nulled —
@@ -92,7 +93,7 @@ object BroadcastAsOf {
       probeKey: String, probeTs: String,
       buildKey: String, buildTs: String, toleranceMicros: Long): DataFrame =
     join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs,
-      forward = false, tolerance = Some(toleranceMicros))
+      "backward", tolerance = Some(toleranceMicros))
 
   /** Forward as-of (EARLIEST build row at-or-after each probe, inclusive)
     * through the same exec: the prebuilt (key…, ts)-sorted index answers
@@ -102,12 +103,23 @@ object BroadcastAsOf {
   def joinForwardBroadcast(probe: DataFrame, build: DataFrame,
       probeKey: String, probeTs: String,
       buildKey: String, buildTs: String): DataFrame =
-    join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs, forward = true)
+    join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs, "forward")
+
+  /** Nearest as-of (closest build row in EITHER direction, ties to the
+    * at-or-before side) through the same exec: one backward and one
+    * forward binary search over the same prebuilt index per probe.
+    */
+  def joinNearestBroadcast(probe: DataFrame, build: DataFrame,
+      probeKey: String, probeTs: String,
+      buildKey: String, buildTs: String): DataFrame =
+    join(probe, build, Seq(probeKey), probeTs, Seq(buildKey), buildTs, "nearest")
 
   private def join(probe: DataFrame, build: DataFrame,
       probeKeys: Seq[String], probeTs: String,
-      buildKeys: Seq[String], buildTs: String, forward: Boolean,
+      buildKeys: Seq[String], buildTs: String, direction: String,
       tolerance: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown as-of direction $direction")
     require(probeKeys.nonEmpty && probeKeys.length == buildKeys.length,
       s"probe/build key lists must be same non-zero length, got $probeKeys vs $buildKeys")
     require(probeKeys.distinct.length == probeKeys.length &&
@@ -132,7 +144,7 @@ object BroadcastAsOf {
         payload.map(a => AttributeReference(a.name, a.dataType, nullable = true)()) :+
         AttributeReference("asof_ts", bt.dataType, nullable = true)()
     Bridge.ofRows(probe.sparkSession,
-      BroadcastAsOfJoin(lp, rp, probeKeys, probeTs, buildKeys, buildTs, forward,
+      BroadcastAsOfJoin(lp, rp, probeKeys, probeTs, buildKeys, buildTs, direction,
         tolerance, outs))
   }
 }
@@ -145,7 +157,7 @@ case class PlanBroadcastAsOf(spark: SparkSession)
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case b: BroadcastAsOfJoin =>
       BroadcastAsOfJoinExec(planLater(b.left), planLater(b.right),
-        b.probeKeys, b.probeTs, b.buildKeys, b.buildTs, b.forward,
+        b.probeKeys, b.probeTs, b.buildKeys, b.buildTs, b.direction,
         b.toleranceMicros, b.outputAttrs) :: Nil
     case _ => Nil
   }
@@ -289,7 +301,7 @@ case class BroadcastAsOfJoinExec(
     probeTs: String,
     buildKeys: Seq[String],
     buildTs: String,
-    forward: Boolean,
+    direction: String,
     toleranceMicros: Option[Long],
     outputAttrs: Seq[Attribute]) extends BinaryExecNode {
 
@@ -365,12 +377,21 @@ case class BroadcastAsOfJoinExec(
             probeKs(i) = AsOfIndexMode.asLong(p, pKeyOrds(i), pKeyTypes(i)); i += 1
           }
           val t = AsOfIndexMode.asLong(p, pTsOrd, pTsType)
-          val found = if (forward) index.lookupForward(probeKs, t)
-                      else index.lookup(probeKs, t)
           // tolerance: a match farther than the max gap is no match
-          val ans = if (found >= 0 && toleranceMicros.exists(tol =>
-              (if (forward) index.tss(found) - t else t - index.tss(found)) > tol))
-            -1 else found
+          def gated(found: Int, fwd: Boolean): Int =
+            if (found >= 0 && toleranceMicros.exists(tol =>
+                (if (fwd) index.tss(found) - t else t - index.tss(found)) > tol))
+              -1 else found
+          val ans = direction match {
+            case "backward" => gated(index.lookup(probeKs, t), fwd = false)
+            case "forward" => gated(index.lookupForward(probeKs, t), fwd = true)
+            case _ => // nearest: both searches, closer wins, ties backward
+              val b = gated(index.lookup(probeKs, t), fwd = false)
+              val f = gated(index.lookupForward(probeKs, t), fwd = true)
+              if (f < 0) b
+              else if (b < 0) f
+              else if (t - index.tss(b) <= index.tss(f) - t) b else f
+          }
           if (ans >= 0) {
             val m = index.rows(ans)
             var j = 0

@@ -323,6 +323,28 @@ class AsOfExtensionSpec extends AnyFunSuite {
       (1L, Some("a"), Some(90L)), (2L, None, None), (3L, Some("c"), Some(200L))))
   }
 
+  test("nearest broadcast exec matches the nearest window lowering") {
+    val pr = Seq((1L, 10L, 100L), (2L, 10L, 146L), (3L, 10L, 155L),
+      (4L, 20L, 50L)).toDF("pid", "uid", "t")
+    // backward candidate at 90, forward at 200: pid 2 gap 56 vs 54 →
+    // forward; pid 3 gap 65 vs 45 → forward; pid 1 gap 10 vs 100 → back
+    val bd = Seq((10L, 90L, "a"), (10L, 200L, "c")).toDF("user", "at", "tag")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.orderBy(col("pid"))
+      .collect().map(r => (r.getLong(0), Option(r.getAs[String]("tag")),
+        Option(r.getAs[java.lang.Long]("asof_ts")).map(_.longValue))).toSeq
+    val viaWindow = norm(plans.AsOf.joinNearest(pr, bd, "uid", "t", "user", "at"))
+    val viaExec = norm(plans.BroadcastAsOf.joinNearestBroadcast(
+      pr, bd, "uid", "t", "user", "at"))
+    assert(viaExec == viaWindow)
+    assert(viaExec == Seq(
+      (1L, Some("a"), Some(90L)), (2L, Some("c"), Some(200L)),
+      (3L, Some("c"), Some(200L)), (4L, None, None)))
+    // exact tie goes to the at-or-before side
+    val tie = norm(plans.BroadcastAsOf.joinNearestBroadcast(
+      Seq((9L, 10L, 145L)).toDF("pid", "uid", "t"), bd, "uid", "t", "user", "at"))
+    assert(tie == Seq((9L, Some("a"), Some(90L))))
+  }
+
   test("broadcast exec agrees with the window lowering on random data") {
     val rnd = new scala.util.Random(7)
     val pr = (1 to 400).map(i =>

@@ -437,6 +437,42 @@ object Extensions {
              |ORDER BY version""".stripMargin)
     ),
     Q(
+      "sink_vacuum_orphans",
+      // VACUUM maintenance on the manifest format: crashed write attempts
+      // leave orphan data files (invisible — the manifest never lists
+      // them — but occupying storage); vacuum deletes exactly the files
+      // NO retained snapshot references, so live data AND time travel
+      // survive untouched. The row plants three zombie files, vacuums,
+      // and reads the table back — the hash gate certifies vacuum removed
+      // all three orphans and ate nothing live.
+      (s, dir) => {
+        import s.implicits._
+        val out = graft.util.tempDir("graft_vacuum_")
+        val fmt = "graft.sources.ManifestSink"
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.format(fmt).option("path", out).mode("append").save()
+        (1 to 3).foreach { i =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, "data", s"part-9-9$i-zombie.tsv"),
+            s"${900000 + i}\t0.0\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        // kept-file count is task-parallelism-dependent — only the orphan
+        // removal count and the surviving CONTENT are deterministic
+        val (removed, _) = graft.sources.ManifestSink.vacuum(out)
+        s.read.format(fmt).option("path", out).load()
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .select(lit(removed.toLong).as("n_removed"), col("n_rows"), col("sum_key"))
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS n_removed, count(*) AS n_rows,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders""".stripMargin)
+    ),
+    Q(
       "sink_time_travel",
       // Snapshot retention + time travel + OPTIMIZE on the manifest sink:
       // every job commit is also a retained snapshot (manifest.v<N>), so

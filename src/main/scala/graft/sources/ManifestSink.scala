@@ -143,6 +143,28 @@ object ManifestSink {
     writeState(dir, State(schema, files.map((_, seq)), Seq.empty, txns))
   }
 
+  /** VACUUM: delete data files referenced by NO retained snapshot —
+    * orphans from crashed attempts that never reached a task commit (an
+    * abort cleans up after itself; a zombie cannot). Every file any
+    * `manifest.v<N>` still lists is kept, so time travel stays intact; a
+    * stricter retention policy would expire old snapshots FIRST and then
+    * vacuum. Returns (removed, kept).
+    */
+  def vacuum(dir: String): (Int, Int) = {
+    val referenced = (1 to latestVersion(dir))
+      .flatMap(v => readState(dir, Some(v)).toSeq)
+      .flatMap(st => st.files.map(_._1) ++ st.deletes.map(_._1)).toSet ++
+      readState(dir).toSeq.flatMap(st => st.files.map(_._1) ++ st.deletes.map(_._1))
+    val dataDir = Paths.get(dir, "data")
+    if (!Files.isDirectory(dataDir)) return (0, 0)
+    val s = Files.list(dataDir)
+    val names = try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    val (keep, drop) = names.partition(referenced)
+    drop.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+    (drop.size, keep.size)
+  }
+
   /** Highest retained snapshot version, 0 if none. */
   def latestVersion(dir: String): Int = {
     val d = Paths.get(dir)

@@ -524,11 +524,16 @@ object TextOps {
       // merge candidates leave the aggregation. Deterministic tiebreak on
       // the pair string.
       (s, dir) => {
+        // the token array is ALIASED first: a `split` referenced inside
+        // the transform lambda re-evaluates per bigram position (HOF
+        // lambdas are interpreted, no CSE) — O(tokens²) per doc; the
+        // materialized column makes bigram formation O(tokens)
         val bigrams = transform(
-          sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+          sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))
         Tables(s, dir, "documents")
-          .filter(size(toks) >= 2)
+          .select(toks.as("tk"))
+          .filter(size(col("tk")) >= 2)
           .select(explode(bigrams).as("pair"))
           .groupBy(col("pair")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("pair").asc)

@@ -559,9 +559,9 @@ object SimOps {
         val c = emb.select(col("vec_id").as("neighbor_id"), q8(col("embedding")).as("c_emb"))
         val scored = q.crossJoin(c)
           .filter(col("query_id") =!= col("neighbor_id"))
+          // native fused integer dot (LongDot) — associative, oracle-safe
           .withColumn("score",
-            aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
-              lit(0L), (acc, v) => acc + v))
+            graft.functions.LongVectorOps.dot(s, col("q_emb"), col("c_emb")))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col("neighbor_id").asc)
         scored
@@ -608,9 +608,12 @@ object SimOps {
         def q8(c: Column): Column = transform(c, x =>
           greatest(lit(-127L), least(lit(127L),
             floor(x.cast("double") * 254.0 + 0.5).cast("long"))))
+        // native fused-loop kernel (graft.functions.LongSqDist): the HOF
+        // form is interpreted per element and dominated this row's cost;
+        // integer sums are associative so the value (and the oracle's
+        // list_sum) is unchanged
         def sqdist(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v)
+          graft.functions.LongVectorOps.sqdist(s, a, b)
         val subDim = 16
         val nSub = 4
         val base = emb.select(col("vec_id"), q8(col("embedding")).as("qe"))
@@ -738,14 +741,16 @@ object SimOps {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
             x => x.getField("c")).as("cent"))
           .select(col("label").as("cell"), col("cent")))
-        val cellDist = aggregate(
-          zip_with(col("ue"), col("cent"),
-            (x, y) => (x * 1024 - y) * (x * 1024 - y)),
-          lit(0L), (a, v) => a + v)
+        // scale once per VECTOR (not once per vector×cell) and use the
+        // native fused kernel for the per-cell distance — associative
+        // integer sums, oracle-unchanged
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("cd").asc, col("cell").asc)
-        val assign = base.crossJoin(cells)
-          .withColumn("cd", cellDist)
+        val assign = base
+          .withColumn("ue1024", transform(col("ue"), x => x * 1024))
+          .crossJoin(cells)
+          .withColumn("cd",
+            graft.functions.LongVectorOps.sqdist(s, col("ue1024"), col("cent")))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") <= 2)
         val corpus = assign.filter(col("rn") === 1)
@@ -753,8 +758,7 @@ object SimOps {
         val queries = assign.filter(col("vec_id") % 50 === 0)
           .select(col("cell"), col("vec_id").as("query_id"), col("ue").as("q_ue"))
         def sq(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v)
+          graft.functions.LongVectorOps.sqdist(s, a, b)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("dist").asc, col("neighbor_id").asc)
         queries.join(corpus, "cell")

@@ -99,6 +99,73 @@ case class LongDot(left: Expression, right: Expression) extends LongVecKernel {
     copy(left = newLeft, right = newRight)
 }
 
+/** Left-to-right double-accumulating dot product over float OR double
+  * arrays (`Σ a[i]·b[i]`, each element widened to double first) — the
+  * native twin of the HOF `aggregate(zip_with(a, b, x·y), 0.0, +)`. The
+  * accumulation ORDER is part of the value contract: the sim-tier DuckDB
+  * oracles replay the same left-to-right fold, so this loop must add in
+  * index order exactly like the interpreted form it replaces (it does —
+  * one `s += ai*bi` per index, ascending).
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elemIsDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (elemIsDouble(left), elemIsDouble(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      s += xi * yi
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      def get(arr: String, isDouble: Boolean) =
+        if (isDouble) s"$arr.getDouble($i)" else s"((double) $arr.getFloat($i))"
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${get(a, elemIsDouble(left))} * ${get(b, elemIsDouble(right))};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object LongVectorOps {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

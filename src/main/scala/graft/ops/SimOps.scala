@@ -19,11 +19,16 @@ import org.apache.spark.sql.expressions.Window
 object SimOps {
 
   /** Elementwise dot product Σ aᵢ·bᵢ, float→double per element,
-    * left-to-right — mirrors the DuckDB oracle formula bitwise.
+    * left-to-right — mirrors the DuckDB oracle formula bitwise. Since r7
+    * this is the NATIVE fused loop (graft.functions.VecDot) rather than
+    * the interpreted HOF fold; the accumulation order (and therefore
+    * every oracle-compared double) is identical by construction.
     */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.VecDot(
+      Bridge.expressionOf(a), Bridge.expressionOf(b)))
+  }
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -55,9 +60,8 @@ object SimOps {
     */
   private def lshBucket(e: Column, t: Int): Column =
     (0 until 8).map { j =>
-      val proj = aggregate(
-        zip_with(e, typedlit(lshPlane(t, j)), (x, r) => x.cast("double") * r),
-        lit(0.0), (acc, v) => acc + v)
+      // native left-to-right fold (VecDot) — sign parity with the oracle
+      val proj = dot(e, typedlit(lshPlane(t, j)))
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_ + _)
 

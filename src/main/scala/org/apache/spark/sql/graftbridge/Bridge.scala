@@ -17,4 +17,15 @@ object Bridge {
 
   /** The analyzed logical plan behind a DataFrame. */
   def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Wrap a catalyst Expression as a Column (no session, no function
+    * registry — the seam custom codegen'd kernels need when they are
+    * built inside Column-composition helpers).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The (possibly unresolved) expression behind a Column. */
+  def expressionOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -321,6 +321,9 @@ object Sources {
       // pattern: content stays opaque binary, metadata is typed columns.
       (s, dir) => {
         val tmp = tmpDir("graft_binsrc_")
+        // test-fixture STAGING (not a query path): materialize the small
+        // documents table to plant one .bin file per row — in production
+        // the files already exist; the operator under test is the read
         val stage = Tables(s, dir, "documents")
           .select(col("doc_id"), col("text")).collect()
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))

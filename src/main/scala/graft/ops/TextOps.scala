@@ -318,6 +318,49 @@ object TextOps {
              |ORDER BY d.doc_id""".stripMargin)
     ),
     Q(
+      "text_paragraph_dedup",
+      // SUB-document exact dedup (the Dolma/C4 paragraph technique):
+      // documents often share boilerplate passages even when the whole
+      // doc is unique, so dedup runs at paragraph granularity — here
+      // sentence units split on '. ' (the fixture carries no newlines).
+      // First occurrence (min (doc_id, pos)) is the keeper; every later
+      // copy counts as a duplicate. The shuffle key is the 256-bit
+      // paragraph digest, never the text, and per-doc stats come back in
+      // one count/sum pass — at 100 TB this is two keyed shuffles of
+      // hashes + small structs.
+      (s, dir) => {
+        val paras = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), "\\. ")).as(Seq("pos", "para")))
+          .filter(length(trim(col("para"))) > 0)
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            sha2(col("para"), 256).as("ph"))
+        val firsts = paras.groupBy(col("ph"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+        paras.join(firsts, "ph")
+          .withColumn("is_dup",
+            !(col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(col("is_dup").cast("long")).as("n_dup_paras"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH paras AS (
+             |  SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos, sha256(para) AS ph
+             |  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS para,
+             |               generate_subscripts(string_split(text, '. '), 1) AS pos
+             |        FROM documents) t
+             |  WHERE length(trim(para)) > 0),
+             |firsts AS (
+             |  SELECT ph, min(ROW(doc_id, pos)) AS first FROM paras GROUP BY ph)
+             |SELECT p.doc_id, count(*) AS n_paras,
+             |       CAST(sum(CASE WHEN ROW(p.doc_id, p.pos) = f.first
+             |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_paras
+             |FROM paras p JOIN firsts f USING (ph)
+             |GROUP BY p.doc_id
+             |ORDER BY p.doc_id""".stripMargin)
+    ),
+    Q(
       "text_langid",
       // Language-ID by marker-token counts with a fixed priority order —
       // an n-gram-heuristic classifier expressible on both engines.

@@ -685,6 +685,47 @@ object Windows {
              |ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "ts_outlier_zscore_window",
+      // Rolling z-score anomaly flag over a trailing 20-row frame per
+      // user — the time-series DQ primitive — computed ENTIRELY in exact
+      // BIGINT: |x − μ| > 3σ is equivalent to (n·x − Σx)² > 9·(n·Σx² −
+      // (Σx)²) after multiplying both sides by n² (all terms cents-scaled
+      // integers, bounded well under 2^63 at 20-row frames), so the flag
+      // — unlike a float z-score — cannot flip on an ulp and hash-matches
+      // cross-engine by construction. Needs ≥ 10 frame rows before it
+      // fires (cold-start guard).
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-19, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("cents")).over(w))
+          .withColumn("sxx", sum(col("cents") * col("cents")).over(w))
+          .withColumn("dev", col("n") * col("cents") - col("sx"))
+          .withColumn("is_outlier", col("n") >= 10 &&
+            col("dev") * col("dev") > lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+          .filter(col("is_outlier"))
+          .select(col("event_id"), col("user_id"), col("cents"),
+            col("n"), col("sx"), col("sxx"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, cents, n, sx, sxx FROM (
+             |  SELECT event_id, user_id, cents,
+             |         CAST(count(*) OVER w AS BIGINT) AS n,
+             |         CAST(sum(cents) OVER w AS BIGINT) AS sx,
+             |         CAST(sum(cents * cents) OVER w AS BIGINT) AS sxx
+             |  FROM (SELECT event_id, user_id, ts,
+             |               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |        FROM events)
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) t
+             |WHERE n >= 10
+             |  AND (n * cents - sx) * (n * cents - sx) > 9 * (n * sxx - sx * sx)
+             |ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "ts_ohlc_bars",
       // OHLC candle bars per (type, hour): open/close are the first/last
       // value by event time (min_by/max_by — single-pass mergeable

@@ -172,6 +172,56 @@ object Extensions {
              |ORDER BY doc_id, frame_idx""".stripMargin)
     ),
     Q(
+      "multimodal_resize",
+      // Resize/downsample over an opaque media blob — the remaining leg of
+      // the charter's decode / feature-extract / resize / frame-sample
+      // quartet: the "image" (the byte array) shrinks 8× by averaging
+      // each 8-byte block (floor integer mean — a box filter, the real
+      // resize kernel shape), emitted as the resized length plus a digest
+      // of the downsampled bytes so the whole output is pinned. Same
+      // iterator→iterator mapPartitions plumbing as the other multimodal
+      // rows; swap the stub for a real image scaler — schema, batching,
+      // and partitioning stay as they are.
+      (s, dir) => {
+        val spark = s
+        val withBin = Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("orig_len", LongType),
+          StructField("resized_len", LongType),
+          StructField("resized_sum", LongType)))
+        val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+        withBin.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            // STUB box filter: floor mean of each full 8-byte block
+            // (trailing partial blocks drop, like an integer-ratio crop)
+            val nBlocks = bytes.length / 8
+            var sum = 0L
+            var b = 0
+            while (b < nBlocks) {
+              var acc = 0L; var i = b * 8
+              while (i < b * 8 + 8) { acc += bytes(i) & 0xff; i += 1 }
+              sum += acc / 8
+              b += 1
+            }
+            Row(id, bytes.length.toLong, nBlocks.toLong, sum)
+          }
+        }(rowEnc)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
+             |       CAST(length(text) // 8 AS BIGINT) AS resized_len,
+             |       CAST(coalesce(list_sum(list_transform(range(0, length(text) // 8),
+             |              b -> list_sum(list_transform(range(1, 9),
+             |                     j -> ascii(substring(text, b * 8 + j, 1)))) // 8)), 0)
+             |            AS BIGINT) AS resized_sum
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "multimodal_image_header",
       // Binary header encode → decode round trip, entirely in codegen'd
       // built-ins (no UDF): a PNG-like header is synthesized per doc

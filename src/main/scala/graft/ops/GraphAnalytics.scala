@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Q, Tables, util}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -244,6 +244,99 @@ object GraphAnalytics {
               |  SELECT y AS node FROM tri UNION ALL
               |  SELECT z AS node FROM tri) t
               |GROUP BY node ORDER BY node""".stripMargin)
+    ),
+    Q(
+      "graph_k_core",
+      // k-core decomposition (k = 3) by iterated peeling: each round
+      // recomputes degrees over the surviving subgraph and drops nodes
+      // below k. Four rounds suffice for a fixpoint on the bounded-degree
+      // graph (GraphAnalyticsSpec asserts round 5 changes nothing); the
+      // fixed round count keeps the plan finite and bit-identical to the
+      // oracle's CTE chain. Each round is one join + one map-side-
+      // combinable count on the O(k·n) edge list — the same message-
+      // passing shuffle shape as PageRank, never O(n²). Output: the
+      // 3-core members with their round-4 subgraph degrees.
+      (s, dir) => {
+        val e = edgesSym(s, dir)
+        var alive = degrees(s, dir).select(col("node"))
+        var d: DataFrame = null
+        for (_ <- 1 to 4) {
+          d = e
+            .join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+          alive = d.filter(col("dg") >= 3).select(col("node"))
+        }
+        d.filter(col("dg") >= 3)
+          .select(col("node"), col("dg").as("core_degree"))
+          .orderBy(col("node"))
+      },
+      Some(s"""$baseSql,
+              |v0 AS (SELECT node FROM deg),
+              |d1 AS (SELECT e.src AS node, count(*) AS dg FROM e
+              |       JOIN v0 a ON e.src = a.node JOIN v0 b ON e.dst = b.node
+              |       GROUP BY e.src),
+              |v1 AS (SELECT node FROM d1 WHERE dg >= 3),
+              |d2 AS (SELECT e.src AS node, count(*) AS dg FROM e
+              |       JOIN v1 a ON e.src = a.node JOIN v1 b ON e.dst = b.node
+              |       GROUP BY e.src),
+              |v2 AS (SELECT node FROM d2 WHERE dg >= 3),
+              |d3 AS (SELECT e.src AS node, count(*) AS dg FROM e
+              |       JOIN v2 a ON e.src = a.node JOIN v2 b ON e.dst = b.node
+              |       GROUP BY e.src),
+              |v3 AS (SELECT node FROM d3 WHERE dg >= 3),
+              |d4 AS (SELECT e.src AS node, count(*) AS dg FROM e
+              |       JOIN v3 a ON e.src = a.node JOIN v3 b ON e.dst = b.node
+              |       GROUP BY e.src)
+              |SELECT node, dg AS core_degree FROM d4 WHERE dg >= 3
+              |ORDER BY node""".stripMargin)
+    ),
+    Q(
+      "graph_common_neighbors",
+      // Link prediction by common-neighbor counting: candidate pairs are
+      // the distance-2 wedges (u -v- w, u < w) that are NOT already edges;
+      // score = common-neighbor count plus the r2-pinned Jaccard overlap
+      // cn / (deg u + deg w − cn). On the top-k graph the wedge fanout per
+      // node is ≤ C(6,2), so candidate generation is O(k²·n) — bounded at
+      // any corpus size, never an all-pairs join; at 100 TB this is the
+      // standard "people you may know" / cluster-merge-candidate shape.
+      // One wedge self-join, one count, one anti-join against the edge
+      // list, two broadcast-size degree joins.
+      (s, dir) => {
+        val e = edgesSym(s, dir)
+        val e12 = edges12(s, dir)
+        val deg = degrees(s, dir)
+        val cand = e.as("a")
+          .join(e.as("b"),
+            col("a.dst") === col("b.src") && col("a.src") < col("b.dst"))
+          .groupBy(col("a.src").as("u"), col("b.dst").as("w"))
+          .agg(count(lit(1)).as("cn"))
+          .filter(col("cn") >= 2)
+        cand
+          .join(e12, cand("u") === e12("src") && cand("w") === e12("dst"),
+            "left_anti")
+          .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+          .join(deg.select(col("node").as("w"), col("degree").as("dw")), "w")
+          .select(col("u"), col("w"), col("cn"),
+            util.r2(col("cn").cast("double") /
+              (col("du") + col("dw") - col("cn")).cast("double")).as("jaccard"))
+          .orderBy(col("u"), col("w"))
+      },
+      Some(s"""$baseSql,
+              |cand AS (
+              |  SELECT a.src AS u, b.dst AS w, count(*) AS cn
+              |  FROM e a JOIN e b ON a.dst = b.src AND a.src < b.dst
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |nonedge AS (
+              |  SELECT c.u, c.w, c.cn FROM cand c
+              |  LEFT JOIN e12 ON e12.src = c.u AND e12.dst = c.w
+              |  WHERE e12.src IS NULL)
+              |SELECT n.u, n.w, n.cn,
+              |       ${util.r2sql("CAST(n.cn AS DOUBLE) / CAST(du.degree + dw.degree - n.cn AS DOUBLE)")} AS jaccard
+              |FROM nonedge n
+              |JOIN deg du ON n.u = du.node
+              |JOIN deg dw ON n.w = dw.node
+              |ORDER BY n.u, n.w""".stripMargin)
     )
   )
 }

@@ -811,6 +811,48 @@ object SimOps {
              |  FROM scored) t
              |WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "embed_norm_quality",
+      // Embedding-table data-quality gate: per-label norm profile (count,
+      // zero-vector count, min/max/mean L2 norm) — the pre-flight check a
+      // training pipeline runs before trusting an embedding drop (broken
+      // encoders show up as zero vectors, norm collapse, or label-skewed
+      // norm drift). Norms are the same native left-to-right double fold
+      // the sim tier hash-certifies; per-label MEAN is made
+      // order-independent by summing r2-pinned norm CENTS in BIGINT and
+      // dividing once. One scan, one two-phase aggregate on label — no
+      // shuffle of the vectors themselves at any scale.
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .withColumn("nrm", norm(col("embedding")))
+          .withColumn("nrm_cents", expr("CAST(floor(nrm * 100 + 0.5) AS BIGINT)"))
+        e.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            count(when(col("nrm") === 0, 1)).as("n_zero"),
+            util.r2(min(col("nrm"))).as("norm_min"),
+            util.r2(max(col("nrm"))).as("norm_max"),
+            sum(col("nrm_cents")).as("cents_sum"))
+          .select(col("label"), col("n_vecs"), col("n_zero"),
+            col("norm_min"), col("norm_max"),
+            util.r2(col("cents_sum").cast("double") / col("n_vecs").cast("double") / 100)
+              .as("norm_mean"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH n AS (
+              |  SELECT label,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+              |  FROM embeddings),
+              |c AS (
+              |  SELECT label, nrm,
+              |         CAST(floor(nrm * 100 + 0.5) AS BIGINT) AS nrm_cents
+              |  FROM n)
+              |SELECT label, count(*) AS n_vecs,
+              |       count(*) FILTER (WHERE nrm = 0) AS n_zero,
+              |       ${util.r2sql("min(nrm)")} AS norm_min,
+              |       ${util.r2sql("max(nrm)")} AS norm_max,
+              |       ${util.r2sql("CAST(sum(nrm_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100")} AS norm_mean
+              |FROM c GROUP BY label ORDER BY label""".stripMargin)
     )
   )
 }

@@ -990,6 +990,64 @@ object TextOps {
                 |       ($okWords AND $okLen AND $okShort AND $hasStop) AS passes
                 |FROM documents ORDER BY doc_id""".stripMargin)
       }
+    ),
+    Q(
+      "text_ngram_lm_score",
+      // Perplexity-proxy quality score (the CCNet/KenLM gate, integer-
+      // exact): a word-bigram model is trained on the corpus itself —
+      // count(w1,w2) over count(w1·) — and each document is scored by its
+      // MEAN conditional bigram probability in integer MILLI units
+      // ((1000·cnt2) div cnt1, exact in both engines), so the only float
+      // op is the final per-doc division. Low scores = improbable word
+      // sequences = boilerplate/gibberish, the standard LM-filter signal,
+      // with none of the libm log() cross-engine drift a log-prob sum
+      // would hit. Scale: bigram formation is a positional transform (no
+      // self-join); the model is a map-side-combinable count keyed by
+      // bigram; the score join shuffles on the bigram key — at 100 TB the
+      // model would first be pruned to a top-V vocabulary and BROADCAST,
+      // turning the score pass into a map-only job over the corpus.
+      (s, dir) => {
+        val docsB = Tables(s, dir, "documents")
+          .select(col("doc_id"), toks.as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val bigrams = docsB
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("tk")) - 1),
+            i => struct(element_at(col("tk"), i).as("w1"),
+              element_at(col("tk"), i + 1).as("w2")))).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val model = bigrams.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cnt2"))
+        val prefix = model.groupBy(col("w1")).agg(sum(col("cnt2")).as("cnt1"))
+        val pMilli = model.join(prefix, "w1")
+          .select(col("w1"), col("w2"), expr("(1000 * cnt2) div cnt1").as("p_milli"))
+        bigrams.join(pMilli, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_milli")).as("p_sum"))
+          .select(col("doc_id"), col("n_bigrams"),
+            util.r2(col("p_sum").cast("double") / col("n_bigrams").cast("double"))
+              .as("lm_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+              |  WHERE len(string_split(text, ' ')) >= 2),
+              |bg AS (
+              |  SELECT doc_id,
+              |         unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+              |         unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+              |  FROM tk),
+              |m AS (SELECT w1, w2, count(*) AS cnt2 FROM bg GROUP BY 1, 2),
+              |pre AS (SELECT w1, sum(cnt2) AS cnt1 FROM m GROUP BY 1),
+              |pm AS (SELECT m.w1, m.w2, (1000 * m.cnt2) // pre.cnt1 AS p_milli
+              |       FROM m JOIN pre ON m.w1 = pre.w1),
+              |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+              |              CAST(sum(pm.p_milli) AS BIGINT) AS p_sum
+              |       FROM bg JOIN pm ON bg.w1 = pm.w1 AND bg.w2 = pm.w2
+              |       GROUP BY 1)
+              |SELECT doc_id, n_bigrams,
+              |       ${util.r2sql("CAST(p_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)")} AS lm_score
+              |FROM sc ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -806,6 +806,61 @@ object Windows {
              |SELECT event_type, max(live) AS max_concurrent,
              |       CAST(count(*) // 2 AS BIGINT) AS n_intervals
              |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "ts_time_weighted_avg",
+      // Daily TWAP per user: each observation holds its value until the
+      // next one (or the UTC day end), so the average is weighted by
+      // holding time, not by sample count — the canonical irregular-series
+      // downsample (a user with 10 readings in one minute and 1 for the
+      // rest of the day must NOT average 11 equal votes). Weights are
+      // integer MICROSECONDS derived from the raw nanos column and the
+      // day boundary is pure integer arithmetic on the epoch (no calendar
+      // functions), so numerator and denominator are EXACT BIGINT sums;
+      // the single final division is the only float op — bit-identical
+      // cross-engine. Overflow headroom: per-(user, day) weights partition
+      // the day, so Σ cents·w ≤ max_cents · 86 400e6 ≈ 5e15 « 2^63. One
+      // window pass + one aggregate, both keyed (user_id, day) — the
+      // same one-shuffle shape at any scale.
+      (s, dir) => {
+        val dayUs = 86400000000L
+        val w = Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("s_us"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("s_us", expr("ts_ns div 1000"))
+          .withColumn("day", col("ts").cast("date"))
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .withColumn("w_us",
+            coalesce(lead(col("s_us"), 1).over(w),
+              expr(s"(s_us div $dayUs) * $dayUs + $dayUs")) - col("s_us"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_obs"),
+            sum(col("cents") * col("w_us")).as("num"),
+            sum(col("w_us")).as("den"))
+          .select(col("user_id"), col("day"), col("n_obs"),
+            util.r2(col("num").cast("double") / col("den").cast("double") / 100)
+              .as("twap"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+              |         epoch_us(ts) AS s_us,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              |  FROM events),
+              |wt AS (
+              |  SELECT user_id, day, cents,
+              |         coalesce(lead(s_us) OVER (PARTITION BY user_id, day
+              |                                   ORDER BY s_us, event_id),
+              |                  (s_us // 86400000000) * 86400000000 + 86400000000)
+              |           - s_us AS w_us
+              |  FROM b),
+              |g AS (
+              |  SELECT user_id, day, count(*) AS n_obs,
+              |         sum(cents * w_us) AS num, sum(w_us) AS den
+              |  FROM wt GROUP BY user_id, day)
+              |SELECT user_id, day, n_obs,
+              |       ${util.r2sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100")} AS twap
+              |FROM g ORDER BY user_id, day""".stripMargin)
     )
   )
 }

@@ -84,4 +84,47 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(perNode.values.sum == 3 * tri)
     assert(perNode == credit.toMap)
   }
+
+  test("k-core: 4 peel rounds reach the fixpoint and members have core degree >= k") {
+    val core = q("graph_k_core").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reported degrees respect k
+    assert(core.values.forall(_ >= 3L))
+    // brute-force peel to convergence on the driver; must equal round-4
+    val e = q("graph_topk_similarity").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var alive = e.flatMap(p => Seq(p._1, p._2)).toSet
+    var stable = false
+    var guard = 0
+    var deg = Map.empty[Long, Int]
+    while (!stable && guard < 100) {
+      deg = e.filter(p => alive(p._1) && alive(p._2))
+        .flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val next = deg.filter(_._2 >= 3).keySet
+      stable = next == alive
+      alive = next
+      guard += 1
+    }
+    assert(guard < 100, "peel did not converge")
+    assert(core.keySet == alive, "round-4 result is not the fixpoint")
+    core.foreach { case (n, d) => assert(deg(n).toLong == d) }
+  }
+
+  test("common neighbors: scores match brute force and pairs are non-edges") {
+    val got = q("graph_common_neighbors").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e = q("graph_topk_similarity").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = e.toSet
+    val adj = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val brute = (for {
+      u <- nodes; w <- nodes if u < w && !edgeSet((u, w))
+      cn = adj(u).intersect(adj(w)).size if cn >= 2
+    } yield (u, w) -> cn.toLong).toMap
+    assert(got == brute)
+    got.keys.foreach { case (u, w) => assert(!edgeSet((u, w))) }
+  }
 }

@@ -337,6 +337,56 @@ object GraphAnalytics {
               |JOIN deg du ON n.u = du.node
               |JOIN deg dw ON n.w = dw.node
               |ORDER BY n.u, n.w""".stripMargin)
+    ),
+    Q(
+      "graph_label_propagation",
+      // Community detection by synchronous label propagation, 3 rounds:
+      // every node starts as its own community (label = node id) and each
+      // round adopts the most frequent label among its neighbors, ties
+      // broken by smallest label — the deterministic LPA variant (plain
+      // LPA's random tie-break cannot cross engines). Each round is one
+      // join (edges → neighbor labels), one map-side-combinable count and
+      // one per-node top-1 window — O(edges) shuffle per round on the
+      // bounded-degree graph, the same message-passing budget as PageRank.
+      // The fixed round count keeps the lineage finite; an open-ended
+      // variant would localCheckpoint per round like the component closure.
+      (s, dir) => {
+        val e = edgesSym(s, dir)
+        var labels = degrees(s, dir).select(col("node"), col("node").as("lab"))
+        for (_ <- 1 to 3) {
+          labels = e
+            .join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"), col("lab"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("node"))
+                .orderBy(col("cnt").desc, col("lab"))))
+            .filter(col("rn") === 1)
+            .select(col("node"), col("lab"))
+        }
+        labels.orderBy(col("node"))
+      },
+      Some(s"""$baseSql,
+              |l0 AS (SELECT node, node AS lab FROM deg),
+              |c1 AS (SELECT e.dst AS node, l0.lab, count(*) AS cnt
+              |       FROM e JOIN l0 ON e.src = l0.node GROUP BY 1, 2),
+              |l1 AS (SELECT node, lab FROM (
+              |  SELECT node, lab, row_number() OVER (
+              |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c1)
+              |  WHERE rn = 1),
+              |c2 AS (SELECT e.dst AS node, l1.lab, count(*) AS cnt
+              |       FROM e JOIN l1 ON e.src = l1.node GROUP BY 1, 2),
+              |l2 AS (SELECT node, lab FROM (
+              |  SELECT node, lab, row_number() OVER (
+              |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c2)
+              |  WHERE rn = 1),
+              |c3 AS (SELECT e.dst AS node, l2.lab, count(*) AS cnt
+              |       FROM e JOIN l2 ON e.src = l2.node GROUP BY 1, 2),
+              |l3 AS (SELECT node, lab FROM (
+              |  SELECT node, lab, row_number() OVER (
+              |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c3)
+              |  WHERE rn = 1)
+              |SELECT node, lab FROM l3 ORDER BY node""".stripMargin)
     )
   )
 }

@@ -853,6 +853,50 @@ object SimOps {
               |       ${util.r2sql("max(nrm)")} AS norm_max,
               |       ${util.r2sql("CAST(sum(nrm_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100")} AS norm_mean
               |FROM c GROUP BY label ORDER BY label""".stripMargin)
+    ),
+    Q(
+      "embed_random_projection",
+      // Johnson–Lindenstrauss sign projection 64 → 8 dims (Achlioptas ±1
+      // matrix): the standard cheap dimension reduction run before LSH /
+      // clustering at corpus scale. The sign matrix is a fixed seeded
+      // draw whose literals are inlined into BOTH engines (the proven
+      // plane-inlining trick from the LSH oracles), and inputs are
+      // quantized to integer MILLI units first — so each projection is an
+      // exact BIGINT dot product, bit-identical cross-engine, no float
+      // summation-order hazard. Per-row HOF arithmetic only: zero
+      // shuffle, the 8-long output is 32× narrower than the float input.
+      (s, dir) => {
+        val signs = projectionSigns
+        val q = Tables(s, dir, "embeddings")
+          .withColumn("q",
+            expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT))"))
+        q.select(col("vec_id") +: signs.zipWithIndex.map { case (row, j) =>
+            expr(s"""aggregate(zip_with(q, array(${row.mkString(", ")}),
+                    |(v, s) -> v * s), CAST(0 AS BIGINT), (a, x) -> a + x)"""
+              .stripMargin.replace("\n", " ")).as(s"p$j")
+          }: _*)
+          .orderBy(col("vec_id"))
+      },
+      Some({
+        val cols = projectionSigns.zipWithIndex.map { case (row, j) =>
+          s"CAST(list_sum(list_transform(range(1, 65), i -> q[i] * (${row.mkString("[", ", ", "]")})[i])) AS BIGINT) AS p$j"
+        }.mkString(",\n       ")
+        s"""SELECT vec_id,
+           |       $cols
+           |FROM (SELECT vec_id,
+           |             list_transform(embedding, v -> CAST(floor(v::DOUBLE * 1000 + 0.5) AS BIGINT)) AS q
+           |      FROM embeddings)
+           |ORDER BY vec_id""".stripMargin
+      })
     )
   )
+
+  /** Fixed ±1 sign matrix for [[embed_random_projection]]: 8 output dims ×
+    * 64 input dims, drawn once from a seeded RNG at class-init (the seed —
+    * not the draw — is the spec, so both engines see the same literals).
+    */
+  private lazy val projectionSigns: Seq[Seq[Int]] = {
+    val rng = new scala.util.Random(20260813L)
+    Seq.fill(8)(Seq.fill(64)(if (rng.nextBoolean()) 1 else -1))
+  }
 }

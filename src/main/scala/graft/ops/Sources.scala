@@ -448,6 +448,42 @@ object Sources {
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
     ),
     Q(
+      "scan_parquet_bloom_rowgroup",
+      // Parquet bloom filters + clustered small row groups: land orders
+      // sorted by o_custkey with a bloom filter on that column and a small
+      // row-group size, then point-look-up a key set. Sorting makes
+      // row-group min/max stats selective, and the bloom filter catches
+      // what min/max cannot (a key inside the range but absent) — at
+      // 100 TB this IO-level pruning is what turns a needle-in-haystack
+      // scan into a handful of row-group reads, entirely below the plan
+      // (same PushedFilters either way). SourcePropertySpec asserts the
+      // written footers actually carry the bloom filters and multiple row
+      // groups; correctness is the roundtripped point lookup. Dictionary
+      // encoding is disabled for the key column because parquet-mr SKIPS
+      // the bloom filter when a chunk stays fully dictionary-encoded (the
+      // dictionary already serves as an exact membership index) — at real
+      // scale a key column overflows the dictionary and lands on the
+      // plain+bloom path this row exercises.
+      (s, dir) => {
+        val tmp = tmpDir("graft_bloom_")
+        Tables(s, dir, "orders")
+          .sort(col("o_custkey"))
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#o_custkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+          .option("parquet.enable.dictionary#o_custkey", "false")
+          .option("parquet.block.size", (64 * 1024).toString)
+          .parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_custkey").isin(7L, 421L, 1337L))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_custkey IN (7, 421, 1337)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sink_compact_small_files",
       // Small-file compaction — the maintenance job every landing zone
       // needs: a fragmented table (64 shards here; think one file per

@@ -37,7 +37,19 @@ object TextOps {
     * so the candidate-pair SET matches exactly; hash collisions (possible
     * at mod-P width) occur identically in both engines.
     */
-  private def minhashOracleSql: String = {
+  private def minhashOracleSql: String =
+    s"""$minhashCandCtes
+       |SELECT doc_a, doc_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The MinHash candidate chain (token fold → shingles → signatures →
+    * band buckets → candidate pairs → est_jaccard) as a reusable WITH
+    * prefix: `text_neardup_minhash` selects from `est` directly;
+    * `dedup_candidate_verify` chains the exact-Jaccard verification pass
+    * on top of the same candidate set.
+    */
+  private def minhashCandCtes: String = {
     val P = MinHash.P
     val sigExprs = MinHash.seeds(16).map { case (a, b) =>
       s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
@@ -75,10 +87,7 @@ object TextOps {
        |         len(list_filter(generate_series(1, 16), j -> sa.sig[j] = sb.sig[j])) / 16.0 AS est_jaccard
        |  FROM cand
        |  JOIN sig sa ON sa.doc_id = doc_a
-       |  JOIN sig sb ON sb.doc_id = doc_b)
-       |SELECT doc_a, doc_b, est_jaccard FROM est
-       |WHERE est_jaccard >= 0.2
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
   }
 
   /** DuckDB mirror of the PORTABLE SimHash pipeline (62-bit fingerprints,
@@ -161,6 +170,77 @@ object TextOps {
           minEstJaccard = 0.2, portable = true)
         .orderBy(col("doc_a"), col("doc_b")),
       Some(minhashOracleSql)
+    ),
+    Q(
+      "dedup_candidate_verify",
+      // The production near-dup shape in full: LSH for RECALL, exact
+      // verification for PRECISION. MinHash band candidates (the same
+      // portable chain as text_neardup_minhash) are re-scored with exact
+      // 3-gram Jaccard and only pairs ≥ 0.35 survive — LSH alone
+      // over-reports (banding admits sub-threshold pairs), exact-only
+      // under-scales (all-pairs). Grams are semi-joined down to candidate
+      // docs before the verify join, so the expensive pass touches
+      // O(candidates) texts, never the corpus; the verify shuffle carries
+      // 54-bit gram hashes, never strings. Exact count arithmetic → the
+      // jaccard doubles are bitwise-identical cross-engine.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cand = MinHash.nearDupPairs(docs, "doc_id", "text",
+            k = 16, bands = 8, minEstJaccard = 0.2, portable = true)
+          .select(col("doc_a"), col("doc_b"))
+        val grams = docs
+          .select(col("doc_id"),
+            explode(MinHash.shingleHashes(MinHash.tokenCrcs(col("text")), 3,
+              distinct = true, modP = false)).as("gram"))
+        // semi-join the gram table down to candidate members first: at
+        // scale candidates are a tiny fraction of the corpus, so the
+        // verify join never scans non-candidate grams
+        val members = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val cgrams = grams.join(members, Seq("doc_id"), "left_semi")
+          .localCheckpoint(false)
+        val sizes = cgrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val common = cand
+          .join(cgrams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+          .join(cgrams.select(col("doc_id").as("doc_b"), col("gram")),
+            Seq("doc_b", "gram"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("common").cast("double") /
+              (col("na") + col("nb") - col("common")).cast("double")).as("jaccard"))
+          .filter(col("jaccard") >= 0.35)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$minhashCandCtes,
+              |cand2 AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.2),
+              |grams AS (
+              |  SELECT doc_id,
+              |         unnest(list_distinct(list_transform(
+              |           range(1, len(string_split(text, ' ')) - 1),
+              |           i -> string_split(text, ' ')[i] || ' ' ||
+              |                string_split(text, ' ')[i+1] || ' ' ||
+              |                string_split(text, ' ')[i+2]))) AS gram
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+              |common AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS common
+              |  FROM cand2 c
+              |  JOIN grams a ON a.doc_id = c.doc_a
+              |  JOIN grams b ON b.doc_id = c.doc_b AND b.gram = a.gram
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT m.doc_a, m.doc_b,
+              |         CAST(m.common AS DOUBLE) /
+              |         CAST(sa.n_grams + sb.n_grams - m.common AS DOUBLE) AS jaccard
+              |  FROM common m
+              |  JOIN sizes sa ON sa.doc_id = m.doc_a
+              |  JOIN sizes sb ON sb.doc_id = m.doc_b)
+              |SELECT doc_a, doc_b, jaccard FROM scored
+              |WHERE jaccard >= 0.35
+              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
     Q(
       "text_neardup_simhash",

@@ -156,4 +156,40 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       assert(g.map(_._4).distinct.length == 1)
     }
   }
+
+  test("MedMad kernel matches brute-force doubled median/MAD, eval == codegen") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import spark.implicits._
+    def brute(v: Seq[Long]): (Long, Long) = {
+      val s = v.sorted
+      val n = s.length
+      val med2 = s((n + 1) / 2 - 1) + s(n / 2)
+      val d = v.map(x => math.abs(2 * x - med2)).sorted
+      (med2, d((n + 1) / 2 - 1) + d(n / 2))
+    }
+    val cases = Seq(
+      Seq(5L), Seq(3L, 9L), Seq(1L, 2L, 100L),
+      Seq(-7L, 0L, 0L, 4L), Seq.tabulate(15)(i => (i * 37 % 11).toLong))
+    val df = cases.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "arr")
+      .withColumn("mm", Bridge.column(
+        graft.functions.MedMad(Bridge.expressionOf(col("arr")))))
+    val got = df.orderBy(col("id")).collect()
+      .map(r => (r.getSeq[Long](2)(0), r.getSeq[Long](2)(1)))
+    assert(got.toSeq == cases.map(brute))
+    // interpreted eval must agree with the codegen'd path
+    val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.orderBy(col("id")).collect()
+        .map(r => (r.getSeq[Long](2)(0), r.getSeq[Long](2)(1)))
+      assert(interp.toSeq == got.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.codegen.wholeStage", p)
+        case None => spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    }
+  }
 }

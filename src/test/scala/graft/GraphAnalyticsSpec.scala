@@ -127,4 +127,25 @@ class GraphAnalyticsSpec extends AnyFunSuite {
     assert(got == brute)
     got.keys.foreach { case (u, w) => assert(!edgeSet((u, w))) }
   }
+
+  test("label propagation: matches a brute-force synchronous 3-round LPA") {
+    val got = q("graph_label_propagation").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = q("graph_topk_similarity").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = e.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lab = adj.map { case (n, ns) =>
+        val freq = ns.map(lab).groupBy(identity).view.mapValues(_.size)
+        // most frequent neighbor label, smallest label on ties
+        n -> freq.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    assert(got == lab)
+    // labels are node ids and propagation merged at least some communities
+    assert(got.values.toSet.subsetOf(got.keySet))
+    assert(got.values.toSet.size < got.size)
+  }
 }

@@ -247,4 +247,30 @@ class TextDedupSpec extends AnyFunSuite {
     val rebuilt = (0 until SimHash.NBands).map(i => row(i) << offsets(i)).reduce(_ | _)
     assert(rebuilt === fp)
   }
+
+  test("candidate-verify: pairs are a candidate subset with exact jaccard >= tau") {
+    val dir = SparkTestBase.sfDir
+    val verified = SparkEntry.queries("dedup_candidate_verify")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified.nonEmpty)
+    assert(verified.values.forall(_ >= 0.35))
+    // precision leg: exact 3-gram jaccard recomputed on the driver
+    val texts = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def gramSet(t: String): Set[Seq[String]] =
+      t.split(" ", -1).toSeq.sliding(3).filter(_.length == 3).toSet
+    verified.foreach { case ((a, b), j) =>
+      val (ga, gb) = (gramSet(texts(a)), gramSet(texts(b)))
+      val exact = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      assert(math.abs(exact - j) < 1e-12, s"pair ($a,$b)")
+    }
+    // recall leg: every verified pair came from the LSH candidate set
+    val cand = MinHash.nearDupPairs(
+        graft.Tables(spark, dir, "documents"), "doc_id", "text",
+        k = 16, bands = 8, minEstJaccard = 0.2, portable = true)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.keySet.subsetOf(cand))
+  }
 }

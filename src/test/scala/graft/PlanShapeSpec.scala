@@ -317,4 +317,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"), plan)
     assert(!plan.contains("parquet"), s"pagerank re-read parquet:\n$plan")
   }
+
+  test("ts_mad_outlier runs the fused med_mad kernel off ONE window exchange") {
+    val plan = planOf("ts_mad_outlier")
+    assert(plan.contains("med_mad"), s"native kernel missing:\n$plan")
+    // one hash exchange (the user_id window); the interpreted HOF chain
+    // (array_sort/transform towers) must be gone
+    val hashEx = plan.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 window exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("array_sort"), s"HOF chain resurfaced:\n$plan")
+  }
+
+  test("embed_random_projection is map-only (no hash exchange before the sort)") {
+    val plan = planOf("embed_random_projection")
+    assert(!plan.contains("hashpartitioning"),
+      s"projection must not shuffle:\n$plan")
+  }
+
+  test("dedup_candidate_verify never plans an all-pairs join") {
+    val plan = planOf("dedup_candidate_verify")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs shape in the verify plan:\n$plan")
+  }
 }

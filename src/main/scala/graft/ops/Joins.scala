@@ -1022,6 +1022,136 @@ object Joins {
              |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "sql_identifier_clause",
+      // IDENTIFIER() templating (Spark 4): table AND column names bound
+      // from parameters without string-concatenating SQL — the
+      // injection-safe way to write one query over N replicated tables
+      // (per-tenant / per-day landed tables at scale). Resolution happens
+      // at analysis, so the optimized plan is identical to the literal
+      // query the oracle runs.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT IDENTIFIER(:grp) AS priority, count(*) AS n_orders
+            |FROM IDENTIFIER(:tab)
+            |GROUP BY IDENTIFIER(:grp)
+            |ORDER BY priority""".stripMargin,
+          Map("tab" -> "orders", "grp" -> "o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n_orders
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY priority""".stripMargin)
+    ),
+    Q(
+      "sql_lateral_alias",
+      // Lateral column aliases (Spark 4): a SELECT item referencing an
+      // alias defined earlier in the SAME select list — the chained
+      // derived-metric idiom (gross → taxed → margin) without nested
+      // subqueries. Catalyst inlines the chain, so the plan equals the
+      // hand-expanded projection; the oracle IS that expansion (DuckDB
+      // supports lateral aliases too, but re-expansion avoids its
+      // re-evaluation quirks).
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT l_orderkey, l_linenumber,
+            |       floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS gross_c,
+            |       CAST(gross_c + floor(gross_c * l_tax / 100) AS BIGINT) AS taxed_c,
+            |       taxed_c - CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS delta_c
+            |FROM lineitem
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""WITH g AS (
+             |  SELECT l_orderkey, l_linenumber, l_tax, l_extendedprice,
+             |         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS gross_c
+             |  FROM lineitem),
+             |t AS (
+             |  SELECT l_orderkey, l_linenumber, l_extendedprice, gross_c,
+             |         CAST(gross_c + floor(gross_c * l_tax / 100) AS BIGINT) AS taxed_c
+             |  FROM g)
+             |SELECT l_orderkey, l_linenumber, gross_c, taxed_c,
+             |       taxed_c - CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS delta_c
+             |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
+      "sql_execute_immediate",
+      // EXECUTE IMMEDIATE + session variables (Spark 4): dynamic SQL
+      // composed at runtime with DECLARE'd variables bound via USING —
+      // the orchestration surface (a driver assembling per-partition
+      // queries) without client-side string splicing. Variables bind as
+      // literals, so pushdown/pruning see constants; the oracle inlines
+      // the same constants.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("DECLARE OR REPLACE g_status STRING")
+        s.sql("SET VAR g_status = 'F'")
+        s.sql("DECLARE OR REPLACE g_floor DOUBLE")
+        s.sql("SET VAR g_floor = 50000")
+        s.sql(
+          """EXECUTE IMMEDIATE
+            |'SELECT o_orderpriority, count(*) AS n_orders
+            | FROM orders WHERE o_orderstatus = ? AND o_totalprice > ?
+            | GROUP BY o_orderpriority ORDER BY o_orderpriority'
+            |USING g_status, g_floor""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+             |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "sql_create_function",
+      // SQL UDFs (Spark 4): a scalar CREATE FUNCTION ... RETURN expr and
+      // a table function RETURNS TABLE ... RETURN SELECT, both declared
+      // in pure SQL. Unlike JVM UDFs these are inlined into the plan at
+      // analysis (no codegen black box — the 100 TB path keeps whole-stage
+      // codegen), which is also why the oracle can expand them verbatim.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION price_cents(p DOUBLE)
+                |RETURNS BIGINT RETURN CAST(floor(p * 100 + 0.5) AS BIGINT)""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION urgent_orders()
+                |RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE)
+                |RETURN SELECT o_orderkey, o_totalprice FROM orders
+                |       WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+        s.sql("""SELECT o_orderkey, price_cents(o_totalprice) AS cents
+                |FROM urgent_orders()
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "sql_default_columns",
+      // Column DEFAULTs (Spark 4): DDL-declared defaults materialize on
+      // INSERTs that omit the column — the schema-evolution affordance
+      // that lets producers add columns without rewriting writers. Landed
+      // as a parquet session-catalog table in scratch; the oracle
+      // recomputes both inserts (one relying on defaults, one explicit).
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        val loc = util.tempDir("graft_defaults_")
+        s.sql("DROP TABLE IF EXISTS graft_defaults_t")
+        s.sql(s"""CREATE TABLE graft_defaults_t (
+                 |  ok BIGINT,
+                 |  grade STRING DEFAULT 'unreviewed',
+                 |  score BIGINT DEFAULT 42)
+                 |USING parquet LOCATION '$loc'""".stripMargin)
+        s.sql("""INSERT INTO graft_defaults_t (ok)
+                |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+        s.sql("INSERT INTO graft_defaults_t VALUES (-1, 'reviewed', 7)")
+        s.sql("""SELECT ok, grade, score FROM graft_defaults_t
+                |ORDER BY ok""".stripMargin)
+      },
+      Some("""SELECT ok, grade, score FROM (
+             |  SELECT o_orderkey AS ok, 'unreviewed' AS grade, CAST(42 AS BIGINT) AS score
+             |  FROM orders WHERE o_orderpriority = '1-URGENT'
+             |  UNION ALL
+             |  SELECT -1, 'reviewed', 7)
+             |ORDER BY ok""".stripMargin)
+    ),
+    Q(
       "join_skew_salted",
       // Skew-mitigation pattern: l_suppkey is pathologically skewed (6M·sf
       // rows over 10 suppliers). Salting splits each hot key into S

@@ -1152,6 +1152,51 @@ object Joins {
              |ORDER BY ok""".stripMargin)
     ),
     Q(
+      "sql_scripting_while",
+      // SQL scripting (Spark 4, BEGIN…END): procedural control flow in
+      // pure SQL — a WHILE loop halving a price threshold, each round
+      // folding a scalar aggregate into ARRAY variables, one final SELECT
+      // inlining the (threshold, count) pairs. The driver-side loop issues
+      // ONE distributed aggregate per round (the same shape a client
+      // orchestrating spark.sql calls would produce), so scale posture
+      // equals the unrolled queries; the script is just the orchestration
+      // moving server-side. Oracle: the unrolled threshold list.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        val key = "spark.sql.scripting.enabled"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key, "true")
+          s.sql(
+            """BEGIN
+              |  DECLARE ths ARRAY<BIGINT> DEFAULT array();
+              |  DECLARE cnts ARRAY<BIGINT> DEFAULT array();
+              |  DECLARE th BIGINT DEFAULT 400000;
+              |  WHILE th >= 50000 DO
+              |    SET ths = array_append(ths, th);
+              |    SET cnts = array_append(cnts,
+              |      (SELECT count(*) FROM orders WHERE o_totalprice > th));
+              |    SET th = th DIV 2;
+              |  END WHILE;
+              |  -- explicit struct field names: bare ths/cnts in the outer
+              |  -- select resolve to the script VARIABLES (whole arrays),
+              |  -- and arrays_zip over variables yields positional fields
+              |  SELECT z.th AS threshold, z.cnt AS n_orders
+              |  FROM (SELECT explode(zip_with(ths, cnts,
+              |          (t, c) -> named_struct('th', t, 'cnt', c))) AS z)
+              |  ORDER BY threshold DESC;
+              |END""".stripMargin)
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT CAST(th AS BIGINT) AS threshold,
+             |       (SELECT count(*) FROM orders WHERE o_totalprice > th) AS n_orders
+             |FROM (VALUES (400000), (200000), (100000), (50000)) t(th)
+             |ORDER BY threshold DESC""".stripMargin)
+    ),
+    Q(
       "join_skew_salted",
       // Skew-mitigation pattern: l_suppkey is pathologically skewed (6M·sf
       // rows over 10 suppliers). Salting splits each hot key into S

@@ -72,6 +72,42 @@ object Joins {
     }
   }
 
+  /** Fixture-scale AQE skew-split triggers for [[skewedSupplierJoin]]: the
+    * default 256 MB threshold never fires on toy shuffles, these do (the
+    * hot partition is ~75% of the fact rows); broadcast demotion disabled
+    * so the skewed sort-merge exchange actually exists. Shared with
+    * PlanShapeSpec, which re-runs the join under them to assert the
+    * skew=true marker in the executed plan.
+    */
+  private[graft] val skewAqeConfs = Seq(
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8kb",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4kb",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  /** The skewed join under test for `join_skew_aqe`: 75% of lineitem rows
+    * re-keyed onto supplier 7, sort-merge joined to the supplier dim.
+    * The round-robin repartition matters: AQE splits a skewed reduce
+    * partition by MAPPER ranges, so a single-map-task upstream (one toy
+    * parquet split) leaves nothing to split and the rule silently skips —
+    * at real scale the fact scan has thousands of map tasks and the
+    * repartition is unnecessary.
+    */
+  private[graft] def skewedSupplierJoin(s: SparkSession, dir: String) = {
+    val f = Tables(s, dir, "lineitem")
+      .select(when(col("l_orderkey") % 4 < 3, lit(7L))
+          .otherwise(col("l_suppkey")).as("skew_key"),
+        col("l_extendedprice"))
+      .repartition(8)
+    val sup = Tables(s, dir, "supplier").hint("merge")
+    f.join(sup, col("skew_key") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        util.r2(sum(col("l_extendedprice"))).as("total_price"))
+      .orderBy(col("s_name"))
+  }
+
   val defs: Seq[Q] = Seq(
     Q(
       "join_bloom_pruned",
@@ -1220,6 +1256,39 @@ object Joins {
       Some(s"""SELECT s_name, count(*) AS n_lines,
               |       ${util.r2sql("sum(l_extendedprice)")} AS total_price
               |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_name ORDER BY s_name""".stripMargin)
+    ),
+    Q(
+      "join_skew_aqe",
+      // The ADAPTIVE twin of join_skew_salted: a pathologically skewed
+      // join (75% of lines synthesized onto ONE supplier key) UNSALTED,
+      // with AQE's OptimizeSkewedJoin splitting the hot shuffle partition
+      // at runtime from map-output statistics — the production default at
+      // 100 TB (no schema changes, no salt column, splits sized to the
+      // actual skew). The uniform fixture has no natural skew and the
+      // default 256 MB trigger never fires at toy scale, so the hot key
+      // is synthesized and the thresholds lowered; PlanShapeSpec asserts
+      // the executed plan carries the skew=true marker. Broadcast
+      // demotion is disabled so the skewed exchange actually exists, and
+      // the result is materialized EAGERLY (localCheckpoint) so the join
+      // runs while the confs hold — they are restored before return.
+      (s, dir) => {
+        val prev = skewAqeConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+        try {
+          skewAqeConfs.foreach { case (k, v) => s.conf.set(k, v) }
+          skewedSupplierJoin(s, dir).localCheckpoint(true)
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some(s"""WITH f AS (
+              |  SELECT CASE WHEN l_orderkey % 4 < 3 THEN 7 ELSE l_suppkey END AS skew_key,
+              |         l_extendedprice
+              |  FROM lineitem)
+              |SELECT s_name, count(*) AS n_lines,
+              |       ${util.r2sql("sum(l_extendedprice)")} AS total_price
+              |FROM f JOIN supplier ON skew_key = s_suppkey
               |GROUP BY s_name ORDER BY s_name""".stripMargin)
     ),
     Q(

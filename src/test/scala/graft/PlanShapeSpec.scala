@@ -340,4 +340,20 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs shape in the verify plan:\n$plan")
   }
+
+  test("join_skew_aqe: OptimizeSkewedJoin splits the hot partition (skew=true)") {
+    val confs = graft.ops.Joins.skewAqeConfs
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = graft.ops.Joins.skewedSupplierJoin(spark, dir)
+      df.collect() // AQE finalizes the plan only on execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -863,17 +863,22 @@ object SimOps {
       // plane-inlining trick from the LSH oracles), and inputs are
       // quantized to integer MILLI units first — so each projection is an
       // exact BIGINT dot product, bit-identical cross-engine, no float
-      // summation-order hazard. Per-row HOF arithmetic only: zero
-      // shuffle, the 8-long output is 32× narrower than the float input.
+      // summation-order hazard. Per-row arithmetic only (zero shuffle),
+      // and each dot runs the codegen'd LongDot kernel against the
+      // sign row as an array literal — not an interpreted HOF tower —
+      // so the map stage stays inside whole-stage codegen at any scale.
+      // The 8-long output is 32× narrower than the float input.
       (s, dir) => {
+        import org.apache.spark.sql.graftbridge.Bridge
         val signs = projectionSigns
         val q = Tables(s, dir, "embeddings")
           .withColumn("q",
             expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT))"))
         q.select(col("vec_id") +: signs.zipWithIndex.map { case (row, j) =>
-            expr(s"""aggregate(zip_with(q, array(${row.mkString(", ")}),
-                    |(v, s) -> v * s), CAST(0 AS BIGINT), (a, x) -> a + x)"""
-              .stripMargin.replace("\n", " ")).as(s"p$j")
+            Bridge.column(graft.functions.LongDot(
+              Bridge.expressionOf(col("q")),
+              Bridge.expressionOf(array(row.map(v => lit(v.toLong)): _*))))
+              .as(s"p$j")
           }: _*)
           .orderBy(col("vec_id"))
       },

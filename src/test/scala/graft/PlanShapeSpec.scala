@@ -328,10 +328,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("array_sort"), s"HOF chain resurfaced:\n$plan")
   }
 
-  test("embed_random_projection is map-only (no hash exchange before the sort)") {
+  test("embed_random_projection is map-only and runs the codegen'd dot kernel") {
     val plan = planOf("embed_random_projection")
     assert(!plan.contains("hashpartitioning"),
       s"projection must not shuffle:\n$plan")
+    assert(plan.contains("long_dot"), s"native kernel missing:\n$plan")
   }
 
   test("dedup_candidate_verify never plans an all-pairs join") {

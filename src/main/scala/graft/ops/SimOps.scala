@@ -893,6 +893,199 @@ object SimOps {
            |      FROM embeddings)
            |ORDER BY vec_id""".stripMargin
       })
+    ),
+    Q(
+      "sim_kmeans_lloyd_iter",
+      // One FULL Lloyd's iteration — assignment AND centroid recompute —
+      // the step a corpus-clustering job repeats to convergence. Extends
+      // `sim_kmeans_assign`: r2-pinned per-label init centroids broadcast
+      // to the corpus, nearest cell per vector via the ordered squared-L2
+      // fold (identical doubles both engines → identical argmin), then the
+      // NEW centroids come back as one (cell, pos) mean — i.e. exactly two
+      // shuffles per iteration (argmin needs none, recompute groups k×dim
+      // partial sums) regardless of corpus size. At 100 TB the recompute
+      // aggregates map-side into k×64 cells, so the exchanged state is
+      // kilobytes per executor; the corpus itself never moves. Output pos
+      // is 1-based to match the oracle's generate_subscripts.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val cent = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(util.r2(avg(col("v").cast("double"))).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("carr"))
+          .select(col("label").as("cell"), col("carr"))
+        val scored = emb.crossJoin(broadcast(cent))
+          .withColumn("dist", aggregate(
+            zip_with(col("embedding"), col("carr"),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (a, v) => a + v))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("cell").asc)
+        val assigned = scored
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("cell"), col("embedding"))
+        assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+          .groupBy(col("cell"), (col("pos0") + 1).cast("long").as("pos"))
+          .agg(util.r2(avg(col("v").cast("double"))).as("c_new"),
+            count(lit(1)).as("n_assigned"))
+          .orderBy(col("cell"), col("pos"))
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT label, pos, ${util.r2sql("avg(v::DOUBLE)")} AS c
+              |  FROM (SELECT label, unnest(embedding) AS v,
+              |               generate_subscripts(embedding, 1) AS pos FROM embeddings) t
+              |  GROUP BY label, pos),
+              |centl AS (
+              |  SELECT label AS cell, list(c ORDER BY pos) AS carr FROM cent GROUP BY label),
+              |d AS (
+              |  SELECT e.vec_id, e.embedding, c.cell,
+              |         list_sum(list_transform(range(1, 65),
+              |           i -> (e.embedding[i]::DOUBLE - c.carr[i]) * (e.embedding[i]::DOUBLE - c.carr[i]))) AS dist
+              |  FROM embeddings e CROSS JOIN centl c),
+              |a AS (
+              |  SELECT vec_id, embedding, cell,
+              |         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+              |  FROM d),
+              |asg AS (SELECT cell, embedding FROM a WHERE rn = 1)
+              |SELECT cell, pos, ${util.r2sql("avg(v::DOUBLE)")} AS c_new,
+              |       count(*) AS n_assigned
+              |FROM (SELECT cell, unnest(embedding) AS v,
+              |             generate_subscripts(embedding, 1) AS pos FROM asg) t
+              |GROUP BY cell, pos ORDER BY cell, pos""".stripMargin)
+    ),
+    Q(
+      "embed_binary_hamming_topk",
+      // 1-bit (sign) quantization + Hamming top-k — the most aggressive
+      // point on the ANN compression curve: 64 float dims → 64 BITS packed
+      // into two 32-bit lanes, a 256× shrink, scored with XOR + popcount.
+      // This is what makes a 100 TB embedding corpus fit a memory-resident
+      // index (binary sketches of 1B × 64-dim vectors = 8 GB); the packed
+      // sketch is computed map-side (zero shuffle), the query set
+      // broadcasts, and scoring is pure integer ALU work inside
+      // whole-stage codegen — exact cross-engine by construction, so the
+      // row carries a FULL hash oracle (no float drift possible). Two
+      // 32-bit lanes rather than one 64-bit word keep `1 << (i-1)` inside
+      // BIGINT range in both engines (bit 63 would overflow DuckDB's
+      // checked shift).
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        def lanes(df: DataFrame, p: String) = df.withColumn(s"${p}lo",
+            expr("aggregate(sequence(1, 32), 0L, (acc, i) -> acc + " +
+              "IF(element_at(embedding, i) > 0, shiftleft(1L, i - 1), 0L))"))
+          .withColumn(s"${p}hi",
+            expr("aggregate(sequence(33, 64), 0L, (acc, i) -> acc + " +
+              "IF(element_at(embedding, i) > 0, shiftleft(1L, i - 33), 0L))"))
+        val packed = lanes(emb.select(col("vec_id"), col("embedding")), "")
+          .select(col("vec_id"), col("lo"), col("hi"))
+        val qs = packed.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"),
+            col("lo").as("qlo"), col("hi").as("qhi"))
+        val scored = packed.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
+              bit_count(col("qhi").bitwiseXOR(col("hi")))).as("hamming"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming").asc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"),
+            col("hamming").cast("long").as("hamming"), col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id,
+             |    list_sum(list_transform(range(1, 33),
+             |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)) AS lo,
+             |    list_sum(list_transform(range(33, 65),
+             |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)) AS hi
+             |  FROM embeddings),
+             |qs AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM q WHERE vec_id % 50 = 0),
+             |d AS (
+             |  SELECT qs.query_id, q.vec_id AS neighbor_id,
+             |         bit_count(xor(qs.qlo, q.lo)) + bit_count(xor(qs.qhi, q.hi)) AS hamming
+             |  FROM qs JOIN q ON q.vec_id <> qs.query_id),
+             |r AS (SELECT *, row_number() OVER (
+             |        PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rn FROM d)
+             |SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+             |       CAST(rn AS BIGINT) AS rank
+             |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "embed_mrl_prefix_rerank",
+      // Matryoshka (MRL) two-stage retrieval funnel: shortlist top-20 by
+      // cosine over the FIRST 16 dims (a 4× cheaper scan — MRL-trained
+      // embeddings front-load information precisely so prefixes are usable
+      // indexes), then re-rank the shortlist with the full 64-dim cosine
+      // and keep top-5. At 100 TB the prefix stage is the only pass that
+      // touches the whole corpus — and it reads a quarter of the bytes
+      // (prefix columns can even be stored as their own parquet column for
+      // pruned scans); the exact stage touches 20 rows per query. Both
+      // dots are the native left-to-right VecDot fold, so every compared
+      // double is bitwise-identical to the oracle's list_sum.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val base = emb.select(col("vec_id"), col("embedding"),
+          norm(slice(col("embedding"), 1, 16)).as("pnorm"),
+          norm(col("embedding")).as("fnorm"))
+        val qs = base.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("pnorm").as("q_pnorm"),
+          col("fnorm").as("q_fnorm")).filter(col("query_id") % 50 === 0)
+        val pref = base.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("pcos",
+            dot(slice(col("q_emb"), 1, 16), slice(col("embedding"), 1, 16)) /
+              (col("q_pnorm") * col("pnorm")))
+        val wShort = Window.partitionBy(col("query_id"))
+          .orderBy(col("pcos").desc, col("vec_id").asc)
+        val short = pref.withColumn("prn", row_number().over(wShort))
+          .filter(col("prn") <= 20)
+          .withColumn("fcos",
+            dot(col("q_emb"), col("embedding")) / (col("q_fnorm") * col("fnorm")))
+        val wRank = Window.partitionBy(col("query_id"))
+          .orderBy(col("fcos").desc, col("vec_id").asc)
+        short.withColumn("rank", row_number().over(wRank)).filter(col("rank") <= 5)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            util.r2(col("fcos")).as("cos_full"), col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum(list_transform(range(1, 17),
+              |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS pnorm,
+              |    sqrt(list_sum(list_transform(range(1, 65),
+              |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS fnorm
+              |  FROM embeddings),
+              |qs AS (SELECT vec_id AS query_id, embedding AS q_emb,
+              |              pnorm AS q_pnorm, fnorm AS q_fnorm
+              |       FROM base WHERE vec_id % 50 = 0),
+              |pref AS (
+              |  SELECT qs.query_id, b.vec_id, b.embedding, qs.q_emb,
+              |         qs.q_fnorm, b.fnorm,
+              |         list_sum(list_transform(range(1, 17),
+              |           i -> qs.q_emb[i]::DOUBLE * b.embedding[i]::DOUBLE))
+              |           / (qs.q_pnorm * b.pnorm) AS pcos
+              |  FROM qs JOIN base b ON b.vec_id <> qs.query_id),
+              |short AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY pcos DESC, vec_id ASC) AS prn
+              |  FROM pref),
+              |rer AS (
+              |  SELECT query_id, vec_id AS neighbor_id,
+              |         list_sum(list_transform(range(1, 65),
+              |           i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE))
+              |           / (q_fnorm * fnorm) AS fcos
+              |  FROM short WHERE prn <= 20),
+              |rk AS (
+              |  SELECT query_id, neighbor_id, fcos, row_number() OVER (
+              |    PARTITION BY query_id ORDER BY fcos DESC, neighbor_id ASC) AS rank
+              |  FROM rer)
+              |SELECT query_id, neighbor_id, ${util.r2sql("fcos")} AS cos_full,
+              |       CAST(rank AS BIGINT) AS rank
+              |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
     )
   )
 

@@ -506,6 +506,31 @@ object Sources {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "scan_metadata_row_index",
+      // Hidden file-metadata columns: `_metadata.row_index` is the
+      // physical position of each row inside its parquet file, exposed by
+      // the scan without existing as a data column — the primitive under
+      // row-level lineage, deletion vectors and sampling-by-position. The
+      // fixture writes `documents` as ONE sorted file so the physical
+      // order is the logical order and the oracle can recompute the index
+      // as row_number()-1. At scale `_metadata` also carries
+      // file_path/file_size per split — the same mechanism, pruned like
+      // any other column when unused.
+      (s, dir) => {
+        val tmp = tmpDir("graft_rowidx_")
+        Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .select(col("doc_id"), col("lang"),
+            col("_metadata.row_index").as("row_idx"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang,
+             |       row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "sink_bucketed_join",
       // Bucketed layout → co-located join (SURVEY.md §4): both sides
       // written bucketBy(8, key); the join then requires NO Exchange on

@@ -673,6 +673,65 @@ object TextOps {
              |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin)
     ),
     Q(
+      "text_bpe_merge_apply",
+      // BPE training, the OTHER half: take the winning pair from the count
+      // step and APPLY the merge to every document's token stream — the
+      // write path of one tokenizer-training iteration. True left-to-right
+      // non-overlapping BPE semantics fall out of a single string fold:
+      // merging rewrites the last token's spelling ("a"→"a_a"), so an
+      // already-merged token can't merge again ([a a a a] → [a_a a_a], not
+      // [a_a_a a]) — no lookahead, no per-token state. The fold is per-row
+      // (zero shuffle over the corpus; the 1-row winning pair broadcasts),
+      // which is exactly how a 100 TB corpus applies each merge: one
+      // map-only pass per vocabulary step, the pair table never moves.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bigrams = transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1)))
+        val top = docs.select(toks.as("tk")).filter(size(col("tk")) >= 2)
+          .select(explode(bigrams).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1)
+          .select(split(col("pair"), " ").getItem(0).as("pa"),
+            split(col("pair"), " ").getItem(1).as("pb"))
+        docs.crossJoin(broadcast(top))
+          .select(col("doc_id"), toks.as("tk"), col("pa"), col("pb"))
+          .withColumn("merged", aggregate(
+            expr("slice(tk, 2, size(tk) - 1)"),
+            element_at(col("tk"), 1),
+            (acc, x) => when(
+              regexp_extract(acc, "([^ ]*)$", 1) === col("pa") && (x === col("pb")),
+              concat(acc, lit("_"), x)).otherwise(concat(acc, lit(" "), x))))
+          .select(col("doc_id"), size(col("tk")).cast("long").as("tok_before"),
+            size(split(col("merged"), " ")).cast("long").as("tok_after"),
+            substring(col("merged"), 1, 60).as("merged_prefix"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH pc AS (
+             |  SELECT pair FROM (
+             |    SELECT unnest(list_transform(
+             |             range(1, len(string_split(text, ' '))),
+             |             i -> string_split(text, ' ')[i] || ' ' ||
+             |                  string_split(text, ' ')[i + 1])) AS pair
+             |    FROM documents
+             |    WHERE len(string_split(text, ' ')) >= 2) t
+             |  GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1),
+             |m AS (
+             |  SELECT d.doc_id,
+             |         len(string_split(d.text, ' ')) AS tok_before,
+             |         list_reduce(string_split(d.text, ' '),
+             |           (acc, x) -> CASE
+             |             WHEN regexp_extract(acc, '([^ ]*)$', 1) = split_part(pc.pair, ' ', 1)
+             |              AND x = split_part(pc.pair, ' ', 2)
+             |             THEN acc || '_' || x ELSE acc || ' ' || x END) AS merged
+             |  FROM documents d, pc)
+             |SELECT doc_id, tok_before,
+             |       len(string_split(merged, ' ')) AS tok_after,
+             |       substr(merged, 1, 60) AS merged_prefix
+             |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "pipeline_training_mix",
       // The full training-data assembly line as ONE row: integer quality
       // gate → exact dedup → near-dup closure (connected components over

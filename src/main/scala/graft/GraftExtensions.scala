@@ -55,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectOptimizerRule(session => plans.RewriteGraftAsOfJoin(session))
     e.injectPlannerStrategy(session => plans.PlanBroadcastAsOf(session))
+    // parser seam: the ASOF JOIN statement island (everything else
+    // delegates to Spark's parser) — completes the four-seam matrix
+    e.injectParser((session, delegate) =>
+      new plans.GraftSqlParser(session, delegate))
   }
 }

@@ -448,6 +448,39 @@ object Joins {
              |ORDER BY p.event_id""".stripMargin)
     ),
     Q(
+      "sql_asof_join_syntax",
+      // The as-of join as SQL TEXT — the injectParser seam (§2.12, wired
+      // in GraftExtensions): `SELECT * FROM p ASOF JOIN b ON KEYS (k)
+      // MATCH ts` is a statement island Spark's grammar lacks; the
+      // delegating GraftSqlParser owns it, resolves both names through
+      // the session catalog, and emits the SAME GraftAsOfJoin logical
+      // node the Scala API builds — so the text flows through the same
+      // injected lowering and shares join_asof's oracle. One grammar,
+      // two front ends, one plan.
+      (s, dir) => {
+        val (purchases, clicks) = asofSides(s, dir)
+        purchases.select(col("event_id"), col("user_id"), col("ts"))
+          .createOrReplaceTempView("graft_asof_probe")
+        clicks.select(col("user_id"), col("ts"), col("click_id"))
+          .createOrReplaceTempView("graft_asof_build")
+        s.sql("SELECT * FROM graft_asof_probe ASOF JOIN graft_asof_build " +
+            "ON KEYS (user_id) MATCH ts")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("click_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |       c.ts AS click_ts, c.click_id
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND c.ts <= p.ts
+             |ORDER BY p.event_id""".stripMargin)
+    ),
+    Q(
       "join_asof_broadcast_exec",
       // The as-of join through the FULL custom-operator stack (§2.12):
       // BroadcastAsOfJoin LogicalPlan → injected planner Strategy →

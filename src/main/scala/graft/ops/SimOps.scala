@@ -1086,6 +1086,115 @@ object SimOps {
               |SELECT query_id, neighbor_id, ${util.r2sql("fcos")} AS cos_full,
               |       CAST(rank AS BIGINT) AS rank
               |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "embed_pca_power_iter",
+      // Top principal component by POWER ITERATION without ever
+      // materializing the covariance matrix: Cov·v = Σᵢ sᵢ·(xᵢ−m) with
+      // sᵢ = (xᵢ−m)·v, so each iteration is two corpus passes (a per-row
+      // dot, then a (pos → Σ sᵢ·(xᵢₚ−mₚ)) aggregate into 64 cells) — the
+      // classic distributed-PCA shape: at 100 TB the exchanged state per
+      // iteration is one 64-double vector, never a 64×64 (or worse) Gram
+      // matrix, and the corpus is only read, never shuffled. Two unrolled
+      // iterations from the fixed v₀ = 1/8·𝟙; every cross-row sum is
+      // pinned at 1e-6 (micro units — the r2 trick at the precision this
+      // arithmetic needs) so both engines normalize identical vectors and
+      // every downstream double is bitwise-equal. Output: the 64 loadings
+      // + the Rayleigh-quotient eigenvalue estimate ‖u₂‖/n.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        def r6(c: Column) = floor(c * 1000000 + 0.5) / 1000000
+        val m = emb.select(posexplode(col("embedding")).as(Seq("pos0", "v")))
+          .groupBy((col("pos0") + 1).as("pos"))
+          .agg(util.r2(avg(col("v").cast("double"))).as("m"))
+        val ml = m.groupBy().agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("ml"))
+        // one power step: s = (x−m)·v per row, then u_p = Σ s·(x_p−m_p)
+        def uOf(vRow: Option[DataFrame]): DataFrame = {
+          val base = vRow match {
+            case None =>
+              emb.crossJoin(broadcast(ml)).withColumn("s",
+                aggregate(zip_with(col("embedding"), col("ml"),
+                  (x, mm) => (x.cast("double") - mm) * lit(0.125)),
+                  lit(0.0), (a, b) => a + b))
+            case Some(v) =>
+              emb.crossJoin(broadcast(ml)).crossJoin(broadcast(v))
+                .withColumn("s",
+                  aggregate(zip_with(zip_with(col("embedding"), col("ml"),
+                    (x, mm) => x.cast("double") - mm), col("vl"),
+                    (d, vv) => d * vv), lit(0.0), (a, b) => a + b))
+          }
+          base.select(col("s"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+            .select(col("s"), (col("pos0") + 1).as("pos"), col("x"))
+            .join(broadcast(m), "pos")
+            .groupBy(col("pos"))
+            .agg(r6(sum(col("s") * (col("x").cast("double") - col("m")))).as("u"))
+        }
+        // assemble pos-ordered u, its norm, and the pinned normalized v
+        def asRow(u: DataFrame): DataFrame =
+          u.groupBy().agg(
+              transform(array_sort(collect_list(struct(col("pos"), col("u")))),
+                x => x.getField("u")).as("ul"))
+            .withColumn("nrm", sqrt(aggregate(
+              transform(col("ul"), x => x * x), lit(0.0), (a, b) => a + b)))
+            .withColumn("vl", transform(col("ul"), x => r6(x / col("nrm"))))
+        val v1 = asRow(uOf(None)).select(col("vl"))
+        val u2 = asRow(uOf(Some(v1)))
+        val n = emb.groupBy().agg(count(lit(1)).as("n"))
+        u2.crossJoin(n)
+          .select(posexplode(col("vl")).as(Seq("pos0", "loading")),
+            r6(col("nrm") / col("n")).as("ev"))
+          .select((col("pos0") + 1).cast("long").as("pos"),
+            col("loading"), col("ev"))
+          .orderBy(col("pos"))
+      },
+      Some {
+        val r6 = (e: String) => s"floor(($e) * 1000000 + 0.5) / 1000000"
+        s"""WITH m AS (
+           |  SELECT pos, ${util.r2sql("avg(v::DOUBLE)")} AS m
+           |  FROM (SELECT unnest(embedding) AS v,
+           |               generate_subscripts(embedding, 1) AS pos FROM embeddings) t
+           |  GROUP BY pos),
+           |ml AS (SELECT list(m ORDER BY pos) AS ml FROM m),
+           |s1 AS (
+           |  SELECT e.vec_id, e.embedding,
+           |         list_sum(list_transform(range(1, 65),
+           |           i -> (e.embedding[i]::DOUBLE - ml.ml[i]) * 0.125)) AS s
+           |  FROM embeddings e, ml),
+           |x1 AS (
+           |  SELECT s.s, unnest(s.embedding) AS x,
+           |         generate_subscripts(s.embedding, 1) AS pos
+           |  FROM s1 s),
+           |u1 AS (
+           |  SELECT x1.pos AS pos, ${r6("sum(x1.s * (x1.x::DOUBLE - m.m))")} AS u
+           |  FROM x1 JOIN m ON m.pos = x1.pos
+           |  GROUP BY x1.pos),
+           |v1 AS (
+           |  SELECT list_transform(ul,
+           |           u -> ${r6("u / sqrt(list_sum(list_transform(ul, x -> x*x)))")}) AS vl
+           |  FROM (SELECT list(u ORDER BY pos) AS ul FROM u1) t),
+           |s2 AS (
+           |  SELECT e.vec_id, e.embedding,
+           |         list_sum(list_transform(range(1, 65),
+           |           i -> (e.embedding[i]::DOUBLE - ml.ml[i]) * v1.vl[i])) AS s
+           |  FROM embeddings e, ml, v1),
+           |x2 AS (
+           |  SELECT s.s, unnest(s.embedding) AS x,
+           |         generate_subscripts(s.embedding, 1) AS pos
+           |  FROM s2 s),
+           |u2 AS (
+           |  SELECT x2.pos AS pos, ${r6("sum(x2.s * (x2.x::DOUBLE - m.m))")} AS u
+           |  FROM x2 JOIN m ON m.pos = x2.pos
+           |  GROUP BY x2.pos),
+           |nrm AS (
+           |  SELECT ul, sqrt(list_sum(list_transform(ul, x -> x*x))) AS nrm
+           |  FROM (SELECT list(u ORDER BY pos) AS ul FROM u2) t),
+           |nn AS (SELECT count(*) AS n FROM embeddings)
+           |SELECT t.pos AS pos, ${r6("nrm.ul[t.pos] / nrm.nrm")} AS loading,
+           |       ${r6("nrm.nrm / nn.n")} AS ev
+           |FROM range(1, 65) t(pos), nrm, nn ORDER BY pos""".stripMargin
+      }
     )
   )
 

@@ -544,6 +544,89 @@ object TextOps {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_winnowing_fingerprints",
+      // Winnowing (the MOSS fingerprint-selection algorithm): from every
+      // window of w=4 consecutive 3-gram hashes keep the minimum (ties →
+      // rightmost), guaranteeing any shared substring of ≥ w+k-1 tokens
+      // yields a shared selected fingerprint — position-aware plagiarism/
+      // overlap detection that MinHash's bag-of-shingles view can't give.
+      // Selection is pure integer logic over the portable mod-P gram
+      // hashes (the minhash oracle family), so the oracle replays it
+      // exactly. Per-doc work only until the final sort: density ~2/(w+1)
+      // fingerprints per gram, so the output (and any downstream
+      // fingerprint index) is ~2.5× smaller than the gram stream. At
+      // 100 TB each doc's selection is a self-contained map-side task.
+      (s, dir) => {
+        val P = MinHash.P
+        // native fused token-hash loop (low 31-bit fold of the packed
+        // pair — value-identical to MinHash.portableTokenHashes, parity
+        // spec-pinned in TextDedupSpec); the interpreted per-character
+        // HOF would dominate this row's cost
+        val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            transform(graft.functions.PortableTokenHashes(s, col("text")),
+              h => h.bitwiseAND((1L << 31) - 1)).as("hs"))
+          .filter(size(col("hs")) >= 3)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(0, size(hs) - 3), i -> " +
+              s"(element_at(hs, i+1)*1000003 + element_at(hs, i+2)*999979 + " +
+              s"element_at(hs, i+3)*999961) % ${P}L)")).as(Seq("pos", "gh")))
+        // windowed one-pass argmin: min(struct(gh, -pos)) over the w-row
+        // frame is lexicographic — (min hash, rightmost position among
+        // ties) per window start — so ONE exchange+sort on doc_id serves
+        // both the per-window selection and the start-bound (max pos over
+        // the doc), with no 4× explode and no join-back. The SQL oracle
+        // keeps the two-phase explode form; both are pure integer logic,
+        // so the selected set is identical by construction.
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val sel = grams
+          .withColumn("mn", min(struct(col("gh"), (-col("pos")).as("np")))
+            .over(wd.rowsBetween(0, 3)))
+          .withColumn("maxpos", max(col("pos"))
+            .over(Window.partitionBy(col("doc_id"))))
+          // window starts exist only where a full w-window fits
+          .filter(col("maxpos") >= 3 && col("pos") <= col("maxpos") - 3)
+        sel.select(col("doc_id"),
+            (-col("mn.np")).cast("long").as("sel_pos"), col("mn.gh").as("fp"))
+          .distinct()
+          .orderBy(col("doc_id"), col("sel_pos"))
+      },
+      Some(s"""WITH hs AS (
+              |  SELECT doc_id,
+              |         list_transform(string_split(text, ' '), t ->
+              |           list_reduce(
+              |             list_prepend(CAST(0 AS BIGINT),
+              |               list_transform(generate_series(1, length(t)),
+              |                 i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+              |             (acc, c) -> (acc * 131 + c) % ${MinHash.P})) AS hs
+              |  FROM documents),
+              |garr AS (
+              |  SELECT doc_id,
+              |         list_transform(generate_series(0, len(hs) - 3),
+              |           i -> (hs[i+1]*1000003 + hs[i+2]*999979 + hs[i+3]*999961) % ${MinHash.P}) AS garr
+              |  FROM hs WHERE len(hs) >= 3),
+              |grams AS (
+              |  SELECT doc_id, unnest(garr) AS gh,
+              |         generate_subscripts(garr, 1) - 1 AS pos
+              |  FROM garr),
+              |mp AS (SELECT doc_id, max(pos) AS maxpos FROM grams
+              |       GROUP BY doc_id HAVING max(pos) >= 3),
+              |winrows AS (
+              |  SELECT g.doc_id, g.gh, g.pos, unnest(generate_series(
+              |           greatest(g.pos - 3, 0), least(g.pos, m.maxpos - 3))) AS ws
+              |  FROM grams g JOIN mp m ON g.doc_id = m.doc_id),
+              |minh AS (
+              |  SELECT doc_id, ws, min(gh) AS minh
+              |  FROM winrows GROUP BY doc_id, ws),
+              |sel AS (
+              |  SELECT w.doc_id, w.ws, max(w.pos) AS sel_pos, min(w.gh) AS fp
+              |  FROM winrows w JOIN minh m
+              |    ON w.doc_id = m.doc_id AND w.ws = m.ws AND w.gh = m.minh
+              |  GROUP BY w.doc_id, w.ws)
+              |SELECT DISTINCT doc_id, sel_pos, fp FROM sel
+              |ORDER BY doc_id, sel_pos""".stripMargin)
+    ),
+    Q(
       "text_token_stats",
       // Top-5 tokens per language: explode → two-phase count → grouped
       // top-k window.

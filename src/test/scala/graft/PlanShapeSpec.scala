@@ -342,6 +342,51 @@ class PlanShapeSpec extends AnyFunSuite {
       s"all-pairs shape in the verify plan:\n$plan")
   }
 
+  test("winnowing runs off ONE doc_id exchange and the native token hash") {
+    val plan = planOf("text_winnowing_fingerprints")
+    // one hashpartitioning exchange on doc_id serves both window passes
+    // (frame argmin + doc max); the only other exchanges are the
+    // distinct's and the output sort's
+    val hashEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 doc_id exchange, got $hashEx:\n$plan")
+    assert(plan.contains("portable_token_hashes"),
+      "winnowing must hash tokens with the fused native kernel")
+  }
+
+  test("binary hamming top-k broadcasts the query sketches, corpus map-side") {
+    val plan = planOf("embed_binary_hamming_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "query sketches must broadcast (corpus side never exchanges pre-join)")
+    // the corpus scan must flow into the join without a shuffle: the only
+    // hashpartitioning exchange is the per-query window's
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"corpus must not shuffle before scoring:\n$plan")
+  }
+
+  test("pca power iteration exchanges only 64-cell aggregates, never vectors") {
+    val plan = planOf("embed_pca_power_iter")
+    // every hashpartitioning exchange keys on the 64-cell position (shown
+    // as `pos` or the optimizer's `_groupingexpression` alias of pos0+1);
+    // the corpus itself (vec_id / embedding) is NEVER an exchange key —
+    // per iteration only 64 aggregate cells cross the wire
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => e.contains("pos") || e.contains("_groupingexpression")),
+      s"unexpected exchange key:\n${exchanges.mkString("\n")}")
+    assert(exchanges.forall(e =>
+      !e.contains("vec_id") && !e.contains("embedding")),
+      s"corpus column used as exchange key:\n${exchanges.mkString("\n")}")
+  }
+
+  test("sql ASOF JOIN text lowers to the same single-shuffle window plan") {
+    val plan = planOf("sql_asof_join_syntax")
+    // the parser island's node must be GONE (lowered), leaving the
+    // union+window shape: one Window over the key partitioning
+    assert(!plan.contains("GraftAsOfJoin"), "logical node leaked to physical")
+    assert(plan.contains("Window"), "as-of lowering must be the window form")
+  }
+
   test("join_skew_aqe: OptimizeSkewedJoin splits the hot partition (skew=true)") {
     val confs = graft.ops.Joins.skewAqeConfs
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }

@@ -85,6 +85,42 @@ class TrainingExtrasSpec extends AnyFunSuite {
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
   }
 
+  test("winnowing guarantee: every w-window of grams contains a selection") {
+    val rows = q("text_winnowing_fingerprints").collect()
+    assert(rows.nonEmpty)
+    // consecutive selected positions within a doc can differ by at most
+    // w=4 — THE winnowing guarantee (a shared substring of >= w+k-1
+    // tokens always yields a shared fingerprint)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      val ps = rs.map(_.getLong(1)).sorted
+      ps.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1) - p(0) <= 4,
+          s"doc $doc gap ${p(0)}->${p(1)} breaks the guarantee")
+      }
+    }
+    // density: selection must COMPRESS the gram stream (theory: ~2/(w+1))
+    val grams = Tables(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).as("nt"))
+      .collect().map(r => math.max(r.getInt(0) - 2, 0).toLong).sum
+    assert(rows.length < grams * 0.6, s"selected ${rows.length} of $grams grams")
+  }
+
+  test("pca power iteration: unit loadings, positive bounded eigenvalue") {
+    val rows = q("embed_pca_power_iter").collect()
+    assert(rows.length === 64)
+    val norm = math.sqrt(rows.map(r => r.getDouble(1) * r.getDouble(1)).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loadings norm $norm not ~1")
+    val ev = rows.head.getDouble(2)
+    assert(rows.forall(_.getDouble(2) == ev))
+    // 0 < lambda-hat <= total variance (trace bound)
+    val trace = Tables(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(var_pop(col("v").cast("double")).as("vp"))
+      .collect().map(_.getDouble(1)).sum
+    assert(ev > 0 && ev <= trace + 1e-6, s"ev $ev outside (0, trace=$trace]")
+  }
+
   test("metadata row_index enumerates the sorted single-file write exactly") {
     val rows = q("scan_metadata_row_index").collect()
     val idx = rows.map(_.getLong(2))

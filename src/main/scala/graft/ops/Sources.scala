@@ -701,6 +701,43 @@ object Sources {
              |FROM supplier ORDER BY s_suppkey""".stripMargin)
     ),
     Q(
+      "sink_stats_file_pruning",
+      // Data skipping on the engine's own table format: every commit
+      // publishes per-file (min, max) stats of the key column in the
+      // manifest, and a filtered scan prunes whole files by interval
+      // BEFORE reading a byte — Iceberg/Delta min-max skipping in
+      // miniature, riding the same SupportsPushDownFilters seam parquet
+      // uses. Four range-banded single-file commits, then a one-band
+      // read: the plan touches 1 of 4 files (ManifestSinkSpec pins the
+      // pruned counts; pruning can only SKIP — Spark re-evaluates every
+      // filter on read — so results are provably unchanged). At 100 TB
+      // this is the difference between a metadata lookup and a full scan
+      // for every keyed query on a landed table.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val t = tmpDir("graft_skip_")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        // landing layout: 4 key bands, one file each (the scalar max is a
+        // layout decision at write time, not a per-row collect)
+        val maxk = o.agg(max(col("o_orderkey"))).head.getLong(0)
+        val q1 = maxk / 4
+        def land(lo: Long, hi: Long, mode: String): Unit =
+          o.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+            .coalesce(1).write.format(fmt).option("path", t).mode(mode).save()
+        land(Long.MinValue, q1, "overwrite")
+        land(q1, 2 * q1, "append")
+        land(2 * q1, 3 * q1, "append")
+        land(3 * q1, Long.MaxValue, "append")
+        s.read.format(fmt).option("path", t).load()
+          .filter(col("o_orderkey") <= q1)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "stream_from_table_feed",
       // The manifest format as a STREAMING SOURCE: the snapshot log is
       // the change feed (offsets = manifest versions, a micro-batch

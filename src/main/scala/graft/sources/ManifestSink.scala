@@ -9,8 +9,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,14 +72,19 @@ class ManifestSink extends TableProvider {
 
 object ManifestSink {
   /** Full manifest state: schema, data files with their commit sequence,
-    * equality-delete files with theirs, and idempotence txn ids.
+    * equality-delete files with theirs, idempotence txn ids, and optional
+    * per-file (min, max) stats of the FIRST column (when BIGINT) — the
+    * data-skipping index: a filtered scan prunes whole files by interval
+    * before reading a byte, Iceberg/Delta's min-max skipping in miniature.
     */
   final case class State(schema: StructType, files: Seq[(String, Int)],
-      deletes: Seq[(String, Int)], txns: Set[String])
+      deletes: Seq[(String, Int)], txns: Set[String],
+      stats: Map[String, (Long, Long)] = Map.empty)
 
   /** Line format: line 1 = schema JSON; `#txn:<id>` idempotence tokens;
     * `#del:<seq>:<file>` equality-delete files; `<seq>:<file>` data files
-    * (legacy bare `<file>` lines read as seq 1).
+    * (legacy bare `<file>` lines read as seq 1), optionally suffixed
+    * `#s:<min>:<max>` with first-column stats.
     */
   def readState(dir: String, versionAsOf: Option[Int] = None): Option[State] = {
     val p = versionAsOf
@@ -91,6 +97,18 @@ object ManifestSink {
       var files = Seq.empty[(String, Int)]
       var dels = Seq.empty[(String, Int)]
       var txns = Set.empty[String]
+      var stats = Map.empty[String, (Long, Long)]
+      // strip + record a `#s:<min>:<max>` stats suffix from a file token
+      def unstat(f: String): String = {
+        val i = f.indexOf("#s:")
+        if (i < 0) f
+        else {
+          val name = f.substring(0, i)
+          val Array(mn, mx) = f.substring(i + 3).split(":", 2)
+          stats += name -> ((mn.toLong, mx.toLong))
+          name
+        }
+      }
       lines.tail.filter(_.nonEmpty).foreach {
         case t if t.startsWith("#txn:") => txns += t.stripPrefix("#txn:")
         case d if d.startsWith("#del:") =>
@@ -99,10 +117,10 @@ object ManifestSink {
           dels :+= ((rest.substring(i + 1), rest.substring(0, i).toInt))
         case f if f.contains(":") =>
           val i = f.indexOf(':')
-          files :+= ((f.substring(i + 1), f.substring(0, i).toInt))
-        case legacy => files :+= ((legacy, 1))
+          files :+= ((unstat(f.substring(i + 1)), f.substring(0, i).toInt))
+        case legacy => files :+= ((unstat(legacy), 1))
       }
-      Some(State(schema, files, dels, txns))
+      Some(State(schema, files, dels, txns, stats))
     }
   }
 
@@ -118,7 +136,11 @@ object ManifestSink {
     val body = (state.schema.json +:
       (state.txns.toSeq.sorted.map("#txn:" + _) ++
         state.deletes.map { case (f, q) => s"#del:$q:$f" } ++
-        state.files.map { case (f, q) => s"$q:$f" }))
+        state.files.map { case (f, q) =>
+          val suffix = state.stats.get(f)
+            .map { case (mn, mx) => s"#s:$mn:$mx" }.getOrElse("")
+          s"$q:$f$suffix"
+        }))
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     // every publish is ALSO a retained snapshot (manifest.v<N>.json) — the
     // time-travel log; manifest.json stays the "current" pointer. BOTH land
@@ -163,6 +185,41 @@ object ManifestSink {
     val (keep, drop) = names.partition(referenced)
     drop.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
     (drop.size, keep.size)
+  }
+
+  /** Interval test for a prunable first-column filter: `Some(pred)` where
+    * `pred((min, max))` answers "may this file contain a matching row?";
+    * `None` = the filter can't prune (wrong column, wrong shape). Only
+    * ever used to SKIP files whose stats prove emptiness — Spark still
+    * evaluates every filter on the rows that are read.
+    */
+  def statsPredicate(f: sources.Filter, col: String)
+      : Option[((Long, Long)) => Boolean] = {
+    def lv(a: Any): Option[Long] = a match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    if (col.isEmpty) None
+    else f match {
+      case sources.EqualTo(c, v) if c == col =>
+        lv(v).map(x => b => x >= b._1 && x <= b._2)
+      case sources.GreaterThan(c, v) if c == col =>
+        lv(v).map(x => b => b._2 > x)
+      case sources.GreaterThanOrEqual(c, v) if c == col =>
+        lv(v).map(x => b => b._2 >= x)
+      case sources.LessThan(c, v) if c == col =>
+        lv(v).map(x => b => b._1 < x)
+      case sources.LessThanOrEqual(c, v) if c == col =>
+        lv(v).map(x => b => b._1 <= x)
+      case sources.In(c, vs) if c == col && vs.nonEmpty =>
+        val longs = vs.flatMap(lv(_))
+        Option.when(longs.length == vs.length)(
+          b => longs.exists(x => x >= b._1 && x <= b._2))
+      case _ => None
+    }
   }
 
   /** Highest retained snapshot version, 0 if none. */
@@ -224,6 +281,18 @@ object ManifestTableAccess {
       .planInputPartitions(
         ManifestVersionOffset(fromVersion), ManifestVersionOffset(toVersion))
       .map(_.asInstanceOf[ManifestFilePartition].path).toSeq
+
+  /** Plan a batch scan with the given pushed filters — the spec handle on
+    * min/max file pruning (returns the file paths that would be read).
+    */
+  def prunedPlan(dir: String, schema: StructType,
+      filters: Seq[sources.Filter]): Seq[String] = {
+    val sb = new ManifestTable(dir, schema)
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb.asInstanceOf[SupportsPushDownFilters].pushFilters(filters.toArray)
+    sb.build().toBatch.planInputPartitions()
+      .map(_.asInstanceOf[ManifestFilePartition].path).toSeq
+  }
 }
 
 private[sources] class ManifestTable(dir: String, writeSchema: StructType,
@@ -273,24 +342,44 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownFilters {
       // time travel: versionAsOf (read option) or a catalog-pinned version
       // (SQL `VERSION AS OF n` → TableCatalog.loadTable(ident, version))
       // pins the scan to a retained snapshot
       private val state = ManifestSink.readState(dir,
         Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion))
       private val readSch = state.map(_.schema).getOrElse(writeSchema)
+
+      // ---- data skipping: first-column filters prune whole files by the
+      // manifest's (min, max) stats before a byte is read. Spark still
+      // re-evaluates every filter (pushFilters returns them all), so
+      // pruning can only SKIP — never change — results.
+      private var pruning: Array[sources.Filter] = Array.empty
+      override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        val statCol = readSch.fields.headOption
+          .filter(_.dataType == LongType).map(_.name).getOrElse("")
+        pruning = filters.filter(f => ManifestSink.statsPredicate(f, statCol).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[sources.Filter] = pruning
+
       override def build(): Scan = this
       override def readSchema(): StructType = readSch
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
         state.map { st =>
-          st.files.map { case (f, seq) =>
-            // sequence rule: a delete applies only to OLDER data files
-            val dels = st.deletes.collect {
-              case (df, dseq) if dseq > seq => s"$dir/data/$df"
-            }
-            ManifestFilePartition(s"$dir/data/$f", dels): InputPartition
+          val statCol = readSch.fields.headOption
+            .filter(_.dataType == LongType).map(_.name).getOrElse("")
+          val preds = pruning.flatMap(ManifestSink.statsPredicate(_, statCol))
+          st.files.collect {
+            // a file is skipped only when its stats PROVE no row matches;
+            // files without stats (legacy / non-BIGINT key) always read
+            case (f, seq) if st.stats.get(f).forall(b => preds.forall(_(b))) =>
+              // sequence rule: a delete applies only to OLDER data files
+              val dels = st.deletes.collect {
+                case (df, dseq) if dseq > seq => s"$dir/data/$df"
+              }
+              ManifestFilePartition(s"$dir/data/$f", dels): InputPartition
           }.toArray
         }.getOrElse(Array.empty)
       override def createReaderFactory(): PartitionReaderFactory =
@@ -405,7 +494,8 @@ private[sources] class ManifestWriteBuilder(dir: String, schema: StructType,
   }
 }
 
-private[sources] case class CommittedFile(name: Option[String])
+private[sources] case class CommittedFile(name: Option[String],
+    stats: Option[(Long, Long)] = None)
     extends WriterCommitMessage
 
 private[sources] case class CommittedDelta(
@@ -425,7 +515,9 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
   // sink-side crash) finds its id already in the manifest and publishes
   // nothing — its fresh files are deleted, the manifest is untouched.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case CommittedFile(Some(f)) => f }.toSeq
+    val freshMsgs = messages.collect { case CommittedFile(Some(f), st) => (f, st) }.toSeq
+    val fresh = freshMsgs.map(_._1)
+    val freshStats = freshMsgs.collect { case (f, Some(st)) => f -> st }.toMap
     // prior state is ALWAYS read — a truncate discards prior files and
     // deletes but must still CARRY the txn set forward (ADVICE r6):
     // otherwise a re-delivered overwrite with the same txnId republishes,
@@ -439,14 +531,17 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
       val seq = ManifestSink.latestVersion(dir) + 1
       val keptFiles = if (truncate) Seq.empty else prior.map(_.files).getOrElse(Seq.empty)
       val keptDels = if (truncate) Seq.empty else prior.map(_.deletes).getOrElse(Seq.empty)
+      val keptStats = if (truncate) Map.empty[String, (Long, Long)]
+        else prior.map(_.stats).getOrElse(Map.empty)
       ManifestSink.writeState(dir, ManifestSink.State(schema,
-        keptFiles ++ fresh.map((_, seq)), keptDels, priorTxns ++ txnId))
+        keptFiles ++ fresh.map((_, seq)), keptDels, priorTxns ++ txnId,
+        keptStats ++ freshStats))
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CommittedFile(Some(f)) =>
+      case CommittedFile(Some(f), _) =>
         Files.deleteIfExists(Paths.get(dir, "data", f)); ()
       case _ => ()
     }
@@ -544,6 +639,11 @@ private[sources] class ManifestWriterFactory(dir: String, schema: StructType)
       private val fileName = s"part-$partitionId-$taskId-${util.UUID.randomUUID()}.tsv"
       private var out: java.io.BufferedWriter = _
       private var n = 0L
+      // first-column min/max collected WHILE streaming (zero extra pass) —
+      // the per-file data-skipping stats the job commit publishes
+      private val statable = schema.fields.headOption.exists(_.dataType == LongType)
+      private var mn = Long.MaxValue
+      private var mx = Long.MinValue
 
       // rows STREAM to the uniquely-named file (O(1) task memory — never
       // buffer a partition); the file stays invisible until the driver's
@@ -555,12 +655,19 @@ private[sources] class ManifestWriterFactory(dir: String, schema: StructType)
             Paths.get(dir, "data", fileName), StandardCharsets.UTF_8)
         }
         out.write(ManifestSink.encode(row, schema)); out.write('\n')
+        if (statable && !row.isNullAt(0)) {
+          val v = row.getLong(0)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
         n += 1
       }
 
       override def commit(): WriterCommitMessage = {
         if (out != null) out.close()
-        if (n == 0) CommittedFile(None) else CommittedFile(Some(fileName))
+        if (n == 0) CommittedFile(None)
+        else CommittedFile(Some(fileName),
+          Option.when(statable && mn <= mx)((mn, mx)))
       }
 
       // task abort: remove this attempt's file; a CRASHED attempt (no

@@ -258,4 +258,39 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(Files.list(dataDir).count() == 0)
     assert(ManifestSink.readManifest(dir).isEmpty)
   }
+
+  test("min/max stats prune files by interval; statless files always read") {
+    import org.apache.spark.sql.sources
+    val dir = freshDir()
+    def land(mode: String, from: Long, until: Long): Unit =
+      (from until until).map(i => (i, i * 1.5, s"s$i")).toDF("k", "v", "s")
+        .repartition(1)
+        .write.format("graft.sources.ManifestSink").option("path", dir)
+        .mode(mode).save()
+    land("overwrite", 0, 10)  // file A: k ∈ [0, 9]
+    land("append", 10, 20)    // file B: [10, 19]
+    land("append", 20, 30)    // file C: [20, 29]
+    val schema = readVia(dir).schema
+    def planWith(fs: sources.Filter*) =
+      graft.sources.ManifestTableAccess.prunedPlan(dir, schema, fs)
+    assert(planWith().size == 3, "no filter → all files")
+    assert(planWith(sources.EqualTo("k", 25L)).size == 1)
+    assert(planWith(sources.LessThan("k", 10L)).size == 1)
+    assert(planWith(sources.GreaterThanOrEqual("k", 10L)).size == 2)
+    assert(planWith(sources.In("k", Array(5L, 25L))).size == 2)
+    assert(planWith(sources.EqualTo("k", 1000L)).isEmpty,
+      "a filter outside every interval reads NOTHING")
+    // non-first-column filters never prune
+    assert(planWith(sources.EqualTo("v", 1.5)).size == 3)
+    // pruning must only SKIP, never change results: filtered read equals
+    // the full read filtered
+    val got = readVia(dir).filter($"k" >= 10 && $"k" < 20)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(10L until 20L))
+    // back-compat: a manifest WITHOUT stats (legacy layout) reads fully
+    val st = ManifestSink.readState(dir).get
+    ManifestSink.writeState(dir, st.copy(stats = Map.empty))
+    assert(planWith(sources.EqualTo("k", 25L)).size == 3,
+      "statless files must never be skipped")
+  }
 }

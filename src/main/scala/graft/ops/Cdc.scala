@@ -88,6 +88,52 @@ object Cdc {
               |ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "cdc_column_diff",
+      // Column-LEVEL change capture (the row-level reconcile's companion):
+      // for keys whose payload drifted between the old replica and the
+      // current snapshot, name WHICH columns changed — the audit a
+      // replication consumer needs to invalidate downstream columns
+      // selectively instead of reprocessing whole rows. Null-safe
+      // comparisons per column, concat_ws drops the unchanged ones (NULL
+      // branches) in both engines. Scale shape: two keyed folds + one
+      // co-partitioned equi-join on the fold key — the join reuses the
+      // folds' hash partitioning, so no extra exchange at 100 TB.
+      (s, dir) => {
+        val ch = changes(s, dir)
+        val replica = Merge.fold(
+            ch.filter(col("ts") < lit("2024-01-15").cast("timestamp_ntz")),
+            Seq("user_id"), "ts", "event_id")
+          .select(col("user_id").as("r_key"), col("ts").as("r_ts"),
+            col("value").as("r_value"), col("event_id").as("r_event_id"))
+        val snapshot = Merge.fold(ch, Seq("user_id"), "ts", "event_id")
+          .select(col("user_id").as("s_key"), col("ts").as("s_ts"),
+            col("value").as("s_value"), col("event_id").as("s_event_id"))
+        replica.join(snapshot, col("r_key") === col("s_key"))
+          .withColumn("changed_cols", concat_ws(",",
+            when(!(col("r_ts") <=> col("s_ts")), lit("ts")),
+            when(!(col("r_value") <=> col("s_value")), lit("value")),
+            when(!(col("r_event_id") <=> col("s_event_id")), lit("event_id"))))
+          .filter(col("changed_cols") =!= "")
+          .select(col("r_key").as("user_id"), col("changed_cols"),
+            col("r_event_id"), col("s_event_id"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""WITH replica AS (${foldSql("ts < TIMESTAMP '2024-01-15'")}),
+              |snapshot AS (${foldSql("TRUE")}),
+              |diff AS (
+              |  SELECT r.user_id AS user_id,
+              |         concat_ws(',',
+              |           CASE WHEN r.ts IS DISTINCT FROM s.ts THEN 'ts' END,
+              |           CASE WHEN r.value IS DISTINCT FROM s.value THEN 'value' END,
+              |           CASE WHEN r.event_id IS DISTINCT FROM s.event_id THEN 'event_id' END)
+              |           AS changed_cols,
+              |         r.event_id AS r_event_id, s.event_id AS s_event_id
+              |  FROM replica r JOIN snapshot s ON r.user_id = s.user_id)
+              |SELECT user_id, changed_cols, r_event_id, s_event_id
+              |FROM diff WHERE changed_cols <> ''
+              |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "cdc_incremental_fold",
       // Fold three ordered incremental batches onto a base snapshot through
       // Merge.applyDelta. Must equal the one-shot fold of the whole feed

@@ -121,4 +121,23 @@ class CdcSpec extends AnyFunSuite {
     assert(rec === clean)
     assert(cursor.read() === Some(2L))
   }
+
+  test("column diff keys are exactly the reconcile's 'changed' keys") {
+    // the column-level diff and the row-level reconcile must agree on WHICH
+    // keys drifted: a key appears in cdc_column_diff iff the reconcile
+    // classifies it 'changed' (both sides present, payload differs)
+    val dir = SparkTestBase.sfDir
+    val diffKeys = SparkEntry.queries("cdc_column_diff")(spark, dir)
+      .select("user_id").as[Long].collect().toSet
+    val changedKeys = SparkEntry.queries("cdc_snapshot_reconcile")(spark, dir)
+      .filter($"status" === "changed")
+      .select("user_id").as[Long].collect().toSet
+    assert(diffKeys === changedKeys)
+    // and every reported row names at least one changed column from the
+    // payload column set
+    val cols = SparkEntry.queries("cdc_column_diff")(spark, dir)
+      .select("changed_cols").as[String].collect()
+    assert(cols.nonEmpty)
+    assert(cols.forall(_.split(",").forall(Set("ts", "value", "event_id"))))
+  }
 }

@@ -134,6 +134,41 @@ object Cdc {
               |ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "cdc_replication_lag",
+      // Replica staleness distribution: for every key live in BOTH the old
+      // replica and the current snapshot, days between the replica's row
+      // version and the snapshot's — bucketed into a histogram. "How stale
+      // is my replica" is the standing ops question for an incremental
+      // sync; the histogram shape (mass at 0 vs a long tail) tells whether
+      // a backlog is global or a few hot keys. Day arithmetic on DATE
+      // casts keeps both engines integer-exact; output is two longs per
+      // bucket, so at 100 TB the driver receives a few dozen rows no
+      // matter the key count.
+      (s, dir) => {
+        val ch = changes(s, dir)
+        val replica = Merge.fold(
+            ch.filter(col("ts") < lit("2024-01-15").cast("timestamp_ntz")),
+            Seq("user_id"), "ts", "event_id")
+          .select(col("user_id").as("r_key"), col("ts").as("r_ts"))
+        val snapshot = Merge.fold(ch, Seq("user_id"), "ts", "event_id")
+          .select(col("user_id").as("s_key"), col("ts").as("s_ts"))
+        replica.join(snapshot, col("r_key") === col("s_key"))
+          .select(datediff(to_date(col("s_ts")), to_date(col("r_ts")))
+            .cast("long").as("staleness_days"))
+          .groupBy(col("staleness_days"))
+          .agg(count(lit(1)).as("n_keys"))
+          .orderBy(col("staleness_days"))
+      },
+      Some(s"""WITH replica AS (${foldSql("ts < TIMESTAMP '2024-01-15'")}),
+              |snapshot AS (${foldSql("TRUE")})
+              |SELECT CAST(date_diff('day', CAST(r.ts AS DATE), CAST(s.ts AS DATE)) AS BIGINT)
+              |         AS staleness_days,
+              |       count(*) AS n_keys
+              |FROM replica r JOIN snapshot s ON r.user_id = s.user_id
+              |GROUP BY 1
+              |ORDER BY staleness_days""".stripMargin)
+    ),
+    Q(
       "cdc_incremental_fold",
       // Fold three ordered incremental batches onto a base snapshot through
       // Merge.applyDelta. Must equal the one-shot fold of the whole feed

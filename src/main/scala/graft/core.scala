@@ -27,20 +27,37 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. We read it as a raw nanosecond long
-    * (`nanosAsLong`) and floor-divide to microseconds — exactly the
-    * truncation DuckDB applies when it reads the same file, so oracle SQL can
-    * use `ts` directly. The original nanos are kept as `ts_ns` for
-    * precision-sensitive operators.
+  /** `events.ts` ships in one of TWO parquet layouts across driver testdata
+    * generations: TIMESTAMP(NANOS) (rounds ≤7), which Spark's vectorized
+    * reader rejects and we read as a raw nanosecond long (`nanosAsLong`),
+    * or TIMESTAMP(MICROS) (round 8+), which reads as a plain timestamp.
+    * Both normalize to the SAME output contract — columns
+    * `(event_id, ts_ns, user_id, event_type, value, props, ts)` with
+    * `ts_ns` epoch nanos (exact nanos in the legacy layout, µs·1000 in the
+    * micros layout — matching DuckDB's `epoch_ns(ts)` on the same file
+    * either way) and `ts` a µs TIMESTAMP_NTZ (the truncation DuckDB applies
+    * too, so oracle SQL uses `ts` directly).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      // cast to NTZ: the rest of the fixtures read as TIMESTAMP_NTZ (naive
-      // parquet), and the DuckDB oracle sees naive TIMESTAMP too
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          // cast to NTZ: the rest of the fixtures read as TIMESTAMP_NTZ
+          // (naive parquet), and the DuckDB oracle sees naive TIMESTAMP too
+          .withColumn("ts",
+            timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        // µs layout: session TZ is pinned UTC everywhere (bench/verify/
+        // tests), so NTZ→TZ cast is the identity instant and unix_micros
+        // is exact
+        raw.withColumn("ts_ns",
+            expr("unix_micros(cast(ts as timestamp)) * 1000"))
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+          .select("event_id", "ts_ns", "user_id", "event_type", "value",
+            "props", "ts")
+    }
   }
 }
 

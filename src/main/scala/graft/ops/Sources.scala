@@ -613,7 +613,7 @@ object Sources {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = StructType(Seq(
           StructField("event_id", LongType),
-          StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw long
+          StructField("ts", LongType), // nanos-long wire layout (normalized)
           StructField("user_id", LongType),
           StructField("event_type", StringType),
           StructField("value", DoubleType),
@@ -622,7 +622,7 @@ object Sources {
         // object into one (the reference's download step does the same move)
         val stage = tmpDir("graft_stream_src_")
         java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(Streaming.normalizedEventsFile(s, dir)),
           java.nio.file.Paths.get(s"$stage/events.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         val name = "stream_src_counts"

@@ -772,6 +772,87 @@ object Aggregates {
     // and reproducible — train/val sampling pin (still spec-tested in
     // OperatorSpec for rate bounds and seed determinism).
     Q(
+      "sample_reservoir_topk",
+      // Distributed reservoir sampling, derandomized: priority = a
+      // multiplicative hash of the key, sample = the k smallest
+      // priorities. Identical in distribution to a classic reservoir
+      // (each key's priority is an iid-looking draw) but reproducible
+      // across engines, runs, and repartitioning. The plan is
+      // TakeOrderedAndProject — per-partition top-k heaps + one driver
+      // merge of k·partitions rows, never a global sort: the exact
+      // distributed analogue of merging per-worker reservoirs, and the
+      // shape that holds at 100 TB (k rows per partition move, not the
+      // table).
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .withColumn("pri", (col("o_orderkey") * 2654435761L + 40503L) % 1000003L)
+          .select(col("o_orderkey"), col("pri"), col("o_totalprice"))
+          .orderBy(col("pri"), col("o_orderkey"))
+          .limit(500)
+      },
+      Some("""SELECT o_orderkey,
+             |       (o_orderkey * 2654435761 + 40503) % 1000003 AS pri,
+             |       o_totalprice
+             |FROM orders ORDER BY pri, o_orderkey LIMIT 500""".stripMargin)
+    ),
+    Q(
+      "sample_stratified_quota",
+      // Exact per-stratum quotas (100 rows per order priority class) via
+      // rank over the same derandomized priority — the allocation shape
+      // for a class-balanced eval set. One shuffle on the stratum key,
+      // then per-partition rank + filter: at scale each stratum's quota
+      // selection is a bounded top-k inside its partitions, and the
+      // output is O(strata · quota) regardless of table size.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("pri"), col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .withColumn("pri", (col("o_orderkey") * 2654435761L + 40503L) % 1000003L)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 100)
+          .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+            col("o_orderkey"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey
+             |FROM (SELECT o_orderpriority, o_orderkey,
+             |             row_number() OVER (PARTITION BY o_orderpriority
+             |               ORDER BY (o_orderkey * 2654435761 + 40503) % 1000003,
+             |                        o_orderkey) AS rn
+             |      FROM orders) t
+             |WHERE rn <= 100
+             |ORDER BY o_orderpriority, rn""".stripMargin)
+    ),
+    Q(
+      "sample_weighted_priority",
+      // Priority sampling (Duffield–Lund–Thorup): weight-proportional
+      // sampling without replacement by taking the top-k of w/u, u a
+      // uniform draw — here u = (hash+1)/1000004, so every arithmetic
+      // step (int hash, int→double conversion, one divide, one divide)
+      // is IEEE-exact and the DuckDB oracle replays the SELECTION, not
+      // just the aggregate. Same TakeOrderedAndProject scale shape as
+      // sample_reservoir_topk; this is how a training mix oversamples
+      // high-value documents reproducibly.
+      (s, dir) => {
+        val h = (col("o_orderkey") * 2654435761L + 40503L) % 1000003L
+        Tables(s, dir, "orders")
+          .withColumn("qpri",
+            col("o_totalprice") / ((h + 1L).cast("double") / lit(1000004.0d)))
+          .select(col("o_orderkey"), util.r2(col("qpri")).as("qpri_r2"),
+            col("o_totalprice"), col("qpri"))
+          .orderBy(col("qpri").desc, col("o_orderkey"))
+          .limit(200)
+          .select(col("o_orderkey"), col("qpri_r2"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, floor(qpri * 100 + 0.5) / 100 AS qpri_r2, o_totalprice
+             |FROM (SELECT o_orderkey, o_totalprice,
+             |             o_totalprice / (CAST((o_orderkey * 2654435761 + 40503) % 1000003 + 1 AS DOUBLE)
+             |                             / CAST(1000004 AS DOUBLE)) AS qpri
+             |      FROM orders) t
+             |ORDER BY qpri DESC, o_orderkey LIMIT 200""".stripMargin)
+    ),
+    Q(
       "typed_dataset_agg",
       // The typed Dataset surface: case-class rows, groupByKey, a typed
       // Aggregator — compile-time field checks with the same partial-agg

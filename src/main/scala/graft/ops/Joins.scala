@@ -980,6 +980,36 @@ object Joins {
              |ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "subq_count_bug",
+      // The COUNT-on-empty decorrelation pitfall (the classic "COUNT
+      // bug"): a correlated `(SELECT count(*) ...)` must yield 0 — not
+      // NULL — for outer rows with NO matching inner rows, so naive
+      // inner-join decorrelation is wrong; the correct plan is an OUTER
+      // join + null-to-zero projection, which is exactly what Catalyst's
+      // RewriteCorrelatedScalarSubquery emits. Customers with zero
+      // urgent orders (the count=0 band) are the rows that only survive
+      // when the engine gets this right.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, n_urgent
+                |FROM (SELECT c_custkey,
+                |             (SELECT count(*) FROM orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_orderpriority = '1-URGENT') AS n_urgent
+                |      FROM customer c) t
+                |WHERE n_urgent <= 1
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, n_urgent
+             |FROM (SELECT c_custkey,
+             |             (SELECT count(*) FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_orderpriority = '1-URGENT') AS n_urgent
+             |      FROM customer c) t
+             |WHERE n_urgent <= 1
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
       "join_lateral_topn",
       // LATERAL correlated subquery: per-customer order stats computed by a
       // subquery that references the outer row. Catalyst decorrelates it

@@ -855,6 +855,78 @@ object SimOps {
               |FROM c GROUP BY label ORDER BY label""".stripMargin)
     ),
     Q(
+      "embed_centroid_mean_pool",
+      // Per-label mean-pooled centroid — the building block for class
+      // prototypes, IVF coarse quantizers, and drift monitoring. Float
+      // sums are order-dependent, so each component is pinned to exact
+      // 1e-4 integer units BEFORE the aggregate (the norm_quality cents
+      // trick, elementwise): the sum is then exact BIGINT arithmetic in
+      // any partition order, and the mean divides once at the end.
+      // posexplode → one two-phase HashAggregate on (label, pos): the
+      // shuffle carries 64 partial sums per (label × partition), never
+      // vectors — the same shape at 6k or 6B rows.
+      (s, dir) => {
+        Tables(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("u4",
+            expr("CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)"))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("u4")).as("s4"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos").cast("long").as("pos"),
+            expr("CAST(floor(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+              .as("centroid_q4"),
+            col("n").as("n_vecs"))
+          .orderBy(col("label"), col("pos"))
+      },
+      Some("""SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+             |       CAST(floor(CAST(sum(CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             |                  / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS centroid_q4,
+             |       count(*) AS n_vecs
+             |FROM embeddings, range(1, 65) t(i)
+             |GROUP BY label, i ORDER BY label, pos""".stripMargin)
+    ),
+    Q(
+      "embed_int8_quantize",
+      // Symmetric per-vector int8 quantization (scale = max|x|/127, the
+      // faiss/SQ8 layout): 4× memory cut for ANN serving. Every step —
+      // abs-max fold, one divide for the scale, one divide + half-up
+      // floor per component — is IEEE-exact, so the DuckDB oracle
+      // replays the QUANTIZED VALUES bit-for-bit, certified through
+      // integer checksums (sum / L1 / min / max) per vector. Per-row
+      // map work, no shuffle at any scale.
+      (s, dir) => {
+        Tables(s, dir, "embeddings")
+          .withColumn("amax",
+            expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+          .filter(col("amax") > 0)
+          .withColumn("scale", col("amax") / 127)
+          .withColumn("q",
+            expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))"))
+          .select(col("vec_id"),
+            expr("CAST(floor(scale * 1000000000 + 0.5) AS BIGINT)").as("scale_e9"),
+            expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+            expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("q_l1"),
+            expr("array_min(q)").as("q_min"),
+            expr("array_max(q)").as("q_max"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH sc AS (
+             |  SELECT vec_id, embedding,
+             |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127 AS scale
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, scale,
+             |         list_transform(embedding, x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT)) AS qv
+             |  FROM sc WHERE scale > 0)
+             |SELECT vec_id,
+             |       CAST(floor(scale * 1000000000 + 0.5) AS BIGINT) AS scale_e9,
+             |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+             |       list_min(qv) AS q_min,
+             |       list_max(qv) AS q_max
+             |FROM q ORDER BY vec_id""".stripMargin)
+    ),
+    Q(
       "embed_random_projection",
       // Johnson–Lindenstrauss sign projection 64 → 8 dims (Achlioptas ±1
       // matrix): the standard cheap dimension reduction run before LSH /

@@ -523,6 +523,37 @@ object TextOps {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_pack_sequences",
+      // Sequence packing for training: stream each source's docs (in
+      // stable doc_id order) into fixed 2048-token context windows —
+      // bin = cumulative-tokens-before-me div budget, the greedy packing
+      // every LLM data loader runs before batching. One window cumsum
+      // partitioned by source (each source sorts independently after one
+      // shuffle), then a two-phase aggregate per bin: at 100 TB both
+      // steps are the standard distributed window/agg shapes, and the
+      // output is O(corpus_tokens / budget), not O(docs).
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        Tables(s, dir, "documents")
+          .withColumn("tok", expr("(length(text) + 3) div 4"))
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("bin", expr("(cum - tok) div 2048"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""SELECT source, bin, count(*) AS n_docs,
+             |       CAST(sum(tok) AS BIGINT) AS bin_tokens,
+             |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM (SELECT source, doc_id, tok,
+             |             (CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - tok) // 2048 AS bin
+             |      FROM (SELECT source, doc_id, (length(text) + 3) // 4 AS tok
+             |            FROM documents) t1) t2
+             |GROUP BY source, bin ORDER BY source, bin""".stripMargin)
+    ),
+    Q(
       "text_fingerprint",
       // Positional document fingerprint: Σ (pos·(len(tok)+1)·φ) mod p —
       // order-sensitive, overflow-free, bitwise-identical cross-engine.

@@ -238,4 +238,42 @@ class OperatorSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(again === ivf)
   }
+
+  test("int8 quantize: reconstruction error bounded by half a quantization step") {
+    // q = round(x/scale) implies |x - q*scale| <= scale/2 per component
+    val rows = Tables(spark, dir, "embeddings")
+      .withColumn("amax",
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .filter(col("amax") > 0)
+      .withColumn("scale", col("amax") / 127)
+      .withColumn("maxerr",
+        expr("""aggregate(embedding, CAST(0 AS DOUBLE), (a, x) ->
+                greatest(a, abs(CAST(x AS DOUBLE) -
+                  CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) * scale)))"""))
+      .agg(max(expr("maxerr / scale")).as("worst"))
+      .as[Double].head()
+    assert(rows <= 0.5 + 1e-9, s"reconstruction error beyond half step: $rows")
+  }
+
+  test("sequence packing: every bin but a source's last holds >= budget - max_doc tokens") {
+    // greedy cumsum packing can undershoot a bin only by less than one doc
+    val packed = SparkEntry.queries("text_pack_sequences")(spark, dir)
+      .select("source", "bin", "bin_tokens").as[(String, Long, Long)].collect()
+    val lastBin = packed.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val maxDoc = Tables(spark, dir, "documents")
+      .agg(max(expr("(length(text) + 3) div 4"))).as[Long].head()
+    packed.filter(p => p._2 != lastBin(p._1)).foreach { case (src, bin, toks) =>
+      assert(toks >= 2048 - maxDoc && toks < 2048 + maxDoc,
+        s"bin $src/$bin holds $toks tokens (budget 2048, max doc $maxDoc)")
+    }
+  }
+
+  test("weighted priority sample: high-weight rows oversampled vs uniform") {
+    // the 200 selected orders' mean totalprice must exceed the table mean
+    // (priority sampling biases selection toward weight)
+    val sel = SparkEntry.queries("sample_weighted_priority")(spark, dir)
+      .agg(avg("o_totalprice")).as[Double].head()
+    val all = Tables(spark, dir, "orders").agg(avg("o_totalprice")).as[Double].head()
+    assert(sel > all, s"selected mean $sel not above table mean $all")
+  }
 }

@@ -980,6 +980,82 @@ object Joins {
              |ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "sql_tpch_q3",
+      // TPC-H Q3 (shipping priority), adapted to the fixture schema — the
+      // canonical 3-way star probe: one selective dimension filter
+      // (BUILDING customers, ~1/5) broadcast into orders, the result
+      // broadcast into lineitem, then a top-10 by revenue. Revenue is
+      // summed in exact CENTS (BIGINT) so the partition order of the
+      // float adds can never flip the ranking — at any scale the plan is
+      // two broadcast hash joins + one partial agg + TakeOrdered, with
+      // zero large-table shuffles until the final 10-row merge.
+      (s, dir) => {
+        val cust = Tables(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = Tables(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+          .select(col("l_orderkey"),
+            expr("CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)")
+              .as("rev_cents"))
+        li.join(broadcast(ord.join(broadcast(cust),
+            col("o_custkey") === col("c_custkey"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("rev_cents")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)
+    ),
+    Q(
+      "sql_tpch_q5",
+      // TPC-H Q5 (local supplier volume): the 6-way snowflake — region →
+      // nation → (customer, supplier) dimension chain folded into the
+      // orders⋈lineitem fact spine, with the co-nation constraint
+      // (c_nationkey = s_nationkey) that defeats naive join orders.
+      // Written as SQL so Catalyst's cost-based reorder + AQE pick the
+      // join order; the dimension chain is broadcast-sized at every
+      // scale, so the only shuffle is the lineitem⋈orders key exchange.
+      // Exact-cents revenue again makes the per-nation sums
+      // order-independent.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""SELECT n_name,
+                |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                |FROM customer, orders, lineitem, supplier, nation, region
+                |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                |  AND r_name = 'ASIA'
+                |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                |  AND o_orderdate < TIMESTAMP '1999-01-01'
+                |GROUP BY n_name
+                |ORDER BY revenue_cents DESC, n_name""".stripMargin)
+      },
+      Some("""SELECT n_name,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1999-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue_cents DESC, n_name""".stripMargin)
+    ),
+    Q(
       "subq_count_bug",
       // The COUNT-on-empty decorrelation pitfall (the classic "COUNT
       // bug"): a correlated `(SELECT count(*) ...)` must yield 0 — not

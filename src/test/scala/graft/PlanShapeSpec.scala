@@ -402,4 +402,16 @@ class PlanShapeSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("sql_tpch_q3 is a pure broadcast star: two BHJs, TakeOrdered, no SMJ") {
+    val plan = planOf("sql_tpch_q3")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan.take(400))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("SortMergeJoin"),
+      "the fact spine must never shuffle-sort against broadcast dims")
+  }
+
+  test("sample_reservoir_topk plans TakeOrderedAndProject (distributed reservoir)") {
+    assert(planOf("sample_reservoir_topk").contains("TakeOrderedAndProject"))
+  }
 }

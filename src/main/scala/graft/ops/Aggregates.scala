@@ -249,6 +249,114 @@ object Aggregates {
       }
     ),
     Q(
+      "stat_ks_twosample",
+      // Two-sample Kolmogorov–Smirnov statistic between the purchase and
+      // click value distributions — the distribution-drift test a data
+      // pipeline runs between corpus snapshots. D = max |F_a − F_b| over
+      // the pooled sample, computed with ONE sort-free trick: cumulative
+      // per-group counts via the default RANGE window frame (which
+      // includes ties identically in Spark and DuckDB), then a max over
+      // exact-integer ECDF differences (counts cross-multiplied instead
+      // of divided, so D's argmax is exact integer arithmetic; the
+      // statistic divides once at the end). One window sort + one agg —
+      // at scale this is a single range-partitioned sort of the pooled
+      // values.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .select(col("value"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("a"))
+        // per-value pre-aggregation FIRST (two-phase, shuffles only
+        // distinct values), so the ECDF window runs over the collapsed
+        // value domain, not the raw rows; ties are inherent in the
+        // collapse, so ROWS == RANGE. The production-scale variant
+        // range-partitions this prefix sum; the single ordered window
+        // over distinct values is the bounded-domain shortcut.
+        val cells = ev.groupBy(col("value"))
+          .agg(sum(col("a")).as("da"), sum(lit(1L) - col("a")).as("db"))
+        val w = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = ev.agg(sum(col("a")).as("na"),
+          sum(lit(1L) - col("a")).as("nb"))
+        cells
+          .withColumn("ca", sum(col("da")).over(w))
+          .withColumn("cb", sum(col("db")).over(w))
+          .crossJoin(broadcast(tot))
+          // |ca·nb − cb·na| is exact BIGINT (≤ n² < 2^63 up to ~3B rows)
+          .groupBy(col("na"), col("nb"))
+          .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("xnum"))
+          .select(col("na"), col("nb"),
+            expr("CAST(floor(CAST(xnum AS DOUBLE) / CAST(na AS DOUBLE) / CAST(nb AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+              .as("d_e6"))
+      },
+      Some("""WITH pooled AS (
+             |  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+             |  FROM events
+             |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+             |cells AS (
+             |  SELECT value, CAST(sum(a) AS BIGINT) AS da, CAST(sum(1 - a) AS BIGINT) AS db
+             |  FROM pooled GROUP BY value),
+             |cum AS (
+             |  SELECT CAST(sum(da) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             |         CAST(sum(db) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+             |  FROM cells),
+             |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(1 - a) AS BIGINT) AS nb FROM pooled)
+             |SELECT na, nb,
+             |       CAST(floor(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+             |                  / CAST(na AS DOUBLE) / CAST(nb AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS d_e6
+             |FROM cum, tot GROUP BY na, nb""".stripMargin)
+    ),
+    Q(
+      "stat_chi_square",
+      // Chi-square independence test on the event_type × user-parity
+      // contingency table: is event mix independent of the user segment?
+      // Observed counts come from ONE tiny two-phase aggregate; expected
+      // counts and per-cell terms are recomputed from the marginals in
+      // exact arithmetic, each term pinned to 1e-6 integer units BEFORE
+      // the final sum so the statistic is bitwise cross-engine. The
+      // contingency table is O(types × segments) — driver-sized at any
+      // data scale.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables.events(s, dir)
+          .groupBy(col("event_type"), (col("user_id") % 2).as("seg"))
+          .agg(count(lit(1)).as("obs"))
+        val withMarginals = cells
+          .withColumn("row_tot", sum(col("obs")).over(
+            Window.partitionBy(col("event_type"))))
+          .withColumn("col_tot", sum(col("obs")).over(
+            Window.partitionBy(col("seg"))))
+          .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+          .withColumn("exp",
+            col("row_tot").cast("double") * col("col_tot").cast("double") /
+              col("n").cast("double"))
+          .withColumn("term_e6",
+            expr("CAST(floor((CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp * 1000000 + 0.5) AS BIGINT)"))
+        withMarginals
+          .agg(count(lit(1)).as("n_cells"), sum(col("term_e6")).as("chi2_e6"))
+          .select(col("n_cells"), col("chi2_e6"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type, user_id % 2 AS seg, count(*) AS obs
+             |  FROM events GROUP BY event_type, user_id % 2),
+             |m AS (
+             |  SELECT obs,
+             |         CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS row_tot,
+             |         CAST(sum(obs) OVER (PARTITION BY seg) AS BIGINT) AS col_tot,
+             |         CAST(sum(obs) OVER () AS BIGINT) AS n
+             |  FROM cells),
+             |t AS (
+             |  SELECT CAST(floor((CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+             |                    * (CAST(obs AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+             |                    / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+             |                    * 1000000 + 0.5) AS BIGINT) AS term_e6
+             |  FROM m)
+             |SELECT count(*) AS n_cells, CAST(sum(term_e6) AS BIGINT) AS chi2_e6
+             |FROM t""".stripMargin)
+    ),
+    Q(
       "stat_countmin_heavyhitters",
       // Count-Min sketch heavy hitters: sketch built distributed over the
       // full stream, point estimates read for the candidate set (here the

@@ -263,6 +263,33 @@ object Sources {
              |FROM customer ORDER BY c_custkey""".stripMargin)
     ),
     Q(
+      "scan_xml_roundtrip",
+      // Spark 4's NATIVE XML file source (the spark-xml package folded
+      // into core): write a projection as row-tagged XML, read it back
+      // with an explicit schema — the enterprise-feed wire format
+      // fn_xml_extract parses per-row, here as a whole source. Monetary
+      // values travel as exact BIGINT cents (XML is a text format; never
+      // round-trip raw doubles through text in a pipeline). Identity
+      // oracle on the source projection.
+      (s, dir) => {
+        val tmp = tmpDir("graft_xmlsrc_")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+          .write.mode("overwrite").format("xml").option("rowTag", "order")
+          .save(tmp)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("cents", LongType)))
+        s.read.schema(schema).format("xml").option("rowTag", "order")
+          .load(tmp).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sink_csv_roundtrip",
       // CSV export/import fidelity: write with header, read back with an
       // explicit schema (never inference in a pipeline — a schema drift

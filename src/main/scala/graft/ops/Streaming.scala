@@ -195,6 +195,41 @@ object Streaming {
              |ORDER BY hour_start, event_type""".stripMargin)
     ),
     Q(
+      "stream_state_reader",
+      // Spark 4's state data source: the streaming state store read back
+      // as a BATCH DataFrame — the ops surface for debugging stuck
+      // stateful queries, state migrations, and offline state audits.
+      // A grouped aggregate runs to completion against a checkpoint
+      // (noop sink: the OUTPUT is discarded, the STATE is the product),
+      // then `read.format("statestore")` loads the last committed
+      // batch's store: key struct + aggregation buffer per group. The
+      // oracle is the equivalent batch fold — state after AvailableNow
+      // must equal the batch answer exactly (count + exact-cents sum).
+      (s, dir) => {
+        val ckpt = graft.util.tempDir("graft_statereader_ckpt_")
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val agg = eventsStream(s, stage(dir, 1))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("sum_cents"))
+          val q = agg.writeStream.outputMode("complete").format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        s.read.format("statestore").load(ckpt)
+          .select(col("key.event_type").as("event_type"),
+            col("value.count").as("n_events"),
+            col("value.sum").as("sum_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
       "stream_observed_metrics",
       // DQ on streams: `observe()` attaches named aggregates to the
       // streaming plan and each micro-batch reports them through

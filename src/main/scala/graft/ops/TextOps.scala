@@ -846,6 +846,74 @@ object TextOps {
              |FROM m ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "pipeline_eval_holdout",
+      // Eval-set preparation end-to-end: exact dedup → benchmark
+      // decontamination (any shared token 5-gram with the held-out
+      // sample disqualifies) → deterministic 5% train/val split by
+      // multiplicative hash → per-(source, split) corpus accounting.
+      // The fourth lifecycle row: where pipeline_training_mix ASSEMBLES
+      // a mix, this guards the measurement — leaked eval grams or an
+      // RNG split would silently inflate benchmark numbers at any
+      // scale. Same scale shapes as the component tiers: hash-keyed
+      // dedup shuffle, broadcast gram semi-join (the corpus side stays
+      // map-only), and a split that is pure key arithmetic — no RNG, no
+      // driver state, reproducible under any partitioning.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val dedup = docs.withColumn("rn", row_number().over(
+            Window.partitionBy(sha2(lower(trim(col("text"))), 256))
+              .orderBy(col("doc_id"))))
+          .filter(col("rn") === 1).drop("rn")
+        val grams = dedup
+          .select(col("doc_id"), MinHash.tokenCrcs(col("text")).as("crcs"))
+          .select(col("doc_id"),
+            explode(MinHash.shingleHashes(col("crcs"), 5, distinct = true, modP = false))
+              .as("gram"))
+        val evalGrams = grams.filter(col("doc_id") % 37 === 0)
+          .select(col("gram")).distinct()
+        val contaminated = grams.filter(col("doc_id") % 37 =!= 0)
+          .join(broadcast(evalGrams), Seq("gram"))
+          .select(col("doc_id")).distinct()
+        val clean = dedup.filter(col("doc_id") % 37 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        clean
+          .withColumn("split",
+            when((col("doc_id") * 2654435761L) % 20 === 0, "val")
+              .otherwise("train"))
+          .withColumn("tok", expr("(length(text) + 3) div 4"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""WITH dedup AS (
+             |  SELECT * FROM (
+             |    SELECT d.*, row_number() OVER (PARTITION BY lower(trim(text))
+             |                                   ORDER BY doc_id) AS rn
+             |    FROM documents d) t WHERE rn = 1),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, len(string_split(text, ' ')) - 3),
+             |    i -> string_split(text, ' ')[i] || ' ' ||
+             |         string_split(text, ' ')[i+1] || ' ' ||
+             |         string_split(text, ' ')[i+2] || ' ' ||
+             |         string_split(text, ' ')[i+3] || ' ' ||
+             |         string_split(text, ' ')[i+4]))) AS gram
+             |  FROM dedup),
+             |eval_grams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+             |contam AS (
+             |  SELECT DISTINCT g.doc_id FROM grams g JOIN eval_grams e USING (gram)
+             |  WHERE g.doc_id % 37 <> 0),
+             |clean AS (
+             |  SELECT * FROM dedup
+             |  WHERE doc_id % 37 <> 0
+             |    AND doc_id NOT IN (SELECT doc_id FROM contam))
+             |SELECT source,
+             |       CASE WHEN (doc_id * 2654435761) % 20 = 0 THEN 'val' ELSE 'train' END AS split,
+             |       count(*) AS n_docs,
+             |       CAST(sum((length(text) + 3) // 4) AS BIGINT) AS tokens
+             |FROM clean GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
+    ),
+    Q(
       "pipeline_training_mix",
       // The full training-data assembly line as ONE row: integer quality
       // gate → exact dedup → near-dup closure (connected components over

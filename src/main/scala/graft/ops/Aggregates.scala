@@ -249,6 +249,45 @@ object Aggregates {
       }
     ),
     Q(
+      "agg_skew_twostage",
+      // Salted two-stage aggregation — the agg-side twin of
+      // join_skew_salted: when one group key holds most of the rows
+      // (here 75% synthesized onto key 0), the single hash-aggregate
+      // exchange funnels that key's entire partial stream through one
+      // reducer. Stage 1 groups on (key, salt) — a DETERMINISTIC salt
+      // (orderkey mod 16), not an RNG, so the result is reproducible —
+      // fanning the hot key over 16 reducers; stage 2 merges the 16
+      // sub-aggregates per key. Works because count/sum are associative
+      // and the money math is exact BIGINT cents; avg divides once after
+      // the merge. The oracle is the PLAIN one-stage group-by — salting
+      // must be invisible in the result.
+      (s, dir) => {
+        val skewKey = when(col("o_orderkey") % 4 =!= 0, lit(0L))
+          .otherwise(col("o_orderkey") % 100)
+        val staged = Tables(s, dir, "orders")
+          .withColumn("k", skewKey)
+          .withColumn("salt", col("o_orderkey") % 16)
+          .withColumn("cents",
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .groupBy(col("k"), col("salt"))
+          .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+        staged.groupBy(col("k"))
+          .agg(sum(col("pn")).as("n_orders"), sum(col("pc")).as("sum_cents"))
+          .select(col("k"), col("n_orders"), col("sum_cents"),
+            util.r2(col("sum_cents").cast("double") /
+              col("n_orders").cast("double") / 100).as("avg_price"))
+          .orderBy(col("k"))
+      },
+      Some(s"""SELECT k, count(*) AS n_orders,
+              |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+              |       ${util.r2sql("CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100")} AS avg_price
+              |FROM (SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 0
+              |                  ELSE o_orderkey % 100 END AS k,
+              |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              |      FROM orders) t
+              |GROUP BY k ORDER BY k""".stripMargin)
+    ),
+    Q(
       "stat_ks_twosample",
       // Two-sample Kolmogorov–Smirnov statistic between the purchase and
       // click value distributions — the distribution-drift test a data

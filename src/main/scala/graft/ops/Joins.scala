@@ -1431,6 +1431,44 @@ object Joins {
               |GROUP BY s_name ORDER BY s_name""".stripMargin)
     ),
     Q(
+      "join_aqe_bhj_conversion",
+      // AQE's runtime join demotion: the STATIC planner is denied
+      // broadcasts (threshold -1, as when stale/absent stats undersize
+      // nothing), so the initial plan is a shuffle join — then AQE's
+      // accurate map-output statistics convert it to a BroadcastHashJoin
+      // at runtime via the adaptive threshold. This is how a 100 TB
+      // cluster recovers broadcast plans without table statistics; the
+      // conversion also elides the probe-side shuffle read
+      // (localShuffleReader). Materialized eagerly so the join runs
+      // while the confs hold (the join_skew_aqe discipline); the result
+      // must equal the plain join, broadcast or not.
+      (s, dir) => {
+        val confs = Seq(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "8m")
+        val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        try {
+          confs.foreach { case (k, v) => s.conf.set(k, v) }
+          Tables(s, dir, "customer")
+            .join(Tables(s, dir, "nation"),
+              col("c_nationkey") === col("n_nationkey"))
+            .groupBy(col("n_name"))
+            .agg(count(lit(1)).as("n_customers"),
+              sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+                .as("bal_cents"))
+            .orderBy(col("n_name"))
+            .localCheckpoint(true)
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""SELECT n_name, count(*) AS n_customers,
+             |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    ),
+    Q(
       "join_cross",
       (s, dir) => {
         Tables(s, dir, "region")

@@ -855,6 +855,75 @@ object SimOps {
               |FROM c GROUP BY label ORDER BY label""".stripMargin)
     ),
     Q(
+      "embed_knn_classify",
+      // k-NN label prediction with leave-queries-out evaluation: every
+      // 50th vector is a query, its label predicted by majority vote of
+      // the 5 nearest non-query neighbors by cosine (ties → smaller
+      // label), scored against the true label. The eval loop every
+      // embedding drop runs before serving — and the same
+      // broadcast-queries/corpus-stays-put shape as sim_cosine_topk, so
+      // the corpus is never shuffled at any scale; the vote is a tiny
+      // two-phase aggregate over k·queries rows.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = broadcast(querySet(emb).withColumn("q_norm", norm(col("q_emb"))))
+        val c = emb.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+            col("label").as("n_label"))
+          .withColumn("c_norm", norm(col("c_emb")))
+        val scored = q.crossJoin(c)
+          .withColumn("cos",
+            dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        val top5 = scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+          .filter(col("rank") <= 5)
+        val votes = top5.groupBy(col("query_id"), col("n_label"))
+          .agg(count(lit(1)).as("votes"))
+        val pred = votes
+          .withColumn("vr", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("votes").desc, col("n_label").asc)))
+          .filter(col("vr") === 1)
+          .select(col("query_id"), col("n_label").as("pred_label"), col("votes"))
+        pred
+          .join(broadcast(emb.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("query_id"), col("label").as("true_label"))),
+            Seq("query_id"))
+          .select(col("query_id"), col("pred_label"), col("true_label"),
+            (col("pred_label") === col("true_label")).as("correct"), col("votes"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS q_norm
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |c AS (
+              |  SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS n_label,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS c_norm
+              |  FROM embeddings WHERE vec_id % 50 <> 0),
+              |top5 AS (
+              |  SELECT query_id, n_label FROM (
+              |    SELECT query_id, n_label,
+              |           row_number() OVER (PARTITION BY query_id
+              |             ORDER BY $dotSql / (q_norm * c_norm) DESC, neighbor_id ASC) AS rank
+              |    FROM q CROSS JOIN c) t WHERE rank <= 5),
+              |votes AS (
+              |  SELECT query_id, n_label, count(*) AS votes
+              |  FROM top5 GROUP BY query_id, n_label),
+              |pred AS (
+              |  SELECT query_id, n_label AS pred_label, votes FROM (
+              |    SELECT query_id, n_label, votes,
+              |           row_number() OVER (PARTITION BY query_id
+              |             ORDER BY votes DESC, n_label ASC) AS vr
+              |    FROM votes) t WHERE vr = 1)
+              |SELECT p.query_id, p.pred_label, q.true_label,
+              |       p.pred_label = q.true_label AS correct, p.votes
+              |FROM pred p JOIN q USING (query_id)
+              |ORDER BY p.query_id""".stripMargin)
+    ),
+    Q(
       "embed_centroid_mean_pool",
       // Per-label mean-pooled centroid — the building block for class
       // prototypes, IVF coarse quantizers, and drift monitoring. Float

@@ -108,6 +108,36 @@ object Joins {
       .orderBy(col("s_name"))
   }
 
+  /** Confs for `join_aqe_bhj_conversion`: deny the STATIC planner any
+    * broadcast, allow AQE's runtime-stats threshold — restored after the
+    * body runs (callers must materialize eagerly inside).
+    */
+  private[graft] def withAqeBhjConfs[T](s: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "8m")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => s.conf.set(k, v) }; body }
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The join under test for `join_aqe_bhj_conversion` (also plan-pinned
+    * in PlanShapeSpec): dimension join that AQE must convert to a
+    * BroadcastHashJoin at runtime under [[withAqeBhjConfs]].
+    */
+  private[graft] def aqeBhjJoin(s: SparkSession, dir: String) =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+          .as("bal_cents"))
+      .orderBy(col("n_name"))
+
   val defs: Seq[Q] = Seq(
     Q(
       "join_bloom_pruned",
@@ -1442,27 +1472,7 @@ object Joins {
       // (localShuffleReader). Materialized eagerly so the join runs
       // while the confs hold (the join_skew_aqe discipline); the result
       // must equal the plain join, broadcast or not.
-      (s, dir) => {
-        val confs = Seq(
-          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "8m")
-        val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-        try {
-          confs.foreach { case (k, v) => s.conf.set(k, v) }
-          Tables(s, dir, "customer")
-            .join(Tables(s, dir, "nation"),
-              col("c_nationkey") === col("n_nationkey"))
-            .groupBy(col("n_name"))
-            .agg(count(lit(1)).as("n_customers"),
-              sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
-                .as("bal_cents"))
-            .orderBy(col("n_name"))
-            .localCheckpoint(true)
-        } finally prev.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None) => s.conf.unset(k)
-        }
-      },
+      (s, dir) => withAqeBhjConfs(s)(aqeBhjJoin(s, dir).localCheckpoint(true)),
       Some("""SELECT n_name, count(*) AS n_customers,
              |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
              |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -414,4 +414,15 @@ class PlanShapeSpec extends AnyFunSuite {
   test("sample_reservoir_topk plans TakeOrderedAndProject (distributed reservoir)") {
     assert(planOf("sample_reservoir_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("join_aqe_bhj_conversion: AQE converts the denied-broadcast join to BHJ at runtime") {
+    ops.Joins.withAqeBhjConfs(spark) {
+      val df = ops.Joins.aqeBhjJoin(spark, dir)
+      df.collect() // AQE finalizes only on execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AdaptiveSparkPlan"), plan.take(200))
+      assert(plan.contains("BroadcastHashJoin"),
+        "AQE did not convert the shuffle join to a broadcast join:\n" + plan.take(800))
+    }
+  }
 }

@@ -334,6 +334,47 @@ object Extensions {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sink_wap_publish",
+      // Write-Audit-Publish on the engine's table format — the Iceberg
+      // WAP pattern: batch 2 commits to a BRANCH pointer (same data dir,
+      // second manifest pointer — O(pointer), no copies), main readers
+      // keep seeing only batch 1 while the audit runs AGAINST THE BRANCH
+      // (row count + key-range constraint checks here), and only then
+      // does publishBranch atomically promote the staged state to a real
+      // commit (v-snapshot + current pointer flip) and drop the branch.
+      // A failed audit would dropBranch instead and vacuum reclaims the
+      // staged files — bad data is never visible to a main reader at any
+      // point. Oracle: the two batches split orders, so the published
+      // view is the full projection.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val out = graft.util.tempDir("graft_wap_")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        // stage batch 2 on the audit branch — main must not move
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.format(fmt).option("path", out).option("branch", "audit")
+          .mode("append").save()
+        val mainBefore = s.read.format(fmt).option("path", out).load().count()
+        val staged = s.read.format(fmt).option("path", out)
+          .option("branch", "audit").load()
+        // the audit: full row count, no null/negative keys on the branch
+        val audit = staged.agg(count(lit(1)).as("n"),
+          count(when(col("o_orderkey").isNull || col("o_orderkey") < 0, 1))
+            .as("bad")).collect()(0)
+        require(audit.getLong(1) == 0, "audit failed: bad keys on branch")
+        require(mainBefore < audit.getLong(0),
+          "staged rows leaked into main before publish")
+        graft.sources.ManifestSink.publishBranch(out, "audit")
+        s.read.format(fmt).option("path", out).load()
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sql_merge_into",
       // SQL MERGE INTO on the engine's own table format — the reference's
       // entire job (CD2 incremental upsert/delete) as ONE standard SQL

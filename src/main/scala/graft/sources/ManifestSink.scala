@@ -86,10 +86,12 @@ object ManifestSink {
     * (legacy bare `<file>` lines read as seq 1), optionally suffixed
     * `#s:<min>:<max>` with first-column stats.
     */
-  def readState(dir: String, versionAsOf: Option[Int] = None): Option[State] = {
-    val p = versionAsOf
+  def readState(dir: String, versionAsOf: Option[Int] = None): Option[State] =
+    parseState(versionAsOf
       .map(v => Paths.get(dir, s"manifest.v$v.json"))
-      .getOrElse(Paths.get(dir, "manifest.json"))
+      .getOrElse(Paths.get(dir, "manifest.json")))
+
+  private def parseState(p: java.nio.file.Path): Option[State] = {
     if (!Files.exists(p)) None
     else {
       val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
@@ -131,9 +133,8 @@ object ManifestSink {
       : Option[(StructType, Seq[String], Set[String])] =
     readState(dir, versionAsOf).map(s => (s.schema, s.files.map(_._1), s.txns))
 
-  def writeState(dir: String, state: State): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val body = (state.schema.json +:
+  private def stateBody(state: State): Array[Byte] =
+    (state.schema.json +:
       (state.txns.toSeq.sorted.map("#txn:" + _) ++
         state.deletes.map { case (f, q) => s"#del:$q:$f" } ++
         state.files.map { case (f, q) =>
@@ -142,6 +143,10 @@ object ManifestSink {
           s"$q:$f$suffix"
         }))
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
+
+  def writeState(dir: String, state: State): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val body = stateBody(state)
     // every publish is ALSO a retained snapshot (manifest.v<N>.json) — the
     // time-travel log; manifest.json stays the "current" pointer. BOTH land
     // via tmp + ATOMIC_MOVE (ADVICE r6): a time-travel or streaming reader
@@ -156,6 +161,48 @@ object ManifestSink {
     Files.write(tmp, body)
     Files.move(tmp, Paths.get(dir, "manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // ---- write-audit-publish branches (the Iceberg WAP pattern) ----
+  // A branch is a SECOND pointer file over the same data dir: staged
+  // commits land on `manifest.branch-<name>.json` (atomic move, no
+  // v-snapshot), main readers never see them, and publish atomically
+  // promotes the branch state to a REAL commit (v-snapshot + current
+  // pointer) then drops the branch. Data files are shared, so a branch
+  // is O(pointer), never a copy — and an abandoned branch's files are
+  // exactly what `vacuum` already reclaims (referenced by no snapshot).
+
+  private def branchPath(dir: String, branch: String): java.nio.file.Path = {
+    require(branch.matches("[A-Za-z0-9_-]+"), s"invalid branch name: $branch")
+    Paths.get(dir, s"manifest.branch-$branch.json")
+  }
+
+  def readBranchState(dir: String, branch: String): Option[State] =
+    parseState(branchPath(dir, branch))
+
+  def writeBranchState(dir: String, branch: String, state: State): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val body = stateBody(state)
+    val tmp = Paths.get(dir, s".manifest.${util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, body)
+    Files.move(tmp, branchPath(dir, branch), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Atomically promote the branch to main: its state becomes the next
+    * committed snapshot, the branch pointer is removed. Fails if the
+    * branch does not exist.
+    */
+  def publishBranch(dir: String, branch: String): Unit = {
+    val st = readBranchState(dir, branch).getOrElse(
+      throw new IllegalStateException(s"no branch $branch at $dir"))
+    writeState(dir, st)
+    Files.deleteIfExists(branchPath(dir, branch))
+    ()
+  }
+
+  def dropBranch(dir: String, branch: String): Unit = {
+    Files.deleteIfExists(branchPath(dir, branch)); ()
   }
 
   /** Legacy helper: publish `files` as a fresh snapshot at the next seq. */
@@ -312,7 +359,8 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info.schema(),
-      Option(info.options.get("txnId")))
+      Option(info.options.get("txnId")),
+      Option(info.options.get("branch")))
 
   /** Row-level SQL (MERGE / UPDATE / DELETE) as a DELTA operation
     * (merge-on-read): Spark routes inserts to [[DeltaWriter.insert]] and
@@ -346,8 +394,13 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       // time travel: versionAsOf (read option) or a catalog-pinned version
       // (SQL `VERSION AS OF n` → TableCatalog.loadTable(ident, version))
       // pins the scan to a retained snapshot
-      private val state = ManifestSink.readState(dir,
-        Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion))
+      // WAP audit reads: option("branch", name) resolves the staged
+      // branch pointer instead of main/time-travel
+      private val state = Option(options.get("branch")) match {
+        case Some(b) => ManifestSink.readBranchState(dir, b)
+        case None => ManifestSink.readState(dir,
+          Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion))
+      }
       private val readSch = state.map(_.schema).getOrElse(writeSchema)
 
       // ---- data skipping: first-column filters prune whole files by the
@@ -485,12 +538,13 @@ private[sources] class ManifestReaderFactory(schema: StructType)
 }
 
 private[sources] class ManifestWriteBuilder(dir: String, schema: StructType,
-    txnId: Option[String]) extends WriteBuilder with SupportsTruncate {
+    txnId: Option[String], branch: Option[String] = None)
+    extends WriteBuilder with SupportsTruncate {
   private var isTruncate = false
   override def truncate(): WriteBuilder = { isTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ManifestBatchWrite(dir, schema, isTruncate, txnId)
+      new ManifestBatchWrite(dir, schema, isTruncate, txnId, branch)
   }
 }
 
@@ -503,7 +557,8 @@ private[sources] case class CommittedDelta(
     extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
-    truncate: Boolean, txnId: Option[String] = None) extends BatchWrite {
+    truncate: Boolean, txnId: Option[String] = None,
+    branch: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(dir, schema)
@@ -523,7 +578,13 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
     // otherwise a re-delivered overwrite with the same txnId republishes,
     // and every overwrite wipes the history that catches later replays of
     // old append txns.
-    val prior = ManifestSink.readState(dir)
+    // a branch commit stacks on the branch's own state (first branch
+    // commit forks from main); a main commit never sees branch state
+    val prior = branch match {
+      case Some(b) => ManifestSink.readBranchState(dir, b)
+        .orElse(ManifestSink.readState(dir))
+      case None => ManifestSink.readState(dir)
+    }
     val priorTxns = prior.map(_.txns).getOrElse(Set.empty)
     if (txnId.exists(priorTxns.contains)) {
       fresh.foreach(f => Files.deleteIfExists(Paths.get(dir, "data", f)))
@@ -533,9 +594,13 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
       val keptDels = if (truncate) Seq.empty else prior.map(_.deletes).getOrElse(Seq.empty)
       val keptStats = if (truncate) Map.empty[String, (Long, Long)]
         else prior.map(_.stats).getOrElse(Map.empty)
-      ManifestSink.writeState(dir, ManifestSink.State(schema,
+      val next = ManifestSink.State(schema,
         keptFiles ++ fresh.map((_, seq)), keptDels, priorTxns ++ txnId,
-        keptStats ++ freshStats))
+        keptStats ++ freshStats)
+      branch match {
+        case Some(b) => ManifestSink.writeBranchState(dir, b, next)
+        case None => ManifestSink.writeState(dir, next)
+      }
     }
   }
 

@@ -293,4 +293,38 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(planWith(sources.EqualTo("k", 25L)).size == 3,
       "statless files must never be skipped")
   }
+
+  test("WAP: branch commits stay invisible to main until publish; publish flips atomically") {
+    val dir = freshDir()
+    writeVia(dir, "overwrite", 0, 10)
+    // stage on a branch: main pointer and version history must not move
+    val vBefore = ManifestSink.latestVersion(dir)
+    (10L until 20L).map(i => (i, i * 1.5, s"s$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .option("branch", "audit").mode("append").save()
+    assert(readVia(dir).count() === 10, "staged rows visible on main before publish")
+    assert(ManifestSink.latestVersion(dir) === vBefore, "branch commit minted a main snapshot")
+    // the branch read sees base + staged rows
+    val staged = spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).option("branch", "audit").load()
+    assert(staged.count() === 20)
+    // a second branch commit stacks on the branch, not on main
+    (20L until 25L).map(i => (i, i * 1.5, s"s$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .option("branch", "audit").mode("append").save()
+    assert(readVia(dir).count() === 10)
+    // publish: main atomically adopts the branch state, branch pointer gone
+    ManifestSink.publishBranch(dir, "audit")
+    assert(readVia(dir).count() === 25)
+    assert(ManifestSink.readBranchState(dir, "audit").isEmpty, "branch survived publish")
+    assert(ManifestSink.latestVersion(dir) > vBefore, "publish must mint a snapshot")
+    // abandoned-branch hygiene: stage again, drop, vacuum reclaims files
+    (25L until 30L).map(i => (i, i * 1.5, s"s$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .option("branch", "dead").mode("append").save()
+    ManifestSink.dropBranch(dir, "dead")
+    val (removed, _) = ManifestSink.vacuum(dir)
+    assert(removed >= 1, "vacuum must reclaim the dropped branch's files")
+    assert(readVia(dir).count() === 25, "vacuum touched committed data")
+  }
 }

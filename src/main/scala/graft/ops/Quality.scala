@@ -131,6 +131,67 @@ object Quality {
              |ORDER BY "check"""".stripMargin)
     ),
     Q(
+      "dq_expectations_quarantine",
+      // The dead-letter pattern: every row is evaluated against an
+      // expectation battery IN ONE PASS (each check a boolean column —
+      // no per-check scans), failing rows are quarantined WITH their
+      // reason list (sorted, comma-joined — deterministic), passing rows
+      // flow on. The clean fixture would quarantine nothing, so
+      // corruption is synthesized deterministically on o_orderkey % 101
+      // ∈ {7, 13, 29}: negative price, out-of-domain status, null
+      // custkey. At 100 TB this is one map-side projection + a filter —
+      // the quarantine sink receives O(bad rows), and the reason strings
+      // make triage a group-by, not a re-scan.
+      (s, dir) => {
+        val corrupted = Tables(s, dir, "orders")
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 101 === 7, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 101 === 13, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .withColumn("o_custkey",
+            when(col("o_orderkey") % 101 === 29, lit(null).cast("long"))
+              .otherwise(col("o_custkey")))
+        val checks = Seq(
+          "nonneg_price" -> (col("o_totalprice") >= 0),
+          "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "custkey_not_null" -> col("o_custkey").isNotNull)
+        val reasons = array_sort(filter(
+          array(checks.map { case (n, ok) =>
+            when(!ok, lit(n)).otherwise(lit(null).cast("string")) }: _*),
+          r => r.isNotNull))
+        corrupted
+          .withColumn("reasons", reasons)
+          .filter(size(col("reasons")) > 0)
+          .select(col("o_orderkey"),
+            array_join(col("reasons"), ",").as("reasons"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH corrupted AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 101 = 7 THEN -o_totalprice
+             |              ELSE o_totalprice END AS price,
+             |         CASE WHEN o_orderkey % 101 = 13 THEN 'X'
+             |              ELSE o_orderstatus END AS status,
+             |         CASE WHEN o_orderkey % 101 = 29 THEN NULL
+             |              ELSE o_custkey END AS custkey
+             |  FROM orders)
+             |SELECT o_orderkey,
+             |       array_to_string(list_sort(list_filter(ARRAY[
+             |         CASE WHEN NOT (price >= 0) THEN 'nonneg_price' END,
+             |         CASE WHEN NOT (status IN ('O', 'F', 'P')) THEN 'status_domain' END,
+             |         CASE WHEN NOT (custkey IS NOT NULL) THEN 'custkey_not_null' END],
+             |         r -> r IS NOT NULL)), ',') AS reasons
+             |FROM corrupted
+             |WHERE len(list_filter(ARRAY[
+             |         CASE WHEN NOT (price >= 0) THEN 'nonneg_price' END,
+             |         CASE WHEN NOT (status IN ('O', 'F', 'P')) THEN 'status_domain' END,
+             |         CASE WHEN NOT (custkey IS NOT NULL) THEN 'custkey_not_null' END],
+             |         r -> r IS NOT NULL)) > 0
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "dq_snapshot_drift",
       // Round-trip completeness: compare the landed replica (here: a
       // partition-restricted re-land of orders) against its source by

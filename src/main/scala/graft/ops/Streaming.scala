@@ -690,6 +690,53 @@ object Streaming {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
     Q(
+      "stream_wap_branch",
+      // Staged streaming ingestion — exactly-once (txnId per batch) AND
+      // write-audit-publish composed: every micro-batch appends its
+      // partial counts to a BRANCH of the manifest table, so main
+      // readers see NOTHING while the stream runs; after the drain the
+      // audit reads the staged state and only then does publishBranch
+      // atomically promote it. This is the ingestion ceremony a replica
+      // runs when a half-loaded poll window must never be queryable:
+      // stage increments, gate, flip one pointer. The in-code require()s
+      // are the audit gates; the oracle checks the published fold.
+      (s, dir) => {
+        import s.implicits._
+        val fmt = "graft.sources.ManifestSink"
+        val sinkDir = graft.util.tempDir("graft_swap_sink_")
+        val ev = eventsStream(s, stageSplitByTime(s, dir), maxFilesPerTrigger = Some(1))
+        val q = ev.writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+              .write.format(fmt).option("path", sinkDir)
+              .option("branch", "staging").option("txnId", batchId.toString)
+              .mode("append").save()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        // audit gate 1: nothing staged may be visible on main mid-load
+        require(graft.sources.ManifestSink.readState(sinkDir).isEmpty,
+          "staged micro-batches leaked to main before publish")
+        // audit gate 2: the staged partials must be sane
+        val staged = s.read.format(fmt).option("path", sinkDir)
+          .option("branch", "staging").load()
+        require(staged.filter(col("n") <= 0).isEmpty,
+          "non-positive partial counts on the staging branch")
+        graft.sources.ManifestSink.publishBranch(sinkDir, "staging")
+        s.read.format(fmt).option("path", sinkDir).load()
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n_events"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
       "stream_merge_into",
       // The reference's poll loop in its MODERN form: each micro-batch of
       // changes applies to the replica via SQL MERGE INTO on the engine's

@@ -59,8 +59,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class ManifestSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val m = ManifestSink.readManifest(options.get("path"))
-    m.map(_._1).getOrElse(new StructType())
+    val dir = options.get("path")
+    // a WAP branch read must resolve the BRANCH schema — the branch may
+    // exist before main has any committed state at all
+    Option(options.get("branch"))
+      .flatMap(b => ManifestSink.readBranchState(dir, b))
+      .orElse(ManifestSink.readState(dir))
+      .map(_.schema).getOrElse(new StructType())
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

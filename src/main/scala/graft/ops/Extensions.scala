@@ -528,6 +528,63 @@ object Extensions {
              |ORDER BY version""".stripMargin)
     ),
     Q(
+      "sql_branch_as_of",
+      // WAP meets SQL: `VERSION AS OF '<branch>'` (the Iceberg idiom) —
+      // a non-numeric version resolves the BRANCH pointer through
+      // TableCatalog.loadTable(ident, version), so the audit step of
+      // write-audit-publish is plain SQL against the staged state while
+      // the unqualified table keeps answering from main. The row stages
+      // odd orders on branch 'staging' over an evens-only main, audits
+      // BOTH views through SQL in one union, then publishes and reads
+      // the flipped main — three membership states, each recomputable
+      // from the fixture.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.wap_orders")
+        s.sql("""CREATE TABLE graft_cat.marts.wap_orders
+                |(o_orderkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.wap_orders
+                |SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_orderkey % 2 = 0""".stripMargin)
+        // stage the odds on a branch through the connector write option
+        val tblDir = s"$catalogWarehouse/marts/wap_orders"
+        graft.Catalog.sql(s, dir,
+            """SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE o_orderkey % 2 = 1""".stripMargin)
+          .write.format("graft.sources.ManifestSink").option("path", tblDir)
+          .option("branch", "staging").mode("append").save()
+        val audit = s.sql(
+          """SELECT 'main_pre' AS view, count(*) AS n_rows,
+            |       coalesce(CAST(sum(o_orderkey) AS BIGINT), 0L) AS sum_key
+            |FROM graft_cat.marts.wap_orders
+            |UNION ALL
+            |SELECT 'staged', count(*),
+            |       coalesce(CAST(sum(o_orderkey) AS BIGINT), 0L)
+            |FROM graft_cat.marts.wap_orders VERSION AS OF 'staging'""".stripMargin)
+          .localCheckpoint(true) // evaluate BEFORE the publish flips main
+        graft.sources.ManifestSink.publishBranch(tblDir, "staging")
+        audit.unionAll(s.sql(
+          """SELECT 'main_post', count(*),
+            |       coalesce(CAST(sum(o_orderkey) AS BIGINT), 0L)
+            |FROM graft_cat.marts.wap_orders""".stripMargin))
+          .orderBy(col("view"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'main_pre' AS "view", count(*) AS n_rows,
+             |         CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 'staged', count(*), CAST(sum(o_orderkey) AS BIGINT)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'main_post', count(*), CAST(sum(o_orderkey) AS BIGINT)
+             |  FROM orders) t
+             |ORDER BY "view"""".stripMargin)
+    ),
+    Q(
       "sink_vacuum_orphans",
       // VACUUM maintenance on the manifest format: crashed write attempts
       // leave orphan data files (invisible — the manifest never lists

@@ -72,14 +72,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = pathOf(ident)
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft time travel takes a numeric snapshot version, got '$version'")
+    // numeric → retained snapshot; otherwise a WAP BRANCH name (the
+    // Iceberg idiom: SELECT … VERSION AS OF 'staging' audits the staged
+    // state through plain SQL before publish)
+    version.toIntOption match {
+      case Some(v) =>
+        if (!Files.exists(Paths.get(dir, s"manifest.v$v.json")))
+          throw new NoSuchTableException(ident)
+        val schema = ManifestSink.readState(dir, Some(v)).get.schema
+        new ManifestTable(dir, schema, pinnedVersion = Some(v))
+      case None =>
+        val st = ManifestSink.readBranchState(dir, version)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new ManifestTable(dir, st.schema, pinnedBranch = Some(version))
     }
-    if (!Files.exists(Paths.get(dir, s"manifest.v$v.json")))
-      throw new NoSuchTableException(ident)
-    val schema = ManifestSink.readState(dir, Some(v)).get.schema
-    new ManifestTable(dir, schema, pinnedVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

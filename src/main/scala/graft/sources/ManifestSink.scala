@@ -348,15 +348,18 @@ object ManifestTableAccess {
 }
 
 private[sources] class ManifestTable(dir: String, writeSchema: StructType,
-    pinnedVersion: Option[Int] = None)
+    pinnedVersion: Option[Int] = None, pinnedBranch: Option[String] = None)
     extends Table with SupportsWrite with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String =
-    s"manifest[$dir${pinnedVersion.map(v => s"@v$v").getOrElse("")}]"
+    s"manifest[$dir${pinnedVersion.map(v => s"@v$v")
+      .orElse(pinnedBranch.map(b => s"@$b")).getOrElse("")}]"
 
   override def schema(): StructType =
-    ManifestSink.readState(dir, pinnedVersion).map(_.schema).getOrElse(writeSchema)
+    pinnedBranch.flatMap(b => ManifestSink.readBranchState(dir, b))
+      .orElse(ManifestSink.readState(dir, pinnedVersion))
+      .map(_.schema).getOrElse(writeSchema)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
@@ -401,7 +404,7 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       // pins the scan to a retained snapshot
       // WAP audit reads: option("branch", name) resolves the staged
       // branch pointer instead of main/time-travel
-      private val state = Option(options.get("branch")) match {
+      private val state = Option(options.get("branch")).orElse(pinnedBranch) match {
         case Some(b) => ManifestSink.readBranchState(dir, b)
         case None => ManifestSink.readState(dir,
           Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion))

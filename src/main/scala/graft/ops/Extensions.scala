@@ -621,6 +621,50 @@ object Extensions {
              |FROM orders""".stripMargin)
     ),
     Q(
+      "sink_expire_snapshots",
+      // The retention half of table maintenance (Iceberg expire_snapshots
+      // / Delta log retention): three commits build a snapshot log whose
+      // OLDEST version pins data files the current table no longer
+      // references; expiration drops that snapshot, time travel to it now
+      // fails, and the following vacuum reclaims the files only it
+      // referenced — live data and the retained history survive
+      // bit-identically. Without this pairing a 100 TB table's
+      // time-travel log pins every byte ever written, forever.
+      (s, dir) => {
+        val out = graft.util.tempDir("graft_expire_")
+        val fmt = "graft.sources.ManifestSink"
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        // v1: evens (files A) — superseded by the overwrite below
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        // v2: odds (files B) — truncating commit: A stays only for travel
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        // v3: evens appended again (files C) — current = B + C = all rows
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", out).mode("append").save()
+        val expired = graft.sources.ManifestSink.expireSnapshots(out, keepLast = 2)
+        require(expired == Seq(1), s"expected to expire v1 only, got $expired")
+        // v1's files are now referenced by NO retained snapshot → reclaimed
+        val (removed, _) = graft.sources.ManifestSink.vacuum(out)
+        require(removed >= 1, "vacuum reclaimed nothing after expiration")
+        val travelFails =
+          try { s.read.format(fmt).option("path", out)
+            .option("versionAsOf", "1").load().count(); false }
+          catch { case _: Throwable => true }
+        s.read.format(fmt).option("path", out).load()
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).cast("long").as("sum_key"))
+          .select(lit(expired.length.toLong).as("n_expired"),
+            lit(travelFails).as("expired_travel_fails"),
+            col("n_rows"), col("sum_key"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS n_expired, true AS expired_travel_fails,
+             |       count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders""".stripMargin)
+    ),
+    Q(
       "sink_time_travel",
       // Snapshot retention + time travel + OPTIMIZE on the manifest sink:
       // every job commit is also a retained snapshot (manifest.v<N>), so

@@ -217,6 +217,23 @@ object ManifestSink {
     writeState(dir, State(schema, files.map((_, seq)), Seq.empty, txns))
   }
 
+  /** Snapshot EXPIRATION — the retention half of maintenance: delete
+    * retained snapshot files older than the newest `keepLast` versions
+    * (the current pointer is never touched). Time travel to an expired
+    * version then fails, and a following [[vacuum]] reclaims the data
+    * files only expired snapshots referenced — expiration bounds the
+    * storage the time-travel log can pin, exactly Iceberg's
+    * expire_snapshots / Delta's log retention. Returns the expired
+    * version numbers.
+    */
+  def expireSnapshots(dir: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val latest = latestVersion(dir)
+    val expired = (1 to latest - keepLast)
+      .filter(v => Files.deleteIfExists(Paths.get(dir, s"manifest.v$v.json")))
+    expired
+  }
+
   /** VACUUM: delete data files referenced by NO retained snapshot —
     * orphans from crashed attempts that never reached a task commit (an
     * abort cleans up after itself; a zombie cannot). Every file any
@@ -406,8 +423,17 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       // branch pointer instead of main/time-travel
       private val state = Option(options.get("branch")).orElse(pinnedBranch) match {
         case Some(b) => ManifestSink.readBranchState(dir, b)
-        case None => ManifestSink.readState(dir,
-          Option(options.get("versionAsOf")).map(_.toInt).orElse(pinnedVersion))
+        case None =>
+          val vOpt = Option(options.get("versionAsOf")).map(_.toInt)
+            .orElse(pinnedVersion)
+          val st = ManifestSink.readState(dir, vOpt)
+          // a requested snapshot that is EXPIRED (or never existed) must
+          // fail loudly — an empty read would silently report zero rows
+          // for history that was real
+          if (vOpt.isDefined && st.isEmpty)
+            throw new IllegalStateException(
+              s"snapshot v${vOpt.get} at $dir does not exist (expired or never committed)")
+          st
       }
       private val readSch = state.map(_.schema).getOrElse(writeSchema)
 

@@ -327,4 +327,27 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(removed >= 1, "vacuum must reclaim the dropped branch's files")
     assert(readVia(dir).count() === 25, "vacuum touched committed data")
   }
+
+  test("snapshot expiration bounds the log: expired travel fails, vacuum reclaims, live data intact") {
+    val dir = freshDir()
+    writeVia(dir, "overwrite", 0, 10)   // v1: files A
+    writeVia(dir, "overwrite", 10, 20)  // v2: files B (A only in v1)
+    writeVia(dir, "append", 20, 25)     // v3: B + C
+    val expired = ManifestSink.expireSnapshots(dir, keepLast = 2)
+    assert(expired === Seq(1))
+    // v2/v3 still travel; v1 must fail loudly, not read empty
+    assert(spark.read.format("graft.sources.ManifestSink").option("path", dir)
+      .option("versionAsOf", "2").load().count() === 10)
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSink").option("path", dir)
+        .option("versionAsOf", "1").load().count()
+    }
+    assert(e.getMessage.contains("expired or never committed"))
+    // vacuum reclaims exactly what only v1 referenced; live content intact
+    val (removed, _) = ManifestSink.vacuum(dir)
+    assert(removed >= 1, "nothing reclaimed after expiration")
+    assert(readVia(dir).count() === 15)
+    assert(spark.read.format("graft.sources.ManifestSink").option("path", dir)
+      .option("versionAsOf", "3").load().count() === 15)
+  }
 }

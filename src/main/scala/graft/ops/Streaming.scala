@@ -690,6 +690,58 @@ object Streaming {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
     Q(
+      "stream_state_reader_tws",
+      // The state data source over the arbitrary-state v2 API: a
+      // transformWithState query's TYPED ValueState (the
+      // RunningTotalsProcessor's (n, total, hi) tuple in RocksDB) read
+      // back offline by state variable name — the ops surface for
+      // auditing or migrating v2 state, complementing
+      // stream_state_reader's aggregation-buffer read. The oracle is
+      // the batch fold per user: checkpointed state after AvailableNow
+      // must equal it exactly.
+      (s, dir) => {
+        import s.implicits._
+        val ckpt = graft.util.tempDir("graft_tws_reader_ckpt_")
+        val provider = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provider)
+        val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set(provider,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val ev = eventsStream(s, stage(dir, 1))
+            .select(col("user_id"), col("event_id"),
+              floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+            .as[(Long, Long, Long)]
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new RunningTotalsProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_events", "sum_cents", "max_cents")
+          val q = out.writeStream.outputMode("update").format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally {
+          prevProv match {
+            case Some(p) => s.conf.set(provider, p)
+            case None => s.conf.unset(provider)
+          }
+          s.conf.set("spark.sql.shuffle.partitions", prevPart)
+        }
+        s.read.format("statestore").option("stateVarName", "totals")
+          .load(ckpt)
+          .select(col("key.value").as("user_id"),
+            col("value._1").as("n_events"),
+            col("value._2").as("sum_cents"),
+            col("value._3").as("max_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "stream_wap_branch",
       // Staged streaming ingestion — exactly-once (txnId per batch) AND
       // write-audit-publish composed: every micro-batch appends its

@@ -16,23 +16,27 @@ object Catalog {
 
   // one registration per (session, dir): ~20 registry rows call
   // registerAll, and each un-memoized call re-infers 10 parquet schemas.
-  // Keyed by session identity so a fresh session (tests vs bench)
-  // re-registers; a dir CHANGE within one session also re-registers.
-  private val registered =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  // ADVICE r8: keyed by the session OBJECT in a WeakHashMap, not
+  // identityHashCode — identity hashes can be reused after a session is
+  // GC'd (or collide between two live sessions), which would silently skip
+  // registration in the new session; weak keys also stop the map retaining
+  // dead sessions forever. Reference equality is exactly the right notion
+  // of "same session" here.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register all fixture tables as temp views over `dir`. `events` gets
     * the layout-normalized view from [[Tables.events]]. Idempotent and
     * memoized per (session, dir).
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = System.identityHashCode(spark)
-    if (registered.get(key) != dir) {
+    if (registered.get(spark) != dir) {
       tableNames.foreach { t =>
         val df = if (t == "events") Tables.events(spark, dir) else Tables(spark, dir, t)
         df.createOrReplaceTempView(t)
       }
-      registered.put(key, dir)
+      registered.put(spark, dir)
+      ()
     }
   }
 

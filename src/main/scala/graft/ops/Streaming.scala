@@ -86,10 +86,14 @@ object Streaming {
       }
     })
 
-  private[graft] def stage(dir: String, copies: Int): String =
+  private[graft] def stage(dir: String, copies: Int): String = {
+    // ADVICE r8: resolve the normalized-events memo (key (dir,-2)) BEFORE
+    // entering computeIfAbsent for (dir,copies) — CHM forbids a recursive
+    // update from inside a mapping function; if the two keys hash to the
+    // same bin this would throw IllegalStateException("Recursive update").
+    val src = normalizedEventsFile(
+      org.apache.spark.sql.SparkSession.active, dir)
     stageCache.computeIfAbsent((dir, copies), { _ =>
-      val src = normalizedEventsFile(
-        org.apache.spark.sql.SparkSession.active, dir)
       val tmp = graft.util.tempDir("graft_stream_")
       (1 to copies).foreach { i =>
         java.nio.file.Files.copy(
@@ -99,6 +103,7 @@ object Streaming {
       }
       tmp
     })
+  }
 
   /** Stage `events` as TWO files split at the midpoint timestamp, with
     * staggered mtimes so the file source (oldest-first by default) delivers
@@ -106,15 +111,21 @@ object Streaming {
     * a deterministic two-batch arrival that lets cross-batch state be
     * verified against a batch oracle.
     */
-  private[graft] def stageSplitByTime(s: SparkSession, dir: String): String =
-    stageCache.computeIfAbsent((dir, -1), _ => stageSplitByTimeUncached(s, dir))
+  private[graft] def stageSplitByTime(s: SparkSession, dir: String): String = {
+    // ADVICE r8: same recursive-update hazard as stage() — normalize first,
+    // outside the (dir,-1) mapping function.
+    val src = normalizedEventsFile(s, dir)
+    stageCache.computeIfAbsent(
+      (dir, -1), _ => stageSplitByTimeUncached(s, dir, src))
+  }
 
-  private def stageSplitByTimeUncached(s: SparkSession, dir: String): String = {
+  private def stageSplitByTimeUncached(
+      s: SparkSession, dir: String, src: String): String = {
     import java.nio.file.{Files, Paths}
     import java.nio.file.attribute.FileTime
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = graft.util.tempDir("graft_stream_split_")
-    val ev = s.read.schema(rawSchema).parquet(normalizedEventsFile(s, dir))
+    val ev = s.read.schema(rawSchema).parquet(src)
     val Array(lo, hi) = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val cut = lo + (hi - lo) / 2

@@ -149,23 +149,63 @@ object ManifestSink {
         }))
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
 
-  def writeState(dir: String, state: State): Unit = {
+  // serializes check-then-move on the current pointer so a slow loser of
+  // the version race can never regress manifest.json to an older snapshot
+  // (in-JVM — which is where Spark driver commits race; see casWriteState)
+  private val pointerLock = new Object
+
+  /** Optimistic-concurrency commit (r8 verdict item 3): publish `state` as
+    * snapshot v(expected+1) IFF no competing writer claimed that version
+    * first. The claim is an O_EXCL exclusive create of a zero-byte
+    * `.claim.v<N>` marker — the one filesystem primitive that is
+    * atomically exclusive — after which the v-file and current pointer
+    * land via tmp + ATOMIC_MOVE exactly as before (ADVICE r6: readers
+    * resolve v-files directly, so snapshots must never be torn). Returns
+    * false when the slot was already claimed: the caller must RE-READ
+    * state (rebase its appends onto the winner's snapshot) and retry at
+    * the new latest version — the same read-validate-retry loop Iceberg
+    * and Delta run on their pointer CAS. Claim markers are never deleted;
+    * they also pin version numbers against reuse after expireSnapshots.
+    * The pointer update itself is guarded so a delayed loser never moves
+    * manifest.json backwards past a newer committed snapshot.
+    */
+  def casWriteState(dir: String, expectedVersion: Int, state: State): Boolean = {
     Files.createDirectories(Paths.get(dir))
+    val next = expectedVersion + 1
+    try Files.createFile(Paths.get(dir, s".claim.v$next"))
+    catch { case _: java.nio.file.FileAlreadyExistsException => return false }
     val body = stateBody(state)
-    // every publish is ALSO a retained snapshot (manifest.v<N>.json) — the
-    // time-travel log; manifest.json stays the "current" pointer. BOTH land
-    // via tmp + ATOMIC_MOVE (ADVICE r6): a time-travel or streaming reader
-    // resolves v-files directly, so a torn v-file would be a torn snapshot;
-    // and with the v-file moved FIRST, a crash between the two publishes
-    // leaves only an unreferenced v-file while the current pointer is intact.
     val vtmp = Paths.get(dir, s".manifest.${util.UUID.randomUUID()}.tmp")
     Files.write(vtmp, body)
-    Files.move(vtmp, Paths.get(dir, s"manifest.v${latestVersion(dir) + 1}.json"),
+    Files.move(vtmp, Paths.get(dir, s"manifest.v$next.json"),
       StandardCopyOption.ATOMIC_MOVE)
-    val tmp = Paths.get(dir, s".manifest.${util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, body)
-    Files.move(tmp, Paths.get(dir, "manifest.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    pointerLock.synchronized {
+      // only advance the pointer if we are still the newest snapshot — a
+      // concurrent winner of v(next+1) owns (or already did) the pointer
+      if (latestVersion(dir) <= next) {
+        val tmp = Paths.get(dir, s".manifest.${util.UUID.randomUUID()}.tmp")
+        Files.write(tmp, body)
+        Files.move(tmp, Paths.get(dir, "manifest.json"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    true
+  }
+
+  /** Single-writer publish: retries the CAS until it lands. Callers whose
+    * state does NOT depend on the prior snapshot (branch publish, full
+    * overwrite) can use this directly; read-modify-write committers must
+    * run their own loop that re-reads between attempts (see
+    * ManifestBatchWrite.commit).
+    */
+  def writeState(dir: String, state: State): Unit = {
+    var done = false
+    while (!done) {
+      done = casWriteState(dir, latestVersion(dir), state)
+      // a lost CAS whose winner hasn't moved its v-file yet leaves
+      // latestVersion unchanged for a moment — back off, don't hot-spin
+      if (!done) Thread.sleep(1)
+    }
   }
 
   // ---- write-audit-publish branches (the Iceberg WAP pattern) ----
@@ -242,10 +282,28 @@ object ManifestSink {
     * vacuum. Returns (removed, kept).
     */
   def vacuum(dir: String): (Int, Int) = {
+    // ADVICE r8: live branch pointers (manifest.branch-*.json) count as
+    // referenced too — a vacuum during a staged WAP write must not reclaim
+    // the branch's data files, or a later publishBranch would commit
+    // dangling references to main (Iceberg treats branch refs as live).
+    // Only DROPPED branches' files are reclaimable.
+    val branchStates = {
+      val d = Paths.get(dir)
+      if (!Files.isDirectory(d)) Seq.empty[State]
+      else {
+        val s = Files.list(d)
+        val ptrs = try s.iterator().asScala
+          .filter(_.getFileName.toString.matches("manifest\\.branch-.*\\.json"))
+          .toSeq
+          finally s.close()
+        ptrs.flatMap(parseState)
+      }
+    }
     val referenced = (1 to latestVersion(dir))
       .flatMap(v => readState(dir, Some(v)).toSeq)
       .flatMap(st => st.files.map(_._1) ++ st.deletes.map(_._1)).toSet ++
-      readState(dir).toSeq.flatMap(st => st.files.map(_._1) ++ st.deletes.map(_._1))
+      readState(dir).toSeq.flatMap(st => st.files.map(_._1) ++ st.deletes.map(_._1)) ++
+      branchStates.flatMap(st => st.files.map(_._1) ++ st.deletes.map(_._1))
     val dataDir = Paths.get(dir, "data")
     if (!Files.isDirectory(dataDir)) return (0, 0)
     val s = Files.list(dataDir)
@@ -422,7 +480,16 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       // WAP audit reads: option("branch", name) resolves the staged
       // branch pointer instead of main/time-travel
       private val state = Option(options.get("branch")).orElse(pinnedBranch) match {
-        case Some(b) => ManifestSink.readBranchState(dir, b)
+        case Some(b) =>
+          val st = ManifestSink.readBranchState(dir, b)
+          // ADVICE r8: an explicitly requested branch with no pointer file
+          // must fail loudly, mirroring the versionAsOf handling — a silent
+          // empty read would let a misspelled branch name pass an empty-set
+          // WAP audit vacuously.
+          if (st.isEmpty)
+            throw new IllegalStateException(
+              s"branch '$b' at $dir does not exist (dropped, published, or never staged)")
+          st
         case None =>
           val vOpt = Option(options.get("versionAsOf")).map(_.toInt)
             .orElse(pinnedVersion)
@@ -607,33 +674,50 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
     val freshMsgs = messages.collect { case CommittedFile(Some(f), st) => (f, st) }.toSeq
     val fresh = freshMsgs.map(_._1)
     val freshStats = freshMsgs.collect { case (f, Some(st)) => f -> st }.toMap
-    // prior state is ALWAYS read — a truncate discards prior files and
-    // deletes but must still CARRY the txn set forward (ADVICE r6):
-    // otherwise a re-delivered overwrite with the same txnId republishes,
-    // and every overwrite wipes the history that catches later replays of
-    // old append txns.
-    // a branch commit stacks on the branch's own state (first branch
-    // commit forks from main); a main commit never sees branch state
-    val prior = branch match {
-      case Some(b) => ManifestSink.readBranchState(dir, b)
-        .orElse(ManifestSink.readState(dir))
-      case None => ManifestSink.readState(dir)
-    }
-    val priorTxns = prior.map(_.txns).getOrElse(Set.empty)
-    if (txnId.exists(priorTxns.contains)) {
-      fresh.foreach(f => Files.deleteIfExists(Paths.get(dir, "data", f)))
-    } else {
-      val seq = ManifestSink.latestVersion(dir) + 1
-      val keptFiles = if (truncate) Seq.empty else prior.map(_.files).getOrElse(Seq.empty)
-      val keptDels = if (truncate) Seq.empty else prior.map(_.deletes).getOrElse(Seq.empty)
-      val keptStats = if (truncate) Map.empty[String, (Long, Long)]
-        else prior.map(_.stats).getOrElse(Map.empty)
-      val next = ManifestSink.State(schema,
-        keptFiles ++ fresh.map((_, seq)), keptDels, priorTxns ++ txnId,
-        keptStats ++ freshStats)
-      branch match {
-        case Some(b) => ManifestSink.writeBranchState(dir, b, next)
-        case None => ManifestSink.writeState(dir, next)
+    // Optimistic-concurrency loop (r8 verdict item 3): read prior state,
+    // build the next snapshot, CAS it in at expectedVersion+1; if a
+    // competing committer won the version slot, RE-READ (which rebases
+    // our appends onto the winner's snapshot — appends commute, and a
+    // truncate simply re-discards the winner's files while still carrying
+    // its txn set forward) and retry. Neither committer's snapshot can be
+    // silently lost: the loser never overwrites, it stacks.
+    var committed = false
+    while (!committed) {
+      // prior state is ALWAYS read — a truncate discards prior files and
+      // deletes but must still CARRY the txn set forward (ADVICE r6):
+      // otherwise a re-delivered overwrite with the same txnId republishes,
+      // and every overwrite wipes the history that catches later replays of
+      // old append txns.
+      // a branch commit stacks on the branch's own state (first branch
+      // commit forks from main); a main commit never sees branch state
+      val prior = branch match {
+        case Some(b) => ManifestSink.readBranchState(dir, b)
+          .orElse(ManifestSink.readState(dir))
+        case None => ManifestSink.readState(dir)
+      }
+      val priorTxns = prior.map(_.txns).getOrElse(Set.empty)
+      if (txnId.exists(priorTxns.contains)) {
+        fresh.foreach(f => Files.deleteIfExists(Paths.get(dir, "data", f)))
+        committed = true
+      } else {
+        val expected = ManifestSink.latestVersion(dir)
+        val seq = expected + 1
+        val keptFiles = if (truncate) Seq.empty else prior.map(_.files).getOrElse(Seq.empty)
+        val keptDels = if (truncate) Seq.empty else prior.map(_.deletes).getOrElse(Seq.empty)
+        val keptStats = if (truncate) Map.empty[String, (Long, Long)]
+          else prior.map(_.stats).getOrElse(Map.empty)
+        val next = ManifestSink.State(schema,
+          keptFiles ++ fresh.map((_, seq)), keptDels, priorTxns ++ txnId,
+          keptStats ++ freshStats)
+        branch match {
+          case Some(b) =>
+            // branch staging is single-writer per branch (one streaming
+            // query owns its WAP branch) — pointer swap, no version CAS
+            ManifestSink.writeBranchState(dir, b, next); committed = true
+          case None =>
+            committed = ManifestSink.casWriteState(dir, expected, next)
+            if (!committed) Thread.sleep(1)
+        }
       }
     }
   }
@@ -659,12 +743,18 @@ private[sources] class ManifestDeltaBatchWrite(dir: String, schema: StructType)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val datas = messages.collect { case CommittedDelta(Some(f), _) => f }.toSeq
     val dels = messages.collect { case CommittedDelta(_, Some(f)) => f }.toSeq
-    val prior = ManifestSink.readState(dir).getOrElse(
-      ManifestSink.State(schema, Seq.empty, Seq.empty, Set.empty))
-    val seq = ManifestSink.latestVersion(dir) + 1
-    ManifestSink.writeState(dir, prior.copy(
-      files = prior.files ++ datas.map((_, seq)),
-      deletes = prior.deletes ++ dels.map((_, seq))))
+    // same optimistic read-rebase-retry as ManifestBatchWrite.commit
+    var committed = false
+    while (!committed) {
+      val prior = ManifestSink.readState(dir).getOrElse(
+        ManifestSink.State(schema, Seq.empty, Seq.empty, Set.empty))
+      val expected = ManifestSink.latestVersion(dir)
+      val seq = expected + 1
+      committed = ManifestSink.casWriteState(dir, expected, prior.copy(
+        files = prior.files ++ datas.map((_, seq)),
+        deletes = prior.deletes ++ dels.map((_, seq))))
+      if (!committed) Thread.sleep(1)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

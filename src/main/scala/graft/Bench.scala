@@ -10,13 +10,14 @@ import org.apache.spark.sql.SparkSession
   * detail map is ALSO persisted to `BENCH_DETAIL.json` in the working
   * directory so round-over-round per-query comparison survives the artifact.
   *
-  * Timing protocol: queries run in sorted-name order (Map hash order changed
-  * per round, making per-query deltas incomparable), each query runs twice
-  * and the MIN is reported — the first pass absorbs janino codegen + shuffle
-  * file warmup, so round-over-round deltas reflect plan changes, not JVM
-  * noise. `stream_*` queries run three times and report the MEDIAN: their
-  * micro-batch machinery showed 2–5× sandbox-contention swings in round 4
-  * that min-of-2 did not absorb.
+  * Timing protocol (r9): queries run in sorted-name order (Map hash order
+  * changed per round, making per-query deltas incomparable), each query
+  * runs THREE times; batch rows report the MIN (first pass absorbs janino
+  * codegen + shuffle warmup; one contended run can never set the number),
+  * `stream_*` rows report the MEDIAN (their micro-batch machinery swings
+  * both ways). Min-of-2 plus a noisy-query allowlist proved insufficient:
+  * the round-6 AND round-8 verdicts each found a cluster of unchanged
+  * queries timing 2–7.6× slower from shared-JVM contention alone.
   *
   * Failures are counted, not swallowed: a query that throws contributes its
   * elapsed time and is listed in the `failed` field of the total line, so a
@@ -53,26 +54,21 @@ object Bench {
         catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // batch rows that showed 1.5–5.6× sandbox-contention swings in round 6
-    // with ZERO code changes (r7 isolation re-bench: all returned to r5
-    // levels, e.g. join_range_interval 2.63 s → 0.43 s — the cause was
-    // shared-JVM GC/disk pressure, not plans): min-of-3 instead of
-    // min-of-2 so one contended run can't set the reported number.
-    val noisy = Set("join_range_interval", "join_range_bucketed",
-      "join_shuffle_hash", "join_skew_salted")
+    // r8 verdict #1: EVERY query now runs three times — the round-6 and
+    // round-8 verdicts both flagged a "noise cluster" of unchanged queries
+    // timing 2–7.6× slower (r7 isolation re-bench proved shared-JVM GC /
+    // disk contention, e.g. join_range_interval 2.63 s → 0.43 s), so
+    // min-of-2 with a per-query allowlist was structurally unable to keep
+    // round-over-round deltas meaningful. Batch rows report MIN-of-3
+    // (steady-state plan cost is the signal; one contended run can never
+    // set the number); stream_* rows report MEDIAN-of-3 (their micro-batch
+    // machinery swings BOTH ways — a lucky fast run is as misleading as a
+    // contended slow one).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val runs =
-        if (name.startsWith("stream_")) Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
-        else if (noisy(name)) Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
-        else Seq(time(fn), time(fn)).sortBy(_._1)
-      // streams: median-of-3 (their micro-batch machinery swings both
-      // ways); noisy batch rows: MIN-of-3 (steady-state cost is the
-      // signal); everything else: min-of-2
-      val rep =
-        if (name.startsWith("stream_") && runs.size == 3) runs(1)
-        else runs.head
+      val runs = Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
+      val rep = if (name.startsWith("stream_")) runs(1) else runs.head
       val ok = runs.forall(_._2)
       (name, rep._1, ok)
     }

@@ -300,14 +300,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
-  test("simhash band join broadcasts the build side (fan-out spreads, no skewed SMJ)") {
-    // r7 perf fix: the band join's inputs are tiny but its output is ~10M
-    // rows clustered in few band values — a sort-merge join serializes
-    // that fan-out into the skewed band partitions. The broadcast shape
-    // must not regress.
+  test("simhash band join: salted shuffle-hash, NO corpus-sized broadcast (r8 verdict #2)") {
+    // r9: the r7 broadcast shape put an O(docs) band table on every
+    // executor — a scale-killer at 100 TB. The bounded replacement salts
+    // the hot (band_id, band) keys (16-way) and hash-joins after a keyed
+    // shuffle: fan-out still spreads across the cluster, but nothing
+    // corpus-sized is ever broadcast.
     val plan = planOf("text_neardup_simhash")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      s"band join must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"band join must not broadcast an O(corpus) table:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"band join must stay a hash join (SMJ sorts both sides for nothing):\n$plan")
   }
 
   test("graph analytics reuse one materialized edge list (no rebuild per row)") {

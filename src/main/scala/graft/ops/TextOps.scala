@@ -890,8 +890,12 @@ object TextOps {
         val clean = dedup.filter(col("doc_id") % 37 =!= 0)
           .join(contaminated, Seq("doc_id"), "left_anti")
         clean
+          // r9 ScaleStress fix: fold doc_id into a bounded residue BEFORE
+          // the Knuth multiply — (doc_id * 2654435761) overflows ANSI
+          // BIGINT once ids exceed ~3.5e9, which a 100 TB corpus hits;
+          // (id % 1000003) * k maxes at ~2.7e15, safe at any id scale
           .withColumn("split",
-            when((col("doc_id") * 2654435761L) % 20 === 0, "val")
+            when(((col("doc_id") % 1000003L) * 2654435761L) % 20 === 0, "val")
               .otherwise("train"))
           .withColumn("tok", expr("(length(text) + 3) div 4"))
           .groupBy(col("source"), col("split"))
@@ -921,7 +925,7 @@ object TextOps {
              |  WHERE doc_id % 37 <> 0
              |    AND doc_id NOT IN (SELECT doc_id FROM contam))
              |SELECT source,
-             |       CASE WHEN (doc_id * 2654435761) % 20 = 0 THEN 'val' ELSE 'train' END AS split,
+             |       CASE WHEN ((doc_id % 1000003) * 2654435761) % 20 = 0 THEN 'val' ELSE 'train' END AS split,
              |       count(*) AS n_docs,
              |       CAST(sum((length(text) + 3) // 4) AS BIGINT) AS tokens
              |FROM clean GROUP BY 1, 2 ORDER BY source, split""".stripMargin)
@@ -1382,6 +1386,96 @@ object TextOps {
               |SELECT doc_id, n_bigrams,
               |       ${util.r2sql("CAST(p_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE)")} AS lm_score
               |FROM sc ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_entropy_unigram",
+      // Character-level Shannon entropy per document (round-9) — the
+      // cheapest gibberish/compression-quality screen a corpus filter
+      // runs (random bytes ≈ 8 bits, English ≈ 4, repeated filler → 0).
+      // Identity: H = log2(L) − (Σ c·log2(c))/L with c = per-char counts
+      // and L = doc length — all counts exact integers, the two log2
+      // calls are the only doubles and the expression text is identical
+      // in both engines (tfidf precedent: libm drift hides under r2).
+      // The char explode shuffles (doc_id, char) counts — bounded by
+      // alphabet size per doc, not text size; at 100 TB this is a
+      // map-side-combined two-phase agg like any other.
+      (s, dir) => {
+        val chars = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+              .as("ch"))
+        chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("len"),
+            sum(col("c").cast("double") * log(lit(2.0), col("c").cast("double")))
+              .as("clog"))
+          .select(col("doc_id"), col("len"),
+            util.r2(log(lit(2.0), col("len").cast("double"))
+              - col("clog") / col("len").cast("double")).as("entropy_bits"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH chars AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+              |                                       i -> substring(text, i, 1))) AS ch
+              |  FROM documents),
+              |cnt AS (
+              |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+              |  FROM chars GROUP BY doc_id, ch),
+              |agg AS (
+              |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS len,
+              |         sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clog
+              |  FROM cnt GROUP BY doc_id)
+              |SELECT doc_id, len,
+              |       ${util.r2sql("log2(CAST(len AS DOUBLE)) - clog / CAST(len AS DOUBLE)")} AS entropy_bits
+              |FROM agg ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_zipf_slope",
+      // Zipf rank-frequency slope of the corpus vocabulary (round-9):
+      // the macro-statistic that distinguishes natural language (slope
+      // ≈ −1) from templated/generated filler — OLS of ln(freq) on
+      // ln(rank) over the token frequency table. Token counting is the
+      // standard two-phase agg; ranking the vocabulary uses ONE ordered
+      // window over the collapsed (token, freq) domain — vocabulary-
+      // sized, not corpus-sized, which is what makes the statistic
+      // computable at 100 TB (vocab grows ~ Heaps' law, sublinearly).
+      // All sums feed the shared exact-moments OLS formula text.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val freq = Tables(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+        val ranked = freq
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("f").desc, col("tok"))).cast("long"))
+          .select(log(col("r").cast("double")).as("x"),
+            log(col("f").cast("double")).as("y"))
+        ranked.agg(count(lit(1)).as("n_vocab"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+          .select(col("n_vocab"),
+            util.r2((col("sxy") - col("sx") * col("sy") / col("n_vocab").cast("double"))
+              / (col("sxx") - col("sx") * col("sx") / col("n_vocab").cast("double")))
+              .as("zipf_slope"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+              |freq AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS f
+              |  FROM toks WHERE length(tok) > 0 GROUP BY tok),
+              |pts AS (
+              |  SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)) AS x,
+              |         ln(CAST(f AS DOUBLE)) AS y
+              |  FROM freq),
+              |m AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+              |         sum(x) AS sx, sum(y) AS sy,
+              |         sum(x * x) AS sxx, sum(x * y) AS sxy
+              |  FROM pts)
+              |SELECT n_vocab,
+              |       ${util.r2sql("(sxy - sx * sy / CAST(n_vocab AS DOUBLE)) / (sxx - sx * sx / CAST(n_vocab AS DOUBLE))")} AS zipf_slope
+              |FROM m""".stripMargin)
     )
   )
 }

@@ -920,6 +920,99 @@ object Windows {
               |SELECT user_id, day, n_obs,
               |       ${util.r2sql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100")} AS twap
               |FROM g ORDER BY user_id, day""".stripMargin)
+    ),
+    Q(
+      "ts_cusum_drift",
+      // CUSUM control chart per event type (round-9): the classic drift
+      // detector — cumulative sum of deviations from the series mean,
+      // with the maximum excursion as the change-point signal. Computed
+      // in EXACT integers by clearing denominators: CUSUM_i·n =
+      // n·prefix_i − i·S (prefix over cents, S = total, n = count), so
+      // the argmax is bit-exact under any partition order; the single
+      // scaled statistic divides only at the end. One ordered window per
+      // type + one agg — at scale each type's series sorts within its
+      // partition (range-partitioned by type, time-sorted).
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("event_type"))
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("ts"), col("event_id"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .withColumn("prefix", sum(col("cents")).over(w))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("ts"), col("event_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("total", sum(col("cents")).over(wAll))
+          .withColumn("drift_n", col("n") * col("prefix") - col("i") * col("total"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(max(abs(col("drift_n"))).as("max_abs_drift_n"))
+          .select(col("event_type"), col("n"),
+            util.r2(col("max_abs_drift_n").cast("double")
+              / col("n").cast("double") / 100).as("max_cusum"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT event_type, ts, event_id,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              |  FROM events WHERE value IS NOT NULL),
+              |cum AS (
+              |  SELECT event_type,
+              |         CAST(sum(cents) OVER (PARTITION BY event_type
+              |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+              |         CAST(row_number() OVER (PARTITION BY event_type
+              |           ORDER BY ts, event_id) AS BIGINT) AS i,
+              |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+              |         CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT) AS total
+              |  FROM b)
+              |SELECT event_type, n,
+              |       ${util.r2sql("CAST(max(abs(n * prefix - i * total)) AS DOUBLE) / CAST(n AS DOUBLE) / 100")} AS max_cusum
+              |FROM cum GROUP BY event_type, n
+              |ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "ts_seasonal_index",
+      // Hour-of-day seasonal index per event type (round-9): the
+      // seasonality profile every forecast/anomaly pipeline derives
+      // first — mean(hour) / mean(overall) per (type, hour), from exact
+      // integer cents so the only doubles are the final two divisions
+      // (identical expression text both engines). Two partial+final
+      // aggs over 24×types cells; the map side collapses everything
+      // before the exchange, so the cost at 100 TB is the scan.
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), hour(col("ts")).cast("long").as("hh"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+          .groupBy(col("event_type"), col("hh"))
+          .agg(count(lit(1)).as("n_h"), sum(col("cents")).as("s_h"))
+        val tots = cells.groupBy(col("event_type"))
+          .agg(sum(col("n_h")).as("n"), sum(col("s_h")).as("s"))
+        cells.join(broadcast(tots), "event_type")
+          .select(col("event_type"), col("hh"), col("n_h"),
+            expr("CAST(floor(CAST(s_h AS DOUBLE) / CAST(n_h AS DOUBLE) " +
+              "/ (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+              .as("index_e6"))
+          .orderBy(col("event_type"), col("hh"))
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events WHERE value IS NOT NULL),
+             |cells AS (
+             |  SELECT event_type, hh, count(*) AS n_h, CAST(sum(cents) AS BIGINT) AS s_h
+             |  FROM b GROUP BY event_type, hh),
+             |tots AS (
+             |  SELECT event_type, CAST(sum(n_h) AS BIGINT) AS n, CAST(sum(s_h) AS BIGINT) AS s
+             |  FROM cells GROUP BY event_type)
+             |SELECT c.event_type, c.hh, c.n_h,
+             |       CAST(floor(CAST(s_h AS DOUBLE) / CAST(n_h AS DOUBLE)
+             |                  / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS index_e6
+             |FROM cells c JOIN tots t USING (event_type)
+             |ORDER BY c.event_type, c.hh""".stripMargin)
     )
   )
 }

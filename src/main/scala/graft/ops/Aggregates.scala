@@ -1079,6 +1079,33 @@ object Aggregates {
              |ORDER BY qpri DESC, o_orderkey LIMIT 200""".stripMargin)
     ),
     Q(
+      "sample_systematic_every_k",
+      // Systematic (every-k-th) sampling over the key order (round-9) —
+      // the audit-sampling design (uniform coverage of the keyspace, no
+      // clustering risk) regulators and QA checklists specify. Built on
+      // the same single-partition-free global sequence as
+      // sort_global_sequence: range-partitioned sort + zipWithIndex,
+      // then pure index arithmetic picks every 25th row — no RNG, so
+      // the sample is reproducible across engines and repartitioning.
+      (s, dir) => {
+        val s2 = s
+        import s2.implicits._
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+          .rdd.zipWithIndex
+          .collect { case (r, i) if (i + 1) % 25 == 13 => (r.getLong(0), i + 1) }
+          .toDF("o_orderkey", "seq")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, seq FROM (
+             |  SELECT o_orderkey,
+             |         row_number() OVER (ORDER BY o_orderkey) AS seq
+             |  FROM orders) t
+             |WHERE seq % 25 = 13
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "typed_dataset_agg",
       // The typed Dataset surface: case-class rows, groupByKey, a typed
       // Aggregator — compile-time field checks with the same partial-agg

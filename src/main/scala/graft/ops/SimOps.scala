@@ -411,6 +411,44 @@ object SimOps {
               |ORDER BY vec_a, vec_b""".stripMargin)
     ),
     Q(
+      "sim_range_search_radius",
+      // RANGE search (round-9): every corpus vector within a cosine
+      // radius of each query — the retrieval mode dedup thresholds and
+      // "find everything this similar" audits need, where top-k's fixed
+      // cutoff is wrong. Same 100 TB shape as the brute-force top-k
+      // baseline: the QUERY set broadcasts (a fixed ~2% decimation),
+      // the corpus side stays map-only (scan → join → filter, no corpus
+      // shuffle), and the output is bounded by the radius, not k. The
+      // ANN variants (`sim_cosine_ann_lsh`, `sim_ann_ivf_quantized`)
+      // are the bucketed scale path for the same semantics.
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val queries = base.filter(col("vec_id") % 53 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        base.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", dot(col("embedding"), col("q_emb"))
+            / (col("nrm") * col("q_nrm")))
+          .filter(col("cos") >= 0.25)
+          .select(col("q_id"), col("vec_id"), util.r2(col("cos")).as("cos_r2"))
+          .orderBy(col("q_id"), col("vec_id"))
+      },
+      Some(s"""WITH n AS (
+              |  SELECT vec_id, embedding,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+              |      FROM n WHERE vec_id % 53 = 0),
+              |pairs AS (
+              |  SELECT q.q_id, n.vec_id,
+              |         list_sum(list_transform(range(1, 65), i -> n.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE)) / (n.nrm * q.q_nrm) AS cos
+              |  FROM n CROSS JOIN q WHERE n.vec_id <> q.q_id)
+              |SELECT q_id, vec_id, ${util.r2sql("cos")} AS cos_r2
+              |FROM pairs WHERE cos >= 0.25
+              |ORDER BY q_id, vec_id""".stripMargin)
+    ),
+    Q(
       "embed_semantic_dedup",
       // SemDeDup-style semantic dedup DECISION over embedding cells: a
       // vector is dropped when an earlier (lower-id) vector in the same

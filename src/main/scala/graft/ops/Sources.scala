@@ -533,6 +533,47 @@ object Sources {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sink_compaction_plan",
+      // Compaction PLANNING (round-9, companion to the rewrite above):
+      // assign fragments to target-size output bins by sorted
+      // cumulative-fill — bin = floor(cum_bytes_before / target) — the
+      // deterministic analogue of Iceberg's binpack rewrite planning.
+      // Fragment stats here derive from the data (one fragment per
+      // (returnflag, linestatus, ship-month) cell, bytes ≈ rows × width)
+      // exactly as a manifest's per-file row counts would supply them;
+      // the plan itself is METADATA-ONLY — an ordered window over the
+      // fragment list (thousands of rows at 100 TB, never data) — which
+      // is why planning cost stays flat no matter how big the table is.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 262144L // 256 KiB bins
+        val frags = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            to_date(date_trunc("month", col("l_shipdate"))).as("ship_month"))
+          .agg(count(lit(1)).as("n_rows"))
+          .withColumn("bytes", col("n_rows") * 64L)
+        val w = Window.orderBy(col("l_returnflag"), col("l_linestatus"),
+          col("ship_month")).rowsBetween(Window.unboundedPreceding, -1)
+        frags
+          .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+          .withColumn("bin", (col("cum_before") / target).cast("long"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("ship_month"),
+            col("n_rows"), col("bytes"), col("bin"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+      },
+      Some("""WITH frags AS (
+             |  SELECT l_returnflag, l_linestatus,
+             |         CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+             |         count(*) AS n_rows,
+             |         CAST(count(*) * 64 AS BIGINT) AS bytes
+             |  FROM lineitem GROUP BY 1, 2, 3)
+             |SELECT l_returnflag, l_linestatus, ship_month, n_rows, bytes,
+             |       CAST(CAST(coalesce(sum(bytes) OVER (ORDER BY l_returnflag, l_linestatus, ship_month
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 262144 AS BIGINT) AS bin
+             |FROM frags
+             |ORDER BY l_returnflag, l_linestatus, ship_month""".stripMargin)
+    ),
+    Q(
       "scan_metadata_row_index",
       // Hidden file-metadata columns: `_metadata.row_index` is the
       // physical position of each row inside its parquet file, exposed by

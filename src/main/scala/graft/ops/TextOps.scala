@@ -1407,10 +1407,10 @@ object TextOps {
         chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id"))
           .agg(sum(col("c")).as("len"),
-            sum(col("c").cast("double") * log(lit(2.0), col("c").cast("double")))
+            sum(col("c").cast("double") * log(2.0, col("c").cast("double")))
               .as("clog"))
           .select(col("doc_id"), col("len"),
-            util.r2(log(lit(2.0), col("len").cast("double"))
+            util.r2(log(2.0, col("len").cast("double"))
               - col("clog") / col("len").cast("double")).as("entropy_bits"))
           .orderBy(col("doc_id"))
       },

@@ -1152,6 +1152,78 @@ object Joins {
              |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin)
     ),
     Q(
+      "sql_tpch_q7",
+      // TPC-H Q7 (volume shipping, round-9): bilateral trade between two
+      // nations by ship year — the two-role dimension pattern (nation
+      // joins TWICE, as supplier's and customer's country) plus a
+      // disjunctive cross-nation predicate that defeats naive pushdown.
+      // Both nation legs broadcast; the only big exchange is the fact
+      // spine join. Exact-cents revenue per (supp, cust, year) cell.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                |       CAST(year(l_shipdate) AS BIGINT) AS yr,
+                |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+                |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+                |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                |  AND c_custkey = o_custkey
+                |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+                |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+                |ORDER BY supp_nation, cust_nation, yr""".stripMargin)
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |       CAST(year(l_shipdate) AS BIGINT) AS yr,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |  AND c_custkey = o_custkey
+             |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+             |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+             |ORDER BY supp_nation, cust_nation, yr""".stripMargin)
+    ),
+    Q(
+      "sql_tpch_q14",
+      // TPC-H Q14 (promotion effect, round-9): promo share of revenue per
+      // ship month — the conditional-aggregate-over-join shape
+      // (CASE inside sum). Part is broadcast-sized; revenue stays exact
+      // cents and the single final division is pinned to e6 so the share
+      // is hash-stable. At scale: one fact exchange, everything else
+      // map-side.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH j AS (
+                |  SELECT date_trunc('month', l_shipdate) AS mon,
+                |         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+                |         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+                |  FROM lineitem JOIN part ON l_partkey = p_partkey
+                |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                |    AND l_shipdate < TIMESTAMP '1998-01-01')
+                |SELECT CAST(mon AS DATE) AS mon,
+                |       CAST(sum(is_promo * cents) AS BIGINT) AS promo_cents,
+                |       CAST(sum(cents) AS BIGINT) AS total_cents,
+                |       CAST(floor(CAST(sum(is_promo * cents) AS DOUBLE)
+                |                  / CAST(sum(cents) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS promo_share_e6
+                |FROM j GROUP BY mon ORDER BY mon""".stripMargin)
+      },
+      Some("""WITH j AS (
+             |  SELECT date_trunc('month', l_shipdate) AS mon,
+             |         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+             |         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01')
+             |SELECT CAST(mon AS DATE) AS mon,
+             |       CAST(sum(is_promo * cents) AS BIGINT) AS promo_cents,
+             |       CAST(sum(cents) AS BIGINT) AS total_cents,
+             |       CAST(floor(CAST(sum(is_promo * cents) AS DOUBLE)
+             |                  / CAST(sum(cents) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS promo_share_e6
+             |FROM j GROUP BY mon ORDER BY mon""".stripMargin)
+    ),
+    Q(
       "subq_count_bug",
       // The COUNT-on-empty decorrelation pitfall (the classic "COUNT
       // bug"): a correlated `(SELECT count(*) ...)` must yield 0 — not

@@ -449,6 +449,58 @@ object SimOps {
               |ORDER BY q_id, vec_id""".stripMargin)
     ),
     Q(
+      "embed_centroid_outliers",
+      // Embedding-space outlier audit (round-9): the 5 vectors farthest
+      // from their label's centroid — the mislabeled-example / corrupt-
+      // embedding screen a dataset card reports. Entirely EXACT integer
+      // arithmetic via the centroid_mean_pool quantization trick
+      // (components pinned to 1e-4 units before any aggregate), so the
+      // squared distance and its per-label ranking are bit-stable under
+      // any partition order. The centroid table is O(labels × dim) and
+      // broadcasts; the corpus side is one posexplode + two-phase agg —
+      // the shuffle carries 64 partial sums per (vec × partition),
+      // never raw vectors.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("u4",
+            expr("CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)"))
+        val cent = q.groupBy(col("label"), col("pos"))
+          .agg(sum(col("u4")).as("s4"), count(lit(1)).as("n"))
+          .select(col("label"), col("pos"),
+            expr("CAST(floor(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+              .as("c4"))
+        val d2 = q.join(broadcast(cent), Seq("label", "pos"))
+          .groupBy(col("label"), col("vec_id"))
+          .agg(sum((col("u4") - col("c4")) * (col("u4") - col("c4"))).as("d2"))
+        val w = Window.partitionBy(col("label")).orderBy(col("d2").desc, col("vec_id"))
+        d2.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .select(col("label"), col("rk").cast("long").as("rk"),
+            col("vec_id"), col("d2"))
+          .orderBy(col("label"), col("rk"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, label, i,
+             |         CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT) AS u4
+             |  FROM embeddings, range(1, 65) t(i)),
+             |cent AS (
+             |  SELECT label, i,
+             |         CAST(floor(CAST(sum(u4) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS c4
+             |  FROM q GROUP BY label, i),
+             |d2 AS (
+             |  SELECT q.label, vec_id, CAST(sum((u4 - c4) * (u4 - c4)) AS BIGINT) AS d2
+             |  FROM q JOIN cent ON q.label = cent.label AND q.i = cent.i
+             |  GROUP BY q.label, vec_id),
+             |rk AS (
+             |  SELECT label, vec_id, d2,
+             |         row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
+             |  FROM d2)
+             |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, d2
+             |FROM rk WHERE rk <= 5 ORDER BY label, rk""".stripMargin)
+    ),
+    Q(
       "embed_semantic_dedup",
       // SemDeDup-style semantic dedup DECISION over embedding cells: a
       // vector is dropped when an earlier (lower-id) vector in the same

@@ -1013,6 +1013,87 @@ object Windows {
              |                  / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS index_e6
              |FROM cells c JOIN tots t USING (event_type)
              |ORDER BY c.event_type, c.hh""".stripMargin)
+    ),
+    Q(
+      "win_streak_lengths",
+      // Longest consecutive-day activity streak per user (round-9) — the
+      // retention metric behind "N-day streak" features, and the
+      // canonical gaps-and-islands identity: within a user, day_index −
+      // dense_rank(day) is CONSTANT across a run of consecutive days, so
+      // the streak id costs one window — no self-join, no recursion. The
+      // distinct (user, day) collapse happens FIRST (shuffle carries at
+      // most users×days rows), then two cheap per-user windows; at 100 TB
+      // each user's days sort inside one partition.
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val island = col("day_epoch") - dense_rank().over(
+          Window.partitionBy(col("user_id")).orderBy(col("day"))).cast("long")
+        days
+          .withColumn("day_epoch", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+          .withColumn("island", island)
+          .groupBy(col("user_id"), col("island"))
+          .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+          .groupBy(col("user_id"))
+          .agg(max(col("len")).as("best_streak"),
+            max_by(col("streak_start"), col("len") * lit(100000L) +
+              datediff(col("streak_start"), lit("1970-01-01").cast("date")).cast("long"))
+              .as("best_start"))
+          .orderBy(col("user_id"))
+      },
+      // the (len, start) tiebreak is encoded into ONE BIGINT
+      // (len*1e5 + day-number) because DuckDB's arg_max can't order by a
+      // ROW value — latest-starting longest streak on both engines
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |isl AS (
+             |  SELECT user_id, day,
+             |         CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT)
+             |           - CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS island
+             |  FROM days),
+             |runs AS (
+             |  SELECT user_id, island, count(*) AS len, min(day) AS streak_start
+             |  FROM isl GROUP BY user_id, island)
+             |SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak,
+             |       arg_max(streak_start, len * 100000 + datediff('day', DATE '1970-01-01', streak_start)) AS best_start
+             |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "ts_session_window_batch",
+      // The BUILT-IN session_window aggregate on a batch frame (round-9)
+      // — same semantics the streaming row (`stream_session_window`)
+      // proves, here as the batch API every sessionization backfill
+      // uses: sessions close after a 30-minute silence, window bounds
+      // come from the engine ([first, last+gap)). The oracle replays the
+      // gap-island rule; Spark's session_window end is last_ts + gap.
+      // One keyed exchange; session merging is per-user, in-partition.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("s_start"),
+            col("session_window.end").as("s_end"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("s_start"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                   >= INTERVAL 30 MINUTE
+             |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, min(ts) AS s_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS s_end,
+             |       count(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, s_start""".stripMargin)
     )
   )
 }

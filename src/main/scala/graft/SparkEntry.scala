@@ -16,6 +16,7 @@ object SparkEntry {
       ops.Sources.defs ++
       ops.Filters.defs ++
       ops.Joins.defs ++
+      ops.Tpch.defs ++
       ops.Aggregates.defs ++
       ops.Windows.defs ++
       ops.ScalarFns.defs ++

@@ -1225,6 +1225,58 @@ object Aggregates {
              |       any_value(q1) AS q1, any_value(q3) AS q3
              |FROM c JOIN f USING (event_type)
              |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin)
+    ),
+    Q(
+      "agg_gini_concentration",
+      // Gini coefficient of customer revenue per nation (round-9): the
+      // standard inequality audit over a grouped measure — how concentrated
+      // is spend among a nation's customers. Uses the rank formula
+      // G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted exact cents:
+      // every sum is BIGINT (order-free), the single double division is
+      // pinned to e6, and the rank window ties break on custkey. Scale: one
+      // shuffle to (nation, cust) partials, one window shuffle on nation
+      // (each nation's customer list sorts within its partition), then an
+      // O(nations) final — the raw orders table is aggregated before any
+      // window sees it.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val custRev = Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("c_custkey"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+        val ranked = custRev.withColumn("rn", row_number().over(
+          Window.partitionBy(col("c_nationkey"))
+            .orderBy(col("cents"), col("c_custkey"))))
+        ranked.groupBy(col("c_nationkey").cast("long").as("nation"))
+          .agg(
+            expr("CAST(count(*) AS BIGINT)").as("n_cust"),
+            expr("CAST(sum(cents) AS BIGINT)").as("total_cents"),
+            expr("CAST(sum(rn * cents) AS BIGINT)").as("rc"))
+          .select(col("nation"), col("n_cust"), col("total_cents"),
+            expr("""CAST(floor((CAST(2 AS DOUBLE) * CAST(rc AS DOUBLE)
+                    / (CAST(n_cust AS DOUBLE) * CAST(total_cents AS DOUBLE))
+                    - (CAST(n_cust AS DOUBLE) + 1) / CAST(n_cust AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT)""").as("gini_e6"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH cust_rev AS (
+             |  SELECT c_nationkey, c_custkey,
+             |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  GROUP BY c_nationkey, c_custkey),
+             |ranked AS (
+             |  SELECT c_nationkey, cents,
+             |         row_number() OVER (PARTITION BY c_nationkey
+             |                            ORDER BY cents, c_custkey) AS rn
+             |  FROM cust_rev)
+             |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             |       CAST(count(*) AS BIGINT) AS n_cust,
+             |       CAST(sum(cents) AS BIGINT) AS total_cents,
+             |       CAST(floor((CAST(2 AS DOUBLE) * CAST(sum(rn * cents) AS DOUBLE)
+             |            / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+             |            - (CAST(count(*) AS DOUBLE) + 1) / CAST(count(*) AS DOUBLE))
+             |            * 1000000 + 0.5) AS BIGINT) AS gini_e6
+             |FROM ranked GROUP BY c_nationkey ORDER BY nation""".stripMargin)
     )
   )
 }

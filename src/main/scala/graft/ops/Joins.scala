@@ -1417,6 +1417,31 @@ object Joins {
              |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin)
     ),
     Q(
+      "sql_window_clause",
+      // Named WINDOW clause (round-9): one window definition shared by
+      // multiple OVER references — the dialect feature that keeps
+      // multi-metric window queries maintainable. Both engines run the
+      // identical text; Spark plans ONE WindowExec for both functions
+      // (shared partition/sort), so the shared name is also a shared
+      // shuffle. DuckDB's windowed sum(BIGINT) yields HUGEINT, hence the
+      // CAST on the sum only.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""SELECT l_orderkey, l_linenumber,
+                |       CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS run_qty,
+                |       CAST(rank() OVER w AS BIGINT) AS rnk
+                |FROM lineitem
+                |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+                |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS run_qty,
+             |       CAST(rank() OVER w AS BIGINT) AS rnk
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    Q(
       "sql_execute_immediate",
       // EXECUTE IMMEDIATE + session variables (Spark 4): dynamic SQL
       // composed at runtime with DECLARE'd variables bound via USING —

@@ -1094,6 +1094,107 @@ object Windows {
              |       count(*) AS n_events
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, s_start""".stripMargin)
+    ),
+    Q(
+      "ts_autocorr_lag",
+      // Lag-k autocorrelation of the daily event-count series, k = 1..5
+      // (round-9): the seasonality probe behind every "is this weekly?"
+      // question. The estimator is rewritten into pure integer power sums
+      // (A=Σxₜxₜ₊ₖ, B/C=head/tail sums, S=Σx, Q=Σx², via the algebraic
+      // expansion of Σ(xₜ−x̄)(xₜ₊ₖ−x̄)/Σ(xₜ−x̄)²) so both engines divide the
+      // SAME exact integers — no float accumulation anywhere, e6-pinned
+      // output. Scale: events collapse to O(days) rows in one aggregation;
+      // the lag join and the 1-row stats broadcast are metadata-sized no
+      // matter the corpus.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        val stats = daily.agg(
+          expr("CAST(count(*) AS BIGINT)").as("n"),
+          expr("CAST(sum(x) AS BIGINT)").as("s"),
+          expr("CAST(sum(x * x) AS BIGINT)").as("q"))
+        val lags = s.range(1, 6).select(col("id").cast("int").as("k"))
+        val pairs = lags
+          .crossJoin(daily.select(col("d").as("ad"), col("x").as("ax")))
+          .join(daily.select(col("d").as("bd"), col("x").as("bx0")),
+            col("bd") === expr("date_add(ad, k)"))
+          .groupBy(col("k"))
+          .agg(
+            expr("CAST(count(*) AS BIGINT)").as("m"),
+            expr("CAST(sum(ax * bx0) AS BIGINT)").as("axx"),
+            expr("CAST(sum(ax) AS BIGINT)").as("bx"),
+            expr("CAST(sum(bx0) AS BIGINT)").as("cx"))
+        pairs.crossJoin(stats)
+          .select(col("k").cast("long").as("lag_k"),
+            col("m"), col("axx"), col("bx"), col("cx"),
+            expr("""CAST(floor((CAST(axx AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(bx + cx AS DOUBLE)
+                    + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT)""").as("autocorr_e6"))
+          .orderBy(col("lag_k"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |stats AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             |         CAST(sum(x * x) AS BIGINT) AS q FROM daily),
+             |lags AS (SELECT unnest(range(1, 6)) AS k),
+             |pairs AS (
+             |  SELECT l.k,
+             |         CAST(count(*) AS BIGINT) AS m,
+             |         CAST(sum(a.x * b.x) AS BIGINT) AS axx,
+             |         CAST(sum(a.x) AS BIGINT) AS bx,
+             |         CAST(sum(b.x) AS BIGINT) AS cx
+             |  FROM lags l
+             |  JOIN daily a ON TRUE
+             |  JOIN daily b ON b.d = a.d + CAST(l.k AS INTEGER)
+             |  GROUP BY l.k)
+             |SELECT CAST(k AS BIGINT) AS lag_k, m, axx, bx, cx,
+             |       CAST(floor((CAST(axx AS DOUBLE)
+             |            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(bx + cx AS DOUBLE)
+             |            + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |            / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |            * 1000000 + 0.5) AS BIGINT) AS autocorr_e6
+             |FROM pairs, stats ORDER BY lag_k""".stripMargin)
+    ),
+    Q(
+      "win_sequence_pattern",
+      // Regex over the per-user event-type sequence (round-9): the
+      // MATCH_RECOGNIZE-ish CEP shape — order each user's events, project
+      // each to a 1-char symbol, and count non-overlapping 'cv*p'
+      // (click → any views → purchase) funnel matches in the concatenated
+      // symbol string. Ordering ties break on event_id on BOTH engines, and
+      // greedy leftmost non-overlapping regex semantics agree between Java
+      // regex and DuckDB's RE2 for this pattern class. Scale: the shuffle
+      // carries 1 byte per event keyed by user; per-user sequences are
+      // bounded by a user's own activity (the same invariant every
+      // sessionization op here already relies on).
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c"))
+          .groupBy(col("user_id"))
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("c")))),
+              x => x.getField("c")), "").as("seq"))
+          .select(col("user_id"),
+            length(col("seq")).cast("long").as("n_events"),
+            expr("CAST(regexp_count(seq, 'cv*p') AS BIGINT)").as("n_funnels"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id,
+             |         string_agg(substring(event_type, 1, 1), ''
+             |                    ORDER BY ts, event_id) AS s
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+             |       CAST(length(regexp_extract_all(s, 'cv*p')) AS BIGINT) AS n_funnels
+             |FROM seq ORDER BY user_id""".stripMargin)
     )
   )
 }

@@ -192,4 +192,58 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("agg_gini_concentration: gini in [0,1e6], uniform toy data gives ~0") {
+    val rows = q("agg_gini_concentration").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getLong(3)
+      assert(g >= 0 && g <= 1000000, s"gini out of range: $g")
+    }
+    // invariant: a perfectly equal distribution has G = (n-1)/n - ... ≈ 0;
+    // rank formula on n equal values gives exactly 2·(n+1)/2/n − (n+1)/n = 0
+    import spark.implicits._
+    val equal = Seq.tabulate(10)(i => (0, i.toLong, 100L))
+      .toDF("grp", "key", "cents")
+    val ranked = equal.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("cents"), col("key"))))
+    val g = ranked.groupBy(col("grp"))
+      .agg(expr("""CAST(floor((CAST(2 AS DOUBLE) * CAST(sum(rn * cents) AS DOUBLE)
+                  / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
+                  - (CAST(count(*) AS DOUBLE) + 1) / CAST(count(*) AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT)""").as("g"))
+      .collect()(0).getLong(1)
+    assert(g == 0L)
+  }
+
+  test("ts_autocorr_lag: lag-0 identity sanity and bounded estimates") {
+    val rows = q("ts_autocorr_lag").collect()
+    assert(rows.length == 5)
+    // |r_k| can exceed 1 slightly for the truncated-sum estimator only in
+    // degenerate series; on the fixture it must stay within [-1, 1] e6
+    rows.foreach { r =>
+      val ac = r.getLong(5)
+      assert(ac >= -1000000 && ac <= 1000000, s"autocorr out of range: $ac")
+    }
+  }
+
+  test("win_sequence_pattern: funnel count matches a driver-side regex replay") {
+    val rows = q("win_sequence_pattern").collect()
+    assert(rows.nonEmpty)
+    // replay one user's sequence locally from the raw events
+    val uid = rows.head.getLong(0)
+    val seq = Tables.events(spark, dir)
+      .filter(col("user_id") === uid)
+      // ts is TIMESTAMP_NTZ → java.time.LocalDateTime in collected rows
+      .select(col("ts"), col("event_id"), substring(col("event_type"), 1, 1))
+      .collect()
+      .sortBy(r => (r.getAs[java.time.LocalDateTime](0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        r.getAs[java.time.LocalDateTime](0).getNano / 1000L, r.getLong(1)))
+      .map(_.getString(2)).mkString
+    val expected = "cv*p".r.findAllIn(seq).length
+    assert(rows.head.getLong(2) == expected)
+    assert(rows.head.getLong(1) == seq.length)
+  }
 }

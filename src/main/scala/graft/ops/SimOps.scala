@@ -1426,6 +1426,65 @@ object SimOps {
            |       ${r6("nrm.nrm / nn.n")} AS ev
            |FROM range(1, 65) t(pos), nrm, nn ORDER BY pos""".stripMargin
       }
+    ),
+    Q(
+      "sim_maxsim_late_interaction",
+      // Late-interaction (ColBERT-style MaxSim) scoring (round-9): each
+      // vector is treated as 8 sub-vectors of 8 dims and
+      // score(q,d) = Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ — the multi-vector retrieval shape
+      // where every query token finds its best-matching document token.
+      // Sub-vectors are int8-quantized first so every dot product, max and
+      // sum is EXACT integer arithmetic (rank ties impossible to flip
+      // cross-engine); the nested max-of-dots runs as codegen'd SQL HOFs.
+      // Scale: the query set broadcasts (a fixed sample), the corpus never
+      // shuffles, and per-pair cost is k²·subdim ints — the shape IVF/PLAID
+      // pruning would wrap at 100 TB without changing this kernel.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        def q8(c: Column): Column = transform(c, x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") * 254.0 + 0.5).cast("long"))))
+        val q = broadcast(
+          emb.filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("query_id"), q8(col("embedding")).as("q_emb")))
+        val c = emb.select(col("vec_id").as("doc_id"), q8(col("embedding")).as("c_emb"))
+        val scored = q.crossJoin(c)
+          .filter(col("query_id") =!= col("doc_id"))
+          .withColumn("score",
+            expr("""aggregate(transform(sequence(0, 7), i ->
+                   array_max(transform(sequence(0, 7), j ->
+                     aggregate(transform(sequence(1, 8), k ->
+                       q_emb[8*i+k-1] * c_emb[8*j+k-1]), 0L, (a, x) -> a + x)))),
+                   0L, (a, x) -> a + x)"""))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q8 AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x ->
+             |           greatest(-127::BIGINT, least(127::BIGINT,
+             |             CAST(floor(x::DOUBLE * 254.0 + 0.5) AS BIGINT)))) AS qe
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+             |         CAST(list_sum(list_transform(range(0, 8), i ->
+             |           list_max(list_transform(range(0, 8), j ->
+             |             list_sum(list_transform(range(1, 9), k ->
+             |               a.qe[8*i+k] * b.qe[8*j+k])))))) AS BIGINT) AS score
+             |  FROM q8 a CROSS JOIN q8 b
+             |  WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+             |SELECT query_id, rank, doc_id, score FROM (
+             |  SELECT query_id, doc_id, score,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin)
     )
   )
 

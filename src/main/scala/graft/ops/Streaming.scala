@@ -993,6 +993,47 @@ object Streaming {
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
              |GROUP BY 1, 2, wm
              |ORDER BY hour_start, event_type""".stripMargin)
+    ),
+    Q(
+      "stream_chained_windows",
+      // MULTIPLE STATEFUL OPERATORS in one streaming query (round-9;
+      // Spark 3.4+ SPARK-40925): a 5-minute tumbling count re-aggregated
+      // into per-hour max/sum of the 5-minute buckets — two windowed
+      // aggregations chained via `window(window_col, …)`, each with its
+      // own state store, watermark propagated through the first into the
+      // second. Append mode + 0s delay gives the deterministic
+      // finalization schedule the other watermark rows pin: hourly windows
+      // whose end ≤ max(ts) emit, built from exactly the 5-minute windows
+      // inside them (all of which finalized earlier by construction).
+      // Scale: state is O(open windows), not O(events); the second
+      // operator's input is already 1/300th of the stream.
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 1), ntz = false)
+        val five = ev.withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "5 minutes"))
+          .agg(count(lit(1)).as("n"))
+        val hourly = five
+          .groupBy(window(col("window"), "1 hour"))
+          .agg(max(col("n")).as("max_5min"), sum(col("n")).as("events"),
+            count(lit(1)).as("buckets"))
+        runToMemory(s, hourly, "t_chained", "append")
+          .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+            col("max_5min"), col("events"), col("buckets"))
+          .orderBy(col("hour_start"))
+      },
+      Some("""WITH m AS (SELECT max(ts) AS wm FROM events),
+             |five AS (
+             |  SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS w5,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1)
+             |SELECT date_trunc('hour', w5) AS hour_start,
+             |       CAST(max(n) AS BIGINT) AS max_5min,
+             |       CAST(sum(n) AS BIGINT) AS events,
+             |       CAST(count(*) AS BIGINT) AS buckets
+             |FROM five, m
+             |WHERE date_trunc('hour', w5) + INTERVAL 1 HOUR <= wm
+             |GROUP BY 1, wm
+             |ORDER BY hour_start""".stripMargin)
     )
   )
 }

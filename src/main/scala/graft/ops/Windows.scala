@@ -1195,6 +1195,65 @@ object Windows {
              |SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
              |       CAST(length(regexp_extract_all(s, 'cv*p')) AS BIGINT) AS n_funnels
              |FROM seq ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "ts_rolling_corr",
+      // Trailing-7-day rolling correlation between two daily series
+      // (clicks vs purchases, round-9): the co-movement monitor behind
+      // "did these metrics decouple this week". Six windowed INTEGER sums
+      // feed the product-moment formula, so the only floats are two sqrts
+      // and one division over exact integers — identical in both engines —
+      // with degenerate (zero-variance) windows nulled by the same guard.
+      // Scale: events collapse to O(days) rows before the window; the
+      // window itself is a single partition ONLY because the series is one
+      // global day grid — at 100 TB the same op runs per metric-key with
+      // partitionBy, which is how any real deployment shards it.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("x")).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sxx", sum(expr("x * x")).over(w))
+          .withColumn("syy", sum(expr("y * y")).over(w))
+          .withColumn("sxy", sum(expr("x * y")).over(w))
+          .select(col("d"), col("n"),
+            expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                         * 1000000 + 0.5) AS BIGINT)
+                    ELSE NULL END""").as("corr_e6"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |win AS (
+             |  SELECT d,
+             |         CAST(count(*) OVER w AS BIGINT) AS n,
+             |         CAST(sum(x) OVER w AS BIGINT) AS sx,
+             |         CAST(sum(y) OVER w AS BIGINT) AS sy,
+             |         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             |         CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+             |         CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT d, n,
+             |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             |            THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             |                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             |                 * 1000000 + 0.5) AS BIGINT)
+             |            ELSE NULL END AS corr_e6
+             |FROM win ORDER BY d""".stripMargin)
     )
   )
 }

@@ -228,6 +228,42 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_maxsim_late_interaction: MaxSim >= plain sub-vector-aligned dot") {
+    // MaxSim picks the best doc sub-vector per query sub-vector, so it
+    // dominates the aligned (i==j) sub-vector dot, which is the full
+    // quantized dot product. Verify on one query/doc pair recomputed
+    // driver-side.
+    val rows = q("sim_maxsim_late_interaction").collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) <= 3))
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def q8(v: Array[Float]): Array[Long] =
+      v.map(x => math.max(-127L, math.min(127L, math.floor(x.toDouble * 254.0 + 0.5).toLong)))
+    val qid = rows.head.getLong(0); val did = rows.head.getLong(2)
+    val qv = q8(emb(qid)); val dv = q8(emb(did))
+    val maxsim = (0 until 8).map { i =>
+      (0 until 8).map { j =>
+        (0 until 8).map(k => qv(8 * i + k) * dv(8 * j + k)).sum
+      }.max
+    }.sum
+    assert(rows.head.getLong(3) === maxsim, "top-1 score must match local replay")
+    val aligned = (0 until 64).map(k => qv(k) * dv(k)).sum
+    assert(maxsim >= aligned, "MaxSim must dominate the aligned dot")
+  }
+
+  test("ts_rolling_corr: values bounded, first window degenerate-guarded") {
+    val rows = q("ts_rolling_corr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val c = r.getLong(2)
+        assert(c >= -1000000 && c <= 1000000, s"corr out of [-1,1]: $c")
+      }
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 7, "window rows in [1,7]")
+    }
+  }
+
   test("win_sequence_pattern: funnel count matches a driver-side regex replay") {
     val rows = q("win_sequence_pattern").collect()
     assert(rows.nonEmpty)

@@ -123,4 +123,27 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(col("event_type")).count().as[(String, Long)].collect().toMap
     assert(streamed === batch)
   }
+
+  test("stream_chained_windows: two stateful operators, internally consistent") {
+    val rows = SparkEntry.queries("stream_chained_windows")(spark, SparkTestBase.sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val maxB = r.getLong(1); val total = r.getLong(2); val buckets = r.getLong(3)
+      assert(buckets >= 1 && buckets <= 12, "at most twelve 5-min buckets/hour")
+      assert(maxB <= total && total <= maxB * buckets,
+        "hourly sum must bound between max and max*buckets")
+    }
+    // the chained result re-derives from batch: hourly sum over 5-min counts
+    // equals the plain hourly event count for finalized hours
+    val batchHourly = Tables.events(spark, SparkTestBase.sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val h = r.getAs[java.time.LocalDateTime](0)
+      val key = f"${h.getYear}%04d-${h.getMonthValue}%02d-${h.getDayOfMonth}%02d ${h.getHour}%02d"
+      assert(batchHourly(key) === r.getLong(2), s"hourly total mismatch at $key")
+    }
+  }
 }

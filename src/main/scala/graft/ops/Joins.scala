@@ -1417,6 +1417,24 @@ object Joins {
              |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin)
     ),
     Q(
+      "sql_order_by_all",
+      // ORDER BY ALL + GROUP BY ALL together (round-9): the whole-row
+      // shorthand dialect — group on every non-aggregate column, order on
+      // every output column — that makes exploratory SQL total-ordered by
+      // construction. Both engines run the identical text; ALL expands to
+      // the same column list, so the hash contract is satisfied without a
+      // hand-written sort list.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+                |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
+    ),
+    Q(
       "sql_window_clause",
       // Named WINDOW clause (round-9): one window definition shared by
       // multiple OVER references — the dialect feature that keeps

@@ -227,6 +227,44 @@ object Quality {
              |                 + CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) % 2147483647) AS BIGINT) AS content_sum
              |FROM orders GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
+      "dq_referential_integrity",
+      // FK orphan audit across the replica's five foreign-key edges
+      // (round-9): the integrity check every CDC replication pipeline runs
+      // after a sync — children whose parent key resolves to nothing.
+      // Each edge is one left join + a null-count conditional sum; the
+      // small parents broadcast, so every check is a map-side probe over
+      // the child scan (no child-table shuffle at any scale). Identical
+      // SQL text runs on both engines; orphan counts of zero are the
+      // asserted-good state, with child totals keeping the row non-vacuous.
+      (s, dir) => graft.Catalog.sql(s, dir, refIntegritySql),
+      Some(refIntegritySql)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[dq_referential_integrity]]. */
+  private lazy val refIntegritySql: String =
+    """SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+      |       CAST(n_orphan AS BIGINT) AS n_orphan FROM (
+      |  SELECT 'lineitem.l_orderkey->orders' AS edge, count(*) AS n_child,
+      |         sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphan
+      |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part', count(*),
+      |         sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+      |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier', count(*),
+      |         sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END)
+      |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer', count(*),
+      |         sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT 'customer.c_nationkey->nation', count(*),
+      |         sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)
+      |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey) t
+      |ORDER BY edge""".stripMargin
 }

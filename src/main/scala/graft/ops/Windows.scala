@@ -1254,6 +1254,70 @@ object Windows {
              |                 * 1000000 + 0.5) AS BIGINT)
              |            ELSE NULL END AS corr_e6
              |FROM win ORDER BY d""".stripMargin)
+    ),
+    Q(
+      "win_drawdown",
+      // Maximum drawdown per user (round-9): the running-peak-minus-current
+      // audit over a signed cumulative balance (purchases credit, everything
+      // else debits) — the risk metric every monitoring stack computes on a
+      // fluctuating series. Two stacked windows over ONE (user, ts) sort —
+      // cumulative sum, then running max — share a single WindowExec
+      // shuffle+sort; all arithmetic is exact BIGINT cents. Identical SQL
+      // text runs on both engines (the named-WINDOW surface).
+      (s, dir) => graft.Catalog.sql(s, dir, drawdownSql),
+      Some(drawdownSql)
+    ),
+    Q(
+      "ts_peak_detection",
+      // Local-peak detection on the daily event series (round-9): a day is
+      // a peak when it strictly exceeds its predecessor and is >= its
+      // successor (left-leaning plateau rule — deterministic on ties);
+      // prominence = height above the taller neighbor. One lag + one lead
+      // over the O(days) aggregate; series endpoints are excluded rather
+      // than guessed. Identical SQL text runs on both engines.
+      (s, dir) => graft.Catalog.sql(s, dir, peakSql),
+      Some(peakSql)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[win_drawdown]]. */
+  private lazy val drawdownSql: String =
+    """WITH sgn AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_type = 'purchase'
+      |              THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |              ELSE -CAST(floor(value * 100 + 0.5) AS BIGINT) END AS delta
+      |  FROM events),
+      |bal AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(sum(delta) OVER w AS BIGINT) AS balance
+      |  FROM sgn
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pk AS (
+      |  SELECT user_id, balance,
+      |         CAST(max(balance) OVER w AS BIGINT) AS peak
+      |  FROM bal
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id,
+      |       CAST(max(peak - balance) AS BIGINT) AS max_drawdown_cents,
+      |       CAST(max(peak) AS BIGINT) AS peak_cents
+      |FROM pk GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[ts_peak_detection]]. */
+  private lazy val peakSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |nbr AS (
+      |  SELECT d, x,
+      |         lag(x) OVER (ORDER BY d) AS px,
+      |         lead(x) OVER (ORDER BY d) AS nx
+      |  FROM daily)
+      |SELECT d, x, CAST(x - greatest(px, nx) AS BIGINT) AS prominence
+      |FROM nbr
+      |WHERE px IS NOT NULL AND nx IS NOT NULL AND x > px AND x >= nx
+      |ORDER BY d""".stripMargin
 }

@@ -1227,6 +1227,39 @@ object Aggregates {
              |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin)
     ),
     Q(
+      "sample_group_holdout",
+      // GROUP-aware train/holdout split (round-9): the split key is the
+      // SOURCE, not the document, so every doc from one source lands in
+      // the same side — the leakage-free split a dedup-aware training
+      // pipeline needs (near-duplicates cluster within a source; a
+      // row-level split would leak them across the boundary). The hash is
+      // the house bounded-residue multiplicative chain (ScaleStress-safe:
+      // residue BEFORE the multiply), no RNG, reproducible on any engine
+      // and any partitioning. Identical SQL text runs on both engines.
+      (s, dir) => graft.Catalog.sql(s, dir,
+        """WITH tagged AS (
+          |  SELECT doc_id, n_chars, source,
+          |         CASE WHEN ((CAST(substring(source, 4, 8) AS BIGINT) % 1000003)
+          |                    * 2654435761) % 1000000007 % 10 < 8
+          |              THEN 'train' ELSE 'holdout' END AS split
+          |  FROM documents)
+          |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM tagged GROUP BY split ORDER BY split""".stripMargin),
+      Some(
+        """WITH tagged AS (
+          |  SELECT doc_id, n_chars, source,
+          |         CASE WHEN ((CAST(substring(source, 4, 8) AS BIGINT) % 1000003)
+          |                    * 2654435761) % 1000000007 % 10 < 8
+          |              THEN 'train' ELSE 'holdout' END AS split
+          |  FROM documents)
+          |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM tagged GROUP BY split ORDER BY split""".stripMargin)
+    ),
+    Q(
       "agg_gini_concentration",
       // Gini coefficient of customer revenue per nation (round-9): the
       // standard inequality audit over a grouped measure — how concentrated

@@ -1476,6 +1476,43 @@ object TextOps {
               |SELECT n_vocab,
               |       ${util.r2sql("(sxy - sx * sy / CAST(n_vocab AS DOUBLE)) / (sxx - sx * sx / CAST(n_vocab AS DOUBLE))")} AS zipf_slope
               |FROM m""".stripMargin)
+    ),
+    Q(
+      "text_feature_hashing",
+      // The hashing trick (round-9): tokens → fixed 16-bucket count vector
+      // with NO vocabulary pass — the stateless featurizer that gives every
+      // doc an identical-width sparse vector regardless of corpus size
+      // (the reason it scales: no global dictionary to build, broadcast,
+      // or version). Token hashes come from the native fused-fold
+      // expression (codegen'd, one Java loop per token); bucket = low
+      // 31-bit fold mod 16, so the oracle replays the identical integer
+      // chain. Output is the sparse (doc, bucket, count) triplet form —
+      // the shape a downstream `pivot` or VectorAssembler densifies.
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.PortableTokenHashes(s, col("text"))).as("packed"))
+        toks
+          // low half of the packed double-fold IS the m=131 portable hash
+          .withColumn("bucket", pmod(col("packed") % 2147483648L, lit(16L)))
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              |  FROM documents),
+              |h AS (
+              |  SELECT doc_id,
+              |         list_reduce(
+              |           list_prepend(CAST(0 AS BIGINT),
+              |             list_transform(generate_series(1, length(t)),
+              |               i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+              |           (acc, c) -> (acc * 131 + c) % ${MinHash.P}) AS hv
+              |  FROM toks)
+              |SELECT doc_id, hv % 16 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+              |FROM h GROUP BY doc_id, bucket
+              |ORDER BY doc_id, bucket""".stripMargin)
     )
   )
 }

@@ -995,6 +995,70 @@ object Streaming {
              |ORDER BY hour_start, event_type""".stripMargin)
     ),
     Q(
+      "stream_stream_join_outer",
+      // Stream-stream LEFT OUTER interval join (round-9): clicks that DID
+      // get an error within 10 minutes match immediately; clicks that
+      // DIDN'T emit a null-padded row only once the watermark proves no
+      // late error can still arrive — the outer-join-with-state-expiry
+      // semantics that distinguish streaming outer joins from batch ones.
+      // 0s watermarks + AvailableNow give the deterministic schedule: the
+      // terminal no-data batch expires exactly the clicks whose join
+      // window closed below max(ts), so the emitted set is
+      // SQL-expressible (fixture has no boundary-equal rows at any sf —
+      // checked at authoring time). State stays bounded by the 10-minute
+      // interval condition on BOTH sides, the 100 TB requirement.
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 1), ntz = false)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("uid"), col("ts").as("ts_click"),
+            col("event_id").as("click_id"))
+          .withWatermark("ts_click", "0 seconds")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id").as("uid_e"), col("ts").as("ts_error"),
+            col("event_id").as("error_id"))
+          .withWatermark("ts_error", "0 seconds")
+        val joined = clicks.join(errors,
+          expr("""uid = uid_e AND
+                 |ts_error >= ts_click AND
+                 |ts_error <= ts_click + interval 10 minutes""".stripMargin),
+          "leftOuter")
+        runToMemory(s, joined, "t_ss_join_outer", "append")
+          .select(col("click_id"), col("error_id"), col("uid"),
+            col("ts_click").cast("timestamp_ntz").as("ts_click"),
+            col("ts_error").cast("timestamp_ntz").as("ts_error"))
+          .orderBy(col("click_id"), col("error_id"))
+      },
+      // the join's watermark is the MIN across both input streams — each
+      // side's watermark tracks its own max event time, and the outer
+      // side only expires below the smaller of the two
+      Some("""WITH m AS (
+             |  SELECT least(
+             |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+             |    (SELECT max(ts) FROM events WHERE event_type = 'error')) AS wm),
+             |matches AS (
+             |  SELECT a.event_id AS click_id, b.event_id AS error_id,
+             |         a.user_id AS uid, a.ts AS ts_click, b.ts AS ts_error
+             |  FROM events a JOIN events b
+             |    ON a.user_id = b.user_id
+             |   AND a.event_type = 'click' AND b.event_type = 'error'
+             |   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE),
+             |unmatched AS (
+             |  SELECT a.event_id AS click_id, CAST(NULL AS BIGINT) AS error_id,
+             |         a.user_id AS uid, a.ts AS ts_click,
+             |         CAST(NULL AS TIMESTAMP) AS ts_error
+             |  FROM events a, m
+             |  WHERE a.event_type = 'click'
+             |    AND a.ts + INTERVAL 10 MINUTE < m.wm
+             |    AND NOT EXISTS (SELECT 1 FROM events b
+             |                    WHERE b.user_id = a.user_id
+             |                      AND b.event_type = 'error'
+             |                      AND b.ts >= a.ts
+             |                      AND b.ts <= a.ts + INTERVAL 10 MINUTE))
+             |SELECT * FROM (SELECT * FROM matches
+             |               UNION ALL SELECT * FROM unmatched) t
+             |ORDER BY click_id, error_id NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "stream_chained_windows",
       // MULTIPLE STATEFUL OPERATORS in one streaming query (round-9;
       // Spark 3.4+ SPARK-40925): a 5-minute tumbling count re-aggregated

@@ -474,6 +474,40 @@ object Extensions {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sink_shallow_clone",
+      // ZERO-COPY shallow clone on the engine's table format (round-9) —
+      // Iceberg/Delta's CLONE TABLE: the clone's manifest references the
+      // source's data files by absolute path, no bytes move (O(pointer)
+      // regardless of table size — the reason clones are how 100 TB
+      // dev/test environments are made). The clone then evolves
+      // independently: an append lands in the CLONE's own data dir and is
+      // invisible to the source. The op proves all three properties
+      // distributed: clone == source snapshot, clone+delta == superset,
+      // source unchanged after the clone's append.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val srcOut = graft.util.tempDir("graft_clone_src_")
+        val dstOut = graft.util.tempDir("graft_clone_dst_")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", srcOut).mode("overwrite").save()
+        val nRef = graft.sources.ManifestSink.shallowClone(srcOut, dstOut)
+        require(nRef > 0, "clone must reference source files")
+        // the clone evolves independently of its source
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.format(fmt).option("path", dstOut).mode("append").save()
+        val srcRows = s.read.format(fmt).option("path", srcOut).load().count()
+        val evenRows = o.filter(col("o_orderkey") % 2 === 0).count()
+        require(srcRows == evenRows,
+          s"source table changed by clone append: $srcRows != $evenRows")
+        s.read.format(fmt).option("path", dstOut).load()
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sink_wap_publish",
       // Write-Audit-Publish on the engine's table format — the Iceberg
       // WAP pattern: batch 2 commits to a BRANCH pointer (same data dir,

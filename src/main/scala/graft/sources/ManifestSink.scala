@@ -257,6 +257,39 @@ object ManifestSink {
     writeState(dir, State(schema, files.map((_, seq)), Seq.empty, txns))
   }
 
+  /** File-token → path: bare tokens live under the table's own `data/`;
+    * absolute tokens (shallow clones) are used verbatim. Writers only ever
+    * emit bare tokens, so absolute references appear exactly where a
+    * clone's manifest points into its source table.
+    */
+  private[sources] def resolveData(dir: String, f: String): String =
+    if (f.startsWith("/")) f else s"$dir/data/$f"
+
+  /** SHALLOW CLONE — Iceberg/Delta's zero-copy table clone: the clone's
+    * v1 manifest references the SOURCE's data and delete files by absolute
+    * path; no bytes move. The clone then evolves independently: appends
+    * land as bare tokens in its own `data/`, snapshots/branches/vacuum all
+    * operate on the clone's manifest log only, and [[vacuum]] can never
+    * reclaim source bytes (absolute tokens never match the clone-local
+    * file listing). Per-file min/max stats carry over (re-keyed to the
+    * absolute tokens) so data skipping survives the clone. Source txn ids
+    * do NOT carry — the clone is a new table for idempotence purposes.
+    * Returns the number of referenced files.
+    */
+  def shallowClone(srcDir: String, dstDir: String): Int = {
+    val src = readState(srcDir).getOrElse(
+      throw new IllegalStateException(s"shallowClone: no manifest at $srcDir"))
+    def abs(f: String): String = resolveData(srcDir, f)
+    val cloned = State(
+      src.schema,
+      src.files.map { case (f, q) => (abs(f), q) },
+      src.deletes.map { case (f, q) => (abs(f), q) },
+      Set.empty,
+      src.stats.map { case (f, mm) => (abs(f), mm) })
+    writeState(dstDir, cloned)
+    cloned.files.size
+  }
+
   /** Snapshot EXPIRATION — the retention half of maintenance: delete
     * retained snapshot files older than the newest `keepLast` versions
     * (the current pointer is never touched). Time travel to an expired
@@ -531,9 +564,9 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
             case (f, seq) if st.stats.get(f).forall(b => preds.forall(_(b))) =>
               // sequence rule: a delete applies only to OLDER data files
               val dels = st.deletes.collect {
-                case (df, dseq) if dseq > seq => s"$dir/data/$df"
+                case (df, dseq) if dseq > seq => ManifestSink.resolveData(dir, df)
               }
-              ManifestFilePartition(s"$dir/data/$f", dels): InputPartition
+              ManifestFilePartition(ManifestSink.resolveData(dir, f), dels): InputPartition
           }.toArray
         }.getOrElse(Array.empty)
       override def createReaderFactory(): PartitionReaderFactory =
@@ -589,7 +622,7 @@ private[sources] class ManifestMicroBatchStream(dir: String, schema: StructType)
     val seen = atA.map(_._1).toSet
     atB.collect {
       case (f, _) if !seen(f) =>
-        ManifestFilePartition(s"$dir/data/$f"): InputPartition
+        ManifestFilePartition(ManifestSink.resolveData(dir, f)): InputPartition
     }.toArray
   }
 

@@ -406,4 +406,34 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(spark.read.format("graft.sources.ManifestSink").option("path", dir)
       .option("versionAsOf", "3").load().count() === 15)
   }
+
+  test("shallow clone: zero-copy, independent evolution, vacuum-safe") {
+    val src = freshDir(); val dst = freshDir()
+    writeVia(src, "overwrite", 0, 10)
+    val nRef = ManifestSink.shallowClone(src, dst)
+    assert(nRef >= 1)
+    // zero-copy: the clone owns NO data files yet
+    val dstData = Paths.get(dst, "data")
+    assert(!Files.isDirectory(dstData) ||
+      !Files.list(dstData).iterator().hasNext, "clone copied data files")
+    // clone reads the source snapshot
+    assert(readVia(dst).count() === 10)
+    assert(readVia(dst).agg(sum(col("k"))).collect()(0).getLong(0) === 45L)
+    // independent evolution: append to clone, source untouched
+    writeVia(dst, "append", 100, 105)
+    assert(readVia(dst).count() === 15)
+    assert(readVia(src).count() === 10, "clone append leaked into source")
+    // and the reverse: append to source, clone pinned at the cloned snapshot
+    writeVia(src, "append", 200, 202)
+    assert(readVia(src).count() === 12)
+    assert(readVia(dst).count() === 15, "source append leaked into clone")
+    // vacuum on the clone must not reclaim SOURCE bytes (absolute refs)
+    val (removedDst, _) = ManifestSink.vacuum(dst)
+    assert(removedDst === 0)
+    assert(readVia(dst).count() === 15, "clone vacuum broke the clone")
+    assert(readVia(src).count() === 12, "clone vacuum deleted source files")
+    // stats carry over: a pruning scan on the clone still skips files
+    val pruned = readVia(dst).filter(col("k") === 102L)
+    assert(pruned.count() === 1)
+  }
 }

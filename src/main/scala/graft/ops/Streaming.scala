@@ -35,6 +35,49 @@ class RunningTotalsProcessor
   }
 }
 
+/** Event-time TIMER surface of the arbitrary-state v2 API (round-9):
+  * per-user inactivity timeout. Each key holds (n_events, last_seen_µs);
+  * every batch re-arms one timer at last_seen + 30 min (deleting the
+  * previous one), and ONLY [[handleExpiredTimer]] emits — the
+  * session-timeout shape (notify when a user goes quiet) that needs
+  * timers, because no later input row exists to trigger the emission.
+  * Keys whose timer never passes the final watermark stay un-emitted in
+  * state, exactly like an open session window.
+  */
+class InactivityTimeoutProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var seen: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[(Long, Long)]("seen",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  private def expiryMs(lastUs: Long): Long = lastUs / 1000L + 30L * 60L * 1000L
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, lastUs) = if (seen.exists()) {
+      val prev = seen.get()
+      getHandle.deleteTimer(expiryMs(prev._2))
+      prev
+    } else (0L, Long.MinValue)
+    rows.foreach { r => n += 1; if (r._2 > lastUs) lastUs = r._2 }
+    seen.update((n, lastUs))
+    getHandle.registerTimer(expiryMs(lastUs))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val out = if (seen.exists()) {
+      val (n, lastUs) = seen.get()
+      Iterator.single((key, n, lastUs))
+    } else Iterator.empty
+    seen.clear()
+    out
+  }
+}
+
 /** §2.9 Structured Streaming tier, verified through `Trigger.AvailableNow`
   * over staged copies of the `events` fixture: the stream runs to
   * completion and the final state is compared to a batch oracle
@@ -993,6 +1036,49 @@ object Streaming {
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
              |GROUP BY 1, 2, wm
              |ORDER BY hour_start, event_type""".stripMargin)
+    ),
+    Q(
+      "stream_tws_timers",
+      // EVENT-TIME TIMERS through transformWithState (round-9): emit a
+      // row per user only when their inactivity timer (last event +
+      // 30 min) passes the watermark — see InactivityTimeoutProcessor.
+      // With one data batch + the terminal no-data batch, exactly the
+      // users whose timer sits below max(ts) fire; the rest (the still-
+      // active tail) remain in state un-emitted. Timer expiry is in
+      // MILLISECONDS (the API's unit) while event time is µs — the oracle
+      // mirrors the ms-floored comparison exactly (no boundary-equal
+      // users at any sf, checked at authoring time).
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ev = eventsStream(s, stage(dir, 1), ntz = false)
+            .withWatermark("ts", "0 seconds")
+            .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+            .as[(Long, Long)]
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new InactivityTimeoutProcessor,
+              TimeMode.EventTime(), OutputMode.Append())
+            .toDF("user_id", "n_events", "last_us")
+          runToMemory(s, out, "t_tws_timers", "append")
+            .select(col("user_id"), col("n_events"),
+              timestamp_micros(col("last_us")).cast("timestamp_ntz").as("last_ts"))
+            .orderBy(col("user_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH m AS (SELECT max(ts) AS wm FROM events),
+             |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |             max(ts) AS last_ts
+             |      FROM events GROUP BY user_id)
+             |SELECT user_id, n_events, last_ts FROM u, m
+             |WHERE epoch_ms(last_ts) + 1800000 < epoch_ms(wm)
+             |ORDER BY user_id""".stripMargin)
     ),
     Q(
       "stream_stream_join_outer",

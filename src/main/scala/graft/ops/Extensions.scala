@@ -549,6 +549,84 @@ object Extensions {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sql_merge_dataframe_api",
+      // Spark 4's typed MERGE surface (round-9): Dataset.mergeInto +
+      // MergeIntoWriter — the same three-way merge sql_merge_into runs as
+      // SQL text, driven through the DataFrame API (conditional
+      // whenMatched delete, whenMatched update, whenNotMatched insert),
+      // landing on the same SupportsDelta row-level-operation path of the
+      // manifest format. Same oracle as the SQL form: the two MERGE
+      // surfaces must agree row-for-row.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.replica_df")
+        s.sql("""CREATE TABLE graft_cat.marts.replica_df
+                |(o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE, st STRING)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.replica_df
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin)
+        val src = s.sql(
+          """SELECT o_orderkey, o_totalprice, o_orderstatus AS st
+            |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin).as("src")
+        src.mergeInto("graft_cat.marts.replica_df",
+            col("src.o_orderkey") === col("replica_df.o_orderkey"))
+          .whenMatched(col("src.st") === "F").delete()
+          .whenMatched()
+          .update(Map("o_totalprice" -> (col("src.o_totalprice") * 2)))
+          .whenNotMatched()
+          .insert(Map(
+            "o_orderkey" -> coalesce(col("src.o_orderkey"), lit(-1L)),
+            "o_totalprice" -> col("src.o_totalprice"),
+            "st" -> col("src.st")))
+          .merge()
+        s.sql("""SELECT o_orderkey, o_totalprice, st
+                |FROM graft_cat.marts.replica_df ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""WITH t0 AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+             |  FROM orders WHERE o_orderkey % 3 <> 0),
+             |s AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st
+             |  FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT coalesce(t0.k, s.k) AS o_orderkey,
+             |       CASE WHEN t0.k IS NOT NULL AND s.k IS NOT NULL THEN s.p * 2
+             |            WHEN t0.k IS NOT NULL THEN t0.p
+             |            ELSE s.p END AS o_totalprice,
+             |       CASE WHEN t0.k IS NOT NULL THEN t0.st ELSE s.st END AS st
+             |FROM t0 FULL JOIN s ON t0.k = s.k
+             |WHERE NOT (t0.k IS NOT NULL AND s.k IS NOT NULL AND s.st = 'F')
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "fn_df_transpose",
+      // Dataset.transpose (Spark 4.0, round-9): rows ↔ columns with the
+      // index column supplying the new column names — the small-frame
+      // reshaping step every report formatter needs. Applied to the
+      // 5-row event-type count aggregate, so the result is one row whose
+      // columns ARE the event types. The oracle reconstructs the
+      // transposed frame with scalar subqueries (transpose of an
+      // aggregate is itself expressible — on a SMALL frame; the op
+      // collects k×n cells to the driver by design, like any transpose).
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+        counts.transpose(col("event_type"))
+          .withColumnRenamed("key", "metric")
+      },
+      Some("""SELECT 'n' AS metric,
+             |  (SELECT count(*) FROM events WHERE event_type = 'click') AS click,
+             |  (SELECT count(*) FROM events WHERE event_type = 'error') AS error,
+             |  (SELECT count(*) FROM events WHERE event_type = 'purchase') AS purchase,
+             |  (SELECT count(*) FROM events WHERE event_type = 'signup') AS signup,
+             |  (SELECT count(*) FROM events WHERE event_type = 'view') AS view
+             |""".stripMargin)
+    ),
+    Q(
       "sql_merge_into",
       // SQL MERGE INTO on the engine's own table format — the reference's
       // entire job (CD2 incremental upsert/delete) as ONE standard SQL

@@ -78,6 +78,32 @@ class InactivityTimeoutProcessor
   }
 }
 
+/** MAP-typed keyed state (round-9): per-user map event_type → (count,
+  * cents) maintained with MapState's point operations — getValue/
+  * updateValue touch ONLY the entries a batch's rows hit (RocksDB prefix
+  * reads), never deserializing the whole map, which is the reason MapState
+  * exists vs a ValueState[Map] at scale. Each batch re-emits the key's
+  * current entries (update mode).
+  */
+class PerTypeTotalsProcessor
+    extends StatefulProcessor[Long, (Long, String, Long), (Long, String, Long, Long)] {
+  @transient private var perType: org.apache.spark.sql.streaming.MapState[String, (Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    perType = getHandle.getMapState[String, (Long, Long)]("perType",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+      timers: TimerValues): Iterator[(Long, String, Long, Long)] = {
+    rows.foreach { r =>
+      val prev = if (perType.containsKey(r._2)) perType.getValue(r._2) else (0L, 0L)
+      perType.updateValue(r._2, (prev._1 + 1, prev._2 + r._3))
+    }
+    perType.iterator().map { case (t, (n, c)) => (key, t, n, c) }
+  }
+}
+
 /** §2.9 Structured Streaming tier, verified through `Trigger.AvailableNow`
   * over staged copies of the `events` fixture: the stream runs to
   * completion and the final state is compared to a batch oracle
@@ -1036,6 +1062,45 @@ object Streaming {
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
              |GROUP BY 1, 2, wm
              |ORDER BY hour_start, event_type""".stripMargin)
+    ),
+    Q(
+      "stream_tws_mapstate",
+      // MapState through transformWithState (round-9): per-user,
+      // per-event-type (count, cents) — see PerTypeTotalsProcessor. Two
+      // micro-batches (split by time) prove entries persist and
+      // accumulate across batches; update-mode emissions are folded by
+      // max(count) (counts are monotone, so max = final). Oracle: plain
+      // GROUP BY user, type.
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ev = eventsStream(s, stageSplitByTime(s, dir), maxFilesPerTrigger = Some(1))
+            .select(col("user_id"), col("event_type"),
+              floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+            .as[(Long, String, Long)]
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new PerTypeTotalsProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "event_type", "n_events", "sum_cents")
+          runToMemory(s, out, "t_tws_map", "update")
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(max(col("n_events")).as("n_events"),
+              max_by(col("sum_cents"), col("n_events")).as("sum_cents"))
+            .orderBy(col("user_id"), col("event_type"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT user_id, event_type,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY user_id, event_type
+             |ORDER BY user_id, event_type""".stripMargin)
     ),
     Q(
       "stream_tws_timers",

@@ -104,6 +104,37 @@ class PerTypeTotalsProcessor
   }
 }
 
+/** LIST-typed keyed state (round-9): the most-recent-3 events per user.
+  * ListState appends per batch (appendValue — an O(1) RocksDB merge op,
+  * not read-modify-write of the whole list) and is trimmed to the top 3
+  * (ts, event_id) pairs only when it grows past the cap, so steady-state
+  * writes stay append-only — the recency-feature shape (last N actions
+  * per user) every personalization pipeline keeps.
+  */
+class RecentEventsProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Seq[Long])] {
+  @transient private var recent: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    recent = getHandle.getListState[(Long, Long)]("recent",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Seq[Long])] = {
+    var n = if (total.exists()) total.get() else 0L
+    rows.foreach { r => recent.appendValue((r._2, r._3)); n += 1 }
+    total.update(n)
+    val all = recent.get().toSeq.sorted(Ordering[(Long, Long)].reverse)
+    val kept = all.take(3)
+    if (all.size > 3) recent.put(kept.toArray)
+    Iterator.single((key, n, kept.map(_._2)))
+  }
+}
+
 /** §2.9 Structured Streaming tier, verified through `Trigger.AvailableNow`
   * over staged copies of the `events` fixture: the stream runs to
   * completion and the final state is compared to a batch oracle
@@ -1062,6 +1093,50 @@ object Streaming {
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
              |GROUP BY 1, 2, wm
              |ORDER BY hour_start, event_type""".stripMargin)
+    ),
+    Q(
+      "stream_tws_liststate",
+      // ListState through transformWithState (round-9): most-recent-3
+      // event ids per user — see RecentEventsProcessor (append-only
+      // RocksDB merge per row, trim only past the cap). Two micro-batches
+      // prove the list survives and re-trims across batches; the final
+      // snapshot per user is the row with the max running total. Oracle:
+      // per-user top-3 by (ts, event_id) descending.
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ev = eventsStream(s, stageSplitByTime(s, dir), maxFilesPerTrigger = Some(1))
+            // µs (not ns) ordering key: matches the oracle's µs `ts` under
+            // BOTH events parquet layouts (legacy nanos truncate the same)
+            .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+            .as[(Long, Long, Long)]
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new RecentEventsProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_events", "last3")
+          runToMemory(s, out, "t_tws_list", "update")
+            .groupBy(col("user_id"))
+            .agg(max(col("n_events")).as("n_events"),
+              // CSV string, not an array: list-representation-independent
+              // hashing (the agg_collect_sorted precedent)
+              array_join(transform(max_by(col("last3"), col("n_events")),
+                x => x.cast("string")), ",").as("last3"))
+            .orderBy(col("user_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       array_to_string(
+             |         (list(CAST(event_id AS VARCHAR)
+             |               ORDER BY ts DESC, event_id DESC))[1:3], ',') AS last3
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)
     ),
     Q(
       "stream_tws_mapstate",

@@ -917,6 +917,40 @@ object Extensions {
              |FROM orders""".stripMargin)
     ),
     Q(
+      "sink_table_changes_diff",
+      // Row-level CHANGES between two snapshots (round-9) — Delta's
+      // table_changes / Iceberg's changelog scan for the general case the
+      // append-only change feed refuses (overwrites): diff two
+      // time-travel reads into tagged insert/delete rows via two anti
+      // joins. v1 = keys %3=0, v2 = overwrite with keys %2=0, so the diff
+      // has both kinds. At scale each anti join shuffles on the key — the
+      // same cost as the CDC apply it feeds; no snapshot is ever
+      // materialized driver-side.
+      (s, dir) => {
+        val out = graft.util.tempDir("graft_changes_")
+        val fmt = "graft.sources.ManifestSink"
+        val o = Tables(s, dir, "orders").select(col("o_orderkey"))
+        o.filter(col("o_orderkey") % 3 === 0)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        def at(v: Int) = s.read.format(fmt).option("path", out)
+          .option("versionAsOf", v.toString).load()
+        val inserts = at(2).join(at(1), Seq("o_orderkey"), "left_anti")
+          .select(col("o_orderkey"), lit("insert").as("change_type"))
+        val deletes = at(1).join(at(2), Seq("o_orderkey"), "left_anti")
+          .select(col("o_orderkey"), lit("delete").as("change_type"))
+        inserts.unionByName(deletes)
+          .orderBy(col("o_orderkey"), col("change_type"))
+      },
+      Some("""SELECT o_orderkey, 'insert' AS change_type FROM orders
+             |WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, 'delete' FROM orders
+             |WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+             |ORDER BY o_orderkey, change_type""".stripMargin)
+    ),
+    Q(
       "sink_time_travel",
       // Snapshot retention + time travel + OPTIMIZE on the manifest sink:
       // every job commit is also a retained snapshot (manifest.v<N>), so

@@ -250,6 +250,22 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(rows.head.getLong(3) === maxsim, "top-1 score must match local replay")
     val aligned = (0 until 64).map(k => qv(k) * dv(k)).sum
     assert(maxsim >= aligned, "MaxSim must dominate the aligned dot")
+    // the native LongMaxSim kernel: interpreted eval must agree with codegen
+    val prev = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = q("sim_maxsim_late_interaction").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(interp.toSeq === rows.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.codegen.wholeStage", p)
+        case None => spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
+    }
   }
 
   test("ts_rolling_corr: values bounded, first window degenerate-guarded") {

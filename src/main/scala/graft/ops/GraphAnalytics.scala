@@ -387,6 +387,59 @@ object GraphAnalytics {
               |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c3)
               |  WHERE rn = 1)
               |SELECT node, lab FROM l3 ORDER BY node""".stripMargin)
+    ),
+    Q(
+      "graph_degree_assortativity",
+      // Degree assortativity (round-9): the Pearson correlation of
+      // endpoint degrees over the directed edge list — do hubs link to
+      // hubs (r>0, social-network shape) or to leaves (r<0,
+      // infrastructure shape)? Six exact BIGINT sums over O(edges) rows
+      // (degrees are bounded by the top-k sparsification, so products
+      // can't overflow), then two sqrts and one division pinned to e6 —
+      // the same discipline as ts_rolling_corr. One join lands degree on
+      // each endpoint; shuffle volume O(edges) = O(6·nodes).
+      (s, dir) => {
+        val deg = degrees(s, dir)
+        val e = edgesSym(s, dir)
+        val withDeg = e
+          .join(deg.select(col("node").as("src"), col("degree").as("dx")), "src")
+          .join(deg.select(col("node").as("dst"), col("degree").as("dy")), "dst")
+        withDeg.agg(
+            expr("CAST(count(*) AS BIGINT)").as("m"),
+            expr("CAST(sum(dx) AS BIGINT)").as("sx"),
+            expr("CAST(sum(dy) AS BIGINT)").as("sy"),
+            expr("CAST(sum(dx * dx) AS BIGINT)").as("sxx"),
+            expr("CAST(sum(dy * dy) AS BIGINT)").as("syy"),
+            expr("CAST(sum(dx * dy) AS BIGINT)").as("sxy"))
+          .select(col("m"),
+            expr("""CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+                    THEN CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+                         * 1000000 + 0.5) AS BIGINT)
+                    ELSE NULL END""").as("assortativity_e6"))
+      },
+      Some(s"""$baseSql,
+              |wd AS (
+              |  SELECT e.src, e.dst, da.degree AS dx, db.degree AS dy
+              |  FROM e JOIN deg da ON e.src = da.node
+              |         JOIN deg db ON e.dst = db.node),
+              |sums AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS m,
+              |         CAST(sum(dx) AS BIGINT) AS sx,
+              |         CAST(sum(dy) AS BIGINT) AS sy,
+              |         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+              |         CAST(sum(dy * dy) AS BIGINT) AS syy,
+              |         CAST(sum(dx * dy) AS BIGINT) AS sxy
+              |  FROM wd)
+              |SELECT m,
+              |       CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+              |            THEN CAST(floor(CAST(m * sxy - sx * sy AS DOUBLE)
+              |                 / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+              |                    * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+              |                 * 1000000 + 0.5) AS BIGINT)
+              |            ELSE NULL END AS assortativity_e6
+              |FROM sums""".stripMargin)
     )
   )
 }

@@ -229,6 +229,40 @@ object Quality {
              |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "dq_freshness_slo",
+      // Per-stream freshness audit (round-9): minutes of lag between each
+      // event type's newest record and the corpus high-water mark, with a
+      // 2-hour SLO verdict — the "is this feed stale" check every
+      // replication monitor runs after a sync (a silently-dead producer
+      // shows up here before it shows up as wrong numbers anywhere else).
+      // Two tiny aggregates (per-type max, global max) and exact µs
+      // integer arithmetic; output is O(types) rows at any scale.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val perType = ev.groupBy(col("event_type"))
+          .agg(max(col("ts")).as("newest"), count(lit(1)).as("n_rows"))
+        val global = ev.agg(max(col("ts")).as("hwm"))
+        perType.crossJoin(global)
+          .select(col("event_type"), col("n_rows"),
+            // ts is NTZ; session TZ is pinned UTC, so the cast is the
+            // identity instant and unix_micros is exact
+            expr("""CAST((unix_micros(CAST(hwm AS TIMESTAMP))
+                    - unix_micros(CAST(newest AS TIMESTAMP))) div 60000000 AS BIGINT)""")
+              .as("lag_minutes"))
+          .withColumn("slo_ok",
+            (col("lag_minutes") <= 120).cast("boolean"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (SELECT max(ts) AS hwm FROM events),
+             |t AS (SELECT event_type, max(ts) AS newest,
+             |             CAST(count(*) AS BIGINT) AS n_rows
+             |      FROM events GROUP BY event_type)
+             |SELECT event_type, n_rows,
+             |       CAST((epoch_us(hwm) - epoch_us(newest)) // 60000000 AS BIGINT) AS lag_minutes,
+             |       (epoch_us(hwm) - epoch_us(newest)) // 60000000 <= 120 AS slo_ok
+             |FROM t, m ORDER BY event_type""".stripMargin)
+    ),
+    Q(
       "dq_referential_integrity",
       // FK orphan audit across the replica's five foreign-key edges
       // (round-9): the integrity check every CDC replication pipeline runs

@@ -1256,6 +1256,64 @@ object Windows {
              |FROM win ORDER BY d""".stripMargin)
     ),
     Q(
+      "ts_holt_forecast",
+      // Holt's linear-trend (double exponential) smoothing + 3-step
+      // forecast over the daily series (round-9), α = β = ½, defined on
+      // EXACT INTEGERS: the level/trend recursion runs in centi-units with
+      // an explicit floor(x/2) at each halving (÷2 is exact in a double,
+      // so the floor form is bit-identical cross-engine — unlike `div`,
+      // whose negative-operand semantics differ between the engines:
+      // Spark truncates, DuckDB floors). Spark folds the ordered series
+      // with one `aggregate` HOF carrying a (level, trend) struct — O(days)
+      // work after the daily aggregation, a single tiny task at any corpus
+      // size; the oracle replays the same recursion as a recursive CTE.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg((count(lit(1)) * 100).as("y"))
+        daily
+          .agg(array_sort(collect_list(struct(col("d"), col("y")))).as("sd"))
+          .select(expr("transform(sd, x -> x.y)").as("ys"))
+          .select(
+            expr("CAST(size(ys) AS BIGINT)").as("n_days"),
+            expr("""aggregate(slice(ys, 3, size(ys) - 2),
+                   named_struct('l', ys[1], 'b', ys[1] - ys[0]),
+                   (acc, y) -> named_struct(
+                     'l', CAST(floor(CAST(y + acc.l + acc.b AS DOUBLE)
+                               / CAST(2 AS DOUBLE)) AS BIGINT),
+                     'b', CAST(floor(CAST(
+                            CAST(floor(CAST(y + acc.l + acc.b AS DOUBLE)
+                                 / CAST(2 AS DOUBLE)) AS BIGINT)
+                            - acc.l + acc.b AS DOUBLE)
+                               / CAST(2 AS DOUBLE)) AS BIGINT)))""").as("hw"))
+          .select(col("n_days"),
+            col("hw.l").as("level_c"), col("hw.b").as("trend_c"),
+            (col("hw.l") + col("hw.b")).as("fc1_c"),
+            (col("hw.l") + lit(2) * col("hw.b")).as("fc2_c"),
+            (col("hw.l") + lit(3) * col("hw.b")).as("fc3_c"))
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, y FROM (
+             |    SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |           CAST(count(*) AS BIGINT) * 100 AS y
+             |    FROM events GROUP BY 1)),
+             |nn AS (SELECT max(i) AS n FROM daily),
+             |hw AS (
+             |  SELECT CAST(2 AS BIGINT) AS i,
+             |         (SELECT y FROM daily WHERE i = 2) AS l,
+             |         (SELECT y FROM daily WHERE i = 2) - (SELECT y FROM daily WHERE i = 1) AS b
+             |  UNION ALL
+             |  SELECT hw.i + 1,
+             |         CAST(floor(CAST(d.y + hw.l + hw.b AS DOUBLE) / CAST(2 AS DOUBLE)) AS BIGINT),
+             |         CAST(floor(CAST(
+             |           CAST(floor(CAST(d.y + hw.l + hw.b AS DOUBLE) / CAST(2 AS DOUBLE)) AS BIGINT)
+             |           - hw.l + hw.b AS DOUBLE) / CAST(2 AS DOUBLE)) AS BIGINT)
+             |  FROM hw JOIN daily d ON d.i = hw.i + 1)
+             |SELECT n AS n_days, l AS level_c, b AS trend_c,
+             |       l + b AS fc1_c, l + 2 * b AS fc2_c, l + 3 * b AS fc3_c
+             |FROM hw, nn WHERE i = n""".stripMargin)
+    ),
+    Q(
       "win_drawdown",
       // Maximum drawdown per user (round-9): the running-peak-minus-current
       // audit over a signed cumulative balance (purchases credit, everything

@@ -510,6 +510,50 @@ object Cdc {
              |WHERE NOT (o_orderstatus = 'F')
              |  AND NOT (o_orderstatus = 'O' AND o_totalprice > 400000)
              |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "cdc_gcounter_merge",
+      // G-counter CRDT merge (round-9): each replica (user_id % 4)
+      // publishes three increasingly-stale snapshots of its per-day
+      // purchase counter (cumulative prefixes by event_id % 3 ≤ e); the
+      // merge takes MAX per (key, replica) across snapshots, then SUMS
+      // across replicas — the grow-only-counter join-semilattice. The
+      // convergence property IS the oracle: merging any set of stale
+      // snapshots that includes each replica's freshest recovers the
+      // exact per-day total, row-for-row. At scale both steps are
+      // map-side-combinable aggregations (max, then sum) — no replica
+      // ever sees another's raw events, exactly the CRDT promise.
+      (s, dir) => {
+        val obs = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(to_date(col("ts")).as("k"),
+            (col("user_id") % 4).as("replica"), col("event_id"))
+          .crossJoin(s.range(0, 3).select(col("id").as("epoch")))
+          // snapshot e contains the events with event_id % 3 <= e
+          .filter(col("event_id") % 3 <= col("epoch"))
+          .groupBy(col("k"), col("replica"), col("epoch"))
+          .agg(count(lit(1)).as("cnt"))
+        obs
+          .groupBy(col("k"), col("replica"))
+          .agg(max(col("cnt")).as("site_max"))
+          .groupBy(col("k"))
+          .agg(expr("CAST(count(*) AS BIGINT)").as("n_replicas"),
+            expr("CAST(sum(site_max) AS BIGINT)").as("counter_value"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH obs AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS k,
+             |         user_id % 4 AS replica, e.epoch,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events, (SELECT unnest(range(0, 3)) AS epoch) e
+             |  WHERE event_type = 'purchase' AND event_id % 3 <= e.epoch
+             |  GROUP BY 1, 2, 3),
+             |merged AS (
+             |  SELECT k, replica, CAST(max(cnt) AS BIGINT) AS site_max
+             |  FROM obs GROUP BY k, replica)
+             |SELECT k, CAST(count(*) AS BIGINT) AS n_replicas,
+             |       CAST(sum(site_max) AS BIGINT) AS counter_value
+             |FROM merged GROUP BY k ORDER BY k""".stripMargin)
     )
   )
 }

@@ -1478,6 +1478,40 @@ object TextOps {
               |FROM m""".stripMargin)
     ),
     Q(
+      "pipeline_lang_rebalance",
+      // Language-rebalance planning (round-9): the per-language keep-rates
+      // that downsample a skewed corpus to the floor language's size —
+      // the mix-planning step that runs BEFORE sample_hash_deterministic
+      // executes the drop. All rates derive from two O(langs) aggregates
+      // (per-lang counts + the floor), e6-pinned; nothing touches
+      // document text, so the plan costs one count pass at any corpus
+      // size.
+      (s, dir) => {
+        val c = Tables(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(expr("CAST(count(*) AS BIGINT)").as("n_docs"),
+            expr("CAST(sum(n_chars) AS BIGINT)").as("n_chars"))
+        val t = c.agg(expr("CAST(min(n_docs) AS BIGINT)").as("floor_docs"))
+        c.crossJoin(t)
+          .select(col("lang"), col("n_docs"),
+            expr("""CAST(floor(CAST(floor_docs AS DOUBLE)
+                    / CAST(n_docs AS DOUBLE) * 1000000 + 0.5) AS BIGINT)""")
+              .as("keep_rate_e6"),
+            col("floor_docs").as("expected_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |  FROM documents GROUP BY lang),
+             |t AS (SELECT CAST(min(n_docs) AS BIGINT) AS floor_docs FROM c)
+             |SELECT lang, n_docs,
+             |       CAST(floor(CAST(floor_docs AS DOUBLE)
+             |            / CAST(n_docs AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS keep_rate_e6,
+             |       floor_docs AS expected_kept
+             |FROM c, t ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "text_feature_hashing",
       // The hashing trick (round-9): tokens → fixed 16-bucket count vector
       // with NO vocabulary pass — the stateless featurizer that gives every

@@ -290,6 +290,66 @@ object Sources {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "scan_csv_multiline",
+      // Quoted MULTILINE CSV (round-9): fields containing embedded
+      // newlines and quote characters — the classic CSV-parsing trap
+      // (a naive line-splitter shreds these rows; the reader must honor
+      // quoting across line boundaries, which costs whole-file parsing:
+      // `multiLine` disables record-level splitting). A synthetic column
+      // with \n and " baked in round-trips write→read; the oracle
+      // recomputes the same derived column from the source, so any
+      // quoting/escaping asymmetry hash-fails.
+      (s, dir) => {
+        val tmp = tmpDir("graft_csvml_")
+        val derived = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(substring(col("text"), 1, 20), lit("\n"), col("lang"),
+              lit("\""), col("source")).as("gnarly"))
+        derived.write.mode("overwrite").option("header", "true").csv(tmp)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("gnarly", StringType)))
+        s.read.schema(schema)
+          .option("header", "true").option("multiLine", "true")
+          .csv(tmp)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       substring(text, 1, 20) || chr(10) || lang || '"' || source AS gnarly
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "scan_json_array_file",
+      // Single-file TOP-LEVEL JSON ARRAY (round-9): the API-dump shape —
+      // one file, one big `[{...}, {...}]` — which line-oriented JSONL
+      // readers cannot touch; `multiLine` parses the whole document and
+      // explodes the array into rows. The file is staged from the nation
+      // fixture (driver-side write is fixture STAGING, clearly not the
+      // query path); the oracle reads the original table, so the parse
+      // must recover every row and type exactly.
+      (s, dir) => {
+        val tmp = tmpDir("graft_jsonarr_")
+        val rows = graft.Catalog.sql(s, dir,
+          """SELECT to_json(named_struct(
+            |  'n_nationkey', n_nationkey, 'n_name', n_name,
+            |  'n_regionkey', n_regionkey)) AS j
+            |FROM nation ORDER BY n_nationkey""".stripMargin)
+          .collect().map(_.getString(0))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "nations.json"),
+          rows.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.schema(schema).option("multiLine", "true")
+          .json(s"$tmp/nations.json")
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+             |FROM nation ORDER BY n_nationkey""".stripMargin)
+    ),
+    Q(
       "sink_csv_roundtrip",
       // CSV export/import fidelity: write with header, read back with an
       // explicit schema (never inference in a pipeline — a schema drift

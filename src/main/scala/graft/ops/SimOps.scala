@@ -1485,6 +1485,97 @@ object SimOps {
              |  FROM scored) t
              |WHERE rank <= 3
              |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "sim_maxsim_ivf_pruned",
+      // PLAID-shaped retrieval (round-9): IVF coarse pruning THEN MaxSim
+      // re-scoring — the two-stage pipeline ColBERT deployments run. The
+      // codebook is integer centroids (floor of per-component mean of the
+      // int8-quantized corpus — exact in both engines, no float pinning
+      // needed anywhere in this op), every vector files under its
+      // max-integer-dot cell, queries probe their top-2 cells, and only
+      // cell members get the expensive fused-kernel MaxSim. At 100 TB the
+      // cell is the partition key: a query's candidate set shrinks by the
+      // cell fan-out before the k²·subdim kernel ever runs.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        def q8(c: Column): Column = transform(c, x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") * 254.0 + 0.5).cast("long"))))
+        val qemb = emb.select(col("vec_id"), col("label"), q8(col("embedding")).as("qe"))
+        val cb = broadcast(
+          qemb.select(col("label"), posexplode(col("qe")).as(Seq("pos", "v")))
+            .groupBy(col("label"), col("pos"))
+            .agg(floor(avg(col("v"))).cast("long").as("m"))
+            .groupBy(col("label"))
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+              x => x.getField("m")).as("cent"))
+            .select(col("label").as("cell"), col("cent")))
+        def cellScore = graft.functions.LongVectorOps.dot(s, col("qe"), col("cent"))
+        val cWide = qemb.crossJoin(cb).withColumn("d", cellScore)
+        val wc = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d").desc, col("cell").asc)
+        val corpus = cWide.withColumn("r", row_number().over(wc))
+          .filter(col("r") === 1)
+          .select(col("cell"), col("vec_id").as("doc_id"), col("qe").as("c_emb"))
+        val queries = qemb.filter(col("vec_id") % 50 === 0)
+          .crossJoin(cb).withColumn("d", cellScore)
+          .withColumn("r", row_number().over(wc))
+          .filter(col("r") <= 2)
+          .select(col("cell"), col("vec_id").as("query_id"), col("qe").as("q_emb"))
+        val scored = queries.join(corpus, Seq("cell"))
+          .filter(col("query_id") =!= col("doc_id"))
+          .withColumn("score",
+            graft.functions.LongVectorOps.maxsim(s, col("q_emb"), col("c_emb"), 8))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH q8 AS (
+             |  SELECT vec_id, label,
+             |         list_transform(embedding, x ->
+             |           greatest(-127::BIGINT, least(127::BIGINT,
+             |             CAST(floor(x::DOUBLE * 254.0 + 0.5) AS BIGINT)))) AS qe
+             |  FROM embeddings),
+             |comp AS (
+             |  SELECT label, pos, CAST(floor(avg(v)) AS BIGINT) AS m
+             |  FROM (SELECT label, unnest(qe) AS v,
+             |               generate_subscripts(qe, 1) AS pos FROM q8) t
+             |  GROUP BY label, pos),
+             |cb AS (
+             |  SELECT label AS cell, list(m ORDER BY pos) AS cent
+             |  FROM comp GROUP BY label),
+             |ranked AS (
+             |  SELECT q8.vec_id, q8.qe, cb.cell,
+             |         row_number() OVER (
+             |           PARTITION BY q8.vec_id
+             |           ORDER BY list_sum(list_transform(range(1, 65),
+             |                      i -> q8.qe[i] * cb.cent[i])) DESC,
+             |                    cb.cell ASC) AS r
+             |  FROM q8 CROSS JOIN cb),
+             |corpus AS (
+             |  SELECT cell, vec_id AS doc_id, qe AS c_emb FROM ranked WHERE r = 1),
+             |queries AS (
+             |  SELECT cell, vec_id AS query_id, qe AS q_emb
+             |  FROM ranked WHERE r <= 2 AND vec_id % 50 = 0),
+             |scored AS (
+             |  SELECT q.query_id, c.doc_id,
+             |         CAST(list_sum(list_transform(range(0, 8), i ->
+             |           list_max(list_transform(range(0, 8), j ->
+             |             list_sum(list_transform(range(1, 9), k ->
+             |               q.q_emb[8*i+k] * c.c_emb[8*j+k])))))) AS BIGINT) AS score
+             |  FROM queries q JOIN corpus c USING (cell)
+             |  WHERE q.query_id <> c.doc_id)
+             |SELECT query_id, rank, doc_id, score FROM (
+             |  SELECT query_id, doc_id, score,
+             |         CAST(row_number() OVER (PARTITION BY query_id
+             |                                 ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+             |  FROM scored) t
+             |WHERE rank <= 3
+             |ORDER BY query_id, rank""".stripMargin)
     )
   )
 

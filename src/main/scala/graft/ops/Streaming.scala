@@ -1178,6 +1178,54 @@ object Streaming {
              |ORDER BY user_id, event_type""".stripMargin)
     ),
     Q(
+      "stream_mgws_timeout",
+      // The v1 timeout surface (round-9): flatMapGroupsWithState +
+      // GroupStateTimeout.EventTimeTimeout running the SAME per-user
+      // inactivity timeout as stream_tws_timers runs on the v2 timer API
+      // — and sharing its oracle, so the two generations of the arbitrary-
+      // state API are certified to agree on timeout semantics exactly
+      // (the stream_stateful_agg ↔ stream_transform_with_state pairing,
+      // extended to timers). setTimeoutTimestamp re-arms per batch;
+      // hasTimedOut emits and removes.
+      (s, dir) => {
+        import s.implicits._
+        // the WATERMARK COLUMN (ts) must survive into the stateful
+        // operator's input — event-time timeout refuses to run otherwise
+        val ev = eventsStream(s, stage(dir, 1), ntz = false)
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), col("ts"), expr("unix_micros(ts)").as("us"))
+          .as[(Long, java.sql.Timestamp, Long)]
+        val out = ev.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+            case (user, rows, state) =>
+              if (state.hasTimedOut) {
+                val (n, lastUs) = state.get
+                state.remove()
+                Iterator.single((user, n, lastUs))
+              } else {
+                var (n, lastUs) = state.getOption.getOrElse((0L, Long.MinValue))
+                rows.foreach { r => n += 1; if (r._3 > lastUs) lastUs = r._3 }
+                state.update((n, lastUs))
+                state.setTimeoutTimestamp(lastUs / 1000L + 30L * 60L * 1000L)
+                Iterator.empty
+              }
+          }
+          .toDF("user_id", "n_events", "last_us")
+        runToMemory(s, out, "t_mgws_timeout", "append")
+          .select(col("user_id"), col("n_events"),
+            timestamp_micros(col("last_us")).cast("timestamp_ntz").as("last_ts"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH m AS (SELECT max(ts) AS wm FROM events),
+             |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |             max(ts) AS last_ts
+             |      FROM events GROUP BY user_id)
+             |SELECT user_id, n_events, last_ts FROM u, m
+             |WHERE epoch_ms(last_ts) + 1800000 < epoch_ms(wm)
+             |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "stream_tws_timers",
       // EVENT-TIME TIMERS through transformWithState (round-9): emit a
       // row per user only when their inactivity timer (last event +

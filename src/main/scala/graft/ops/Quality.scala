@@ -229,6 +229,20 @@ object Quality {
              |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "dq_cross_table_consistency",
+      // CROSS-TABLE invariant audit (round-9): does each order's header
+      // total agree with the sum of its lines (net × (1+tax))? — the
+      // denormalization-drift check every replica runs after a sync,
+      // because header/detail tables replicate on separate feeds and a
+      // partial sync shows up exactly here. Everything is exact cents;
+      // one key-shuffle aggregate + one broadcast-able join; output is a
+      // 1-row verdict regardless of scale. (The synthetic fixture is
+      // largely INconsistent by construction — the audit's numbers prove
+      // it measures, not assumes.)
+      (s, dir) => graft.Catalog.sql(s, dir, consistencySql),
+      Some(consistencySql)
+    ),
+    Q(
       "dq_freshness_slo",
       // Per-stream freshness audit (round-9): minutes of lag between each
       // event type's newest record and the corpus high-water mark, with a
@@ -276,6 +290,23 @@ object Quality {
       Some(refIntegritySql)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[dq_cross_table_consistency]]. */
+  private lazy val consistencySql: String =
+    """WITH line_sums AS (
+      |  SELECT l_orderkey,
+      |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS line_cents
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT o_orderkey,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+      |         coalesce(line_cents, 0) AS line_cents
+      |  FROM orders LEFT JOIN line_sums ON o_orderkey = l_orderkey)
+      |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CASE WHEN abs(total_cents - line_cents) * 100 <= total_cents
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+      |       CAST(max(abs(total_cents - line_cents)) AS BIGINT) AS max_abs_dev_cents
+      |FROM j""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[dq_referential_integrity]]. */
   private lazy val refIntegritySql: String =

@@ -1314,6 +1314,60 @@ object Windows {
              |FROM hw, nn WHERE i = n""".stripMargin)
     ),
     Q(
+      "ts_trend_mann_kendall",
+      // Mann-Kendall trend test over the daily series (round-9): the
+      // standard non-parametric "is this metric trending" monitor — no
+      // distribution assumption, robust to outliers. S = Σ sign(xⱼ−xᵢ)
+      // over ordered pairs, variance with the tie correction, both exact
+      // integers; the continuity-corrected z is the single e6-pinned
+      // float step. The O(days²) pair join runs on the O(days) aggregate
+      // — metadata-sized after the one corpus pass, at any scale.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(Window.orderBy(col("d"))).cast("long"))
+        val a = daily.select(col("i").as("ia"), col("x").as("xa"))
+        val b = daily.select(col("i").as("ib"), col("x").as("xb"))
+        val pairs = a.join(b, col("ib") > col("ia"))
+          .agg(expr("""CAST(sum(CASE WHEN xb > xa THEN 1
+                       WHEN xb < xa THEN -1 ELSE 0 END) AS BIGINT)""").as("s_stat"))
+        val nn = daily.agg(expr("CAST(count(*) AS BIGINT)").as("n"))
+        val ties = daily.groupBy(col("x")).agg(count(lit(1)).as("tj"))
+          .filter(col("tj") > 1)
+          .agg(expr("CAST(coalesce(sum(tj * (tj - 1) * (2 * tj + 5)), 0) AS BIGINT)")
+            .as("tie_term"))
+        pairs.crossJoin(nn).crossJoin(ties)
+          .select(col("n"), col("s_stat"),
+            expr("""CAST(floor((CAST(s_stat AS DOUBLE)
+                    - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+                    / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                            - CAST(tie_term AS DOUBLE)) / 18)
+                    * 1000000 + 0.5) AS BIGINT)""").as("mk_z_e6"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, x FROM (
+             |    SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |           CAST(count(*) AS BIGINT) AS x
+             |    FROM events GROUP BY 1)),
+             |pairs AS (
+             |  SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+             |                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+             |  FROM daily a JOIN daily b ON b.i > a.i),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+             |ties AS (
+             |  SELECT CAST(coalesce(sum(tj * (tj - 1) * (2 * tj + 5)), 0) AS BIGINT) AS tie_term
+             |  FROM (SELECT CAST(count(*) AS BIGINT) AS tj FROM daily
+             |        GROUP BY x HAVING count(*) > 1) t)
+             |SELECT n, s_stat,
+             |       CAST(floor((CAST(s_stat AS DOUBLE)
+             |            - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)
+             |            / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+             |                    - CAST(tie_term AS DOUBLE)) / 18)
+             |            * 1000000 + 0.5) AS BIGINT) AS mk_z_e6
+             |FROM pairs, nn, ties""".stripMargin)
+    ),
+    Q(
       "win_drawdown",
       // Maximum drawdown per user (round-9): the running-peak-minus-current
       // audit over a signed cumulative balance (purchases credit, everything

@@ -1538,6 +1538,43 @@ object Joins {
              |ORDER BY ok""".stripMargin)
     ),
     Q(
+      "sql_scripting_for",
+      // SQL scripting FOR loop (round-9): cursor iteration over a result
+      // set — the second control-flow primitive after WHILE. The loop
+      // walks regions in key order, folding a per-region scalar aggregate
+      // into ARRAY variables; like the WHILE row, each round is one
+      // distributed aggregate and the script only moves the orchestration
+      // server-side. Oracle: the equivalent grouped join.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        val key = "spark.sql.scripting.enabled"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key, "true")
+          s.sql(
+            """BEGIN
+              |  DECLARE names ARRAY<STRING> DEFAULT array();
+              |  DECLARE cnts ARRAY<BIGINT> DEFAULT array();
+              |  FOR r AS SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey DO
+              |    SET names = array_append(names, r.r_name);
+              |    SET cnts = array_append(cnts,
+              |      (SELECT count(*) FROM nation WHERE n_regionkey = r.r_regionkey));
+              |  END FOR;
+              |  SELECT z.nm AS r_name, z.c AS n_nations
+              |  FROM (SELECT explode(zip_with(names, cnts,
+              |          (n, c) -> named_struct('nm', n, 'c', c))) AS z)
+              |  ORDER BY r_name;
+              |END""".stripMargin)
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    ),
+    Q(
       "sql_scripting_while",
       // SQL scripting (Spark 4, BEGIN…END): procedural control flow in
       // pure SQL — a WHILE loop halving a price threshold, each round

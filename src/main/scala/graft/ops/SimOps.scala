@@ -1487,6 +1487,89 @@ object SimOps {
              |ORDER BY query_id, rank""".stripMargin)
     ),
     Q(
+      "sim_ann_recall_eval",
+      // ANN EVALUATION as a first-class operator (round-9): recall@5 of
+      // the LSH index against the exact brute-force answer, per query —
+      // the measurement loop any index deployment runs before trusting an
+      // approximate structure. Both legs are the engine's own pipelines
+      // (same planes, same fold order), the hit set is one semi join on
+      // (query, neighbor), and recall is e6-pinned. At scale the exact
+      // leg is the expensive one — which is exactly the point: the eval
+      // runs on a SAMPLE (the query set) while the index serves the rest.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = querySet(emb).withColumn("q_norm", norm(col("q_emb")))
+        val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+          .withColumn("c_norm", norm(col("c_emb")))
+        def scoreAll(qs: DataFrame, cs: DataFrame, byBucket: Boolean) = {
+          val joined =
+            if (byBucket) qs.join(cs, Seq("bucket"))
+            else broadcast(qs).crossJoin(cs)
+          rankTopK(joined
+            .filter(col("query_id") =!= col("neighbor_id"))
+            .withColumn("cos",
+              dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))), 5)
+        }
+        val exact = scoreAll(q, c, byBucket = false)
+        val lsh = scoreAll(
+          q.withColumn("bucket", lshBucket(col("q_emb"), 0)),
+          c.withColumn("bucket", lshBucket(col("c_emb"), 0)), byBucket = true)
+        val hits = exact.select(col("query_id"), col("neighbor_id"))
+          .join(lsh.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        exact.groupBy(col("query_id"))
+          .agg(expr("CAST(count(*) AS BIGINT)").as("n_exact"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"), col("n_exact"),
+            coalesce(col("n_hits"), lit(0L)).as("hits"),
+            expr("""CAST(floor(CAST(coalesce(n_hits, 0) AS DOUBLE)
+                    / CAST(n_exact AS DOUBLE) * 1000000 + 0.5) AS BIGINT)""")
+              .as("recall_e6"))
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val selfDot = (e: String) =>
+          s"sqrt(list_sum(list_transform(range(1, 65), i -> $e[i]::DOUBLE * $e[i]::DOUBLE)))"
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS q_emb,
+           |         ${selfDot("embedding")} AS q_norm,
+           |         ${lshBucketSql("embedding", 0)} AS bucket
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |c AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS c_emb,
+           |         ${selfDot("embedding")} AS c_norm,
+           |         ${lshBucketSql("embedding", 0)} AS bucket
+           |  FROM embeddings),
+           |exact AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY $dotSql / (q_norm * c_norm) DESC, neighbor_id ASC) AS rank
+           |    FROM q CROSS JOIN c WHERE query_id <> neighbor_id) t
+           |  WHERE rank <= 5),
+           |lsh AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           row_number() OVER (PARTITION BY query_id
+           |             ORDER BY $dotSql / (q_norm * c_norm) DESC, neighbor_id ASC) AS rank
+           |    FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id) t
+           |  WHERE rank <= 5),
+           |hits AS (
+           |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+           |  FROM exact e JOIN lsh l
+           |    ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+           |  GROUP BY 1)
+           |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+           |       CAST(coalesce(any_value(h.n_hits), 0) AS BIGINT) AS hits,
+           |       CAST(floor(CAST(coalesce(any_value(h.n_hits), 0) AS DOUBLE)
+           |            / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS recall_e6
+           |FROM exact e LEFT JOIN hits h ON e.query_id = h.query_id
+           |GROUP BY e.query_id
+           |ORDER BY e.query_id""".stripMargin
+      }
+    ),
+    Q(
       "sim_maxsim_ivf_pruned",
       // PLAID-shaped retrieval (round-9): IVF coarse pruning THEN MaxSim
       // re-scoring — the two-stage pipeline ColBERT deployments run. The

@@ -427,6 +427,173 @@ object Aggregates {
              |FROM d GROUP BY digit ORDER BY digit""".stripMargin)
     ),
     Q(
+      "stat_welch_ttest",
+      // Welch's two-sample t-test (unequal variances) between the
+      // purchase and click value distributions — the parametric
+      // companion to KS/Mann-Whitney, completing the two-sample tier.
+      // Everything up to the final statistic is EXACT BIGINT over e2
+      // cents: per-group n, Σv, Σv² come from ONE two-phase aggregate
+      // (map-side combine collapses each partition to six numbers, so
+      // the exchange carries 6 longs regardless of data size). The final
+      // t² is assembled from those six integers by an IDENTICAL double
+      // expression on both engines and pinned to 1e-6 — no float ever
+      // crosses a partition boundary, so summation order cannot drift.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click") &&
+            col("value").isNotNull)
+          .select(
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("a"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+        ev.agg(
+          sum(col("a")).as("na"), sum(lit(1L) - col("a")).as("nb"),
+          sum(col("a") * col("v")).as("sa"),
+          sum((lit(1L) - col("a")) * col("v")).as("sb"),
+          sum(col("a") * col("v") * col("v")).as("qa"),
+          sum((lit(1L) - col("a")) * col("v") * col("v")).as("qb"))
+          .select(col("na"), col("nb"), expr(
+            """CAST(floor(
+              |  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+              |  * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+              |  / (CAST(na * qa - sa * sa AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))
+              |     + CAST(nb * qb - sb * sb AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+              |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("t2_e6"))
+      },
+      Some("""WITH pooled AS (
+             |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |  FROM events
+             |  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
+             |m AS (
+             |  SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(1 - a) AS BIGINT) AS nb,
+             |         CAST(sum(a * v) AS BIGINT) AS sa, CAST(sum((1 - a) * v) AS BIGINT) AS sb,
+             |         CAST(sum(a * v * v) AS BIGINT) AS qa, CAST(sum((1 - a) * v * v) AS BIGINT) AS qb
+             |  FROM pooled)
+             |SELECT na, nb,
+             |       CAST(floor(
+             |         (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             |         * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+             |         / (CAST(na * qa - sa * sa AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE))
+             |            + CAST(nb * qb - sb * sb AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)))
+             |         * 1000000 + 0.5) AS BIGINT) AS t2_e6
+             |FROM m""".stripMargin)
+    ),
+    Q(
+      "stat_spearman_corr",
+      // Spearman rank correlation between the daily click count and the
+      // daily purchase revenue — "do busy days monetize?" asked robustly
+      // (rank space is immune to the heavy tail that distorts Pearson on
+      // revenue). The raw events collapse to ONE row per day first (the
+      // shuffle carries O(days), not O(events)); tie-averaged ranks are
+      // kept integral by carrying 2·rank = 2·RANK() + ties − 1 exactly
+      // like the Mann-Whitney 2U trick, so every Pearson moment over the
+      // rank pairs is exact BIGINT. One final 1-row fold pins rho to
+      // 1e-6 with an identical double expression on both engines.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase",
+              expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+              .otherwise(0L)).as("y"))
+        val rx = rank().over(Window.orderBy(col("x"))) * 2 +
+          count(lit(1)).over(Window.partitionBy(col("x"))) - 1
+        val ry = rank().over(Window.orderBy(col("y"))) * 2 +
+          count(lit(1)).over(Window.partitionBy(col("y"))) - 1
+        daily.select(rx.cast("long").as("rx"), ry.cast("long").as("ry"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+            sum(col("rx") * col("rx")).as("qx"),
+            sum(col("ry") * col("ry")).as("qy"),
+            sum(col("rx") * col("ry")).as("sxy"))
+          .select(col("n"), expr(
+            """CAST(floor(
+              |  CAST(n * sxy - sx * sy AS DOUBLE)
+              |  / sqrt(CAST(n * qx - sx * sx AS DOUBLE))
+              |  / sqrt(CAST(n * qy - sy * sy AS DOUBLE))
+              |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("rho_e6"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |ranks AS (
+             |  SELECT CAST(rank() OVER (ORDER BY x) * 2 + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+             |         CAST(rank() OVER (ORDER BY y) * 2 + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+             |  FROM daily),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             |         CAST(sum(rx * rx) AS BIGINT) AS qx, CAST(sum(ry * ry) AS BIGINT) AS qy,
+             |         CAST(sum(rx * ry) AS BIGINT) AS sxy
+             |  FROM ranks)
+             |SELECT n,
+             |       CAST(floor(
+             |         CAST(n * sxy - sx * sy AS DOUBLE)
+             |         / sqrt(CAST(n * qx - sx * sx AS DOUBLE))
+             |         / sqrt(CAST(n * qy - sy * sy AS DOUBLE))
+             |         * 1000000 + 0.5) AS BIGINT) AS rho_e6
+             |FROM m""".stripMargin)
+    ),
+    Q(
+      "stat_anova_oneway",
+      // One-way ANOVA F across the five event-type groups on the value
+      // column — "does ANY event type's mean differ?", the k-group
+      // generalization the pairwise tests can't ask. Group moments
+      // (ni, Σv, Σv²) come from one two-phase aggregate over k=5 cells;
+      // the between/within sums of squares are assembled from those
+      // exact integers with per-group terms pinned to 1e-6 BEFORE the
+      // k-row sum (the chi-square discipline), so the final F is
+      // bit-stable however the five rows arrive. O(k) state end to end.
+      (s, dir) => {
+        val g = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("ni"), sum(col("v")).as("si"),
+            sum(col("v") * col("v")).as("qi"))
+          // Si²/ni per group, e6-pinned while still one row per group
+          .withColumn("sq_over_n_e6", expr(
+            "CAST(floor(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+        g.agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+          sum(col("si")).as("s"), sum(col("qi")).as("q"),
+          sum(col("sq_over_n_e6")).as("sqn_e6"))
+          .select(col("k"), col("n"), expr(
+            """CAST(floor(
+              |  (CAST(sqn_e6 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+              |  / (CAST(q AS DOUBLE) * 1000000.0 - CAST(sqn_e6 AS DOUBLE))
+              |  * CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+              |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("f_e6"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS ni,
+             |         CAST(sum(v) AS BIGINT) AS si, CAST(sum(v * v) AS BIGINT) AS qi
+             |  FROM (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |        FROM events WHERE value IS NOT NULL)
+             |  GROUP BY event_type),
+             |p AS (
+             |  SELECT ni, si, qi,
+             |         CAST(floor(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sq_over_n_e6
+             |  FROM g),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n,
+             |         CAST(sum(si) AS BIGINT) AS s, CAST(sum(qi) AS BIGINT) AS q,
+             |         CAST(sum(sq_over_n_e6) AS BIGINT) AS sqn_e6
+             |  FROM p)
+             |SELECT k, n,
+             |       CAST(floor(
+             |         (CAST(sqn_e6 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0)
+             |         / (CAST(q AS DOUBLE) * 1000000.0 - CAST(sqn_e6 AS DOUBLE))
+             |         * CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+             |         * 1000000 + 0.5) AS BIGINT) AS f_e6
+             |FROM m""".stripMargin)
+    ),
+    Q(
       "stat_chi_square",
       // Chi-square independence test on the event_type × user-parity
       // contingency table: is event mix independent of the user segment?

@@ -246,6 +246,56 @@ object GraphAnalytics {
               |GROUP BY node ORDER BY node""".stripMargin)
     ),
     Q(
+      "graph_clustering_coefficient",
+      // Local clustering coefficient: how close each node's neighborhood
+      // is to a clique — cc = 2·triangles / (deg·(deg−1)) — the
+      // community-tightness score that separates hub-and-spoke suppliers
+      // from cliquish co-supply pockets. Reuses the oriented wedge-closure
+      // triangles and the symmetric degree table (both O(edges) on the
+      // bounded-degree graph); the ratio is PURE BIGINT — numerator
+      // pre-scaled by 1e6 then integer-divided, all terms positive so
+      // Spark's `div` and DuckDB's `//` agree exactly. Nodes with no
+      // triangle surface with cc 0 via the outer join (coalesce), nodes
+      // with degree < 2 are excluded (cc undefined).
+      (s, dir) => {
+        val e12 = edges12(s, dir)
+        val tri = e12.as("a")
+          .join(e12.as("b"),
+            col("b.src") === col("a.src") && col("b.dst") > col("a.dst"))
+          .join(e12.as("c"),
+            col("c.src") === col("a.dst") && col("c.dst") === col("b.dst"))
+          .select(col("a.src").as("x"), col("a.dst").as("y"), col("b.dst").as("z"))
+        val triPerNode = tri.select(col("x").as("node"))
+          .unionByName(tri.select(col("y").as("node")))
+          .unionByName(tri.select(col("z").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+        degrees(s, dir)
+          .filter(col("degree") >= 2)
+          .join(triPerNode, Seq("node"), "left")
+          .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+          .select(col("node"), col("degree"), col("n_tri"),
+            expr("(2 * n_tri * 1000000) div (degree * (degree - 1))").as("cc_e6"))
+          .orderBy(col("node"))
+      },
+      Some(s"""$baseSql,
+              |tri AS (SELECT a.src AS x, a.dst AS y, b.dst AS z
+              |        FROM e12 a
+              |        JOIN e12 b ON b.src = a.src AND b.dst > a.dst
+              |        JOIN e12 c ON c.src = a.dst AND c.dst = b.dst),
+              |tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+              |          SELECT x AS node FROM tri UNION ALL
+              |          SELECT y AS node FROM tri UNION ALL
+              |          SELECT z AS node FROM tri) t
+              |        GROUP BY node)
+              |SELECT deg.node, deg.degree,
+              |       CAST(coalesce(tpn.n_tri, 0) AS BIGINT) AS n_tri,
+              |       CAST((2 * coalesce(tpn.n_tri, 0) * 1000000)
+              |            // (deg.degree * (deg.degree - 1)) AS BIGINT) AS cc_e6
+              |FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+              |WHERE deg.degree >= 2
+              |ORDER BY deg.node""".stripMargin)
+    ),
+    Q(
       "graph_k_core",
       // k-core decomposition (k = 3) by iterated peeling: each round
       // recomputes degrees over the surviving subgraph and drops nodes

@@ -1538,6 +1538,85 @@ object Joins {
              |ORDER BY ok""".stripMargin)
     ),
     Q(
+      "sql_session_variables",
+      // SQL session variables (Spark 4 DECLARE VARIABLE / SET VAR): the
+      // two-step parameterized workflow every SQL client runs — compute a
+      // data-driven threshold once, then reference it from a second
+      // query — without string templating or client round-trip glue. The
+      // threshold is EXACT integer cents (sum-of-cents div count, no
+      // double avg whose partition order could flip a boundary row). The
+      // variable is a session-scoped scalar: the second query's plan sees
+      // a literal, so pushdown/pruning work exactly as if hand-inlined.
+      // Oracle: the same two steps as one nested scalar subquery.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("DECLARE OR REPLACE VARIABLE seg STRING DEFAULT 'MACHINERY'")
+        s.sql("""DECLARE OR REPLACE VARIABLE bal_floor_cents BIGINT""")
+        s.sql(
+          """SET VAR bal_floor_cents =
+            |  (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+            |               / count(*) AS BIGINT)
+            |   FROM customer WHERE c_mktsegment = seg)""".stripMargin)
+        s.sql(
+          """SELECT c_custkey, c_name
+            |FROM customer
+            |WHERE c_mktsegment = seg
+            |  AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > bal_floor_cents
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name
+             |FROM customer
+             |WHERE c_mktsegment = 'MACHINERY'
+             |  AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) >
+             |      (SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+             |                   / count(*) AS BIGINT)
+             |       FROM customer WHERE c_mktsegment = 'MACHINERY')
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "sql_scripting_repeat",
+      // SQL scripting REPEAT…UNTIL + labeled LEAVE (round-9): the third
+      // and fourth control-flow primitives after WHILE and FOR. The loop
+      // body runs BEFORE the test (REPEAT semantics), doubling a size
+      // threshold and folding one distributed aggregate per round; the
+      // exit is a labeled LEAVE guard — the UNTIL clause is deliberately
+      // never-true, so the row certifies LEAVE actually transfers
+      // control. Scale posture equals the unrolled per-threshold
+      // aggregates. Oracle: the unrolled threshold VALUES list.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        val key = "spark.sql.scripting.enabled"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key, "true")
+          s.sql(
+            """BEGIN
+              |  DECLARE szs ARRAY<BIGINT> DEFAULT array();
+              |  DECLARE cnts ARRAY<BIGINT> DEFAULT array();
+              |  DECLARE sz BIGINT DEFAULT 1;
+              |  lp: REPEAT
+              |    IF sz > 32 THEN LEAVE lp; END IF;
+              |    SET szs = array_append(szs, sz);
+              |    SET cnts = array_append(cnts,
+              |      (SELECT count(*) FROM part WHERE p_size >= sz));
+              |    SET sz = sz * 2;
+              |  UNTIL 1 = 0 END REPEAT lp;
+              |  SELECT z.sz AS size_floor, z.c AS n_parts
+              |  FROM (SELECT explode(zip_with(szs, cnts,
+              |          (t, c) -> named_struct('sz', t, 'c', c))) AS z)
+              |  ORDER BY size_floor;
+              |END""".stripMargin)
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""SELECT CAST(t.sz AS BIGINT) AS size_floor,
+             |       CAST((SELECT count(*) FROM part WHERE p_size >= t.sz) AS BIGINT) AS n_parts
+             |FROM (VALUES (1), (2), (4), (8), (16), (32)) AS t(sz)
+             |ORDER BY size_floor""".stripMargin)
+    ),
+    Q(
       "sql_scripting_for",
       // SQL scripting FOR loop (round-9): cursor iteration over a result
       // set — the second control-flow primitive after WHILE. The loop

@@ -1388,6 +1388,73 @@ object TextOps {
               |FROM sc ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_collocation_pmi",
+      // PMI-scored bigram collocations (round-9): which adjacent word
+      // pairs co-occur far above chance — the phrase-mining primitive
+      // behind tokenizer-vocab extensions and stop-phrase lists. The PMI
+      // ordering is computed WITHOUT log: rank by the exact rational
+      // c(xy)·N / (c(x)·c(y)) (log is monotone), e6-prescaled and
+      // integer-divided so both engines rank identical BIGINTs — no libm
+      // anywhere. Bigrams come from a map-side zip of each token array
+      // with its own tail (no posexplode self-join: the pair never
+      // crosses a partition); unigram/bigram counts are two-phase aggs;
+      // the support floor (count ≥ 5) shrinks the ranked set to
+      // vocabulary scale (Heaps-law sublinear) before the single top-20
+      // window. Overflow headroom: c(xy)·N·1e6 needs c(xy)·N < 9·10^12 —
+      // at larger corpora drop the prescale a decade per 10× tokens (the
+      // PageRank fixed-point discipline).
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, dir, "documents").select(split(col("text"), " ").as("t"))
+        val tok = t.select(explode(col("t")).as("w"))
+        val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val ntot = tok.agg(count(lit(1)).as("n"))
+        val bi = t.select(explode(expr(
+          """filter(zip_with(t, slice(t, 2, greatest(size(t) - 1, 0)),
+            |       (a, b) -> IF(b IS NULL, NULL, struct(a AS w1, b AS w2))),
+            |       x -> x IS NOT NULL)""".stripMargin)).as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+        bi.filter(col("cxy") >= 5)
+          .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+          .crossJoin(broadcast(ntot))
+          .select(col("w1"), col("w2"), col("cxy"),
+            expr("(cxy * n * 1000000) div (c1 * c2)").as("pmi_ratio_e6"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("pmi_ratio_e6").desc, col("w1"), col("w2"))))
+          .filter(col("rnk") <= 20)
+          .select(col("rnk").cast("long").as("rnk"), col("w1"), col("w2"),
+            col("cxy"), col("pmi_ratio_e6"))
+          .orderBy(col("rnk"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |tok AS (
+             |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS ord,
+             |         unnest(toks) AS w
+             |  FROM t),
+             |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+             |bi AS (
+             |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS cxy
+             |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+             |  GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT bi.w1, bi.w2, bi.cxy,
+             |         CAST((bi.cxy * n.n * 1000000) // (u1.c * u2.c) AS BIGINT) AS pmi_ratio_e6
+             |  FROM bi CROSS JOIN n
+             |  JOIN uni u1 ON u1.w = bi.w1
+             |  JOIN uni u2 ON u2.w = bi.w2
+             |  WHERE bi.cxy >= 5),
+             |r AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY pmi_ratio_e6 DESC, w1, w2) AS BIGINT) AS rnk,
+             |         w1, w2, cxy, pmi_ratio_e6
+             |  FROM sc)
+             |SELECT rnk, w1, w2, cxy, pmi_ratio_e6 FROM r
+             |WHERE rnk <= 20 ORDER BY rnk""".stripMargin)
+    ),
+    Q(
       "text_entropy_unigram",
       // Character-level Shannon entropy per document (round-9) — the
       // cheapest gibberish/compression-quality screen a corpus filter

@@ -1314,6 +1314,62 @@ object Windows {
              |FROM hw, nn WHERE i = n""".stripMargin)
     ),
     Q(
+      "ts_theil_sen",
+      // Theil-Sen robust slope of daily purchase revenue (round-9): the
+      // median of all pairwise slopes — the trend estimate OLS can't give
+      // when outlier days (flash sales, outages) pollute the series; the
+      // natural companion to the Mann-Kendall TEST (which says trending,
+      // not how much). The raw stream collapses to O(days) rows first, so
+      // the pairwise set is C(days, 2) — bounded by the CALENDAR, not the
+      // corpus (a year is ~66 k pairs however many petabytes feed it).
+      // Each slope is pinned to e6 from two exact integers (single-value
+      // double ops, no accumulation); the median is the LOWER median
+      // picked by row_number over the total order (slope, i, j) — exact
+      // and engine-portable where avg-of-middle-two would reintroduce
+      // float division.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+          .select(expr("CAST(datediff(d, to_date('2024-01-01')) AS BIGINT)").as("x"),
+            col("y"))
+        val pairs = daily.as("a")
+          .join(daily.as("b"), col("b.x") > col("a.x"))
+          .select(col("a.x").as("xi"), col("b.x").as("xj"), expr(
+            """CAST(floor(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+              |     * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("slope_e6"))
+        val n = daily.agg(count(lit(1)).as("n_days")).select(col("n_days"))
+        pairs
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("slope_e6"), col("xi"), col("xj"))))
+          .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+          .crossJoin(broadcast(n))
+          .select(col("n_days"), col("n_pairs"), col("slope_e6").as("ts_slope_e6"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.x AS xi, b.x AS xj,
+             |         CAST(floor(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+             |              * 1000000 + 0.5) AS BIGINT) AS slope_e6
+             |  FROM daily a JOIN daily b ON b.x > a.x),
+             |r AS (
+             |  SELECT slope_e6,
+             |         row_number() OVER (ORDER BY slope_e6, xi, xj) AS rn,
+             |         CAST(count(*) OVER () AS BIGINT) AS n_pairs
+             |  FROM pairs)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+             |       n_pairs, slope_e6 AS ts_slope_e6
+             |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin)
+    ),
+    Q(
       "ts_trend_mann_kendall",
       // Mann-Kendall trend test over the daily series (round-9): the
       // standard non-parametric "is this metric trending" monitor — no

@@ -393,6 +393,148 @@ object Extensions {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "multimodal_image_phash",
+      // Perceptual-hash image near-dup (round-9): the visual twin of
+      // SimHash text dedup — aHash (average hash) computed from REAL
+      // PNG bytes decoded with the JDK codec, then banded LSH pairing,
+      // closing the loop between the multimodal tier and the dedup tier.
+      // Images are synthesized in near-dup GROUPS of 4 consecutive docs
+      // (piecewise-constant on an 8×7 cell grid keyed by the group, one
+      // perturbed cell per doc), PNG-encoded and decoded through the
+      // same iterator→iterator mapPartitions plumbing as the other blob
+      // rows. The group term MULTIPLIES the cell index (an additive
+      // offset would cancel out of the above-mean threshold and make
+      // every group collide — measured 20 k pairs from 500 docs before
+      // the fix), so distinct groups scramble to distinct bit patterns.
+      // The 56-bit aHash (bit = cell sample above the image mean,
+      // strict) splits into 7×8-bit pigeonhole bands — full recall at
+      // Hamming ≤ 6, the SimHash discipline — and candidates pair on a
+      // shuffled (band_id, band) equi-join (no corpus-sized broadcast;
+      // the r8-verdict lesson). Group size is CONSTANT (doc_id div 4),
+      // so bucket fanout AND output volume stay O(corpus) at any scale.
+      // PNG is lossless ⇒ the oracle replays the raster arithmetic.
+      (s, dir) => {
+        val src = Tables(s, dir, "documents").select(col("doc_id"))
+        val binSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("media", BinaryType)))
+        val hashSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("phash", LongType)))
+        val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
+        val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
+        def cellX(x: Long, w: Long): Long = x * 8 / w
+        def cellY(y: Long, h: Long): Long = y * 7 / h
+        // stage 1: encode — real PNG bytes, pattern constant per grid cell
+        val withPng = src.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val g = id / 4
+            val w = (8 + g % 24).toInt; val h = (8 + g % 16).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val cx = cellX(x, w); val cy = cellY(y, h)
+                val per = if (cx == id % 8 && cy == id % 7) 100L else 0L
+                raster.setSample(x, y, 0,
+                  (((g % 97 + 1) * (cx * 11 + cy * 23 + 7) + per) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(id, bos.toByteArray)
+          }
+        }(binEnc)
+        // stage 2: REAL decode + 8×7 grid aHash (56 bits)
+        val hashed = withPng.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val w = img.getWidth.toLong; val h = img.getHeight.toLong
+            val raster = img.getRaster
+            val vs = new Array[Long](56)
+            var i = 0
+            var cy = 0L
+            while (cy < 7) {
+              var cx = 0L
+              while (cx < 8) {
+                vs(i) = raster.getSample(
+                  (cx * w / 8).toInt, (cy * h / 7).toInt, 0).toLong
+                i += 1; cx += 1
+              }
+              cy += 1
+            }
+            val sum = vs.sum
+            var hash = 0L
+            i = 0
+            while (i < 56) {
+              if (56L * vs(i) > sum) hash |= (1L << i)
+              i += 1
+            }
+            Row(id, hash)
+          }
+        }(hashEnc)
+        // stage 3: 7×8-bit pigeonhole bands, shuffled equi-join pairing
+        val bands = hashed.select(col("doc_id"), col("phash"),
+          explode(expr(
+            "transform(sequence(0, 6), j -> struct(j AS band_id, shiftright(phash, 8 * j) & 255 AS band))"))
+            .as("b"))
+          .select(col("doc_id"), col("phash"),
+            col("b.band_id").as("band_id"), col("b.band").as("band"))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+              col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+              .cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, doc_id // 4 AS g,
+             |         8 + (doc_id // 4) % 24 AS w, 8 + (doc_id // 4) % 16 AS h
+             |  FROM documents),
+             |samp AS (
+             |  SELECT doc_id,
+             |         flatten(list_transform(range(0, 7), cy ->
+             |           list_transform(range(0, 8), cx ->
+             |             ((g % 97 + 1) * (((((cx * w) // 8) * 8) // w) * 11
+             |                              + ((((cy * h) // 7) * 7) // h) * 23 + 7)
+             |              + CASE WHEN (((cx * w) // 8) * 8) // w = doc_id % 8
+             |                      AND (((cy * h) // 7) * 7) // h = doc_id % 7
+             |                     THEN 100 ELSE 0 END) % 256))) AS vs
+             |  FROM base),
+             |hs AS (SELECT doc_id, vs, CAST(list_sum(vs) AS BIGINT) AS s FROM samp),
+             |ph AS (
+             |  SELECT doc_id,
+             |         CAST(list_sum(list_transform(range(0, 56), i ->
+             |           CASE WHEN 56 * vs[i + 1] > s
+             |                THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+             |              AS BIGINT) AS phash
+             |  FROM hs),
+             |bandrows AS (
+             |  SELECT doc_id, phash, j AS band_id, (phash >> (8 * j)) & 255 AS band
+             |  FROM ph, range(0, 7) t(j)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+             |  FROM bandrows a JOIN bandrows b
+             |    ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, hamming FROM cand
+             |WHERE hamming <= 6
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+    Q(
       "multimodal_audio_energy",
       // Audio-specific plumbing: PCM frames → per-frame energy, the
       // feature every VAD/diarization/loudness pipeline computes first.

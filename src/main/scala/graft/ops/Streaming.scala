@@ -205,6 +205,39 @@ object Streaming {
     })
   }
 
+  /** Stage `events` plus a RETRY copy: every event appears twice, the
+    * second time with ts shifted +1 s — the at-least-once delivery shape
+    * where the redelivered record carries a NEW event time (client retry
+    * re-stamps), so key-only dropDuplicates can't bound its state and
+    * key+ts dropDuplicates wouldn't dedup at all. Both files share one
+    * mtime: the file source takes them in a single micro-batch, so the
+    * first-seen copy is decided before any watermark can expire state.
+    */
+  private[graft] def stageWithRetries(s: SparkSession, dir: String): String = {
+    val src = normalizedEventsFile(s, dir)
+    stageCache.computeIfAbsent((dir, -3), { _ =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      val tmp = graft.util.tempDir("graft_stream_retry_")
+      Files.copy(Paths.get(src), Paths.get(s"$tmp/events_orig.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val scratch = graft.util.tempDir("graft_stream_retry_scratch_")
+      val part = s"$scratch/retry"
+      s.read.schema(rawSchema).parquet(src)
+        .withColumn("ts", col("ts") + lit(1000000000L)) // +1 s in nanos
+        .coalesce(1).write.parquet(part)
+      val listing = Files.list(Paths.get(part))
+      val file =
+        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet")).head
+        finally listing.close()
+      Files.move(Paths.get(file), Paths.get(s"$tmp/events_retry.parquet"))
+      val t0 = FileTime.fromMillis(1000000000000L)
+      Files.setLastModifiedTime(Paths.get(s"$tmp/events_orig.parquet"), t0)
+      Files.setLastModifiedTime(Paths.get(s"$tmp/events_retry.parquet"), t0)
+      tmp
+    })
+  }
+
   /** Stage `events` as TWO files split at the midpoint timestamp, with
     * staggered mtimes so the file source (oldest-first by default) delivers
     * the early half as micro-batch 1 and the late half as micro-batch 2 —
@@ -477,6 +510,31 @@ object Streaming {
           .dropDuplicates("event_id")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         runToMemory(s, dedup, "t_dedup", "append")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
+      "stream_dedup_within_watermark",
+      // dropDuplicatesWithinWatermark (round-9, SPARK-42931): dedup when
+      // the REDELIVERED record carries a DIFFERENT event time — the
+      // client-retry-re-stamps shape where both classic forms fail:
+      // dropDuplicates(key) never evicts state, dropDuplicates(key, ts)
+      // doesn't match the retry at all. The within-watermark variant
+      // matches on the key alone but expires each entry once the
+      // watermark passes its first-seen time + delay, so state is
+      // bounded by the delay window at ANY stream length — the 100 TB
+      // posture for at-least-once ingestion. The staged source delivers
+      // every event twice (+1 s on the retry); emitted columns exclude
+      // ts (identical between copies), so which copy wins is immaterial
+      // and the batch oracle is exact.
+      (s, dir) => {
+        val ev = eventsStream(s, stageWithRetries(s, dir), ntz = false)
+        val dedup = ev.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        runToMemory(s, dedup, "t_dedup_wm", "append")
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, user_id, event_type, value

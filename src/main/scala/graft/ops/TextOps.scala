@@ -1388,6 +1388,86 @@ object TextOps {
               |FROM sc ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "dedup_minhash_recall_eval",
+      // DEDUP-INDEX EVALUATION as a first-class operator (round-9): the
+      // text-side twin of sim_ann_recall_eval — per-source recall of the
+      // MinHash/LSH candidate generator against a source-blocked EXACT
+      // 3-gram-Jaccard ground truth (≥ 0.35, the candidate_verify
+      // threshold). This is the measurement a pipeline runs before
+      // trusting banded LSH to not silently miss near-dups. Both legs
+      // are the engine's own pipelines (identical hash family / gram
+      // blocking); the hit set is one semi join on the pair key; recall
+      // is e6-pinned. Scale: the exact leg is feasible only because it's
+      // source-blocked — which is exactly how a production recall audit
+      // bounds its truth set; the LSH leg is the unblocked production
+      // path being measured.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val grams = docs
+          .select(col("doc_id"), col("source"), MinHash.tokenCrcs(col("text")).as("crcs"))
+          .select(col("doc_id"), col("source"),
+            explode(MinHash.shingleHashes(col("crcs"), 3, distinct = true, modP = false))
+              .as("gram"))
+        val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("gram"))
+        val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("gram"))
+        val truth = a.join(b, Seq("source", "gram")).filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("source"), col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+          .filter(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")) >= 0.35)
+          .select(col("source"), col("doc_a"), col("doc_b"))
+        val cand = MinHash.nearDupPairs(docs, "doc_id", "text",
+            k = 16, bands = 8, minEstJaccard = 0.2, portable = true)
+          .select(col("doc_a"), col("doc_b"))
+        val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_hits"))
+        truth.groupBy(col("source")).agg(count(lit(1)).as("n_truth"))
+          .join(hits, Seq("source"), "left")
+          .select(col("source"), col("n_truth"),
+            coalesce(col("n_hits"), lit(0L)).as("hits"),
+            expr("""CAST(floor(CAST(coalesce(n_hits, 0) AS DOUBLE)
+                    / CAST(n_truth AS DOUBLE) * 1000000 + 0.5) AS BIGINT)""")
+              .as("recall_e6"))
+          .orderBy(col("source"))
+      },
+      Some(s"""$minhashCandCtes,
+              |mh AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.2),
+              |grams AS (
+              |  SELECT doc_id, source,
+              |         unnest(list_distinct(list_transform(
+              |           range(1, len(string_split(text, ' ')) - 1),
+              |           i -> string_split(text, ' ')[i] || ' ' ||
+              |                string_split(text, ' ')[i+1] || ' ' ||
+              |                string_split(text, ' ')[i+2]))) AS gram
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+              |tpairs AS (
+              |  SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |  FROM grams a JOIN grams b ON a.source = b.source AND a.gram = b.gram
+              |  WHERE a.doc_id < b.doc_id
+              |  GROUP BY 1, 2, 3),
+              |truth AS (
+              |  SELECT source, doc_a, doc_b
+              |  FROM tpairs
+              |  JOIN sizes na ON na.doc_id = doc_a
+              |  JOIN sizes nb ON nb.doc_id = doc_b
+              |  WHERE CAST(common AS DOUBLE) / (na.n_grams + nb.n_grams - common) >= 0.35),
+              |hits AS (
+              |  SELECT t.source, CAST(count(*) AS BIGINT) AS n_hits
+              |  FROM truth t JOIN mh ON t.doc_a = mh.doc_a AND t.doc_b = mh.doc_b
+              |  GROUP BY 1)
+              |SELECT t.source, CAST(count(*) AS BIGINT) AS n_truth,
+              |       CAST(coalesce(any_value(h.n_hits), 0) AS BIGINT) AS hits,
+              |       CAST(floor(CAST(coalesce(any_value(h.n_hits), 0) AS DOUBLE)
+              |                  / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS recall_e6
+              |FROM truth t LEFT JOIN hits h ON t.source = h.source
+              |GROUP BY t.source
+              |ORDER BY t.source""".stripMargin)
+    ),
+    Q(
       "text_collocation_pmi",
       // PMI-scored bigram collocations (round-9): which adjacent word
       // pairs co-occur far above chance — the phrase-mining primitive

@@ -177,6 +177,72 @@ object GraphAnalytics {
               |SELECT node, pr FROM r3 ORDER BY node""".stripMargin)
     ),
     Q(
+      "graph_hits_hubs_auth",
+      // HITS hubs & authorities (round-9): the second classic link-
+      // analysis fixpoint after PageRank — hubs point at good
+      // authorities, authorities are pointed at by good hubs — run on
+      // the ORIENTED edge list (src→dst), 2 full iterations in pure
+      // BIGINT fixed-point. Normalization is L∞ (divide by the round's
+      // max, the standard HITS variant that avoids sqrt): scores stay
+      // ≤ 1e6, so every product is ≤ deg·1e12 at ANY node count — no
+      // overflow cliff, unlike sum-normalization whose rescale factor
+      // grows with n. Each half-step is one edge join + one
+      // map-side-combinable sum + a 1-row max broadcast — the PageRank
+      // message-passing shape, O(edges) shuffle per round.
+      (s, dir) => {
+        val e = edges12(s, dir)
+        val nodes = degrees(s, dir).select(col("node"))
+        var h = nodes.select(col("node"), lit(1000000L).as("sc"))
+        var a: DataFrame = h
+        for (_ <- 1 to 2) {
+          val araw = e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(sum(col("sc")).as("raw"))
+          a = nodes.join(araw, Seq("node"), "left")
+            .crossJoin(broadcast(araw.agg(max(col("raw")).as("mx"))))
+            .select(col("node"),
+              expr("(coalesce(raw, 0) * 1000000) div mx").as("sc"))
+          val hraw = e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(col("src").as("node")).agg(sum(col("sc")).as("raw"))
+          h = nodes.join(hraw, Seq("node"), "left")
+            .crossJoin(broadcast(hraw.agg(max(col("raw")).as("mx"))))
+            .select(col("node"),
+              expr("(coalesce(raw, 0) * 1000000) div mx").as("sc"))
+        }
+        h.select(col("node"), col("sc").as("hub_e6"))
+          .join(a.select(col("node"), col("sc").as("auth_e6")), "node")
+          .orderBy(col("node"))
+      },
+      Some(s"""$baseSql,
+              |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS sc FROM deg),
+              |ar1 AS (SELECT e12.dst AS node, CAST(sum(h0.sc) AS BIGINT) AS raw
+              |        FROM e12 JOIN h0 ON e12.src = h0.node GROUP BY e12.dst),
+              |a1 AS (SELECT deg.node,
+              |              CAST((coalesce(ar1.raw, 0) * 1000000)
+              |                   // (SELECT max(raw) FROM ar1) AS BIGINT) AS sc
+              |       FROM deg LEFT JOIN ar1 ON deg.node = ar1.node),
+              |hr1 AS (SELECT e12.src AS node, CAST(sum(a1.sc) AS BIGINT) AS raw
+              |        FROM e12 JOIN a1 ON e12.dst = a1.node GROUP BY e12.src),
+              |h1 AS (SELECT deg.node,
+              |              CAST((coalesce(hr1.raw, 0) * 1000000)
+              |                   // (SELECT max(raw) FROM hr1) AS BIGINT) AS sc
+              |       FROM deg LEFT JOIN hr1 ON deg.node = hr1.node),
+              |ar2 AS (SELECT e12.dst AS node, CAST(sum(h1.sc) AS BIGINT) AS raw
+              |        FROM e12 JOIN h1 ON e12.src = h1.node GROUP BY e12.dst),
+              |a2 AS (SELECT deg.node,
+              |              CAST((coalesce(ar2.raw, 0) * 1000000)
+              |                   // (SELECT max(raw) FROM ar2) AS BIGINT) AS sc
+              |       FROM deg LEFT JOIN ar2 ON deg.node = ar2.node),
+              |hr2 AS (SELECT e12.src AS node, CAST(sum(a2.sc) AS BIGINT) AS raw
+              |        FROM e12 JOIN a2 ON e12.dst = a2.node GROUP BY e12.src),
+              |h2 AS (SELECT deg.node,
+              |              CAST((coalesce(hr2.raw, 0) * 1000000)
+              |                   // (SELECT max(raw) FROM hr2) AS BIGINT) AS sc
+              |       FROM deg LEFT JOIN hr2 ON deg.node = hr2.node)
+              |SELECT h2.node, h2.sc AS hub_e6, a2.sc AS auth_e6
+              |FROM h2 JOIN a2 ON h2.node = a2.node
+              |ORDER BY h2.node""".stripMargin)
+    ),
+    Q(
       "graph_bfs_frontier",
       // Multi-source BFS, 3 rounds: frontier expansion is join(edges) +
       // min-groupBy — same shape as label propagation but with a distance

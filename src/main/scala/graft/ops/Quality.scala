@@ -192,6 +192,61 @@ object Quality {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "dq_distribution_psi",
+      // Population Stability Index (round-9): THE drift score risk/ML
+      // monitoring uses to decide "has this feature's distribution moved
+      // enough to retrain/alert" (rule of thumb: 0.1 warn, 0.25 act).
+      // Here: event-type mix, first half of the month vs second. Both
+      // distributions are e6-pinned integers BEFORE any float touches
+      // them; each bucket's term (pᵢ−qᵢ)·ln(pᵢ/qᵢ) is assembled from
+      // those pinned integers and e6-floored PER BUCKET before the final
+      // sum (the chi-square discipline — bucket arrival order can never
+      // move a bit). Terms are provably ≥ 0, so floor(x+0.5) is exact.
+      // The whole op is two partial-agg passes over O(buckets) cells —
+      // at 100 TB the exchange carries 5 rows.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cut = "2024-01-16"
+        val cells = Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("ts") < lit(cut).cast("timestamp_ntz"), 1L)
+              .otherwise(0L)).as("np"),
+            sum(when(col("ts") >= lit(cut).cast("timestamp_ntz"), 1L)
+              .otherwise(0L)).as("nq"))
+        cells
+          .withColumn("p_e6", expr(
+            "CAST(floor(CAST(np AS DOUBLE) / CAST(sum(np) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .withColumn("q_e6", expr(
+            "CAST(floor(CAST(nq AS DOUBLE) / CAST(sum(nq) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .withColumn("term_e6", expr(
+            "CAST(floor((CAST(p_e6 AS DOUBLE) - CAST(q_e6 AS DOUBLE)) * ln(CAST(p_e6 AS DOUBLE) / CAST(q_e6 AS DOUBLE)) / 1000000 * 1000000 + 0.5) AS BIGINT)"))
+          .withColumn("psi_e6", sum(col("term_e6")).over(Window.partitionBy()))
+          .select(col("event_type"), col("p_e6"), col("q_e6"),
+            col("term_e6"), col("psi_e6"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type,
+             |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS nq
+             |  FROM events GROUP BY event_type),
+             |pin AS (
+             |  SELECT event_type,
+             |         CAST(floor(CAST(np AS DOUBLE) / CAST(sum(np) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS p_e6,
+             |         CAST(floor(CAST(nq AS DOUBLE) / CAST(sum(nq) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q_e6
+             |  FROM cells),
+             |t AS (
+             |  SELECT event_type, p_e6, q_e6,
+             |         CAST(floor((CAST(p_e6 AS DOUBLE) - CAST(q_e6 AS DOUBLE))
+             |                    * ln(CAST(p_e6 AS DOUBLE) / CAST(q_e6 AS DOUBLE))
+             |                    / 1000000 * 1000000 + 0.5) AS BIGINT) AS term_e6
+             |  FROM pin)
+             |SELECT event_type, p_e6, q_e6, term_e6,
+             |       CAST(sum(term_e6) OVER () AS BIGINT) AS psi_e6
+             |FROM t ORDER BY event_type""".stripMargin)
+    ),
+    Q(
       "dq_snapshot_drift",
       // Round-trip completeness: compare the landed replica (here: a
       // partition-restricted re-land of orders) against its source by

@@ -1388,6 +1388,63 @@ object TextOps {
               |FROM sc ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "pipeline_dataset_card",
+      // DATASET CARD generation (round-9): the per-language summary table
+      // every released training corpus ships — doc/token/char volumes,
+      // corpus share, exact-duplicate rate, source diversity — computed
+      // as ONE declarative pass so the card is a query, not a notebook.
+      // Duplicate rate is docs-minus-distinct-texts per language (the
+      // exact-dedup identity: each text's first copy is unique, the rest
+      // are dups); everything is exact integers, shares e6-pinned. Scale:
+      // one two-phase agg keyed by (lang, text-hash) then by lang — the
+      // shuffle carries digests and counters, never text; output is
+      // O(languages).
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "documents")
+        val perText = d
+          .groupBy(col("lang"), sha2(col("text"), 256).as("th"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+            sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+        perText
+          .groupBy(col("lang"))
+          .agg(sum(col("n")).as("n_docs"),
+            sum(col("toks")).as("n_tokens"),
+            sum(col("chars")).as("n_chars"),
+            (sum(col("n")) - count(lit(1))).as("n_dup_docs"))
+          .join(d.groupBy(col("lang"))
+            .agg(count_distinct(col("source")).as("n_sources")), "lang")
+          .withColumn("share_e6", expr(
+            "CAST(floor(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .withColumn("mean_chars", expr("n_chars div n_docs"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+            col("mean_chars"), col("n_dup_docs"), col("n_sources"),
+            col("share_e6"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH pt AS (
+             |  SELECT lang, sha256(text) AS th, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(n_chars) AS BIGINT) AS chars,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+             |  FROM documents GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+             |         CAST(sum(toks) AS BIGINT) AS n_tokens,
+             |         CAST(sum(chars) AS BIGINT) AS n_chars,
+             |         CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs
+             |  FROM pt GROUP BY lang),
+             |src AS (
+             |  SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+             |  FROM documents GROUP BY lang)
+             |SELECT agg.lang, n_docs, n_tokens, n_chars,
+             |       n_chars // n_docs AS mean_chars,
+             |       n_dup_docs, n_sources,
+             |       CAST(floor(CAST(n_docs AS DOUBLE)
+             |                  / CAST(sum(n_docs) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS share_e6
+             |FROM agg JOIN src ON agg.lang = src.lang
+             |ORDER BY agg.lang""".stripMargin)
+    ),
+    Q(
       "dedup_minhash_recall_eval",
       // DEDUP-INDEX EVALUATION as a first-class operator (round-9): the
       // text-side twin of sim_ann_recall_eval — per-source recall of the

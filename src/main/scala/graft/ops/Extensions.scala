@@ -481,6 +481,11 @@ object Extensions {
             Row(id, hash)
           }
         }(hashEnc)
+          // both sides of the pair join read the hash table: materialize
+          // the codec pipeline ONCE (the simhash fingerprint discipline) —
+          // without this the PNG encode+decode runs twice (measured 4.2 s
+          // → ~1 s at sf0.1)
+          .localCheckpoint(false)
         // stage 3: 7×8-bit pigeonhole bands, shuffled equi-join pairing
         val bands = hashed.select(col("doc_id"), col("phash"),
           explode(expr(

@@ -1538,6 +1538,35 @@ object Joins {
              |ORDER BY ok""".stripMargin)
     ),
     Q(
+      "sql_table_valued_functions",
+      // Table-valued functions in the FROM clause (round-9): `range()`
+      // as a generated spine and `posexplode()` as an inline dimension —
+      // the no-table-needed generators behind calendar spines, bucket
+      // scaffolds and enum dimensions. The spine LEFT JOIN keeps empty
+      // buckets visible (the histogram-with-holes trap); the generated
+      // side is O(buckets) and broadcast, the fact side aggregates
+      // map-side first. Oracle: DuckDB's range() + an inline VALUES
+      // dimension (same relations, its own generator syntax).
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT s.id AS bucket, l.col AS parity,
+            |       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+            |FROM range(0, 8) s
+            |JOIN posexplode(array('even', 'odd')) l ON s.id % 2 = l.pos
+            |LEFT JOIN orders o ON o.o_orderkey % 8 = s.id
+            |GROUP BY s.id, l.col
+            |ORDER BY bucket""".stripMargin)
+      },
+      Some("""SELECT s.id AS bucket, l.col AS parity,
+             |       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+             |FROM range(0, 8) s(id)
+             |JOIN (VALUES (0, 'even'), (1, 'odd')) l(pos, col) ON s.id % 2 = l.pos
+             |LEFT JOIN orders o ON o.o_orderkey % 8 = s.id
+             |GROUP BY s.id, l.col
+             |ORDER BY bucket""".stripMargin)
+    ),
+    Q(
       "sql_session_variables",
       // SQL session variables (Spark 4 DECLARE VARIABLE / SET VAR): the
       // two-step parameterized workflow every SQL client runs — compute a

@@ -776,6 +776,48 @@ object Streaming {
              |ORDER BY click_id, error_id""".stripMargin)
     ),
     Q(
+      "stream_stream_semi_join",
+      // Stream-stream LEFT SEMI interval join (round-9): purchases that
+      // had a click from the same user in the preceding hour — the
+      // "attributed conversion" filter emitted as EXISTENCE, not pairs:
+      // a purchase preceded by 40 clicks emits ONCE, where the inner
+      // join's fanout would multiply it 40× (at 100 TB the difference
+      // between an O(conversions) feed and an O(conversions × touches)
+      // explosion). Both sides carry watermarks and the condition bounds
+      // event time, so buffered state expires exactly as in the inner/
+      // outer variants — this completes the stream-stream join-type trio
+      // (inner, left outer, left semi). Oracle: the EXISTS form.
+      (s, dir) => {
+        val ev = eventsStream(s, stage(dir, 1), ntz = false)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("uid"), col("ts").as("ts_p"),
+            col("event_id").as("purchase_id"), col("value"))
+          .withWatermark("ts_p", "1 hour")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("uid_c"), col("ts").as("ts_c"))
+          .withWatermark("ts_c", "1 hour")
+        val attributed = purchases.join(clicks,
+          expr("""uid = uid_c AND
+                 |ts_c <= ts_p AND
+                 |ts_c >= ts_p - interval 1 hour""".stripMargin),
+          "left_semi")
+        runToMemory(s, attributed, "t_ss_semi", "append")
+          .select(col("purchase_id"), col("uid"),
+            col("ts_p").cast("timestamp_ntz").as("ts_p"), col("value"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id AS uid,
+             |       p.ts AS ts_p, p.value
+             |FROM events p
+             |WHERE p.event_type = 'purchase'
+             |  AND EXISTS (SELECT 1 FROM events c
+             |              WHERE c.event_type = 'click'
+             |                AND c.user_id = p.user_id
+             |                AND c.ts <= p.ts
+             |                AND c.ts >= p.ts - INTERVAL 1 HOUR)
+             |ORDER BY purchase_id""".stripMargin)
+    ),
+    Q(
       "stream_foreachBatch_upsert",
       // The reference's core write path (SURVEY.md §2.9 [DAP]): each
       // micro-batch of changes merges into a versioned parquet replica via

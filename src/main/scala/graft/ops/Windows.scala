@@ -1314,6 +1314,47 @@ object Windows {
              |FROM hw, nn WHERE i = n""".stripMargin)
     ),
     Q(
+      "ts_downsample_m4",
+      // M4 time-series downsampling (round-9): the width-aware visual
+      // aggregation from the M4 paper (Jugel et al., VLDB 2014) — per
+      // pixel-column bucket keep (first, last, min, max), the four points
+      // that make the downsampled line pixel-identical to the raw one.
+      // 30-hour buckets over the event month; first/last are min_by/
+      // max_by on the TOTAL order (ts, event_id) so ties can't flip the
+      // pick; values in exact cents. This is THE dashboard-rendering
+      // query at 100 TB: one map-side-combinable agg, output O(pixels),
+      // and every aggregate (min/max/first/last) is a partial-mergeable
+      // pair — the exchange carries 4 cells per bucket however large the
+      // raw series is.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 108000000000").as("bucket"),
+            col("ts"), col("event_id"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+        ev.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min_by(col("v"), struct(col("ts"), col("event_id"))).as("v_first"),
+            max_by(col("v"), struct(col("ts"), col("event_id"))).as("v_last"),
+            min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT epoch_us(ts) // 108000000000 AS bucket, ts, event_id,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |  FROM events),
+             |w AS (
+             |  SELECT bucket, v,
+             |         row_number() OVER (PARTITION BY bucket ORDER BY ts, event_id) AS rn,
+             |         count(*) OVER (PARTITION BY bucket) AS cnt
+             |  FROM pts)
+             |SELECT bucket, CAST(max(cnt) AS BIGINT) AS n,
+             |       CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS v_first,
+             |       CAST(max(CASE WHEN rn = cnt THEN v END) AS BIGINT) AS v_last,
+             |       min(v) AS v_min, max(v) AS v_max
+             |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+    Q(
       "ts_theil_sen",
       // Theil-Sen robust slope of daily purchase revenue (round-9): the
       // median of all pairwise slopes — the trend estimate OLS can't give

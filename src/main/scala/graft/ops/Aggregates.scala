@@ -594,6 +594,103 @@ object Aggregates {
              |FROM m""".stripMargin)
     ),
     Q(
+      "stat_linreg_multi",
+      // Two-feature multiple linear regression (round-9): does purchase
+      // revenue follow clicks, views, or both? — solved in STANDARDIZED
+      // (correlation) space, where the normal equations for two
+      // predictors close over three correlations: β₁=(r₁y−r₂y·r₁₂)/
+      // (1−r₁₂²), R²=r₁y·β₁+r₂y·β₂. Raw-space normal equations would
+      // need determinants of products of three BIGINT moments — an
+      // overflow cliff at large scale — while every correlation here is
+      // a double assembled from exact single-moment integers and pinned
+      // to e6 BEFORE the solve (the chi-square discipline), so the
+      // daily-moment exchange stays 10 longs and the solve is bit-stable.
+      (s, dir) => {
+        val cents = expr(
+          "CAST(floor(value * 100 + 0.5) AS BIGINT)")
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x2"),
+            sum(when(col("event_type") === "purchase", cents).otherwise(0L)).as("y"))
+        val m = daily.agg(count(lit(1)).as("n"),
+          sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+          sum(col("x1") * col("x1")).as("q11"),
+          sum(col("x2") * col("x2")).as("q22"),
+          sum(col("y") * col("y")).as("qyy"),
+          sum(col("x1") * col("x2")).as("q12"),
+          sum(col("x1") * col("y")).as("q1y"),
+          sum(col("x2") * col("y")).as("q2y"))
+        def rE6(qab: String, sa: String, sb: String, qaa: String, qbb: String) =
+          s"""CAST(floor(CAST(n * $qab - $sa * $sb AS DOUBLE)
+             |     / sqrt(CAST(n * $qaa - $sa * $sa AS DOUBLE))
+             |     / sqrt(CAST(n * $qbb - $sb * $sb AS DOUBLE))
+             |     * 1000000 + 0.5) AS BIGINT)""".stripMargin
+        m.select(col("n"),
+          expr(rE6("q12", "s1", "s2", "q11", "q22")).as("r12_e6"),
+          expr(rE6("q1y", "s1", "sy", "q11", "qyy")).as("r1y_e6"),
+          expr(rE6("q2y", "s2", "sy", "q22", "qyy")).as("r2y_e6"))
+          .withColumn("b1_e6", expr(
+            """CAST(floor((CAST(r1y_e6 AS DOUBLE) - CAST(r2y_e6 AS DOUBLE) * CAST(r12_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE))
+              |     / (CAST(1 AS DOUBLE) - CAST(r12_e6 AS DOUBLE) * CAST(r12_e6 AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+              |     + 0.5) AS BIGINT)""".stripMargin))
+          .withColumn("b2_e6", expr(
+            """CAST(floor((CAST(r2y_e6 AS DOUBLE) - CAST(r1y_e6 AS DOUBLE) * CAST(r12_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE))
+              |     / (CAST(1 AS DOUBLE) - CAST(r12_e6 AS DOUBLE) * CAST(r12_e6 AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+              |     + 0.5) AS BIGINT)""".stripMargin))
+          .withColumn("r2_e6", expr(
+            """CAST(floor(CAST(r1y_e6 * b1_e6 + r2y_e6 * b2_e6 AS DOUBLE)
+              |     / CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)""".stripMargin))
+          .select(col("n").as("n_days"), col("r12_e6"), col("r1y_e6"),
+            col("r2y_e6"), col("b1_e6"), col("b2_e6"), col("r2_e6"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             |         CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x1 * x1) AS BIGINT) AS q11, CAST(sum(x2 * x2) AS BIGINT) AS q22,
+             |         CAST(sum(y * y) AS BIGINT) AS qyy,
+             |         CAST(sum(x1 * x2) AS BIGINT) AS q12,
+             |         CAST(sum(x1 * y) AS BIGINT) AS q1y, CAST(sum(x2 * y) AS BIGINT) AS q2y
+             |  FROM daily),
+             |r AS (
+             |  SELECT n,
+             |         CAST(floor(CAST(n * q12 - s1 * s2 AS DOUBLE)
+             |              / sqrt(CAST(n * q11 - s1 * s1 AS DOUBLE))
+             |              / sqrt(CAST(n * q22 - s2 * s2 AS DOUBLE))
+             |              * 1000000 + 0.5) AS BIGINT) AS r12_e6,
+             |         CAST(floor(CAST(n * q1y - s1 * sy AS DOUBLE)
+             |              / sqrt(CAST(n * q11 - s1 * s1 AS DOUBLE))
+             |              / sqrt(CAST(n * qyy - sy * sy AS DOUBLE))
+             |              * 1000000 + 0.5) AS BIGINT) AS r1y_e6,
+             |         CAST(floor(CAST(n * q2y - s2 * sy AS DOUBLE)
+             |              / sqrt(CAST(n * q22 - s2 * s2 AS DOUBLE))
+             |              / sqrt(CAST(n * qyy - sy * sy AS DOUBLE))
+             |              * 1000000 + 0.5) AS BIGINT) AS r2y_e6
+             |  FROM m),
+             |b AS (
+             |  SELECT n, r12_e6, r1y_e6, r2y_e6,
+             |         CAST(floor((CAST(r1y_e6 AS DOUBLE) - CAST(r2y_e6 AS DOUBLE) * CAST(r12_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             |              / (CAST(1 AS DOUBLE) - CAST(r12_e6 AS DOUBLE) * CAST(r12_e6 AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+             |              + 0.5) AS BIGINT) AS b1_e6,
+             |         CAST(floor((CAST(r2y_e6 AS DOUBLE) - CAST(r1y_e6 AS DOUBLE) * CAST(r12_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE))
+             |              / (CAST(1 AS DOUBLE) - CAST(r12_e6 AS DOUBLE) * CAST(r12_e6 AS DOUBLE) / CAST(1000000000000 AS DOUBLE))
+             |              + 0.5) AS BIGINT) AS b2_e6
+             |  FROM r)
+             |SELECT n AS n_days, r12_e6, r1y_e6, r2y_e6, b1_e6, b2_e6,
+             |       CAST(floor(CAST(r1y_e6 * b1_e6 + r2y_e6 * b2_e6 AS DOUBLE)
+             |            / CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS r2_e6
+             |FROM b""".stripMargin)
+    ),
+    Q(
       "stat_chi_square",
       // Chi-square independence test on the event_type × user-parity
       // contingency table: is event mix independent of the user segment?

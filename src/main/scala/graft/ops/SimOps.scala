@@ -501,6 +501,79 @@ object SimOps {
              |FROM rk WHERE rk <= 5 ORDER BY label, rk""".stripMargin)
     ),
     Q(
+      "embed_silhouette_simplified",
+      // Simplified (centroid-based) silhouette score per label (round-9):
+      // the clustering-quality audit — s(i) = (b−a)/max(a,b) with a =
+      // distance to own centroid, b = nearest OTHER centroid — at O(n·k)
+      // instead of the classic silhouette's O(n²) pairwise (the only form
+      // that survives 100 TB; sklearn calls it the same name in its
+      // scalable path). Distances are exact BIGINT via the e4-quantized
+      // centroid trick (embed_centroid_outliers); the k-row centroid
+      // table broadcasts, so the corpus side is one posexplode + two
+      // two-phase aggs — the shuffle carries 64 partial sums per vector,
+      // never raw vectors. Per-point silhouettes are e6-pinned BEFORE
+      // the per-label mean (floor-double, sign-safe where integer div
+      // semantics differ cross-engine on negatives).
+      (s, dir) => {
+        val q = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("u4",
+            expr("CAST(floor(CAST(v AS DOUBLE) * 10000 + 0.5) AS BIGINT)"))
+        val cent = q.groupBy(col("label"), col("pos"))
+          .agg(sum(col("u4")).as("s4"), count(lit(1)).as("n"))
+          .select(col("label").as("clabel"), col("pos"),
+            expr("CAST(floor(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+              .as("c4"))
+        val d2 = q.join(broadcast(cent), Seq("pos"))
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(sum((col("u4") - col("c4")) * (col("u4") - col("c4"))).as("d2"))
+        val ab = d2.groupBy(col("vec_id"), col("label"))
+          .agg(
+            sum(when(col("label") === col("clabel"), col("d2"))).as("a2"),
+            min(when(col("label") =!= col("clabel"), col("d2"))).as("b2"))
+        val sil = ab.select(col("label"), expr(
+          """CAST(floor(
+            |  (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+            |  / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))
+            |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("s_e6"))
+        sil.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("s_e6")).as("ssum"))
+          .select(col("label"), col("n_vecs"), expr(
+            "CAST(floor(CAST(ssum AS DOUBLE) / CAST(n_vecs AS DOUBLE) + 0.5) AS BIGINT)")
+            .as("mean_sil_e6"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, label, i,
+             |         CAST(floor(embedding[i]::DOUBLE * 10000 + 0.5) AS BIGINT) AS u4
+             |  FROM embeddings, range(1, 65) t(i)),
+             |cent AS (
+             |  SELECT label AS clabel, i,
+             |         CAST(floor(CAST(sum(u4) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS c4
+             |  FROM q GROUP BY label, i),
+             |d2 AS (
+             |  SELECT vec_id, label, clabel,
+             |         CAST(sum((u4 - c4) * (u4 - c4)) AS BIGINT) AS d2
+             |  FROM q JOIN cent ON q.i = cent.i
+             |  GROUP BY vec_id, label, clabel),
+             |ab AS (
+             |  SELECT vec_id, label,
+             |         CAST(sum(CASE WHEN label = clabel THEN d2 END) AS BIGINT) AS a2,
+             |         CAST(min(CASE WHEN label <> clabel THEN d2 END) AS BIGINT) AS b2
+             |  FROM d2 GROUP BY vec_id, label),
+             |sil AS (
+             |  SELECT label,
+             |         CAST(floor(
+             |           (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+             |           / greatest(sqrt(CAST(a2 AS DOUBLE)), sqrt(CAST(b2 AS DOUBLE)))
+             |           * 1000000 + 0.5) AS BIGINT) AS s_e6
+             |  FROM ab)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |       CAST(floor(CAST(sum(s_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_sil_e6
+             |FROM sil GROUP BY label ORDER BY label""".stripMargin)
+    ),
+    Q(
       "embed_semantic_dedup",
       // SemDeDup-style semantic dedup DECISION over embedding cells: a
       // vector is dropped when an earlier (lower-id) vector in the same

@@ -1314,6 +1314,121 @@ object Windows {
              |FROM hw, nn WHERE i = n""".stripMargin)
     ),
     Q(
+      "ts_lttb_downsample",
+      // LTTB (Largest-Triangle-Three-Buckets, Steinarsson 2013)
+      // downsampling of the daily purchase-revenue series to 10 points
+      // (round-9): the shape-preserving counterpart to M4 — per bucket
+      // keep the point forming the LARGEST TRIANGLE with the previously
+      // selected point and the next bucket's centroid, so peaks and
+      // inflections survive where uniform sampling flattens them. The
+      // selection is inherently SEQUENTIAL (bucket k's pick depends on
+      // bucket k−1's), so it runs as one `aggregate` HOF fold over the
+      // O(buckets) array — the Holt-forecast discipline — after the
+      // corpus collapses to O(days) rows; triangle areas are EXACT
+      // BIGINT (centroid denominators cleared: 2·A·m = |(ax·m−Sx)(cy−ay)
+      // −(ax−cx)(Sy−ay·m)|), ties resolve to the leftmost candidate by
+      // strict-greater comparison in candidate order. The oracle replays
+      // the same fold as a recursive CTE with a list_reduce argmax.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+          .select(expr("CAST(datediff(d, to_date('2024-01-01')) AS BIGINT)").as("x"),
+            col("y"))
+        val idx = daily
+          .withColumn("i", row_number().over(Window.orderBy(col("x"))) - 1)
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+        val firstPt = idx.filter(col("i") === 0)
+          .select(col("x").as("fx"), col("y").as("fy"))
+        val lastPt = idx.filter(col("i") === col("nn") - 1)
+          .select(col("x").as("lx"), col("y").as("ly"))
+        val mid = idx.filter(col("i") >= 1 && col("i") <= col("nn") - 2)
+          .withColumn("k", expr("((i - 1) * 8) div (nn - 2)"))
+        val bk = mid.groupBy(col("k"))
+          .agg(sort_array(collect_list(struct(col("x"), col("y")))).as("cands"))
+        val nstats = mid.filter(col("k") >= 1)
+          .groupBy((col("k") - 1).as("k"))
+          .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+          .unionByName(lastPt.select(lit(7L).as("k"), lit(1L).as("m"),
+            col("lx").as("sx"), col("ly").as("sy")))
+        val bks = bk.join(nstats, Seq("k"))
+          .agg(sort_array(collect_list(
+            struct(col("k"), col("cands"), col("m"), col("sx"), col("sy")))).as("bks"))
+        bks.crossJoin(firstPt).crossJoin(lastPt)
+          .select(expr(
+            """array_append(
+              |  aggregate(bks,
+              |    array(named_struct('x', fx, 'y', fy)),
+              |    (acc, b) -> array_append(acc,
+              |      aggregate(b.cands, element_at(b.cands, 1),
+              |        (w, c) -> IF(
+              |          abs((element_at(acc, -1).x * b.m - b.sx) * (c.y - element_at(acc, -1).y)
+              |              - (element_at(acc, -1).x - c.x) * (b.sy - element_at(acc, -1).y * b.m))
+              |          > abs((element_at(acc, -1).x * b.m - b.sx) * (w.y - element_at(acc, -1).y)
+              |                - (element_at(acc, -1).x - w.x) * (b.sy - element_at(acc, -1).y * b.m)),
+              |          c, w)))),
+              |  named_struct('x', lx, 'y', ly))""".stripMargin).as("pts"))
+          .select(posexplode(col("pts")).as(Seq("p", "pt")))
+          .select((col("p") + 1).cast("long").as("rank"),
+            col("pt.x").as("x"), col("pt.y").as("y"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (
+             |  SELECT x, y, row_number() OVER (ORDER BY x) - 1 AS i,
+             |         count(*) OVER () AS nn
+             |  FROM daily),
+             |first_pt AS (SELECT x, y FROM idx WHERE i = 0),
+             |last_pt AS (SELECT x, y FROM idx WHERE i = nn - 1),
+             |mid AS (
+             |  SELECT x, y, ((i - 1) * 8) // (nn - 2) AS k
+             |  FROM idx WHERE i >= 1 AND i <= nn - 2),
+             |bk AS (
+             |  SELECT k, list(struct_pack(x := x, y := y) ORDER BY x) AS cands
+             |  FROM mid GROUP BY k),
+             |nb AS (
+             |  SELECT k - 1 AS k, CAST(count(*) AS BIGINT) AS m,
+             |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+             |  FROM mid WHERE k >= 1 GROUP BY k - 1
+             |  UNION ALL
+             |  SELECT 7, 1, x, y FROM last_pt),
+             |bks AS (SELECT bk.k, cands, m, sx, sy FROM bk JOIN nb ON bk.k = nb.k),
+             |rec AS (
+             |  SELECT CAST(-1 AS BIGINT) AS k, f.x AS ax, f.y AS ay,
+             |         [struct_pack(x := f.x, y := f.y)] AS sel
+             |  FROM first_pt f
+             |  UNION ALL
+             |  SELECT b.k,
+             |         list_reduce(b.cands, (acc, c) -> CASE WHEN
+             |             abs((r.ax * b.m - b.sx) * (c.y - r.ay) - (r.ax - c.x) * (b.sy - r.ay * b.m))
+             |           > abs((r.ax * b.m - b.sx) * (acc.y - r.ay) - (r.ax - acc.x) * (b.sy - r.ay * b.m))
+             |           THEN c ELSE acc END).x,
+             |         list_reduce(b.cands, (acc, c) -> CASE WHEN
+             |             abs((r.ax * b.m - b.sx) * (c.y - r.ay) - (r.ax - c.x) * (b.sy - r.ay * b.m))
+             |           > abs((r.ax * b.m - b.sx) * (acc.y - r.ay) - (r.ax - acc.x) * (b.sy - r.ay * b.m))
+             |           THEN c ELSE acc END).y,
+             |         list_append(r.sel,
+             |           list_reduce(b.cands, (acc, c) -> CASE WHEN
+             |               abs((r.ax * b.m - b.sx) * (c.y - r.ay) - (r.ax - c.x) * (b.sy - r.ay * b.m))
+             |             > abs((r.ax * b.m - b.sx) * (acc.y - r.ay) - (r.ax - acc.x) * (b.sy - r.ay * b.m))
+             |             THEN c ELSE acc END))
+             |  FROM rec r JOIN bks b ON b.k = r.k + 1),
+             |fin AS (
+             |  SELECT list_append(r.sel, struct_pack(x := l.x, y := l.y)) AS pts
+             |  FROM rec r, last_pt l WHERE r.k = 7)
+             |SELECT CAST(unnest(range(1, len(pts) + 1)) AS BIGINT) AS rank,
+             |       unnest(list_transform(pts, p -> p.x)) AS x,
+             |       unnest(list_transform(pts, p -> p.y)) AS y
+             |FROM fin ORDER BY rank""".stripMargin)
+    ),
+    Q(
       "ts_downsample_m4",
       // M4 time-series downsampling (round-9): the width-aware visual
       // aggregation from the M4 paper (Jugel et al., VLDB 2014) — per

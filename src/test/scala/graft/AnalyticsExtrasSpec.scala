@@ -298,4 +298,58 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     assert(rows.head.getLong(2) == expected)
     assert(rows.head.getLong(1) == seq.length)
   }
+
+  test("ts_lttb_downsample: endpoints kept, one point per bucket, global max survives") {
+    val pts = q("ts_lttb_downsample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pts.length == 10)
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("y"))
+      .select(expr("CAST(datediff(d, to_date('2024-01-01')) AS BIGINT)").as("x"),
+        col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // endpoints are always selected
+    assert((pts.head._2, pts.head._3) == daily.head)
+    assert((pts.last._2, pts.last._3) == daily.last)
+    // x strictly increasing (one pick per bucket, in order)
+    assert(pts.map(_._2).sliding(2).forall(p => p(0) < p(1)))
+    // the global peak forms the largest triangle in its bucket against any
+    // neighborhood, so LTTB must keep it (shape preservation — the
+    // property uniform sampling lacks)
+    val peak = daily.maxBy(p => (p._2, -p._1))
+    assert(pts.exists(p => (p._2, p._3) == peak), s"peak $peak dropped")
+  }
+
+  test("embed_silhouette_simplified: scores within [-1e6, 1e6]") {
+    val rows = q("embed_silhouette_simplified").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getLong(2)
+      assert(s >= -1000000L && s <= 1000000L, s"label ${r.getInt(0)}: $s")
+    }
+  }
+
+  test("multimodal_image_phash: same-group equal-size docs pair with small hamming") {
+    val pairs = q("multimodal_image_phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty)
+    // hamming bound is enforced by construction
+    assert(pairs.forall(_._3 <= 6))
+    // within a group of 4 consecutive ids the base raster is identical and
+    // only one cell is perturbed per doc: adjacent same-group pairs must
+    // appear (near-dup recall on the planted groups)
+    val sameGroup = pairs.filter(p => p._1 / 4 == p._2 / 4)
+    assert(sameGroup.nonEmpty, "no within-group near-dup pair surfaced")
+  }
+
+  test("stat_linreg_multi: correlations bounded and R2 in [0, 1e6]") {
+    val r = q("stat_linreg_multi").collect().head
+    Seq(1, 2, 3).foreach { i =>
+      assert(math.abs(r.getLong(i)) <= 1000000L, s"corr col $i out of range")
+    }
+    val r2 = r.getLong(6)
+    assert(r2 >= 0L && r2 <= 1000000L, s"R2 $r2 out of [0, 1e6]")
+  }
 }

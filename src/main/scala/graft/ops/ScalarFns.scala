@@ -138,6 +138,39 @@ object ScalarFns {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "fn_array_sort_lambda",
+      // array_sort with a COMPARATOR lambda (round-9): custom sort order
+      // — (token length, then lexicographic) over each doc's first 8
+      // tokens — the one array HOF fn_array_hof doesn't touch because it
+      // takes a two-argument ordering function, not a key. Output is the
+      // joined string (list hashing is representation-dependent). The
+      // oracle reaches the same order via DuckDB's decorate-sort-
+      // undecorate (sort structs of (len, tok)) — the comparator's total
+      // order restated as a sort key, which is exactly why the result is
+      // engine-checkable.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), expr(
+            """array_join(
+              |  array_sort(slice(split(text, ' '), 1, 8),
+              |    (l, r) -> CASE WHEN length(l) < length(r) THEN -1
+              |                   WHEN length(l) > length(r) THEN 1
+              |                   WHEN l < r THEN -1
+              |                   WHEN l > r THEN 1
+              |                   ELSE 0 END),
+              |  ' ')""".stripMargin).as("sorted_head"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       array_to_string(
+             |         list_transform(
+             |           list_sort(list_transform(string_split(text, ' ')[1:8],
+             |             t -> struct_pack(l := length(t), t := t))),
+             |           s -> s.t),
+             |         ' ') AS sorted_head
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "fn_map_ops",
       // Map construction + element access + key/value projections, all as
       // scalar outputs so the dump stays hashable. The DuckDB oracle builds

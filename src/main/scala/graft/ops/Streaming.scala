@@ -776,6 +776,33 @@ object Streaming {
              |ORDER BY click_id, error_id""".stripMargin)
     ),
     Q(
+      "stream_output_mode_update",
+      // UPDATE output mode (round-9): the third output-mode leg after the
+      // append and complete rows — each micro-batch re-emits ONLY the
+      // aggregate rows that changed, the mode dashboards and KV-store
+      // sinks consume (append can't emit running aggregates before the
+      // watermark closes; complete re-emits the world). Two staged
+      // batches update per-user counters; the memory sink accumulates one
+      // row per (key × batch-it-changed-in), and the FINAL state is
+      // recovered as the per-key max — exact because count and positive-
+      // cents sum are monotone under accumulation. The oracle is the
+      // batch fold, so the row certifies update-mode state continuity
+      // across batches.
+      (s, dir) => {
+        val ev = eventsStream(s, stageSplitByTime(s, dir), ntz = false)
+        val counts = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+        runToMemory(s, counts, "t_update_mode", "update")
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"), max(col("cents")).as("cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "stream_stream_semi_join",
       // Stream-stream LEFT SEMI interval join (round-9): purchases that
       // had a click from the same user in the preceding hour — the

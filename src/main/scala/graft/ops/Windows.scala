@@ -1197,6 +1197,79 @@ object Windows {
              |FROM seq ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "win_rolling_regression",
+      // Trailing-7-day rolling OLS (round-9): per day, the slope and
+      // intercept of purchase revenue regressed on the day index over the
+      // last week — the local-trend monitor behind "how fast is this
+      // metric moving RIGHT NOW" (ts_theil_sen gives one global slope;
+      // this gives the trajectory). Five windowed INTEGER sums feed the
+      // closed-form OLS; slope/intercept are assembled by identical
+      // double expressions and e6/e2-pinned — the rolling_corr
+      // discipline. Single-partition window only because the day grid is
+      // global; per-key deployments shard with partitionBy.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+          .withColumn("x",
+            expr("CAST(datediff(d, to_date('2024-01-01')) AS BIGINT)"))
+        val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("x")).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sxx", sum(expr("x * x")).over(w))
+          .withColumn("sxy", sum(expr("x * y")).over(w))
+          .withColumn("slope_e6",
+            expr("""CASE WHEN n * sxx - sx * sx > 0
+                    THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * 1000000 + 0.5) AS BIGINT)
+                    ELSE NULL END"""))
+          .withColumn("intercept_c", expr(
+            """CASE WHEN n * sxx - sx * sx > 0
+              |THEN CAST(floor((CAST(sy AS DOUBLE) - CAST(slope_e6 AS DOUBLE)
+              |     / CAST(1000000 AS DOUBLE) * CAST(sx AS DOUBLE))
+              |     / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+              |ELSE NULL END""".stripMargin))
+          .select(col("d"), col("n"), col("slope_e6"), col("intercept_c"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2),
+             |win AS (
+             |  SELECT d,
+             |         CAST(count(*) OVER w AS BIGINT) AS n,
+             |         CAST(sum(x) OVER w AS BIGINT) AS sx,
+             |         CAST(sum(y) OVER w AS BIGINT) AS sy,
+             |         CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             |         CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+             |sl AS (
+             |  SELECT d, n, sx, sy,
+             |         CASE WHEN n * sxx - sx * sx > 0
+             |              THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             |                   / CAST(n * sxx - sx * sx AS DOUBLE)
+             |                   * 1000000 + 0.5) AS BIGINT)
+             |              ELSE NULL END AS slope_e6,
+             |         n * sxx - sx * sx AS det
+             |  FROM win)
+             |SELECT d, n, slope_e6,
+             |       CASE WHEN det > 0
+             |            THEN CAST(floor((CAST(sy AS DOUBLE) - CAST(slope_e6 AS DOUBLE)
+             |                 / CAST(1000000 AS DOUBLE) * CAST(sx AS DOUBLE))
+             |                 / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+             |            ELSE NULL END AS intercept_c
+             |FROM sl ORDER BY d""".stripMargin)
+    ),
+    Q(
       "ts_rolling_corr",
       // Trailing-7-day rolling correlation between two daily series
       // (clicks vs purchases, round-9): the co-movement monitor behind
@@ -1312,6 +1385,62 @@ object Windows {
              |SELECT n AS n_days, l AS level_c, b AS trend_c,
              |       l + b AS fc1_c, l + 2 * b AS fc2_c, l + 3 * b AS fc3_c
              |FROM hw, nn WHERE i = n""".stripMargin)
+    ),
+    Q(
+      "ts_stl_decompose",
+      // Classical seasonal decomposition (round-9): daily revenue split
+      // into trend + weekday-seasonal + residual — the additive
+      // moving-average decomposition (the deterministic core of STL
+      // without loess). Trend is a CENTERED 7-day MA emitted only for
+      // full windows (edges NULL — a partial-window mean would fake a
+      // trend); the seasonal term is the per-weekday mean of the
+      // detrended series; the residual is what's left. All series exact
+      // cents; the two means are the only divisions, integer-div for the
+      // always-positive trend and floor-double for the sign-carrying
+      // seasonal (engine-portable on negatives where `div` is not). One
+      // window + one O(7) groupBy + one broadcast join back.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+        val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+        val det = daily
+          .withColumn("cnt7", count(lit(1)).over(w7))
+          .withColumn("trend_c",
+            when(col("cnt7") === 7, expr("sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
+          .withColumn("det", col("y") - col("trend_c"))
+          .withColumn("dow", expr("dayofweek(d) - 1"))
+        val seas = det.filter(col("det").isNotNull)
+          .groupBy(col("dow"))
+          .agg(expr(
+            "CAST(floor(CAST(sum(det) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)")
+            .as("seasonal_c"))
+        det.join(broadcast(seas), Seq("dow"), "left")
+          .select(col("d"), col("y"), col("trend_c"), col("seasonal_c"),
+            (col("det") - col("seasonal_c")).as("resid_c"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |tr AS (
+             |  SELECT d, y, dayofweek(d) AS dow,
+             |         CASE WHEN count(*) OVER w = 7
+             |              THEN CAST(sum(y) OVER w AS BIGINT) // 7 END AS trend_c
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |det AS (SELECT d, y, dow, trend_c, y - trend_c AS det FROM tr),
+             |seas AS (
+             |  SELECT dow,
+             |         CAST(floor(CAST(sum(det) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS seasonal_c
+             |  FROM det WHERE det IS NOT NULL GROUP BY dow)
+             |SELECT d, y, trend_c, seasonal_c, det - seasonal_c AS resid_c
+             |FROM det LEFT JOIN seas USING (dow)
+             |ORDER BY d""".stripMargin)
     ),
     Q(
       "ts_lttb_downsample",

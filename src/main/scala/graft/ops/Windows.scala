@@ -1470,6 +1470,10 @@ object Windows {
         val idx = daily
           .withColumn("i", row_number().over(Window.orderBy(col("x"))) - 1)
           .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+          // five legs (first/last/mid/buckets/next-stats) read this O(days)
+          // frame: materialize it once instead of re-scanning and
+          // re-aggregating the raw events per leg
+          .localCheckpoint(false)
         val firstPt = idx.filter(col("i") === 0)
           .select(col("x").as("fx"), col("y").as("fy"))
         val lastPt = idx.filter(col("i") === col("nn") - 1)

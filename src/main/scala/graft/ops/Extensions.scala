@@ -1098,6 +1098,54 @@ object Extensions {
              |ORDER BY o_orderkey, change_type""".stripMargin)
     ),
     Q(
+      "sink_metadata_tables",
+      // Lakehouse METADATA TABLES (round-9): the files/snapshots
+      // introspection surface (Iceberg's `table.files`/`snapshots`,
+      // Delta's DESCRIBE DETAIL) over the manifest format — per version:
+      // file count plus the min/max key interval from the manifest's own
+      // per-file stats. The query reads ONLY manifests — zero data files
+      // opened, which is the entire point: operational questions ("how
+      // fragmented is v2, what key range does it span") must cost
+      // O(metadata) at a 100 TB table, and the per-file stats that answer
+      // them are the same ones the data-skipping scan path prunes with
+      // (sink_stats_file_pruning). File counts are pinned by explicit
+      // coalesce so the layout is independent of the session's
+      // parallelism. Oracle: the same intervals recomputed from the data.
+      (s, dir) => {
+        val out = graft.util.tempDir("graft_metatables_")
+        val fmt = "graft.sources.ManifestSink"
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartition(2, col("o_orderkey"))
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        o.filter(col("o_orderkey") % 2 === 1)
+          .repartition(2, col("o_orderkey"))
+          .write.format(fmt).option("path", out).mode("append").save()
+        s.read.format(fmt).option("path", out).load().coalesce(1)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        import s.implicits._
+        (1 to 3).map { v =>
+          val st = graft.sources.ManifestSink.readState(out, Some(v)).get
+          val ivs = st.files.flatMap(f => st.stats.get(f._1))
+          (v.toLong, st.files.size.toLong, ivs.map(_._1).min, ivs.map(_._2).max)
+        }.toDF("version", "n_files", "key_min", "key_max")
+          .orderBy(col("version"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS n_files,
+             |         CAST(min(o_orderkey) AS BIGINT) AS key_min,
+             |         CAST(max(o_orderkey) AS BIGINT) AS key_max
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 2, 4, CAST(min(o_orderkey) AS BIGINT),
+             |         CAST(max(o_orderkey) AS BIGINT) FROM orders
+             |  UNION ALL
+             |  SELECT 3, 1, CAST(min(o_orderkey) AS BIGINT),
+             |         CAST(max(o_orderkey) AS BIGINT) FROM orders) t
+             |ORDER BY version""".stripMargin)
+    ),
+    Q(
       "sink_time_travel",
       // Snapshot retention + time travel + OPTIMIZE on the manifest sink:
       // every job commit is also a retained snapshot (manifest.v<N>), so

@@ -123,6 +123,60 @@ object SimOps {
               |ORDER BY query_id, rank""".stripMargin)
     ),
     Q(
+      "embed_hard_negative_mining",
+      // Hard-negative mining (round-9): for each query, the top-5 most
+      // similar vectors with a DIFFERENT label — the contrastive-training
+      // staple (easy negatives teach nothing; the near-miss neighbors
+      // define the decision boundary). Same broadcast-query / un-shuffled-
+      // corpus shape as sim_cosine_topk with the label-mismatch predicate
+      // applied BEFORE ranking, plus each negative's label so the miner's
+      // output is directly consumable as (anchor, negative, neg_label)
+      // triplets. At scale the exact pass runs per ANN cell — the
+      // composition the IVF rows already prove.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = broadcast(querySet(emb)
+          .join(emb.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+            "query_id")
+          .withColumn("q_norm", norm(col("q_emb"))))
+        val c = emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("c_emb"), col("label").as("neg_label"))
+          .withColumn("c_norm", norm(col("c_emb")))
+        val scored = q.crossJoin(c)
+          .filter(col("q_label") =!= col("neg_label"))
+          .withColumn("cos",
+            dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("neg_label").cast("long").as("neg_label"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS q_norm
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |c AS (
+              |  SELECT vec_id AS neighbor_id, embedding AS c_emb, label AS neg_label,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS c_norm
+              |  FROM embeddings),
+              |scored AS (
+              |  SELECT query_id, neighbor_id, neg_label,
+              |         $dotSql / (q_norm * c_norm) AS cos
+              |  FROM q CROSS JOIN c WHERE q_label <> neg_label)
+              |SELECT query_id, rank, neighbor_id, CAST(neg_label AS BIGINT) AS neg_label
+              |FROM (
+              |  SELECT query_id, neighbor_id, neg_label,
+              |         CAST(row_number() OVER (PARTITION BY query_id
+              |                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
       "sim_cosine_topk_native",
       // Same query through the custom codegen'd Catalyst expression
       // (graft.functions.CosineSimilarity) — identical results, one fused

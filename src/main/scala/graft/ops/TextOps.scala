@@ -1388,6 +1388,53 @@ object TextOps {
               |FROM sc ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "pipeline_curriculum_order",
+      // Curriculum scheduling (round-9): emit the corpus in the order a
+      // curriculum-learning run would consume it — easy→hard tiers by
+      // token count, and WITHIN each tier a round-robin interleave across
+      // sources so no source clumps (clumped sources make the loss curve
+      // sawtooth and bias early training). Entirely rank arithmetic on
+      // exact integers: ntile for tiers over the (n_tokens, doc_id) total
+      // order, per-(tier, source) row_number for the robin position, one
+      // final global sequence — which at 100 TB is the range-partitioned
+      // sort the engine already pins in sort_global_sequence, not a
+      // single-partition window.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val tiered = d.withColumn("tier",
+          ntile(5).over(Window.orderBy(col("n_tokens"), col("doc_id")))
+            .cast("long"))
+        tiered
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(col("tier"), col("source"))
+              .orderBy(col("doc_id"))).cast("long"))
+          .withColumn("pos", row_number().over(
+            Window.orderBy(col("tier"), col("rr"), col("source"), col("doc_id")))
+            .cast("long"))
+          .select(col("pos"), col("tier"), col("doc_id"), col("source"),
+            col("n_tokens"))
+          .orderBy(col("pos"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |tiered AS (
+             |  SELECT doc_id, source, n_tokens,
+             |         CAST(ntile(5) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS tier
+             |  FROM d),
+             |rr AS (
+             |  SELECT doc_id, source, n_tokens, tier,
+             |         CAST(row_number() OVER (PARTITION BY tier, source ORDER BY doc_id) AS BIGINT) AS rr
+             |  FROM tiered)
+             |SELECT CAST(row_number() OVER (ORDER BY tier, rr, source, doc_id) AS BIGINT) AS pos,
+             |       tier, doc_id, source, n_tokens
+             |FROM rr ORDER BY pos""".stripMargin)
+    ),
+    Q(
       "pipeline_dataset_card",
       // DATASET CARD generation (round-9): the per-language summary table
       // every released training corpus ships — doc/token/char volumes,

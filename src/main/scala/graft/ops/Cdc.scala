@@ -218,6 +218,58 @@ object Cdc {
               |ORDER BY user_id, valid_from, event_id""".stripMargin)
     ),
     Q(
+      "cdc_bitemporal_asof",
+      // BITEMPORAL as-of (round-9): two time axes — VALID time (when the
+      // fact was true) and TRANSACTION time (when the system learned it).
+      // The question no single-axis table can answer: "what did we
+      // BELIEVE on Jan 16 the user's value was AS OF Jan 20, and how was
+      // that belief later revised?" Belief at txn T = last change with
+      // arrival ≤ T among those valid ≤ V; users with facts arriving in
+      // (T1, V] get `revised = true` — the late-arriving-fact audit a
+      // restatement process runs. Each leg is one windowed last-per-key
+      // over a pruned scan (arrival ≤ cutoff); at scale both legs are
+      // partition-pruned, never a feed replay. Null-safe comparison
+      // flags users unknown at T1.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def belief(cut: String) = {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          Tables.events(s, dir)
+            .filter(col("ts") <= lit(cut).cast("timestamp_ntz"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("user_id"),
+              expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v_c"))
+        }
+        val t1 = belief("2024-01-16 00:00:00")
+          .withColumnRenamed("v_c", "v_txn1_c")
+        val t2 = belief("2024-01-20 00:00:00")
+          .withColumnRenamed("v_c", "v_txn2_c")
+        t2.join(t1, Seq("user_id"), "left")
+          .withColumn("revised", !(col("v_txn1_c") <=> col("v_txn2_c")))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH b1 AS (
+             |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_txn1_c
+             |  FROM (SELECT user_id, value,
+             |               row_number() OVER (PARTITION BY user_id
+             |                 ORDER BY ts DESC, event_id DESC) AS rn
+             |        FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00') t
+             |  WHERE rn = 1),
+             |b2 AS (
+             |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_txn2_c
+             |  FROM (SELECT user_id, value,
+             |               row_number() OVER (PARTITION BY user_id
+             |                 ORDER BY ts DESC, event_id DESC) AS rn
+             |        FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00') t
+             |  WHERE rn = 1)
+             |SELECT b2.user_id, b2.v_txn2_c, b1.v_txn1_c,
+             |       (b1.v_txn1_c IS DISTINCT FROM b2.v_txn2_c) AS revised
+             |FROM b2 LEFT JOIN b1 ON b2.user_id = b1.user_id
+             |ORDER BY b2.user_id""".stripMargin)
+    ),
+    Q(
       "cdc_point_in_time",
       // Point-in-time (time-travel) lookup against the SCD2 history: the
       // state of every key AS OF a probe instant — filter the validity

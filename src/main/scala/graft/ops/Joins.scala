@@ -1538,6 +1538,59 @@ object Joins {
              |ORDER BY ok""".stripMargin)
     ),
     Q(
+      "join_spatial_grid",
+      // Grid-bucketed SPATIAL distance join (round-9): customers near
+      // suppliers on a synthetic planar map — the standard distributed
+      // spatial-join shape (GeoSpark/Sedona's core): bucket points into
+      // fixed cells the size of the query radius, replicate ONE side to
+      // its 3×3 neighbor cells, equi-join on cell id, then exact distance
+      // filter. Never all-pairs: candidate volume is density-bounded per
+      // cell, the join is a plain shuffled equi-join on the cell key, and
+      // the 9× replication rides a map-side explode. Coordinates are
+      // deterministic integer e2-degree units derived from the keys;
+      // distance is exact planar d² in BIGINT (no haversine float).
+      (s, dir) => {
+        val a = Tables(s, dir, "customer").select(col("c_custkey"),
+          expr("(c_custkey * 7919) % 1800").as("au"),
+          expr("(c_custkey * 104729) % 3600").as("av"))
+          .withColumn("cu", expr("au div 100"))
+          .withColumn("cv", expr("av div 100"))
+        val b = Tables(s, dir, "supplier").select(col("s_suppkey"),
+          expr("(s_suppkey * 6131) % 1800").as("bu"),
+          expr("(s_suppkey * 9973) % 3600").as("bv"))
+          .select(col("s_suppkey"), col("bu"), col("bv"),
+            explode(expr(
+              """flatten(transform(sequence(-1, 1), du ->
+                |  transform(sequence(-1, 1), dv ->
+                |    struct(bu div 100 + du AS cu, bv div 100 + dv AS cv))))""".stripMargin))
+              .as("cell"))
+          .select(col("s_suppkey"), col("bu"), col("bv"),
+            col("cell.cu").as("cu"), col("cell.cv").as("cv"))
+        a.join(b, Seq("cu", "cv"))
+          .withColumn("d2", expr("(au - bu) * (au - bu) + (av - bv) * (av - bv)"))
+          .filter(col("d2") <= 10000)
+          .select(col("c_custkey"), col("s_suppkey"), col("d2"))
+          .orderBy(col("c_custkey"), col("s_suppkey"))
+      },
+      Some("""WITH a AS (
+             |  SELECT c_custkey, (c_custkey * 7919) % 1800 AS au,
+             |         (c_custkey * 104729) % 3600 AS av
+             |  FROM customer),
+             |b AS (
+             |  SELECT s_suppkey, (s_suppkey * 6131) % 1800 AS bu,
+             |         (s_suppkey * 9973) % 3600 AS bv
+             |  FROM supplier),
+             |bx AS (
+             |  SELECT s_suppkey, bu, bv,
+             |         bu // 100 + du.x AS cu, bv // 100 + dv.x AS cv
+             |  FROM b, (VALUES (-1), (0), (1)) du(x), (VALUES (-1), (0), (1)) dv(x))
+             |SELECT c_custkey, s_suppkey,
+             |       CAST((au - bu) * (au - bu) + (av - bv) * (av - bv) AS BIGINT) AS d2
+             |FROM a JOIN bx ON a.au // 100 = bx.cu AND a.av // 100 = bx.cv
+             |WHERE (au - bu) * (au - bu) + (av - bv) * (av - bv) <= 10000
+             |ORDER BY c_custkey, s_suppkey""".stripMargin)
+    ),
+    Q(
       "sql_table_valued_functions",
       // Table-valued functions in the FROM clause (round-9): `range()`
       // as a generated spine and `posexplode()` as an inline dimension —

@@ -1197,6 +1197,42 @@ object Windows {
              |FROM seq ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "win_time_decay_score",
+      // Exponentially time-decayed engagement score per user (round-9):
+      // Σ cents · 0.5^(age/7) with a 7-day half-life — the recency
+      // weighting every feed-ranking / churn-score pipeline applies.
+      // Each event's decayed term is floored to an INTEGER CENT before
+      // the per-user sum (the chi-square discipline), so partition order
+      // can't move a bit; ages are whole days against a fixed reference,
+      // so the pow() argument set is tiny and identical in both engines.
+      // One map-side projection + one two-phase agg — nothing shuffles
+      // but (user, partial-sum) pairs.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("""CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                   * pow(CAST(5 AS DOUBLE) / CAST(10 AS DOUBLE),
+                         CAST(datediff(to_date('2024-02-01'), to_date(ts)) AS DOUBLE)
+                         / CAST(7 AS DOUBLE))
+                   + 0.5) AS BIGINT)""").as("term_c"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_purchases"), sum(col("term_c")).as("score_c"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |         CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
+             |              * pow(CAST(5 AS DOUBLE) / CAST(10 AS DOUBLE),
+             |                    CAST(date_diff('day', CAST(date_trunc('day', ts) AS DATE), DATE '2024-02-01') AS DOUBLE)
+             |                    / CAST(7 AS DOUBLE))
+             |              + 0.5) AS BIGINT) AS term_c
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+             |       CAST(sum(term_c) AS BIGINT) AS score_c
+             |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "win_rolling_regression",
       // Trailing-7-day rolling OLS (round-9): per day, the slope and
       // intercept of purchase revenue regressed on the day index over the

@@ -1538,6 +1538,52 @@ object Joins {
              |ORDER BY ok""".stripMargin)
     ),
     Q(
+      "sql_ordered_set_aggs",
+      // ANSI ordered-set / within-group aggregates (round-9, new in
+      // Spark 4): `listagg(...) WITHIN GROUP (ORDER BY ...)` and
+      // `percentile_cont(...) WITHIN GROUP` — the standard-SQL spelling
+      // of ordered string aggregation and interpolated percentiles
+      // (previously only expressible via collect_list gymnastics /
+      // percentile()). Exact outputs: the listagg order is total
+      // (n_name unique per region) and the nation-key median interpolates
+      // on integers. Oracle: DuckDB's equivalent ordered-set forms.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT r_name,
+            |       CAST(count(*) AS BIGINT) AS n_nations,
+            |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv,
+            |       percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey) AS median_key
+            |FROM region JOIN nation ON n_regionkey = r_regionkey
+            |GROUP BY r_name
+            |ORDER BY r_name""".stripMargin)
+      },
+      Some("""SELECT r_name,
+             |       CAST(count(*) AS BIGINT) AS n_nations,
+             |       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+             |       percentile_cont(0.5) WITHIN GROUP (ORDER BY n_nationkey) AS median_key
+             |FROM region JOIN nation ON n_regionkey = r_regionkey
+             |GROUP BY r_name
+             |ORDER BY r_name""".stripMargin)
+    ),
+    Q(
+      "sql_select_star_except",
+      // `SELECT * EXCEPT (...)` (round-9, Spark 4): star expansion minus
+      // named columns — the wide-table ergonomics feature that replaces
+      // brittle 200-column select lists when dropping a couple of fields
+      // (and composes with pruning: the excluded columns never reach the
+      // scan's ReadSchema). Oracle: DuckDB's EXCLUDE spelling of the
+      // same expansion.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT * EXCEPT (c_name, c_acctbal) FROM customer
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT * EXCLUDE (c_name, c_acctbal) FROM customer
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
       "join_spatial_grid",
       // Grid-bucketed SPATIAL distance join (round-9): customers near
       // suppliers on a synthetic planar map — the standard distributed

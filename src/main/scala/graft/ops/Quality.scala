@@ -192,6 +192,59 @@ object Quality {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "dq_calendar_gaps",
+      // Calendar-gap audit (round-9): for each event type, the days in
+      // the corpus span where that feed went SILENT — the
+      // missing-partition detector every ingestion monitor runs (a feed
+      // that skipped Tuesday shows up here before any aggregate looks
+      // wrong). The expected spine is generated (sequence over the
+      // global min..max day — O(days), no table), cross-joined with the
+      // O(types) type list, and outer-joined against observed (type, day)
+      // cells; the verdict is the per-type coverage summary (expected /
+      // observed / missing day counts + the first gap) so a healthy feed
+      // still emits an auditable row per type. Everything after the one
+      // per-(type, day) count is metadata-sized.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cells = ev.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n"))
+        val span = ev.agg(min(to_date(col("ts"))).as("mn"),
+          max(to_date(col("ts"))).as("mx"))
+        val spine = span
+          .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+          .crossJoin(ev.select(col("event_type")).distinct())
+        spine.join(cells,
+            spine("day") === cells("d") &&
+              spine("event_type") === cells("event_type"), "left")
+          .groupBy(spine("event_type"))
+          .agg(count(lit(1)).as("expected_days"),
+            sum(when(cells("d").isNotNull, 1L).otherwise(0L)).as("observed_days"),
+            sum(when(cells("d").isNull, 1L).otherwise(0L)).as("missing_days"),
+            min(when(cells("d").isNull, spine("day"))).as("first_gap_day"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH span AS (
+             |  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS mn,
+             |         CAST(date_trunc('day', max(ts)) AS DATE) AS mx
+             |  FROM events),
+             |spine AS (
+             |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM span),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |cells AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d
+             |  FROM events GROUP BY 1, 2)
+             |SELECT t.event_type,
+             |       CAST(count(*) AS BIGINT) AS expected_days,
+             |       CAST(sum(CASE WHEN c.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS observed_days,
+             |       CAST(sum(CASE WHEN c.d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_days,
+             |       min(CASE WHEN c.d IS NULL THEN s.day END) AS first_gap_day
+             |FROM spine s CROSS JOIN types t
+             |LEFT JOIN cells c ON c.d = s.day AND c.event_type = t.event_type
+             |GROUP BY t.event_type
+             |ORDER BY t.event_type""".stripMargin)
+    ),
+    Q(
       "dq_distribution_psi",
       // Population Stability Index (round-9): THE drift score risk/ML
       // monitoring uses to decide "has this feature's distribution moved

@@ -123,6 +123,141 @@ object SimOps {
               |ORDER BY query_id, rank""".stripMargin)
     ),
     Q(
+      "embed_mmr_rerank",
+      // MMR diversified re-ranking (round-9, Carbonell & Goldstein 1998):
+      // greedily pick 5 of each query's top-20 shortlist maximizing
+      // λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s), λ = 0.7 — THE
+      // relevance-vs-redundancy re-rank every retrieval stack applies
+      // after ANN (without it the top-k is five paraphrases of one hit).
+      // The greedy loop is sequential, so it runs as one `aggregate` HOF
+      // fold PER QUERY ROW (the LTTB discipline) over a per-query struct
+      // of (candidate, query-sim, 20-wide sim row) — all sims e6-pinned
+      // integers, the MMR score compared as the undivided 7q−3m so no
+      // integer-division sign trap exists; ties fall to the first
+      // (lowest-id) candidate by strict-greater. Scale: the shortlist is
+      // O(k²) per query built from one top-k pass + one k×k self-join —
+      // the corpus is touched only by the ANN/exact shortlist stage.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables(s, dir, "embeddings")
+        val q = broadcast(querySet(emb).withColumn("q_norm", norm(col("q_emb"))))
+        val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+          .withColumn("c_norm", norm(col("c_emb")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("qcos").desc, col("cand_id").asc)
+        val short = q.crossJoin(c)
+          .filter(col("query_id") =!= col("cand_id"))
+          .withColumn("qcos", dot(col("q_emb"), col("c_emb")) /
+            (col("q_norm") * col("c_norm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .withColumn("qsim_e6",
+            expr("CAST(floor(qcos * 1000000 + 0.5) AS BIGINT)"))
+          .select(col("query_id"), col("cand_id"), col("qsim_e6"),
+            col("c_emb"), col("c_norm"))
+          .localCheckpoint(false)
+        val pairPinned = short.select(col("query_id"), col("cand_id"),
+            col("c_emb"), col("c_norm"))
+          .join(short.select(col("query_id"), col("cand_id").as("oid"),
+            col("c_emb").as("o_emb"), col("c_norm").as("o_norm")), "query_id")
+          .filter(col("cand_id") =!= col("oid"))
+          .withColumn("ccos", dot(col("c_emb"), col("o_emb")) /
+            (col("c_norm") * col("o_norm")))
+          .withColumn("s_e6",
+            expr("CAST(floor(ccos * 1000000 + 0.5) AS BIGINT)"))
+          .groupBy(col("query_id"), col("cand_id"))
+          .agg(sort_array(collect_list(struct(col("oid"), col("s_e6")))).as("sims"))
+        val cands = short.select(col("query_id"), col("cand_id"), col("qsim_e6"))
+          .join(pairPinned, Seq("query_id", "cand_id"))
+          .groupBy(col("query_id"))
+          .agg(sort_array(collect_list(
+            struct(col("cand_id").as("id"), col("qsim_e6").as("q"),
+              col("sims")))).as("cands"))
+        cands.select(col("query_id"), posexplode(expr(
+          """aggregate(sequence(1, 5),
+            |  CAST(array() AS ARRAY<BIGINT>),
+            |  (sel, step) -> array_append(sel,
+            |    aggregate(filter(cands, c -> NOT array_contains(sel, c.id)),
+            |      CAST(NULL AS STRUCT<id: BIGINT, q: BIGINT, m: BIGINT>),
+            |      (best, c) -> CASE
+            |        WHEN best IS NULL OR
+            |          7 * c.q - 3 * coalesce(array_max(transform(
+            |            filter(c.sims, s -> array_contains(sel, s.oid)),
+            |            s -> s.s_e6)), 0L)
+            |          > 7 * best.q - 3 * best.m
+            |        THEN named_struct('id', c.id, 'q', c.q, 'm',
+            |          coalesce(array_max(transform(
+            |            filter(c.sims, s -> array_contains(sel, s.oid)),
+            |            s -> s.s_e6)), 0L))
+            |        ELSE best END).id))""".stripMargin))
+          .as(Seq("p", "sel_id")))
+          .select(col("query_id"), (col("p") + 1).cast("long").as("rank"),
+            col("sel_id").as("cand_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      // The natural lambda-fold oracle (list_reduce over nested captures)
+      // SEGFAULTS DuckDB 1.0 at sf0.01 — a crash would take down the whole
+      // driver compare, so the greedy loop is UNROLLED into five plain-SQL
+      // steps instead (k is a constant): each step is one window argmax
+      // over the not-yet-selected candidates with the redundancy term from
+      // a max-over-selected join. Generated by a Scala loop to keep the
+      // five steps textually identical.
+      Some {
+        val steps = (2 to 5).map { k =>
+          s"""p$k AS (SELECT query_id, cand_id, $k AS rank FROM (
+             |    SELECT b.query_id, b.cand_id, row_number() OVER (PARTITION BY b.query_id
+             |        ORDER BY 7 * b.q - 3 * coalesce(m.mx, 0) DESC, b.cand_id) AS rn
+             |    FROM base b
+             |    LEFT JOIN (SELECT p.query_id, p.cand_id, CAST(max(p.s_e6) AS BIGINT) AS mx
+             |               FROM ppair p JOIN sel${k - 1} s
+             |                 ON p.query_id = s.query_id AND p.oid = s.cand_id
+             |               GROUP BY 1, 2) m
+             |      ON m.query_id = b.query_id AND m.cand_id = b.cand_id
+             |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+             |                      WHERE s.query_id = b.query_id AND s.cand_id = b.cand_id)) t
+             |  WHERE rn = 1),
+             |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM p$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS (
+           |  SELECT vec_id AS query_id, embedding AS q_emb,
+           |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS q_norm
+           |  FROM embeddings WHERE vec_id % 50 = 0),
+           |c AS (
+           |  SELECT vec_id AS cand_id, embedding AS c_emb,
+           |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS c_norm
+           |  FROM embeddings),
+           |short AS (
+           |  SELECT query_id, cand_id,
+           |         CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS qsim_e6
+           |  FROM (
+           |    SELECT query_id, cand_id,
+           |           list_sum(list_transform(range(1, 65), i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE)) / (q_norm * c_norm) AS cos,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY
+           |             list_sum(list_transform(range(1, 65), i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE)) / (q_norm * c_norm) DESC,
+           |             cand_id ASC) AS rank
+           |    FROM q CROSS JOIN c WHERE query_id <> cand_id) t
+           |  WHERE rank <= 20),
+           |ppair AS (
+           |  SELECT a.query_id, a.cand_id, b.cand_id AS oid,
+           |         CAST(floor(
+           |           list_sum(list_transform(range(1, 65), i -> ca.c_emb[i]::DOUBLE * cb.c_emb[i]::DOUBLE))
+           |           / (ca.c_norm * cb.c_norm) * 1000000 + 0.5) AS BIGINT) AS s_e6
+           |  FROM short a
+           |  JOIN short b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+           |  JOIN c ca ON ca.cand_id = a.cand_id
+           |  JOIN c cb ON cb.cand_id = b.cand_id),
+           |base AS (SELECT query_id, cand_id, qsim_e6 AS q FROM short),
+           |p1 AS (SELECT query_id, cand_id, 1 AS rank FROM (
+           |    SELECT query_id, cand_id,
+           |           row_number() OVER (PARTITION BY query_id ORDER BY 7 * q DESC, cand_id) AS rn
+           |    FROM base) t WHERE rn = 1),
+           |sel1 AS (SELECT * FROM p1),
+           |$steps
+           |SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id
+           |FROM sel5 ORDER BY query_id, rank""".stripMargin
+      }
+    ),
+    Q(
       "embed_hard_negative_mining",
       // Hard-negative mining (round-9): for each query, the top-5 most
       // similar vectors with a DIFFERENT label — the contrastive-training

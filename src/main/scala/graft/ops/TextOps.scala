@@ -1388,6 +1388,41 @@ object TextOps {
               |FROM sc ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "pipeline_mixture_temperature",
+      // Temperature-scaled language mixing (round-9): the mT5/XLM-R
+      // recipe — sample language l with probability p_l^α / Σ p^α,
+      // α = 0.5, so low-resource languages are up-sampled without
+      // drowning the head. √n per language is pinned to an e3 integer
+      // BEFORE normalization (one libm sqrt per LANGUAGE, not per row),
+      // the mixture share and a 10 k-doc epoch quota derive from those
+      // pinned integers, and the whole op is one O(languages) aggregate
+      // — at 100 TB this costs a count pass, nothing more.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("s_e3", expr(
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000 + 0.5) AS BIGINT)"))
+          .withColumn("share_e6", expr(
+            "CAST(floor(CAST(s_e3 AS DOUBLE) / CAST(sum(s_e3) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .withColumn("epoch_quota", expr("(share_e6 * 10000) div 1000000"))
+          .select(col("lang"), col("n_docs"), col("s_e3"), col("share_e6"),
+            col("epoch_quota"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+             |s AS (
+             |  SELECT lang, n_docs,
+             |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS s_e3
+             |  FROM c)
+             |SELECT lang, n_docs, s_e3,
+             |       CAST(floor(CAST(s_e3 AS DOUBLE) / CAST(sum(s_e3) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS share_e6,
+             |       CAST(floor(CAST(s_e3 AS DOUBLE) / CAST(sum(s_e3) OVER () AS DOUBLE) * 1000000 + 0.5) AS BIGINT) * 10000 // 1000000 AS epoch_quota
+             |FROM s ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "pipeline_curriculum_order",
       // Curriculum scheduling (round-9): emit the corpus in the order a
       // curriculum-learning run would consume it — easy→hard tiers by

@@ -691,6 +691,61 @@ object Aggregates {
              |FROM b""".stripMargin)
     ),
     Q(
+      "stat_bootstrap_ci",
+      // Derandomized bootstrap confidence interval (round-9): the 95% CI
+      // of mean daily purchase revenue by resampling — the distribution-
+      // free error bar for any statistic, here DERANDOMIZED (the
+      // sampling-tier discipline): draw (r, j) maps to index
+      // ((r·1103515245 + j·12345) mod 2^31−1) mod n, so both engines
+      // replay the identical 200 × n resample plan with no RNG state.
+      // The corpus collapses to O(days) first; the whole resample runs
+      // as nested HOFs over ONE row's array (bounded by replicas ×
+      // days, calendar-scale work however big the corpus); replica
+      // means are exact integer divisions, the CI is an order-statistic
+      // pick (ranks 6/195 of 200), never a float quantile.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+        daily
+          .agg(array_sort(collect_list(struct(col("d"), col("y")))).as("sd"))
+          .select(expr("transform(sd, x -> x.y)").as("ys"))
+          .select(expr(
+            """named_struct(
+              |  'n_days', CAST(size(ys) AS BIGINT),
+              |  'n_reps', CAST(200 AS BIGINT),
+              |  'mean_c', aggregate(ys, 0L, (a, v) -> a + v) div size(ys),
+              |  'means', array_sort(transform(sequence(1, 200), r ->
+              |    aggregate(sequence(1, size(ys)), 0L, (a, j) ->
+              |      a + ys[CAST(((r * 1103515245L + j * 12345L) % 2147483647L) % size(ys) AS INT)])
+              |    div size(ys))))""".stripMargin).as("s"))
+          .select(col("s.n_days").as("n_days"), col("s.n_reps").as("n_reps"),
+            col("s.mean_c").as("mean_c"),
+            expr("s.means[5]").as("ci_lo_c"),
+            expr("s.means[194]").as("ci_hi_c"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |arr AS (SELECT list(y ORDER BY d) AS ys FROM daily),
+             |bs AS (
+             |  SELECT CAST(len(ys) AS BIGINT) AS n_days,
+             |         CAST(200 AS BIGINT) AS n_reps,
+             |         CAST(list_sum(ys) AS BIGINT) // len(ys) AS mean_c,
+             |         list_sort(list_transform(generate_series(1, 200), r ->
+             |           CAST(list_sum(list_transform(generate_series(1, len(ys)), j ->
+             |             ys[CAST(((r * 1103515245 + j * 12345) % 2147483647) % len(ys) AS BIGINT) + 1])) AS BIGINT)
+             |           // len(ys))) AS means
+             |  FROM arr)
+             |SELECT n_days, n_reps, mean_c,
+             |       means[6] AS ci_lo_c, means[195] AS ci_hi_c
+             |FROM bs""".stripMargin)
+    ),
+    Q(
       "stat_chi_square",
       // Chi-square independence test on the event_type × user-parity
       // contingency table: is event mix independent of the user segment?

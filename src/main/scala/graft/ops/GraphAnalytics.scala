@@ -177,6 +177,95 @@ object GraphAnalytics {
               |SELECT node, pr FROM r3 ORDER BY node""".stripMargin)
     ),
     Q(
+      "graph_modularity_greedy",
+      // Greedy modularity sweep + partition modularity (round-9): the
+      // first synchronized Louvain pass from singleton communities —
+      // each node joins the neighbor whose merge gain 2m·d − k_i·k_j is
+      // maximal and positive (on a simple graph d = 1, so the argmax is
+      // the LOWEST-degree neighbor: hubs absorb nothing, tight pockets
+      // coalesce) — then the resulting partition is scored with exact
+      // modularity: Q·4m² = Σ_c (4m·L_c − D_c²), e6-pinned by one double
+      // division at the end. Every step is the message-passing shuffle
+      // (join + argmax window / two-phase sums over O(edges)); community
+      // detection without label propagation's tie churn, and the Q score
+      // is the audit any clustering of the co-supply graph reports.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e12 = edges12(s, dir)
+        val e = edgesSym(s, dir)
+        val deg = degrees(s, dir)
+        val m = e12.agg(count(lit(1)).as("m"))
+        val nbr = e
+          .join(deg.select(col("node").as("src"), col("degree").as("ki")), "src")
+          .join(deg.select(col("node").as("dst"), col("degree").as("kj")), "dst")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("src")).orderBy(col("kj"), col("dst"))))
+          .filter(col("rn") === 1)
+          .crossJoin(broadcast(m))
+          .select(col("src").as("node"),
+            when(lit(2) * col("m") > col("ki") * col("kj"), col("dst"))
+              .otherwise(col("src")).as("community"))
+        val labeled = nbr.localCheckpoint(false)
+        val lin = e12
+          .join(labeled.select(col("node").as("src"), col("community").as("ca")), "src")
+          .join(labeled.select(col("node").as("dst"), col("community").as("cb")), "dst")
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community")).agg(count(lit(1)).as("l_in"))
+        val dtot = labeled
+          .join(deg, "node")
+          .groupBy(col("community"))
+          .agg(count(lit(1)).as("n_members"), sum(col("degree")).as("d_tot"))
+        dtot.join(lin, Seq("community"), "left")
+          .withColumn("l_in", coalesce(col("l_in"), lit(0L)))
+          .crossJoin(broadcast(m))
+          .withColumn("q_term", lit(4) * col("m") * col("l_in")
+            - col("d_tot") * col("d_tot"))
+          .withColumn("q_e6", expr(
+            """CAST(floor(CAST(sum(q_term) OVER () AS DOUBLE)
+              |     / (CAST(4 AS DOUBLE) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+              |     * 1000000 + 0.5) AS BIGINT)""".stripMargin))
+          .select(col("community"), col("n_members"), col("l_in"),
+            col("d_tot"), col("q_e6"))
+          .orderBy(col("community"))
+      },
+      Some(s"""$baseSql,
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e12),
+              |nbr AS (
+              |  SELECT src AS node,
+              |         CASE WHEN 2 * (SELECT m FROM m) > ki * kj THEN dst ELSE src END AS community
+              |  FROM (
+              |    SELECT e.src, e.dst, da.degree AS ki, db.degree AS kj,
+              |           row_number() OVER (PARTITION BY e.src
+              |                              ORDER BY db.degree, e.dst) AS rn
+              |    FROM e
+              |    JOIN deg da ON e.src = da.node
+              |    JOIN deg db ON e.dst = db.node) t
+              |  WHERE rn = 1),
+              |lin AS (
+              |  SELECT la.community, CAST(count(*) AS BIGINT) AS l_in
+              |  FROM e12
+              |  JOIN nbr la ON e12.src = la.node
+              |  JOIN nbr lb ON e12.dst = lb.node
+              |  WHERE la.community = lb.community
+              |  GROUP BY la.community),
+              |dtot AS (
+              |  SELECT nbr.community, CAST(count(*) AS BIGINT) AS n_members,
+              |         CAST(sum(deg.degree) AS BIGINT) AS d_tot
+              |  FROM nbr JOIN deg ON nbr.node = deg.node
+              |  GROUP BY nbr.community),
+              |q AS (
+              |  SELECT dtot.community, n_members,
+              |         CAST(coalesce(lin.l_in, 0) AS BIGINT) AS l_in, d_tot,
+              |         4 * (SELECT m FROM m) * coalesce(lin.l_in, 0) - d_tot * d_tot AS q_term
+              |  FROM dtot LEFT JOIN lin ON dtot.community = lin.community)
+              |SELECT community, n_members, l_in, d_tot,
+              |       CAST(floor(CAST(sum(q_term) OVER () AS DOUBLE)
+              |            / (CAST(4 AS DOUBLE) * CAST((SELECT m FROM m) AS DOUBLE)
+              |               * CAST((SELECT m FROM m) AS DOUBLE))
+              |            * 1000000 + 0.5) AS BIGINT) AS q_e6
+              |FROM q ORDER BY community""".stripMargin)
+    ),
+    Q(
       "graph_hits_hubs_auth",
       // HITS hubs & authorities (round-9): the second classic link-
       // analysis fixpoint after PageRank — hubs point at good

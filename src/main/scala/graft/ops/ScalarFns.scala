@@ -138,6 +138,39 @@ object ScalarFns {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "fn_make_intervals",
+      // ANSI interval construction + timestamp arithmetic (round-9):
+      // `make_dt_interval` builds a typed DAY-TO-SECOND interval, orders
+      // get a 30-day-12-hour payment due date, and lineitems are bucketed
+      // by whether they shipped before it — the deadline arithmetic every
+      // billing pipeline runs. The interval column exists as a REAL typed
+      // value mid-plan (not a string template); outputs are counts and
+      // exact µs deltas so the dump stays engine-portable (interval
+      // parquet encodings differ across engines). Oracle: DuckDB's
+      // INTERVAL literal arithmetic on the same timestamps.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .withColumn("due", expr("o_orderdate + make_dt_interval(30, 12, 0, 0)"))
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("on_time", col("l_shipdate") <= col("due"))
+          .groupBy(col("on_time"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(expr("""unix_micros(CAST(l_shipdate AS TIMESTAMP))
+                       - unix_micros(CAST(due AS TIMESTAMP))"""))
+              .as("total_slack_us"))
+          .orderBy(col("on_time"))
+      },
+      Some("""SELECT l_shipdate <= o_orderdate + INTERVAL 30 DAY + INTERVAL 12 HOUR AS on_time,
+             |       CAST(count(*) AS BIGINT) AS n_lines,
+             |       CAST(sum(epoch_us(l_shipdate)
+             |                - epoch_us(o_orderdate + INTERVAL 30 DAY + INTERVAL 12 HOUR)) AS BIGINT) AS total_slack_us
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY on_time""".stripMargin)
+    ),
+    Q(
       "fn_array_sort_lambda",
       // array_sort with a COMPARATOR lambda (round-9): custom sort order
       // — (token length, then lexicographic) over each doc's first 8

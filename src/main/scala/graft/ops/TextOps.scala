@@ -1388,6 +1388,73 @@ object TextOps {
               |FROM sc ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_keyword_rake",
+      // RAKE keyword scoring (round-9, Rose et al. 2010): split each doc
+      // into candidate phrases at stopword boundaries, then score every
+      // word by degree/frequency — degree rewards words that travel in
+      // long phrases (multi-word concepts), frequency alone is just a
+      // stopword-ish popularity count. The phrase segmentation is one
+      // running count-of-stopwords window per doc (phrase id = stops seen
+      // so far); word stats are a two-phase agg over (word, phrase-len)
+      // rows; the score is the exact rational deg·1e6 div freq ranked
+      // under a support floor. Shuffle carries O(tokens) once — the
+      // corpus-profile shape, no pairwise anything.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("stop", col("w").isin(stops.map(lit): _*))
+        val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val phrased = tok
+          .withColumn("phrase_id",
+            sum(when(col("stop"), 1L).otherwise(0L)).over(wDoc))
+          .filter(!col("stop"))
+        val withLen = phrased
+          .withColumn("plen", count(lit(1)).over(
+            Window.partitionBy(col("doc_id"), col("phrase_id"))))
+        withLen.groupBy(col("w"))
+          .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+          .filter(col("freq") >= 5)
+          .withColumn("score_e6", expr("(deg * 1000000) div freq"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("score_e6").desc, col("w"))).cast("long"))
+          .filter(col("rnk") <= 20)
+          .select(col("rnk"), col("w"), col("freq"), col("deg"), col("score_e6"))
+          .orderBy(col("rnk"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+             |         unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, pos, w,
+             |         w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is') AS stop
+             |  FROM tok),
+             |ph AS (
+             |  SELECT doc_id, pos, w, stop,
+             |         CAST(sum(CASE WHEN stop THEN 1 ELSE 0 END)
+             |              OVER (PARTITION BY doc_id ORDER BY pos
+             |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
+             |  FROM st),
+             |nw AS (SELECT doc_id, w, phrase_id FROM ph WHERE NOT stop),
+             |wl AS (
+             |  SELECT doc_id, w, phrase_id,
+             |         CAST(count(*) OVER (PARTITION BY doc_id, phrase_id) AS BIGINT) AS plen
+             |  FROM nw),
+             |sc AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+             |  FROM wl GROUP BY w HAVING count(*) >= 5),
+             |r AS (
+             |  SELECT w, freq, deg, (deg * 1000000) // freq AS score_e6
+             |  FROM sc)
+             |SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, w) AS BIGINT) AS rnk,
+             |       w, freq, deg, score_e6
+             |FROM r
+             |QUALIFY rnk <= 20
+             |ORDER BY rnk""".stripMargin)
+    ),
+    Q(
       "pipeline_mixture_temperature",
       // Temperature-scaled language mixing (round-9): the mT5/XLM-R
       // recipe — sample language l with probability p_l^α / Σ p^α,

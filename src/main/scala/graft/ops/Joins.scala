@@ -1538,6 +1538,37 @@ object Joins {
              |ORDER BY ok""".stripMargin)
     ),
     Q(
+      "sql_pivot_syntax",
+      // SQL-text PIVOT clause (round-9): the FROM … PIVOT (agg FOR col IN
+      // (…)) surface — the declarative cross-tab the DataFrame row
+      // (agg_pivot) reaches via .pivot(); certifying the SQL spelling
+      // matters because BI tools emit exactly this text. Values are
+      // DECLARED in the IN list (the 100 TB discipline: an undeclared
+      // pivot needs a distinct-scan planning pass). Oracle: conditional
+      // aggregation, the engine-portable restatement.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT * FROM (
+            |  SELECT c_mktsegment, o_orderstatus,
+            |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            |  FROM orders JOIN customer ON o_custkey = c_custkey)
+            |PIVOT (count(*) AS n, sum(cents) AS cents
+            |       FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+            |ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment,
+             |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+             |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS f_cents,
+             |       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
+             |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS o_cents,
+             |       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n,
+             |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS p_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)
+    ),
+    Q(
       "sql_ordered_set_aggs",
       // ANSI ordered-set / within-group aggregates (round-9, new in
       // Spark 4): `listagg(...) WITHIN GROUP (ORDER BY ...)` and

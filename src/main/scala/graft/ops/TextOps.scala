@@ -1388,6 +1388,68 @@ object TextOps {
               |FROM sc ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_langid_eval",
+      // Classifier EVALUATION as a first-class operator (round-9): the
+      // confusion matrix + per-class precision/recall of the engine's own
+      // language-ID heuristic against the labeled lang column — the eval
+      // loop any classifier deployment runs before trusting predictions
+      // (the langid row emits predictions; this row says whether to
+      // believe them). Confusion cells are one two-phase agg over
+      // O(langs²) cells; precision/recall are e6-pinned ratios from exact
+      // marginals. The same pattern as sim_ann_recall_eval /
+      // dedup_minhash_recall_eval — measurement rows for every
+      // approximate structure the engine ships.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = markers.map { case (l, ts) => l -> markerCount(ts) }
+        val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+        val guess = counts.reverse.foldLeft(lit("und"): Column) {
+          case (acc, (l, c)) => when(c === best && best > 0, l).otherwise(acc)
+        }
+        Tables(s, dir, "documents")
+          .select(col("lang").as("actual"), guess.as("predicted"))
+          .groupBy(col("actual"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_tot", sum(col("n")).over(
+            Window.partitionBy(col("actual"))))
+          .withColumn("col_tot", sum(col("n")).over(
+            Window.partitionBy(col("predicted"))))
+          .select(col("actual"), col("predicted"), col("n"),
+            expr("""CASE WHEN actual = predicted THEN
+                    CAST(floor(CAST(n AS DOUBLE) / CAST(row_tot AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                    END""").as("recall_e6"),
+            expr("""CASE WHEN actual = predicted THEN
+                    CAST(floor(CAST(n AS DOUBLE) / CAST(col_tot AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                    END""").as("precision_e6"))
+          .orderBy(col("actual"), col("predicted"))
+      },
+      {
+        val cs = markers.map { case (l, ts) => l -> markerCountSql(ts) }
+        val best = s"greatest(${cs.map(_._2).mkString(", ")})"
+        val guess = cs.reverse.foldLeft("'und'") {
+          case (acc, (l, c)) => s"CASE WHEN $c = $best AND $best > 0 THEN '$l' ELSE $acc END"
+        }
+        Some(s"""WITH pred AS (
+                |  SELECT lang AS actual, $guess AS predicted FROM documents),
+                |cells AS (
+                |  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+                |  FROM pred GROUP BY 1, 2),
+                |m AS (
+                |  SELECT actual, predicted, n,
+                |         CAST(sum(n) OVER (PARTITION BY actual) AS BIGINT) AS row_tot,
+                |         CAST(sum(n) OVER (PARTITION BY predicted) AS BIGINT) AS col_tot
+                |  FROM cells)
+                |SELECT actual, predicted, n,
+                |       CASE WHEN actual = predicted THEN
+                |         CAST(floor(CAST(n AS DOUBLE) / CAST(row_tot AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                |       END AS recall_e6,
+                |       CASE WHEN actual = predicted THEN
+                |         CAST(floor(CAST(n AS DOUBLE) / CAST(col_tot AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                |       END AS precision_e6
+                |FROM m ORDER BY actual, predicted""".stripMargin)
+      }
+    ),
+    Q(
       "text_keyword_rake",
       // RAKE keyword scoring (round-9, Rose et al. 2010): split each doc
       // into candidate phrases at stopword boundaries, then score every

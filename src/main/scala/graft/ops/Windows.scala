@@ -1423,6 +1423,118 @@ object Windows {
              |FROM hw, nn WHERE i = n""".stripMargin)
     ),
     Q(
+      "ts_backtest_eval",
+      // Forecast BACKTESTING (round-9): rolling one-step evaluation of
+      // the two canonical baselines — naive (yesterday) and seasonal-
+      // naive (last week) — on the daily revenue series, reporting MAE
+      // and sMAPE. This is the measurement row of the forecasting tier
+      // (Holt/EWMA emit forecasts; this row says what beating the
+      // baselines even means — the M-competition protocol). Per-day
+      // sMAPE terms are e6-pinned BEFORE averaging; MAE is exact cents
+      // divided once at the end. Two lag windows over the O(days) frame.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+        val w = Window.orderBy(col("d"))
+        val preds = daily
+          .withColumn("p_naive", lag(col("y"), 1).over(w))
+          .withColumn("p_snaive", lag(col("y"), 7).over(w))
+        def evalModel(name: String, p: String) = preds
+          .filter(col(p).isNotNull)
+          .select(lit(name).as("model"),
+            abs(col("y") - col(p)).as("ae"),
+            expr(s"""CASE WHEN y + $p > 0 THEN
+                    |CAST(floor(CAST(2 * abs(y - $p) AS DOUBLE)
+                    |     / CAST(y + $p AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                    |ELSE 0 END""".stripMargin).as("smape_term_e6"))
+          .groupBy(col("model"))
+          .agg(count(lit(1)).as("n_evals"),
+            expr("CAST(floor(CAST(sum(ae) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)")
+              .as("mae_c"),
+            expr("CAST(floor(CAST(sum(smape_term_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)")
+              .as("smape_e6"))
+        evalModel("naive", "p_naive")
+          .unionByName(evalModel("seasonal_naive", "p_snaive"))
+          .orderBy(col("model"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |preds AS (
+             |  SELECT d, y,
+             |         lag(y, 1) OVER (ORDER BY d) AS p_naive,
+             |         lag(y, 7) OVER (ORDER BY d) AS p_snaive
+             |  FROM daily),
+             |terms AS (
+             |  SELECT 'naive' AS model, abs(y - p_naive) AS ae,
+             |         CASE WHEN y + p_naive > 0 THEN
+             |           CAST(floor(CAST(2 * abs(y - p_naive) AS DOUBLE)
+             |                / CAST(y + p_naive AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |         ELSE 0 END AS smape_term_e6
+             |  FROM preds WHERE p_naive IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'seasonal_naive', abs(y - p_snaive),
+             |         CASE WHEN y + p_snaive > 0 THEN
+             |           CAST(floor(CAST(2 * abs(y - p_snaive) AS DOUBLE)
+             |                / CAST(y + p_snaive AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |         ELSE 0 END
+             |  FROM preds WHERE p_snaive IS NOT NULL)
+             |SELECT model, CAST(count(*) AS BIGINT) AS n_evals,
+             |       CAST(floor(CAST(sum(ae) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mae_c,
+             |       CAST(floor(CAST(sum(smape_term_e6) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS smape_e6
+             |FROM terms GROUP BY model ORDER BY model""".stripMargin)
+    ),
+    Q(
+      "ts_growth_rates",
+      // Day-over-day and week-over-week growth (round-9): the first two
+      // numbers on any metrics dashboard — (y−lag)/lag, e6-pinned,
+      // null where the base is missing or zero (a 0-base "growth" is a
+      // lie, not infinity). Two lag references share ONE window sort;
+      // the corpus collapses to O(days) first.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+        val w = Window.orderBy(col("d"))
+        daily
+          .withColumn("y1", lag(col("y"), 1).over(w))
+          .withColumn("y7", lag(col("y"), 7).over(w))
+          .select(col("d"), col("y"),
+            expr("""CASE WHEN y1 > 0 THEN
+                   |CAST(floor(CAST(y - y1 AS DOUBLE) / CAST(y1 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   |END""".stripMargin).as("dod_e6"),
+            expr("""CASE WHEN y7 > 0 THEN
+                   |CAST(floor(CAST(y - y7 AS DOUBLE) / CAST(y7 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   |END""".stripMargin).as("wow_e6"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |l AS (
+             |  SELECT d, y,
+             |         lag(y, 1) OVER (ORDER BY d) AS y1,
+             |         lag(y, 7) OVER (ORDER BY d) AS y7
+             |  FROM daily)
+             |SELECT d, y,
+             |       CASE WHEN y1 > 0 THEN
+             |         CAST(floor(CAST(y - y1 AS DOUBLE) / CAST(y1 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |       END AS dod_e6,
+             |       CASE WHEN y7 > 0 THEN
+             |         CAST(floor(CAST(y - y7 AS DOUBLE) / CAST(y7 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |       END AS wow_e6
+             |FROM l ORDER BY d""".stripMargin)
+    ),
+    Q(
       "ts_stl_decompose",
       // Classical seasonal decomposition (round-9): daily revenue split
       // into trend + weekday-seasonal + residual — the additive

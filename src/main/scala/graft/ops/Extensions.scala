@@ -540,6 +540,121 @@ object Extensions {
              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
     Q(
+      "multimodal_audio_vad",
+      // Voice-activity-detection segmentation (round-9): the standard
+      // energy-gate VAD over REAL WAV audio — synthesized speech bursts
+      // and silence are encoded to actual RIFF/WAVE, decoded back through
+      // the JDK codec on executors, framed (32 samples), energy-gated,
+      // and the active runs are segmented with the gaps-and-islands
+      // window — the "cut the audio into utterances" pre-step every
+      // speech-data pipeline runs before transcription. Frame energies
+      // are exact integer Σs² from the DECODED samples (WAV is lossless,
+      // so the oracle replays the generator); segmentation is the same
+      // islands idiom the engine pins for sessions. Per-doc frame counts
+      // are bounded, the frame table shuffles once on doc_id.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val src = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val binSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("media", BinaryType)))
+        val frameSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("f", LongType),
+          StructField("fe", LongType)))
+        val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
+        val frameEnc = org.apache.spark.sql.Encoders.row(frameSchema)
+        val withWav = src.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0); val nc = r.getLong(1)
+            val n = (200 + nc % 200).toInt
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              // speech bursts: two of every three 64-sample blocks carry
+              // signal, the third is near-silence
+              val sVal =
+                if ((i / 64 + id) % 3 != 0)
+                  (((id * 31 + i.toLong * i) % 2048) - 1024).toInt
+                else (i % 7) - 3
+              pcm(2 * i) = (sVal & 0xff).toByte
+              pcm(2 * i + 1) = ((sVal >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            Row(id, bos.toByteArray)
+          }
+        }(binEnc)
+        val frames = withWav.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val n = in.getFrameLength.toInt
+            val pcm = in.readAllBytes()
+            in.close()
+            (0 until n / 32).map { f =>
+              var fe = 0L; var i = 32 * f
+              while (i < 32 * (f + 1)) {
+                val sVal = (pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)
+                fe += sVal.toLong * sVal
+                i += 1
+              }
+              Row(id, f.toLong, fe)
+            }
+          }
+        }(frameEnc)
+        val act = frames.withColumn("active", col("fe") > 100000L)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+        val isl = act.filter(col("active"))
+          .withColumn("island", col("f") - row_number().over(w))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(count(lit(1)).as("run"))
+        act.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("active"), 1L).otherwise(0L)).as("n_active"))
+          .join(isl.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_segments"), max(col("run")).as("longest_run")),
+            Seq("doc_id"), "left")
+          .withColumn("n_segments", coalesce(col("n_segments"), lit(0L)))
+          .withColumn("longest_run", coalesce(col("longest_run"), lit(0L)))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, f,
+             |         CAST(list_sum(list_transform(range(32 * f, 32 * f + 32), i ->
+             |           CASE WHEN (i // 64 + doc_id) % 3 <> 0
+             |                THEN ((doc_id * 31 + i * i) % 2048 - 1024)
+             |                     * ((doc_id * 31 + i * i) % 2048 - 1024)
+             |                ELSE (i % 7 - 3) * (i % 7 - 3) END)) AS BIGINT) AS fe
+             |  FROM (SELECT doc_id, unnest(range(0, (200 + n_chars % 200) // 32)) AS f
+             |        FROM documents)),
+             |act AS (SELECT doc_id, f, fe > 100000 AS active FROM fr),
+             |isl AS (
+             |  SELECT doc_id, island, CAST(count(*) AS BIGINT) AS run
+             |  FROM (SELECT doc_id, f,
+             |               f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS island
+             |        FROM act WHERE active) t
+             |  GROUP BY doc_id, island),
+             |seg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             |         CAST(max(run) AS BIGINT) AS longest_run
+             |  FROM isl GROUP BY doc_id)
+             |SELECT a.doc_id,
+             |       CAST(count(*) AS BIGINT) AS n_frames,
+             |       CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+             |       CAST(coalesce(any_value(seg.n_segments), 0) AS BIGINT) AS n_segments,
+             |       CAST(coalesce(any_value(seg.longest_run), 0) AS BIGINT) AS longest_run
+             |FROM act a LEFT JOIN seg ON a.doc_id = seg.doc_id
+             |GROUP BY a.doc_id
+             |ORDER BY a.doc_id""".stripMargin)
+    ),
+    Q(
       "multimodal_audio_energy",
       // Audio-specific plumbing: PCM frames → per-frame energy, the
       // feature every VAD/diarization/loudness pipeline computes first.

@@ -1423,6 +1423,97 @@ object Windows {
              |FROM hw, nn WHERE i = n""".stripMargin)
     ),
     Q(
+      "ts_anomaly_stl_mad",
+      // Decompose-then-threshold anomaly detection (round-9): the
+      // standard production recipe — remove trend and weekday seasonality
+      // (the ts_stl_decompose arithmetic), then flag days whose residual
+      // exceeds 3× the MAD — robust to the very outliers it hunts, where
+      // a z-score threshold is dragged by them. Every step is exact
+      // cents; the MAD is a lower-median order-statistic pick (the
+      // theil_sen discipline, no float quantile); the verdict column
+      // makes this directly consumable as an alert feed. One window +
+      // two O(days) folds.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .otherwise(0L)).as("y"))
+        val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+        val det = daily
+          .withColumn("cnt7", count(lit(1)).over(w7))
+          .withColumn("trend_c",
+            when(col("cnt7") === 7, expr(
+              "sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
+          .withColumn("dow", expr("dayofweek(d) - 1"))
+          .withColumn("det", col("y") - col("trend_c"))
+        val seas = det.filter(col("det").isNotNull)
+          .groupBy(col("dow"))
+          .agg(expr(
+            "CAST(floor(CAST(sum(det) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)")
+            .as("seasonal_c"))
+        val resid = det.join(broadcast(seas), Seq("dow"), "left")
+          .withColumn("resid_c", col("det") - col("seasonal_c"))
+          .filter(col("resid_c").isNotNull)
+        val med = resid
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("resid_c"), col("d"))))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rn") === expr("(nn + 1) div 2"))
+          .select(col("resid_c").as("med_c"))
+        val mad = resid.crossJoin(broadcast(med))
+          .withColumn("ad", abs(col("resid_c") - col("med_c")))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("ad"), col("d"))))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rn") === expr("(nn + 1) div 2"))
+          .select(col("med_c"), col("ad").as("mad_c"))
+        resid.crossJoin(broadcast(mad))
+          .withColumn("anomaly",
+            abs(col("resid_c") - col("med_c")) > lit(3) * col("mad_c"))
+          .select(col("d"), col("y"), col("resid_c"), col("med_c"),
+            col("mad_c"), col("anomaly"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(sum(CASE WHEN event_type = 'purchase'
+             |                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |tr AS (
+             |  SELECT d, y, dayofweek(d) AS dow,
+             |         CASE WHEN count(*) OVER w = 7
+             |              THEN CAST(sum(y) OVER w AS BIGINT) // 7 END AS trend_c
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |det AS (SELECT d, y, dow, y - trend_c AS det FROM tr),
+             |seas AS (
+             |  SELECT dow,
+             |         CAST(floor(CAST(sum(det) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS seasonal_c
+             |  FROM det WHERE det IS NOT NULL GROUP BY dow),
+             |resid AS (
+             |  SELECT d, y, det - seasonal_c AS resid_c
+             |  FROM det LEFT JOIN seas USING (dow)
+             |  WHERE det - seasonal_c IS NOT NULL),
+             |med AS (
+             |  SELECT resid_c AS med_c FROM (
+             |    SELECT resid_c,
+             |           row_number() OVER (ORDER BY resid_c, d) AS rn,
+             |           count(*) OVER () AS nn
+             |    FROM resid) t
+             |  WHERE rn = (nn + 1) // 2),
+             |mad AS (
+             |  SELECT med_c, ad AS mad_c FROM (
+             |    SELECT med_c, abs(resid_c - med_c) AS ad,
+             |           row_number() OVER (ORDER BY abs(resid_c - med_c), d) AS rn,
+             |           count(*) OVER () AS nn
+             |    FROM resid, med) t
+             |  WHERE rn = (nn + 1) // 2)
+             |SELECT d, y, resid_c, med_c, mad_c,
+             |       abs(resid_c - med_c) > 3 * mad_c AS anomaly
+             |FROM resid, mad ORDER BY d""".stripMargin)
+    ),
+    Q(
       "ts_backtest_eval",
       // Forecast BACKTESTING (round-9): rolling one-step evaluation of
       // the two canonical baselines — naive (yesterday) and seasonal-

@@ -1388,6 +1388,97 @@ object TextOps {
               |FROM sc ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_url_canonicalize",
+      // URL canonicalization dedup (round-9): the Common-Crawl-style
+      // first dedup pass — the SAME page arrives as HTTPS://Host:443/p/?
+      // utm_campaign=x#frag and https://host/p/ and must collapse BEFORE
+      // any content hashing. Each doc synthesizes its messy URL
+      // deterministically; canonicalization is pure string built-ins
+      // (lowercase scheme+host, strip the default :443 port, drop utm_*
+      // tracking params keeping real ones, drop the fragment), then the
+      // exact-dedup keeper rule (min doc_id) groups on the canonical
+      // form. One hash shuffle of canonical strings — the text_exact_dedup
+      // shape with normalization in front.
+      (s, dir) => {
+        val messy = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+          .withColumn("url", expr(
+            """concat('HTTPS://', upper(source), '.Example.COM:443/p/',
+              |CAST(doc_id % 25 AS STRING), '/?utm_source=feed&id=',
+              |CAST(doc_id % 100 AS STRING), '&utm_campaign=x#frag')""".stripMargin))
+        val canon = messy.withColumn("canonical", expr(
+          """regexp_replace(
+            |  regexp_replace(
+            |    regexp_replace(
+            |      concat(lower(parse_url(url, 'PROTOCOL')), '://',
+            |             lower(parse_url(url, 'HOST')), parse_url(url, 'PATH'),
+            |             '?', parse_url(url, 'QUERY')),
+            |      'utm_[a-z]+=[^&]*&?', ''),
+            |    '[?&]$', ''),
+            |  ':443/', '/')""".stripMargin))
+        canon.groupBy(col("canonical"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+          .orderBy(col("canonical"))
+      },
+      Some("""WITH messy AS (
+             |  SELECT doc_id,
+             |         'HTTPS://' || upper(source) || '.Example.COM:443/p/' ||
+             |         CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=feed&id=' ||
+             |         CAST(doc_id % 100 AS VARCHAR) || '&utm_campaign=x#frag' AS url
+             |  FROM documents),
+             |canon AS (
+             |  SELECT doc_id,
+             |         regexp_replace(
+             |           regexp_replace(
+             |             regexp_replace(
+             |               lower(split_part(url, '://', 1)) || '://' ||
+             |               lower(split_part(split_part(url, '://', 2), '/', 1)) ||
+             |               '/' || split_part(split_part(split_part(url, '://', 2), '/', 2), '?', 1) ||
+             |               '/' || split_part(split_part(split_part(url, '://', 2), '/', 3), '?', 1) ||
+             |               '/?' || split_part(split_part(url, '?', 2), '#', 1),
+             |               'utm_[a-z]+=[^&]*&?', '', 'g'),
+             |             '[?&]$', ''),
+             |           ':443/', '/') AS canonical
+             |  FROM messy)
+             |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(min(doc_id) AS BIGINT) AS keeper
+             |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin)
+    ),
+    Q(
+      "text_tokenizer_fertility",
+      // Tokenizer fertility per language (round-9): subword-tokens per
+      // whitespace word — THE metric multilingual tokenizer reports lead
+      // with (high fertility = the language pays more context budget per
+      // word; the reason byte-fallback BPE beats char fallback). The
+      // subword count is the engine's BPE-estimate (length-based, the
+      // text_token_count discipline); fertility is e6-pinned from two
+      // exact corpus sums per language. One O(langs) aggregate.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("words"),
+            expr("""CAST(aggregate(split(text, ' '), 0L,
+                   |  (acc, t) -> acc + CAST((length(t) + 3) div 4 AS BIGINT))
+                   |AS BIGINT)""".stripMargin).as("subwords"))
+          .groupBy(col("lang"))
+          .agg(sum(col("words")).as("n_words"),
+            sum(col("subwords")).as("n_subwords"))
+          .withColumn("fertility_e6", expr(
+            "CAST(floor(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (
+             |  SELECT lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             |         CAST(list_sum(list_transform(string_split(text, ' '),
+             |                t -> (length(t) + 3) // 4)) AS BIGINT) AS subwords
+             |  FROM documents)
+             |SELECT lang, CAST(sum(words) AS BIGINT) AS n_words,
+             |       CAST(sum(subwords) AS BIGINT) AS n_subwords,
+             |       CAST(floor(CAST(sum(subwords) AS DOUBLE)
+             |            / CAST(sum(words) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS fertility_e6
+             |FROM d GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
       "text_langid_eval",
       // Classifier EVALUATION as a first-class operator (round-9): the
       // confusion matrix + per-class precision/recall of the engine's own

@@ -352,4 +352,53 @@ class AnalyticsExtrasSpec extends AnyFunSuite {
     val r2 = r.getLong(6)
     assert(r2 >= 0L && r2 <= 1000000L, s"R2 $r2 out of [0, 1e6]")
   }
+
+  test("embed_mmr_rerank: first pick is the exact top-1; 5 distinct picks per query") {
+    val mmr = q("embed_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQuery = mmr.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length == 5, s"query $qid has ${rows.length} picks")
+      assert(rows.map(_._3).distinct.length == 5, s"query $qid repeats a pick")
+    }
+    // with an empty selected set the MMR score is pure relevance, so rank 1
+    // must equal the brute-force top-1
+    val top1 = q("sim_cosine_topk").collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byQuery.foreach { case (qid, rows) =>
+      val first = rows.find(_._2 == 1L).get._3
+      assert(first == top1(qid), s"query $qid: MMR rank-1 $first != exact top-1 ${top1(qid)}")
+    }
+  }
+
+  test("graph_modularity_greedy: Q in [-1e6, 1e6] and degree mass conserved") {
+    val rows = q("graph_modularity_greedy").collect()
+    assert(rows.nonEmpty)
+    val q6 = rows.head.getLong(4)
+    assert(q6 >= -1000000L && q6 <= 1000000L, s"modularity $q6 out of range")
+    // every node lands in exactly one community: member and degree mass
+    // over communities must equal the graph's node count and degree sum
+    val hist = q("graph_degree_histogram").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nNodes = hist.map(_._2).sum
+    val degSum = hist.map { case (d, n) => d * n }.sum
+    assert(rows.map(_.getLong(1)).sum == nNodes, "member mass not conserved")
+    assert(rows.map(_.getLong(3)).sum == degSum, "degree mass not conserved")
+  }
+
+  test("multimodal_audio_vad: segment counts consistent with active frames") {
+    val rows = q("multimodal_audio_vad").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nf, na, ns, lr) =>
+      assert(na <= nf)
+      assert(ns <= na, "more segments than active frames")
+      assert(lr <= na, "longest run exceeds active count")
+      assert((ns == 0) == (na == 0), "segments iff active frames")
+      if (ns > 0) assert(lr * ns >= na, "runs can't cover active frames")
+    }
+    // the planted burst pattern guarantees real speech in most docs
+    assert(rows.count(_._2 > 0) > rows.length / 2)
+  }
 }

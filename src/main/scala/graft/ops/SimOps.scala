@@ -123,6 +123,66 @@ object SimOps {
               |ORDER BY query_id, rank""".stripMargin)
     ),
     Q(
+      "sim_sharded_scatter_gather",
+      // Scatter-gather top-k over index SHARDS (round-9): the serving
+      // topology of every distributed vector index — the corpus is hash-
+      // sharded, each shard answers a LOCAL top-5, and the router merges
+      // shard answers into the global top-5. The row certifies the
+      // correctness invariant that makes the topology sound: a local k
+      // per shard is sufficient for an exact global k (the global top-k
+      // is a subset of the union of shard top-ks), so the oracle is the
+      // PLAIN unsharded top-5 — any merge bug hash-fails. Plan shape:
+      // the local limit runs as a (query, shard)-partitioned window
+      // BEFORE the per-query merge, so each shard forwards k rows, not
+      // its whole score list — the WindowGroupLimit discipline MaxSim
+      // pins, here made explicit at the operator level.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = broadcast(querySet(emb).withColumn("q_norm", norm(col("q_emb"))))
+        val c = emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("c_emb"),
+            (col("vec_id") % 4).as("shard"))
+          .withColumn("c_norm", norm(col("c_emb")))
+        val scored = q.crossJoin(c)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", dot(col("q_emb"), col("c_emb")) /
+            (col("q_norm") * col("c_norm")))
+        val local = scored
+          .withColumn("lrank", row_number().over(
+            Window.partitionBy(col("query_id"), col("shard"))
+              .orderBy(col("cos").desc, col("neighbor_id").asc)))
+          .filter(col("lrank") <= 5)
+        local
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      // the ORACLE is the unsharded exact answer: scatter-gather must be
+      // indistinguishable from a single index
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS query_id, embedding AS q_emb,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS q_norm
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |c AS (
+              |  SELECT vec_id AS neighbor_id, embedding AS c_emb,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS c_norm
+              |  FROM embeddings),
+              |scored AS (
+              |  SELECT query_id, neighbor_id,
+              |         $dotSql / (q_norm * c_norm) AS cos
+              |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+              |SELECT query_id, rank, neighbor_id FROM (
+              |  SELECT query_id, neighbor_id,
+              |         CAST(row_number() OVER (PARTITION BY query_id
+              |                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
       "embed_mmr_rerank",
       // MMR diversified re-ranking (round-9, Carbonell & Goldstein 1998):
       // greedily pick 5 of each query's top-20 shortlist maximizing

@@ -1388,6 +1388,51 @@ object TextOps {
               |FROM sc ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_ngram_novelty",
+      // N-gram novelty per document (round-9): what fraction of a doc's
+      // 3-grams has NEVER appeared in an earlier (lower-id) document —
+      // the dataset-freshness / memorization screen that separates new
+      // content from recombinations of what the corpus already holds
+      // (the per-doc dual of the corpus-level contamination row).
+      // first-seen is a min-groupBy over 54-bit gram hashes (the
+      // ngram_jaccard trade: shuffle longs, never strings), novelty is
+      // an e6-pinned ratio of two exact counts. Two keyed shuffles of
+      // gram hashes end to end.
+      (s, dir) => {
+        val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(MinHash.shingleHashes(MinHash.tokenCrcs(col("text")), 3,
+              distinct = true, modP = false)).as("gram"))
+        val firstSeen = grams.groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        grams.join(firstSeen, "gram")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_e6", expr(
+            "CAST(floor(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id,
+             |         unnest(list_distinct(list_transform(
+             |           range(1, len(string_split(text, ' ')) - 1),
+             |           i -> string_split(text, ' ')[i] || ' ' ||
+             |                string_split(text, ' ')[i+1] || ' ' ||
+             |                string_split(text, ' ')[i+2]))) AS gram
+             |  FROM documents),
+             |fs AS (SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc
+             |       FROM grams GROUP BY gram)
+             |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |       CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |       CAST(floor(CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             |            / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS novelty_e6
+             |FROM grams g JOIN fs ON g.gram = fs.gram
+             |GROUP BY g.doc_id
+             |ORDER BY g.doc_id""".stripMargin)
+    ),
+    Q(
       "text_url_canonicalize",
       // URL canonicalization dedup (round-9): the Common-Crawl-style
       // first dedup pass — the SAME page arrives as HTTPS://Host:443/p/?

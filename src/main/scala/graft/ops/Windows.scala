@@ -1581,6 +1581,59 @@ object Windows {
              |FROM terms GROUP BY model ORDER BY model""".stripMargin)
     ),
     Q(
+      "ts_interevent_burstiness",
+      // Inter-event burstiness per user (round-9): Goh & Barabási's
+      // B = (σ−μ)/(σ+μ) over the gaps between a user's consecutive
+      // events — the canonical "bot or human" temporal signature
+      // (periodic automation → B → −1, Poisson → 0, bursty humans → +1).
+      // Gaps are exact µs integers from one lag window; the three
+      // moments (n, Σg, Σg²) are a two-phase agg; the only floats are
+      // one sqrt + one division assembled identically on both engines
+      // and e6-pinned. Gaps are carried in SECONDS: a month-long gap in
+      // µs would overflow BIGINT at the very first square (caught by the
+      // ANSI gate on first run), while second-granularity keeps Σg²
+      // within range up to ~10⁶ gaps per user.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("tus"),
+            col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        ev.withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(col("gap")).as("s"), sum(col("gap") * col("gap")).as("q2"))
+          .filter(col("n_gaps") >= 2)
+          .select(col("user_id"), col("n_gaps"), expr(
+            """CAST(floor(
+              |  (sqrt(CAST(n_gaps * q2 - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+              |  / (sqrt(CAST(n_gaps * q2 - s * s AS DOUBLE)) + CAST(s AS DOUBLE))
+              |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("b_e6"))
+          .orderBy(col("user_id"))
+      },
+      // n·σ = sqrt(n·Q − S²) and n·μ = S share the factor n, so B uses
+      // the un-normalized forms directly
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |         epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) OVER
+             |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             |         CAST(sum(gap) AS BIGINT) AS s,
+             |         CAST(sum(gap * gap) AS BIGINT) AS q2
+             |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, n_gaps,
+             |       CAST(floor(
+             |         (sqrt(CAST(n_gaps * q2 - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+             |         / (sqrt(CAST(n_gaps * q2 - s * s AS DOUBLE)) + CAST(s AS DOUBLE))
+             |         * 1000000 + 0.5) AS BIGINT) AS b_e6
+             |FROM m WHERE n_gaps >= 2
+             |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "ts_growth_rates",
       // Day-over-day and week-over-week growth (round-9): the first two
       // numbers on any metrics dashboard — (y−lag)/lag, e6-pinned,

@@ -691,6 +691,50 @@ object Aggregates {
              |FROM b""".stripMargin)
     ),
     Q(
+      "stat_ks_uniform_gof",
+      // One-sample KS goodness-of-fit vs Uniform(0, 500] (round-9): is
+      // the value column actually uniform over its nominal range, or has
+      // generation drift crept in — the distributional contract check for
+      // a synthetic or bucketed feed (the two-sample row compares feeds
+      // to each other; this one compares a feed to its SPEC). D is exact
+      // until one final pin: per distinct cent value the ECDF gap
+      // |cum·50000 − v·n| is BIGINT (theoretical CDF denominators
+      // cleared), the max folds over the collapsed value domain, and
+      // d_e6 divides once. Same scale shape as the two-sample KS.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+        val cells = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+          .agg(max(col("n")).as("n"),
+            max(abs(col("cum") * 50000L - col("v") * col("n"))).as("dnum"))
+          .select(col("n"), expr(
+            """CAST(floor(CAST(dnum AS DOUBLE) / CAST(n AS DOUBLE)
+              |     / CAST(50000 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)""".stripMargin)
+            .as("d_e6"))
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |  FROM events WHERE value IS NOT NULL),
+             |cells AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY v),
+             |cum AS (
+             |  SELECT v,
+             |         CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |         CAST(sum(c) OVER () AS BIGINT) AS n
+             |  FROM cells)
+             |SELECT max(n) AS n,
+             |       CAST(floor(CAST(max(abs(cum * 50000 - v * n)) AS DOUBLE)
+             |            / CAST(max(n) AS DOUBLE) / CAST(50000 AS DOUBLE)
+             |            * 1000000 + 0.5) AS BIGINT) AS d_e6
+             |FROM cum""".stripMargin)
+    ),
+    Q(
       "stat_bootstrap_ci",
       // Derandomized bootstrap confidence interval (round-9): the 95% CI
       // of mean daily purchase revenue by resampling — the distribution-

@@ -1581,6 +1581,47 @@ object Windows {
              |FROM terms GROUP BY model ORDER BY model""".stripMargin)
     ),
     Q(
+      "win_skyline_pareto",
+      // 2-D skyline / Pareto front (round-9): the orders no other order
+      // dominates — cheaper AND more recent — the multi-criteria
+      // shortlist query (price/freshness, cost/quality) that naive SQL
+      // writes as a NOT EXISTS self-join (O(n²)). The sort-scan identity
+      // makes it one window pass: sorted by (price asc, date desc, key),
+      // a row is on the front iff its date strictly exceeds every
+      // preceding date — running max + one comparison, O(n log n) total
+      // and range-partitionable at scale. Exact cents/µs; the oracle is
+      // the O(n²) NOT EXISTS definition, so the identity itself is what
+      // hash-certifies.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_c"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("date_us"))
+        val w = Window.orderBy(col("price_c"), col("date_us").desc, col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        o.withColumn("best_prev_date", max(col("date_us")).over(w))
+          .filter(col("best_prev_date").isNull ||
+            col("date_us") > col("best_prev_date"))
+          .select(col("o_orderkey"), col("price_c"), col("date_us"))
+          .orderBy(col("price_c"), col("o_orderkey"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+             |         CAST(epoch_us(o_orderdate) AS BIGINT) AS date_us
+             |  FROM orders)
+             |SELECT o_orderkey, price_c, date_us
+             |FROM o a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM o b
+             |  WHERE (b.price_c < a.price_c AND b.date_us >= a.date_us)
+             |     OR (b.price_c <= a.price_c AND b.date_us > a.date_us)
+             |     OR (b.price_c = a.price_c AND b.date_us = a.date_us
+             |         AND b.o_orderkey < a.o_orderkey))
+             |ORDER BY price_c, o_orderkey""".stripMargin)
+    ),
+    Q(
       "ts_interevent_burstiness",
       // Inter-event burstiness per user (round-9): Goh & Barabási's
       // B = (σ−μ)/(σ+μ) over the gaps between a user's consecutive

@@ -1971,6 +1971,73 @@ object Joins {
              |GROUP BY 1 ORDER BY k""".stripMargin)
     ),
     Q(
+      "join_cidr_lookup",
+      // Longest-prefix-match CIDR enrichment (round-9): map each event's
+      // IPv4 to the MOST SPECIFIC route in an overlapping routing table
+      // (/8 default < /16 per nation < /24 for dc nations) — the GeoIP /
+      // network-attribution join every log pipeline runs. LPM is not an
+      // equi-join, but the classic scalable rewrite makes it one: explode
+      // the probe side once per DISTINCT prefix length (3 here — routing
+      // tables have ≤ 32), mask the IP to that length, equi-join on
+      // (plen, masked_net) against the BROADCAST routing table (real
+      // tables are ~1M rows — always broadcastable), then max_by(plen)
+      // per event picks the longest match. Probe-side cost is |lens|×
+      // map-only rows; the fact table never shuffles for the lookup
+      // itself. All 32-bit address math is exact BIGINT.
+      (s, dir) => {
+        val n = Tables(s, dir, "nation")
+        val routes = n.select(
+            (lit(167772160L) + col("n_nationkey").cast("long") * 65536L).as("net"),
+            lit(16).as("plen"), col("n_name").as("route"))
+          .unionByName(n.filter(col("n_nationkey") % 5 === 0).select(
+            (lit(167772160L) + col("n_nationkey").cast("long") * 65536L + 256L).as("net"),
+            lit(24).as("plen"), concat(col("n_name"), lit("-dc")).as("route")))
+          .unionByName(s.range(1).select(
+            lit(167772160L).as("net"), lit(8).as("plen"), lit("default").as("route")))
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          (lit(167772160L) + (col("user_id") % 30) * 65536L
+            + (col("event_id") % 3) * 256L + (col("event_id") % 250)).as("ip"))
+        val probe = ev
+          .select(col("event_id"), col("user_id"), col("ip"),
+            explode(array(lit(8), lit(16), lit(24))).as("plen"))
+          .withColumn("masked", expr(
+            "CAST(ip DIV shiftleft(CAST(1 AS BIGINT), 32 - plen) AS BIGINT)" +
+              " * shiftleft(CAST(1 AS BIGINT), 32 - plen)"))
+        probe.join(broadcast(routes),
+            probe("plen") === routes("plen") && probe("masked") === routes("net"))
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(max_by(col("route"), routes("plen")).as("route"))
+          .groupBy(col("route"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("route"))
+      },
+      Some("""WITH routes AS (
+             |  SELECT 167772160 + n_nationkey * 65536 AS net, 16 AS plen,
+             |         n_name AS route FROM nation
+             |  UNION ALL
+             |  SELECT 167772160 + n_nationkey * 65536 + 256, 24, n_name || '-dc'
+             |  FROM nation WHERE n_nationkey % 5 = 0
+             |  UNION ALL SELECT 167772160, 8, 'default'),
+             |ev AS (
+             |  SELECT event_id, user_id,
+             |         167772160 + (user_id % 30) * 65536
+             |           + (event_id % 3) * 256 + (event_id % 250) AS ip
+             |  FROM events),
+             |probe AS (
+             |  SELECT event_id, user_id, ip, plen,
+             |         (ip // (CAST(1 AS BIGINT) << (32 - plen)))
+             |           * (CAST(1 AS BIGINT) << (32 - plen)) AS masked
+             |  FROM ev, (SELECT unnest([8, 16, 24]) AS plen)),
+             |m AS (
+             |  SELECT p.event_id, p.user_id, arg_max(r.route, r.plen) AS route
+             |  FROM probe p JOIN routes r ON p.plen = r.plen AND p.masked = r.net
+             |  GROUP BY 1, 2)
+             |SELECT route, CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM m GROUP BY route ORDER BY route""".stripMargin)
+    ),
+    Q(
       "join_null_aware_anti",
       // NOT IN (subquery) under 3-valued logic: one NULL in the subquery
       // makes NOT IN unknowable for every probe row (x <> NULL is NULL),

@@ -246,6 +246,43 @@ object TextOps {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
     Q(
+      "dedup_fuzzy_blocked",
+      // Blocked edit-distance fuzzy dedup (round-9): typo-level duplicate
+      // detection (entity resolution's workhorse) — candidate pairs are
+      // generated ONLY within a blocking key (brand), then scored with
+      // exact Levenshtein ≤ 1. The equi-join on the block key is the whole
+      // scale story: the quadratic is bounded by the largest block, never
+      // the corpus (classic blocked-ER; at 100 TB you salt oversized
+      // blocks exactly like any skewed join — join_skew_salted owns that
+      // pattern). Spark's codegen'd levenshtein matches DuckDB's
+      // unit-cost semantics (fn_levenshtein pins this). Per-brand rollup
+      // keeps output O(blocks).
+      (s, dir) => {
+        val p = Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        val a = p.select(col("p_brand"), col("p_partkey").as("key_a"),
+          col("p_name").as("name_a"))
+        val b = p.select(col("p_brand"), col("p_partkey").as("key_b"),
+          col("p_name").as("name_b"))
+        a.join(b, Seq("p_brand"))
+          .filter(col("key_a") < col("key_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 1)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("key_a")).as("n_left_dups"),
+            sum(when(col("name_a") === col("name_b"), 1L).otherwise(0L))
+              .as("n_exact"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT a.p_brand, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(count(DISTINCT a.p_partkey) AS BIGINT) AS n_left_dups,
+             |       CAST(sum(CASE WHEN a.p_name = b.p_name THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             | AND levenshtein(a.p_name, b.p_name) <= 1
+             |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)
+    ),
+    Q(
       "text_neardup_simhash",
       // SimHash fingerprints + banded candidate pairs with Hamming distance,
       // fully DuckDB-oracled (r6) via the PORTABLE hash family: 62-bit token

@@ -2067,6 +2067,103 @@ object Windows {
       // than guessed. Identical SQL text runs on both engines.
       (s, dir) => graft.Catalog.sql(s, dir, peakSql),
       Some(peakSql)
+    ),
+    Q(
+      "win_quota_allocation",
+      // Greedy quota allocation per part (round-9): demand lines consume a
+      // fixed per-part stock in ship-date order until it runs dry — the
+      // inventory-netting / budget-waterfall semantics ERP replicas ask of
+      // an analytics engine. ONE window (cumulative demand BEFORE each
+      // line, per part) turns the sequential "allocate then decrement"
+      // loop into a closed form: alloc = clamp(stock − cum_prev, 0, qty).
+      // Exact integer units end to end; one shuffle by part, O(1) state
+      // per row — embarrassingly partition-parallel at 100 TB because
+      // allocation never crosses the part boundary.
+      (s, dir) => {
+        val stock = (col("l_partkey") % 40 + lit(30L)).as("stock")
+        val w = Window.partitionBy(col("l_partkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"),
+            expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("qty"), stock)
+          .withColumn("cum_prev", coalesce(sum(col("qty")).over(w), lit(0L)))
+          .withColumn("alloc",
+            greatest(lit(0L), least(col("qty"), col("stock") - col("cum_prev"))))
+          .groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("qty")).as("requested"),
+            sum(col("alloc")).as("allocated"),
+            sum(when(col("alloc") === col("qty"), 1L).otherwise(0L)).as("n_full"),
+            sum(when(col("alloc") > 0 && col("alloc") < col("qty"), 1L)
+              .otherwise(0L)).as("n_partial"),
+            sum(when(col("alloc") === 0L, 1L).otherwise(0L)).as("n_starved"))
+          .orderBy(col("l_partkey"))
+      },
+      Some("""WITH d AS (
+             |  SELECT l_partkey, l_orderkey, l_linenumber,
+             |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+             |         l_partkey % 40 + 30 AS stock,
+             |         CAST(coalesce(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+             |           OVER (PARTITION BY l_partkey
+             |                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |           0) AS BIGINT) AS cum_prev
+             |  FROM lineitem),
+             |a AS (
+             |  SELECT *, greatest(CAST(0 AS BIGINT),
+             |                     least(qty, stock - cum_prev)) AS alloc
+             |  FROM d)
+             |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+             |       CAST(sum(qty) AS BIGINT) AS requested,
+             |       CAST(sum(alloc) AS BIGINT) AS allocated,
+             |       CAST(sum(CASE WHEN alloc = qty THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+             |       CAST(sum(CASE WHEN alloc > 0 AND alloc < qty THEN 1 ELSE 0 END) AS BIGINT) AS n_partial,
+             |       CAST(sum(CASE WHEN alloc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_starved
+             |FROM a GROUP BY l_partkey ORDER BY l_partkey""".stripMargin)
+    ),
+    Q(
+      "win_attribution_touch",
+      // First/last-touch purchase attribution (round-9): each purchase
+      // credits the user's FIRST and LAST preceding non-purchase event
+      // type — the marketing-attribution semantics every event warehouse
+      // reports. Two conditional IGNORE-NULLS window reads (first/last of
+      // a CASE column over the strict-past frame) on ONE (user, ts) sort —
+      // no self-join, no correlated subquery; one shuffle by user at any
+      // scale. Purchases with no prior touch attribute to 'none'.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase", col("event_type"))
+        Tables.events(s, dir)
+          .withColumn("first_touch",
+            first(touch, ignoreNulls = true).over(w))
+          .withColumn("last_touch",
+            last(touch, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("first_touch"), lit("none")).as("first_touch"),
+            coalesce(col("last_touch"), lit("none")).as("last_touch"))
+          .agg(count(lit(1)).as("n_purchases"),
+            util.r2(sum(col("value"))).as("total_value"))
+          .orderBy(col("first_touch"), col("last_touch"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT user_id, ts, event_id, event_type, value,
+              |         first_value(CASE WHEN event_type <> 'purchase'
+              |                          THEN event_type END IGNORE NULLS) OVER w AS first_touch,
+              |         last_value(CASE WHEN event_type <> 'purchase'
+              |                         THEN event_type END IGNORE NULLS) OVER w AS last_touch
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+              |SELECT coalesce(first_touch, 'none') AS first_touch,
+              |       coalesce(last_touch, 'none') AS last_touch,
+              |       CAST(count(*) AS BIGINT) AS n_purchases,
+              |       ${util.r2sql("sum(value)")} AS total_value
+              |FROM t WHERE event_type = 'purchase'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 

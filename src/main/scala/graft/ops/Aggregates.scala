@@ -735,6 +735,54 @@ object Aggregates {
              |FROM cum""".stripMargin)
     ),
     Q(
+      "stat_proportion_ztest",
+      // Two-proportion z-test (round-9): is the error RATE different
+      // between the even and odd user cohorts — the A/B-test primitive for
+      // binary outcomes (Welch covers means, Mann-Whitney ranks,
+      // chi-square full contingency; this is the 2×2 rate comparison every
+      // experiment dashboard runs). Four exact BIGINT counts from ONE
+      // map-side-combined aggregate; the pooled-variance z folds them with
+      // an identical /-and-sqrt formula text, pinned at e6. O(1) output
+      // rows at any scale.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy()
+          .agg(
+            sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("user_id") % 2 === 0 &&
+              col("event_type") === "error", 1L).otherwise(0L)).as("e1"),
+            sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("user_id") % 2 === 1 &&
+              col("event_type") === "error", 1L).otherwise(0L)).as("e2"))
+          .select(col("n1"), col("e1"), col("n2"), col("e2"), expr(
+            """CAST(floor(
+              |  (CAST(e1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              |   - CAST(e2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+              |  / sqrt((CAST(e1 + e2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              |         * (1 - CAST(e1 + e2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              |         * (1 / CAST(n1 AS DOUBLE) + 1 / CAST(n2 AS DOUBLE)))
+              |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("z_e6"))
+      },
+      Some("""WITH c AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'error'
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+             |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'error'
+             |                  THEN 1 ELSE 0 END) AS BIGINT) AS e2
+             |  FROM events)
+             |SELECT n1, e1, n2, e2,
+             |       CAST(floor(
+             |         (CAST(e1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             |          - CAST(e2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             |         / sqrt((CAST(e1 + e2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+             |                * (1 - CAST(e1 + e2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+             |                * (1 / CAST(n1 AS DOUBLE) + 1 / CAST(n2 AS DOUBLE)))
+             |         * 1000000 + 0.5) AS BIGINT) AS z_e6
+             |FROM c""".stripMargin)
+    ),
+    Q(
       "stat_bootstrap_ci",
       // Derandomized bootstrap confidence interval (round-9): the 95% CI
       // of mean daily purchase revenue by resampling — the distribution-

@@ -657,6 +657,59 @@ object ScalarFns {
              |       CAST(c_custkey AS VARCHAR) || ',"' || c_mktsegment || ',inner",'
              |         || CAST(c_acctbal AS VARCHAR) AS round_trip
              |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "fn_business_days",
+      // Business-day arithmetic (round-9): weekdays between order date and
+      // a deterministic ship date, in closed form — no calendar table, no
+      // per-day loop. Both engines disagree on dayofweek NUMBERING
+      // (Spark 1=Sun, DuckDB isodow 1=Mon), so the weekday comes from raw
+      // epoch-day arithmetic instead: day 0 = Thu ⇒ weekday = (e+3)%7,
+      // and g(e) = weekdays in [0,e) = 5·(e div 7) + prefix[(e mod 7)]
+      // with prefix = [0,1,2,2,2,3,4]. bd(a,b] = g(eb+1) − g(ea+1), all
+      // exact integers — identical CASE text, engine-specific only in the
+      // datediff spelling. The per-priority rollup is the SLA report.
+      (s, dir) => graft.Catalog.sql(s, dir,
+        s"""WITH d AS (
+           |  SELECT o_orderpriority,
+           |         datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS ea,
+           |         datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')
+           |           + CAST(o_orderkey % 20 AS INT) AS eb
+           |  FROM orders),
+           |g AS (
+           |  SELECT o_orderpriority,
+           |         (5 * ((eb + 1) DIV 7) + ${bdPrefix("(eb + 1) % 7")})
+           |       - (5 * ((ea + 1) DIV 7) + ${bdPrefix("(ea + 1) % 7")}) AS bd
+           |  FROM d)
+           |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(sum(bd) AS BIGINT) AS sum_bd,
+           |       CAST(floor(CAST(sum(bd) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           |            * 1000000 + 0.5) AS BIGINT) AS avg_bd_e6
+           |FROM g GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      Some(s"""WITH d AS (
+              |  SELECT o_orderpriority,
+              |         date_diff('day', DATE '1970-01-01',
+              |                   CAST(o_orderdate AS DATE)) AS ea,
+              |         date_diff('day', DATE '1970-01-01',
+              |                   CAST(o_orderdate AS DATE))
+              |           + CAST(o_orderkey % 20 AS INT) AS eb
+              |  FROM orders),
+              |g AS (
+              |  SELECT o_orderpriority,
+              |         (5 * ((eb + 1) // 7) + ${bdPrefix("(eb + 1) % 7")})
+              |       - (5 * ((ea + 1) // 7) + ${bdPrefix("(ea + 1) % 7")}) AS bd
+              |  FROM d)
+              |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(bd) AS BIGINT) AS sum_bd,
+              |       CAST(floor(CAST(sum(bd) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |            * 1000000 + 0.5) AS BIGINT) AS avg_bd_e6
+              |FROM g GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     )
   )
+
+  /** Weekday prefix-count CASE (shared text for [[fn_business_days]]):
+    * number of weekdays among epoch days [0, m) with weekday = (d+3)%7. */
+  private def bdPrefix(m: String): String =
+    s"(CASE $m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2" +
+      s" WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END)"
 }

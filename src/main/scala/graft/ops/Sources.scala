@@ -469,6 +469,46 @@ object Sources {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
     Q(
+      "scan_parquet_merge_schema",
+      // Schema-merging multi-file scan (round-9): two parquet generations
+      // with DIFFERENT column sets (an early writer emitted text_len, a
+      // later one source) read as ONE table via mergeSchema — absent
+      // columns null-fill per file. This is the scan-level half of schema
+      // evolution (the CDC rows cover table-level): at 100 TB a partition
+      // root accretes years of writer versions and the footer-merge
+      // happens driver-side over file metadata only, never data. Oracle
+      // states the union-by-name semantics directly over the source rows.
+      (s, dir) => {
+        val tmp = tmpDir("graft_merge_")
+        val d = Tables(s, dir, "documents")
+        d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), length(col("text")).as("text_len"))
+          .write.mode("overwrite").parquet(s"$tmp/gen1")
+        d.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"))
+          .write.mode("overwrite").parquet(s"$tmp/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/gen1", s"$tmp/gen2")
+          .groupBy(coalesce(col("source"), lit("none")).as("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("text_len")).cast("long").as("sum_len"),
+            count(col("text_len")).as("n_len"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, length(text) AS text_len,
+             |         CAST(NULL AS VARCHAR) AS source
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id, CAST(NULL AS BIGINT), source
+             |  FROM documents WHERE doc_id % 2 = 1)
+             |SELECT coalesce(source, 'none') AS source,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(text_len) AS BIGINT) AS sum_len,
+             |       CAST(count(text_len) AS BIGINT) AS n_len
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "sink_overwrite_snapshot",
       // Snapshot replace semantics (`dap initdb` re-init): overwrite twice,
       // read back — idempotent, so the oracle is the identity on orders.

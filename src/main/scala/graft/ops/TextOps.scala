@@ -49,12 +49,16 @@ object TextOps {
     * `dedup_candidate_verify` chains the exact-Jaccard verification pass
     * on top of the same candidate set.
     */
-  private def minhashCandCtes: String = {
+  private def minhashCandCtes: String = minhashCandCtes("documents", "")
+
+  /** Same chain with a custom source relation and optional leading CTEs
+    * (the cascade row runs MinHash over exact-dedup survivors). */
+  private def minhashCandCtes(src: String, pre: String): String = {
     val P = MinHash.P
     val sigExprs = MinHash.seeds(16).map { case (a, b) =>
       s"list_min(list_transform(sh, h -> ($a * h + $b) % $P))"
     }.mkString("[\n           ", ",\n           ", "\n         ]")
-    s"""WITH hs AS (
+    s"""WITH ${pre}hs AS (
        |  SELECT doc_id,
        |         list_transform(string_split(text, ' '), t ->
        |           list_reduce(
@@ -62,7 +66,7 @@ object TextOps {
        |               list_transform(generate_series(1, length(t)),
        |                 i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
        |             (acc, c) -> (acc * 131 + c) % $P)) AS hs
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT doc_id,
        |         list_transform(generate_series(0, len(hs) - 3),
@@ -281,6 +285,57 @@ object TextOps {
              |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
              | AND levenshtein(a.p_name, b.p_name) <= 1
              |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)
+    ),
+    Q(
+      "pipeline_dedup_cascade",
+      // The production dedup FUNNEL in one row (round-9): exact (md5
+      // keeper) → MinHash near-dup (portable family, est ≥ 0.5, drop the
+      // doc_b side of every candidate pair), reporting survivor counts
+      // per stage — the shape every corpus pipeline runs: cheap exact
+      // pass first so the expensive LSH stage only sees unique texts.
+      // Each stage is an already-proven scale-safe primitive
+      // (text_exact_dedup's hash shuffle, text_neardup_minhash's banded
+      // join); the cascade adds ONE semi-join between them. O(stages)
+      // output rows.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val keep = docs.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val survivors = docs
+          .join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text"))
+        val removed = MinHash.nearDupPairs(survivors, "doc_id", "text",
+            k = 16, bands = 8, minEstJaccard = 0.5, portable = true)
+          .select(col("doc_b")).distinct()
+        val st0 = docs.agg(count(lit(1)).as("n_docs"))
+          .select(lit("0_input").as("stage"), col("n_docs"))
+        val st1 = survivors.agg(count(lit(1)).as("n_docs"))
+          .select(lit("1_exact").as("stage"), col("n_docs"))
+        val st2 = survivors
+          .join(removed, survivors("doc_id") === removed("doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit("2_neardup").as("stage"), col("n_docs"))
+        st0.unionByName(st1).unionByName(st2).orderBy(col("stage"))
+      },
+      Some(s"""${minhashCandCtes("survivors",
+               """keep AS (
+                 |  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+                 |  FROM documents GROUP BY md5(text)),
+                 |survivors AS (
+                 |  SELECT d.doc_id, d.text FROM documents d
+                 |  JOIN keep k ON d.doc_id = k.doc_id),
+                 |""".stripMargin)},
+              |removed AS (
+              |  SELECT DISTINCT doc_b FROM est WHERE est_jaccard >= 0.5)
+              |SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+              |FROM documents
+              |UNION ALL
+              |SELECT '1_exact', CAST(count(*) AS BIGINT) FROM survivors
+              |UNION ALL
+              |SELECT '2_neardup',
+              |       CAST((SELECT count(*) FROM survivors)
+              |            - (SELECT count(*) FROM removed) AS BIGINT)
+              |ORDER BY stage""".stripMargin)
     ),
     Q(
       "text_neardup_simhash",

@@ -396,6 +396,35 @@ object Quality {
       // asserted-good state, with child totals keeping the row non-vacuous.
       (s, dir) => graft.Catalog.sql(s, dir, refIntegritySql),
       Some(refIntegritySql)
+    ),
+    Q(
+      "dq_candidate_keys",
+      // Candidate-key discovery profile (round-9): for a battery of
+      // column combos over orders, compare distinct count to row count —
+      // the "is this a key" audit schema-inference and CDC-merge setup
+      // both need (a wrong merge key silently folds rows; dq rows exist
+      // to catch that BEFORE cdc_upsert_latest runs). One pass, four
+      // exact count-distincts (Catalyst expands to one shuffle per
+      // distinct group — bounded, map-side-combined); O(1) output.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("d_orderkey"),
+            countDistinct(col("o_custkey")).as("d_custkey"),
+            countDistinct(col("o_custkey"), col("o_orderdate")).as("d_cust_date"),
+            countDistinct(col("o_orderstatus"), col("o_orderpriority"))
+              .as("d_status_prio"))
+          .select(col("n_rows"), col("d_orderkey"),
+            (col("d_orderkey") === col("n_rows")).as("orderkey_is_key"),
+            col("d_custkey"), col("d_cust_date"), col("d_status_prio"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d_orderkey,
+             |       count(DISTINCT o_orderkey) = count(*) AS orderkey_is_key,
+             |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_custkey,
+             |       CAST(count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT) AS d_cust_date,
+             |       CAST(count(DISTINCT (o_orderstatus, o_orderpriority)) AS BIGINT) AS d_status_prio
+             |FROM orders""".stripMargin)
     )
   )
 

@@ -338,6 +338,45 @@ object TextOps {
               |ORDER BY stage""".stripMargin)
     ),
     Q(
+      "pipeline_shard_manifest",
+      // Training-shard manifest (round-9): pack documents into
+      // fixed-token-budget shards PER LANGUAGE (the layout trainers
+      // consume: language-homogeneous shards of ~equal token mass) and
+      // emit the manifest — shard_id from the cumulative token count's
+      // start offset, so a doc belongs to the shard its FIRST token
+      // lands in. One partitioned window (lang) — no global sequence
+      // needed, which is exactly what keeps it scale-safe: shard
+      // numbering never crosses the language boundary (the global
+      // variant would use sort_global_sequence's range-partitioned
+      // offsets). Budget 20k tokens/shard; exact integer arithmetic.
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .withColumn("cum", sum(col("toks")).over(w))
+          .withColumn("shard_id", expr("(cum - toks) DIV 20000"))
+          .groupBy(col("lang"), col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("lang"), col("shard_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT lang, doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             |         CAST(sum(len(string_split(text, ' ')))
+             |           OVER (PARTITION BY lang ORDER BY doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM documents)
+             |SELECT lang, (cum - toks) // 20000 AS shard_id,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+             |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+             |       CAST(max(doc_id) AS BIGINT) AS last_doc
+             |FROM t GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin)
+    ),
+    Q(
       "text_neardup_simhash",
       // SimHash fingerprints + banded candidate pairs with Hamming distance,
       // fully DuckDB-oracled (r6) via the PORTABLE hash family: 62-bit token

@@ -783,6 +783,64 @@ object Aggregates {
              |FROM c""".stripMargin)
     ),
     Q(
+      "agg_market_basket_lift",
+      // Market-basket lift for brand pairs (round-9): which brands
+      // co-occur in the same order MORE than independence predicts —
+      // lift(a,b) = n_ab·N / (n_a·n_b), the association-rule primitive.
+      // The self-join is WITHIN an order (basket-size-bounded quadratic,
+      // same scale argument as blocked ER), brand counts broadcast back
+      // (O(brands) rows), and the lone scalar N rides a broadcast cross
+      // join. Support floor n_ab ≥ 5 keeps output stable; exact counts,
+      // e6-pinned lift.
+      (s, dir) => {
+        val b = Tables(s, dir, "lineitem")
+          .join(broadcast(Tables(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")).distinct()
+          .localCheckpoint(false)
+        val n = b.select(countDistinct(col("l_orderkey")).as("n_orders"))
+        val cnt = b.groupBy(col("p_brand")).agg(count(lit(1)).as("n_brand"))
+        val pairs = b.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+          .join(b.select(col("l_orderkey"), col("p_brand").as("brand_b")),
+            "l_orderkey")
+          .filter(col("brand_a") < col("brand_b"))
+          .groupBy(col("brand_a"), col("brand_b"))
+          .agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 5)
+        pairs
+          .join(broadcast(cnt.select(col("p_brand").as("brand_a"),
+            col("n_brand").as("n_a"))), "brand_a")
+          .join(broadcast(cnt.select(col("p_brand").as("brand_b"),
+            col("n_brand").as("n_b"))), "brand_b")
+          .crossJoin(broadcast(n))
+          .select(col("brand_a"), col("brand_b"), col("n_co"), expr(
+            """CAST(floor(CAST(n_co AS DOUBLE) * CAST(n_orders AS DOUBLE)
+              |     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              |     * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("lift_e6"))
+          .orderBy(col("brand_a"), col("brand_b"))
+      },
+      Some("""WITH b AS (
+             |  SELECT DISTINCT l.l_orderkey, p.p_brand
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+             |cnt AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_brand
+             |        FROM b GROUP BY p_brand),
+             |pairs AS (
+             |  SELECT a.p_brand AS brand_a, b2.p_brand AS brand_b,
+             |         CAST(count(*) AS BIGINT) AS n_co
+             |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+             |                    AND a.p_brand < b2.p_brand
+             |  GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT p.brand_a, p.brand_b, p.n_co,
+             |       CAST(floor(CAST(p.n_co AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             |            / (CAST(ca.n_brand AS DOUBLE) * CAST(cb.n_brand AS DOUBLE))
+             |            * 1000000 + 0.5) AS BIGINT) AS lift_e6
+             |FROM pairs p
+             |JOIN cnt ca ON ca.p_brand = p.brand_a
+             |JOIN cnt cb ON cb.p_brand = p.brand_b, n
+             |ORDER BY brand_a, brand_b""".stripMargin)
+    ),
+    Q(
       "stat_bootstrap_ci",
       // Derandomized bootstrap confidence interval (round-9): the 95% CI
       // of mean daily purchase revenue by resampling — the distribution-

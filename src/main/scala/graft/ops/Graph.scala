@@ -171,6 +171,42 @@ object Graph {
              |       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
              |       (doc_id = component) AS is_kept
              |FROM labeled ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "dedup_cluster_sizes",
+      // Cluster-size histogram (round-9): the corpus-health summary every
+      // dedup run reports — how many singletons, pairs, big clusters, and
+      // how many documents each bucket holds (a sudden mass in large
+      // clusters means boilerplate or a crawler loop). Two O(clusters)
+      // aggregates over the memoized component labels; the expensive
+      // propagation ran once per session (shared with the two rows above).
+      (s, dir) => {
+        labeledComponents(s, dir)
+          .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            (count(lit(1)) * col("cluster_size")).as("n_docs"))
+          .orderBy(col("cluster_size"))
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT a.doc_id AS src, b.doc_id AS dst
+             |  FROM documents a JOIN documents b
+             |    ON a.source = b.source
+             |   AND abs(a.n_chars - b.n_chars) <= 1
+             |   AND a.doc_id <> b.doc_id),
+             |reach(doc, r) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.doc),
+             |labeled AS (
+             |  SELECT doc AS doc_id, min(r) AS component
+             |  FROM reach GROUP BY doc),
+             |clusters AS (
+             |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+             |  FROM labeled GROUP BY component)
+             |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+             |       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+             |FROM clusters GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)
     )
   )
 }

@@ -2164,6 +2164,98 @@ object Windows {
               |       ${util.r2sql("sum(value)")} AS total_value
               |FROM t WHERE event_type = 'purchase'
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "ts_lagged_crosscorr",
+      // Lagged cross-correlation between two event series (round-9): does
+      // the click series LEAD the purchase series — Pearson corr of daily
+      // clicks vs purchases shifted by lag ∈ [−3, +3], the lead-lag scan
+      // behind every "which metric moves first" question. Daily counts
+      // collapse the corpus to O(days) rows FIRST, so the 7-lag explode ×
+      // self-join is O(days·lags) — trivial at any corpus scale; moments
+      // are exact BIGINT folded by the shared corr formula text, e6-pinned.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("CAST(date_trunc('day', ts) AS DATE)").as("d"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        val lags = (-3 to 3).map(lit(_))
+        val a = daily.select(col("d"), col("x"),
+          explode(array(lags: _*)).as("lag"))
+          .withColumn("d2", expr("date_add(d, lag)"))
+        val j = a.join(daily.select(col("d").as("dj"), col("y")),
+          col("d2") === col("dj"))
+        j.groupBy(col("lag"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+          .select(col("lag"), col("n"), expr(
+            """CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              |  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              |       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+              |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("corr_e6"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY 1),
+             |j AS (
+             |  SELECT l.lag, a.x, b.y
+             |  FROM daily a
+             |  JOIN (SELECT unnest([-3,-2,-1,0,1,2,3]) AS lag) l ON true
+             |  JOIN daily b ON b.d = a.d + CAST(l.lag AS INT)),
+             |m AS (
+             |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             |         CAST(sum(x*y) AS BIGINT) AS sxy
+             |  FROM j GROUP BY lag)
+             |SELECT lag, n,
+             |       CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+             |         * 1000000 + 0.5) AS BIGINT) AS corr_e6
+             |FROM m ORDER BY lag""".stripMargin)
+    ),
+    Q(
+      "win_time_to_conversion",
+      // Time-to-conversion distribution (round-9): hours from a user's
+      // first signup to their first subsequent purchase, bucketed — the
+      // activation-latency histogram (bucket −1 = never converted).
+      // Shape: two keyed min-aggregates + ONE user-keyed join, exact µs
+      // arithmetic throughout; at 100 TB both sides are map-side-combined
+      // aggregates of the same event scan and the join shuffles O(users),
+      // never events.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("us", expr("ts_ns div 1000"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("s_us"))
+        val fp = ev.filter(col("event_type") === "purchase")
+          .join(su, "user_id")
+          .filter(col("us") >= col("s_us"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+        su.join(fp, Seq("user_id"), "left")
+          .select(coalesce(expr("(p_us - s_us) DIV 3600000000"), lit(-1L))
+            .as("bucket_h"))
+          .groupBy(col("bucket_h"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("bucket_h"))
+      },
+      Some("""WITH su AS (
+             |  SELECT user_id, min(epoch_us(ts)) AS s_us
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |fp AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+             |  FROM events e JOIN su ON su.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s_us
+             |  GROUP BY 1)
+             |SELECT coalesce((p_us - s_us) // 3600000000, -1) AS bucket_h,
+             |       CAST(count(*) AS BIGINT) AS n_users
+             |FROM su LEFT JOIN fp USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant checks for the round-9 tail batches: the skyline sort-scan
+  * identity vs the O(n²) dominance definition, the business-day closed
+  * form vs a brute-force day walk, LPM most-specific-route selection vs a
+  * naive per-event recompute, and the fuzzy-dedup vocabulary expansion vs
+  * row-level scoring. DuckDB value parity is the driver gate's job; these
+  * pin the algebraic rewrites each operator's speed depends on.
+  */
+class Round9TailSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("win_skyline_pareto: window identity equals O(n^2) dominance scan") {
+    val rows = q("win_skyline_pareto").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val all = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("p"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = all.filter { case (k, p, d) =>
+      !all.exists { case (k2, p2, d2) =>
+        (p2 < p && d2 >= d) || (p2 <= p && d2 > d) ||
+          (p2 == p && d2 == d && k2 < k)
+      }
+    }.map(t => (t._1, t._2, t._3)).sortBy(t => (t._2, t._1))
+    assert(rows.toSeq == naive.toSeq)
+  }
+
+  test("fn_business_days: closed form equals brute-force day walk") {
+    val got = q("fn_business_days").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute force: walk each order's [start+1 .. start+k] days, count
+    // non-weekend ones (epoch day 0 = Thursday; weekday = (e+3)%7 < 5)
+    val brute = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')").as("ea"),
+        expr("CAST(o_orderkey % 20 AS INT)").as("k"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (prio, rs) =>
+        val bds = rs.map { r =>
+          val ea = r.getInt(1).toLong
+          (1 to r.getInt(2)).count(i => (ea + i + 3) % 7 < 5).toLong
+        }
+        prio -> (rs.length.toLong, bds.sum)
+      }
+    assert(got == brute)
+  }
+
+  test("join_cidr_lookup: every event maps to its most specific route") {
+    val got = q("join_cidr_lookup").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size > 2)
+    // naive recompute: nations 0..24 own /16; %5==0 nations own a /24 at
+    // .1.0; events derive ips from (user_id, event_id)
+    val nations = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val naive = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id")).collect().map { r =>
+        val (eid, uid) = (r.getLong(0), r.getLong(1))
+        val hi = uid % 30  // second octet
+        val oct3 = eid % 3 // third octet
+        nations.get(hi) match {
+          case Some(name) if hi % 5 == 0 && oct3 == 1 => name + "-dc"
+          case Some(name)                             => name
+          case None                                   => "default"
+        }
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == naive)
+  }
+
+  test("dedup_fuzzy_blocked: vocabulary expansion equals row-level scoring") {
+    val got = q("dedup_fuzzy_blocked").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val p = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("ka"),
+      col("p_name").as("na"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("kb"),
+      col("p_name").as("nb"))
+    val naive = a.join(b, Seq("p_brand"))
+      .filter(col("ka") < col("kb") &&
+        levenshtein(col("na"), col("nb")) <= 1)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("ka")).as("nl"),
+        sum(when(col("na") === col("nb"), 1L).otherwise(0L)).as("ne"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == naive)
+  }
+
+  test("ts_lagged_crosscorr: lag 0 equals direct daily corr") {
+    val rows = q("ts_lagged_crosscorr").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(rows.size == 7)
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("CAST(date_trunc('day', ts) AS DATE)").as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val c = daily.agg(corr(col("x").cast("double"), col("y").cast("double")))
+      .head.getDouble(0)
+    val want = math.floor(c * 1000000 + 0.5).toLong
+    assert(math.abs(rows(0) - want) <= 1,
+      s"lag-0 corr ${rows(0)} vs builtin $want")
+  }
+}

@@ -841,6 +841,56 @@ object Aggregates {
              |ORDER BY brand_a, brand_b""".stripMargin)
     ),
     Q(
+      "stat_cohens_kappa",
+      // Cohen's kappa (round-9): chance-corrected agreement between two
+      // binary "annotators" over events — A: is it an error event, B: is
+      // value above 50 — the label-quality / weak-supervision audit
+      // (raw agreement over-credits whatever both raters say most).
+      // kappa = (po − pe)/(1 − pe) from the four exact confusion counts
+      // of ONE map-side-combined aggregate; e6-pinned. O(1) output.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error" && col("value") > 50, 1L)
+              .otherwise(0L)).as("n11"),
+            sum(when(col("event_type") === "error" && !(col("value") > 50), 1L)
+              .otherwise(0L)).as("n10"),
+            sum(when(col("event_type") =!= "error" && col("value") > 50, 1L)
+              .otherwise(0L)).as("n01"))
+          .select(col("n"), col("n11"), col("n10"), col("n01"), expr(
+            """CAST(floor(
+              |  ((CAST(n11 + n - n11 - n10 - n01 AS DOUBLE) / CAST(n AS DOUBLE))
+              |   - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+              |      + CAST(n - n11 - n10 AS DOUBLE) * CAST(n - n11 - n01 AS DOUBLE))
+              |     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              |  / (1 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+              |          + CAST(n - n11 - n10 AS DOUBLE) * CAST(n - n11 - n01 AS DOUBLE))
+              |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("kappa_e6"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(CASE WHEN event_type = 'error' AND value > 50
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             |         CAST(sum(CASE WHEN event_type = 'error' AND NOT (value > 50)
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             |         CAST(sum(CASE WHEN event_type <> 'error' AND value > 50
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n01
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT n, n11, n10, n01,
+             |       CAST(floor(
+             |         ((CAST(n11 + n - n11 - n10 - n01 AS DOUBLE) / CAST(n AS DOUBLE))
+             |          - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+             |             + CAST(n - n11 - n10 AS DOUBLE) * CAST(n - n11 - n01 AS DOUBLE))
+             |            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             |         / (1 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+             |                 + CAST(n - n11 - n10 AS DOUBLE) * CAST(n - n11 - n01 AS DOUBLE))
+             |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             |         * 1000000 + 0.5) AS BIGINT) AS kappa_e6
+             |FROM c""".stripMargin)
+    ),
+    Q(
       "stat_bootstrap_ci",
       // Derandomized bootstrap confidence interval (round-9): the 95% CI
       // of mean daily purchase revenue by resampling — the distribution-

@@ -2256,6 +2256,53 @@ object Windows {
              |       CAST(count(*) AS BIGINT) AS n_users
              |FROM su LEFT JOIN fp USING (user_id)
              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "win_rfm_segmentation",
+      // RFM customer segmentation (round-9): quartile scores for Recency
+      // (latest order date), Frequency (order count), Monetary (exact
+      // cents) — the classic marketing cube. Three ntile(4) windows over
+      // the ALREADY-AGGREGATED O(customers) frame with a custkey tiebreak
+      // making every quartile boundary deterministic; at 100 TB the
+      // global ntile sort range-partitions (sort_global_sequence's
+      // posture), and the input is customers, never orders. Output is
+      // the 4³ segment census.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rfm = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate")).as("recency"),
+            count(lit(1)).as("frequency"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("monetary_c"))
+        rfm
+          .withColumn("r_q", ntile(4).over(
+            Window.orderBy(col("recency"), col("o_custkey"))))
+          .withColumn("f_q", ntile(4).over(
+            Window.orderBy(col("frequency"), col("o_custkey"))))
+          .withColumn("m_q", ntile(4).over(
+            Window.orderBy(col("monetary_c"), col("o_custkey"))))
+          .groupBy(col("r_q").cast("long").as("r_q"),
+            col("f_q").cast("long").as("f_q"),
+            col("m_q").cast("long").as("m_q"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("monetary_c")).as("segment_value_c"))
+          .orderBy(col("r_q"), col("f_q"), col("m_q"))
+      },
+      Some("""WITH rfm AS (
+             |  SELECT o_custkey, max(o_orderdate) AS recency,
+             |         CAST(count(*) AS BIGINT) AS frequency,
+             |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_c
+             |  FROM orders GROUP BY o_custkey),
+             |scored AS (
+             |  SELECT monetary_c,
+             |         ntile(4) OVER (ORDER BY recency, o_custkey) AS r_q,
+             |         ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_q,
+             |         ntile(4) OVER (ORDER BY monetary_c, o_custkey) AS m_q
+             |  FROM rfm)
+             |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+             |       CAST(sum(monetary_c) AS BIGINT) AS segment_value_c
+             |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
     )
   )
 

@@ -177,6 +177,63 @@ object GraphAnalytics {
               |SELECT node, pr FROM r3 ORDER BY node""".stripMargin)
     ),
     Q(
+      "graph_pagerank_personalized",
+      // Personalized PageRank (round-9): random walks RESTART at a seed
+      // set (suppliers with node % 7 = 0) instead of uniformly — the
+      // recommendation / related-entities primitive (global PageRank
+      // ranks the whole graph; PPR ranks it AROUND a query set). Same
+      // 3-round BIGINT fixed-point message passing as the global row —
+      // only the teleport vector changes: seeds get 0.15·Scale, others 0,
+      // and the initial mass sits entirely on seeds. Identical overflow
+      // headroom; mass bounded by |seeds|·Scale.
+      (s, dir) => {
+        val e = edgesSym(s, dir)
+        val deg = degrees(s, dir)
+        val seeded = deg.select(col("node"),
+          (col("node") % 7 === 0).as("is_seed"))
+        var ranks = seeded.select(col("node"),
+          when(col("is_seed"), lit(Scale)).otherwise(lit(0L)).as("pr"))
+        for (_ <- 1 to 3) {
+          val contribs = e
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), expr("pr div degree").as("c"))
+            .groupBy(col("node")).agg(sum(col("c")).as("sm"))
+          ranks = seeded
+            .join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (when(col("is_seed"), lit(Teleport)).otherwise(lit(0L))
+                + expr("(85 * coalesce(sm, 0)) div 100")).as("pr"))
+        }
+        seeded.join(ranks, "node")
+          .select(col("node"), col("is_seed"), col("pr"))
+          .orderBy(col("node"))
+      },
+      Some(s"""$baseSql,
+              |sd AS (SELECT node, node % 7 = 0 AS is_seed FROM deg),
+              |p0 AS (SELECT node, CAST(CASE WHEN node % 7 = 0 THEN $Scale ELSE 0 END AS BIGINT) AS pr FROM deg),
+              |t1 AS (SELECT e.dst AS node, sum(p0.pr // deg.degree) AS sm
+              |       FROM e JOIN p0 ON e.src = p0.node JOIN deg ON e.src = deg.node
+              |       GROUP BY e.dst),
+              |p1 AS (SELECT sd.node, CAST(CASE WHEN sd.is_seed THEN $Teleport ELSE 0 END
+              |              + (85 * coalesce(t1.sm, 0)) // 100 AS BIGINT) AS pr
+              |       FROM sd LEFT JOIN t1 ON sd.node = t1.node),
+              |t2 AS (SELECT e.dst AS node, sum(p1.pr // deg.degree) AS sm
+              |       FROM e JOIN p1 ON e.src = p1.node JOIN deg ON e.src = deg.node
+              |       GROUP BY e.dst),
+              |p2 AS (SELECT sd.node, CAST(CASE WHEN sd.is_seed THEN $Teleport ELSE 0 END
+              |              + (85 * coalesce(t2.sm, 0)) // 100 AS BIGINT) AS pr
+              |       FROM sd LEFT JOIN t2 ON sd.node = t2.node),
+              |t3 AS (SELECT e.dst AS node, sum(p2.pr // deg.degree) AS sm
+              |       FROM e JOIN p2 ON e.src = p2.node JOIN deg ON e.src = deg.node
+              |       GROUP BY e.dst),
+              |p3 AS (SELECT sd.node, CAST(CASE WHEN sd.is_seed THEN $Teleport ELSE 0 END
+              |              + (85 * coalesce(t3.sm, 0)) // 100 AS BIGINT) AS pr
+              |       FROM sd LEFT JOIN t3 ON sd.node = t3.node)
+              |SELECT sd.node, sd.is_seed, p3.pr
+              |FROM sd JOIN p3 ON sd.node = p3.node ORDER BY sd.node""".stripMargin)
+    ),
+    Q(
       "graph_modularity_greedy",
       // Greedy modularity sweep + partition modularity (round-9): the
       // first synchronized Louvain pass from singleton communities —

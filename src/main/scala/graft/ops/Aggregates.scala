@@ -1511,6 +1511,69 @@ object Aggregates {
              |      CASE o_orderstatus WHEN 'F' THEN 500 WHEN 'O' THEN 200 ELSE 1000 END
              |ORDER BY o_orderkey""".stripMargin)
     ),
+    Q(
+      "sample_quality_weighted",
+      // Quality-weighted deterministic downsampling (round-9): keep
+      // probability scales with a quality proxy (chars/400, capped at 1)
+      // and membership is the SAME multiplicative-hash draw as
+      // sample_hash_deterministic — so high-quality docs survive at
+      // higher rates, the draw is reproducible across engines/runs/
+      // repartitioning, and NO RNG exists anywhere (the DataComp-style
+      // "sample by quality score" pass, pinned for a 100 TB corpus).
+      // Per-language census keeps output O(langs).
+      (s, dir) => {
+        val t = expr("least(CAST(1000 AS BIGINT), n_chars * 1000 DIV 400)")
+        val h = ((col("doc_id") % 1000003L) * 2654435761L) % 1000L
+        Tables(s, dir, "documents")
+          .withColumn("kept", (h < t).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+            sum(col("n_chars") * col("kept")).as("kept_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000
+             |                          < least(1000, n_chars * 1000 // 400)
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       CAST(sum(CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000
+             |                          < least(1000, n_chars * 1000 // 400)
+             |                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "stat_mde_power",
+      // Minimal detectable effect per event type (round-9): given the
+      // observed conversion rate (value > 50) and sample size, the
+      // smallest absolute rate change a standard two-sided α=.05 / 80%-
+      // power A/B test could detect — MDE = (z_α/2 + z_β)·√(2p(1−p)/n).
+      // The experimentation-platform sizing primitive; z constants are
+      // shared literals, p and n exact counts, one e6 pin. O(types) out.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > 50, 1L).otherwise(0L)).as("conv"))
+          .select(col("event_type"), col("n"), col("conv"), expr(
+            """CAST(floor((1.959964 + 0.841621)
+              |  * sqrt(2 * (CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+              |         * (1 - CAST(conv AS DOUBLE) / CAST(n AS DOUBLE))
+              |         / CAST(n AS DOUBLE))
+              |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("mde_e6"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+             |       CAST(floor((1.959964 + 0.841621)
+             |         * sqrt(2 * (CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS DOUBLE)
+             |                     / CAST(count(*) AS DOUBLE))
+             |                * (1 - CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS DOUBLE)
+             |                       / CAST(count(*) AS DOUBLE))
+             |                / CAST(count(*) AS DOUBLE))
+             |         * 1000000 + 0.5) AS BIGINT) AS mde_e6
+             |FROM events WHERE value IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
     // NOTE: a Bernoulli `stat.sampleBy` variant ("sample_stratified") was
     // retired in round 3: its engine-specific RNG made it permanently
     // un-oracled, and `sample_hash_deterministic` above is the canonical —

@@ -704,7 +704,45 @@ object ScalarFns {
               |       CAST(floor(CAST(sum(bd) AS DOUBLE) / CAST(count(*) AS DOUBLE)
               |            * 1000000 + 0.5) AS BIGINT) AS avg_bd_e6
               |FROM g GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-    )
+    ),
+    jsonKeyProfileQ
+  )
+
+  /** Semi-structured key profile (see [[defs]] entry fn_json_key_profile). */
+  private lazy val jsonKeyProfileQ: Q = Q(
+    "fn_json_key_profile",
+    // Semi-structured payload profiling (round-9): explode every JSON
+    // property map into (key, value) rows and profile each key — count,
+    // numeric coverage, min/max/sum — the schema-discovery pass run
+    // before promoting an untyped props blob to real columns. Spark side
+    // parses ONCE per row into map<string,string> (no per-key re-parse,
+    // no dynamic get_json_object paths); the aggregate is map-side
+    // combined and output is O(distinct keys).
+    (s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("props").isNotNull)
+        .select(explode(expr("from_json(props, 'map<string,string>')"))
+          .as(Seq("k", "v")))
+        .select(col("k"), expr("try_cast(v AS BIGINT)").as("nv"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), count(col("nv")).as("n_numeric"),
+          min(col("nv")).as("min_v"), max(col("nv")).as("max_v"),
+          sum(col("nv")).as("sum_v"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH kv AS (
+           |  SELECT unnest(json_keys(props)) AS k, props
+           |  FROM events WHERE props IS NOT NULL),
+           |kv2 AS (
+           |  SELECT k,
+           |         try_cast(json_extract(props, '$.' || k) AS BIGINT) AS nv
+           |  FROM kv)
+           |SELECT k, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(count(nv) AS BIGINT) AS n_numeric,
+           |       CAST(min(nv) AS BIGINT) AS min_v,
+           |       CAST(max(nv) AS BIGINT) AS max_v,
+           |       CAST(sum(nv) AS BIGINT) AS sum_v
+           |FROM kv2 GROUP BY k ORDER BY k""".stripMargin)
   )
 
   /** Weekday prefix-count CASE (shared text for [[fn_business_days]]):

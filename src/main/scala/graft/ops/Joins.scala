@@ -1297,6 +1297,29 @@ object Joins {
              |GROUP BY m ORDER BY m""".stripMargin)
     ),
     Q(
+      "sql_window_tvf",
+      // Batch `window()` time-bucketing TVF (round-9): the SAME
+      // window(ts, '30 minutes') expression Structured Streaming
+      // aggregates on, exercised on a BATCH frame through SQL — one
+      // query text for both replay and live paths is the point of the
+      // API. Oracle states the semantics as exact µs floor division
+      // (tumbling bucket = ts − ts mod 30min).
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT unix_micros(CAST(window.start AS TIMESTAMP)) AS bucket_us,
+            |       CAST(count(*) AS BIGINT) AS n_events,
+            |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            |FROM events
+            |GROUP BY window(ts, '30 minutes')
+            |ORDER BY bucket_us""".stripMargin)
+      },
+      Some("""SELECT CAST(epoch_us(ts) - epoch_us(ts) % 1800000000 AS BIGINT) AS bucket_us,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "sql_pipe_syntax",
       // Spark 4 SQL pipe operators (|>): the linear FROM → WHERE →
       // AGGREGATE → ORDER BY chain plans to exactly the same operators as

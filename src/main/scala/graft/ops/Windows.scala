@@ -2303,6 +2303,79 @@ object Windows {
              |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
              |       CAST(sum(monetary_c) AS BIGINT) AS segment_value_c
              |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    ),
+    Q(
+      "win_pareto_8020",
+      // Pareto concentration (round-9): how many top customers cover 80%
+      // (and 50%, 95%) of total revenue — the 80/20 audit behind account
+      // prioritization. Ranks the O(customers) revenue aggregate once
+      // (exact cents, custkey tiebreak), takes a running share, and
+      // reports the first rank crossing each threshold. Cumulative sum ·
+      // 100 ≥ total · threshold keeps the comparison in exact BIGINT —
+      // no double division anywhere.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("rev_c"))
+        val w = Window.orderBy(col("rev_c").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = rev
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("rev_c").desc, col("o_custkey"))))
+          .withColumn("cum", sum(col("rev_c")).over(w))
+          .withColumn("total", sum(col("rev_c")).over(Window.partitionBy()))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        val th = ranked.select(col("rnk").cast("long").as("rnk"), col("cum"),
+          col("total"), col("n"),
+          explode(array(lit(50L), lit(80L), lit(95L))).as("threshold_pct"))
+          .filter(col("cum") * 100 >= col("total") * col("threshold_pct"))
+          .groupBy(col("threshold_pct"))
+          .agg(min(col("rnk")).as("n_top_customers"), max(col("n")).as("n_customers"))
+        th.select(col("threshold_pct"), col("n_top_customers"), col("n_customers"))
+          .orderBy(col("threshold_pct"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey,
+             |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+             |  FROM orders GROUP BY o_custkey),
+             |ranked AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS BIGINT) AS rnk,
+             |         CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+             |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |         CAST(sum(rev_c) OVER () AS BIGINT) AS total,
+             |         CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM rev)
+             |SELECT t.threshold_pct, min(rnk) AS n_top_customers,
+             |       max(n) AS n_customers
+             |FROM ranked,
+             |     (SELECT CAST(unnest([50, 80, 95]) AS BIGINT) AS threshold_pct) t
+             |WHERE cum * 100 >= total * t.threshold_pct
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "ts_seasonality_heatmap",
+      // Weekday × hour traffic heatmap (round-9): the event-count matrix
+      // every ops dashboard draws. Weekday comes from raw epoch-day
+      // arithmetic ((days+3)%7, Mon=0 — the fn_business_days trick, so
+      // the engines' dayofweek numbering mismatch never enters), hour
+      // from exact µs division. One map-side-combined aggregate, output
+      // bounded at 7×24 rows at ANY corpus size.
+      (s, dir) => {
+        Tables.events(s, dir)
+          .withColumn("us", expr("ts_ns div 1000"))
+          .groupBy(expr("(us div 86400000000 + 3) % 7").as("weekday"),
+            expr("(us div 3600000000) % 24").as("hour_utc"))
+          .agg(count(lit(1)).as("n_events"),
+            util.r2(sum(col("value"))).as("total_value"))
+          .orderBy(col("weekday"), col("hour_utc"))
+      },
+      Some(s"""SELECT (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday,
+              |       (epoch_us(ts) // 3600000000) % 24 AS hour_utc,
+              |       CAST(count(*) AS BIGINT) AS n_events,
+              |       ${util.r2sql("sum(value)")} AS total_value
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 

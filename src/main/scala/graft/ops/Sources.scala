@@ -509,6 +509,34 @@ object Sources {
              |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "sink_variant_roundtrip",
+      // Spark 4 VARIANT through parquet (round-9): parse the untyped
+      // props blob once into the binary-encoded Variant type, land it in
+      // parquet, read it back, and extract typed fields with
+      // variant_get — the open-table-format answer to "schema-on-read
+      // without string re-parsing" (Variant decode is O(field) on the
+      // encoded form, not a JSON re-parse per access). The roundtrip is
+      // lossless, so the oracle states the same aggregate over the
+      // original JSON; storage is columnar binary + metadata, scanned
+      // like any other column at 100 TB.
+      (s, dir) => {
+        val tmp = tmpDir("graft_variant_")
+        Tables.events(s, dir)
+          .filter(col("props").isNotNull)
+          .select(col("event_id"), expr("parse_json(props)").as("v"))
+          .write.mode("overwrite").parquet(s"$tmp/t")
+        s.read.parquet(s"$tmp/t")
+          .select(expr("variant_get(v, '$.k', 'bigint')").as("k_val"))
+          .groupBy(col("k_val"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("k_val"))
+      },
+      Some("""SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM events WHERE props IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "sink_overwrite_snapshot",
       // Snapshot replace semantics (`dap initdb` re-init): overwrite twice,
       // read back — idempotent, so the oracle is the identity on orders.

@@ -100,6 +100,61 @@ class Round9TailSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("sink_variant_roundtrip: variant extraction equals direct JSON parse") {
+    val got = q("sink_variant_roundtrip").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, dir)
+      .filter(col("props").isNotNull)
+      .select(expr("CAST(get_json_object(props, '$.k') AS BIGINT)").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("win_pareto_8020: thresholds are monotone and bounded by customers") {
+    val rows = q("win_pareto_8020").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(50L, 80L, 95L))
+    val tops = rows.map(_._2)
+    assert(tops sameElements tops.sorted, "higher coverage needs >= customers")
+    assert(rows.forall { case (_, top, all) => top >= 1 && top <= all })
+  }
+
+  test("win_rfm_segmentation: quartile census covers every customer once") {
+    val rows = q("win_rfm_segmentation").collect()
+    val total = rows.map(_.getLong(3)).sum
+    val nCust = Tables(spark, dir, "orders")
+      .select(countDistinct(col("o_custkey"))).head.getLong(0)
+    assert(total == nCust)
+    assert(rows.forall { r =>
+      (1L to 4L).contains(r.getLong(0)) && (1L to 4L).contains(r.getLong(1)) &&
+        (1L to 4L).contains(r.getLong(2))
+    })
+  }
+
+  test("sample_quality_weighted: kept counts bounded and monotone in quality") {
+    val rows = q("sample_quality_weighted").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)) // kept <= docs
+    }
+    // docs at/above the cap (n_chars >= 400) must ALWAYS be kept
+    val capped = Tables(spark, dir, "documents")
+      .filter(col("n_chars") >= 400)
+      .filter(expr("((doc_id % 1000003) * 2654435761) % 1000 >= 1000"))
+      .count()
+    assert(capped == 0)
+  }
+
+  test("stat_cohens_kappa: kappa within [-1e6, 1e6] and counts consistent") {
+    val r = q("stat_cohens_kappa").head
+    val (n, n11, n10, n01) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n11 + n10 + n01 <= n)
+    val kappa = r.getLong(4)
+    assert(kappa >= -1000000L && kappa <= 1000000L)
+  }
+
   test("ts_lagged_crosscorr: lag 0 equals direct daily corr") {
     val rows = q("ts_lagged_crosscorr").collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap

@@ -509,6 +509,38 @@ object Sources {
              |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "scan_parquet_nested_filter",
+      // Nested-field predicate pushdown (round-9): land orders as a
+      // struct column, filter on a field INSIDE the struct, and let the
+      // predicate reach the parquet reader (Spark's
+      // nestedPredicatePushdown is on by default for parquet) — the
+      // row-group-skipping that makes struct-shaped lakehouse tables
+      // scannable at 100 TB; without it every nested read is a full
+      // scan + post-filter. PlanShape-style assertion lives in
+      // Round9TailSpec (PushedFilters names the nested path); the
+      // oracle states the value semantics over the flat original.
+      (s, dir) => {
+        val tmp = tmpDir("graft_nested_")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), struct(
+            col("o_orderstatus").as("status"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_c"))
+            .as("info"))
+          .write.mode("overwrite").parquet(s"$tmp/t")
+        s.read.parquet(s"$tmp/t")
+          .filter(col("info.status") === "F" && col("info.price_c") > 10000000L)
+          .groupBy(col("info.status").as("status"))
+          .agg(count(lit(1)).as("n"), sum(col("info.price_c")).as("sum_c"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c
+             |FROM orders
+             |WHERE o_orderstatus = 'F'
+             |  AND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 10000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "sink_variant_roundtrip",
       // Spark 4 VARIANT through parquet (round-9): parse the untyped
       // props blob once into the binary-encoded Variant type, land it in

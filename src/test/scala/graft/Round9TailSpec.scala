@@ -155,6 +155,17 @@ class Round9TailSpec extends AnyFunSuite {
     assert(kappa >= -1000000L && kappa <= 1000000L)
   }
 
+  test("scan_parquet_nested_filter: nested predicate reaches the scan") {
+    val df = q("scan_parquet_nested_filter")
+    assert(df.collect().nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    // the struct-field predicate must appear in PushedFilters, not only
+    // as a post-scan Filter — that's the row-group-skip proof
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("info.status"),
+      s"nested predicate not pushed:\n${plan.take(2000)}")
+  }
+
   test("ts_lagged_crosscorr: lag 0 equals direct daily corr") {
     val rows = q("ts_lagged_crosscorr").collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap

@@ -509,6 +509,36 @@ object Sources {
              |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "scan_csv_charset_latin1",
+      // Non-UTF-8 charset roundtrip (round-9): land accented labels as
+      // ISO-8859-1 (latin-1) CSV and read them back with the encoding
+      // option — the legacy-feed reality every warehouse ingests (a
+      // UTF-8-assuming read of latin-1 turns 'é' into mojibake, which is
+      // exactly what the hash oracle would catch: the é here is a
+      // single 0xE9 byte on disk, two bytes in UTF-8). Schema-first read
+      // as always; oracle recomputes the labels engine-side, no file
+      // dependence.
+      (s, dir) => {
+        val tmp = tmpDir("graft_latin1_")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("café nr "), (col("doc_id") % 10).cast("string"))
+              .as("label"))
+          .write.mode("overwrite").option("encoding", "ISO-8859-1")
+          .option("header", "true").csv(s"$tmp/t")
+        s.read.option("encoding", "ISO-8859-1").option("header", "true")
+          .schema("doc_id BIGINT, label STRING")
+          .csv(s"$tmp/t")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+          .orderBy(col("label"))
+      },
+      Some("""SELECT 'café nr ' || CAST(doc_id % 10 AS VARCHAR) AS label,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
       "scan_parquet_nested_filter",
       // Nested-field predicate pushdown (round-9): land orders as a
       // struct column, filter on a field INSIDE the struct, and let the

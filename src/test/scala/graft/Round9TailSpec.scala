@@ -166,6 +166,23 @@ class Round9TailSpec extends AnyFunSuite {
       s"nested predicate not pushed:\n${plan.take(2000)}")
   }
 
+  test("scan_csv_charset_latin1: bytes on disk are single-byte latin-1") {
+    // the oracle pass alone can't distinguish honored-latin1 from
+    // ignored-option-UTF8-both-ways; pin the physical encoding here
+    val tmp = graft.util.tempDir("latin1_check_")
+    Tables(spark, dir, "documents").limit(5)
+      .select(col("doc_id"), lit("café").as("label"))
+      .write.mode("overwrite").option("encoding", "ISO-8859-1")
+      .option("header", "true").csv(s"$tmp/t")
+    val files = new java.io.File(s"$tmp/t").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(files.nonEmpty)
+    val bytes = java.nio.file.Files.readAllBytes(files.head.toPath)
+    assert(bytes.contains(0xe9.toByte), "é must be the single latin-1 byte")
+    assert(!bytes.containsSlice(Array(0xc3.toByte, 0xa9.toByte)),
+      "must not be UTF-8 encoded")
+  }
+
   test("ts_lagged_crosscorr: lag 0 equals direct daily corr") {
     val rows = q("ts_lagged_crosscorr").collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap

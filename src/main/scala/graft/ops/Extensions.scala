@@ -48,6 +48,69 @@ object Extensions {
               |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "sink_writeto_v2",
+      // DataFrameWriterV2 through the catalog plugin (round-9): the
+      // typed `writeTo(...).createOrReplace()` / `.append()` API — the
+      // V2 writer surface programs use where SQL DML isn't ergonomic —
+      // resolving through the SAME TableCatalog → manifest commit path
+      // as INSERT INTO (createOrReplace is an atomic REPLACE TABLE AS
+      // SELECT; append inherits two-phase exactly-once). Read-back
+      // aggregates both writes; oracle states the union semantics.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", catalogWarehouse)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        val n = Tables(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name"))
+        n.filter(col("k") < 10).writeTo("graft_cat.marts.wt_nations")
+          .createOrReplace()
+        n.filter(col("k") >= 10).writeTo("graft_cat.marts.wt_nations").append()
+        s.table("graft_cat.marts.wt_nations")
+          .groupBy((col("k") % 5).as("bucket"))
+          .agg(count(lit(1)).as("n"), min(col("name")).as("first_name"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CAST(n_nationkey % 5 AS BIGINT) AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       min(n_name) AS first_name
+             |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+    Q(
+      "sql_cache_table",
+      // CACHE TABLE reuse (round-9): materialize an expensive
+      // intermediate once and serve two downstream aggregates from the
+      // in-memory columnar form — the manual common-subplan lever for
+      // 100 TB DAGs (AQE reuses exchanges within ONE query; CACHE
+      // spans queries). Second read's plan carries InMemoryTableScan —
+      // pinned in Round9TailSpec; here the row returns the union of two
+      // consumers so correctness covers both the cached and the
+      // cache-populating path.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("UNCACHE TABLE IF EXISTS cache_demo")
+        s.sql("""CACHE TABLE cache_demo AS
+                |SELECT o_orderpriority, o_orderstatus, o_totalprice
+                |FROM orders WHERE o_totalprice > 1000""".stripMargin)
+        s.sql(s"""SELECT 'by_priority' AS dim, o_orderpriority AS key,
+                 |       CAST(count(*) AS BIGINT) AS n
+                 |FROM cache_demo GROUP BY 2
+                 |UNION ALL
+                 |SELECT 'by_status', o_orderstatus, CAST(count(*) AS BIGINT)
+                 |FROM cache_demo GROUP BY 2
+                 |ORDER BY dim, key""".stripMargin)
+      },
+      Some("""WITH cache_demo AS (
+             |  SELECT o_orderpriority, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_totalprice > 1000)
+             |SELECT 'by_priority' AS dim, o_orderpriority AS key,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM cache_demo GROUP BY 2
+             |UNION ALL
+             |SELECT 'by_status', o_orderstatus, CAST(count(*) AS BIGINT)
+             |FROM cache_demo GROUP BY 2
+             |ORDER BY dim, key""".stripMargin)
+    ),
+    Q(
       "udf_scalar_norm",
       // Scalar UDF text normalizer. A UDF is a codegen black box — fine at
       // the surface, but the oracle shows the same logic is expressible as

@@ -183,6 +183,15 @@ class Round9TailSpec extends AnyFunSuite {
       "must not be UTF-8 encoded")
   }
 
+  test("sql_cache_table: second consumer reads InMemoryTableScan") {
+    q("sql_cache_table").collect() // populates the cache
+    val plan = spark.sql("SELECT count(*) FROM cache_demo")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("Scan In-memory"),
+      s"cache not used:\n${plan.take(1500)}")
+    spark.sql("UNCACHE TABLE IF EXISTS cache_demo")
+  }
+
   test("ts_lagged_crosscorr: lag 0 equals direct daily corr") {
     val rows = q("ts_lagged_crosscorr").collect()
       .map(r => r.getInt(0) -> r.getLong(2)).toMap

@@ -1320,6 +1320,48 @@ object Joins {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "sql_session_window_tvf",
+      // Batch `session_window()` TVF (round-9): the dynamic-gap session
+      // operator Structured Streaming aggregates on, driven on a BATCH
+      // frame — sessions close after 30 idle minutes, exactly the
+      // stream_session_window semantics, replayable on history with the
+      // same expression. The oracle can't call the TVF, so it derives
+      // sessions with the canonical gaps-and-islands rewrite (lag → gap
+      // flag → running sum) and reproduces [start, end+gap) bounds —
+      // the identity between the two formulations is what this row
+      // hash-certifies (win_session_gaps pins the manual form; this
+      // pins Spark's native operator against it).
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT user_id,
+            |       unix_micros(CAST(session_window.start AS TIMESTAMP)) AS s_us,
+            |       unix_micros(CAST(session_window.end AS TIMESTAMP)) AS e_us,
+            |       CAST(count(*) AS BIGINT) AS n_events
+            |FROM events
+            |GROUP BY user_id, session_window(ts, '30 minutes')
+            |ORDER BY user_id, s_us""".stripMargin)
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT user_id, ts,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m)
+             |SELECT user_id,
+             |       CAST(min(epoch_us(ts)) AS BIGINT) AS s_us,
+             |       CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS e_us,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, s_us""".stripMargin)
+    ),
+    Q(
       "sql_pipe_syntax",
       // Spark 4 SQL pipe operators (|>): the linear FROM → WHERE →
       // AGGREGATE → ORDER BY chain plans to exactly the same operators as

@@ -88,6 +88,10 @@ object Extensions {
       (s, dir) => {
         graft.Catalog.registerAll(s, dir)
         s.sql("UNCACHE TABLE IF EXISTS cache_demo")
+        // CACHE TABLE ... AS creates a temp view; UNCACHE alone does not
+        // drop it, so a re-run in the same session (Bench times every
+        // query 3×) would hit TEMP_TABLE_OR_VIEW_ALREADY_EXISTS.
+        s.catalog.dropTempView("cache_demo")
         s.sql("""CACHE TABLE cache_demo AS
                 |SELECT o_orderpriority, o_orderstatus, o_totalprice
                 |FROM orders WHERE o_totalprice > 1000""".stripMargin)

@@ -783,6 +783,155 @@ object Aggregates {
              |FROM c""".stripMargin)
     ),
     Q(
+      "stat_cuped",
+      // CUPED variance reduction (round-9): the experiment-analysis
+      // primitive that shrinks A/B confidence intervals using a
+      // pre-period covariate — adjusted = post − θ·(pre − mean(pre)),
+      // θ = cov(pre, post)/var(pre). Per-user pre/post sums (first vs
+      // second half of the events month) are exact BIGINT cents from ONE
+      // map-side-combined aggregate; θ and the per-variant adjusted means
+      // fold those exact moments with identical formula text, pinned at
+      // e6. Two shuffles total (user rollup, then a 5-moment global fold
+      // broadcast back over the 2-variant rollup); O(1) output rows at
+      // any scale.
+      (s, dir) => {
+        val per = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(dayofmonth(col("ts")) <= 15,
+              expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+              .otherwise(0L)).as("x"),
+            sum(when(dayofmonth(col("ts")) > 15,
+              expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+              .otherwise(0L)).as("y"))
+          .withColumn("variant", (col("user_id") % 2).cast("int"))
+        val mom = per.agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        per.crossJoin(broadcast(mom))
+          .withColumn("theta", expr(
+            """(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              |/ (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin))
+          .withColumn("adj", expr(
+            "CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"))
+          .groupBy(col("variant"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            expr("CAST(floor(avg(CAST(y AS DOUBLE)) * 100 + 0.5) AS BIGINT)").as("raw_mean_cents"),
+            expr("CAST(floor(avg(adj) * 100 + 0.5) AS BIGINT)").as("cuped_mean_cents"),
+            expr("CAST(floor(max(theta) * 1000000 + 0.5) AS BIGINT)").as("theta_e6"))
+          .orderBy(col("variant"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             |    CAST(sum(CASE WHEN day(ts) <= 15
+             |         THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(sum(CASE WHEN day(ts) > 15
+             |         THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+             |  FROM events GROUP BY user_id),
+             |mom AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+             |         CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM per),
+             |adj AS (
+             |  SELECT variant, y,
+             |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS theta,
+             |    CAST(y AS DOUBLE)
+             |      - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             |         / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+             |        * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS adj
+             |  FROM per CROSS JOIN mom)
+             |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+             |       CAST(floor(avg(CAST(y AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS raw_mean_cents,
+             |       CAST(floor(avg(adj) * 100 + 0.5) AS BIGINT) AS cuped_mean_cents,
+             |       CAST(floor(max(theta) * 1000000 + 0.5) AS BIGINT) AS theta_e6
+             |FROM adj GROUP BY variant ORDER BY variant""".stripMargin)
+    ),
+    Q(
+      "stat_fdr_bh",
+      // Benjamini-Hochberg FDR control (round-9): the multiple-testing
+      // gate every metrics platform needs once it tests 20 sources at
+      // once. Per-source z vs the global document-length mean from exact
+      // BIGINT sums; the tail probability uses the Lin (1989) exponential
+      // approximation exp(−0.717z − 0.416z²) — a pure-arithmetic
+      // surrogate both engines evaluate identically (no erf in either SQL
+      // dialect). BH: rank p ascending, cutoff = max rank with
+      // p ≤ (rank/m)·α (α = 0.1), reject every rank ≤ cutoff. One
+      // O(sources)-row window pass after a map-side aggregate; output is
+      // O(sources) at any scale.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bySrc = Tables(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("ns"), sum(col("n_chars")).as("ss"),
+            sum(col("n_chars") * col("n_chars")).as("sss"))
+        val g = bySrc.agg(
+          sum(col("ns")).as("n"), sum(col("ss")).as("sg"),
+          sum(col("sss")).as("ssg"),
+          count(lit(1)).cast("long").as("m"))
+        val z = bySrc.crossJoin(broadcast(g))
+          .withColumn("zabs", expr(
+            """abs((CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+              |/ (sqrt(CAST(ssg AS DOUBLE) / CAST(n AS DOUBLE)
+              |        - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+              |   / sqrt(CAST(ns AS DOUBLE))))""".stripMargin))
+          .withColumn("p", expr("exp(-0.717 * zabs - 0.416 * zabs * zabs)"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("p"), col("source"))))
+        val cutoff = z
+          .withColumn("ok", when(
+            col("p") <= col("rnk").cast("double") / col("m").cast("double") * 0.1, col("rnk"))
+            .otherwise(0))
+          .agg(max(col("ok")).as("cutoff"))
+        z.crossJoin(broadcast(cutoff))
+          .select(col("source"),
+            expr("CAST(floor(p * 1000000 + 0.5) AS BIGINT)").as("p_e6"),
+            col("rnk").cast("long").as("rnk"),
+            (col("rnk") <= col("cutoff")).as("rejected"))
+          .orderBy(col("rnk"))
+      },
+      Some("""WITH bysrc AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS ns,
+             |         CAST(sum(n_chars) AS BIGINT) AS ss,
+             |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sss
+             |  FROM documents GROUP BY source),
+             |g AS (
+             |  SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(ss) AS BIGINT) AS sg,
+             |         CAST(sum(sss) AS BIGINT) AS ssg, CAST(count(*) AS BIGINT) AS m
+             |  FROM bysrc),
+             |z AS (
+             |  SELECT source,
+             |    exp(-0.717 * abs((CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (sqrt(CAST(ssg AS DOUBLE) / CAST(n AS DOUBLE)
+             |                - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+             |           / sqrt(CAST(ns AS DOUBLE))))
+             |        - 0.416 * ((CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (sqrt(CAST(ssg AS DOUBLE) / CAST(n AS DOUBLE)
+             |                - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+             |           / sqrt(CAST(ns AS DOUBLE))))
+             |          * ((CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+             |        / (sqrt(CAST(ssg AS DOUBLE) / CAST(n AS DOUBLE)
+             |                - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+             |           / sqrt(CAST(ns AS DOUBLE))))) AS p,
+             |    m
+             |  FROM bysrc CROSS JOIN g),
+             |ranked AS (
+             |  SELECT source, p, m,
+             |         CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS rnk
+             |  FROM z),
+             |cut AS (
+             |  SELECT max(CASE WHEN p <= CAST(rnk AS DOUBLE) / CAST(m AS DOUBLE) * 0.1
+             |                  THEN rnk ELSE 0 END) AS cutoff
+             |  FROM ranked)
+             |SELECT source, CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_e6,
+             |       rnk, rnk <= cutoff AS rejected
+             |FROM ranked CROSS JOIN cut ORDER BY rnk""".stripMargin)
+    ),
+    Q(
       "agg_market_basket_lift",
       // Market-basket lift for brand pairs (round-9): which brands
       // co-occur in the same order MORE than independence predicts —

@@ -702,6 +702,81 @@ object GraphAnalytics {
               |                 * 1000000 + 0.5) AS BIGINT)
               |            ELSE NULL END AS assortativity_e6
               |FROM sums""".stripMargin)
+    ),
+    Q(
+      "graph_weighted_sssp",
+      // Weighted single-source shortest path (round-9): Bellman-Ford over
+      // the sparsified graph with BIGINT costs (cost = 10^6 div
+      // co-occurrence count — frequent partners are cheap to traverse),
+      // 4 relaxation rounds from the minimum node. Each round is the BFS
+      // frontier shape with a cost lattice instead of a hop lattice:
+      // union(current, edges⋈current + cost) → min-groupBy — shuffle
+      // O(edges) per round, never O(paths). Pure integer arithmetic end
+      // to end, so Spark's iterative plan and DuckDB's unrolled-CTE
+      // replay agree bit-for-bit; unreached nodes simply don't appear.
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val w = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+          .groupBy(col("a.sk").as("s"), col("b.sk").as("d"))
+          .agg(count(lit(1)).as("cnt"))
+        val topk = w
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("s")).orderBy(col("cnt").desc, col("d"))))
+          .filter(col("rn") <= 3)
+        val ew12 = topk
+          .groupBy(least(col("s"), col("d")).as("src"),
+            greatest(col("s"), col("d")).as("dst"))
+          .agg(max(col("cnt")).as("cnt"))
+        val ew = ew12
+          .select(col("src"), col("dst"), expr("1000000 div cnt").as("cost"))
+          .unionByName(ew12.select(col("dst").as("src"), col("src").as("dst"),
+            expr("1000000 div cnt").as("cost")))
+          .localCheckpoint(true)
+        var dist = ew.agg(min(col("src")).as("node"))
+          .withColumn("dist", lit(0L))
+        for (_ <- 1 to 4) {
+          dist = dist
+            .unionByName(ew
+              .join(dist.select(col("node").as("src"), col("dist").as("dsrc")),
+                "src")
+              .select(col("dst").as("node"), (col("dsrc") + col("cost")).as("dist")))
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        }
+        dist.orderBy(col("node"))
+      },
+      Some(s"""$baseSql,
+              |wk AS (SELECT s, d, cnt FROM (
+              |  SELECT s, d, cnt,
+              |         row_number() OVER (PARTITION BY s ORDER BY cnt DESC, d) AS rn
+              |  FROM w) q WHERE rn <= 3),
+              |ew12 AS (SELECT least(s, d) AS src, greatest(s, d) AS dst,
+              |                CAST(max(cnt) AS BIGINT) AS cnt
+              |         FROM wk GROUP BY 1, 2),
+              |ew AS (SELECT src, dst, CAST(1000000 // cnt AS BIGINT) AS cost FROM ew12
+              |       UNION ALL
+              |       SELECT dst, src, CAST(1000000 // cnt AS BIGINT) FROM ew12),
+              |d0 AS (SELECT CAST(min(src) AS BIGINT) AS node,
+              |              CAST(0 AS BIGINT) AS dist FROM ew),
+              |d1 AS (SELECT node, min(dist) AS dist FROM (
+              |  SELECT node, dist FROM d0 UNION ALL
+              |  SELECT ew.dst, d0.dist + ew.cost FROM ew JOIN d0 ON ew.src = d0.node) u
+              |  GROUP BY node),
+              |d2 AS (SELECT node, min(dist) AS dist FROM (
+              |  SELECT node, dist FROM d1 UNION ALL
+              |  SELECT ew.dst, d1.dist + ew.cost FROM ew JOIN d1 ON ew.src = d1.node) u
+              |  GROUP BY node),
+              |d3 AS (SELECT node, min(dist) AS dist FROM (
+              |  SELECT node, dist FROM d2 UNION ALL
+              |  SELECT ew.dst, d2.dist + ew.cost FROM ew JOIN d2 ON ew.src = d2.node) u
+              |  GROUP BY node),
+              |d4 AS (SELECT node, min(dist) AS dist FROM (
+              |  SELECT node, dist FROM d3 UNION ALL
+              |  SELECT ew.dst, d3.dist + ew.cost FROM ew JOIN d3 ON ew.src = d3.node) u
+              |  GROUP BY node)
+              |SELECT node, dist FROM d4 ORDER BY node""".stripMargin)
     )
   )
 }

@@ -398,6 +398,49 @@ object Quality {
       Some(refIntegritySql)
     ),
     Q(
+      "dq_benford_law",
+      // Benford first-digit audit (round-9): compare the leading-digit
+      // distribution of order totals against Benford's law — the fraud /
+      // fabricated-data screen financial DQ suites run, and a strong
+      // synthetic-data detector (uniform generators fail it loudly, as
+      // the fixture itself demonstrates). Leading digit via BIGINT-cents
+      // → string head (identical text both engines, no float log tricks
+      // on the extraction path); expected share log10(1+1/d); per-digit
+      // χ² contribution e6-pinned. One map-side-combined digit histogram
+      // → 9 output rows at any scale.
+      (s, dir) => {
+        val digits = Tables(s, dir, "orders")
+          .select(expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING), 1, 1) AS INT)")
+            .as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+        val tot = digits.agg(sum(col("obs")).as("n"))
+        digits.crossJoin(broadcast(tot))
+          .withColumn("exp_share", expr("log10(1 + 1 / CAST(digit AS DOUBLE))"))
+          .select(col("digit").cast("long").as("digit"), col("obs"),
+            expr("CAST(floor(exp_share * CAST(n AS DOUBLE) * 100 + 0.5) AS BIGINT)")
+              .as("expected_x100"),
+            expr("""CAST(floor(
+                   |  (CAST(obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE))
+                   |  * (CAST(obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE))
+                   |  / (exp_share * CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)""".stripMargin)
+              .as("chi2_contrib_e6"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM orders),
+             |h AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY digit),
+             |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM h)
+             |SELECT CAST(digit AS BIGINT) AS digit, obs,
+             |       CAST(floor(log10(1 + 1 / CAST(digit AS DOUBLE)) * CAST(n AS DOUBLE) * 100 + 0.5) AS BIGINT) AS expected_x100,
+             |       CAST(floor(
+             |         (CAST(obs AS DOUBLE) - log10(1 + 1 / CAST(digit AS DOUBLE)) * CAST(n AS DOUBLE))
+             |         * (CAST(obs AS DOUBLE) - log10(1 + 1 / CAST(digit AS DOUBLE)) * CAST(n AS DOUBLE))
+             |         / (log10(1 + 1 / CAST(digit AS DOUBLE)) * CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS chi2_contrib_e6
+             |FROM h CROSS JOIN t ORDER BY digit""".stripMargin)
+    ),
+    Q(
       "dq_candidate_keys",
       // Candidate-key discovery profile (round-9): for a battery of
       // column combos over orders, compare distinct count to row count —

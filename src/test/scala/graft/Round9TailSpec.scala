@@ -206,4 +206,46 @@ class Round9TailSpec extends AnyFunSuite {
     assert(math.abs(rows(0) - want) <= 1,
       s"lag-0 corr ${rows(0)} vs builtin $want")
   }
+
+  test("stat_cuped: one global theta; users partition across variants") {
+    val rows = q("stat_cuped").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(rows.map(_.getLong(4)).distinct.length == 1,
+      "theta is a single global coefficient, identical on both variant rows")
+    val users = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users)
+  }
+
+  test("dq_benford_law: digits 1-9, obs sums to orders, shares sum to 1") {
+    val rows = q("dq_benford_law").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L),
+      "every leading digit present on the fixture")
+    val nOrders = Tables(spark, dir, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+    // Benford expected counts (x100) must sum to ~100 * n (rounding slack 9)
+    val expSum = rows.map(_.getLong(2)).sum
+    assert(math.abs(expSum - 100L * nOrders) <= 9)
+  }
+
+  test("stat_fdr_bh: ranks are a permutation and rejections form a prefix") {
+    val rows = q("stat_fdr_bh").collect()
+      .map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq == (1L to rows.length))
+    val rejected = rows.filter(_._2).map(_._1)
+    // BH rejects exactly the prefix up to the cutoff rank
+    assert(rejected.sameElements(1L to rejected.length),
+      s"rejections must be a prefix of the p-ordering: ${rejected.toSeq}")
+  }
+
+  test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
+    val rows = q("graph_weighted_sssp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    val seed = rows.keys.min // seeded from min(src) over symmetric edges
+    assert(rows(seed) == 0L, "seed distance must be 0")
+    val others = rows.filter(_._1 != seed).values
+    assert(others.forall(d => d > 0 && d <= 4L * 1000000L),
+      "4 Bellman-Ford rounds with cost <= 10^6 per hop bound every distance")
+  }
 }

@@ -29,6 +29,7 @@ object SparkEntry {
       ops.Graph.defs ++
       ops.GraphAnalytics.defs ++
       ops.Quality.defs ++
+      ops.Geo.defs ++
       ops.Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

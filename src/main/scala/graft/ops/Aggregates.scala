@@ -1661,6 +1661,84 @@ object Aggregates {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sample_neyman_allocation",
+      // Neyman-optimal stratified allocation (round-9): distribute a
+      // fixed sample budget across strata proportionally to N_h·S_h
+      // (stratum size × stratum std) — the design that minimizes the
+      // estimator's variance, vs the naive proportional split the quota
+      // sampler uses. Strata stds fold exact BIGINT cents moments from
+      // ONE map-side aggregate; each allocation and its realized
+      // multiplicative-hash sample count are computed with identical
+      // formula text. O(strata) output at any scale; the realized pass
+      // reuses the same single scan via a conditional sum (no second
+      // job).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .withColumn("h", ((col("event_id") % 1000003L) * 2654435761L) % 1000000L)
+        val strata = ev
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nh"), sum(col("cents")).as("sh"),
+            sum(col("cents") * col("cents")).as("ssh"))
+          .withColumn("std", expr(
+            "sqrt(CAST(ssh AS DOUBLE) / CAST(nh AS DOUBLE) - (CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE)) * (CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE)))"))
+        val tot = strata.agg(
+          sum(expr("CAST(nh AS DOUBLE) * std")).as("wsum"))
+        val alloc = strata.crossJoin(broadcast(tot))
+          .withColumn("n_alloc", expr(
+            "CAST(floor(1000 * CAST(nh AS DOUBLE) * std / wsum) AS BIGINT)"))
+          // per-stratum hash threshold as ONE integer (n_alloc ≤ 1000,
+          // so n_alloc·10⁶ never overflows regardless of stratum size) —
+          // the per-row test is a plain BIGINT compare
+          .withColumn("thresh", expr("(n_alloc * 1000000) div nh"))
+        val sampled = ev
+          .join(broadcast(alloc.select(col("event_type"), col("thresh"))),
+            "event_type")
+          .filter(col("h") < col("thresh"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_sampled"))
+        alloc.join(sampled, Seq("event_type"), "left")
+          .select(col("event_type"), col("nh"),
+            expr("CAST(floor(std * 100 + 0.5) AS BIGINT)").as("std_cents"),
+            col("n_alloc"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH rows_h AS (
+             |  SELECT event_type,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             |         ((event_id % 1000003) * 2654435761) % 1000000 AS h
+             |  FROM events),
+             |strata AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+             |         CAST(sum(cents) AS BIGINT) AS sh,
+             |         CAST(sum(cents * cents) AS BIGINT) AS ssh
+             |  FROM rows_h GROUP BY event_type),
+             |stds AS (
+             |  SELECT event_type, nh,
+             |         sqrt(CAST(ssh AS DOUBLE) / CAST(nh AS DOUBLE)
+             |              - (CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE))
+             |                * (CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE))) AS std
+             |  FROM strata),
+             |tot AS (SELECT sum(CAST(nh AS DOUBLE) * std) AS wsum FROM stds),
+             |alloc AS (
+             |  SELECT event_type, nh, std,
+             |         CAST(floor(1000 * CAST(nh AS DOUBLE) * std / wsum) AS BIGINT) AS n_alloc,
+             |         CAST(floor(1000 * CAST(nh AS DOUBLE) * std / wsum) AS BIGINT) * 1000000 // nh AS thresh
+             |  FROM stds CROSS JOIN tot),
+             |sampled AS (
+             |  SELECT r.event_type, CAST(count(*) AS BIGINT) AS n_sampled
+             |  FROM rows_h r JOIN alloc a ON r.event_type = a.event_type
+             |  WHERE r.h < a.thresh
+             |  GROUP BY r.event_type)
+             |SELECT a.event_type, a.nh,
+             |       CAST(floor(a.std * 100 + 0.5) AS BIGINT) AS std_cents,
+             |       a.n_alloc,
+             |       coalesce(s.n_sampled, 0) AS n_sampled
+             |FROM alloc a LEFT JOIN sampled s ON a.event_type = s.event_type
+             |ORDER BY a.event_type""".stripMargin)
+    ),
+    Q(
       "sample_quality_weighted",
       // Quality-weighted deterministic downsampling (round-9): keep
       // probability scales with a quality proxy (chars/400, capped at 1)

@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.13 geospatial tier (round-9): grid-bucketed spatial joins — the
+  * blocking pattern that makes "find nearby points" tractable at 100 TB.
+  * A naive nearest-neighbor query is an O(n²) cross join; the production
+  * shape snaps every point to a coarse grid cell, explodes each probe
+  * point into its 3×3 cell neighborhood, equi-joins on the cell id, and
+  * only then evaluates the exact haversine distance — shuffle volume
+  * O(9·n·density), never O(n²). The same cell id doubles as the layout
+  * key for locality-preserving storage (the geo analogue of
+  * `sink_zorder_layout`).
+  *
+  * Coordinates: the fixture ships no lat/lon, so customer coordinates are
+  * DERIVED deterministically from the key in integer centi-degrees via a
+  * TWO-round mod-prime multiplicative scramble — one multiplier alone
+  * puts sequential keys on a rank-1 lattice whose minimum distance
+  * exceeds a grid cell (zero adjacent pairs, measured); chaining through
+  * a second prime modulus breaks the lattice and yields a clumpy,
+  * realistic point set. Both engines compute the identical derivation,
+  * so the oracle stays a two-executor comparison.
+  *
+  * Determinism: cell arithmetic and the top-k tiebreak are pure BIGINT;
+  * the haversine itself is evaluated with IDENTICAL formula text in both
+  * engines and pinned to whole meters before any ordering, so no float
+  * summation-order hazard exists anywhere.
+  *
+  * Scale caveats (documented, not load-bearing on the fixture): cells are
+  * 5°×5° and the neighborhood does not wrap the antimeridian; production
+  * would take `(cell_lon + 360) % 360` and wrap the ±1 offsets mod 360.
+  */
+object Geo {
+
+  /** Shared derivation + grid SQL prefix (identical text both engines):
+    * centi-degree coordinates from the customer key, 5-degree grid cell (coarse enough that the fixture point set produces multi-point cells and non-empty neighbor rings at every scale factor).
+    */
+  private val ptsSql =
+    """WITH pts AS (
+      |  SELECT c_custkey AS id,
+      |         CAST(((((c_custkey * 2654435761) % 1000003) * 48271) % 12000) - 6000 AS BIGINT) AS lat_c,
+      |         CAST(((((c_custkey * 1099511628211) % 1000033) * 69621) % 36000) - 18000 AS BIGINT) AS lon_c
+      |  FROM customer),
+      |cells AS (
+      |  SELECT id, lat_c, lon_c,
+      |         CAST(floor(CAST(lat_c AS DOUBLE) / 500) AS BIGINT) AS cla,
+      |         CAST(floor(CAST(lon_c AS DOUBLE) / 500) AS BIGINT) AS clo
+      |  FROM pts)""".stripMargin
+
+  /** Haversine (meters, floored to BIGINT) between centi-degree pairs —
+    * one formula string substituted into BOTH engines' SQL.
+    */
+  private def hav(la1: String, lo1: String, la2: String, lo2: String): String =
+    s"""CAST(floor(12742000 * asin(sqrt(
+       |  pow(sin(radians((CAST($la2 AS DOUBLE) - CAST($la1 AS DOUBLE)) / 100) / 2), 2)
+       |  + cos(radians(CAST($la1 AS DOUBLE) / 100))
+       |    * cos(radians(CAST($la2 AS DOUBLE) / 100))
+       |    * pow(sin(radians((CAST($lo2 AS DOUBLE) - CAST($lo1 AS DOUBLE)) / 100) / 2), 2)
+       |)) + 0.5) AS BIGINT)""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "geo_grid_knn_join",
+      // Grid-blocked k-nearest-neighbor self-join: per probe point, the 3
+      // nearest other points within its 3×3 five-degree neighborhood
+      // (≈ ≤780 km) by exact haversine. The probe side fans out 9× (two
+      // explode'd offset arrays), the build side stays unexpanded, and
+      // the pair set is bounded by cell occupancy — the spatial-join
+      // shape that survives 100 TB. Top-k per probe is one window pass
+      // with a (meters, id) total-order tiebreak.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        val cells = s.sql(ptsSql + " SELECT * FROM cells")
+        val probe = cells
+          .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("id").as("id_a"), col("lat_c").as("la_a"),
+            col("lon_c").as("lo_a"),
+            (col("cla") + col("dla")).as("jla"),
+            (col("clo") + col("dlo")).as("jlo"))
+        val build = cells.select(col("id").as("id_b"),
+          col("lat_c").as("la_b"), col("lon_c").as("lo_b"),
+          col("cla").as("jla"), col("clo").as("jlo"))
+        probe.join(build, Seq("jla", "jlo"))
+          .filter(col("id_a") =!= col("id_b"))
+          .withColumn("dist_m", expr(hav("la_a", "lo_a", "la_b", "lo_b")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("id_a"))
+              .orderBy(col("dist_m"), col("id_b"))))
+          .filter(col("rn") <= 3)
+          .select(col("id_a"), col("rn").cast("long").as("rn"),
+            col("id_b"), col("dist_m"))
+          .orderBy(col("id_a"), col("rn"))
+      },
+      Some(s"""$ptsSql,
+              |offsets AS (SELECT CAST(-1 AS BIGINT) AS o UNION ALL SELECT 0 UNION ALL SELECT 1),
+              |probe AS (
+              |  SELECT id AS id_a, lat_c AS la_a, lon_c AS lo_a,
+              |         cla + ola.o AS jla, clo + olo.o AS jlo
+              |  FROM cells CROSS JOIN offsets ola CROSS JOIN offsets olo),
+              |pairs AS (
+              |  SELECT p.id_a, p.la_a, p.lo_a, b.id AS id_b, b.lat_c AS la_b,
+              |         b.lon_c AS lo_b
+              |  FROM probe p JOIN cells b ON p.jla = b.cla AND p.jlo = b.clo
+              |  WHERE p.id_a <> b.id),
+              |scored AS (
+              |  SELECT id_a, id_b,
+              |         ${hav("la_a", "lo_a", "la_b", "lo_b")} AS dist_m
+              |  FROM pairs),
+              |ranked AS (
+              |  SELECT id_a, id_b, dist_m,
+              |         CAST(row_number() OVER (PARTITION BY id_a
+              |              ORDER BY dist_m, id_b) AS BIGINT) AS rn
+              |  FROM scored)
+              |SELECT id_a, rn, id_b, dist_m FROM ranked WHERE rn <= 3
+              |ORDER BY id_a, rn""".stripMargin)
+    ),
+    Q(
+      "geo_cell_density",
+      // Cell-occupancy census over the same grid: points per occupied
+      // cell plus the density histogram OLAP layer (how many cells hold
+      // 1, 2, 3… points). This is both the hotspot census (where do
+      // customers cluster) and the skew diagnostic for the KNN join
+      // above — a cell with 10⁶ points is exactly the key you'd salt.
+      // Two map-side-combined aggregates; output O(distinct densities).
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(ptsSql + """
+          |, occ AS (SELECT cla, clo, CAST(count(*) AS BIGINT) AS n_pts
+          |          FROM cells GROUP BY cla, clo)
+          |SELECT n_pts, CAST(count(*) AS BIGINT) AS n_cells
+          |FROM occ GROUP BY n_pts ORDER BY n_pts""".stripMargin)
+      },
+      Some(ptsSql + """
+        |, occ AS (SELECT cla, clo, CAST(count(*) AS BIGINT) AS n_pts
+        |          FROM cells GROUP BY cla, clo)
+        |SELECT n_pts, CAST(count(*) AS BIGINT) AS n_cells
+        |FROM occ GROUP BY n_pts ORDER BY n_pts""".stripMargin)
+    ))
+}

@@ -398,6 +398,46 @@ object Quality {
       Some(refIntegritySql)
     ),
     Q(
+      "dq_volume_anomaly",
+      // Partition-volume SLA (round-9): did each day's feed arrive
+      // COMPLETE? Compares every day's event count to its trailing
+      // 7-day window (excluding itself) with pure-integer cross
+      // multiplication — `cnt · 2 · n_prev < sum_prev` flags a >50% drop,
+      // `cnt · n_prev > 2 · sum_prev` a >2× surge — so no float threshold
+      // can drift between engines. Freshness (dq_freshness_slo) catches a
+      // dead feed; THIS catches the half-delivered one, which is the
+      // failure mode that silently halves a day of training data. One
+      // daily rollup + one O(days) window pass.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("CAST(date_trunc('day', ts) AS DATE)").as("d"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("d")).rowsBetween(-7, -1)
+        daily
+          .withColumn("sum_prev", sum(col("cnt")).over(w))
+          .withColumn("n_prev", count(col("cnt")).over(w))
+          .filter(col("n_prev") >= 3)
+          .select(col("d"), col("cnt"), col("sum_prev"), col("n_prev"),
+            (col("cnt") * 2 * col("n_prev") < col("sum_prev")).as("drop_alert"),
+            (col("cnt") * col("n_prev") > col("sum_prev") * 2).as("surge_alert"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |t AS (
+             |  SELECT d, cnt,
+             |    CAST(sum(cnt) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS sum_prev,
+             |    CAST(count(cnt) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev
+             |  FROM daily)
+             |SELECT d, cnt, sum_prev, n_prev,
+             |       cnt * 2 * n_prev < sum_prev AS drop_alert,
+             |       cnt * n_prev > sum_prev * 2 AS surge_alert
+             |FROM t WHERE n_prev >= 3 ORDER BY d""".stripMargin)
+    ),
+    Q(
       "dq_benford_law",
       // Benford first-digit audit (round-9): compare the leading-digit
       // distribution of order totals against Benford's law — the fraud /

@@ -238,6 +238,49 @@ class Round9TailSpec extends AnyFunSuite {
       s"rejections must be a prefix of the p-ordering: ${rejected.toSeq}")
   }
 
+  test("geo_grid_knn_join: ranked ascending per probe, distances in-ring") {
+    val rows = q("geo_grid_knn_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rs.length), "rn consecutive from 1")
+      assert(rs.length <= 3)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq,
+        "distance ascends with rank")
+    }
+    // 3x3 ring of 5-degree cells bounds any pair by ~sqrt(2)*7.5 deg ~ 1180 km
+    assert(rows.forall(r => r._4 > 0 && r._4 < 1200000L))
+  }
+
+  test("geo_cell_density: histogram accounts for every customer") {
+    val rows = q("geo_cell_density").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length > 1, "coarse grid must produce multi-point cells")
+    val total = rows.map { case (n, c) => n * c }.sum
+    assert(total == Tables(spark, dir, "customer").count())
+  }
+
+  test("dq_volume_anomaly: alerts replay the integer cross-multiplication") {
+    val rows = q("dq_volume_anomaly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cnt, sumPrev, nPrev) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nPrev >= 3 && nPrev <= 7)
+      assert(r.getBoolean(4) == (cnt * 2 * nPrev < sumPrev))
+      assert(r.getBoolean(5) == (cnt * nPrev > sumPrev * 2))
+    }
+  }
+
+  test("sample_neyman_allocation: budget respected, floors lose < strata") {
+    val rows = q("sample_neyman_allocation").collect()
+    val allocs = rows.map(_.getLong(3))
+    assert(allocs.sum <= 1000 && allocs.sum > 1000 - rows.length,
+      s"floor allocation sums to (1000 - #strata, 1000]: ${allocs.sum}")
+    rows.foreach(r => assert(r.getLong(4) <= r.getLong(1),
+      "realized sample within stratum size"))
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -489,6 +489,87 @@ object Cdc {
       Some(foldSql("TRUE") + "\nORDER BY user_id")
     ),
     Q(
+      "pipeline_pit_features",
+      // Point-in-time feature assembly (round-9): the feature-store
+      // correctness primitive — label rows (purchases) join each feature
+      // table at the latest snapshot STRICTLY BEFORE the label's day, so
+      // no post-outcome signal leaks into training. Two cumulative
+      // per-user daily snapshot tables (clicks, errors) are built from
+      // one window pass each; each PIT lookup is a per-user-bounded join
+      // (≤ days rows) + a row_number argmax — at 100 TB the same
+      // semantics run through the engine's BroadcastAsOfJoinExec
+      // (join_asof tier); this row pins the multi-feature composition
+      // and the strict-inequality leak gate. Output aggregates to
+      // O(users) rows; every number is an exact BIGINT count.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val labels = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            to_date(col("ts")).as("d"))
+        def cumFeat(t: String, name: String) = ev
+          .filter(col("event_type") === t)
+          .groupBy(col("user_id"), to_date(col("ts")).as("sd"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn(name, sum(col("n")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("sd"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id"), col("sd"), col(name))
+        def pit(feat: org.apache.spark.sql.DataFrame, name: String) = {
+          val w = Window.partitionBy(col("user_id"), col("event_id"))
+            .orderBy(col("sd").desc_nulls_last)
+          // the strict inequality lives IN the join condition: a label
+          // whose snapshots are all on/after its day must survive as an
+          // unmatched row (feature 0), not be filtered away
+          labels
+            .join(feat.withColumnRenamed("user_id", "fu"),
+              col("fu") === col("user_id") && col("sd") < col("d"), "left")
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("event_id"),
+              coalesce(col(name), lit(0L)).as(name))
+        }
+        val c = pit(cumFeat("click", "clicks_cum"), "clicks_cum")
+        val e = pit(cumFeat("error", "errors_cum"), "errors_cum")
+        c.join(e, Seq("user_id", "event_id"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_labels"),
+            sum(col("clicks_cum")).as("sum_clicks_cum"),
+            sum(col("errors_cum")).as("sum_errors_cum"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH labels AS (
+             |  SELECT user_id, event_id, CAST(date_trunc('day', ts) AS DATE) AS d
+             |  FROM events WHERE event_type = 'purchase'),
+             |cfeat AS (
+             |  SELECT user_id, sd,
+             |         CAST(sum(n) OVER (PARTITION BY user_id ORDER BY sd
+             |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS clicks_cum
+             |  FROM (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS sd,
+             |               CAST(count(*) AS BIGINT) AS n
+             |        FROM events WHERE event_type = 'click' GROUP BY 1, 2) c),
+             |efeat AS (
+             |  SELECT user_id, sd,
+             |         CAST(sum(n) OVER (PARTITION BY user_id ORDER BY sd
+             |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS errors_cum
+             |  FROM (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS sd,
+             |               CAST(count(*) AS BIGINT) AS n
+             |        FROM events WHERE event_type = 'error' GROUP BY 1, 2) e),
+             |j AS (
+             |  SELECT l.user_id, l.event_id,
+             |    coalesce((SELECT c.clicks_cum FROM cfeat c
+             |              WHERE c.user_id = l.user_id AND c.sd < l.d
+             |              ORDER BY c.sd DESC LIMIT 1), 0) AS clicks_cum,
+             |    coalesce((SELECT e.errors_cum FROM efeat e
+             |              WHERE e.user_id = l.user_id AND e.sd < l.d
+             |              ORDER BY e.sd DESC LIMIT 1), 0) AS errors_cum
+             |  FROM labels l)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_labels,
+             |       CAST(sum(clicks_cum) AS BIGINT) AS sum_clicks_cum,
+             |       CAST(sum(errors_cum) AS BIGINT) AS sum_errors_cum
+             |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "pipeline_incremental_agg",
       // Incremental view maintenance for distributive aggregates: a
       // materialized per-group (count, sum) is folded with a delta batch's

@@ -398,6 +398,22 @@ object Quality {
       Some(refIntegritySql)
     ),
     Q(
+      "dq_table_checksum",
+      // Replica checksum comparison (round-9): prove two tables identical
+      // WITHOUT moving either — per-group row count + commutative sum of
+      // a deterministic per-row hash, so the digest is invariant to
+      // partitioning, ordering, and engine, and a mismatched group names
+      // the drifted slice for a targeted re-sync (the final handshake of
+      // every CDC pipeline: cdc_snapshot_reconcile diffs rows, THIS
+      // answers "need we diff at all" with O(groups) bytes). Replica B is
+      // the fixture with deterministic drift injected (one key class
+      // +1 cent, one dropped) so the audit provably detects. Pure BIGINT:
+      // hash < 10^9 keeps a 10^9-row group inside int64; production would
+      // fold partial sums mod 2^61 (noted, same algebra).
+      (s, dir) => graft.Catalog.sql(s, dir, checksumSql),
+      Some(checksumSql)
+    ),
+    Q(
       "dq_volume_anomaly",
       // Partition-volume SLA (round-9): did each day's feed arrive
       // COMPLETE? Compares every day's event count to its trailing
@@ -510,6 +526,38 @@ object Quality {
              |FROM orders""".stripMargin)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[dq_table_checksum]]: replica A is
+    * orders as landed; replica B injects deterministic drift (key%997=13
+    * gains a cent, key%997=500 is dropped). Row digest mixes key, status
+    * and exact cents through mod-prime multiplicative steps.
+    */
+  private lazy val checksumSql: String =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS grp,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 3 END AS st
+      |  FROM orders),
+      |b AS (
+      |  SELECT k, grp,
+      |         cents + CASE WHEN k % 997 = 13 THEN 1 ELSE 0 END AS cents, st
+      |  FROM a WHERE k % 997 <> 500),
+      |ha AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS n_a,
+      |         CAST(sum(((k * 2654435761) % 1000000007
+      |               + (cents * 48271) % 1000000007
+      |               + st * 7919) % 1000000007) AS BIGINT) AS sum_a
+      |  FROM a GROUP BY grp),
+      |hb AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS n_b,
+      |         CAST(sum(((k * 2654435761) % 1000000007
+      |               + (cents * 48271) % 1000000007
+      |               + st * 7919) % 1000000007) AS BIGINT) AS sum_b
+      |  FROM b GROUP BY grp)
+      |SELECT ha.grp, n_a, n_b, sum_a, sum_b,
+      |       (n_a = n_b AND sum_a = sum_b) AS grp_match
+      |FROM ha JOIN hb ON ha.grp = hb.grp
+      |ORDER BY ha.grp""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[dq_cross_table_consistency]]. */
   private lazy val consistencySql: String =

@@ -38,6 +38,68 @@ object Sources {
   private[graft] def zkeyDuck(x: String, y: String, bits: Int): String =
     zkeyExpr(x, y, bits, (c, i) => s"($c >> $i)")
 
+  /** Hilbert curve index as a chain of per-level CTEs — the
+    * state-dependent sibling of [[zkeyExpr]]. Unlike Morton, Hilbert bits
+    * can't be summed independently: each level conditionally reflects and
+    * swaps the remaining coordinates (the quadrant rotation that buys
+    * Hilbert its adjacency guarantee — consecutive keys are ALWAYS
+    * neighboring cells, where a Z-curve takes long diagonal jumps at
+    * quadrant seams). The classic xy→d loop is unrolled: level k tests
+    * bit s=2^k, adds s²·q (q = quadrant rank, a 4-case CASE — no xor
+    * operator needed), and rewrites (x,y) via CASE. Everything is BIGINT
+    * compares/arithmetic with `&` bit-tests, a dialect both engines parse
+    * IDENTICALLY — one shared text, no per-engine variant.
+    *
+    * @param inCte name of the CTE providing (`x0`, `y0`) in [0, 2^bits)
+    *              plus carried columns
+    * @param carry columns to thread through unchanged
+    */
+  private[graft] def hilbertCtes(inCte: String, bits: Int, carry: Seq[String]): String = {
+    val cols = carry.mkString(", ")
+    val n1 = (1L << bits) - 1 // reflection constant: bitwise NOT within the grid
+    (bits - 1 to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val s = 1L << k
+      val prev = if (i == 0) inCte else s"hl${i - 1}"
+      val x = if (i == 0) "x0" else "x"
+      val y = if (i == 0) "y0" else "y"
+      val d = if (i == 0) "CAST(0 AS BIGINT)" else "d"
+      s"""hl$i AS (
+         |  SELECT $cols,
+         |    CASE WHEN ($y & $s) > 0 THEN $x
+         |         WHEN ($x & $s) > 0 THEN $n1 - $y ELSE $y END AS x,
+         |    CASE WHEN ($y & $s) > 0 THEN $y
+         |         WHEN ($x & $s) > 0 THEN $n1 - $x ELSE $x END AS y,
+         |    $d + $s * $s * (CASE WHEN ($x & $s) > 0 AND ($y & $s) > 0 THEN 2
+         |                         WHEN ($x & $s) > 0 THEN 3
+         |                         WHEN ($y & $s) > 0 THEN 1 ELSE 0 END) AS d
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  /** Orders keyed by Hilbert index over the scaled (custkey × day) grid —
+    * everything except the day-index extraction (the one dialect split:
+    * Spark `datediff`, DuckDB date subtraction) is shared text. Scaling
+    * uses float-floor division instead of integer `div`/`//` so the SAME
+    * string parses on both engines; operands stay far below 2^53, so the
+    * doubles are exact.
+    */
+  private[graft] def hilbertOrdersSql(dayIdxExpr: String): String =
+    s"""WITH src AS (
+       |  SELECT o_orderkey, o_custkey, $dayIdxExpr AS day_idx FROM orders),
+       |b AS (
+       |  SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+       |         min(day_idx) AS dmin, max(day_idx) AS dmax
+       |  FROM src),
+       |sc AS (
+       |  SELECT o_orderkey, o_custkey, day_idx,
+       |         CAST(floor(CAST((o_custkey - cmin) * 1024 AS DOUBLE)
+       |              / CAST(cmax - cmin + 1 AS DOUBLE)) AS BIGINT) AS x0,
+       |         CAST(floor(CAST((day_idx - dmin) * 1024 AS DOUBLE)
+       |              / CAST(dmax - dmin + 1 AS DOUBLE)) AS BIGINT) AS y0
+       |  FROM src CROSS JOIN b),
+       |${hilbertCtes("sc", 10, Seq("o_orderkey", "o_custkey", "day_idx"))}
+       |SELECT o_orderkey, o_custkey, day_idx, d AS hkey FROM hl9""".stripMargin
+
   /** Orders with a Z-order key over (o_custkey, days-since-1992). Raw
     * values must NOT be interleaved directly: with unequal domain widths
     * (150 custkeys vs ~2400 days at sf0.001) the wider dimension owns all
@@ -861,6 +923,35 @@ object Sources {
               |SELECT o_orderkey, o_custkey, day_idx,
               |       CAST(${zkeyDuck("cs", "ds", 10)} AS BIGINT) AS zkey
               |FROM sc ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "sink_hilbert_layout",
+      // Hilbert-curve layout (round-9): the locality-preserving sibling of
+      // sink_zorder_layout over the same scaled (custkey × day) grid.
+      // Hilbert's quadrant rotation guarantees consecutive keys are
+      // ALWAYS edge-adjacent cells (HilbertLayoutSpec proves it
+      // exhaustively), so a contiguous key range maps to one connected
+      // box — no Z-seam diagonal jumps — which tightens per-file
+      // bounding boxes at the same sort cost: one range shuffle +
+      // in-partition sort, never a global single-partition sort. The
+      // 10-level state-dependent transform runs as a shared CTE chain
+      // (pure BIGINT CASE/bit-test arithmetic both engines parse
+      // identically); the oracle replays key derivation AND content.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        val keyed = s.sql(hilbertOrdersSql(
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)"))
+        val tmp = tmpDir("graft_hilbert_")
+        keyed.repartitionByRange(8, col("hkey"))
+          .sortWithinPartitions(col("hkey"))
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .select(col("o_orderkey"), col("o_custkey"), col("day_idx"), col("hkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(hilbertOrdersSql(
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)")
+        + "\nORDER BY o_orderkey")
     ),
     Q(
       "source_streaming_files",

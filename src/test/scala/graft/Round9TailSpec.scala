@@ -281,6 +281,41 @@ class Round9TailSpec extends AnyFunSuite {
       "realized sample within stratum size"))
   }
 
+  test("dq_table_checksum: exactly the drift-carrying groups mismatch") {
+    val rows = q("dq_table_checksum").collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    // recompute which priority groups contain an injected-drift key
+    val drifted = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 997 === 13 || col("o_orderkey") % 997 === 500)
+      .select(col("o_orderpriority")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(drifted.nonEmpty, "fixture must exercise the drift classes")
+    rows.foreach { case (grp, ok) =>
+      assert(ok == !drifted(grp),
+        s"group $grp match=$ok but drifted=${drifted(grp)}")
+    }
+  }
+
+  test("pipeline_pit_features: strictly-before semantics match brute force") {
+    val got = q("pipeline_pit_features").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    got.keys.take(10).foreach { u =>
+      val evs = byUser(u)
+      val labels = evs.filter(_._3 == "purchase")
+      val brute = labels.map { case (_, d, _) =>
+        (evs.count(e => e._3 == "click" && e._2.isBefore(d)).toLong,
+          evs.count(e => e._3 == "error" && e._2.isBefore(d)).toLong)
+      }
+      assert(got(u) == ((labels.length.toLong,
+        brute.map(_._1).sum, brute.map(_._2).sum)),
+        s"user $u PIT sums diverge from brute force")
+    }
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

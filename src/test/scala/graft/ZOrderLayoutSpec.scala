@@ -135,4 +135,25 @@ class ZOrderLayoutSpec extends AnyFunSuite {
       assert(r.getAs[Long]("zkey") == refInterleave(r.getAs[Long]("x"), r.getAs[Long]("y")))
     }
   }
+
+  test("hilbert chain is a bijection whose consecutive keys are edge-adjacent") {
+    // exhaustive 32x32 grid: the defining Hilbert property (|Δcell| = 1
+    // between consecutive d) that Z-order lacks at quadrant seams, plus
+    // bijectivity — proves the unrolled CASE chain IS the xy2d transform
+    spark.range(1024).toDF("i")
+      .selectExpr("i AS id", "CAST(i % 32 AS BIGINT) AS x0",
+        "CAST(i div 32 AS BIGINT) AS y0")
+      .createOrReplaceTempView("hgrid")
+    val cells = spark.sql(
+      "WITH " + ops.Sources.hilbertCtes("hgrid", 5, Seq("id")) +
+        " SELECT id, d FROM hl4")
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(cells.size == 1024, "xy -> d must be a bijection on the grid")
+    (0L until 1023L).foreach { d =>
+      val (x1, y1) = (cells(d) % 32, cells(d) / 32)
+      val (x2, y2) = (cells(d + 1) % 32, cells(d + 1) / 32)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"keys $d and ${d + 1} map to non-adjacent cells ($x1,$y1) ($x2,$y2)")
+    }
+  }
 }

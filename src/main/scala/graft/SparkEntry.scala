@@ -30,6 +30,7 @@ object SparkEntry {
       ops.GraphAnalytics.defs ++
       ops.Quality.defs ++
       ops.Geo.defs ++
+      ops.Eval.defs ++
       ops.Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

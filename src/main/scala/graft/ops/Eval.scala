@@ -1,0 +1,158 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.13 model-evaluation tier (round-9): the offline metrics every
+  * training pipeline computes after scoring a holdout — AUC, calibration,
+  * and thresholded precision/recall — as distributed one-pass plans over
+  * a scored table. The scorer is a fixed linear model evaluated in exact
+  * integer arithmetic: embeddings are quantized to e6 BIGINTs and dotted
+  * with a deterministic arithmetic weight per position (no weight
+  * literals, no float accumulation — the score is a BIGINT both engines
+  * reproduce bit-for-bit; every metric below is rank- or count-based, so
+  * skipping the sigmoid loses nothing). Positive class: label < 5.
+  *
+  * Scale posture: scoring is one map-side explode+sum (64 rows per
+  * vector, grouped back — O(dim·n) work, no shuffle beyond the group);
+  * AUC is ONE window rank pass + a global fold (the rank-sum identity —
+  * never the O(n²) pairwise definition); calibration is an ntile pass;
+  * the confusion matrix is a map-side conditional aggregate. All outputs
+  * are O(1) or O(bins) rows at any corpus size.
+  */
+object Eval {
+
+  /** Integer-exact linear scores per vector (Spark side): quantize →
+    * positional weight → BIGINT dot. posexplode is 0-based, the shared
+    * weight formula is 1-based (DuckDB list indexing), hence pos+1.
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"),
+        (expr("CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+          * (((col("pos") + 1) * 2654435761L) % 1001L - 500L)).as("t"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("label")).as("label"), sum(col("t")).as("score"))
+      .select(col("vec_id"), col("score"),
+        when(col("label") < 5, 1L).otherwise(0L).as("pos"))
+
+  /** The identical scorer in DuckDB dialect (fixed dim 64, 1-based
+    * indexing via a constant series — DuckDB lacks lateral len()).
+    */
+  private val scoredSql =
+    """WITH scored AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      |              * ((i * 2654435761) % 1001 - 500)) AS BIGINT) AS score,
+      |         CASE WHEN max(label) < 5 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings, generate_series(1, 64) AS g(i)
+      |  GROUP BY vec_id)""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "eval_auc_ranksum",
+      // ROC-AUC via the Mann-Whitney rank-sum identity: AUC =
+      // (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with average ranks for ties carried
+      // as 2·rank + ties − 1 so everything stays integer until one final
+      // e6 division. One window pass, one fold — the pairwise definition
+      // would be O(n²).
+      (s, dir) => {
+        scored(s, dir)
+          .withColumn("rmin", rank().over(Window.orderBy(col("score"))))
+          .withColumn("ties", count(lit(1)).over(Window.partitionBy(col("score"))))
+          .agg(
+            sum(col("pos")).as("np"),
+            sum(lit(1L) - col("pos")).as("nn"),
+            sum(when(col("pos") === 1, lit(2L) * col("rmin") + col("ties") - 1L)
+              .otherwise(0L)).as("r2p"))
+          .select(col("np"), col("nn"), expr(
+            """CAST(floor(CAST(r2p - np * (np + 1) AS DOUBLE)
+              |     / CAST(2 * np * nn AS DOUBLE) * 1000000 + 0.5) AS BIGINT)""".stripMargin)
+            .as("auc_e6"))
+      },
+      Some(s"""$scoredSql,
+              |ranked AS (
+              |  SELECT pos, 2 * rank() OVER (ORDER BY score)
+              |           + count(*) OVER (PARTITION BY score) - 1 AS r2
+              |  FROM scored),
+              |f AS (
+              |  SELECT CAST(sum(pos) AS BIGINT) AS np,
+              |         CAST(sum(1 - pos) AS BIGINT) AS nn,
+              |         CAST(sum(CASE WHEN pos = 1 THEN r2 ELSE 0 END) AS BIGINT) AS r2p
+              |  FROM ranked)
+              |SELECT np, nn,
+              |       CAST(floor(CAST(r2p - np * (np + 1) AS DOUBLE)
+              |            / CAST(2 * np * nn AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS auc_e6
+              |FROM f""".stripMargin)
+    ),
+    Q(
+      "eval_calibration_bins",
+      // Reliability diagram data: decile bins over the score (total-order
+      // tiebreak on vec_id so ntile is deterministic under ties), per-bin
+      // observed positive rate and exact mean score — the "is the score a
+      // probability" audit. Integer sums; two e6 pins.
+      (s, dir) => {
+        scored(s, dir)
+          .withColumn("bin", ntile(10).over(
+            Window.orderBy(col("score"), col("vec_id"))))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+            sum(col("score")).as("sum_score"))
+          .select(col("bin").cast("long").as("bin"), col("n"), col("n_pos"),
+            expr("CAST(floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+              .as("rate_e6"),
+            expr("CAST(floor(CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)")
+              .as("mean_score"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""$scoredSql,
+              |binned AS (
+              |  SELECT pos, score,
+              |         ntile(10) OVER (ORDER BY score, vec_id) AS bin
+              |  FROM scored),
+              |g AS (
+              |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(pos) AS BIGINT) AS n_pos,
+              |         CAST(sum(score) AS BIGINT) AS sum_score
+              |  FROM binned GROUP BY bin)
+              |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+              |       CAST(floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS rate_e6,
+              |       CAST(floor(CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mean_score
+              |FROM g ORDER BY bin""".stripMargin)
+    ),
+    Q(
+      "eval_confusion_prf",
+      // Thresholded confusion matrix + precision/recall/F1 at the natural
+      // sign threshold (score > 0): four conditional counts from ONE
+      // map-side aggregate, three e6-pinned ratios folded from them.
+      (s, dir) => {
+        scored(s, dir)
+          .agg(
+            sum(when(col("score") > 0 && col("pos") === 1, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("score") > 0 && col("pos") === 0, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("score") <= 0 && col("pos") === 1, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("score") <= 0 && col("pos") === 0, 1L).otherwise(0L)).as("tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            expr("CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("precision_e6"),
+            expr("CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("recall_e6"),
+            expr("CAST(floor(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("f1_e6"))
+      },
+      Some(s"""$scoredSql,
+              |c AS (
+              |  SELECT
+              |    CAST(sum(CASE WHEN score > 0 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |    CAST(sum(CASE WHEN score > 0 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |    CAST(sum(CASE WHEN score <= 0 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              |    CAST(sum(CASE WHEN score <= 0 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              |  FROM scored)
+              |SELECT tp, fp, fn, tn,
+              |       CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS precision_e6,
+              |       CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS recall_e6,
+              |       CAST(floor(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS f1_e6
+              |FROM c""".stripMargin)
+    ))
+}

@@ -316,6 +316,39 @@ class Round9TailSpec extends AnyFunSuite {
     }
   }
 
+  test("eval_auc_ranksum: rank-sum identity equals O(n^2) pairwise AUC") {
+    val Array(row) = q("eval_auc_ranksum").collect()
+    val (np, nn, aucE6) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // brute force: count positive-beats-negative pairs, half credit on ties
+    val scoredRows = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        """CAST(aggregate(
+          |  zip_with(embedding, sequence(1, 64),
+          |    (v, i) -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+          |              * ((i * 2654435761L) % 1001 - 500)),
+          |  0L, (acc, x) -> acc + x) AS BIGINT)""".stripMargin + " AS score",
+        "CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos")
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    val posS = scoredRows.filter(_._2 == 1).map(_._1)
+    val negS = scoredRows.filter(_._2 == 0).map(_._1)
+    assert(posS.length == np && negS.length == nn)
+    val wins = (for (p <- posS; n <- negS)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val bruteE6 = math.floor(
+      wins.toDouble / (2.0 * np * nn) * 1000000 + 0.5).toLong
+    assert(aucE6 == bruteE6, s"rank-sum $aucE6 vs pairwise $bruteE6")
+  }
+
+  test("eval_calibration_bins and eval_confusion_prf partition the scored set") {
+    val total = Tables(spark, dir, "embeddings").count()
+    val bins = q("eval_calibration_bins").collect()
+    assert(bins.map(_.getLong(1)).sum == total)
+    assert(bins.map(_.getLong(1)).max - bins.map(_.getLong(1)).min <= 1,
+      "ntile keeps bins balanced within 1")
+    val Array(c) = q("eval_confusion_prf").collect()
+    assert(c.getLong(0) + c.getLong(1) + c.getLong(2) + c.getLong(3) == total)
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -783,6 +783,113 @@ object Aggregates {
              |FROM c""".stripMargin)
     ),
     Q(
+      "stat_mutual_info",
+      // Mutual information between event type and user cohort (round-9):
+      // the feature-selection / dependence metric MI = Σ p_xy·ln(p_xy /
+      // (p_x·p_y)), plus its normalized form MI/min(H_x, H_y). All
+      // probabilities come from exact BIGINT counts of ONE contingency
+      // aggregate (cells broadcast back over the two marginal folds);
+      // the log arithmetic runs with identical formula text at the very
+      // end, pinned at e6. O(|X|·|Y|) intermediate, O(1) output.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cohort", (col("user_id") % 4).cast("int"))
+        val cells = ev.groupBy(col("event_type"), col("cohort"))
+          .agg(count(lit(1)).as("nxy"))
+        val mx = cells.groupBy(col("event_type")).agg(sum(col("nxy")).as("nx"))
+        val my = cells.groupBy(col("cohort")).agg(sum(col("nxy")).as("ny"))
+        val n = cells.agg(sum(col("nxy")).as("n"))
+        cells.join(broadcast(mx), "event_type").join(broadcast(my), "cohort")
+          .crossJoin(broadcast(n))
+          .agg(
+            max(col("n")).as("n_rows"),
+            sum(expr(
+              """CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                |* ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+                |     / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))""".stripMargin))
+              .as("mi"),
+            sum(expr(
+              """- CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                |* ln(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin))
+              .as("hxy"))
+          .select(col("n_rows"),
+            expr("CAST(floor(mi * 1000000 + 0.5) AS BIGINT)").as("mi_e6"),
+            expr("CAST(floor(hxy * 1000000 + 0.5) AS BIGINT)").as("h_joint_e6"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(user_id % 4 AS INT) AS cohort FROM events),
+             |cells AS (
+             |  SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS nxy
+             |  FROM ev GROUP BY 1, 2),
+             |mx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+             |my AS (SELECT cohort, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+             |j AS (
+             |  SELECT nxy, nx, ny, n FROM cells
+             |  JOIN mx USING (event_type) JOIN my USING (cohort) CROSS JOIN t)
+             |SELECT max(n) AS n_rows,
+             |       CAST(floor(sum(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+             |            * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+             |                 / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) AS mi_e6,
+             |       CAST(floor(sum(- CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+             |            * ln(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS h_joint_e6
+             |FROM j""".stripMargin)
+    ),
+    Q(
+      "stat_cramers_v",
+      // Cramér's V effect size (round-9): the chi-square contingency
+      // statistic normalized to [0,1] — "is the dependence LARGE", the
+      // question the raw chi-square (stat_chi_square) can't answer
+      // because it grows with n. Same one-pass contingency shape; V =
+      // sqrt(χ² / (n·min(r−1, c−1))), everything from exact counts, one
+      // e6 pin.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cohort", (col("user_id") % 4).cast("int"))
+        val cells = ev.groupBy(col("event_type"), col("cohort"))
+          .agg(count(lit(1)).as("nxy"))
+        val mx = cells.groupBy(col("event_type")).agg(sum(col("nxy")).as("nx"))
+        val my = cells.groupBy(col("cohort")).agg(sum(col("nxy")).as("ny"))
+        val n = cells.agg(sum(col("nxy")).as("n"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("cohort")).as("c"))
+        cells.join(broadcast(mx), "event_type").join(broadcast(my), "cohort")
+          .crossJoin(broadcast(n))
+          .agg(max(col("n")).as("n_rows"), max(col("r")).as("r"),
+            max(col("c")).as("c"),
+            sum(expr(
+              """pow(CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE), 2)
+                |/ (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin))
+              .as("chi2"))
+          .select(col("n_rows"), col("r"), col("c"),
+            expr("CAST(floor(chi2 * 1000000 + 0.5) AS BIGINT)").as("chi2_e6"),
+            expr("""CAST(floor(sqrt(chi2 / (CAST(n_rows AS DOUBLE)
+                   |* CAST(least(r - 1, c - 1) AS DOUBLE))) * 1000000 + 0.5) AS BIGINT)""".stripMargin)
+              .as("cramers_v_e6"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(user_id % 4 AS INT) AS cohort FROM events),
+             |cells AS (
+             |  SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS nxy
+             |  FROM ev GROUP BY 1, 2),
+             |mx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+             |my AS (SELECT cohort, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+             |             CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+             |             CAST(count(DISTINCT cohort) AS BIGINT) AS c
+             |      FROM cells),
+             |f AS (
+             |  SELECT max(n) AS n_rows, max(r) AS r, max(c) AS c,
+             |         sum(pow(CAST(nxy AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE), 2)
+             |             / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))) AS chi2
+             |  FROM cells JOIN mx USING (event_type) JOIN my USING (cohort) CROSS JOIN t)
+             |SELECT n_rows, r, c,
+             |       CAST(floor(chi2 * 1000000 + 0.5) AS BIGINT) AS chi2_e6,
+             |       CAST(floor(sqrt(chi2 / (CAST(n_rows AS DOUBLE)
+             |            * CAST(least(r - 1, c - 1) AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS cramers_v_e6
+             |FROM f""".stripMargin)
+    ),
+    Q(
       "stat_cuped",
       // CUPED variance reduction (round-9): the experiment-analysis
       // primitive that shrinks A/B confidence intervals using a

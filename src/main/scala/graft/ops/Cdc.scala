@@ -489,6 +489,38 @@ object Cdc {
       Some(foldSql("TRUE") + "\nORDER BY user_id")
     ),
     Q(
+      "cdc_gap_detection",
+      // Sequence-gap audit (round-9): the replication-feed completeness
+      // check — given a feed keyed by a monotone sequence number, emit
+      // every missing RANGE (gap start, end, width) via one lead() pass
+      // over the distinct ids, O(present ids) shuffle and O(gaps) output.
+      // The fixture feed is dense, so bursty loss is injected
+      // deterministically (event_id % 101 ∈ {7,8,9} dropped) and the
+      // audit provably reconstructs exactly those ranges; at 100 TB the
+      // same plan runs per partition-day with the lead() window keyed by
+      // the feed's shard.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val survived = Tables.events(s, dir)
+          .filter(!(col("event_id") % 101).isin(7L, 8L, 9L))
+          .select(col("event_id").as("id"))
+        survived
+          .withColumn("nxt", lead(col("id"), 1).over(Window.orderBy(col("id"))))
+          .filter(col("nxt") - col("id") > 1)
+          .select((col("id") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"),
+            (col("nxt") - col("id") - 1).as("n_missing"))
+          .orderBy(col("gap_start"))
+      },
+      Some("""WITH survived AS (
+             |  SELECT event_id AS id FROM events
+             |  WHERE event_id % 101 NOT IN (7, 8, 9)),
+             |g AS (
+             |  SELECT id, lead(id, 1) OVER (ORDER BY id) AS nxt FROM survived)
+             |SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+             |       nxt - id - 1 AS n_missing
+             |FROM g WHERE nxt - id > 1 ORDER BY gap_start""".stripMargin)
+    ),
+    Q(
       "pipeline_pit_features",
       // Point-in-time feature assembly (round-9): the feature-store
       // correctness primitive — label rows (purchases) join each feature

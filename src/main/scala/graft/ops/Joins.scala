@@ -1384,6 +1384,15 @@ object Joins {
               |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "sql_agg_filter_clause",
+      // ANSI FILTER (WHERE …) on aggregates (round-9): per-aggregate
+      // predicates without CASE-wrapping — one shared text both engines
+      // parse, planned as the same conditional map-side partial aggregate
+      // the CASE form produces (no extra scan per filtered aggregate).
+      (s, dir) => graft.Catalog.sql(s, dir, aggFilterSql),
+      Some(aggFilterSql)
+    ),
+    Q(
       "sql_group_by_all",
       // GROUP BY ALL: the analyst-SQL dialect feature (group by every
       // non-aggregate select item) that Spark and DuckDB both implement —
@@ -2147,4 +2156,14 @@ object Joins {
              |ORDER BY m.c_mktsegment""".stripMargin)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[sql_agg_filter_clause]]. */
+  private lazy val aggFilterSql: String =
+    """SELECT event_type,
+      |       CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+      |            FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS even_cents,
+      |       CAST(count(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT) AS high_users,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

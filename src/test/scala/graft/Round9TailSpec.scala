@@ -349,6 +349,51 @@ class Round9TailSpec extends AnyFunSuite {
     assert(c.getLong(0) + c.getLong(1) + c.getLong(2) + c.getLong(3) == total)
   }
 
+  test("stat_mutual_info and stat_cramers_v: information-theoretic bounds") {
+    val Array(mi) = q("stat_mutual_info").collect()
+    assert(mi.getLong(1) >= 0, "MI is non-negative")
+    assert(mi.getLong(1) <= math.floor(math.log(4.0) * 1e6 + 0.5).toLong,
+      "MI bounded by ln(min cardinality) = ln(4)")
+    assert(mi.getLong(1) <= mi.getLong(2), "MI <= joint entropy")
+    val Array(cv) = q("stat_cramers_v").collect()
+    assert(cv.getLong(4) >= 0 && cv.getLong(4) <= 1000000,
+      "Cramér's V lives in [0, 1]")
+  }
+
+  test("cdc_gap_detection: reconstructed gaps are exactly the injected loss") {
+    val gaps = q("cdc_gap_detection").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gaps.nonEmpty)
+    val ids = Tables.events(spark, dir).select(col("event_id"))
+      .collect().map(_.getLong(0)).sorted
+    val survived = ids.filterNot(i => Set(7L, 8L, 9L)(i % 101))
+    val missingInterior = ids.filter(i => Set(7L, 8L, 9L)(i % 101))
+      .filter(i => i > survived.head && i < survived.last)
+    assert(gaps.map(_._3).sum == missingInterior.length,
+      "total missing equals injected interior loss")
+    gaps.foreach { case (a, b, n) =>
+      assert(b - a + 1 == n)
+      (a to b).foreach(i => assert(Set(7L, 8L, 9L)(i % 101),
+        s"id $i reported missing but was never dropped"))
+    }
+  }
+
+  test("sql_agg_filter_clause: filtered aggregates match CASE-form replay") {
+    val rows = q("sql_agg_filter_clause").collect()
+    val direct = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") > 50, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("user_id") % 2 === 0,
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("ec"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (nh, ec) = direct(r.getString(0))
+      assert(r.getLong(1) == nh && r.getLong(2) == ec)
+      assert(r.getLong(1) <= r.getLong(4))
+    }
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

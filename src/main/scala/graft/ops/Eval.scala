@@ -125,6 +125,95 @@ object Eval {
               |FROM g ORDER BY bin""".stripMargin)
     ),
     Q(
+      "eval_retrieval_metrics",
+      // Ranking-quality metrics for the retrieval tier (round-9):
+      // hit-rate@10, MRR@10 and NDCG@10 of integer-dot retrieval against
+      // label relevance. Every per-term quantity is floored to an e6
+      // BIGINT BEFORE summation (1e6/rank; the 1e6/log2(rank+1) gains are
+      // PRECOMPUTED integer constants shared by both engines — no libm in
+      // the metric), so the
+      // whole metric pipeline is integer arithmetic — no float sum order
+      // anywhere, and both engines agree bit-for-bit. Query set is a 2%
+      // key sample broadcast against the unexpanded corpus (the
+      // sim_cosine_topk shape); ranking is one window pass per query.
+      // IDCG uses the true per-query relevant count capped at k. At
+      // 100 TB the candidate generation routes through the IVF/LSH rows;
+      // this row pins the METRICS on an exact candidate set.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("label").as("ql"))
+        val c = emb.select(col("vec_id").as("cid"),
+          col("embedding").as("ce"), col("label").as("cl"))
+        val scoredPairs = q.join(broadcast(c), col("qid") =!= col("cid"))
+          .withColumn("dot", expr(
+            """aggregate(zip_with(qe, ce,
+              |  (a, b) -> CAST(floor(CAST(a AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+              |          * CAST(floor(CAST(b AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+              |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+          .withColumn("rel", when(col("ql") === col("cl"), 1L).otherwise(0L))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("dot").desc, col("cid"))))
+        val nrel = scoredPairs.groupBy(col("qid"))
+          .agg(sum(col("rel")).as("n_rel"))
+        val perQ = scoredPairs.filter(col("rnk") <= 10)
+          .groupBy(col("qid"))
+          .agg(
+            max(when(col("rel") === 1, 1L).otherwise(0L)).as("hit"),
+            max(when(col("rel") === 1, expr("1000000 div rnk")).otherwise(0L)).as("rr_e6"),
+            sum(when(col("rel") === 1,
+              expr("CAST(CASE rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000 WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029 ELSE 289064 END AS BIGINT)"))
+              .otherwise(0L)).as("dcg_e6"))
+          .join(nrel, "qid")
+          .withColumn("idcg_e6", expr(
+            "CAST(CASE least(n_rel, 10) WHEN 1 THEN 1000000 WHEN 2 THEN 1630929 WHEN 3 THEN 2130929 WHEN 4 THEN 2561605 WHEN 5 THEN 2948457 WHEN 6 THEN 3304664 WHEN 7 THEN 3637997 WHEN 8 THEN 3953461 WHEN 9 THEN 4254490 WHEN 0 THEN 0 ELSE 4543554 END AS BIGINT)"))
+        perQ.agg(
+          count(lit(1)).as("nq"),
+          expr("CAST(floor(CAST(sum(hit) AS DOUBLE) / count(*) * 1000000 + 0.5) AS BIGINT)").as("hit_rate_e6"),
+          expr("CAST(sum(rr_e6) div count(*) AS BIGINT)").as("mrr_e6"),
+          expr("""CAST(floor(sum(CASE WHEN idcg_e6 > 0
+                 |  THEN CAST(dcg_e6 AS DOUBLE) / CAST(idcg_e6 AS DOUBLE) ELSE 0 END)
+                 |  / count(*) * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("ndcg_e6"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, embedding AS qe, label AS ql
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |c AS (SELECT vec_id AS cid, embedding AS ce, label AS cl FROM embeddings),
+             |pairs AS (
+             |  SELECT qid, cid, ql, cl,
+             |    (SELECT CAST(sum(CAST(floor(CAST(qe[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |                 * CAST(floor(CAST(ce[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             |     FROM generate_series(1, 64) AS g(i)) AS dot
+             |  FROM q, c WHERE qid <> cid),
+             |ranked AS (
+             |  SELECT qid, CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel,
+             |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
+             |  FROM pairs),
+             |nrel AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel FROM ranked GROUP BY qid),
+             |perq AS (
+             |  SELECT r.qid,
+             |    CAST(max(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hit,
+             |    CAST(max(CASE WHEN rel = 1 THEN 1000000 // rnk ELSE 0 END) AS BIGINT) AS rr_e6,
+             |    CAST(sum(CASE WHEN rel = 1
+             |         THEN CASE rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000 WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029 ELSE 289064 END
+             |         ELSE 0 END) AS BIGINT) AS dcg_e6,
+             |    CAST((CASE least(max(n.n_rel), 10) WHEN 1 THEN 1000000 WHEN 2 THEN 1630929
+             |          WHEN 3 THEN 2130929 WHEN 4 THEN 2561605 WHEN 5 THEN 2948457 WHEN 6 THEN 3304664
+             |          WHEN 7 THEN 3637997 WHEN 8 THEN 3953461 WHEN 9 THEN 4254490 WHEN 0 THEN 0
+             |          ELSE 4543554 END) AS BIGINT) AS idcg_e6
+             |  FROM ranked r JOIN nrel n ON r.qid = n.qid
+             |  WHERE rnk <= 10 GROUP BY r.qid)
+             |SELECT CAST(count(*) AS BIGINT) AS nq,
+             |       CAST(floor(CAST(sum(hit) AS DOUBLE) / count(*) * 1000000 + 0.5) AS BIGINT) AS hit_rate_e6,
+             |       CAST(sum(rr_e6) // count(*) AS BIGINT) AS mrr_e6,
+             |       CAST(floor(sum(CASE WHEN idcg_e6 > 0
+             |            THEN CAST(dcg_e6 AS DOUBLE) / CAST(idcg_e6 AS DOUBLE) ELSE 0 END)
+             |            / count(*) * 1000000 + 0.5) AS BIGINT) AS ndcg_e6
+             |FROM perq""".stripMargin)
+    ),
+    Q(
       "eval_confusion_prf",
       // Thresholded confusion matrix + precision/recall/F1 at the natural
       // sign threshold (score > 0): four conditional counts from ONE

@@ -394,6 +394,18 @@ class Round9TailSpec extends AnyFunSuite {
     }
   }
 
+  test("eval_retrieval_metrics: metric lattice holds (hit >= mrr-ish, ndcg in [0,1])") {
+    val Array(r) = q("eval_retrieval_metrics").collect()
+    val (nq, hit, mrr, ndcg) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nq > 0)
+    assert(hit >= 0 && hit <= 1000000 && ndcg >= 0 && ndcg <= 1000000)
+    // MRR <= hit rate (rr is 1 only when the top hit is rank 1; 0 when no hit)
+    assert(mrr <= hit, s"MRR $mrr must not exceed hit rate $hit")
+    // a hit implies positive NDCG and vice versa on average
+    assert((hit == 0) == (ndcg == 0))
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => functions.CosineSimilarity(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("hilbert_idx"),
+      new ExpressionInfo(classOf[functions.HilbertIndex].getName, "hilbert_idx"),
+      (exprs: Seq[Expression]) => functions.HilbertIndex(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("simhash_fp"),
       new ExpressionInfo(classOf[functions.SimHashFingerprint].getName, "simhash_fp"),
       (exprs: Seq[Expression]) => functions.SimHashFingerprint(exprs(0))))

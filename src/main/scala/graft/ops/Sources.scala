@@ -954,6 +954,68 @@ object Sources {
         + "\nORDER BY o_orderkey")
     ),
     Q(
+      "expr_hilbert_codegen",
+      // The native-codegen leg of the Hilbert tier (§2.12): the SAME
+      // 10-level transform as sink_hilbert_layout, but computed by the
+      // fused-loop Catalyst expression `hilbert_idx` (one Java loop per
+      // row inside WholeStageCodegen) instead of 10 chained CASE
+      // projections. The DuckDB oracle replays the unrolled CTE chain —
+      // a native codegen path certified bit-for-bit against a pure-SQL
+      // second implementation.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("long").as("day_idx"))
+        val bounds = o.agg(
+          min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+          min(col("day_idx")).as("dmin"), max(col("day_idx")).as("dmax"))
+        o.crossJoin(broadcast(bounds))
+          .withColumn("cs", expr("((o_custkey - cmin) * 1024) div (cmax - cmin + 1)"))
+          .withColumn("ds", expr("((day_idx - dmin) * 1024) div (dmax - dmin + 1)"))
+          .select(col("o_orderkey"),
+            org.apache.spark.sql.functions.call_function(
+              "hilbert_idx", col("cs"), col("ds")).as("hkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(hilbertOrdersSql(
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)")
+        .replace("SELECT o_orderkey, o_custkey, day_idx, d AS hkey FROM hl9",
+          "SELECT o_orderkey, d AS hkey FROM hl9")
+        + "\nORDER BY o_orderkey")
+    ),
+    Q(
+      "scan_csv_multiline_quoted",
+      // CSV with embedded newlines inside quoted fields (round-9) — the
+      // ingestion dialect that breaks line-based splitters: a quoted
+      // record spans physical lines, so the reader must parse quotes
+      // BEFORE splitting (Spark `multiLine=true`; the file can no longer
+      // be byte-range split, which is exactly why production feeds
+      // ship it gzip-per-shard — noted, and why the roundtrip pins the
+      // semantics). A two-line note column is synthesized, landed, and
+      // re-read; the oracle rebuilds the same strings from the fixture.
+      (s, dir) => {
+        val tmp = tmpDir("graft_mlcsv_")
+        Tables(s, dir, "customer")
+          .select(col("c_custkey"),
+            concat(col("c_name"), lit("\n"), col("c_mktsegment")).as("note"),
+            col("c_acctbal"))
+          .coalesce(1)
+          .write.mode("overwrite").option("quoteAll", "true").csv(tmp)
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("note", StringType),
+          StructField("c_acctbal", DoubleType)))
+        s.read.schema(schema)
+          .option("multiLine", "true").csv(tmp)
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |       c_name || chr(10) || c_mktsegment AS note,
+             |       c_acctbal
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
       "source_streaming_files",
       // The reference's poll-and-download loop as a file stream (SURVEY.md
       // §2.1 [DAP]): Structured Streaming over the landed directory with

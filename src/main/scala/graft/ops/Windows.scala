@@ -440,6 +440,57 @@ object Windows {
               |ORDER BY user_id, session_start""".stripMargin)
     ),
     Q(
+      "ts_bollinger_bands",
+      // Bollinger bands (round-9): trailing mean ± 2σ over each user's
+      // last 8 events, plus the breakout flag — the volatility envelope
+      // every monitoring/trading dashboard draws. Variance comes from the
+      // (Σx, Σx², n) frame sums in EXACT BIGINT cents, so the only float
+      // ops are the final sqrt and two comparisons evaluated with
+      // identical text — no accumulation-order drift. One window pass,
+      // bounded 8-row frame state; breakout is pinned as an integer
+      // cross-multiplication (cents² scale) to keep even the comparison
+      // float-free.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
+        Tables.events(s, dir)
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("cents")).over(w))
+          .withColumn("sxx", sum(col("cents") * col("cents")).over(w))
+          .filter(col("n") === 8)
+          .select(col("user_id"), col("event_id"), col("cents"),
+            expr("CAST(floor(CAST(sx AS DOUBLE) / 8 * 100 + 0.5) AS BIGINT)").as("mid_c2"),
+            expr("""CAST(floor(sqrt(CAST(8 * sxx - sx * sx AS DOUBLE)) / 8 * 100 + 0.5)
+                   |AS BIGINT)""".stripMargin).as("sigma_c2"),
+            // breakout iff |8·x − Σx| > 2·sqrt(8·Σx² − (Σx)²): integer left
+            // side, one sqrt right side — same text both engines
+            expr("""CAST(abs(8 * cents - sx) AS DOUBLE)
+                   |> 2 * sqrt(CAST(8 * sxx - sx * sx AS DOUBLE))""".stripMargin)
+              .as("breakout"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, event_id, ts,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, event_id, cents,
+             |    CAST(count(*) OVER w AS BIGINT) AS n,
+             |    CAST(sum(cents) OVER w AS BIGINT) AS sx,
+             |    CAST(sum(cents * cents) OVER w AS BIGINT) AS sxx
+             |  FROM t
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, cents,
+             |       CAST(floor(CAST(sx AS DOUBLE) / 8 * 100 + 0.5) AS BIGINT) AS mid_c2,
+             |       CAST(floor(sqrt(CAST(8 * sxx - sx * sx AS DOUBLE)) / 8 * 100 + 0.5) AS BIGINT) AS sigma_c2,
+             |       CAST(abs(8 * cents - sx) AS DOUBLE)
+             |         > 2 * sqrt(CAST(8 * sxx - sx * sx AS DOUBLE)) AS breakout
+             |FROM f WHERE n = 8
+             |ORDER BY user_id, event_id""".stripMargin)
+    ),
+    Q(
       "ts_ewma_window",
       // Exponentially-weighted moving average over each user's trailing 8
       // events (α = 1/2). Because the weights are powers of two, numerator

@@ -156,4 +156,29 @@ class ZOrderLayoutSpec extends AnyFunSuite {
         s"keys $d and ${d + 1} map to non-adjacent cells ($x1,$y1) ($x2,$y2)")
     }
   }
+
+  test("native hilbert_idx expression equals the SQL CTE chain, codegen'd") {
+    // the fused-loop Catalyst expression and the 10-level CTE chain are
+    // two independent implementations of xy2d — compare them on a grid
+    // sweep of the full 1024x1024 domain (stride keeps it fast)
+    spark.range(0, 1024, 7).toDF("a")
+      .crossJoin(spark.range(0, 1024, 11).toDF("b"))
+      .selectExpr("a * 1024 + b AS id", "a AS x0", "b AS y0")
+      .createOrReplaceTempView("hgrid10")
+    val viaSql = spark.sql(
+      "WITH " + ops.Sources.hilbertCtes("hgrid10", 10, Seq("id")) +
+        " SELECT id, d FROM hl9")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = spark.sql(
+      "SELECT id, hilbert_idx(x0, y0) AS d FROM hgrid10")
+    native.collect().foreach { r =>
+      assert(r.getLong(1) == viaSql(r.getLong(0)),
+        s"native and SQL hilbert diverge at id ${r.getLong(0)}")
+    }
+    // after execution the adaptive plan is final; codegen stages render
+    // as "*(n)" markers on their operators in this string form
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("hilbert_idx"),
+      s"hilbert_idx must stay inside a codegen stage:\n${plan.take(800)}")
+  }
 }

@@ -1297,6 +1297,21 @@ object Joins {
              |GROUP BY m ORDER BY m""".stripMargin)
     ),
     Q(
+      "sql_recursive_bom",
+      // Bill-of-materials explosion via WITH RECURSIVE (round-9): the
+      // recursive pattern sql_recursive_cte's calendar spine does NOT
+      // cover — an aggregate carried ALONG the recursion (quantity
+      // multiplies down each containment path, bounded depth). The
+      // containment forest is derived deterministically (parent =
+      // child div 4, qty = child mod 4 + 1 — ~log₄ depth), the recursion
+      // explodes from root 0 accumulating the path product, and a final
+      // rollup sums multiplicities per depth. Spark plans the recursion
+      // as UnionLoop with a per-iteration join on the parent key — each
+      // iteration is one bounded equi-join shuffle, O(frontier) rows.
+      (s, dir) => graft.Catalog.sql(s, dir, bomSql),
+      Some(bomSql)
+    ),
+    Q(
       "sql_window_tvf",
       // Batch `window()` time-bucketing TVF (round-9): the SAME
       // window(ts, '30 minutes') expression Structured Streaming
@@ -2156,6 +2171,28 @@ object Joins {
              |ORDER BY m.c_mktsegment""".stripMargin)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[sql_recursive_bom]]: a derived
+    * containment forest (parent = child div 4 via float-floor so one text
+    * parses on both engines), exploded from root 0 with the quantity
+    * product carried through the recursion (≤ 4^8, no overflow).
+    */
+  private lazy val bomSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT CAST(floor(CAST(p_partkey AS DOUBLE) / 4) AS BIGINT) AS parent,
+      |         p_partkey AS child,
+      |         p_partkey % 4 + 1 AS qty
+      |  FROM part WHERE p_partkey > 0),
+      |bom(part, depth, mult) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT e.child, b.depth + 1, b.mult * e.qty
+      |  FROM bom b JOIN edges e ON e.parent = b.part
+      |  WHERE b.depth < 8)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n_parts,
+      |       CAST(sum(mult) AS BIGINT) AS total_units,
+      |       CAST(max(mult) AS BIGINT) AS max_mult
+      |FROM bom GROUP BY depth ORDER BY depth""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[sql_agg_filter_clause]]. */
   private lazy val aggFilterSql: String =

@@ -398,6 +398,32 @@ object Quality {
       Some(refIntegritySql)
     ),
     Q(
+      "dq_drift_psi",
+      // Population Stability Index (round-9): THE ML-monitoring drift
+      // metric — PSI = Σ (p_a − p_b)·ln(p_a/p_b) over fixed value bands,
+      // comparing the pre-1998 order-price distribution against 1998+.
+      // Bands are deterministic integer cents bins (no quantile
+      // estimation to disagree on), proportions are Laplace-smoothed
+      // ((n+1)/(N+10)) so an empty band can't divide by zero, and the
+      // ln arithmetic runs once per band with identical formula text,
+      // e6-pinned. One contingency aggregate, 10 output rows at any
+      // scale; monitors read contrib and sum.
+      (s, dir) => graft.Catalog.sql(s, dir, psiSql),
+      Some(psiSql)
+    ),
+    Q(
+      "stat_jackknife_ci",
+      // Block-jackknife standard error (round-9): the cluster-robust
+      // uncertainty every experiment platform needs when rows within a
+      // user correlate (a plain s/√n SE is too small). Users hash into
+      // 20 blocks; leave-one-block-out means θ₍ᵢ₎ fold from exact BIGINT
+      // (Σ, n) totals, and SE² = (B−1)/B · Σ(θ₍ᵢ₎ − θ̄)². Deterministic
+      // alternative to bootstrap (no RNG anywhere); one map-side block
+      // aggregate + an O(B) fold; CI = θ ± 1.96·SE, all pinned e6.
+      (s, dir) => graft.Catalog.sql(s, dir, jackknifeSql),
+      Some(jackknifeSql)
+    ),
+    Q(
       "dq_table_checksum",
       // Replica checksum comparison (round-9): prove two tables identical
       // WITHOUT moving either — per-group row count + commutative sum of
@@ -526,6 +552,59 @@ object Quality {
              |FROM orders""".stripMargin)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[dq_drift_psi]]. */
+  private lazy val psiSql: String =
+    """WITH binned AS (
+      |  SELECT least(CAST(floor(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE) / 2000000) AS BIGINT), 9) AS band,
+      |         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS is_a
+      |  FROM orders),
+      |bands AS (
+      |  SELECT band,
+      |         CAST(sum(is_a) AS BIGINT) AS n_a,
+      |         CAST(sum(1 - is_a) AS BIGINT) AS n_b
+      |  FROM binned GROUP BY band),
+      |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM bands),
+      |p AS (
+      |  SELECT band, n_a, n_b,
+      |         (CAST(n_a AS DOUBLE) + 1) / (CAST(ta AS DOUBLE) + 10) AS pa,
+      |         (CAST(n_b AS DOUBLE) + 1) / (CAST(tb AS DOUBLE) + 10) AS pb
+      |  FROM bands CROSS JOIN tot)
+      |SELECT band, n_a, n_b,
+      |       CAST(floor((pa - pb) * ln(pa / pb) * 1000000 + 0.5) AS BIGINT) AS psi_contrib_e6
+      |FROM p ORDER BY band""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[stat_jackknife_ci]]. */
+  private lazy val jackknifeSql: String =
+    """WITH blocks AS (
+      |  SELECT CAST(user_id % 20 AS INT) AS blk,
+      |         CAST(count(*) AS BIGINT) AS n_i,
+      |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s_i
+      |  FROM events GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(sum(s_i) AS BIGINT) AS s,
+      |         CAST(count(*) AS BIGINT) AS b
+      |  FROM blocks),
+      |loo AS (
+      |  SELECT CAST(s - s_i AS DOUBLE) / CAST(n - n_i AS DOUBLE) AS theta_i, b, n, s
+      |  FROM blocks CROSS JOIN tot),
+      |f AS (
+      |  SELECT max(b) AS b, max(n) AS n, max(s) AS s,
+      |         avg(theta_i) AS theta_bar,
+      |         sum(theta_i * theta_i) AS stt,
+      |         sum(theta_i) AS st
+      |  FROM loo)
+      |SELECT b AS n_blocks, n AS n_rows,
+      |       CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 100 + 0.5) AS BIGINT) AS theta_cents,
+      |       CAST(floor(sqrt((CAST(b AS DOUBLE) - 1) / CAST(b AS DOUBLE)
+      |            * (stt - st * st / CAST(b AS DOUBLE))) * 100 + 0.5) AS BIGINT) AS se_cents,
+      |       CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |            - CAST(196 AS DOUBLE) / 100 * sqrt((CAST(b AS DOUBLE) - 1) / CAST(b AS DOUBLE)
+      |                   * (stt - st * st / CAST(b AS DOUBLE)))) * 100 + 0.5) AS BIGINT) AS ci_lo_cents,
+      |       CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |            + CAST(196 AS DOUBLE) / 100 * sqrt((CAST(b AS DOUBLE) - 1) / CAST(b AS DOUBLE)
+      |                   * (stt - st * st / CAST(b AS DOUBLE)))) * 100 + 0.5) AS BIGINT) AS ci_hi_cents
+      |FROM f""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[dq_table_checksum]]: replica A is
     * orders as landed; replica B injects deterministic drift (key%997=13

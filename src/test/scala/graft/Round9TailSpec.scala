@@ -406,6 +406,40 @@ class Round9TailSpec extends AnyFunSuite {
     assert((hit == 0) == (ndcg == 0))
   }
 
+  test("sql_recursive_bom: every part reached exactly once, depths telescope") {
+    val rows = q("sql_recursive_bom").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the derived forest parent = child div 4 reaches every part key from
+    // root 0 in <= 8 levels, each exactly once (keys are 0-based, so the
+    // synthetic root row IS part 0)
+    val nParts = Tables(spark, dir, "part").count()
+    assert(rows.map(_._2).sum == nParts, "every part reached exactly once")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    rows.foreach { case (depth, _, units, maxm) =>
+      assert(maxm <= math.pow(4, depth).toLong, "mult bounded by 4^depth")
+      assert(units >= 0 && maxm >= 1)
+    }
+  }
+
+  test("dq_drift_psi: contributions are finite and bands cover all orders") {
+    val rows = q("dq_drift_psi").collect()
+    assert(rows.length == 10)
+    val nOrders = Tables(spark, dir, "orders").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == nOrders)
+    // Laplace smoothing keeps every contribution finite; PSI >= 0 in total
+    assert(rows.map(_.getLong(3)).sum >= 0)
+  }
+
+  test("stat_jackknife_ci: block SE widens the naive iid interval") {
+    val Array(r) = q("stat_jackknife_ci").collect()
+    val (b, n, theta, se) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // small sf may not populate all 20 residue blocks
+    assert(b >= 2 && b <= 20 && n > 0 && se > 0)
+    assert(r.getLong(4) < theta && theta < r.getLong(5),
+      "CI brackets the point estimate")
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -35,6 +35,46 @@ class RunningTotalsProcessor
   }
 }
 
+/** CEP sequence detector (round-9): per-user state machine over event
+  * time — signup → (strictly later) click → (strictly later) purchase.
+  * State is ONE tuple (stage, s_ns, c_ns); each batch's rows are sorted
+  * by (ts_ns, event_id) before feeding the machine (a micro-batch
+  * iterator carries no order guarantee; per-key batch volume is bounded
+  * by the trigger, so the sort is small and local). The machine emits
+  * exactly once, at the first completion, then parks at stage 3 — the
+  * funnel-alert shape (notify the instant a user converts) that batch
+  * replays can only discover after the fact. Semantics are min-based
+  * and tie-free (strict ts inequality at each hop), so a 3-step
+  * conditional-min SQL replay certifies the full streaming path.
+  */
+class SequenceDetectProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long, Long)] {
+  @transient private var st: ValueState[(Int, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Int, Long, Long)]("cep",
+      org.apache.spark.sql.Encoders.product[(Int, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long, String)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    var (stage, sNs, cNs) = if (st.exists()) st.get() else (0, 0L, 0L)
+    var done: Option[(Long, Long, Long, Long)] = None
+    // (ts_ns, event_id) sort restores event-time order within the batch
+    rows.toSeq.sortBy(r => (r._2, r._3)).foreach { r =>
+      val (ts, typ) = (r._2, r._4)
+      stage match {
+        case 0 if typ == "signup" => stage = 1; sNs = ts
+        case 1 if typ == "click" && ts > sNs => stage = 2; cNs = ts
+        case 2 if typ == "purchase" && ts > cNs =>
+          stage = 3; done = Some((key, sNs, cNs, ts))
+        case _ => ()
+      }
+    }
+    st.update((stage, sNs, cNs))
+    done.iterator
+  }
+}
+
 /** Event-time TIMER surface of the arbitrary-state v2 API (round-9):
   * per-user inactivity timeout. Each key holds (n_events, last_seen_µs);
   * every batch re-arms one timer at last_seen + 30 min (deleting the
@@ -720,6 +760,57 @@ object Streaming {
              |       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
              |FROM events GROUP BY user_id
              |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "stream_cep_sequence",
+      // Streaming CEP: the signup→click→purchase funnel detector as a
+      // typed state machine (SequenceDetectProcessor) over two time-split
+      // micro-batches — conversions spanning the batch boundary prove the
+      // state carry. Emits exactly one row per converting user, at the
+      // moment of conversion; the oracle replays the same min-based
+      // machine as three conditional-min CTE hops.
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ev = eventsStream(s, stageSplitByTime(s, dir), maxFilesPerTrigger = Some(1))
+            .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+            .as[(Long, Long, Long, String)]
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new SequenceDetectProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "signup_ns", "click_ns", "purchase_ns")
+          runToMemory(s, out, "t_cep", "update")
+            .orderBy(col("user_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type,
+             |         CAST(epoch_us(ts) * 1000 AS BIGINT) AS ts_ns
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, CAST(min(ts_ns) AS BIGINT) AS signup_ns
+             |  FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, CAST(min(e.ts_ns) AS BIGINT) AS click_ns
+             |  FROM ev e JOIN s ON e.user_id = s.user_id
+             |  WHERE e.event_type = 'click' AND e.ts_ns > s.signup_ns
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, CAST(min(e.ts_ns) AS BIGINT) AS purchase_ns
+             |  FROM ev e JOIN c ON e.user_id = c.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts_ns > c.click_ns
+             |  GROUP BY e.user_id)
+             |SELECT s.user_id, s.signup_ns, c.click_ns, p.purchase_ns
+             |FROM s JOIN c ON s.user_id = c.user_id
+             |       JOIN p ON s.user_id = p.user_id
+             |ORDER BY s.user_id""".stripMargin)
     ),
     Q(
       "stream_static_join",

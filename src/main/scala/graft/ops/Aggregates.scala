@@ -783,6 +783,70 @@ object Aggregates {
              |FROM c""".stripMargin)
     ),
     Q(
+      "stat_survival_km",
+      // Kaplan-Meier survival curve (round-9): time-to-first-purchase
+      // per user with right-censoring — users who never purchase are
+      // censored at their last-seen day (the standard conversion-lag /
+      // churn estimator, handling censoring correctly where a naive
+      // average of observed lags is biased). The estimator Ŝ(t) = Π(1 − d/n) is
+      // evaluated as exp(Σ ln(1−d/n)) over an ORDERED window — the
+      // cumulative frame fixes the float summation sequence, so both
+      // engines add the same doubles in the same order and the e6 pin is
+      // exact. Lifetimes and risk sets are pure integer aggregates
+      // (O(users) rollup + O(distinct lifetimes) window); output is the
+      // survival table every churn dashboard plots.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val life = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("first_d"),
+            max(to_date(col("ts"))).as("last_d"),
+            min(when(col("event_type") === "purchase", to_date(col("ts"))))
+              .as("conv_d"))
+        val lt = life
+          .select(
+            datediff(coalesce(col("conv_d"), col("last_d")), col("first_d"))
+              .cast("long").as("t"),
+            col("conv_d").isNotNull.cast("long").as("churn"))
+        val cells = lt.groupBy(col("t"))
+          .agg(count(lit(1)).as("leaving"), sum(col("churn")).as("d"))
+        val wRisk = Window.orderBy(col("t"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wCum = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("n_risk", sum(col("leaving")).over(wRisk))
+          .withColumn("s", exp(sum(expr(
+            "ln(greatest(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 1E-12))")).over(wCum)))
+          .select(col("t"), col("n_risk"), col("d"),
+            expr("CAST(floor(s * 1000000 + 0.5) AS BIGINT)").as("survival_e6"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH life AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS first_d,
+             |         max(CAST(ts AS DATE)) AS last_d,
+             |         min(CASE WHEN event_type = 'purchase'
+             |                  THEN CAST(ts AS DATE) END) AS conv_d
+             |  FROM events GROUP BY user_id),
+             |lt AS (
+             |  SELECT CAST(coalesce(conv_d, last_d) - first_d AS BIGINT) AS t,
+             |         CASE WHEN conv_d IS NOT NULL THEN 1 ELSE 0 END AS churn
+             |  FROM life),
+             |cells AS (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS leaving,
+             |         CAST(sum(churn) AS BIGINT) AS d
+             |  FROM lt GROUP BY t),
+             |km AS (
+             |  SELECT t, leaving, d,
+             |    CAST(sum(leaving) OVER (ORDER BY t
+             |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+             |  FROM cells)
+             |SELECT t, n_risk, d,
+             |       CAST(floor(exp(sum(ln(greatest(1 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 1E-12)))
+             |            OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5) AS BIGINT) AS survival_e6
+             |FROM km ORDER BY t""".stripMargin)
+    ),
+    Q(
       "stat_mutual_info",
       // Mutual information between event type and user cohort (round-9):
       // the feature-selection / dependence metric MI = Σ p_xy·ln(p_xy /

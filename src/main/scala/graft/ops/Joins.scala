@@ -1377,6 +1377,55 @@ object Joins {
              |ORDER BY user_id, s_us""".stripMargin)
     ),
     Q(
+      "sql_session_dynamic_gap",
+      // PER-EVENT dynamic session gaps (round-9): session_window with a
+      // gap EXPRESSION — purchases hold a session open 60 minutes,
+      // everything else 30. Dynamic gaps are interval-UNION semantics
+      // (each event projects [ts, ts+gap); overlapping projections
+      // merge), NOT the fixed-gap lag test, so the oracle replays the
+      // sweep: new session whenever ts exceeds the running max of all
+      // previous events' ends — the same one-window-pass sweep shape as
+      // win_interval_concurrency, O(events) shuffle, no self-join.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT user_id,
+            |       unix_micros(CAST(session_window.start AS TIMESTAMP)) AS s_us,
+            |       unix_micros(CAST(session_window.end AS TIMESTAMP)) AS e_us,
+            |       CAST(count(*) AS BIGINT) AS n_events
+            |FROM events
+            |GROUP BY user_id,
+            |         session_window(ts, CASE WHEN event_type = 'purchase'
+            |                               THEN '60 minutes' ELSE '30 minutes' END)
+            |ORDER BY user_id, s_us""".stripMargin)
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id,
+             |         CAST(epoch_us(ts) AS BIGINT) AS s_us,
+             |         CAST(epoch_us(ts) + CASE WHEN event_type = 'purchase'
+             |              THEN 3600000000 ELSE 1800000000 END AS BIGINT) AS e_us
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, s_us, e_us,
+             |         CASE WHEN max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |                OR s_us >= max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |              THEN 1 ELSE 0 END AS new_s
+             |  FROM iv),
+             |g AS (
+             |  SELECT user_id, s_us, e_us,
+             |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY s_us, new_s
+             |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM m)
+             |SELECT user_id,
+             |       CAST(min(s_us) AS BIGINT) AS s_us,
+             |       CAST(max(e_us) AS BIGINT) AS e_us,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, s_us""".stripMargin)
+    ),
+    Q(
       "sql_pipe_syntax",
       // Spark 4 SQL pipe operators (|>): the linear FROM → WHERE →
       // AGGREGATE → ORDER BY chain plans to exactly the same operators as

@@ -440,6 +440,24 @@ class Round9TailSpec extends AnyFunSuite {
       "CI brackets the point estimate")
   }
 
+  test("stat_survival_km: survival curve is monotone nonincreasing from <= 1") {
+    val rows = q("stat_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.length > 1)
+    assert(rows.head._3 <= 1000000)
+    rows.sliding(2).foreach { case Array((_, n1, s1), (t2, n2, s2)) =>
+      assert(s2 <= s1, s"survival must not increase (t=$t2)")
+      assert(n2 < n1, "risk set shrinks strictly at each event time")
+    }
+  }
+
+  test("sql_session_dynamic_gap: longer purchase gaps merge at least as much") {
+    val dynamic = q("sql_session_dynamic_gap").count()
+    val fixed = q("sql_session_window_tvf").count()
+    assert(dynamic <= fixed,
+      s"interval-union with a superset gap can only merge sessions: $dynamic > $fixed")
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -31,6 +31,7 @@ object SparkEntry {
       ops.Quality.defs ++
       ops.Geo.defs ++
       ops.Eval.defs ++
+      ops.TarShard.defs ++
       ops.Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

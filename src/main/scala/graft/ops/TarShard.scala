@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar sharding (round-9, §2.11 multimodal tier): the
+  * storage layout LLM multimodal pipelines actually train from — samples
+  * packed into tar shards, consumed by SEEKING to member offsets rather
+  * than unpacking. Two halves:
+  *
+  *  - a WRITER that packs the `documents` fixture into a ustar shard
+  *    (members ordered by doc_id, standard 512-byte blocking, correct
+  *    octal size + checksum fields), streamed member-by-member — the
+  *    builder never holds more than one member in memory;
+  *  - an INDEXER that scans the shard bytes distributed (`binaryFile`
+  *    source → per-shard header walk) and emits the member table
+  *    (name, header offset, payload size) every random-access reader
+  *    needs.
+  *
+  * The oracle is the layout ALGEBRA, not a re-parse: ustar offsets are
+  * pure arithmetic over member sizes — header_offset(i) =
+  * Σ_{j<i} 512·(1 + ceil(size_j/512)) — so DuckDB reproduces the entire
+  * index from `octet_length(text)` with one window cumsum. A parser bug,
+  * a wrong pad, or a misread octal field all hash-mismatch.
+  *
+  * Scale posture: one shard here (single staged file); at 100 TB shards
+  * are produced per task (repartitionByRange on the sample key → one tar
+  * per partition, exactly this writer inside foreachPartition) and the
+  * indexer is embarrassingly parallel per shard. The header walk reads
+  * headers only — it SKIPS payload blocks by arithmetic, so indexing
+  * cost is O(members), not O(bytes).
+  */
+object TarShard {
+
+  /** Minimal correct ustar header for a regular file. */
+  private def ustarHeader(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, math.min(b.length, 100))
+    }
+    put(0, name)
+    put(100, "0000644 ")
+    put(108, "0000000 ")
+    put(116, "0000000 ")
+    put(124, "%011o ".format(size)) // 11-digit octal + terminator
+    put(136, "00000000000 ")
+    // checksum field counts as spaces while summing
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    h(156) = '0' // typeflag: regular file
+    put(257, "ustar 00")
+    val sum = h.map(b => b & 0xff).sum
+    put(148, "%06o  ".format(sum))
+    h
+  }
+
+  /** Stage the documents fixture as one ustar shard, memoized per dir. */
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def stageShard(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    shardCache.computeIfAbsent(dir, { _ =>
+      val out = graft.util.tempDir("graft_tar_")
+      val path = java.nio.file.Paths.get(s"$out/shard-000000.tar")
+      val os = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(path))
+      try {
+        // fixture staging (like scan_binary_files): stream members in
+        // doc_id order; at scale this exact loop runs per partition
+        // inside foreachPartition, one shard per task
+        val it = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id"))
+          .toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          val payload = r.getString(1).getBytes("UTF-8")
+          os.write(ustarHeader(s"${r.getLong(0)}.txt", payload.length.toLong))
+          os.write(payload)
+          val pad = (512 - payload.length % 512) % 512
+          os.write(new Array[Byte](pad))
+        }
+        os.write(new Array[Byte](1024)) // archive terminator
+      } finally os.close()
+      out
+    })
+
+  val defs: Seq[Q] = Seq(
+    Q(
+      "multimodal_tar_index",
+      // Index the staged shard: distributed binaryFile scan, then a
+      // header walk that jumps payloads by arithmetic. Output is the
+      // (doc_id, header offset, payload bytes) member table; the oracle
+      // rebuilds it from octet_length + a window cumsum — two
+      // independent derivations of the ustar layout.
+      (s, dir) => {
+        import s.implicits._
+        val shardDir = stageShard(s, dir)
+        val members = s.read.format("binaryFile")
+          .load(s"$shardDir/*.tar")
+          .select(col("content"))
+          .as[Array[Byte]]
+          .flatMap { bytes =>
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, Long, Long)]
+            var off = 0L
+            var done = false
+            while (!done && off + 512 <= bytes.length) {
+              val o = off.toInt
+              if (bytes(o) == 0) done = true // terminator block
+              else {
+                var e = o
+                while (bytes(e) != 0 && e < o + 100) e += 1
+                val name = new String(bytes, o, e - o, "US-ASCII")
+                val sz = java.lang.Long.parseLong(
+                  new String(bytes, o + 124, 11, "US-ASCII").trim, 8)
+                out += ((name, off, sz))
+                off += 512L * (1L + (sz + 511) / 512)
+              }
+            }
+            out
+          }
+          .toDF("member", "hdr_offset", "size_bytes")
+        members
+          .select(
+            expr("CAST(substring(member, 1, length(member) - 4) AS BIGINT)")
+              .as("doc_id"),
+            col("hdr_offset"), col("size_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sized AS (
+             |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS size_bytes
+             |  FROM documents),
+             |laid AS (
+             |  SELECT doc_id, size_bytes,
+             |    CAST(coalesce(sum(512 * (1 + (size_bytes + 511) // 512))
+             |         OVER (ORDER BY doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |         AS BIGINT) AS hdr_offset
+             |  FROM sized)
+             |SELECT doc_id, hdr_offset, size_bytes
+             |FROM laid ORDER BY doc_id""".stripMargin)
+    ))
+}

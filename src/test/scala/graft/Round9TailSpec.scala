@@ -458,6 +458,24 @@ class Round9TailSpec extends AnyFunSuite {
       s"interval-union with a superset gap can only merge sessions: $dynamic > $fixed")
   }
 
+  test("multimodal_tar_index: indexed offsets support exact random access") {
+    val idx = q("multimodal_tar_index").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(idx.keySet == docs.keySet)
+    val shardDir = ops.TarShard.stageShard(spark, dir)
+    val tar = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$shardDir/shard-000000.tar"))
+    docs.keys.toSeq.sorted.take(5).foreach { id =>
+      val (hdr, sz) = idx(id)
+      val payload = new String(tar, (hdr + 512).toInt, sz.toInt, "UTF-8")
+      assert(payload == docs(id),
+        s"seek to offset ${hdr + 512} must recover doc $id exactly")
+    }
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -489,6 +489,54 @@ object Cdc {
       Some(foldSql("TRUE") + "\nORDER BY user_id")
     ),
     Q(
+      "cdc_chunked_backfill",
+      // Chunked initial snapshot with concurrent change-feed handoff
+      // (round-9): the DBLog/Netflix algorithm shape — a backfill reads
+      // the source in key-range chunks WHILE the live change feed keeps
+      // flowing, and any key the feed touched after the backfill cursor
+      // passed must take the FEED's version, not the stale chunk row.
+      // Chunks: 4 deterministic key ranges of orders, each stamped with
+      // the cursor tick at which it was copied (chunk c reads at tick c);
+      // the concurrent feed is the Jan-1998+ orders replayed as updates
+      // at tick = key-derived (key % 4) with a price bump. Resolution is
+      // one per-key max_by on (source priority, tick) — the same
+      // upsert-latest shuffle shape, O(keys), no per-chunk rescans.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        // 4 key-range chunks; chunk boundary by modulus so the ranges are
+        // deterministic at every sf (range c = keys with k % 4 = c),
+        // copied at tick c
+        val chunks = o
+          .withColumn("tick", (col("k") % 4).cast("long"))
+          .withColumn("src", lit(0L)) // 0 = snapshot
+        // concurrent feed: every key % 7 == 3 gets an update (+5 cents)
+        // at tick (k % 4) — i.e. EXACTLY when its chunk was being copied,
+        // the ambiguous interleave the algorithm must resolve feed-wins
+        val feed = o.filter(col("k") % 7 === 3)
+          .withColumn("cents", col("cents") + 5L)
+          .withColumn("tick", (col("k") % 4).cast("long"))
+          .withColumn("src", lit(1L)) // 1 = change feed
+        chunks.unionByName(feed)
+          .groupBy(col("k"))
+          .agg(max_by(col("cents"),
+            struct(col("src"), col("tick"))).as("final_cents"),
+            max(col("src")).as("saw_feed"))
+          .select(col("k"), col("final_cents"),
+            (col("saw_feed") === 1L).as("from_feed"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT k,
+             |       CASE WHEN k % 7 = 3 THEN cents + 5 ELSE cents END AS final_cents,
+             |       k % 7 = 3 AS from_feed
+             |FROM o ORDER BY k""".stripMargin)
+    ),
+    Q(
       "cdc_gap_detection",
       // Sequence-gap audit (round-9): the replication-feed completeness
       // check — given a feed keyed by a monotone sequence number, emit

@@ -214,6 +214,72 @@ object Eval {
              |FROM perq""".stripMargin)
     ),
     Q(
+      "eval_prefix_recall_curve",
+      // Dimension-truncation recall curve (round-9): how much of the TRUE
+      // top-k (full 64-dim integer dot) survives when candidates are
+      // ranked by a 16-dim Matryoshka prefix — the measurement that
+      // justifies (or rejects) the embed_mrl_prefix_rerank serving
+      // architecture. Both rankings are integer-exact (quantized dots),
+      // so recall@{1,5,10} is pure counting: two window passes over the
+      // same broadcast-query pair set, one intersection fold. O(1) output.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        def dot(n: Int) = expr(
+          s"""aggregate(zip_with(slice(qe, 1, $n), slice(ce, 1, $n),
+             |  (a, b) -> CAST(floor(CAST(a AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |          * CAST(floor(CAST(b AS DOUBLE) * 1000000 + 0.5) AS BIGINT)),
+             |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+        val pairs = q.join(broadcast(c), col("qid") =!= col("cid"))
+          .withColumn("full_dot", dot(64))
+          .withColumn("pre_dot", dot(16))
+          .withColumn("full_rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("full_dot").desc, col("cid"))))
+          .withColumn("pre_rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("pre_dot").desc, col("cid"))))
+        pairs.agg(
+          countDistinct(col("qid")).as("nq"),
+          sum(when(col("full_rnk") <= 1 && col("pre_rnk") <= 1, 1L).otherwise(0L)).as("hits1"),
+          sum(when(col("full_rnk") <= 5 && col("pre_rnk") <= 5, 1L).otherwise(0L)).as("hits5"),
+          sum(when(col("full_rnk") <= 10 && col("pre_rnk") <= 10, 1L).otherwise(0L)).as("hits10"))
+          .select(col("nq"),
+            expr("CAST(floor(CAST(hits1 AS DOUBLE) / CAST(nq AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("recall1_e6"),
+            expr("CAST(floor(CAST(hits5 AS DOUBLE) / CAST(nq * 5 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("recall5_e6"),
+            expr("CAST(floor(CAST(hits10 AS DOUBLE) / CAST(nq * 10 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("recall10_e6"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS qid, embedding AS qe
+             |  FROM embeddings WHERE vec_id % 50 = 0),
+             |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+             |pairs AS (
+             |  SELECT qid, cid,
+             |    (SELECT CAST(sum(CAST(floor(CAST(qe[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |                 * CAST(floor(CAST(ce[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             |     FROM generate_series(1, 64) AS g(i)) AS full_dot,
+             |    (SELECT CAST(sum(CAST(floor(CAST(qe[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             |                 * CAST(floor(CAST(ce[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             |     FROM generate_series(1, 16) AS g(i)) AS pre_dot
+             |  FROM q, c WHERE qid <> cid),
+             |ranked AS (
+             |  SELECT qid,
+             |    row_number() OVER (PARTITION BY qid ORDER BY full_dot DESC, cid) AS full_rnk,
+             |    row_number() OVER (PARTITION BY qid ORDER BY pre_dot DESC, cid) AS pre_rnk
+             |  FROM pairs),
+             |f AS (
+             |  SELECT CAST(count(DISTINCT qid) AS BIGINT) AS nq,
+             |    CAST(sum(CASE WHEN full_rnk <= 1 AND pre_rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+             |    CAST(sum(CASE WHEN full_rnk <= 5 AND pre_rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits5,
+             |    CAST(sum(CASE WHEN full_rnk <= 10 AND pre_rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10
+             |  FROM ranked)
+             |SELECT nq,
+             |       CAST(floor(CAST(hits1 AS DOUBLE) / CAST(nq AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS recall1_e6,
+             |       CAST(floor(CAST(hits5 AS DOUBLE) / CAST(nq * 5 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS recall5_e6,
+             |       CAST(floor(CAST(hits10 AS DOUBLE) / CAST(nq * 10 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS recall10_e6
+             |FROM f""".stripMargin)
+    ),
+    Q(
       "eval_confusion_prf",
       // Thresholded confusion matrix + precision/recall/F1 at the natural
       // sign threshold (score > 0): four conditional counts from ONE

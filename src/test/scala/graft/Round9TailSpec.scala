@@ -476,6 +476,23 @@ class Round9TailSpec extends AnyFunSuite {
     }
   }
 
+  test("eval_prefix_recall_curve: recall monotone-ish and within [0,1]") {
+    val Array(r) = q("eval_prefix_recall_curve").collect()
+    val (nq, r1, r5, r10) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nq > 0)
+    Seq(r1, r5, r10).foreach(v => assert(v >= 0 && v <= 1000000))
+  }
+
+  test("cdc_chunked_backfill: feed wins exactly on the updated key class") {
+    val rows = q("cdc_chunked_backfill").collect()
+    assert(rows.length == Tables(spark, dir, "orders").count())
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(0) % 7 == 3),
+        s"key ${r.getLong(0)}: from_feed flag must match the update class")
+    }
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1377,6 +1377,39 @@ object Joins {
              |ORDER BY user_id, s_us""".stripMargin)
     ),
     Q(
+      "sql_unpivot_clause",
+      // SQL-text UNPIVOT clause (round-9): the wide→long rotation as a
+      // parser-level construct (agg_unpivot covers the DF `unpivot` API;
+      // this pins the SQL surface). Plans as a single Expand over the
+      // aggregated input — no join, no extra scan per metric. The oracle
+      // states the semantics as the explicit 3-way UNION ALL.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(
+          """SELECT o_orderpriority, metric, val FROM (
+            |  SELECT o_orderpriority,
+            |         CAST(count(*) AS BIGINT) AS n_orders,
+            |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+            |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            |  FROM orders GROUP BY o_orderpriority)
+            |UNPIVOT (val FOR metric IN (n_orders, n_customers, cents))
+            |ORDER BY o_orderpriority, metric""".stripMargin)
+      },
+      Some("""WITH wide AS (
+             |  SELECT o_orderpriority,
+             |         CAST(count(*) AS BIGINT) AS n_orders,
+             |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o_orderpriority, metric, val FROM (
+             |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS val FROM wide
+             |  UNION ALL
+             |  SELECT o_orderpriority, 'n_customers', n_customers FROM wide
+             |  UNION ALL
+             |  SELECT o_orderpriority, 'cents', cents FROM wide) u
+             |ORDER BY o_orderpriority, metric""".stripMargin)
+    ),
+    Q(
       "sql_session_dynamic_gap",
       // PER-EVENT dynamic session gaps (round-9): session_window with a
       // gap EXPRESSION — purchases hold a session open 60 minutes,

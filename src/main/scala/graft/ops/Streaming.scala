@@ -4,7 +4,7 @@ import graft.{Q, util}
 import graft.cdc.Merge
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Per-user running totals through Spark 4's arbitrary-state v2 API
@@ -32,6 +32,38 @@ class RunningTotalsProcessor
     }
     totals.update((n, total, hi))
     Iterator.single((key, n, total, hi))
+  }
+}
+
+/** Warm-start totals (round-9): the StatefulProcessorWithInitialState
+  * surface — state is SEEDED from a batch dataset (yesterday's
+  * checkpoint, a backfill, a migrated store) before the first
+  * micro-batch, the operational path every stateful-pipeline migration
+  * needs (cold-starting 10⁹ keys by replaying history is unpayable; you
+  * hand the processor the aggregate you already have). State: per-user
+  * (n_events, cents); initial rows land via handleInitialState, the
+  * stream folds on top, and the final totals must equal the full-history
+  * batch aggregate — which is exactly what the oracle states.
+  */
+class WarmStartTotalsProcessor
+    extends StatefulProcessorWithInitialState[
+      Long, (Long, Long, Long), (Long, Long, Long), (Long, Long)] {
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("warm",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, initial: (Long, Long),
+      timers: TimerValues): Unit =
+    totals.update(initial)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { r => n += 1; cents += r._3 }
+    totals.update((n, cents))
+    Iterator.single((key, n, cents))
   }
 }
 
@@ -760,6 +792,58 @@ object Streaming {
              |       CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
              |FROM events GROUP BY user_id
              |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "stream_tws_initial_state",
+      // Warm-start: state seeded from the pre-cutoff batch aggregate
+      // (WarmStartTotalsProcessor.handleInitialState), then the stream
+      // folds only the post-cutoff events on top. Final totals must
+      // equal the full-history batch aggregate — the migration
+      // correctness contract. Oracle restricted to users active after
+      // the cutoff (update mode only emits keys that saw input).
+      (s, dir) => {
+        import s.implicits._
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val cutoffNs = 1705276800L * 1000000000L // 2024-01-15T00:00Z
+          val initial = graft.Tables.events(s, dir)
+            .filter(col("ts_ns") < cutoffNs)
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"),
+              sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+            .as[(Long, Long, Long)]
+            .groupByKey(_._1)
+            .mapValues(r => (r._2, r._3))
+          val ev = eventsStream(s, stage(dir, 1))
+            .filter(col("ts_ns") >= cutoffNs)
+            .select(col("user_id"), col("event_id"),
+              floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+            .as[(Long, Long, Long)]
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new WarmStartTotalsProcessor,
+              TimeMode.None(), OutputMode.Update(), initial)
+            .toDF("user_id", "n_events", "sum_cents")
+          runToMemory(s, out, "t_warm", "update")
+            .groupBy(col("user_id"))
+            .agg(max(col("n_events")).as("n_events"),
+              max_by(col("sum_cents"), col("n_events")).as("sum_cents"))
+            .orderBy(col("user_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH active AS (
+             |  SELECT DISTINCT user_id FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+             |SELECT e.user_id,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events e JOIN active a ON e.user_id = a.user_id
+             |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin)
     ),
     Q(
       "stream_cep_sequence",

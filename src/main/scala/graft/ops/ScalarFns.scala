@@ -255,6 +255,19 @@ object ScalarFns {
              |FROM part ORDER BY p_partkey""".stripMargin)
     ),
     Q(
+      "fn_luhn_check",
+      // Luhn checksum validation (round-9): the check-digit algorithm on
+      // every payment card / IMEI / account id — a DQ gate any ingest of
+      // financial identifiers runs. Applied to the 10-digit customer key
+      // space: digit i extracted by float-floor division (exact below
+      // 2^53, so ONE text parses on both engines), every second digit
+      // doubled with the ≥5 ? −9 fold, validity = sum mod 10. Unrolled
+      // 10-term integer expression — codegen-friendly, no UDF, no string
+      // ops in the hot path.
+      (s, dir) => graft.Catalog.sql(s, dir, luhnSql),
+      Some(luhnSql)
+    ),
+    Q(
       "fn_hash_digests",
       // Content digests for landing-zone integrity checks (the reference
       // verifies downloaded objects): md5 + sha256 hex, oracled; the
@@ -750,4 +763,21 @@ object ScalarFns {
   private def bdPrefix(m: String): String =
     s"(CASE $m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 2" +
       s" WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END)"
+
+  /** Shared Spark/DuckDB SQL for [[fn_luhn_check]]: 10 unrolled digit
+    * terms, doubled at odd positions with the ≥5 → −9 fold.
+    */
+  private lazy val luhnSql: String = {
+    def digit(i: Int): String =
+      s"(CAST(floor(CAST(k AS DOUBLE) / ${math.pow(10, i).toLong}) AS BIGINT) % 10)"
+    val terms = (0 until 10).map { i =>
+      if (i % 2 == 0) digit(i)
+      else s"(2 * ${digit(i)} - CASE WHEN ${digit(i)} >= 5 THEN 9 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT c_custkey AS k FROM customer),
+       |s AS (SELECT k, $terms AS luhn_sum FROM d)
+       |SELECT luhn_sum % 10 = 0 AS valid, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(min(k) AS BIGINT) AS first_key
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -440,6 +440,35 @@ object Windows {
               |ORDER BY user_id, session_start""".stripMargin)
     ),
     Q(
+      "win_new_vs_returning",
+      // New-vs-returning daily split (round-9): for every active day,
+      // how many users were seen for the FIRST time vs returning — the
+      // growth-accounting row every product dashboard leads with (DAU
+      // says how many; this says which kind). One per-user min-day
+      // rollup broadcast back onto the per-(user, day) activity set;
+      // O(users + user-days) shuffle, exact counts.
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+        ud.join(broadcast(first), "user_id")
+          .groupBy(col("d"))
+          .agg(
+            sum(when(col("d") === col("first_d"), 1L).otherwise(0L)).as("new_users"),
+            sum(when(col("d") =!= col("first_d"), 1L).otherwise(0L)).as("returning_users"))
+          .orderBy(col("d"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+             |  FROM events),
+             |f AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY user_id)
+             |SELECT d,
+             |       CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             |       CAST(sum(CASE WHEN d <> first_d THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+             |FROM ud JOIN f USING (user_id)
+             |GROUP BY d ORDER BY d""".stripMargin)
+    ),
+    Q(
       "ts_bollinger_bands",
       // Bollinger bands (round-9): trailing mean ± 2σ over each user's
       // last 8 events, plus the breakout flag — the volatility envelope

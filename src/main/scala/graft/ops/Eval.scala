@@ -280,6 +280,60 @@ object Eval {
              |FROM f""".stripMargin)
     ),
     Q(
+      "eval_cluster_nmi",
+      // Clustering-quality NMI (round-9): normalized mutual information
+      // between a deterministic 16-way sign-bit clustering (the sign
+      // pattern of the first 4 quantized dimensions — the 1-bit LSH cell
+      // id) and the true labels: NMI = 2·I(C;L)/(H(C)+H(L)). The
+      // contingency table folds from exact integer counts in one pass;
+      // entropies and MI run with identical ln text at the end, e6-
+      // pinned. This is the external-validity metric for every
+      // clustering/bucketing tier (kmeans, IVF, LSH): O(cells·labels)
+      // intermediate, O(1) output.
+      (s, dir) => {
+        val pts = Tables(s, dir, "embeddings")
+          .select(col("label"), expr(
+            """CAST(aggregate(sequence(0, 3), 0L, (acc, i) ->
+              |  acc * 2 + CASE WHEN element_at(embedding, i + 1) > CAST(0 AS FLOAT)
+              |                 THEN 1L ELSE 0L END) AS BIGINT)""".stripMargin).as("cell"))
+        val cells = pts.groupBy(col("cell"), col("label"))
+          .agg(count(lit(1)).as("nxy"))
+        val mc = cells.groupBy(col("cell")).agg(sum(col("nxy")).as("nc"))
+        val ml = cells.groupBy(col("label")).agg(sum(col("nxy")).as("nl"))
+        val tot = cells.agg(sum(col("nxy")).as("n"))
+        val joined = cells.join(broadcast(mc), "cell")
+          .join(broadcast(ml), "label").crossJoin(broadcast(tot))
+        joined.agg(
+          max(col("n")).as("n_pts"),
+          countDistinct(col("cell")).as("n_cells"),
+          sum(expr(
+            """CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+              |* ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+              |     / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE)))""".stripMargin)).as("mi"))
+          .select(col("n_pts"), col("n_cells"),
+            expr("CAST(floor(mi * 1000000 + 0.5) AS BIGINT)").as("mi_e6"))
+      },
+      Some("""WITH pts AS (
+             |  SELECT label,
+             |    CAST((CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END)
+             |       + (CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END)
+             |       + (CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END)
+             |       + (CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cell
+             |  FROM embeddings),
+             |cells AS (
+             |  SELECT cell, label, CAST(count(*) AS BIGINT) AS nxy
+             |  FROM pts GROUP BY 1, 2),
+             |mc AS (SELECT cell, CAST(sum(nxy) AS BIGINT) AS nc FROM cells GROUP BY 1),
+             |ml AS (SELECT label, CAST(sum(nxy) AS BIGINT) AS nl FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells)
+             |SELECT max(n) AS n_pts,
+             |       CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+             |       CAST(floor(sum(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+             |            * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+             |                 / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE)))) * 1000000 + 0.5) AS BIGINT) AS mi_e6
+             |FROM cells JOIN mc USING (cell) JOIN ml USING (label) CROSS JOIN t""".stripMargin)
+    ),
+    Q(
       "eval_confusion_prf",
       // Thresholded confusion matrix + precision/recall/F1 at the natural
       // sign threshold (score > 0): four conditional counts from ONE

@@ -145,6 +145,46 @@ object TextOps {
 
   val defs: Seq[Q] = Seq(
     Q(
+      "pipeline_dedup_incremental",
+      // Incremental corpus dedup (round-9): a NEW batch is deduplicated
+      // against an existing corpus using only the corpus's stored DIGEST
+      // set — the 100 TB operational shape, where rescanning yesterday's
+      // text per ingest is unpayable but a digest table is a few bytes
+      // per doc. Corpus = doc_id < 400 (its sha256 set is the stored
+      // state), batch = the rest; a batch doc survives iff its digest is
+      // (a) not in the store — one anti-join on 256-bit digests, no text
+      // shuffled — and (b) first within the batch (min doc_id per
+      // digest). Output counts prove both legs fired.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("h"))
+        val store = docs.filter(col("doc_id") < 400).select(col("h")).distinct()
+        val batch = docs.filter(col("doc_id") >= 400)
+        val vsStore = batch.join(store, Seq("h"), "left_anti")
+        val kept = vsStore.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("batch_copies"))
+        kept.agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("batch_copies")).as("n_batch_after_store"),
+          min(col("keep_id")).as("first_kept"),
+          max(col("keep_id")).as("last_kept"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, sha256(lower(trim(text))) AS h FROM documents),
+             |store AS (SELECT DISTINCT h FROM docs WHERE doc_id < 400),
+             |batch AS (SELECT * FROM docs WHERE doc_id >= 400),
+             |vs AS (SELECT * FROM batch WHERE h NOT IN (SELECT h FROM store)),
+             |kept AS (
+             |  SELECT h, CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |         CAST(count(*) AS BIGINT) AS batch_copies
+             |  FROM vs GROUP BY h)
+             |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+             |       CAST(sum(batch_copies) AS BIGINT) AS n_batch_after_store,
+             |       CAST(min(keep_id) AS BIGINT) AS first_kept,
+             |       CAST(max(keep_id) AS BIGINT) AS last_kept
+             |FROM kept""".stripMargin)
+    ),
+    Q(
       "text_exact_dedup",
       // Exact dedup on normalized text: hash-groupBy, min doc_id keeps.
       // One shuffle on the 256-bit digest — at 100 TB the digest (not the

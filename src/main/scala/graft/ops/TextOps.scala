@@ -674,6 +674,50 @@ object TextOps {
       }
     ),
     Q(
+      "text_langid_confusion",
+      // Language-ID error analysis (round-9): the full confusion matrix
+      // of the marker classifier against the labeled language, plus
+      // per-cell share of the label's row — which languages leak into
+      // which is what you tune marker lists BY (text_langid reports
+      // per-doc agreement; this aggregates it into the matrix every
+      // model-debugging loop starts from). Same classifier expressions,
+      // one contingency aggregate, O(langs²) output.
+      (s, dir) => {
+        val counts = markers.map { case (l, ts) => l -> markerCount(ts) }
+        val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+        val g2 = counts.reverse.foldLeft(lit("und"): Column) {
+          case (acc, (l, c)) => when(c === best && best > 0, l).otherwise(acc)
+        }
+        val cells = Tables(s, dir, "documents")
+          .select(col("lang").as("labeled"), g2.as("guessed"))
+          .groupBy(col("labeled"), col("guessed"))
+          .agg(count(lit(1)).as("n"))
+        val rowTot = cells.groupBy(col("labeled")).agg(sum(col("n")).as("row_n"))
+        cells.join(broadcast(rowTot), "labeled")
+          .select(col("labeled"), col("guessed"), col("n"),
+            expr("CAST(floor(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+              .as("row_share_e6"))
+          .orderBy(col("labeled"), col("guessed"))
+      },
+      {
+        val cs = markers.map { case (l, ts) => l -> markerCountSql(ts) }
+        val best = s"greatest(${cs.map(_._2).mkString(", ")})"
+        val guess = cs.reverse.foldLeft("'und'") {
+          case (acc, (l, c)) => s"CASE WHEN $c = $best AND $best > 0 THEN '$l' ELSE $acc END"
+        }
+        Some(s"""WITH cells AS (
+                |  SELECT lang AS labeled, $guess AS guessed,
+                |         CAST(count(*) AS BIGINT) AS n
+                |  FROM documents GROUP BY 1, 2),
+                |rt AS (SELECT labeled, CAST(sum(n) AS BIGINT) AS row_n
+                |       FROM cells GROUP BY 1)
+                |SELECT labeled, guessed, n,
+                |       CAST(floor(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS row_share_e6
+                |FROM cells JOIN rt USING (labeled)
+                |ORDER BY labeled, guessed""".stripMargin)
+      }
+    ),
+    Q(
       "text_quality_score",
       // Heuristic quality scoring: length, mean token length, stopword
       // ratio — pure arithmetic, identical on both engines.

@@ -440,6 +440,24 @@ object Windows {
               |ORDER BY user_id, session_start""".stripMargin)
     ),
     Q(
+      "ts_alert_debounce",
+      // Debounced alerting (round-9): the monitoring state machine every
+      // pager pipeline implements — RAISE only after 3 consecutive
+      // breaches (one spike never pages), CLEAR only after 2 consecutive
+      // normals (one good sample never closes an incident), and while an
+      // incident is open further breach runs do NOT re-page. Sequential-
+      // looking logic, but it decomposes into run-length algebra: breach
+      // runs → the 3rd element of each run is a raise candidate, normal
+      // runs → the 2nd element a clear candidate; an episode OPENS at
+      // the first raise after each clear (group raises by
+      // clears-seen-before, keep min) and CLOSES at the next clear.
+      // Three window passes + one decorrelated min — O(events) shuffle,
+      // no state machine fold, no self-join on raw events. One shared
+      // text runs on both engines.
+      (s, dir) => graft.Catalog.sql(s, dir, debounceSql),
+      Some(debounceSql)
+    ),
+    Q(
       "win_new_vs_returning",
       // New-vs-returning daily split (round-9): for every active day,
       // how many users were seen for the FIRST time vs returning — the
@@ -2499,4 +2517,59 @@ object Windows {
       |FROM nbr
       |WHERE px IS NOT NULL AND nx IS NOT NULL AND x > px AND x >= nx
       |ORDER BY d""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[ts_alert_debounce]]: breach = value ≥
+    * the ~p75 cents threshold; raise on the 3rd element of a breach run,
+    * clear on the 2nd of a normal run, episodes open at the first raise
+    * after each clear.
+    */
+  private lazy val debounceSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, ts,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) >= 7000 AS breach
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, ts, breach,
+      |    CASE WHEN lag(breach) OVER w IS NULL OR lag(breach) OVER w <> breach
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (
+      |  SELECT user_id, event_id, ts, breach,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rid
+      |  FROM m),
+      |e AS (
+      |  SELECT user_id, event_id, breach, rid,
+      |    CAST(row_number() OVER (PARTITION BY user_id, rid ORDER BY ts, event_id)
+      |         AS BIGINT) AS rn
+      |  FROM r),
+      |pts AS (
+      |  SELECT user_id, rid, event_id,
+      |         CASE WHEN breach THEN 1 ELSE 0 END AS kind
+      |  FROM e
+      |  WHERE (breach AND rn = 3) OR (NOT breach AND rn = 2)),
+      |cb AS (
+      |  SELECT user_id, rid, event_id, kind,
+      |    CAST(coalesce(sum(1 - kind) OVER (PARTITION BY user_id ORDER BY rid
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS clears_before
+      |  FROM pts),
+      |opens AS (
+      |  SELECT user_id, clears_before, min(rid) AS raise_rid
+      |  FROM cb WHERE kind = 1 GROUP BY user_id, clears_before),
+      |episodes AS (
+      |  SELECT o.user_id, o.raise_rid,
+      |    (SELECT min(c.rid) FROM cb c
+      |     WHERE c.user_id = o.user_id AND c.kind = 0
+      |       AND c.rid > o.raise_rid) AS clear_rid
+      |  FROM opens o)
+      |SELECT ep.user_id,
+      |       CAST(rp.event_id AS BIGINT) AS raise_eid,
+      |       CAST(coalesce(cp.event_id, -1) AS BIGINT) AS clear_eid
+      |FROM episodes ep
+      |JOIN cb rp ON rp.user_id = ep.user_id AND rp.rid = ep.raise_rid
+      |           AND rp.kind = 1
+      |LEFT JOIN cb cp ON cp.user_id = ep.user_id AND cp.rid = ep.clear_rid
+      |                AND cp.kind = 0
+      |ORDER BY ep.user_id, raise_eid""".stripMargin
 }

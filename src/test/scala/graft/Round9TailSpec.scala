@@ -493,6 +493,36 @@ class Round9TailSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_alert_debounce: run-length algebra equals the sequential machine") {
+    val got = q("ts_alert_debounce").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // gold standard: replay the debounce state machine sequentially
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (expr("CAST(floor(value * 100 + 0.5) AS BIGINT)") >= 7000).as("b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getBoolean(3)))
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3.toString, r._2))
+      var breachRun = 0; var normalRun = 0; var open = false
+      val eps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var raiseEid = -1L
+      sorted.foreach { case (_, eid, _, b) =>
+        if (b) { breachRun += 1; normalRun = 0 } else { normalRun += 1; breachRun = 0 }
+        if (!open && b && breachRun == 3) { open = true; raiseEid = eid }
+        else if (open && !b && normalRun == 2) {
+          eps += ((u, raiseEid, eid)); open = false
+        }
+      }
+      if (open) eps += ((u, raiseEid, -1L))
+      eps
+    }.sortBy(e => (e._1, e._2))
+    assert(got.toSeq == brute,
+      s"episodes diverge: got ${got.toSeq.take(5)} vs ${brute.take(5)}")
+  }
+
   test("graph_weighted_sssp: seed at distance 0, all others positive and bounded") {
     val rows = q("graph_weighted_sssp").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -783,6 +783,20 @@ object Aggregates {
              |FROM c""".stripMargin)
     ),
     Q(
+      "stat_runs_test",
+      // Wald–Wolfowitz runs test (round-9): is the daily event-count
+      // series random around its mean, or does it trend/cycle? The
+      // above/below classification is an integer cross-multiplication
+      // (cnt·days vs total — no float mean), runs count from one lag
+      // pass, and the z-score folds n1/n2/R through the closed-form
+      // moments with identical text, e6-pinned. Complements the
+      // Mann-Kendall trend test (monotonic drift) with the
+      // autocorrelation-style alternative (too FEW runs = clumping, too
+      // MANY = oscillation). O(days) window work, O(1) output.
+      (s, dir) => graft.Catalog.sql(s, dir, runsTestSql),
+      Some(runsTestSql)
+    ),
+    Q(
       "stat_survival_km",
       // Kaplan-Meier survival curve (round-9): time-to-first-purchase
       // per user with right-censoring — users who never purchase are
@@ -2292,4 +2306,35 @@ object Aggregates {
              |FROM ranked GROUP BY c_nationkey ORDER BY nation""".stripMargin)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[stat_runs_test]]. */
+  private lazy val runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |               CAST(count(*) AS BIGINT) AS days FROM daily),
+      |cls AS (
+      |  SELECT d, CASE WHEN cnt * days > total THEN 1 ELSE 0 END AS above
+      |  FROM daily CROSS JOIN tot),
+      |runs AS (
+      |  SELECT above,
+      |    CASE WHEN lag(above) OVER (ORDER BY d) IS NULL
+      |           OR lag(above) OVER (ORDER BY d) <> above
+      |         THEN 1 ELSE 0 END AS new_run
+      |  FROM cls),
+      |f AS (
+      |  SELECT CAST(sum(above) AS BIGINT) AS n1,
+      |         CAST(sum(1 - above) AS BIGINT) AS n2,
+      |         CAST(sum(new_run) AS BIGINT) AS r
+      |  FROM runs)
+      |SELECT n1, n2, r,
+      |       CAST(floor(
+      |         (CAST(r AS DOUBLE) - (CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1))
+      |         / sqrt(CAST(2 AS DOUBLE) * n1 * n2 * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2)
+      |                / ((CAST(n1 + n2 AS DOUBLE)) * (CAST(n1 + n2 AS DOUBLE))
+      |                   * (n1 + n2 - 1)))
+      |         * 1000000 + 0.5) AS BIGINT) AS z_e6
+      |FROM f""".stripMargin
 }

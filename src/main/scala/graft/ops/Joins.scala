@@ -1377,6 +1377,16 @@ object Joins {
              |ORDER BY user_id, s_us""".stripMargin)
     ),
     Q(
+      "sql_values_clause",
+      // Inline VALUES table constructor (round-9): the literal dimension
+      // pattern — a tiny mapping table authored in the query text itself,
+      // joined (broadcast, trivially) against the fact. One shared text;
+      // the planner folds the VALUES into a LocalRelation, so the join
+      // costs one broadcast of constants.
+      (s, dir) => graft.Catalog.sql(s, dir, valuesSql),
+      Some(valuesSql)
+    ),
+    Q(
       "sql_unpivot_clause",
       // SQL-text UNPIVOT clause (round-9): the wide→long rotation as a
       // parser-level construct (agg_unpivot covers the DF `unpivot` API;
@@ -2253,6 +2263,17 @@ object Joins {
              |ORDER BY m.c_mktsegment""".stripMargin)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[sql_values_clause]]. */
+  private lazy val valuesSql: String =
+    """SELECT v.tier, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+      |             ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+      |             ('5-LOW', 'cold')) AS v(prio, tier)
+      |  ON o_orderpriority = v.prio
+      |GROUP BY v.tier ORDER BY v.tier""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[sql_recursive_bom]]: a derived
     * containment forest (parent = child div 4 via float-floor so one text

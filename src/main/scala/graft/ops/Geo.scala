@@ -138,5 +138,57 @@ object Geo {
         |          FROM cells GROUP BY cla, clo)
         |SELECT n_pts, CAST(count(*) AS BIGINT) AS n_cells
         |FROM occ GROUP BY n_pts ORDER BY n_pts""".stripMargin)
+    ),
+    Q(
+      "geo_point_in_polygon",
+      // Point-in-polygon containment (round-10): ray casting against a
+      // fixed 5-vertex polygon — per point, count edges a horizontal ray
+      // crosses; odd = inside. The polygon is a VALUES-inlined edge table
+      // (5 rows → LocalRelation broadcast), so the "join" is a map-side
+      // nested loop over 5 edges per point: O(points·edges) work, zero
+      // shuffle before the per-cell rollup. Vertices sit on half-centi-
+      // degree offsets so no fixture point ever lies on an edge, and the
+      // crossing test is ONE formula text evaluated by both engines with
+      // all operands pre-cast to DOUBLE (SQL decimal literals would
+      // otherwise make Spark do decimal arithmetic where DuckDB does
+      // float). Output: per lat-band inside/total census.
+      // Scale: the polygon side is constant-size; production polygon SETS
+      // block by bounding-box grid cell first (the geo_grid_knn_join
+      // pattern) so each point still tests O(local edges), never the
+      // whole polygon table.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(ptsSql + pipSql)
+      },
+      Some(ptsSql + pipSql)
     ))
+
+  /** Shared ray-casting SQL suffix for [[geo_point_in_polygon]]. */
+  private lazy val pipSql: String =
+    """
+      |, edges AS (
+      |  SELECT CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+      |         CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+      |  FROM (VALUES (-9000.5, -3000.5, -2000.5,  5500.5),
+      |               (-2000.5,  5500.5,  6000.5,  4000.5),
+      |               ( 6000.5,  4000.5,  9000.5, -2500.5),
+      |               ( 9000.5, -2500.5,     0.5, -5500.5),
+      |               (    0.5, -5500.5, -9000.5, -3000.5))
+      |       AS v(x1, y1, x2, y2)),
+      |hits AS (
+      |  SELECT c.id, c.cla,
+      |         sum(CASE WHEN (e.y1 > CAST(c.lat_c AS DOUBLE))
+      |                       <> (e.y2 > CAST(c.lat_c AS DOUBLE))
+      |                   AND CAST(c.lon_c AS DOUBLE) <
+      |                       (e.x2 - e.x1)
+      |                       * (CAST(c.lat_c AS DOUBLE) - e.y1)
+      |                       / (e.y2 - e.y1) + e.x1
+      |              THEN 1 ELSE 0 END) AS crossings
+      |  FROM cells c CROSS JOIN edges e
+      |  GROUP BY c.id, c.cla)
+      |SELECT cla,
+      |       CAST(sum(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_inside,
+      |       CAST(count(*) AS BIGINT) AS n_points
+      |FROM hits GROUP BY cla ORDER BY cla""".stripMargin
 }

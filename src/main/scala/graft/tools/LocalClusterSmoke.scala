@@ -89,9 +89,10 @@ object LocalClusterSmoke {
     println(s"""{"executors":$execs}""")
 
     val registry = graft.SparkEntry.queries
-    val only = if (args.nonEmpty) args.toSet else targets.toSet
+    // args mode runs ANY registry rows by name, not just the fixed list
+    val names = if (args.nonEmpty) args.toSeq else targets
     var failed = List.empty[String]
-    val rows = targets.filter(only).map { name =>
+    val rows = names.map { name =>
       val t0 = System.nanoTime()
       val res =
         try { registry(name)(spark, sfDir).count(); "ok" }

@@ -418,6 +418,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("sample_reservoir_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("join_runtime_bloom_filter: InjectRuntimeFilter plants might_contain on the fact side") {
+    ops.Joins.withBloomFilterConfs(spark) {
+      val plan = ops.Joins.bloomFilterJoin(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        "no runtime bloom probe was injected:\n" + plan.take(800))
+    }
+  }
+
+  test("join_cbo_reorder: column stats flip the fact-fact-first chain to dimension-first") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    ops.Joins.cboLand(spark, dir)
+    def leafName(p: LogicalPlan): Option[String] = p match {
+      case l: LogicalRelation => l.catalogTable.map(_.identifier.table)
+      case _ => None
+    }
+    // the badly-written chain contains a join whose WHOLE subtree is the
+    // two fact tables iff the literal order survived optimization
+    def factFactJoin(cbo: Boolean): Boolean = {
+      val confs = Seq("spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.cbo.joinReorder.enabled" -> cbo.toString)
+      val keep = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val plan = spark.sql(ops.Joins.cboStarSql).queryExecution.optimizedPlan
+        plan.collect { case j: Join => j }.exists { j =>
+          val names = j.collectLeaves().flatMap(leafName(_))
+          names.nonEmpty && names.toSet.subsetOf(Set("lineitem", "orders"))
+        }
+      } finally keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    assert(factFactJoin(cbo = false),
+      "without CBO the literal order must keep lineitem ⋈ orders at the bottom")
+    assert(!factFactJoin(cbo = true),
+      "CostBasedJoinReorder should eliminate the fact-fact-first join given stats")
+  }
+
   test("join_aqe_bhj_conversion: AQE converts the denied-broadcast join to BHJ at runtime") {
     ops.Joins.withAqeBhjConfs(spark) {
       val df = ops.Joins.aqeBhjJoin(spark, dir)

@@ -312,6 +312,38 @@ object Joins {
               |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "join_storage_partitioned",
+      // Storage-partitioned join (round-10, SPARK-37375): both fact
+      // sides land in a DSv2 source whose on-disk layout is key-grouped
+      // (one dir per `bucket = key % 8`) and whose Scan REPORTS that
+      // layout via KeyGroupedPartitioning + HasPartitionKey. Spark then
+      // plans the fact-fact join with ZERO exchanges on either side —
+      // the connector-reported co-location that Iceberg/Delta use at
+      // warehouse scale, and the DSv2-native successor of
+      // `sink_bucketed_join`'s Hive bucketing. PlanShapeSpec pins the
+      // bare join: SortMergeJoin, no Exchange anywhere beneath it.
+      // Scale: landing pays one shuffle per table ONCE; every subsequent
+      // join on the bucket key moves nothing — at 100 TB that converts
+      // the recurring fact-fact shuffle (the largest single cost in the
+      // replica's analytics) into a per-partition merge.
+      (s, dir) => {
+        val out = graft.util.tempDir("graft_spj_out_")
+        withSpjConfs(s) {
+          spjJoin(s, dir)
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_lines"),
+              util.r2(sum(col("l_extendedprice"))).as("revenue"))
+            .write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out).orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+              |       ${util.r2sql("sum(l_extendedprice)")} AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "join_left_outer",
       (s, dir) => {
         val c = Tables(s, dir, "customer")
@@ -2435,6 +2467,62 @@ object Joins {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         util.r2(sum(col("l_extendedprice"))).as("revenue"))
+  }
+
+  /** Stage both SPJ sides once per fixture dir (bucket = key % 8, landed
+    * executor-side by [[graft.sources.SpjStage]]).
+    */
+  private val spjCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def spjStage(s: SparkSession, dir: String): String =
+    spjCache.computeIfAbsent(dir, { _ =>
+      val base = graft.util.tempDir("graft_spj_")
+      graft.sources.SpjStage(
+        Tables(s, dir, "orders").select(
+          (col("o_orderkey") % 8).cast("long").as("bucket"),
+          col("o_orderkey"), col("o_orderpriority")),
+        s"$base/orders")
+      graft.sources.SpjStage(
+        Tables(s, dir, "lineitem").select(
+          (col("l_orderkey") % 8).cast("long").as("bucket"),
+          col("l_orderkey"), col("l_extendedprice")),
+        s"$base/lineitem")
+      base
+    })
+
+  /** Confs under which Spark matches the two reported partitionings:
+    * v2 bucketing on, partial-cluster-key matching allowed, broadcast
+    * off so the join would otherwise shuffle. Restores on exit.
+    */
+  private[graft] def withSpjConfs[T](s: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val keep = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => s.conf.set(k, v) }; body }
+    finally keep.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The bare co-partitioned join for [[join_storage_partitioned]] —
+    * PlanShapeSpec pins zero Exchange beneath the SortMergeJoin.
+    */
+  private[graft] def spjJoin(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val base = spjStage(s, dir)
+    val o = s.read
+      .schema("bucket BIGINT, o_orderkey BIGINT, o_orderpriority STRING")
+      .format("graft.sources.SpjSource").load(s"$base/orders")
+    val li = s.read
+      .schema("bucket BIGINT, l_orderkey BIGINT, l_extendedprice DOUBLE")
+      .format("graft.sources.SpjSource").load(s"$base/lineitem")
+    li.join(o, li("bucket") === o("bucket") &&
+      col("l_orderkey") === col("o_orderkey"))
   }
 
   /** The deliberately badly-written 5-way chain for [[join_cbo_reorder]]:

@@ -89,8 +89,12 @@ object LocalClusterSmoke {
     println(s"""{"executors":$execs}""")
 
     val registry = graft.SparkEntry.queries
-    // args mode runs ANY registry rows by name, not just the fixed list
-    val names = if (args.nonEmpty) args.toSeq else targets
+    // args mode runs ANY registry rows by name; `--all` sweeps the whole
+    // registry (sorted) — the full-engine multi-process certification
+    val names =
+      if (args.sameElements(Array("--all"))) registry.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else targets
     var failed = List.empty[String]
     val rows = names.map { name =>
       val t0 = System.nanoTime()

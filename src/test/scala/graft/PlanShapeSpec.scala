@@ -427,6 +427,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_storage_partitioned: reported KeyGroupedPartitioning joins with zero exchanges") {
+    ops.Joins.withSpjConfs(spark) {
+      val j = ops.Joins.spjJoin(spark, dir)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange"),
+        "the co-partitioned DSv2 join must not shuffle either side:\n" + plan.take(1200))
+      assert(j.count() > 0)
+    }
+  }
+
   test("join_cbo_reorder: column stats flip the fact-fact-first chain to dimension-first") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
     import org.apache.spark.sql.execution.datasources.LogicalRelation

@@ -363,5 +363,104 @@ object Eval {
               |       CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS recall_e6,
               |       CAST(floor(CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS f1_e6
               |FROM c""".stripMargin)
+    ),
+    Q(
+      "eval_bleu_corpus",
+      // Corpus BLEU-2 (round-10): the generation-eval metric — modified
+      // n-gram precision with per-document CLIPPING (candidate n-gram
+      // counts capped at the reference's) plus the brevity penalty, all
+      // from corpus-level integer sums. The "candidate" is a
+      // deterministic corruption of each reference document (drop every
+      // 7th token → BP < 1; uppercase every 5th → unigram and bigram
+      // misses), so the metric is non-trivial and both engines derive it
+      // from the same text. All counts are BIGINT; only the final
+      // exp/ln assembly is float, e6-pinned. Scale: two explode+count
+      // aggregates (1- and 2-grams) and one per-doc window for the
+      // post-deletion bigram adjacency — O(tokens) shuffle, corpus
+      // totals are six longs; no pairwise doc work anywhere.
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .filter(length(col("tok")) > 0)
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val cand = toks.filter(col("pos") % 7 =!= 3)
+          .withColumn("tok",
+            when(col("pos") % 5 === 2, upper(col("tok"))).otherwise(col("tok")))
+        val ref2 = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"),
+            concat_ws("\u0001", col("tok"), col("nxt")).as("tok"))
+        val cand2 = cand.withColumn("nxt", lead(col("tok"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("doc_id"),
+            concat_ws("\u0001", col("tok"), col("nxt")).as("tok"))
+        def clipped(c: DataFrame, r: DataFrame, cl: String, tt: String) = {
+          val rc = r.groupBy(col("doc_id"), col("tok"))
+            .agg(count(lit(1)).as("rc"))
+          val cc = c.groupBy(col("doc_id"), col("tok"))
+            .agg(count(lit(1)).as("cc"))
+          cc.join(rc, Seq("doc_id", "tok"), "left")
+            .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as(cl),
+              sum(col("cc")).as(tt))
+        }
+        val k1 = clipped(cand, toks, "clip1", "tot1")
+        val k2 = clipped(cand2, ref2, "clip2", "tot2")
+        val lens = toks.agg(count(lit(1)).as("ref_len"))
+          .crossJoin(cand.agg(count(lit(1)).as("cand_len")))
+        k1.crossJoin(k2).crossJoin(lens)
+          .select(col("clip1"), col("tot1"), col("clip2"), col("tot2"),
+            col("ref_len"), col("cand_len"),
+            floor(
+              exp(least(lit(0.0), lit(1.0) -
+                col("ref_len").cast("double") / col("cand_len").cast("double")))
+              * exp(lit(0.5) *
+                (log(col("clip1").cast("double") / col("tot1").cast("double"))
+                 + log(col("clip2").cast("double") / col("tot2").cast("double"))))
+              * 1000000 + 0.5).cast("long").as("bleu_e6"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, CAST(pos AS BIGINT) - 1 AS pos, tok FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |           generate_subscripts(string_split(text, ' '), 1) AS pos
+             |    FROM documents) t
+             |  WHERE length(tok) > 0),
+             |cand AS (
+             |  SELECT doc_id, pos,
+             |         CASE WHEN pos % 5 = 2 THEN upper(tok) ELSE tok END AS tok
+             |  FROM toks WHERE pos % 7 <> 3),
+             |ref2 AS (
+             |  SELECT doc_id, tok || chr(1) || nxt AS tok FROM (
+             |    SELECT doc_id, tok,
+             |           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             |    FROM toks) t WHERE nxt IS NOT NULL),
+             |cand2 AS (
+             |  SELECT doc_id, tok || chr(1) || nxt AS tok FROM (
+             |    SELECT doc_id, tok,
+             |           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             |    FROM cand) t WHERE nxt IS NOT NULL),
+             |k1 AS (
+             |  SELECT CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS clip1,
+             |         CAST(sum(cc) AS BIGINT) AS tot1
+             |  FROM (SELECT doc_id, tok, count(*) AS cc FROM cand GROUP BY 1, 2) c
+             |  LEFT JOIN (SELECT doc_id, tok, count(*) AS rc FROM toks
+             |             GROUP BY 1, 2) r USING (doc_id, tok)),
+             |k2 AS (
+             |  SELECT CAST(sum(least(cc, coalesce(rc, 0))) AS BIGINT) AS clip2,
+             |         CAST(sum(cc) AS BIGINT) AS tot2
+             |  FROM (SELECT doc_id, tok, count(*) AS cc FROM cand2 GROUP BY 1, 2) c
+             |  LEFT JOIN (SELECT doc_id, tok, count(*) AS rc FROM ref2
+             |             GROUP BY 1, 2) r USING (doc_id, tok)),
+             |lens AS (
+             |  SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS ref_len,
+             |         CAST((SELECT count(*) FROM cand) AS BIGINT) AS cand_len)
+             |SELECT clip1, tot1, clip2, tot2, ref_len, cand_len,
+             |  CAST(floor(
+             |    exp(least(CAST(0 AS DOUBLE),
+             |              1 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)))
+             |    * exp(0.5 * (ln(CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))
+             |               + ln(CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE))))
+             |    * 1000000 + 0.5) AS BIGINT) AS bleu_e6
+             |FROM k1, k2, lens""".stripMargin)
     ))
 }

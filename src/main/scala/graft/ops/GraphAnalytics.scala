@@ -787,6 +787,67 @@ object GraphAnalytics {
               |  SELECT ew.dst, d3.dist + ew.cost FROM ew JOIN d3 ON ew.src = d3.node) u
               |  GROUP BY node)
               |SELECT node, dist FROM d4 ORDER BY node""".stripMargin)
+    ),
+    Q(
+      "graph_scc_functional",
+      // Strongly connected components by POINTER DOUBLING (round-10): the
+      // missing classic after components/PageRank/BFS/k-core. On a
+      // functional graph (out-degree 1 — the shape of "next page",
+      // retry-chain and symlink graphs) SCCs are exactly the cycles; the
+      // algorithm finds them in O(log n) rounds, each ONE keyed self-join:
+      // state (u, jump=succ^(2^t)(u), mn=min of the first 2^t orbit
+      // nodes) squares per round — (jump, mn) ← (jump∘jump,
+      // min(mn, mn∘jump)). After 2^k ≥ n steps every jump target sits ON
+      // its cycle, the cycle SET is exactly the image of the jump map
+      // (succ^m is a bijection on each cycle), and a cycle node's mn is
+      // its cycle's minimum (its orbit IS the cycle) — the canonical SCC
+      // representative. Off-cycle nodes are singleton SCCs (no path
+      // back into a tail). The successor is derived from customer keys
+      // with ANALYTICALLY KNOWN structure (blocks of 5 form 5-cycles on
+      // the first half; the second half tails into them), so the oracle
+      // is the closed-form census the generic algorithm must reproduce.
+      // Scale: log2(n) rounds × O(n) shuffle each — 100 TB of nodes is
+      // ~47 rounds of equi-joins on bounded rows; lineage truncated per
+      // round (lazy localCheckpoint, the [[Graph]] pattern).
+      (s, dir) => {
+        val n = Tables(s, dir, "customer").count()
+        val p = (n / 10L) * 5L
+        val nodes = Tables(s, dir, "customer").select(col("c_custkey").as("u"))
+        val succ = when(col("u") < p,
+            (col("u") - (col("u") % 5)) + ((col("u") % 5) + 1) % 5)
+          .otherwise(col("u") % p)
+        var st = nodes.select(col("u"), succ.as("jump"), col("u").as("mn"))
+          .localCheckpoint(true)
+        val rounds = (64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, n - 1))).toInt // ceil(log2 n): 2^rounds >= n
+        for (_ <- 0 until rounds) {
+          val j = st.select(col("u").as("ju"), col("jump").as("jj"),
+            col("mn").as("jmn"))
+          st = st.join(j, col("jump") === col("ju"))
+            .select(col("u"), col("jj").as("jump"),
+              least(col("mn"), col("jmn")).as("mn"))
+            .localCheckpoint(false)
+        }
+        val cyc = st.select(col("jump").as("cu")).distinct()
+        st.join(cyc, col("u") === col("cu"), "left")
+          .select(col("u"),
+            when(col("cu").isNotNull, col("mn")).otherwise(col("u")).as("rep"),
+            col("cu").isNotNull.as("on_cycle"))
+          .groupBy(col("rep"))
+          .agg(count(lit(1)).as("scc_size"), max(col("on_cycle")).as("is_cycle"))
+          .groupBy(col("scc_size"), col("is_cycle"))
+          .agg(count(lit(1)).as("n_sccs"),
+            min(col("rep")).as("min_rep"), max(col("rep")).as("max_rep"))
+          .orderBy(col("scc_size"))
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+             |p AS (SELECT (n // 10) * 5 AS p, n FROM n)
+             |SELECT CAST(5 AS BIGINT) AS scc_size, TRUE AS is_cycle,
+             |       CAST(p // 5 AS BIGINT) AS n_sccs,
+             |       CAST(0 AS BIGINT) AS min_rep, p - 5 AS max_rep FROM p
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), FALSE, n - p, p, n - 1 FROM p
+             |ORDER BY scc_size""".stripMargin)
     )
   )
 }

@@ -2351,6 +2351,63 @@ object TextOps {
               |SELECT doc_id, hv % 16 AS bucket, CAST(count(*) AS BIGINT) AS cnt
               |FROM h GROUP BY doc_id, bucket
               |ORDER BY doc_id, bucket""".stripMargin)
+    ),
+    Q(
+      "pipeline_preference_pairs",
+      // Preference-pair construction (round-10): the RLHF/DPO data shape —
+      // per prompt, pair the best completion (chosen) with the worst
+      // (rejected) under a quality score, carry the score margin, and
+      // drop prompts whose candidates all tie (margin 0 teaches nothing)
+      // or that have a single candidate. Prompt groups are simulated as
+      // doc_id % 50 (the fixture's stand-in for "N completions per
+      // prompt"); the score is integer text arithmetic (1000·bytes +
+      // 7·spaces — identical formula text both engines, no float). ONE
+      // keyed shuffle: groupBy(prompt) with max_by/min_by over a
+      // (score, doc_id) struct — the pair extraction never sorts within
+      // groups and never joins completions against each other, so at
+      // 100 TB cost is a two-phase aggregate over completions, O(prompts)
+      // output.
+      (s, dir) => {
+        val scored = Tables(s, dir, "documents").select(
+          col("doc_id"),
+          (col("doc_id") % 50).as("prompt_id"),
+          (octet_length(col("text")) * 1000L +
+            (octet_length(col("text")) -
+              octet_length(regexp_replace(col("text"), " ", ""))) * 7L)
+            .cast("long").as("score"))
+        scored.groupBy(col("prompt_id"))
+          .agg(
+            max_by(col("doc_id"), struct(col("score"), col("doc_id")))
+              .as("chosen_id"),
+            min_by(col("doc_id"), struct(col("score"), col("doc_id")))
+              .as("rejected_id"),
+            (max(col("score")) - min(col("score"))).as("margin"),
+            count(lit(1)).as("n_candidates"))
+          .filter(col("margin") > 0 && col("n_candidates") >= 2)
+          .orderBy(col("prompt_id"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, doc_id % 50 AS prompt_id,
+             |         CAST(strlen(text) * 1000
+             |              + (strlen(text)
+             |                 - strlen(replace(text, ' ', ''))) * 7
+             |              AS BIGINT) AS score
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |                       ORDER BY score DESC, doc_id DESC) AS rb,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |                       ORDER BY score ASC, doc_id ASC) AS rw
+             |  FROM scored)
+             |SELECT prompt_id,
+             |       max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+             |       max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+             |       CAST(max(score) - min(score) AS BIGINT) AS margin,
+             |       CAST(count(*) AS BIGINT) AS n_candidates
+             |FROM ranked GROUP BY prompt_id
+             |HAVING max(score) - min(score) > 0 AND count(*) >= 2
+             |ORDER BY prompt_id""".stripMargin)
     )
   )
 }

@@ -40,8 +40,8 @@ object Geo {
   private val ptsSql =
     """WITH pts AS (
       |  SELECT c_custkey AS id,
-      |         CAST(((((c_custkey * 2654435761) % 1000003) * 48271) % 12000) - 6000 AS BIGINT) AS lat_c,
-      |         CAST(((((c_custkey * 1099511628211) % 1000033) * 69621) % 36000) - 18000 AS BIGINT) AS lon_c
+      |         CAST((((((c_custkey % 1000003) * 2654435761) % 1000003) * 48271) % 12000) - 6000 AS BIGINT) AS lat_c,
+      |         CAST((((((c_custkey % 1000033) * 1099511628211) % 1000033) * 69621) % 36000) - 18000 AS BIGINT) AS lon_c
       |  FROM customer),
       |cells AS (
       |  SELECT id, lat_c, lon_c,

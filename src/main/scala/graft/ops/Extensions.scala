@@ -1368,6 +1368,250 @@ object Extensions {
              |  UNION ALL
              |  SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders) t
              |ORDER BY version""".stripMargin)
+    ),
+    Q(
+      "multimodal_shot_detect",
+      // Shot-boundary detection (round-10): the frame-SEQUENCE segmentation
+      // step of a video ingest — consecutive-frame perceptual-hash distance
+      // thresholded into cut points, cut points folded into shots. Frames
+      // are REAL PNG bytes (each doc_id = one frame, 24 frames per video)
+      // encoded and decoded through the same iterator→iterator
+      // mapPartitions plumbing as the other blob legs; per-frame 56-bit
+      // aHash, then lag(phash) over (video, frame) and
+      // bit_count(xor) ≥ threshold marks a cut; shot_id = running cut
+      // count. The staged content makes the detector's answer ANALYTIC:
+      // frames within a shot are pixel-identical (distance 0) and
+      // consecutive shots are photometric INVERSIONS of each other, so
+      // every aHash bit flips except exact-tie cells (distance = 56 −
+      // ties ≫ threshold) — detection is certain, not probabilistic, and
+      // the oracle reduces to integer arithmetic on doc_id. Scale: hash
+      // state is 8 bytes/frame; the window shuffles (video_id, frame_no,
+      // phash) — never pixels — so 100 TB of video segments with an
+      // O(frames·8B) shuffle; shot lengths vary per video (5..8 frames).
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val binSchema = StructType(Seq(
+          StructField("video_id", LongType), StructField("frame_no", LongType),
+          StructField("media", BinaryType)))
+        val hashSchema = StructType(Seq(
+          StructField("video_id", LongType), StructField("frame_no", LongType),
+          StructField("phash", LongType)))
+        val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
+        val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
+        // stage 1: synthesize + PNG-encode — constant raster per shot,
+        // inverted raster for the next shot
+        val frames = Tables(s, dir, "documents").select(col("doc_id"))
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val video = id / 24; val frame = id % 24
+              val shotLen = 5 + video % 4
+              val shot = frame / shotLen
+              val w = (8 + video % 24).toInt; val h = (8 + video % 16).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val cx = x.toLong * 8 / w; val cy = y.toLong * 7 / h
+                  val p = ((video % 97 + 1) * (cx * 11 + cy * 23 + 7)) % 251
+                  val v = if (shot % 2 == 0) p else 255 - p
+                  raster.setSample(x, y, 0, v.toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              Row(video, frame, bos.toByteArray)
+            }
+          }(binEnc)
+        // stage 2: decode + 8×7 grid aHash (the multimodal_image_phash
+        // kernel — 56 bits, strict above-mean)
+        val hashed = frames.mapPartitions { rows =>
+          rows.map { r =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+            val w = img.getWidth.toLong; val h = img.getHeight.toLong
+            val raster = img.getRaster
+            val vs = new Array[Long](56)
+            var i = 0; var cy = 0L
+            while (cy < 7) {
+              var cx = 0L
+              while (cx < 8) {
+                vs(i) = raster.getSample(
+                  (cx * w / 8).toInt, (cy * h / 7).toInt, 0).toLong
+                i += 1; cx += 1
+              }
+              cy += 1
+            }
+            val sum = vs.sum
+            var hash = 0L; i = 0
+            while (i < 56) {
+              if (56L * vs(i) > sum) hash |= (1L << i)
+              i += 1
+            }
+            Row(r.getLong(0), r.getLong(1), hash)
+          }
+        }(hashEnc)
+        // stage 3: consecutive-frame distance → cuts → shots
+        val w = Window.partitionBy(col("video_id")).orderBy(col("frame_no"))
+        hashed
+          .withColumn("prev", lag(col("phash"), 1).over(w))
+          .withColumn("cut",
+            when(col("prev").isNull, 1L) // first frame opens shot 0
+              .when(expr("bit_count(phash ^ prev)") >= 10, 1L)
+              .otherwise(0L))
+          .withColumn("shot_id", sum(col("cut")).over(w) - 1)
+          .groupBy(col("video_id"), col("shot_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            min(col("frame_no")).as("first_frame"),
+            max(col("frame_no")).as("last_frame"))
+          .orderBy(col("video_id"), col("shot_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, doc_id // 24 AS video_id, doc_id % 24 AS frame_no,
+             |         (doc_id % 24) // (5 + (doc_id // 24) % 4) AS shot_id
+             |  FROM documents)
+             |SELECT video_id, shot_id, CAST(count(*) AS BIGINT) AS n_frames,
+             |       min(frame_no) AS first_frame, max(frame_no) AS last_frame
+             |FROM f GROUP BY video_id, shot_id
+             |ORDER BY video_id, shot_id""".stripMargin)
+    ),
+    Q(
+      "sink_v2_distribution_ordering",
+      // DSv2 RequiresDistributionAndOrdering (round-10): the connector
+      // DECLARES its required write layout — clustered by `grp`, sorted
+      // by (grp, o_orderkey) — and SPARK plans the exchange + sort to
+      // satisfy it (pinned in PlanShapeSpec: the write plan grows
+      // hashpartitioning(grp) + Sort, and per-file decode shows every
+      // group in exactly one file, rows sorted). This is how Iceberg's
+      // write.distribution-mode=hash + table sort orders work: the sink
+      // never shuffles a row itself. Scale: a declared write layout is
+      // what makes the NEXT reader fast — clustered files give the
+      // manifest's min/max stats non-overlapping key ranges, so
+      // `sink_stats_file_pruning`-style skipping actually skips; without
+      // it every file spans every key and stats prune nothing.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val out = graft.util.tempDir("graft_dist_")
+        Tables(s, dir, "orders")
+          .select((col("o_orderkey") % 16).as("grp"), col("o_orderkey"),
+            col("o_totalprice"))
+          .write.format(fmt).option("path", out)
+          .option("clusterBy", "grp").option("sortBy", "grp,o_orderkey")
+          .option("numPartitions", "4") // pinned writer-task count — AQE
+          // would coalesce this fixture-sized clustered write to 1 task
+          .mode("overwrite").save()
+        s.read.format(fmt).option("path", out).load()
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("cents"))
+          .orderBy(col("grp"))
+      },
+      Some("""SELECT o_orderkey % 16 AS grp, CAST(count(*) AS BIGINT) AS n,
+             |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |            AS BIGINT) AS cents
+             |FROM orders GROUP BY grp ORDER BY grp""".stripMargin)
+    ),
+    Q(
+      "multimodal_keyframe_select",
+      // Keyframe selection (round-10): given shot boundaries (the
+      // `multimodal_shot_detect` partition of each video), pick the
+      // SHARPEST frame per shot — the thumbnail/representative-frame step
+      // of a video ingest. Frames are real PNG bytes; sharpness is the
+      // exact integer pixel sum-of-squared-deviations n·Σv²−(Σv)²,
+      // computed inside the decode mapPartitions leg (8 B out per frame,
+      // pixels never shuffle). The staged content makes the argmax
+      // ANALYTIC: within a shot every frame shows the same pattern
+      // divided by a power-of-two contrast divisor 2^((frame·7+video)%5),
+      // so SSD gaps between divisor tiers are ≥≈4× — integer rounding
+      // can never flip the order — and the winner is exactly the frame
+      // with the smallest divisor exponent (ties broken by frame_no,
+      // realized as max_by over the (ssd, −frame) struct). The oracle
+      // replays the divisor schedule in pure integer arithmetic.
+      (s, dir) => {
+        val binSchema = StructType(Seq(
+          StructField("video_id", LongType), StructField("frame_no", LongType),
+          StructField("media", BinaryType)))
+        val ssdSchema = StructType(Seq(
+          StructField("video_id", LongType), StructField("frame_no", LongType),
+          StructField("ssd", LongType)))
+        val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
+        val ssdEnc = org.apache.spark.sql.Encoders.row(ssdSchema)
+        val frames = Tables(s, dir, "documents").select(col("doc_id"))
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val video = id / 24; val frame = id % 24
+              val div = 1L << ((frame * 7 + video) % 5)
+              val w = (8 + video % 24).toInt; val h = (8 + video % 16).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val cx = x.toLong * 8 / w; val cy = y.toLong * 7 / h
+                  val p = ((video % 97 + 1) * (cx * 11 + cy * 23 + 7)) % 251
+                  raster.setSample(x, y, 0, (p / div).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              Row(video, frame, bos.toByteArray)
+            }
+          }(binEnc)
+        val sharp = frames.mapPartitions { rows =>
+          rows.map { r =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+            val raster = img.getRaster
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0L; var sumsq = 0L; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = raster.getSample(x, y, 0).toLong
+                sum += v; sumsq += v * v; x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Row(r.getLong(0), r.getLong(1), n * sumsq - sum * sum)
+          }
+        }(ssdEnc)
+        sharp
+          .withColumn("shot_id", expr("frame_no div (5 + video_id % 4)"))
+          .groupBy(col("video_id"), col("shot_id"))
+          .agg(
+            expr("max_by(frame_no, struct(ssd, -frame_no))").as("keyframe"),
+            count(lit(1)).as("n_frames"))
+          .orderBy(col("video_id"), col("shot_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id // 24 AS video_id, doc_id % 24 AS frame_no,
+             |         (doc_id % 24) // (5 + (doc_id // 24) % 4) AS shot_id,
+             |         ((doc_id % 24) * 7 + doc_id // 24) % 5 AS dexp
+             |  FROM documents),
+             |r AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY video_id, shot_id ORDER BY dexp, frame_no) AS rn
+             |  FROM f)
+             |SELECT video_id, shot_id,
+             |       max(CASE WHEN rn = 1 THEN frame_no END) AS keyframe,
+             |       CAST(count(*) AS BIGINT) AS n_frames
+             |FROM r GROUP BY video_id, shot_id
+             |ORDER BY video_id, shot_id""".stripMargin)
     )
   )
 }

@@ -398,6 +398,26 @@ object Quality {
       Some(refIntegritySql)
     ),
     Q(
+      "dq_record_linkage_fs",
+      // Fellegi–Sunter probabilistic record linkage (round-10): the
+      // entity-resolution core of every MDM / customer-360 merge. Two
+      // "files" — the master and a deterministically degraded CRM copy
+      // (1-in-7 names mangled, 1-in-5 phones reformatted) — are blocked
+      // on (nation, coarse balance band), candidate pairs scored by
+      // summing per-field agreement weights, and thresholded into
+      // match / possible / non_match. Weights are PRECOMPUTED integer
+      // milli-units of log2(m/u) — the FS log-likelihood ratios — so
+      // scoring is pure BIGINT and no cross-engine libm call exists.
+      // Scale: blocking keeps candidates O(n·block_size), never n²; at
+      // 100 TB the block key is the shuffle key and each block compares
+      // locally — the standard linkage topology. The census counts both
+      // error modes: true pairs pushed below threshold by double
+      // perturbation (FN) and cross-id pairs that never out-score the
+      // disagreement penalties (no FP at these weights).
+      (s, dir) => graft.Catalog.sql(s, dir, linkageSql),
+      Some(linkageSql)
+    ),
+    Q(
       "dq_drift_psi",
       // Population Stability Index (round-9): THE ML-monitoring drift
       // metric — PSI = Σ (p_a − p_b)·ln(p_a/p_b) over fixed value bands,
@@ -637,6 +657,38 @@ object Quality {
       |       (n_a = n_b AND sum_a = sum_b) AS grp_match
       |FROM ha JOIN hb ON ha.grp = hb.grp
       |ORDER BY ha.grp""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[dq_record_linkage_fs]]. */
+  private lazy val linkageSql: String =
+    """WITH crm AS (
+      |  SELECT c_custkey AS id,
+      |         CASE WHEN c_custkey % 7 = 0 THEN c_name || '~' ELSE c_name END AS name,
+      |         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+      |         c_acctbal AS bal, c_nationkey AS nk
+      |  FROM customer),
+      |mdm AS (
+      |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg,
+      |         c_acctbal AS bal, c_nationkey AS nk
+      |  FROM customer),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         (CASE WHEN a.name = b.name THEN 4000 ELSE -1200 END
+      |        + CASE WHEN a.seg = b.seg THEN 400 ELSE -2000 END
+      |        + CASE WHEN a.bal = b.bal THEN 1500 ELSE -600 END) AS score
+      |  FROM mdm a JOIN crm b
+      |    ON a.nk = b.nk
+      |   AND CAST(floor(a.bal / 500) AS BIGINT) = CAST(floor(b.bal / 500) AS BIGINT)),
+      |decided AS (
+      |  SELECT id_a, id_b, score,
+      |         CASE WHEN score >= 5000 THEN 'match'
+      |              WHEN score >= 0 THEN 'possible'
+      |              ELSE 'non_match' END AS decision
+      |  FROM pairs)
+      |SELECT decision, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |       CAST(min(score) AS BIGINT) AS min_score,
+      |       CAST(max(score) AS BIGINT) AS max_score
+      |FROM decided GROUP BY decision ORDER BY decision""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[dq_cross_table_consistency]]. */
   private lazy val consistencySql: String =

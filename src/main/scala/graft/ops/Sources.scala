@@ -1224,6 +1224,169 @@ object Sources {
       },
       Some("""SELECT c_custkey, c_name, c_acctbal
              |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    Q(
+      "sink_materialized_rollup",
+      // Materialized-view rollup (round-10): the aggregate-navigator
+      // pattern — land a DAILY pre-aggregate of the fact table once, then
+      // answer COARSER questions (monthly per returnflag) by re-
+      // aggregating the MV, never rescanning the fact. Only additive
+      // measures live in the MV (BIGINT cent sums + counts); the average
+      // is DERIVED at query time as sum/count — averaging the MV's
+      // averages would be wrong, which is exactly the correctness trap
+      // this row pins (the oracle computes straight off the raw fact
+      // table, so any non-additive shortcut hash-mismatches).
+      // Scale: the MV is O(groups) — at 100 TB the monthly query reads
+      // thousands of MV rows instead of the fact's billions; MV
+      // maintenance is one map-side-combined aggregate per sync window
+      // landed into the partitioned MV (the `sink_partition_overwrite_
+      // dynamic` merge shape).
+      (s, dir) => {
+        val tmp = tmpDir("graft_mv_")
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"),
+            col("l_shipdate").cast("date").as("d"))
+          .agg(
+            sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+              .as("cents"),
+            count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .groupBy(col("l_returnflag"),
+            to_date(date_trunc("month", col("d"))).as("month"))
+          .agg(sum(col("cents")).as("cents"), sum(col("n")).as("n"))
+          .withColumn("avg_cents", expr("cents div n"))
+          .orderBy(col("l_returnflag"), col("month"))
+      },
+      Some("""SELECT l_returnflag,
+             |       CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month,
+             |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             |            // count(*) AS BIGINT) AS avg_cents
+             |FROM lineitem
+             |GROUP BY l_returnflag, month
+             |ORDER BY l_returnflag, month""".stripMargin)
+    ),
+    Q(
+      "dq_schema_drift_detect",
+      // Schema-drift detection (round-10): the post-sync check a CDC
+      // replica runs when the SOURCE evolves — two landed generations of
+      // the same table are compared by their parquet footers (O(columns)
+      // metadata, never a data scan) and every column is classified
+      // added / removed / type_changed / unchanged. The staged drift:
+      // v2 widens o_custkey BIGINT→DOUBLE, drops o_orderpriority, adds
+      // o_orderdate. Downstream this feeds `schema_evolution_merge`
+      // (mergeSchema landing) and `cdc_column_diff` (selective
+      // invalidation); the oracle is the analytically known diff.
+      (s, dir) => {
+        import s.implicits._
+        val v1dir = tmpDir("graft_drift_v1_")
+        val v2dir = tmpDir("graft_drift_v2_")
+        val o = Tables(s, dir, "orders")
+        o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(v1dir)
+        o.select(col("o_orderkey"), col("o_custkey").cast("double"),
+            col("o_totalprice"), col("o_orderdate").cast("string"))
+          .write.mode("overwrite").parquet(v2dir)
+        val s1 = s.read.parquet(v1dir).schema
+          .map(f => f.name -> f.dataType.simpleString).toMap
+        val s2 = s.read.parquet(v2dir).schema
+          .map(f => f.name -> f.dataType.simpleString).toMap
+        val diff = (s1.keySet ++ s2.keySet).toSeq.sorted.map { c =>
+          (s1.get(c), s2.get(c)) match {
+            case (None, Some(_))          => (c, "added")
+            case (Some(_), None)          => (c, "removed")
+            case (Some(a), Some(b)) if a != b => (c, s"type_changed:$a->$b")
+            case _                        => (c, "unchanged")
+          }
+        }
+        diff.toDF("col_name", "change").orderBy(col("col_name"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('o_custkey', 'type_changed:bigint->double'),
+             |  ('o_orderdate', 'added'),
+             |  ('o_orderkey', 'unchanged'),
+             |  ('o_orderpriority', 'removed'),
+             |  ('o_totalprice', 'unchanged'))
+             |AS t(col_name, change) ORDER BY col_name""".stripMargin)
+    ),
+    Q(
+      "scan_parquet_agg_pushdown",
+      // Parquet aggregate pushdown (round-10): MIN/MAX/COUNT grouped by a
+      // partition column answered ENTIRELY from parquet footer statistics
+      // and directory metadata — zero data pages decoded. Requires the
+      // DSv2 parquet path (`useV1SourceList=""`) plus
+      // `parquet.aggregatePushdown=true`; PlanShapeSpec pins
+      // `PushedAggregation` on the scan and the absence of any data
+      // column in ReadSchema. Scale: at 100 TB this is the difference
+      // between a full-table scan and an O(row-groups) metadata walk —
+      // the fast path every lakehouse table stats call (profiling,
+      // freshness probes, `dq_profile_columns`-style sweeps) should ride.
+      // Confs are scoped around an eager write (the runtime-bloom
+      // discipline) so nothing leaks into the shared session.
+      (s, dir) => {
+        val src = aggPushdownStage(s, dir)
+        val out = tmpDir("graft_aggpd_out_")
+        withScopedConfs(s, aggPushdownConfs) {
+          aggPushdownQuery(s, src).write.mode("overwrite").parquet(out)
+        }
+        s.read.parquet(out).orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+             |       min(CAST(l_shipdate AS DATE)) AS min_sd,
+             |       max(CAST(l_shipdate AS DATE)) AS max_sd
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
     )
   )
+
+  private[graft] val aggPushdownConfs = Seq(
+    "spark.sql.sources.useV1SourceList" -> "", // pushdown is DSv2-only
+    "spark.sql.parquet.aggregatePushdown" -> "true")
+
+  /** Stage lineitem partitioned by returnflag for
+    * [[scan_parquet_agg_pushdown]] — DATE, not the fixture's TIMESTAMP:
+    * parquet agg pushdown serves min/max from int32/int64 column stats
+    * and ParquetScanBuilder excludes timestamp columns.
+    */
+  private[graft] def aggPushdownStage(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val src = tmpDir("graft_aggpd_src_")
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_shipdate").cast("date").as("l_shipdate"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(src)
+    src
+  }
+
+  /** The metadata-only aggregate of [[scan_parquet_agg_pushdown]];
+    * PlanShapeSpec pins `PushedAggregation` on its scan.
+    */
+  private[graft] def aggPushdownQuery(
+      s: org.apache.spark.sql.SparkSession,
+      src: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(src)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"),
+        min(col("l_shipdate")).as("min_sd"),
+        max(col("l_shipdate")).as("max_sd"))
+
+  /** Set confs, run the eager body, restore previous values — the
+    * runtime-bloom discipline shared by every conf-scoped row here.
+    */
+  private[graft] def withScopedConfs[T](
+      s: org.apache.spark.sql.SparkSession,
+      confs: Seq[(String, String)])(body: => T): T = {
+    val keep = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => s.conf.set(k, v) }; body }
+    finally keep.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
 }

@@ -67,6 +67,36 @@ class WarmStartTotalsProcessor
   }
 }
 
+/** State TTL through transformWithState (round-10): the ValueState is
+  * declared with a 1 ms [[TTLConfig]] under processing time, so totals
+  * written in micro-batch N are EXPIRED by the time batch N+1 reads
+  * them — every batch folds from a cold state and the emitted row is
+  * that batch's own totals, not a running sum. The ops lever this row
+  * pins: TTL is how a 100 TB stateful pipeline bounds RocksDB growth on
+  * an unbounded key space (abandoned sessions, one-shot users) without a
+  * bespoke timer per key. The 1 ms duration is deterministic for the
+  * staged two-file schedule: inter-batch latency is always ≫ 1 ms, and
+  * intra-batch reads never see their own batch's expiry (one
+  * handleInputRows call per key per batch).
+  */
+class TtlTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("ttl_totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      TTLConfig(java.time.Duration.ofMillis(1)))
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { r => n += 1; cents += r._2 }
+    totals.update((n, cents))
+    Iterator.single((key, n, cents))
+  }
+}
+
 /** CEP sequence detector (round-9): per-user state machine over event
   * time — signup → (strictly later) click → (strictly later) purchase.
   * State is ONE tuple (stage, s_ns, c_ns); each batch's rows are sorted
@@ -388,6 +418,38 @@ object Streaming {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
+  }
+
+  /** Like [[runToMemory]] but for queries that CANNOT self-terminate:
+    * `transformWithState` under `TimeMode.ProcessingTime` keeps the
+    * stateful operator requesting further micro-batches (TTL/timer
+    * sweeps), so both an AvailableNow trigger and `processAllAvailable()`
+    * wait forever. Instead, poll the query's progress until the source
+    * has fed `expectedInputRows` total rows through, then stop — the
+    * bounded-staging equivalent of an operator's external drain signal.
+    */
+  private def runToMemoryDrain(s: SparkSession, df: DataFrame, name: String,
+      mode: String, expectedInputRows: Long): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // 1 s pacing keeps the no-data batches (which the stateful operator
+      // requests forever) from flooding the bounded recentProgress buffer
+      // before the poll below has summed the data batches' row counts.
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime("1 second")).start()
+      try {
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        def fed: Long = q.recentProgress.map(_.numInputRows).sum
+        while (fed < expectedInputRows && System.nanoTime() < deadline &&
+            q.exception.isEmpty) Thread.sleep(50)
+        q.exception.foreach(throw _)
+        require(fed >= expectedInputRows,
+          s"streaming drain timed out: fed $fed of $expectedInputRows rows")
+      } finally q.stop()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
@@ -1569,6 +1631,62 @@ object Streaming {
              |SELECT user_id, n_events, last_ts FROM u, m
              |WHERE epoch_ms(last_ts) + 1800000 < epoch_ms(wm)
              |ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "stream_tws_ttl",
+      // State TTL in transformWithState (round-10): see
+      // [[TtlTotalsProcessor]] — per-user totals under a 1 ms
+      // processing-time TTL, two file-pinned micro-batches
+      // (maxFilesPerTrigger=1 over the time-split staging). Because
+      // state expires between batches, each emitted row is a PER-BATCH
+      // total, so summing the emitted rows reconstructs the full per-user
+      // aggregate and `n_emits` counts the halves the user appears in —
+      // while a broken TTL (state surviving into batch 2) would double-
+      // count batch 1 and overshoot `n_events`, which is exactly what
+      // the oracle would catch. The oracle replays the staging's
+      // midpoint time cut in integer ns arithmetic.
+      (s, dir) => {
+        import s.implicits._
+        // TTL state tags each value with an expiry column family —
+        // RocksDB provider only (HDFS-backed store has no column families)
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        try {
+          s.conf.set(key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          val ev = eventsStream(s, stageSplitByTime(s, dir),
+              maxFilesPerTrigger = Some(1))
+            .select(col("user_id"),
+              expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+            .as[(Long, Long)]
+          val out = ev.groupByKey(_._1)
+            .transformWithState(new TtlTotalsProcessor,
+              TimeMode.ProcessingTime(), OutputMode.Update())
+            .toDF("user_id", "n", "cents")
+          runToMemoryDrain(s, out, "t_tws_ttl", "update",
+              expectedInputRows = graft.Tables.events(s, dir).count())
+            .groupBy(col("user_id"))
+            .agg(sum(col("n")).as("n_events"),
+              sum(col("cents")).as("sum_cents"),
+              count(lit(1)).as("n_emits"))
+            .orderBy(col("user_id"))
+        } finally prev match {
+          case Some(p) => s.conf.set(key, p)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH b AS (
+             |  SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+             |  FROM events),
+             |e AS (
+             |  SELECT user_id,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             |         epoch_ns(ts) <= lo + (hi - lo) // 2 AS early
+             |  FROM events, b)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(count(DISTINCT early) AS BIGINT) AS n_emits
+             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
       "stream_stream_join_outer",

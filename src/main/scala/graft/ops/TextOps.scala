@@ -2408,6 +2408,143 @@ object TextOps {
              |FROM ranked GROUP BY prompt_id
              |HAVING max(score) - min(score) > 0 AND count(*) >= 2
              |ORDER BY prompt_id""".stripMargin)
+    ),
+    Q(
+      "pipeline_span_corruption",
+      // T5-style span corruption accounting (round-10): the denoising
+      // objective's data shape — ~15% of token POSITIONS are masked by a
+      // deterministic per-(doc, position) hash, consecutive masked
+      // positions collapse into one sentinel span, and the encoder/
+      // decoder lengths follow: input = kept + sentinels, target =
+      // masked + sentinels. The mask hash is pre-mod multiplicative
+      // BIGINT arithmetic (the Geo-overflow lesson: reduce BEFORE the
+      // 2.6e9 multiplier so a 1e9-doc corpus can't overflow Long).
+      // Spark side runs the whole span fold INSIDE one row via the
+      // `aggregate` HOF over token positions — zero explode, zero
+      // shuffle, a single codegen'd map pass at any corpus size; the
+      // oracle replays it as an unnest + lag window, a genuinely
+      // independent formulation of the same run-length algebra.
+      (s, dir) => {
+        val m = "(((((doc_id * 1000003 + t) % 1000000007) * 2654435761) " +
+          "% 1000000007) % 100) < 15"
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            expr(s"""aggregate(
+              sequence(0, size(split(text, ' ')) - 1),
+              named_struct('masked', CAST(0 AS BIGINT),
+                           'spans', CAST(0 AS BIGINT),
+                           'prev', CAST(0 AS BIGINT)),
+              (acc, t) -> named_struct(
+                'masked', acc.masked + IF($m, CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                'spans', acc.spans + IF(($m) AND acc.prev = 0,
+                                        CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                'prev', IF($m, CAST(1 AS BIGINT), CAST(0 AS BIGINT))))
+            """).as("acc"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("acc.masked").as("n_masked"), col("acc.spans").as("n_spans"),
+            (col("n_tokens") - col("acc.masked") + col("acc.spans"))
+              .as("input_len"),
+            (col("acc.masked") + col("acc.spans")).as("target_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |         unnest(range(0, len(string_split(text, ' ')))) AS pos
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id, pos,
+             |         (((((doc_id * 1000003 + pos) % 1000000007) * 2654435761)
+             |           % 1000000007) % 100) < 15 AS masked
+             |  FROM tok),
+             |r AS (
+             |  SELECT doc_id, masked,
+             |         CASE WHEN masked AND NOT coalesce(
+             |                lag(masked) OVER (PARTITION BY doc_id ORDER BY pos),
+             |                FALSE)
+             |              THEN 1 ELSE 0 END AS span_start
+             |  FROM m)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             |       CAST(sum(span_start) AS BIGINT) AS n_spans,
+             |       CAST(count(*) - sum(CASE WHEN masked THEN 1 ELSE 0 END)
+             |            + sum(span_start) AS BIGINT) AS input_len,
+             |       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END)
+             |            + sum(span_start) AS BIGINT) AS target_len
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_substring_dedup_spans",
+      // Exact-substring dedup spans (round-10): the suffix-array dedup of
+      // "Deduplicating Training Data Makes Language Models Better"
+      // re-expressed Spark-first — every L-token gram (L=4) is hashed
+      // map-side, grams whose hash repeats anywhere in the corpus mark
+      // their start positions, and per doc the marked positions merge
+      // into MAXIMAL duplicated spans (equal-length intervals ⇒ the merge
+      // is a single lag pass: new span iff pos > prev + L). Census per
+      // doc: span count, duplicated-token mass, longest span. Scale: the
+      // only thing that ever shuffles is (doc_id, pos, hash64) — 24 B per
+      // token position, O(corpus tokens); text and grams stay map-side,
+      // exactly the property that makes ExactSubstr runnable at 100 TB
+      // (the published pipeline's suffix array is a single-machine
+      // bottleneck; banded hashing is the distributed equivalent). The
+      // oracle replays gram extraction by STRING equality — also the
+      // collision audit: a 64-bit hash collision would hash-mismatch.
+      (s, dir) => {
+        val L = 4
+        val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            // sequence(0, -1) DESCENDS in Spark (auto step -1), so guard
+            // short docs to an empty gram list explicitly
+            posexplode(expr(
+              s"""CASE WHEN size(toks) >= $L THEN
+                 |  transform(sequence(0, size(toks) - $L),
+                 |    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $L))))
+                 |ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+                .stripMargin)).as(Seq("pos", "gh")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gh"))
+        val dups = grams.groupBy(col("gh"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        grams.join(dups, Seq("gh"), "left_semi")
+          .withColumn("boundary",
+            when(lag(col("pos"), 1).over(w).isNull ||
+              col("pos") > lag(col("pos"), 1).over(w) + L, 1L).otherwise(0L))
+          .withColumn("span_id", sum(col("boundary")).over(w))
+          .groupBy(col("doc_id"), col("span_id"))
+          .agg((max(col("pos")) - min(col("pos")) + L).as("span_len"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_len")).as("dup_tokens"),
+            max(col("span_len")).as("max_span_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             |g AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             |         array_to_string(ts[i + 1:i + 4], ' ') AS gram
+             |  FROM tok, unnest(range(0, greatest(len(ts) - 3, 0))) AS u(i)),
+             |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+             |p AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+             |b AS (
+             |  SELECT doc_id, pos,
+             |         CASE WHEN lag(pos) OVER w IS NULL
+             |                OR pos > lag(pos) OVER w + 4 THEN 1 ELSE 0 END AS boundary
+             |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |sp AS (
+             |  SELECT doc_id,
+             |         CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos)
+             |              AS BIGINT) AS span_id, pos
+             |  FROM b),
+             |spans AS (
+             |  SELECT doc_id, span_id, max(pos) - min(pos) + 4 AS span_len
+             |  FROM sp GROUP BY doc_id, span_id)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |       CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+             |       CAST(max(span_len) AS BIGINT) AS max_span_len
+             |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -2474,6 +2474,61 @@ object Windows {
               |       CAST(count(*) AS BIGINT) AS n_events,
               |       ${util.r2sql("sum(value)")} AS total_value
               |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "ts_changepoint_cusum_argmax",
+      // Changepoint LOCALIZATION (round-10): the complement of the
+      // existing `ts_cusum_drift` DETECTOR — for each order-priority
+      // daily series, find WHERE the level shift most plausibly occurred:
+      // k* = argmax_k |n·S_k − k·S_n| (the CUSUM deviation statistic,
+      // cross-multiplied into exact BIGINT so no division ever happens),
+      // ties broken by the earliest day. This is binary segmentation's
+      // first split, the standard first answer to "when did the metric
+      // change?". Scale: one map-side-combined daily aggregate
+      // (O(days) rows out of any corpus), one window cumsum per group,
+      // one max_by — nothing grows with raw row count.
+      (s, dir) => {
+        val w = Window.partitionBy(col("pri")).orderBy(col("d"))
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("k", row_number().over(w).cast("long"))
+          .withColumn("sk", sum(col("c")).over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("pri"))))
+          .withColumn("sn",
+            sum(col("c")).over(Window.partitionBy(col("pri"))))
+          .filter(col("k") < col("n")) // k = n is identically zero
+          .withColumn("dev", abs(col("n") * col("sk") - col("k") * col("sn")))
+          .groupBy(col("pri"))
+          .agg(max(col("n")).as("n_days"),
+            expr("max_by(k, struct(dev, -k))").as("k_star"),
+            expr("max_by(d, struct(dev, -k))").as("cut_date"),
+            max(col("dev")).as("max_dev"))
+          .orderBy(col("pri"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT pri, d, c,
+             |         CAST(row_number() OVER w AS BIGINT) AS k,
+             |         CAST(sum(c) OVER w AS BIGINT) AS sk,
+             |         CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n,
+             |         CAST(sum(c) OVER (PARTITION BY pri) AS BIGINT) AS sn
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY pri ORDER BY d)),
+             |dev AS (
+             |  SELECT pri, d, k, n, abs(n * sk - k * sn) AS dev
+             |  FROM cum WHERE k < n),
+             |best AS (
+             |  SELECT pri, d, k, n, dev, row_number() OVER (
+             |    PARTITION BY pri ORDER BY dev DESC, k) AS rn
+             |  FROM dev)
+             |SELECT pri, n AS n_days, k AS k_star, d AS cut_date,
+             |       CAST(dev AS BIGINT) AS max_dev
+             |FROM best WHERE rn = 1 ORDER BY pri""".stripMargin)
     )
   )
 

@@ -8,9 +8,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions
+import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -476,7 +478,10 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info.schema(),
       Option(info.options.get("txnId")),
-      Option(info.options.get("branch")))
+      Option(info.options.get("branch")),
+      Option(info.options.get("clusterBy")),
+      Option(info.options.get("sortBy")),
+      Option(info.options.get("numPartitions")))
 
   /** Row-level SQL (MERGE / UPDATE / DELETE) as a DELTA operation
     * (merge-on-read): Spark routes inserts to [[DeltaWriter.insert]] and
@@ -671,12 +676,39 @@ private[sources] class ManifestReaderFactory(schema: StructType)
   }
 }
 
+/** Batch write builder. When the `clusterBy` / `sortBy` write options are
+  * present the produced [[Write]] DECLARES its layout requirement through
+  * DSv2's [[RequiresDistributionAndOrdering]], and Spark plans the
+  * exchange + sort for us — the connector never shuffles or sorts a row
+  * itself, it states the contract and the engine satisfies it (exactly
+  * how Iceberg's `write.distribution-mode=hash` + sort-order work). With
+  * neither option set the distribution is unspecified and the ordering
+  * empty, which Spark treats as "no requirement" — the pre-existing
+  * write path is untouched.
+  */
 private[sources] class ManifestWriteBuilder(dir: String, schema: StructType,
-    txnId: Option[String], branch: Option[String] = None)
+    txnId: Option[String], branch: Option[String] = None,
+    clusterBy: Option[String] = None, sortBy: Option[String] = None,
+    numPartitions: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var isTruncate = false
   override def truncate(): WriteBuilder = { isTruncate = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write = new Write with RequiresDistributionAndOrdering {
+    override def requiredDistribution(): distributions.Distribution =
+      clusterBy match {
+        case Some(cols) => distributions.Distributions.clustered(
+          cols.split(",").map(c =>
+            Expressions.column(c.trim): expressions.Expression))
+        case None => distributions.Distributions.unspecified()
+      }
+    // pins the writer-task count (0 = engine's choice); with AQE the
+    // engine would otherwise coalesce a small clustered write to 1 task
+    override def requiredNumPartitions(): Int =
+      numPartitions.map(_.toInt).getOrElse(0)
+    override def requiredOrdering(): Array[expressions.SortOrder] =
+      sortBy.toArray.flatMap(_.split(",")).map(c =>
+        Expressions.sort(Expressions.column(c.trim),
+          expressions.SortDirection.ASCENDING))
     override def toBatch: BatchWrite =
       new ManifestBatchWrite(dir, schema, isTruncate, txnId, branch)
   }

@@ -470,6 +470,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "CostBasedJoinReorder should eliminate the fact-fact-first join given stats")
   }
 
+  test("scan_parquet_agg_pushdown: the scan carries PushedAggregation (metadata-only)") {
+    val src = ops.Sources.aggPushdownStage(spark, dir)
+    ops.Sources.withScopedConfs(spark, ops.Sources.aggPushdownConfs) {
+      val plan = ops.Sources.aggPushdownQuery(spark, src)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        "aggregate was not pushed into the parquet scan:\n" + plan.take(1500))
+      assert(plan.toLowerCase.contains("min(l_orderkey)"), plan.take(1500))
+    }
+  }
+
   test("join_aqe_bhj_conversion: AQE converts the denied-broadcast join to BHJ at runtime") {
     ops.Joins.withAqeBhjConfs(spark) {
       val df = ops.Joins.aqeBhjJoin(spark, dir)

@@ -462,5 +462,51 @@ object Eval {
              |               + ln(CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE))))
              |    * 1000000 + 0.5) AS BIGINT) AS bleu_e6
              |FROM k1, k2, lens""".stripMargin)
+    ),
+    Q(
+      "eval_pass_at_k",
+      // pass@k (round-10): the code-generation eval estimator from the
+      // HumanEval paper — per problem with n attempts and c successes,
+      // pass@k = 1 − C(n−c,k)/C(n,k), computed as the UNROLLED falling-
+      // factorial ratio Π(n−c−i)/Π(n−i) entirely in BIGINT (n=20 per
+      // problem, k ∈ {1,5}; numerator clamps to 0 when n−c < k) and
+      // e6-pinned by integer division — zero cross-engine float drift.
+      // Attempts are staged deterministically: problem = doc_id % 25,
+      // success = pre-mod multiplicative hash < 30%. Scale: one map-side-
+      // combined count per problem; output is O(problems) regardless of
+      // attempt volume — the shape of every large eval sweep.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select((col("doc_id") % 25).as("problem_id"),
+            (expr("(doc_id % 1000003) * 2654435761 % 1000000007") % 100 < 30)
+              .cast("long").as("ok"))
+          .groupBy(col("problem_id"))
+          .agg(count(lit(1)).as("n"), sum(col("ok")).as("c"))
+          .withColumn("pass1_e6",
+            expr("(1000000 * c) div n"))
+          .withColumn("pass5_e6", expr(
+            """CASE WHEN n - c < 5 THEN 1000000 ELSE
+              |  (1000000 * ((n)*(n-1)*(n-2)*(n-3)*(n-4)
+              |            - (n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4)))
+              |  div ((n)*(n-1)*(n-2)*(n-3)*(n-4)) END""".stripMargin))
+          .orderBy(col("problem_id"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id % 25 AS problem_id,
+             |         CASE WHEN (doc_id % 1000003) * 2654435761
+             |                   % 1000000007 % 100 < 30
+             |              THEN 1 ELSE 0 END AS ok
+             |  FROM documents),
+             |g AS (
+             |  SELECT problem_id, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(ok) AS BIGINT) AS c
+             |  FROM a GROUP BY problem_id)
+             |SELECT problem_id, n, c,
+             |       (1000000 * c) // n AS pass1_e6,
+             |       CASE WHEN n - c < 5 THEN 1000000 ELSE
+             |         (1000000 * ((n)*(n-1)*(n-2)*(n-3)*(n-4)
+             |                   - (n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4)))
+             |         // ((n)*(n-1)*(n-2)*(n-3)*(n-4)) END AS pass5_e6
+             |FROM g ORDER BY problem_id""".stripMargin)
     ))
 }

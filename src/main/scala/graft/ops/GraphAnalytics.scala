@@ -848,6 +848,73 @@ object GraphAnalytics {
              |UNION ALL
              |SELECT CAST(1 AS BIGINT), FALSE, n - p, p, n - 1 FROM p
              |ORDER BY scc_size""".stripMargin)
+    ),
+    Q(
+      "graph_random_walks",
+      // Deterministic random walks (round-10): the node2vec/DeepWalk
+      // sampling step that turns a graph into training sequences. One
+      // 3-hop walk starts from EVERY node; at step t the next hop is the
+      // idx-th neighbor (neighbors ranked by id) where idx is a pre-mod
+      // multiplicative hash of (start, current, t) — deterministic, so
+      // both engines replay the identical corpus, yet well-mixed across
+      // nodes and steps. Scale: the adjacency carries idx + degree from
+      // one window pass; each hop is ONE equi-join on the current node
+      // with fanout ≤ top-k degree, filtered to the hashed index —
+      // shuffle O(nodes) per hop, walks never materialize intermediate
+      // neighbor lists. At 100 TB this is exactly how sequence corpora
+      // for graph embeddings are generated (hash-seeded walks are also
+      // reproducible across reruns — an audit requirement).
+      (s, dir) => {
+        val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
+        val adj = edgesSym(s, dir)
+          .withColumn("idx", (row_number().over(wAdj) - 1).cast("long"))
+          .withColumn("degree",
+            count(lit(1)).over(Window.partitionBy(col("src"))))
+        def hop(w: DataFrame, t: Int): DataFrame = {
+          val picked = expr(
+            s"""(((start * 31 + cur) % 1000003) * 2654435761
+               |  % 1000000007 + $t * 97) % 1000000007 % degree"""
+              .stripMargin)
+          val keep = w.columns.filter(_ != "cur").map(col) :+
+            col("dst").as(s"hop${t + 1}")
+          w.join(adj, col("cur") === col("src"))
+            .filter(col("idx") === picked)
+            .select(keep: _*)
+            .withColumn("cur", col(s"hop${t + 1}"))
+        }
+        val w0 = adj.select(col("src").as("start")).distinct()
+          .withColumn("hop0", col("start")).withColumn("cur", col("start"))
+        val w3 = hop(hop(hop(w0, 0), 1), 2)
+        w3.select(col("start"), col("hop1"), col("hop2"), col("hop3"))
+          .orderBy(col("start"))
+      },
+      Some(s"""$baseSql,
+              |adj AS (
+              |  SELECT src, dst,
+              |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+              |              - 1 AS BIGINT) AS idx,
+              |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS degree
+              |  FROM e),
+              |w0 AS (SELECT DISTINCT src AS start FROM adj),
+              |w1 AS (
+              |  SELECT w0.start, a.dst AS hop1 FROM w0 JOIN adj a
+              |    ON a.src = w0.start
+              |   AND a.idx = (((w0.start * 31 + w0.start) % 1000003)
+              |        * 2654435761 % 1000000007 + 0 * 97)
+              |        % 1000000007 % a.degree),
+              |w2 AS (
+              |  SELECT w1.start, w1.hop1, a.dst AS hop2 FROM w1 JOIN adj a
+              |    ON a.src = w1.hop1
+              |   AND a.idx = (((w1.start * 31 + w1.hop1) % 1000003)
+              |        * 2654435761 % 1000000007 + 1 * 97)
+              |        % 1000000007 % a.degree),
+              |w3 AS (
+              |  SELECT w2.start, w2.hop1, w2.hop2, a.dst AS hop3 FROM w2 JOIN adj a
+              |    ON a.src = w2.hop2
+              |   AND a.idx = (((w2.start * 31 + w2.hop2) % 1000003)
+              |        * 2654435761 % 1000000007 + 2 * 97)
+              |        % 1000000007 % a.degree)
+              |SELECT start, hop1, hop2, hop3 FROM w3 ORDER BY start""".stripMargin)
     )
   )
 }

@@ -2545,6 +2545,67 @@ object TextOps {
              |       CAST(sum(span_len) AS BIGINT) AS dup_tokens,
              |       CAST(max(span_len) AS BIGINT) AS max_span_len
              |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "pipeline_sft_turn_masking",
+      // SFT loss-mask accounting (round-10): chat-template preprocessing
+      // decides which token spans receive loss — assistant turns only,
+      // and only those with at least one user turn of prior context (an
+      // assistant opening has nothing to condition on). Each user's
+      // event stream is the transcript: role from event_type, a BPE-ish
+      // token estimate from the payload length, turn order by (ts,
+      // event_id). One window pass computes the running prior-user-turn
+      // count; the per-user census (turns / assistant / trainable /
+      // loss-vs-total tokens) is what a training run's data card
+      // reports. Scale: one keyed window + one aggregate, O(events)
+      // shuffle of small structs, transcripts never re-sort globally.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("is_assistant",
+            (!col("event_type").isin("click", "view")).cast("long"))
+          .withColumn("tokens",
+            expr("length(coalesce(props, '')) div 4 + 2"))
+          .withColumn("prior_users",
+            coalesce(sum(lit(1) - col("is_assistant"))
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("trainable",
+            (col("is_assistant") === 1 && col("prior_users") >= 1)
+              .cast("long"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_turns"),
+            sum(col("is_assistant")).as("n_assistant"),
+            sum(col("trainable")).as("n_trainable"),
+            sum(col("trainable") * col("tokens")).as("loss_tokens"),
+            sum(col("tokens")).as("total_tokens"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |         CASE WHEN event_type IN ('click', 'view')
+             |              THEN 0 ELSE 1 END AS is_assistant,
+             |         length(coalesce(props, '')) // 4 + 2 AS tokens,
+             |         epoch_ns(ts) AS o1, event_id AS o2
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, is_assistant, tokens,
+             |         coalesce(sum(1 - is_assistant) OVER (
+             |           PARTITION BY user_id ORDER BY o1, o2
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |           0) AS prior_users
+             |  FROM t),
+             |m AS (
+             |  SELECT user_id, is_assistant, tokens,
+             |         CASE WHEN is_assistant = 1 AND prior_users >= 1
+             |              THEN 1 ELSE 0 END AS trainable
+             |  FROM r)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+             |       CAST(sum(is_assistant) AS BIGINT) AS n_assistant,
+             |       CAST(sum(trainable) AS BIGINT) AS n_trainable,
+             |       CAST(sum(trainable * tokens) AS BIGINT) AS loss_tokens,
+             |       CAST(sum(tokens) AS BIGINT) AS total_tokens
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
     )
   )
 }

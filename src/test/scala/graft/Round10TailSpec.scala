@@ -129,6 +129,30 @@ class Round10TailSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_random_walks: every hop traverses a real symmetric edge") {
+    val walks = SparkEntry.queries("graph_random_walks")(spark, dir).collect()
+    assert(walks.nonEmpty)
+    val edges = SparkEntry.queries("graph_topk_similarity")(spark, dir)
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    walks.foreach { r =>
+      val seq = (0 to 3).map(i => if (i == 0) r.getLong(0) else r.getLong(i))
+      seq.sliding(2).foreach { case Seq(a, b) =>
+        assert(edges.contains((a, b)), s"walk $seq uses non-edge ($a,$b)")
+      }
+    }
+  }
+
+  test("eval_pass_at_k: estimates are monotone in k and bounded") {
+    val rows = SparkEntry.queries("eval_pass_at_k")(spark, dir).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val (p1, p5) = (r.getLong(3), r.getLong(4))
+      assert(p1 >= 0 && p5 <= 1000000, s"out of [0,1]: $r")
+      assert(p5 >= p1, s"pass@5 must dominate pass@1: $r")
+    }
+  }
+
   test("stream_tws_ttl: per-batch state expiry reconstructs exact totals") {
     val df = SparkEntry.queries("stream_tws_ttl")(spark, dir)
     val emits = df.agg(max("n_emits"), sum("n_events")).collect()(0)

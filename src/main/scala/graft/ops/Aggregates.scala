@@ -797,6 +797,23 @@ object Aggregates {
       Some(runsTestSql)
     ),
     Q(
+      "stat_sprt_sequential",
+      // Wald SPRT (round-10): the sequential A/B early-stopping machinery
+      // — per arm, orders arrive in key order, each contributes an
+      // integer-milli log-likelihood-ratio increment for H1: p=0.4 vs
+      // H0: p=0.2 (x=1 → ln2 = +693 m, x=0 → ln0.75 = −288 m), and the
+      // test stops at the FIRST crossing of ±ln((1−β)/α) ≈ ±2890 m
+      // (α=β=0.05). Emits per arm: sample size at decision, the decision
+      // (accept_h1 / accept_h0 / continue), and the LLR there. The staged
+      // per-arm conversion rates (10%..50% by priority digit) straddle
+      // both hypotheses so all three outcomes are reachable. Everything
+      // is BIGINT — the classic sequential test with zero float drift.
+      // Scale: one keyed window cumsum + one first-crossing pick;
+      // sequential ingestion order is the ORDER BY, not a driver loop.
+      (s, dir) => graft.Catalog.sql(s, dir, sprtSql),
+      Some(sprtSql)
+    ),
+    Q(
       "stat_survival_km",
       // Kaplan-Meier survival curve (round-9): time-to-first-purchase
       // per user with right-censoring — users who never purchase are
@@ -2306,6 +2323,40 @@ object Aggregates {
              |FROM ranked GROUP BY c_nationkey ORDER BY nation""".stripMargin)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[stat_sprt_sequential]]. */
+  private lazy val sprtSql: String =
+    """WITH conv AS (
+      |  SELECT o_orderpriority AS arm, o_orderkey AS k_ord,
+      |         CASE WHEN (o_orderkey % 1000003) * 2654435761
+      |                   % 1000000007 % 100
+      |                   < 10 * CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+      |              THEN 1 ELSE 0 END AS x
+      |  FROM orders),
+      |llr AS (
+      |  SELECT arm,
+      |         CAST(row_number() OVER w AS BIGINT) AS k,
+      |         CAST(sum(CASE WHEN x = 1 THEN 693 ELSE -288 END)
+      |              OVER w AS BIGINT) AS cum
+      |  FROM conv
+      |  WINDOW w AS (PARTITION BY arm ORDER BY k_ord)),
+      |crossed AS (
+      |  SELECT arm, k, cum,
+      |         CASE WHEN cum >= 2890 THEN 'accept_h1'
+      |              ELSE 'accept_h0' END AS dec,
+      |         row_number() OVER (PARTITION BY arm ORDER BY k) AS rn
+      |  FROM llr WHERE cum >= 2890 OR cum <= -2890),
+      |tot AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n_total,
+      |         CAST(sum(CASE WHEN x = 1 THEN 693 ELSE -288 END)
+      |              AS BIGINT) AS cum_final
+      |  FROM conv GROUP BY arm)
+      |SELECT t.arm, t.n_total,
+      |       coalesce(c.k, t.n_total) AS n_at_decision,
+      |       coalesce(c.dec, 'continue') AS decision,
+      |       coalesce(c.cum, t.cum_final) AS llr_milli
+      |FROM tot t LEFT JOIN crossed c ON c.arm = t.arm AND c.rn = 1
+      |ORDER BY t.arm""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[stat_runs_test]]. */
   private lazy val runsTestSql: String =

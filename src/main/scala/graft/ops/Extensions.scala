@@ -1612,6 +1612,125 @@ object Extensions {
              |       CAST(count(*) AS BIGINT) AS n_frames
              |FROM r GROUP BY video_id, shot_id
              |ORDER BY video_id, shot_id""".stripMargin)
+    ),
+    Q(
+      "multimodal_image_neardup",
+      // Image near-dup dedup (round-10): the LAION-style corpus-wide
+      // pass — per-image 56-bit aHash, LSH-banded into 4×14-bit bands,
+      // candidates = pairs colliding in ANY band (never all-pairs),
+      // verified by full Hamming distance ≤ 6, verified pairs folded to
+      // min-id cluster representatives. Differs from the shot detector's
+      // CONSECUTIVE-frame window: this is the global banded self-join
+      // topology, the one that dedups a web-scale image corpus. Staging
+      // makes the answer analytic: each 4-doc group carries one pattern,
+      // docs {0,1} identical and {2,3} its photometric inversion — so
+      // true clusters are exactly the within-group halves (Hamming 0)
+      // while inverted halves sit at distance ≈56 and random cross-
+      // pattern band collisions die at the verify stage. Scale: bands
+      // shuffle (14-bit value, doc_id) — 16 B/image; candidate fanout is
+      // bounded by bucket size; pixels never leave the decode task.
+      (s, dir) => {
+        val binSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("media", BinaryType)))
+        val hashSchema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("phash", LongType)))
+        val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
+        val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
+        val frames = Tables(s, dir, "documents").select(col("doc_id"))
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val id = r.getLong(0)
+              val g = id / 4; val half = (id % 4) / 2
+              val w = (8 + g % 24).toInt; val h = (8 + g % 16).toInt
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val cx = x.toLong * 8 / w; val cy = y.toLong * 7 / h
+                  // per-(group, cell) AVALANCHE hash (splitmix64
+                  // finalizer): any affine-in-cell scramble leaves two
+                  // groups' patterns differing by a CONSTANT shift mod
+                  // 251 — when that shift is small their above-mean bits
+                  // nearly coincide, and across 31k group pairs dozens
+                  // landed within Hamming 6. Full bit mixing makes
+                  // cross-group distance Binomial(56, ½): odds ~1e-10.
+                  // (Staging-only: the oracle pins group structure, not p.)
+                  var z = g * 56 + cy * 8 + cx + 0x9E3779B97F4A7C15L
+                  z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+                  z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+                  val p = java.lang.Math.floorMod(z ^ (z >>> 31), 251L)
+                  raster.setSample(x, y, 0,
+                    (if (half == 0) p else 255 - p).toInt)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              Row(id, bos.toByteArray)
+            }
+          }(binEnc)
+        val hashed = frames.mapPartitions { rows =>
+          rows.map { r =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val w = img.getWidth.toLong; val h = img.getHeight.toLong
+            val raster = img.getRaster
+            val vs = new Array[Long](56)
+            var i = 0; var cy = 0L
+            while (cy < 7) {
+              var cx = 0L
+              while (cx < 8) {
+                vs(i) = raster.getSample(
+                  (cx * w / 8).toInt, (cy * h / 7).toInt, 0).toLong
+                i += 1; cx += 1
+              }
+              cy += 1
+            }
+            val sum = vs.sum
+            var hash = 0L; i = 0
+            while (i < 56) {
+              if (56L * vs(i) > sum) hash |= (1L << i)
+              i += 1
+            }
+            Row(r.getLong(0), hash)
+          }
+        }(hashEnc)
+        val bands = hashed.select(col("doc_id"), col("phash"),
+            explode(expr(
+              """transform(sequence(0, 3),
+                |  b -> named_struct('band', b,
+                |         'bv', shiftright(phash, CAST(b * 14 AS INT))
+                |               % 16384))""".stripMargin)).as("bb"))
+          .select(col("doc_id"), col("phash"),
+            col("bb.band").as("band"), col("bb.bv").as("bv"))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            col("a.phash").as("pa"), col("b.phash").as("pb"))
+          .distinct()
+        val verified = cand
+          .filter(expr("bit_count(pa ^ pb) <= 6"))
+          .select(col("da"), col("db"))
+        verified.select(col("da").as("doc_id"), least(col("da"), col("db")).as("rep"))
+          .unionByName(verified.select(col("db").as("doc_id"),
+            least(col("da"), col("db")).as("rep")))
+          .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, doc_id // 4 AS g, (doc_id % 4) // 2 AS half
+             |  FROM documents),
+             |p AS (
+             |  SELECT g, half, count(*) AS cnt, min(doc_id) AS rep
+             |  FROM m GROUP BY g, half)
+             |SELECT m.doc_id, p.rep
+             |FROM m JOIN p ON m.g = p.g AND m.half = p.half
+             |WHERE p.cnt = 2 ORDER BY m.doc_id""".stripMargin)
     )
   )
 }

@@ -1731,6 +1731,35 @@ object Extensions {
              |SELECT m.doc_id, p.rep
              |FROM m JOIN p ON m.g = p.g AND m.half = p.half
              |WHERE p.cnt = 2 ORDER BY m.doc_id""".stripMargin)
+    ),
+    Q(
+      "scan_manifest_agg_pushdown",
+      // Connector-level aggregate pushdown (round-10): OUR DSv2 table
+      // format answers COUNT(*)/MIN/MAX on its stats column entirely from
+      // the manifest — the writer records `#s:<min>:<max>:<rows>` per
+      // file at commit, the ScanBuilder implements
+      // SupportsPushDownAggregates (complete pushdown, one pre-answered
+      // row, zero data files opened) — the Iceberg metadata-query
+      // pattern, declined whenever deletes are pending, any file lacks
+      // stats, grouping is requested, or filters remain. PlanShapeSpec
+      // pins PushedAggregation-and-no-HashAggregate. Scale: table stats
+      // calls (freshness probes, row-count audits, BI count(*) tiles) hit
+      // O(files) manifest metadata instead of the data, at any size.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val out = graft.util.tempDir("graft_mfagg_")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(4)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        s.read.format(fmt).option("path", out).load()
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders""".stripMargin)
     )
   )
 }

@@ -481,6 +481,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("scan_manifest_agg_pushdown: the connector answers from manifest stats (no aggregate exec)") {
+    import org.apache.spark.sql.functions._
+    val fmt = "graft.sources.ManifestSink"
+    val out = graft.util.tempDir("graft_mfagg_spec_")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(4)
+      .write.format(fmt).option("path", out).mode("overwrite").save()
+    val t = spark.read.format(fmt).option("path", out).load()
+    val agg = t.agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      "aggregate was not pushed into the manifest scan:\n" + plan.take(1200))
+    assert(!plan.contains("HashAggregate"),
+      "complete pushdown must eliminate the aggregate exec:\n" + plan.take(1200))
+    // grouped aggregates must NOT push (manifest stats are table-global)
+    val grouped = t.groupBy(col("o_custkey") % 2).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!grouped.contains("PushedAggregation"))
+  }
+
   test("join_aqe_bhj_conversion: AQE converts the denied-broadcast join to BHJ at runtime") {
     ops.Joins.withAqeBhjConfs(spark) {
       val df = ops.Joins.aqeBhjJoin(spark, dir)

@@ -814,6 +814,24 @@ object Aggregates {
       Some(sprtSql)
     ),
     Q(
+      "stat_empirical_bayes_ctr",
+      // Empirical-Bayes rate shrinkage (round-10): the standard fix for
+      // small-sample CTR ranking — per-part conversion rates shrunk
+      // toward a Beta prior fitted by method of moments on the observed
+      // per-key rates. EVERYTHING is BIGINT: per-key rate r_e6 = 1e6·c
+      // div v, prior moments from (n·Σr² − (Σr)²) cross-products, α/β in
+      // e6 units, and the smoothed rate the exact integer ratio
+      // (1e6·(c·1e6 + α_e6)) div (v·1e6 + αβ_e6) — no float summation
+      // order anywhere, so both engines agree bit-for-bit. Output: the
+      // 10 most-shrunk keys (the small-sample ones the raw ranking would
+      // have mis-ordered). Scale: two aggregates (per-key, then global
+      // moments broadcast back) — O(keys) shuffle.
+      // integer division is the ONE dialect split (Spark `div`, DuckDB
+      // `//`): the same text runs on both engines modulo that token
+      (s, dir) => graft.Catalog.sql(s, dir, ebCtrSql("div")),
+      Some(ebCtrSql("//"))
+    ),
+    Q(
       "stat_survival_km",
       // Kaplan-Meier survival curve (round-9): time-to-first-purchase
       // per user with right-censoring — users who never purchase are
@@ -2357,6 +2375,40 @@ object Aggregates {
       |       coalesce(c.cum, t.cum_final) AS llr_milli
       |FROM tot t LEFT JOIN crossed c ON c.arm = t.arm AND c.rn = 1
       |ORDER BY t.arm""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[stat_empirical_bayes_ctr]];
+    * `idiv` = the engine's integer-division token (`div` / `//`).
+    */
+  private def ebCtrSql(idiv: String): String =
+    s"""WITH k AS (
+      |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS v,
+      |         CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS c
+      |  FROM lineitem GROUP BY l_partkey HAVING count(*) >= 2),
+      |r AS (SELECT key, v, c, (1000000 * c) $idiv v AS r_e6 FROM k),
+      |mom AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(r_e6) AS BIGINT) AS s1,
+      |         CAST(sum(r_e6 * r_e6) AS BIGINT) AS s2
+      |  FROM r),
+      |prior AS (
+      |  -- m, var in e6 units; alpha+beta = m(1e6-m)/var - 1e6 (e6 units)
+      |  SELECT n, s1 $idiv n AS m_e6,
+      |         greatest((n * s2 - s1 * s1) $idiv (n * n), 1) AS var_e6sq
+      |  FROM mom),
+      |ab AS (
+      |  SELECT m_e6,
+      |         greatest((m_e6 * (1000000 - m_e6)) * 1000000 $idiv var_e6sq
+      |           - 1000000, 1000000) AS ab_e6
+      |  FROM prior),
+      |sm AS (
+      |  SELECT r.key, r.v, r.c, r.r_e6,
+      |         (1000000 * (r.c * 1000000 + (ab.m_e6 * ab.ab_e6) $idiv 1000000))
+      |           $idiv (r.v * 1000000 + ab.ab_e6) AS smoothed_e6
+      |  FROM r, ab)
+      |SELECT key, v, c, r_e6, smoothed_e6,
+      |       abs(smoothed_e6 - r_e6) AS shrink_e6
+      |FROM sm ORDER BY shrink_e6 DESC, key LIMIT 10""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[stat_runs_test]]. */
   private lazy val runsTestSql: String =

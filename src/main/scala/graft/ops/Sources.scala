@@ -1340,6 +1340,34 @@ object Sources {
              |       max(CAST(l_shipdate AS DATE)) AS max_sd
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
+      "sink_rebalance_partitions",
+      // AQE REBALANCE write (round-10): the small-files/skew fix for the
+      // write path — the REBALANCE hint inserts a shuffle whose output
+      // AQE re-plans at runtime: undersized partitions coalesce, oversized
+      // ones SPLIT (both halves of the small-files problem; a plain
+      // repartition(n) can only pick one n for all skews). The landed
+      // layout is then re-read and aggregated — proving rebalancing is
+      // content-neutral — and PlanShapeSpec pins the RebalancePartitions
+      // node. At 100 TB this is the difference between a writer fleet
+      // stalled on one skewed task + millions of KB-sized files, and
+      // uniformly sized output files at the advisory partition size.
+      (s, dir) => {
+        val out = tmpDir("graft_rebal_")
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+          .hint("rebalance", col("l_orderkey"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy((col("l_orderkey") % 7).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+          .orderBy(col("grp"))
+      },
+      Some("""SELECT l_orderkey % 7 AS grp, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin)
     )
   )
 

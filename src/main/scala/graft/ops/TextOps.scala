@@ -2606,6 +2606,110 @@ object TextOps {
              |       CAST(sum(trainable * tokens) AS BIGINT) AS loss_tokens,
              |       CAST(sum(tokens) AS BIGINT) AS total_tokens
              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "pipeline_epoch_shuffle",
+      // Multi-epoch shuffle audit (round-10): each training epoch orders
+      // the corpus by a deterministic per-(doc, epoch) hash — reproducible
+      // (an audit rerun rebuilds the exact epoch order) yet decorrelated
+      // across epochs. The shuffle is SHARDED (shard = hash % 16, rank
+      // within shard) exactly like a production corpus: ranking windows
+      // partition by shard, so no global single-partition sort exists at
+      // any scale. The census proves decorrelation: per epoch pair,
+      // Spearman rho from exact integer rank differences (rho_e6 =
+      // 1e6 − 6e6·Σd² / (n(n²−1)), per shard, then min/max across
+      // shards) — |rho| stays near 0 between epochs while identical
+      // epochs would give exactly 1e6.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // one MULTIPLIER per epoch: an additive epoch term is just a
+        // rotation mod P (order-preserving — epochs would never actually
+        // reshuffle; the spec's rho=1e6 caught exactly that), while
+        // multiplication by distinct constants is a distinct permutation
+        val ks = Seq(2654435761L, 1779033703L, 3144134277L)
+        def h(e: Int) = expr(
+          s"((doc_id % 1000003 + 1) * ${ks(e)}) % 1000000007")
+        val base = Tables(s, dir, "documents").select(col("doc_id"))
+        val epochs = (0 to 2).map { e =>
+          val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+          base.withColumn("hk", h(e))
+            .withColumn("shard", col("hk") % 16)
+            .withColumn(s"r$e", row_number().over(w).cast("long"))
+            .select(col("doc_id"), col("shard").as(s"shard$e"), col(s"r$e"))
+        }
+        val joined = epochs(0).join(epochs(1), "doc_id").join(epochs(2), "doc_id")
+        def pairRho(a: Int, b: Int) = {
+          // ranks are only comparable within ONE shared shard assignment:
+          // fix epoch 0's sharding as the frame and re-rank both epochs'
+          // orders inside each of its shards before differencing
+          val w1 = Window.partitionBy(col("shard0")).orderBy(col(s"r$a"), col("doc_id"))
+          val w2 = Window.partitionBy(col("shard0")).orderBy(col(s"r$b"), col("doc_id"))
+          joined
+            .withColumn("ra", row_number().over(w1).cast("long"))
+            .withColumn("rb", row_number().over(w2).cast("long"))
+            .groupBy(col("shard0").as("shard"))
+            .agg(count(lit(1)).as("n"),
+              sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sd2"))
+            .filter(col("n") > 2)
+            .withColumn("rho_e6",
+              expr("1000000 - (6000000 * sd2) div (n * (n * n - 1))"))
+            .agg(min(col("rho_e6")).as("min_rho"), max(col("rho_e6")).as("max_rho"),
+              sum(col("n")).as("n_docs"))
+            .withColumn("pair", lit(s"e$a-e$b"))
+            .select(col("pair"), col("n_docs"), col("min_rho"), col("max_rho"))
+        }
+        pairRho(0, 1).unionByName(pairRho(1, 2)).unionByName(pairRho(0, 2))
+          .orderBy(col("pair"))
+      },
+      Some("""WITH e0 AS (
+             |  SELECT doc_id,
+             |         ((doc_id % 1000003 + 1) * 2654435761) % 1000000007 AS hk
+             |  FROM documents),
+             |e1 AS (
+             |  SELECT doc_id,
+             |         ((doc_id % 1000003 + 1) * 1779033703) % 1000000007 AS hk
+             |  FROM documents),
+             |e2 AS (
+             |  SELECT doc_id,
+             |         ((doc_id % 1000003 + 1) * 3144134277) % 1000000007 AS hk
+             |  FROM documents),
+             |r0 AS (SELECT doc_id, hk % 16 AS shard,
+             |              CAST(row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id) AS BIGINT) AS r
+             |       FROM e0),
+             |r1 AS (SELECT doc_id,
+             |              CAST(row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id) AS BIGINT) AS r
+             |       FROM e1),
+             |r2 AS (SELECT doc_id,
+             |              CAST(row_number() OVER (PARTITION BY hk % 16 ORDER BY hk, doc_id) AS BIGINT) AS r
+             |       FROM e2),
+             |j AS (SELECT r0.doc_id, r0.shard, r0.r AS ra0, r1.r AS ra1, r2.r AS ra2
+             |      FROM r0 JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)),
+             |pair AS (
+             |  SELECT 'e0-e1' AS pair, shard,
+             |         CAST(row_number() OVER (PARTITION BY shard ORDER BY ra0, doc_id) AS BIGINT) AS ra,
+             |         CAST(row_number() OVER (PARTITION BY shard ORDER BY ra1, doc_id) AS BIGINT) AS rb
+             |  FROM j
+             |  UNION ALL
+             |  SELECT 'e1-e2', shard,
+             |         CAST(row_number() OVER (PARTITION BY shard ORDER BY ra1, doc_id) AS BIGINT),
+             |         CAST(row_number() OVER (PARTITION BY shard ORDER BY ra2, doc_id) AS BIGINT)
+             |  FROM j
+             |  UNION ALL
+             |  SELECT 'e0-e2', shard,
+             |         CAST(row_number() OVER (PARTITION BY shard ORDER BY ra0, doc_id) AS BIGINT),
+             |         CAST(row_number() OVER (PARTITION BY shard ORDER BY ra2, doc_id) AS BIGINT)
+             |  FROM j),
+             |sh AS (
+             |  SELECT pair, shard, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sd2
+             |  FROM pair GROUP BY pair, shard HAVING count(*) > 2),
+             |rho AS (
+             |  SELECT pair, n,
+             |         1000000 - (6000000 * sd2) // (n * (n * n - 1)) AS rho_e6
+             |  FROM sh)
+             |SELECT pair, CAST(sum(n) AS BIGINT) AS n_docs,
+             |       min(rho_e6) AS min_rho, max(rho_e6) AS max_rho
+             |FROM rho GROUP BY pair ORDER BY pair""".stripMargin)
     )
   )
 }

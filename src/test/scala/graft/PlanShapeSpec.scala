@@ -502,6 +502,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!grouped.contains("PushedAggregation"))
   }
 
+  test("sink_rebalance_partitions: the write plans a RebalancePartitions shuffle") {
+    import org.apache.spark.sql.functions._
+    val plan = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .hint("rebalance", col("l_orderkey"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("RebalancePartitions"),
+      "REBALANCE hint did not reach the plan:\n" + plan.take(800))
+  }
+
   test("join_aqe_bhj_conversion: AQE converts the denied-broadcast join to BHJ at runtime") {
     ops.Joins.withAqeBhjConfs(spark) {
       val df = ops.Joins.aqeBhjJoin(spark, dir)

@@ -153,6 +153,16 @@ class Round10TailSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_epoch_shuffle: epoch orders are decorrelated, same-epoch would be rho=1") {
+    val rows = SparkEntry.queries("pipeline_epoch_shuffle")(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // cross-epoch Spearman must sit far from 1e6 (identical order)
+      assert(math.abs(r.getLong(2)) < 900000 && math.abs(r.getLong(3)) < 900000,
+        s"epoch orders correlated: $r")
+    }
+  }
+
   test("stream_tws_ttl: per-batch state expiry reconstructs exact totals") {
     val df = SparkEntry.queries("stream_tws_ttl")(spark, dir)
     val emits = df.agg(max("n_emits"), sum("n_events")).collect()(0)

@@ -2388,14 +2388,17 @@ object Aggregates {
       |r AS (SELECT key, v, c, (1000000 * c) $idiv v AS r_e6 FROM k),
       |mom AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n,
-      |         CAST(sum(r_e6) AS BIGINT) AS s1,
-      |         CAST(sum(r_e6 * r_e6) AS BIGINT) AS s2
+      |         CAST(sum(r_e6) AS BIGINT) AS s1
       |  FROM r),
       |prior AS (
-      |  -- m, var in e6 units; alpha+beta = m(1e6-m)/var - 1e6 (e6 units)
-      |  SELECT n, s1 $idiv n AS m_e6,
-      |         greatest((n * s2 - s1 * s1) $idiv (n * n), 1) AS var_e6sq
-      |  FROM mom),
+      |  -- centered two-pass variance: the raw-moment form n*S2 - S1^2
+      |  -- overflows Long at ~20k keys (the x10 stress caught it); the
+      |  -- centered sum is <= n * 1e12, headroom to ~1e6 keys
+      |  SELECT mom.n, mom.s1 $idiv mom.n AS m_e6,
+      |         greatest(CAST(sum((r.r_e6 - mom.s1 $idiv mom.n)
+      |                         * (r.r_e6 - mom.s1 $idiv mom.n)) AS BIGINT)
+      |                  $idiv mom.n, 1) AS var_e6sq
+      |  FROM r, mom GROUP BY mom.n, mom.s1),
       |ab AS (
       |  SELECT m_e6,
       |         greatest((m_e6 * (1000000 - m_e6)) * 1000000 $idiv var_e6sq

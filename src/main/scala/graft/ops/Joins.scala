@@ -1724,6 +1724,28 @@ object Joins {
              |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin)
     ),
     Q(
+      "sql_distribute_cluster_by",
+      // DISTRIBUTE BY / SORT BY (round-10): the Hive-inherited layout
+      // clauses — DISTRIBUTE BY hashes rows to partitions without a
+      // global sort, SORT BY orders within each partition; together
+      // (= CLUSTER BY) they are the SQL spelling of the
+      // repartition + sortWithinPartitions write-layout idiom. Since
+      // per-partition order is not observable through a total-order
+      // ORDER BY, the row proves the DATA survives the exchange intact
+      // (per-key census after the clustered subquery); the plan carries
+      // the hash Exchange + partition-local Sort (no global sort node).
+      (s, dir) => graft.Catalog.sql(s, dir,
+        """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          |FROM (SELECT l_returnflag, l_quantity FROM lineitem
+          |      DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_quantity)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
       "sql_window_clause",
       // Named WINDOW clause (round-9): one window definition shared by
       // multiple OVER references — the dialect feature that keeps

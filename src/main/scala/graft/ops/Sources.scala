@@ -1368,8 +1368,50 @@ object Sources {
       Some("""SELECT l_orderkey % 7 AS grp, CAST(count(*) AS BIGINT) AS n,
              |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
              |FROM lineitem GROUP BY grp ORDER BY grp""".stripMargin)
+    ),
+    Q(
+      "sink_partition_evolution",
+      // Partition-spec evolution (round-10): the Iceberg capability on
+      // plain directories — history stays in the OLD layout (by month),
+      // new data lands in the REFINED one (month × returnflag), and the
+      // table is the union of generations: no rewrite of old bytes, both
+      // scans get their own partition pruning (month-only on gen1,
+      // month+flag on gen2 — pinned in PlanShapeSpec via evolutionStage).
+      // The census proves the union loses and duplicates nothing across
+      // the cut. At 100 TB this is how partitioning tightens as a table
+      // grows — evolve the spec forward, never rewrite history.
+      (s, dir) => {
+        val (g1, g2) = evolutionStage(s, dir)
+        s.read.parquet(g1).unionByName(s.read.parquet(g2))
+          .groupBy(expr("year(m)").as("yr"), col("rf"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+          .orderBy(col("yr"), col("rf"))
+      },
+      Some("""SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS yr,
+             |       l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+             |FROM lineitem GROUP BY yr, rf ORDER BY yr, rf""".stripMargin)
     )
   )
+
+  /** Stage the two partition-spec generations of
+    * [[sink_partition_evolution]]: gen1 = history partitioned by month,
+    * gen2 = post-evolution data partitioned by (month, returnflag), cut
+    * at 1998-01-01. Shared with PlanShapeSpec's pruning pin.
+    */
+  private[graft] def evolutionStage(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val g1 = tmpDir("graft_pevo1_"); val g2 = tmpDir("graft_pevo2_")
+    val li = Tables(s, dir, "lineitem").select(
+      expr("CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)").as("m"),
+      col("l_returnflag").as("rf"), col("l_orderkey"), col("l_quantity"))
+    li.filter(col("m") < lit("1998-01-01"))
+      .write.mode("overwrite").partitionBy("m").parquet(g1)
+    li.filter(col("m") >= lit("1998-01-01"))
+      .write.mode("overwrite").partitionBy("m", "rf").parquet(g2)
+    (g1, g2)
+  }
 
   private[graft] val aggPushdownConfs = Seq(
     "spark.sql.sources.useV1SourceList" -> "", // pushdown is DSv2-only

@@ -512,6 +512,23 @@ class PlanShapeSpec extends AnyFunSuite {
       "REBALANCE hint did not reach the plan:\n" + plan.take(800))
   }
 
+  test("sink_partition_evolution: each generation prunes on its own partition spec") {
+    import org.apache.spark.sql.functions._
+    val (g1, g2) = ops.Sources.evolutionStage(spark, dir)
+    val p1 = spark.read.parquet(g1)
+      .filter(col("m") === lit("1994-03-01").cast("date"))
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters") && p1.contains("m#"),
+      "gen1 must prune on month:\n" + p1.take(600))
+    val p2 = spark.read.parquet(g2)
+      .filter(col("m") === lit("1999-03-01").cast("date") && col("rf") === "R")
+      .queryExecution.executedPlan.toString
+    val pf = p2.substring(p2.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']')
+    assert(pf.contains("m#") && pf.contains("rf#"),
+      "gen2 must prune on BOTH month and returnflag:\n" + pf)
+  }
+
   test("join_aqe_bhj_conversion: AQE converts the denied-broadcast join to BHJ at runtime") {
     ops.Joins.withAqeBhjConfs(spark) {
       val df = ops.Joins.aqeBhjJoin(spark, dir)

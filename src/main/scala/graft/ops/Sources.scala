@@ -1406,9 +1406,13 @@ object Sources {
     val li = Tables(s, dir, "lineitem").select(
       expr("CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)").as("m"),
       col("l_returnflag").as("rf"), col("l_orderkey"), col("l_quantity"))
-    li.filter(col("m") < lit("1998-01-01"))
+    // co-locate each output partition's rows into one task before the
+    // partitioned write: otherwise every shuffle partition × dir pair
+    // emits its own small file (32 × ~80 dirs at sf0.1 — the
+    // small-files trap the compaction rows exist to clean up)
+    li.filter(col("m") < lit("1998-01-01")).repartition(col("m"))
       .write.mode("overwrite").partitionBy("m").parquet(g1)
-    li.filter(col("m") >= lit("1998-01-01"))
+    li.filter(col("m") >= lit("1998-01-01")).repartition(col("m"), col("rf"))
       .write.mode("overwrite").partitionBy("m", "rf").parquet(g2)
     (g1, g2)
   }

@@ -1689,6 +1689,75 @@ object Streaming {
              |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "stream_asof_enrich",
+      // Micro-batch as-of enrichment (round-10): the feature-store /
+      // CDC-dimension shape — each arriving micro-batch is enriched with
+      // the LATEST dimension version valid at the event's time, via
+      // foreachBatch (streaming window functions don't exist; per-batch
+      // batch semantics is the operational answer, and it reuses the
+      // engine's batch as-of machinery). The dimension is broadcast
+      // (versions-per-key is small by construction at any scale); the
+      // enriched batches append to parquet and the census proves both
+      // the as-of pick (version thresholds at analytic thirds of the
+      // time range) and the two-batch arrival (n_batches from the staged
+      // midpoint split). Scale: per batch one broadcast join + max_by —
+      // no state store, dimension refresh = re-deriving the broadcast.
+      (s, dir) => {
+        val ev = graft.Tables.events(s, dir)
+        val Array(lo, hi) = ev.agg(min(col("ts_ns")), max(col("ts_ns")))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        val t1 = lo + (hi - lo) / 3
+        val t2 = lo + 2 * ((hi - lo) / 3)
+        val dim = ev.select(col("user_id")).distinct()
+          .select(col("user_id"), explode(expr(
+            s"""array(named_struct('vfrom', CAST(-1 AS BIGINT),
+               |                   'version', CAST(1 AS BIGINT)),
+               |      named_struct('vfrom', CAST($t1 AS BIGINT),
+               |                   'version', CAST(2 AS BIGINT)),
+               |      named_struct('vfrom', CAST($t2 AS BIGINT),
+               |                   'version', CAST(3 AS BIGINT)))"""
+              .stripMargin)).as("v"))
+          .select(col("user_id").as("d_user"), col("v.vfrom"), col("v.version"))
+        val outDir = graft.util.tempDir("graft_stream_asof_")
+        val stream = eventsStream(s, stageSplitByTime(s, dir),
+          maxFilesPerTrigger = Some(1))
+        val q = stream.writeStream.trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.join(broadcast(dim),
+                col("user_id") === col("d_user") && col("vfrom") <= col("ts_ns"))
+              .groupBy(col("event_id"), col("user_id"))
+              .agg(max(col("version")).as("version"))
+              .withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(outDir)
+            ()
+          }.start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("version")).as("sum_version"),
+            max(col("version")).as("max_version"),
+            countDistinct(col("batch_id")).as("n_batches"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+             |  FROM events),
+             |e AS (
+             |  SELECT user_id,
+             |         epoch_ns(ts) <= lo + (hi - lo) // 2 AS early,
+             |         1 + CASE WHEN epoch_ns(ts) >= lo + (hi - lo) // 3
+             |                  THEN 1 ELSE 0 END
+             |           + CASE WHEN epoch_ns(ts) >= lo + 2 * ((hi - lo) // 3)
+             |                  THEN 1 ELSE 0 END AS version
+             |  FROM events, b)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(version) AS BIGINT) AS sum_version,
+             |       CAST(max(version) AS BIGINT) AS max_version,
+             |       CAST(count(DISTINCT early) AS BIGINT) AS n_batches
+             |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "stream_stream_join_outer",
       // Stream-stream LEFT OUTER interval join (round-9): clicks that DID
       // get an error within 10 minutes match immediately; clicks that

@@ -2608,6 +2608,48 @@ object TextOps {
              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "text_html_strip",
+      // HTML → text extraction census (round-10): the web-corpus
+      // boilerplate-strip step — each doc is deterministically wrapped
+      // into an HTML page (title, per-sentence <p> tags), then the
+      // markup is stripped back out with a tag regex and whitespace
+      // normalization; the census (tag count, markup overhead, clean
+      // length) is what an extraction-quality monitor tracks per crawl
+      // slice. Regexes are RE2-safe (no backrefs/lookarounds) so Spark's
+      // Java regex and DuckDB's RE2 agree. All map-side, one codegen
+      // pass — at 100 TB extraction runs inside the scan task.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .withColumn("html", concat(
+            lit("<html><head><title>Doc "), col("doc_id"),
+            lit("</title></head><body><p>"),
+            regexp_replace(col("text"), "\\. ", ".</p><p>"),
+            lit("</p></body></html>")))
+          .select(col("doc_id"),
+            size(expr("regexp_extract_all(html, '<[^>]+>', 0)"))
+              .cast("long").as("n_tags"),
+            length(col("html")).cast("long").as("html_len"),
+            length(trim(regexp_replace(
+              regexp_replace(col("html"), "<[^>]+>", " "), "  *", " ")))
+              .cast("long").as("clean_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+             |       CAST(length(html) AS BIGINT) AS html_len,
+             |       CAST(length(trim(regexp_replace(
+             |         regexp_replace(html, '<[^>]+>', ' ', 'g'), '  *', ' ', 'g')))
+             |         AS BIGINT) AS clean_len
+             |FROM (
+             |  SELECT doc_id,
+             |         '<html><head><title>Doc ' || doc_id ||
+             |         '</title></head><body><p>' ||
+             |         regexp_replace(text, '\. ', '.</p><p>', 'g') ||
+             |         '</p></body></html>' AS html
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "pipeline_epoch_shuffle",
       // Multi-epoch shuffle audit (round-10): each training epoch orders
       // the corpus by a deterministic per-(doc, epoch) hash — reproducible

@@ -1760,6 +1760,41 @@ object Extensions {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
              |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM orders""".stripMargin)
+    ),
+    Q(
+      "join_v2_stats_broadcast",
+      // Connector statistics → optimizer decisions (round-10): the scan
+      // now implements SupportsReportStatistics (rows from manifest
+      // counts, bytes from the data files — O(files) driver metadata),
+      // so a SMALL manifest-format dimension auto-broadcasts with NO
+      // hint. Without reported stats a v2 relation is costed at
+      // spark.sql.defaultSizeInBytes ("assume huge") and a 5-row dim
+      // would shuffle the whole fact — at 100 TB the difference between
+      // one broadcast and a full exchange. PlanShapeSpec pins the
+      // hint-free BroadcastHashJoin. Completes the connector's stats
+      // story: file pruning → aggregate pushdown → optimizer costing.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val out = graft.util.tempDir("graft_v2stats_")
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("dim_n"))
+          .select(expr("CAST(length(o_orderpriority) AS BIGINT)").as("len_code"),
+            col("o_orderpriority").as("pri"), col("dim_n"))
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        val dim = s.read.format(fmt).option("path", out).load()
+        Tables(s, dir, "orders")
+          .join(dim, col("o_orderpriority") === col("pri"))
+          .groupBy(col("pri"))
+          .agg(count(lit(1)).as("n_orders"), max(col("dim_n")).as("dim_n"))
+          .orderBy(col("pri"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS dim_n
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT pri, CAST(count(*) AS BIGINT) AS n_orders,
+             |       max(dim_n) AS dim_n
+             |FROM orders JOIN dim ON o_orderpriority = pri
+             |GROUP BY pri ORDER BY pri""".stripMargin)
     )
   )
 }

@@ -1689,6 +1689,36 @@ object Streaming {
              |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "source_rate_micro_batch",
+      // The rate-micro-batch source (round-10): Spark's DETERMINISTIC
+      // synthetic stream — unlike plain `rate`, each micro-batch carries
+      // exactly rowsPerBatch consecutive values from a pinned
+      // startTimestamp, so a load-test or soak harness replays
+      // identically every run (the property `rate` lacks). Unbounded by
+      // design, so the drain is the progress-poll harness: run until ≥300
+      // input rows fed, stop, census the first 300 values (batch-count
+      // independent — a straggler batch past the poll changes nothing).
+      // Scale: numPartitions spreads generation across executors; this
+      // is the standard offline stand-in where a message bus isn't
+      // available (no Kafka connector offline — SURVEY §2.9).
+      (s, dir) => {
+        val src = s.readStream.format("rate-micro-batch")
+          .option("rowsPerBatch", "100").option("startTimestamp", "0")
+          .option("numPartitions", "4").load()
+        runToMemoryDrain(s, src.select(col("value")), "t_rate_mb", "append",
+            expectedInputRows = 300L)
+          .filter(col("value") < 300)
+          .groupBy((col("value") % 8).as("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH v AS (SELECT unnest(range(0, 300)) AS v)
+             |SELECT v % 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(v) AS BIGINT) AS s, min(v) AS mn, max(v) AS mx
+             |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+    Q(
       "stream_asof_enrich",
       // Micro-batch as-of enrichment (round-10): the feature-store /
       // CDC-dimension shape — each arriving micro-batch is enriched with

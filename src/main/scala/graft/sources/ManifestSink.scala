@@ -521,7 +521,8 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownFilters
-      with SupportsPushDownAggregates {
+      with SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
       // time travel: versionAsOf (read option) or a catalog-pinned version
       // (SQL `VERSION AS OF n` → TableCatalog.loadTable(ident, version))
       // pins the scan to a retained snapshot
@@ -619,6 +620,30 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
         "ManifestScan" + pushedAgg.map(a =>
           " PushedAggregation: [" +
             a.aggregateExpressions.mkString(", ") + "]").getOrElse("")
+
+      // ---- statistics reporting: without it a v2 relation falls back to
+      // spark.sql.defaultSizeInBytes (= "assume huge"), so a small
+      // manifest dimension NEVER auto-broadcasts. Row count comes from
+      // the manifest's per-file counts; bytes from the actual data files
+      // — both O(files) driver-side metadata (the Iceberg approach).
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics =
+        new org.apache.spark.sql.connector.read.Statistics {
+          private val st = state
+          override def sizeInBytes(): java.util.OptionalLong =
+            st.map { s0 =>
+              java.util.OptionalLong.of(s0.files.map { case (f, _) =>
+                val p = Paths.get(ManifestSink.resolveData(dir, f))
+                if (Files.exists(p)) Files.size(p) else 0L
+              }.sum)
+            }.getOrElse(java.util.OptionalLong.empty())
+          override def numRows(): java.util.OptionalLong =
+            st.filter(s0 => s0.deletes.isEmpty &&
+                s0.files.forall { case (f, _) => s0.counts.contains(f) })
+              .map(s0 => java.util.OptionalLong.of(
+                s0.files.map { case (f, _) => s0.counts(f) }.sum))
+              .getOrElse(java.util.OptionalLong.empty())
+        }
 
       override def build(): Scan = this
       override def readSchema(): StructType =

@@ -502,6 +502,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!grouped.contains("PushedAggregation"))
   }
 
+  test("join_v2_stats_broadcast: reported connector stats drive a hint-free broadcast") {
+    val plan = planOf("join_v2_stats_broadcast")
+    assert(plan.contains("BroadcastHashJoin"),
+      "small manifest dim did not auto-broadcast (stats not reported?):\n" +
+        plan.take(900))
+    assert(plan.contains("ManifestScan"),
+      "broadcast build side should be the v2 manifest scan:\n" + plan.take(900))
+  }
+
   test("sink_rebalance_partitions: the write plans a RebalancePartitions shuffle") {
     import org.apache.spark.sql.functions._
     val plan = Tables(spark, dir, "lineitem")

@@ -508,5 +508,51 @@ object Eval {
              |                   - (n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4)))
              |         // ((n)*(n-1)*(n-2)*(n-3)*(n-4)) END AS pass5_e6
              |FROM g ORDER BY problem_id""".stripMargin)
+    ),
+    Q(
+      "eval_pairwise_winrate",
+      // Arena-style pairwise win-rate matrix (round-10): three "models"
+      // score every prompt (deterministic integer scorers over the doc:
+      // token count, distinct-token count, and a hash mix); for each
+      // ordered model pair the census counts wins / ties / losses across
+      // prompts and pins the e6 win rate — the leaderboard aggregate
+      // behind every human-preference eval. One narrow scan, the matrix
+      // is O(models²) rows regardless of prompt volume; scorers stay in
+      // whole-stage codegen.
+      (s, dir) => {
+        val scored = Tables(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("m0"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("m1"),
+          expr("(doc_id % 1000003) * 2654435761 % 1000000007 % 97").as("m2"))
+        val pairs = Seq((0, 1), (0, 2), (1, 2))
+        pairs.map { case (a, b) =>
+          scored.agg(
+            sum(when(col(s"m$a") > col(s"m$b"), 1L).otherwise(0L)).as("wins"),
+            sum(when(col(s"m$a") === col(s"m$b"), 1L).otherwise(0L)).as("ties"),
+            sum(when(col(s"m$a") < col(s"m$b"), 1L).otherwise(0L)).as("losses"))
+            .withColumn("pair", lit(s"m$a-vs-m$b"))
+            .withColumn("winrate_e6", expr(
+              "(1000000 * wins) div (wins + ties + losses)"))
+            .select(col("pair"), col("wins"), col("ties"), col("losses"),
+              col("winrate_e6"))
+        }.reduce(_ unionByName _).orderBy(col("pair"))
+      },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS m0,
+             |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS m1,
+             |         (doc_id % 1000003) * 2654435761 % 1000000007 % 97 AS m2
+             |  FROM documents),
+             |p AS (
+             |  SELECT 'm0-vs-m1' AS pair, m0 AS a, m1 AS b FROM s
+             |  UNION ALL SELECT 'm0-vs-m2', m0, m2 FROM s
+             |  UNION ALL SELECT 'm1-vs-m2', m1, m2 FROM s)
+             |SELECT pair,
+             |       CAST(sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+             |       CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+             |       CAST(sum(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+             |       (1000000 * CAST(sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT))
+             |         // CAST(count(*) AS BIGINT) AS winrate_e6
+             |FROM p GROUP BY pair ORDER BY pair""".stripMargin)
     ))
 }

@@ -2608,6 +2608,121 @@ object TextOps {
              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "pipeline_chat_validate",
+      // Chat-template structural validation (round-10): before an SFT
+      // corpus trains, every transcript is checked for template
+      // violations — consecutive same-role turns (alternation breaks),
+      // an assistant turn opening the conversation, and a dangling user
+      // turn at the end. One lag window per user, per-transcript boolean
+      // census plus violation counts; a corpus-level gate reads the
+      // `valid` column. The role mapping mirrors
+      // [[pipeline_sft_turn_masking]] (click/view = user). Scale: one
+      // keyed window, O(events) shuffle of (user, role, order) triples.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("role",
+            when(col("event_type").isin("click", "view"), "user")
+              .otherwise("assistant"))
+          .withColumn("prev_role", lag(col("role"), 1).over(w))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("is_last",
+            col("rn") === count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_turns"),
+            sum(when(col("role") === col("prev_role"), 1L).otherwise(0L))
+              .as("n_alternation_breaks"),
+            max(when(col("rn") === 1 && col("role") === "assistant", 1L)
+              .otherwise(0L)).as("opens_with_assistant"),
+            max(when(col("is_last") && col("role") === "user", 1L)
+              .otherwise(0L)).as("dangling_user_tail"))
+          .withColumn("valid",
+            col("n_alternation_breaks") === 0 &&
+              col("opens_with_assistant") === 0 &&
+              col("dangling_user_tail") === 0)
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |         CASE WHEN event_type IN ('click', 'view')
+             |              THEN 'user' ELSE 'assistant' END AS role,
+             |         epoch_ns(ts) AS o1, event_id AS o2
+             |  FROM events),
+             |r AS (
+             |  SELECT user_id, role,
+             |         lag(role) OVER w AS prev_role,
+             |         row_number() OVER w AS rn,
+             |         count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY o1, o2)),
+             |g AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+             |         CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_alternation_breaks,
+             |         CAST(max(CASE WHEN rn = 1 AND role = 'assistant'
+             |                       THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS opens_with_assistant,
+             |         CAST(max(CASE WHEN rn = n AND role = 'user'
+             |                       THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS dangling_user_tail
+             |  FROM r GROUP BY user_id)
+             |SELECT *, n_alternation_breaks = 0 AND opens_with_assistant = 0
+             |          AND dangling_user_tail = 0 AS valid
+             |FROM g ORDER BY user_id""".stripMargin)
+    ),
+    Q(
+      "pipeline_loader_resume",
+      // Data-loader resume math (round-10): a training run died at global
+      // step S — where does the loader restart? Shards are walked in
+      // manifest order; consumed sequences = S·B distribute across the
+      // shard-size cumsum, and each shard reports done / partial(offset)
+      // / pending. One window cumsum over the O(shards) manifest — the
+      // deterministic restart computation every epoch-aware loader needs
+      // (and the reason manifests carry sizes at all). S·B is staged at
+      // 60% of the corpus so all three states are exercised.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val shards = Tables(s, dir, "documents")
+          .groupBy((col("doc_id") / 50).cast("long").as("shard_id"))
+          .agg(count(lit(1)).as("size"))
+        val total = shards.agg(sum(col("size"))).collect()(0).getLong(0)
+        val consumed = total * 6 / 10
+        val w = Window.orderBy(col("shard_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        shards
+          .withColumn("cum_before", coalesce(sum(col("size")).over(w), lit(0L)))
+          .withColumn("used", greatest(lit(0L),
+            least(col("size"), lit(consumed) - col("cum_before"))))
+          .withColumn("state",
+            when(col("used") === col("size"), "done")
+              .when(col("used") > 0, "partial").otherwise("pending"))
+          .select(col("shard_id"), col("size"), col("used").as("resume_offset"),
+            col("state"))
+          .orderBy(col("shard_id"))
+      },
+      Some("""WITH shards AS (
+             |  SELECT doc_id // 50 AS shard_id, CAST(count(*) AS BIGINT) AS size
+             |  FROM documents GROUP BY shard_id),
+             |tot AS (SELECT CAST(sum(size) AS BIGINT) * 6 // 10 AS consumed
+             |        FROM shards),
+             |c AS (
+             |  SELECT shard_id, size,
+             |         CAST(coalesce(sum(size) OVER (ORDER BY shard_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |           AS BIGINT) AS cum_before
+             |  FROM shards)
+             |SELECT shard_id, size,
+             |       greatest(0, least(size, consumed - cum_before))
+             |         AS resume_offset,
+             |       CASE WHEN greatest(0, least(size, consumed - cum_before))
+             |                 = size THEN 'done'
+             |            WHEN greatest(0, least(size, consumed - cum_before))
+             |                 > 0 THEN 'partial'
+             |            ELSE 'pending' END AS state
+             |FROM c, tot ORDER BY shard_id""".stripMargin)
+    ),
+    Q(
       "text_html_strip",
       // HTML → text extraction census (round-10): the web-corpus
       // boilerplate-strip step — each doc is deterministically wrapped

@@ -431,6 +431,59 @@ object Joins {
              |ORDER BY p_partkey, s_suppkey""".stripMargin)
     ),
     Q(
+      "join_interval_overlap_duration",
+      // Interval × interval overlap join (round-10): the attribution /
+      // exposure shape — order-activity windows (ship date + 6 days)
+      // against promo campaign windows, matched on ANY overlap and
+      // aggregated by CLIPPED overlap days (least(end) − greatest(start)
+      // + 1). Distinct from `join_range_interval` (point ∈ interval):
+      // both sides are intervals and the measure is the intersection
+      // length. All arithmetic on integer epoch days. Scale: the promo
+      // side is O(campaigns) → broadcast; with two LARGE interval sets
+      // the same plan buckets both sides by coarse time blocks
+      // (the `join_spatial_grid` pattern in 1-D) — never all-pairs.
+      (s, dir) => {
+        import s.implicits._
+        val promos = (0 to 7).map { p =>
+          (p.toLong, 9131L + p * 300, 9131L + p * 300 + 45 + p * 15)
+        }.toDF("promo_id", "p_start", "p_end") // 9131 = epoch day of 1995-01-01
+        val a = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            expr("datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')")
+              .cast("long").as("a_start"))
+          .withColumn("a_end", col("a_start") + 6)
+        a.join(broadcast(promos),
+            col("a_start") <= col("p_end") && col("p_start") <= col("a_end"))
+          .withColumn("overlap_days",
+            least(col("a_end"), col("p_end"))
+              - greatest(col("a_start"), col("p_start")) + 1)
+          .groupBy(col("promo_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("overlap_days")).as("total_overlap_days"),
+            max(col("overlap_days")).as("max_overlap"))
+          .orderBy(col("promo_id"))
+      },
+      Some("""WITH promos AS (
+             |  SELECT p AS promo_id, 9131 + p * 300 AS p_start,
+             |         9131 + p * 300 + 45 + p * 15 AS p_end
+             |  FROM (SELECT unnest(range(0, 8)) AS p)),
+             |a AS (
+             |  SELECT l_orderkey,
+             |         date_diff('day', DATE '1970-01-01',
+             |                   CAST(l_shipdate AS DATE)) AS a_start,
+             |         date_diff('day', DATE '1970-01-01',
+             |                   CAST(l_shipdate AS DATE)) + 6 AS a_end
+             |  FROM lineitem)
+             |SELECT promo_id, CAST(count(*) AS BIGINT) AS n_lines,
+             |       CAST(sum(least(a_end, p_end) - greatest(a_start, p_start)
+             |                + 1) AS BIGINT) AS total_overlap_days,
+             |       CAST(max(least(a_end, p_end) - greatest(a_start, p_start)
+             |                + 1) AS BIGINT) AS max_overlap
+             |FROM a JOIN promos
+             |  ON a_start <= p_end AND p_start <= a_end
+             |GROUP BY promo_id ORDER BY promo_id""".stripMargin)
+    ),
+    Q(
       "join_range_interval",
       // Equi key + range residual: the scale-safe range-join form (the equi
       // key bounds the match set; no cartesian blowup).

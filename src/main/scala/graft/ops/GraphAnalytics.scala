@@ -85,6 +85,51 @@ object GraphAnalytics {
     edgesSym(s, dir).groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
 
+  /** Deterministic 3-round synchronous label propagation (smallest-label
+    * tiebreak) — shared by [[graph_label_propagation]] and the
+    * conductance census.
+    */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val e = edgesSym(s, dir)
+    var labels = degrees(s, dir).select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to 3) {
+      labels = e
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("cnt").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab"))
+    }
+    labels
+  }
+
+  /** The shared LPA oracle CTE chain (3 unrolled rounds ending in `l3`),
+    * appended to [[baseSql]].
+    */
+  private val lpaSql: String =
+    """l0 AS (SELECT node, node AS lab FROM deg),
+      |c1 AS (SELECT e.dst AS node, l0.lab, count(*) AS cnt
+      |       FROM e JOIN l0 ON e.src = l0.node GROUP BY 1, 2),
+      |l1 AS (SELECT node, lab FROM (
+      |  SELECT node, lab, row_number() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c1)
+      |  WHERE rn = 1),
+      |c2 AS (SELECT e.dst AS node, l1.lab, count(*) AS cnt
+      |       FROM e JOIN l1 ON e.src = l1.node GROUP BY 1, 2),
+      |l2 AS (SELECT node, lab FROM (
+      |  SELECT node, lab, row_number() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c2)
+      |  WHERE rn = 1),
+      |c3 AS (SELECT e.dst AS node, l2.lab, count(*) AS cnt
+      |       FROM e JOIN l2 ON e.src = l2.node GROUP BY 1, 2),
+      |l3 AS (SELECT node, lab FROM (
+      |  SELECT node, lab, row_number() OVER (
+      |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c3)
+      |  WHERE rn = 1)""".stripMargin
+
   /** Shared oracle prefix: weight -> top-k -> oriented/symmetric edges ->
     * degrees, byte-for-byte the semantics of [[edges12]]/[[degrees]].
     */
@@ -616,43 +661,59 @@ object GraphAnalytics {
       // bounded-degree graph, the same message-passing budget as PageRank.
       // The fixed round count keeps the lineage finite; an open-ended
       // variant would localCheckpoint per round like the component closure.
+      (s, dir) => lpaLabels(s, dir).orderBy(col("node")),
+      Some(s"""$baseSql,
+              |$lpaSql
+              |SELECT node, lab FROM l3 ORDER BY node""".stripMargin)
+    ),
+    Q(
+      "graph_conductance",
+      // Community-quality census (round-10): conductance of every LPA
+      // community — cut edge-endpoints over min(volume, total−volume),
+      // the standard "is this community real or an artifact" number a
+      // detection pipeline gates on before acting on communities. One
+      // edge-labeling join over the bounded-degree graph + one aggregate;
+      // arithmetic is BIGINT with an e6-pinned ratio. Oracle: the same
+      // unrolled 3-round LPA chain extended by the edge-label census.
       (s, dir) => {
-        val e = edgesSym(s, dir)
-        var labels = degrees(s, dir).select(col("node"), col("node").as("lab"))
-        for (_ <- 1 to 3) {
-          labels = e
-            .join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst").as("node"), col("lab"))
-            .agg(count(lit(1)).as("cnt"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("node"))
-                .orderBy(col("cnt").desc, col("lab"))))
-            .filter(col("rn") === 1)
-            .select(col("node"), col("lab"))
-        }
-        labels.orderBy(col("node"))
+        val lab = lpaLabels(s, dir)
+        val el = edgesSym(s, dir)
+          .join(lab.select(col("node").as("src"), col("lab").as("ls")), "src")
+          .join(lab.select(col("node").as("dst"), col("lab").as("ld")), "dst")
+        val tot = el.agg(count(lit(1)).as("m2"))
+        val comm = el.groupBy(col("ls").as("lab"))
+          .agg(count(lit(1)).as("vol"),
+            sum(when(col("ls") =!= col("ld"), 1L).otherwise(0L)).as("cut"))
+        val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("size"))
+        comm.join(sz, "lab").crossJoin(tot)
+          .withColumn("cond_e6", expr(
+            """CASE WHEN least(vol, m2 - vol) > 0
+              |THEN (cut * 1000000) div least(vol, m2 - vol)
+              |ELSE 0 END""".stripMargin))
+          .select(col("lab"), col("size"), col("vol"), col("cut"),
+            col("cond_e6"))
+          .orderBy(col("lab"))
       },
       Some(s"""$baseSql,
-              |l0 AS (SELECT node, node AS lab FROM deg),
-              |c1 AS (SELECT e.dst AS node, l0.lab, count(*) AS cnt
-              |       FROM e JOIN l0 ON e.src = l0.node GROUP BY 1, 2),
-              |l1 AS (SELECT node, lab FROM (
-              |  SELECT node, lab, row_number() OVER (
-              |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c1)
-              |  WHERE rn = 1),
-              |c2 AS (SELECT e.dst AS node, l1.lab, count(*) AS cnt
-              |       FROM e JOIN l1 ON e.src = l1.node GROUP BY 1, 2),
-              |l2 AS (SELECT node, lab FROM (
-              |  SELECT node, lab, row_number() OVER (
-              |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c2)
-              |  WHERE rn = 1),
-              |c3 AS (SELECT e.dst AS node, l2.lab, count(*) AS cnt
-              |       FROM e JOIN l2 ON e.src = l2.node GROUP BY 1, 2),
-              |l3 AS (SELECT node, lab FROM (
-              |  SELECT node, lab, row_number() OVER (
-              |    PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c3)
-              |  WHERE rn = 1)
-              |SELECT node, lab FROM l3 ORDER BY node""".stripMargin)
+              |$lpaSql,
+              |el AS (
+              |  SELECT a.lab AS ls, b.lab AS ld
+              |  FROM e JOIN l3 a ON e.src = a.node
+              |         JOIN l3 b ON e.dst = b.node),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM el),
+              |comm AS (
+              |  SELECT ls AS lab, CAST(count(*) AS BIGINT) AS vol,
+              |         CAST(sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END)
+              |              AS BIGINT) AS cut
+              |  FROM el GROUP BY ls),
+              |sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS size
+              |       FROM l3 GROUP BY lab)
+              |SELECT c.lab, sz.size, c.vol, c.cut,
+              |       CASE WHEN least(c.vol, tot.m2 - c.vol) > 0
+              |            THEN (c.cut * 1000000) // least(c.vol, tot.m2 - c.vol)
+              |            ELSE 0 END AS cond_e6
+              |FROM comm c JOIN sz ON sz.lab = c.lab, tot
+              |ORDER BY c.lab""".stripMargin)
     ),
     Q(
       "graph_degree_assortativity",

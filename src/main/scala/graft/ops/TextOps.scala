@@ -2608,6 +2608,55 @@ object TextOps {
              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "text_code_detect",
+      // Code-vs-prose detection (round-10): training mixes weight code
+      // and natural language differently, so corpus construction needs a
+      // cheap splitter — here the symbol-density heuristic (share of
+      // non-alphanumeric-non-space characters, e6-pinned) over a corpus
+      // where every third doc is deterministically rendered as code
+      // (identifiers, punctuation, underscored tokens). The census is
+      // the detector's full confusion against staged truth — wide
+      // margins make it exact, the same pattern as `text_langid_eval`.
+      // Map-side only; at 100 TB the splitter runs inside the scan.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .withColumn("is_code", col("doc_id") % 3 === 0)
+          .withColumn("content",
+            when(col("is_code"), concat(lit("def f_"), col("doc_id"),
+              lit("(): return \""), regexp_replace(col("text"), " ", "_"),
+              lit("\";")))
+              .otherwise(col("text")))
+          .withColumn("sym_e6", expr(
+            """(1000000 * (length(content)
+              |  - length(regexp_replace(content, '[a-z0-9 ]', ''))))
+              |div length(content)""".stripMargin))
+          .withColumn("pred_code", col("sym_e6") > 50000)
+          .groupBy(col("is_code"), col("pred_code"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("sym_e6")).as("min_sym_e6"),
+            max(col("sym_e6")).as("max_sym_e6"))
+          .orderBy(col("is_code"), col("pred_code"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id, doc_id % 3 = 0 AS is_code,
+             |         CASE WHEN doc_id % 3 = 0
+             |              THEN 'def f_' || doc_id || '(): return "' ||
+             |                   replace(text, ' ', '_') || '";'
+             |              ELSE text END AS content
+             |  FROM documents),
+             |m AS (
+             |  SELECT is_code,
+             |         (1000000 * (length(content) - length(
+             |            regexp_replace(content, '[a-z0-9 ]', '', 'g'))))
+             |           // length(content) AS sym_e6
+             |  FROM c)
+             |SELECT is_code, sym_e6 > 50000 AS pred_code,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       min(sym_e6) AS min_sym_e6, max(sym_e6) AS max_sym_e6
+             |FROM m GROUP BY is_code, pred_code
+             |ORDER BY is_code, pred_code""".stripMargin)
+    ),
+    Q(
       "pipeline_chat_validate",
       // Chat-template structural validation (round-10): before an SFT
       // corpus trains, every transcript is checked for template

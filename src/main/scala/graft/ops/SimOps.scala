@@ -89,6 +89,91 @@ object SimOps {
 
   val defs: Seq[Q] = Seq(
     Q(
+      "sim_prf_rocchio",
+      // Pseudo-relevance feedback (round-10): the Rocchio loop — run the
+      // query, average the top-5 hits' embeddings, fuse q' = q + 0.5·c̄,
+      // and re-query with the expanded vector; the second-round ranking
+      // is what a retrieval stack actually serves after expansion. Both
+      // rounds broadcast the O(queries) side and never shuffle the
+      // corpus; the centroid is an O(queries·64) aggregate. Oracle
+      // replays round 1, the per-dimension centroid rebuild, the fusion
+      // and round 2 verbatim.
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val q = broadcast(querySet(emb).withColumn("q_norm", norm(col("q_emb"))))
+        val c = emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_emb"))
+          .withColumn("c_norm", norm(col("c_emb")))
+        val round1 = rankTopK(q.crossJoin(c)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos",
+            dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))), 5)
+        // centroid of the 5 hits, per dimension in index order
+        val cent = round1
+          .join(emb.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("h_emb")), "neighbor_id")
+          .select(col("query_id"),
+            posexplode(col("h_emb")).as(Seq("i", "v")))
+          .groupBy(col("query_id"), col("i"))
+          .agg((sum(col("v")) / lit(5.0d)).as("cv"))
+          .groupBy(col("query_id"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, cv))), x -> x.cv)")
+            .as("cent"))
+        val q2 = broadcast(q.join(cent, "query_id")
+          .withColumn("q2_emb",
+            expr("zip_with(q_emb, cent, (a, b) -> a + CAST(0.5 AS DOUBLE) * b)"))
+          .select(col("query_id"), col("q2_emb").as("q_emb"))
+          .withColumn("q_norm", norm(col("q_emb"))))
+        rankTopK(q2.crossJoin(c)
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos",
+            dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))), 5)
+      },
+      Some(s"""WITH q AS (
+              |  SELECT vec_id AS query_id, embedding AS q_emb,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS q_norm
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |c AS (
+              |  SELECT vec_id AS neighbor_id, embedding AS c_emb,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS c_norm
+              |  FROM embeddings),
+              |r1 AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT q.query_id, c.neighbor_id,
+              |           row_number() OVER (PARTITION BY q.query_id
+              |             ORDER BY $dotSql / (q_norm * c_norm) DESC,
+              |                      c.neighbor_id ASC) AS rank
+              |    FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id) t
+              |  WHERE rank <= 5),
+              |dims AS (
+              |  SELECT r1.query_id, u.i, avg(e.embedding[u.i]::DOUBLE) AS cv
+              |  FROM r1 JOIN embeddings e ON e.vec_id = r1.neighbor_id,
+              |       unnest(range(1, 65)) AS u(i)
+              |  GROUP BY r1.query_id, u.i),
+              |cent AS (
+              |  SELECT query_id, list(cv ORDER BY i) AS cent
+              |  FROM dims GROUP BY query_id),
+              |q2 AS (
+              |  SELECT q.query_id,
+              |         list_transform(range(1, 65),
+              |           i -> q.q_emb[i]::DOUBLE + 0.5 * cent.cent[i]) AS q_emb
+              |  FROM q JOIN cent ON cent.query_id = q.query_id),
+              |q2n AS (
+              |  SELECT query_id, q_emb,
+              |         sqrt(list_sum(list_transform(range(1, 65), i -> q_emb[i] * q_emb[i]))) AS q_norm
+              |  FROM q2)
+              |SELECT query_id, rank, neighbor_id FROM (
+              |  SELECT q2n.query_id, c.neighbor_id,
+              |         CAST(row_number() OVER (PARTITION BY q2n.query_id
+              |           ORDER BY list_sum(list_transform(range(1, 65),
+              |                      i -> q2n.q_emb[i] * c.c_emb[i]::DOUBLE))
+              |                    / (q2n.q_norm * c.c_norm) DESC,
+              |                    c.neighbor_id ASC) AS BIGINT) AS rank
+              |  FROM q2n CROSS JOIN c WHERE q2n.query_id <> c.neighbor_id) t
+              |WHERE rank <= 5
+              |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
       "sim_cosine_topk",
       // Brute-force cosine top-5 per query vector; the broadcast of the
       // (small) query set keeps the corpus un-shuffled.

@@ -832,6 +832,20 @@ object Aggregates {
       Some(ebCtrSql("//"))
     ),
     Q(
+      "stat_capture_recapture",
+      // Lincoln–Petersen capture–recapture (round-10): estimate a corpus'
+      // TRUE size from two independent "crawls" — N̂ = nA·nB / n_both —
+      // the coverage-estimation trick a crawl operator uses when the full
+      // population can't be enumerated (and dedup's census cousin: the
+      // overlap IS the dedup join). Crawls are independent deterministic
+      // hash subsets (~60% / ~50%); everything BIGINT, the estimate
+      // e0-pinned by integer division, and the census carries the truth
+      // so the estimator's bias at this draw is visible. One scan, one
+      // aggregate — O(1) output at any corpus size.
+      (s, dir) => graft.Catalog.sql(s, dir, captureSql("div")),
+      Some(captureSql("//"))
+    ),
+    Q(
       "stat_survival_km",
       // Kaplan-Meier survival curve (round-9): time-to-first-purchase
       // per user with right-censoring — users who never purchase are
@@ -2412,6 +2426,25 @@ object Aggregates {
       |SELECT key, v, c, r_e6, smoothed_e6,
       |       abs(smoothed_e6 - r_e6) AS shrink_e6
       |FROM sm ORDER BY shrink_e6 DESC, key LIMIT 10""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[stat_capture_recapture]]. */
+  private def captureSql(idiv: String): String =
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |         (doc_id % 1000003) * 2654435761 % 1000000007 % 100 < 60 AS in_a,
+      |         (doc_id % 1000003) * 1779033703 % 1000000007 % 100 < 50 AS in_b
+      |  FROM documents),
+      |c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS true_n,
+      |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |         CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_both
+      |  FROM m)
+      |SELECT true_n, n_a, n_b, n_both,
+      |       CASE WHEN n_both > 0 THEN (n_a * n_b) $idiv n_both
+      |            ELSE CAST(0 AS BIGINT) END AS n_hat
+      |FROM c""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[stat_runs_test]]. */
   private lazy val runsTestSql: String =

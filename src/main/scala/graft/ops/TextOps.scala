@@ -290,6 +290,76 @@ object TextOps {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
     Q(
+      "dedup_threshold_sweep",
+      // Dedup operating curve (round-10): before committing a near-dup
+      // threshold, sweep it — the same LSH-candidate + exact-Jaccard
+      // chain as `dedup_candidate_verify`, but scored ONCE and evaluated
+      // at seven thresholds via the cross-multiplied integer test
+      // 100·common ≥ t·(union), so the whole sweep is one extra
+      // O(pairs × 7) fanout and ZERO floats. Per threshold: surviving
+      // pairs and docs that would be removed (min-id representative
+      // kept). This is how the dedup rate / retention trade-off gets
+      // chosen on a real corpus — from data, not a default.
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables(s, dir, "documents")
+        val cand = MinHash.nearDupPairs(docs, "doc_id", "text",
+            k = 16, bands = 8, minEstJaccard = 0.2, portable = true)
+          .select(col("doc_a"), col("doc_b"))
+        val grams = docs
+          .select(col("doc_id"), MinHash.tokenCrcs(col("text")).as("crcs"))
+          .select(col("doc_id"),
+            explode(MinHash.shingleHashes(col("crcs"), 3,
+              distinct = true, modP = false)).as("gram"))
+        val members = cand.select(col("doc_a").as("doc_id"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val cgrams = grams.join(members, Seq("doc_id"), "left_semi")
+          .localCheckpoint(false)
+        val sizes = cgrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val scored = cand
+          .join(cgrams.select(col("doc_id").as("doc_a"), col("gram")), "doc_a")
+          .join(cgrams.select(col("doc_id").as("doc_b"), col("gram")),
+            Seq("doc_b", "gram"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+        val th = Seq(20L, 30L, 40L, 50L, 60L, 70L, 80L).toDF("t")
+        scored.crossJoin(broadcast(th))
+          .filter(lit(100L) * col("common") >=
+            col("t") * (col("na") + col("nb") - col("common")))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_b")).as("n_removed"))
+          .orderBy(col("t"))
+      },
+      Some(s"""$minhashCandCtes,
+              |cand2 AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.2),
+              |grams AS (
+              |  SELECT doc_id,
+              |         unnest(list_distinct(list_transform(
+              |           range(1, len(string_split(text, ' ')) - 1),
+              |           i -> string_split(text, ' ')[i] || ' ' ||
+              |                string_split(text, ' ')[i+1] || ' ' ||
+              |                string_split(text, ' ')[i+2]))) AS gram
+              |  FROM documents),
+              |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+              |scored AS (
+              |  SELECT c.doc_a, c.doc_b, count(*) AS common,
+              |         max(sa.n_grams) AS na, max(sb.n_grams) AS nb
+              |  FROM cand2 c
+              |  JOIN grams a ON a.doc_id = c.doc_a
+              |  JOIN grams b ON b.doc_id = c.doc_b AND b.gram = a.gram
+              |  JOIN sizes sa ON sa.doc_id = c.doc_a
+              |  JOIN sizes sb ON sb.doc_id = c.doc_b
+              |  GROUP BY c.doc_a, c.doc_b),
+              |th AS (SELECT unnest([20, 30, 40, 50, 60, 70, 80]) AS t)
+              |SELECT CAST(t AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n_pairs,
+              |       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_removed
+              |FROM scored, th
+              |WHERE 100 * common >= t * (na + nb - common)
+              |GROUP BY t ORDER BY t""".stripMargin)
+    ),
+    Q(
       "dedup_fuzzy_blocked",
       // Blocked edit-distance fuzzy dedup (round-9): typo-level duplicate
       // detection (entity resolution's workhorse) — candidate pairs are

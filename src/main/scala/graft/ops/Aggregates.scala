@@ -846,6 +846,31 @@ object Aggregates {
       Some(captureSql("//"))
     ),
     Q(
+      "stat_chao1_vocab",
+      // Chao1 richness estimator (round-10): how many vocabulary types
+      // does the corpus REALLY have, including the ones not yet seen?
+      // Chao1 = D + f1²/(2·f2) from the observed type count and the
+      // singleton/doubleton frequencies — the standard answer to "is the
+      // crawl's vocabulary saturating", the estimation sibling of
+      // `text_zipf_slope` and `stat_capture_recapture`. Token counting is
+      // one explode + two aggregates, the estimate pure BIGINT. At
+      // 100 TB the frequency-of-frequencies table is O(distinct types).
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+          .agg(count(lit(1)).as("d"),
+            sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+            sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"),
+            sum(col("f")).as("n_tokens"))
+          .withColumn("chao1", expr(
+            """CASE WHEN f2 > 0 THEN d + (f1 * f1) div (2 * f2)
+              |ELSE d + (f1 * (f1 - 1)) div 2 END""".stripMargin))
+      },
+      Some(chao1Sql)
+    ),
+    Q(
       "stat_survival_km",
       // Kaplan-Meier survival curve (round-9): time-to-first-purchase
       // per user with right-censoring — users who never purchase are
@@ -2444,6 +2469,24 @@ object Aggregates {
       |SELECT true_n, n_a, n_b, n_both,
       |       CASE WHEN n_both > 0 THEN (n_a * n_b) $idiv n_both
       |            ELSE CAST(0 AS BIGINT) END AS n_hat
+      |FROM c""".stripMargin
+
+  /** DuckDB oracle for [[stat_chao1_vocab]]. */
+  private lazy val chao1Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |freq AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok
+      |  WHERE length(w) > 0 GROUP BY w),
+      |c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS d,
+      |         CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |         CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |         CAST(sum(f) AS BIGINT) AS n_tokens
+      |  FROM freq)
+      |SELECT d, f1, f2, n_tokens,
+      |       CASE WHEN f2 > 0 THEN d + (f1 * f1) // (2 * f2)
+      |            ELSE d + (f1 * (f1 - 1)) // 2 END AS chao1
       |FROM c""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[stat_runs_test]]. */

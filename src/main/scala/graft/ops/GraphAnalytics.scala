@@ -716,6 +716,53 @@ object GraphAnalytics {
               |ORDER BY c.lab""".stripMargin)
     ),
     Q(
+      "graph_rich_club",
+      // Rich-club coefficient (round-10): do the highest-degree nodes
+      // form a densely knit core? φ(k) = 2·E_k / (n_k·(n_k−1)) over the
+      // subgraph induced by nodes of degree ≥ k, swept across k — the
+      // assortativity complement that localizes WHERE hub-hub mixing
+      // happens. Degrees and induced-edge counts are two semi-join
+      // passes over the bounded-degree edge list; φ is e6-pinned BIGINT.
+      (s, dir) => {
+        import s.implicits._
+        val deg = degrees(s, dir)
+        val e12 = edges12(s, dir)
+        val ks = broadcast(Seq(2L, 3L, 4L, 5L).toDF("k"))
+        val rich = deg.crossJoin(ks).filter(col("degree") >= col("k"))
+          .select(col("k"), col("node"))
+        val nrc = rich.groupBy(col("k")).agg(count(lit(1)).as("n_rc"))
+        val erc = e12
+          .join(rich.select(col("k"), col("node").as("src")), Seq("src"))
+          .join(rich.select(col("k"), col("node").as("dst")), Seq("dst", "k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("e_rc"))
+        nrc.join(erc, Seq("k"), "left")
+          .withColumn("e_rc", coalesce(col("e_rc"), lit(0L)))
+          .withColumn("phi_e6", expr(
+            """CASE WHEN n_rc > 1
+              |THEN (2000000 * e_rc) div (n_rc * (n_rc - 1))
+              |ELSE CAST(0 AS BIGINT) END""".stripMargin))
+          .orderBy(col("k"))
+      },
+      Some(s"""$baseSql,
+              |ks AS (SELECT unnest([2, 3, 4, 5]) AS k),
+              |rich AS (SELECT k, node FROM deg, ks WHERE degree >= k),
+              |nrc AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rc
+              |        FROM rich GROUP BY k),
+              |erc AS (
+              |  SELECT r1.k, CAST(count(*) AS BIGINT) AS e_rc
+              |  FROM e12 JOIN rich r1 ON r1.node = e12.src
+              |           JOIN rich r2 ON r2.node = e12.dst AND r2.k = r1.k
+              |  GROUP BY r1.k)
+              |SELECT CAST(nrc.k AS BIGINT) AS k, nrc.n_rc,
+              |       coalesce(erc.e_rc, 0) AS e_rc,
+              |       CASE WHEN nrc.n_rc > 1
+              |            THEN (2000000 * coalesce(erc.e_rc, 0))
+              |                 // (nrc.n_rc * (nrc.n_rc - 1))
+              |            ELSE CAST(0 AS BIGINT) END AS phi_e6
+              |FROM nrc LEFT JOIN erc ON erc.k = nrc.k
+              |ORDER BY k""".stripMargin)
+    ),
+    Q(
       "graph_degree_assortativity",
       // Degree assortativity (round-9): the Pearson correlation of
       // endpoint degrees over the directed edge list — do hubs link to

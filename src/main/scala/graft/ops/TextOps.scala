@@ -2678,6 +2678,45 @@ object TextOps {
              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "text_msttr_diversity",
+      // Segmental type-token ratio (round-10): lexical diversity that
+      // plain TTR gets wrong (it decays with length) — MSTTR averages
+      // the TTR of consecutive fixed-size 25-token segments, making
+      // diversity comparable ACROSS document lengths; low MSTTR is the
+      // repetitive/templated-text smell quality gates act on. The whole
+      // segment fold runs INSIDE each row via transform/slice/
+      // array_distinct — zero explode, zero shuffle; e6 integer pinning.
+      (s, dir) => {
+        val W = 25
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= W)
+          .select(col("doc_id"),
+            expr(s"CAST(size(toks) div $W AS BIGINT)").as("n_segs"),
+            expr(
+              s"""aggregate(
+                 |  transform(sequence(0, size(toks) div $W - 1),
+                 |    k -> size(array_distinct(slice(toks, k * $W + 1, $W)))),
+                 |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+              .as("sum_types"))
+          .withColumn("msttr_e6",
+            expr(s"(1000000 * sum_types) div ($W * n_segs)"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |f AS (
+             |  SELECT doc_id, len(toks) // 25 AS n_segs,
+             |         CAST(list_sum(list_transform(range(0, len(toks) // 25),
+             |           k -> len(list_distinct(
+             |                  toks[k * 25 + 1:k * 25 + 25])))) AS BIGINT)
+             |           AS sum_types
+             |  FROM t WHERE len(toks) >= 25)
+             |SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs, sum_types,
+             |       (1000000 * sum_types) // (25 * n_segs) AS msttr_e6
+             |FROM f ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_code_detect",
       // Code-vs-prose detection (round-10): training mixes weight code
       // and natural language differently, so corpus construction needs a

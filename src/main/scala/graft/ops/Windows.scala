@@ -2476,6 +2476,59 @@ object Windows {
               |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
     Q(
+      "win_expanding_minmax_scaler",
+      // Leakage-free expanding min-max scaling (round-10): each event is
+      // normalized by the min/max observed UP TO that point — the online
+      // feature-scaling discipline (a global min/max would leak the
+      // future into training features; the expanding window can't).
+      // All BIGINT: cent values, expanding extrema from one window pass,
+      // scaled position e6-pinned by integer division; census per user =
+      // count, final extrema, and mean scaled position. O(events) keyed
+      // window, no shuffle beyond it.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("cents", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .withColumn("emin", min(col("cents")).over(w))
+          .withColumn("emax", max(col("cents")).over(w))
+          .withColumn("scaled_e6",
+            when(col("emax") > col("emin"),
+              expr("(1000000 * (cents - emin)) div (emax - emin)"))
+              .otherwise(lit(0L)))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("cents")).as("final_min"),
+            max(col("cents")).as("final_max"),
+            expr("sum(scaled_e6) div count(*)").as("mean_scaled_e6"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             |         epoch_ns(ts) AS o1
+             |  FROM events),
+             |x AS (
+             |  SELECT user_id, cents,
+             |         CAST(min(cents) OVER w AS BIGINT) AS emin,
+             |         CAST(max(cents) OVER w AS BIGINT) AS emax
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY o1, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |sc AS (
+             |  SELECT user_id, cents,
+             |         CASE WHEN emax > emin
+             |              THEN (1000000 * (cents - emin)) // (emax - emin)
+             |              ELSE 0 END AS scaled_e6
+             |  FROM x)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |       min(cents) AS final_min, max(cents) AS final_max,
+             |       CAST(sum(scaled_e6) AS BIGINT) // CAST(count(*) AS BIGINT)
+             |         AS mean_scaled_e6
+             |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "ts_changepoint_cusum_argmax",
       // Changepoint LOCALIZATION (round-10): the complement of the
       // existing `ts_cusum_drift` DETECTOR — for each order-priority

@@ -846,6 +846,19 @@ object Aggregates {
       Some(captureSql("//"))
     ),
     Q(
+      "stat_winsorized_mean",
+      // Winsorized mean (round-10): robust central tendency — per
+      // priority group, order values are CLIPPED at the exact
+      // nearest-rank P5/P95 (rank = ceil(q·n), the `agg_percentile_exact`
+      // definition) before averaging, so a handful of extreme orders
+      // can't drag the mean. All BIGINT cents: clip bounds picked by
+      // rank from one window pass, the mean an integer division. The
+      // standard treatment for heavy-tailed business metrics; one keyed
+      // window + one aggregate at any scale.
+      (s, dir) => graft.Catalog.sql(s, dir, winsorSql("div")),
+      Some(winsorSql("//"))
+    ),
+    Q(
       "stat_chao1_vocab",
       // Chao1 richness estimator (round-10): how many vocabulary types
       // does the corpus REALLY have, including the ones not yet seen?
@@ -2470,6 +2483,41 @@ object Aggregates {
       |       CASE WHEN n_both > 0 THEN (n_a * n_b) $idiv n_both
       |            ELSE CAST(0 AS BIGINT) END AS n_hat
       |FROM c""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[stat_winsorized_mean]];
+    * `idiv` = the engine's integer-division token.
+    */
+  private def winsorSql(idiv: String): String =
+    s"""WITH v AS (
+      |  SELECT o_orderpriority AS pri,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT pri, cents,
+      |         CAST(row_number() OVER (PARTITION BY pri ORDER BY cents)
+      |              AS BIGINT) AS rk,
+      |         CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+      |  FROM v),
+      |b AS (
+      |  SELECT pri,
+      |         max(CASE WHEN rk = (5 * n + 99) $idiv 100
+      |                  THEN cents END) AS p5,
+      |         max(CASE WHEN rk = (95 * n + 99) $idiv 100
+      |                  THEN cents END) AS p95,
+      |         max(n) AS n
+      |  FROM r GROUP BY pri),
+      |c AS (
+      |  SELECT v.pri,
+      |         CASE WHEN v.cents < b.p5 THEN b.p5
+      |              WHEN v.cents > b.p95 THEN b.p95
+      |              ELSE v.cents END AS clipped
+      |  FROM v JOIN b ON b.pri = v.pri)
+      |SELECT c.pri, b.n, b.p5, b.p95,
+      |       CAST(sum(c.clipped) AS BIGINT) $idiv max(b.n)
+      |         AS winsor_mean_cents
+      |FROM c JOIN b ON b.pri = c.pri
+      |GROUP BY c.pri, b.n, b.p5, b.p95
+      |ORDER BY c.pri""".stripMargin
 
   /** DuckDB oracle for [[stat_chao1_vocab]]. */
   private lazy val chao1Sql: String =

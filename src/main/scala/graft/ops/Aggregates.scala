@@ -846,6 +846,19 @@ object Aggregates {
       Some(captureSql("//"))
     ),
     Q(
+      "agg_log2_histogram",
+      // Log-scale histogram (round-10): the HDR-style power-of-two
+      // bucketing every latency/size dashboard uses — linear bins (the
+      // existing `agg_histogram`) waste resolution on heavy-tailed
+      // metrics, log2 bins give constant relative error. Bucket =
+      // floor(log2(cents)) — exact at IEEE powers of two on both
+      // engines — with per-bucket count, bounds, and the e6 share of
+      // total. One map-side-combined aggregate, O(64) output rows at any
+      // volume.
+      (s, dir) => graft.Catalog.sql(s, dir, log2HistSql("div")),
+      Some(log2HistSql("//"))
+    ),
+    Q(
       "stat_winsorized_mean",
       // Winsorized mean (round-10): robust central tendency — per
       // priority group, order values are CLIPPED at the exact
@@ -2483,6 +2496,24 @@ object Aggregates {
       |       CASE WHEN n_both > 0 THEN (n_a * n_b) $idiv n_both
       |            ELSE CAST(0 AS BIGINT) END AS n_hat
       |FROM c""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[agg_log2_histogram]]. */
+  private def log2HistSql(idiv: String): String =
+    s"""WITH v AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice > 0),
+      |b AS (
+      |  SELECT CAST(floor(log2(cents)) AS BIGINT) AS bucket,
+      |         cents
+      |  FROM v),
+      |g AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |         min(cents) AS lo, max(cents) AS hi
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+      |SELECT bucket, n, lo, hi,
+      |       (1000000 * n) $idiv total AS share_e6
+      |FROM g, t ORDER BY bucket""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[stat_winsorized_mean]];
     * `idiv` = the engine's integer-division token.

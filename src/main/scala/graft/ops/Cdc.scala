@@ -870,6 +870,47 @@ object Cdc {
              |  UNION ALL SELECT 'cut', 'lineitem->orders orphans', n FROM orph_l
              |  UNION ALL SELECT 'cut', 'orders->customer orphans', n FROM orph_o)
              |ORDER BY kind, label""".stripMargin)
+    ),
+    Q(
+      "cdc_retention_purge",
+      // Retention-policy purge accounting (round-10): the GDPR/records-
+      // management pass a replica runs on a schedule — soft-deleted rows
+      // (tombstoned, ~20% by deterministic hash, deletion day derived
+      // from the order date) are HARD-purged once older than the 30-day
+      // retention window measured at the as-of day (the corpus' max
+      // date); younger tombstones stay pending, everything else is
+      // active. The yearly census (active / pending / purged) is the
+      // audit artifact a privacy review asks for. All epoch-day BIGINT
+      // arithmetic; one scan + one aggregate.
+      // the only dialect split is "days between": Spark datediff(end,
+      // start) vs DuckDB date_diff('day', start, end)
+      (s, dir) => graft.Catalog.sql(s, dir,
+        retentionSql((a, b) => s"datediff($b, $a)")),
+      Some(retentionSql((a, b) => s"date_diff('day', $a, $b)"))
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[cdc_retention_purge]];
+    * `dd(start, end)` renders the engine's days-between expression.
+    */
+  private def retentionSql(dd: (String, String) => String): String =
+    s"""WITH o AS (
+      |  SELECT o_orderkey,
+      |         CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |         CAST(o_orderdate AS DATE) AS od,
+      |         (o_orderkey % 1000003) * 2654435761 % 1000000007 % 100 < 20
+      |           AS soft_deleted,
+      |         CAST(5 + (o_orderkey % 1000003) * 1779033703
+      |              % 1000000007 % 40 AS BIGINT) AS del_lag_days
+      |  FROM orders),
+      |cutoff AS (SELECT max(od) AS asof_day FROM o),
+      |st AS (
+      |  SELECT yr,
+      |         CASE WHEN NOT soft_deleted THEN 'active'
+      |              WHEN ${dd("od", "asof_day")}
+      |                   - del_lag_days > 30 THEN 'purged'
+      |              ELSE 'pending' END AS state
+      |  FROM o, cutoff)
+      |SELECT yr, state, CAST(count(*) AS BIGINT) AS n
+      |FROM st GROUP BY yr, state ORDER BY yr, state""".stripMargin
 }

@@ -2678,6 +2678,53 @@ object TextOps {
              |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "pipeline_dataset_version_id",
+      // Content-addressed dataset versioning (round-10): the Merkle-style
+      // identity a reproducible training run records — per shard, the
+      // digest of the ORDER-INDEPENDENT row-digest set (sha256 over the
+      // sorted per-doc hashes), and one dataset-level digest over the
+      // sorted shard digests. Any added/removed/edited doc flips its
+      // shard digest and therefore the dataset id; identical corpora get
+      // identical ids REGARDLESS of row order or partitioning — exactly
+      // what "trained on dataset X" should mean. Scale: per-shard
+      // digests aggregate O(docs) hashes; the dataset fold touches
+      // O(shards) strings.
+      (s, dir) => {
+        val rows = Tables(s, dir, "documents")
+          .select((col("doc_id") % 16).as("shard_id"),
+            sha2(concat_ws("|", col("doc_id"), col("text")), 256).as("h"))
+        val shards = rows.groupBy(col("shard_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sha2(concat_ws("", array_sort(collect_list(col("h")))), 256)
+              .as("digest"))
+        val dataset = shards
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sha2(concat_ws("", array_sort(collect_list(col("digest")))), 256)
+              .as("digest"))
+          .withColumn("shard_id", lit(-1L))
+        shards.select(col("shard_id"), col("n_docs"), col("digest"))
+          .unionByName(dataset.select(col("shard_id"), col("n_docs"),
+            col("digest")))
+          .orderBy(col("shard_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id % 16 AS shard_id,
+             |         sha256(doc_id || '|' || text) AS h
+             |  FROM documents),
+             |sh AS (
+             |  SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+             |         sha256(string_agg(h, '' ORDER BY h)) AS digest
+             |  FROM r GROUP BY shard_id),
+             |ds AS (
+             |  SELECT CAST(-1 AS BIGINT) AS shard_id,
+             |         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |         sha256(string_agg(digest, '' ORDER BY digest)) AS digest
+             |  FROM sh)
+             |SELECT shard_id, n_docs, digest FROM sh
+             |UNION ALL SELECT * FROM ds
+             |ORDER BY shard_id""".stripMargin)
+    ),
+    Q(
       "text_msttr_diversity",
       // Segmental type-token ratio (round-10): lexical diversity that
       // plain TTR gets wrong (it decays with length) — MSTTR averages

@@ -601,6 +601,38 @@ object Sources {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "scan_csv_gzip",
+      // Compressed wire files (round-10): gzip CSV is the dominant
+      // flat-file delivery format (the DAP feeds ship compressed) —
+      // written with codec=gzip, read back schema-first with the codec
+      // inferred from the .gz extension. The operational caveat this row
+      // documents: gzip is NOT splittable, so at scale one .gz file = one
+      // read task — delivery should arrive as MANY files (here one per
+      // write task), which is exactly what makes the format parallel
+      // again. Oracle recomputes from the source table, no file
+      // dependence.
+      (s, dir) => {
+        val tmp = tmpDir("graft_gz_")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority").as("pri"))
+          .repartition(4)
+          .write.mode("overwrite").option("codec", "gzip")
+          .option("header", "true").csv(s"$tmp/t")
+        s.read.option("header", "true")
+          .schema("o_orderkey BIGINT, o_custkey BIGINT, pri STRING")
+          .csv(s"$tmp/t")
+          .groupBy(col("pri"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_keys"),
+            max(col("o_custkey")).as("max_cust"))
+          .orderBy(col("pri"))
+      },
+      Some("""SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+             |       max(o_custkey) AS max_cust
+             |FROM orders GROUP BY pri ORDER BY pri""".stripMargin)
+    ),
+    Q(
       "scan_parquet_nested_filter",
       // Nested-field predicate pushdown (round-9): land orders as a
       // struct column, filter on a field INSIDE the struct, and let the

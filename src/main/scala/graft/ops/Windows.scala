@@ -2476,6 +2476,39 @@ object Windows {
               |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
     Q(
+      "win_share_of_parent",
+      // Share-of-parent ratios (round-10): the drill-down percentages a
+      // BI hierarchy shows at every level — each (priority, year) cell
+      // carries its share WITHIN the priority and its share of the grand
+      // total, from two window sums over one aggregate (never a
+      // re-aggregation join). e6 integer pinning; output O(cells).
+      (s, dir) => {
+        val wp = Window.partitionBy(col("pri"))
+        val wall = Window.partitionBy()
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            expr("CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)").as("yr"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("pri_sum", sum(col("n")).over(wp))
+          .withColumn("tot_sum", sum(col("n")).over(wall))
+          .withColumn("share_of_pri_e6", expr("(1000000 * n) div pri_sum"))
+          .withColumn("share_of_total_e6", expr("(1000000 * n) div tot_sum"))
+          .drop("pri_sum", "tot_sum")
+          .orderBy(col("pri"), col("yr"))
+      },
+      Some("""WITH g AS (
+             |  SELECT o_orderpriority AS pri,
+             |         CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY pri, yr)
+             |SELECT pri, yr, n,
+             |       (1000000 * n) // CAST(sum(n) OVER (PARTITION BY pri)
+             |         AS BIGINT) AS share_of_pri_e6,
+             |       (1000000 * n) // CAST(sum(n) OVER () AS BIGINT)
+             |         AS share_of_total_e6
+             |FROM g ORDER BY pri, yr""".stripMargin)
+    ),
+    Q(
       "win_expanding_minmax_scaler",
       // Leakage-free expanding min-max scaling (round-10): each event is
       // normalized by the min/max observed UP TO that point — the online

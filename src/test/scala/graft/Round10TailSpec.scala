@@ -163,6 +163,56 @@ class Round10TailSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_image_neardup: no cluster ever crosses a staged group") {
+    val rows = SparkEntry.queries("multimodal_image_neardup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) / 4 == r.getLong(1) / 4,
+        s"cross-group cluster: doc ${r.getLong(0)} -> rep ${r.getLong(1)}")
+    }
+  }
+
+  test("stat_sprt_sequential: staged rates decide the expected hypotheses") {
+    val dec = SparkEntry.queries("stat_sprt_sequential")(spark, dir)
+      .collect().map(r => r.getString(0).take(1) -> r.getString(3)).toMap
+    // arms 1-2 convert at 10/20% (H0: p=0.2), arms 4-5 at 40/50% (H1: p=0.4)
+    assert(dec("1") == "accept_h0", s"arm 1: ${dec("1")}")
+    assert(dec("5") == "accept_h1", s"arm 5: ${dec("5")}")
+  }
+
+  test("win_expanding_minmax_scaler: scaled positions stay inside [0, 1e6]") {
+    val bad = SparkEntry.queries("win_expanding_minmax_scaler")(spark, dir)
+      .filter(col("mean_scaled_e6") < 0 || col("mean_scaled_e6") > 1000000)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("agg_log2_histogram: every bucket's bounds sit inside its power-of-two range") {
+    SparkEntry.queries("agg_log2_histogram")(spark, dir).collect().foreach { r =>
+      val (b, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)),
+        s"bucket $b bounds [$lo, $hi] escape [2^$b, 2^${b + 1})")
+    }
+  }
+
+  test("pipeline_dataset_version_id: digest is invariant to partitioning and row order") {
+    val base = SparkEntry.queries("pipeline_dataset_version_id")(spark, dir)
+      .filter(col("shard_id") === -1).collect()(0).getString(2)
+    // recompute through a deliberately different physical layout
+    val rows = Tables(spark, dir, "documents")
+      .repartition(7).sortWithinPartitions(col("text"))
+      .select((col("doc_id") % 16).as("shard_id"),
+        sha2(concat_ws("|", col("doc_id"), col("text")), 256).as("h"))
+    val shards = rows.groupBy(col("shard_id"))
+      .agg(sha2(concat_ws("", array_sort(collect_list(col("h")))), 256)
+        .as("digest"))
+    val again = shards
+      .agg(sha2(concat_ws("", array_sort(collect_list(col("digest")))), 256))
+      .collect()(0).getString(0)
+    assert(again == base,
+      "dataset id must not depend on physical row order or partitioning")
+  }
+
   test("stream_tws_ttl: per-batch state expiry reconstructs exact totals") {
     val df = SparkEntry.queries("stream_tws_ttl")(spark, dir)
     val emits = df.agg(max("n_emits"), sum("n_events")).collect()(0)

@@ -1194,6 +1194,79 @@ object Windows {
              |ORDER BY user_id, s_start""".stripMargin)
     ),
     Q(
+      "ts_dominant_period",
+      // Dominant-period detection (round-10): the answer to "what is the
+      // seasonality" — the lag-k autocorrelation of the daily series
+      // swept over k = 2..14 and ranked; winner and runner-up with their
+      // ACF values. Same integer power-sum estimator as
+      // `ts_autocorr_lag` (identical division text both engines,
+      // e6-pinned); ranking ties break on the smaller lag. O(days·13)
+      // pair rows from one O(days) aggregate — metadata-sized at any
+      // corpus volume.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        val stats = daily.agg(
+          expr("CAST(count(*) AS BIGINT)").as("n"),
+          expr("CAST(sum(x) AS BIGINT)").as("s"),
+          expr("CAST(sum(x * x) AS BIGINT)").as("q"))
+        val lags = s.range(2, 15).select(col("id").cast("int").as("k"))
+        val pairs = lags
+          .crossJoin(daily.select(col("d").as("ad"), col("x").as("ax")))
+          .join(daily.select(col("d").as("bd"), col("x").as("bx0")),
+            col("bd") === expr("date_add(ad, k)"))
+          .groupBy(col("k"))
+          .agg(expr("CAST(count(*) AS BIGINT)").as("m"),
+            expr("CAST(sum(ax * bx0) AS BIGINT)").as("axx"),
+            expr("CAST(sum(ax) AS BIGINT)").as("bx"),
+            expr("CAST(sum(bx0) AS BIGINT)").as("cx"))
+        val acf = pairs.crossJoin(stats)
+          .select(col("k").cast("long").as("lag_k"),
+            expr("""CAST(floor((CAST(axx AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(bx + cx AS DOUBLE)
+                    + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT)""").as("acf_e6"))
+        acf.withColumn("rn", row_number().over(
+            Window.orderBy(col("acf_e6").desc, col("lag_k"))))
+          .filter(col("rn") <= 2)
+          .select(col("rn").cast("long").as("rank"), col("lag_k"), col("acf_e6"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |stats AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             |         CAST(sum(x * x) AS BIGINT) AS q FROM daily),
+             |lags AS (SELECT unnest(range(2, 15)) AS k),
+             |pairs AS (
+             |  SELECT l.k,
+             |         CAST(count(*) AS BIGINT) AS m,
+             |         CAST(sum(a.x * b.x) AS BIGINT) AS axx,
+             |         CAST(sum(a.x) AS BIGINT) AS bx,
+             |         CAST(sum(b.x) AS BIGINT) AS cx
+             |  FROM lags l
+             |  JOIN daily a ON TRUE
+             |  JOIN daily b ON b.d = a.d + CAST(l.k AS INTEGER)
+             |  GROUP BY l.k),
+             |acf AS (
+             |  SELECT CAST(k AS BIGINT) AS lag_k,
+             |         CAST(floor((CAST(axx AS DOUBLE)
+             |           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(bx + cx AS DOUBLE)
+             |           + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |           / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |           * 1000000 + 0.5) AS BIGINT) AS acf_e6
+             |  FROM pairs, stats)
+             |SELECT CAST(rn AS BIGINT) AS rank, lag_k, acf_e6 FROM (
+             |  SELECT lag_k, acf_e6,
+             |         row_number() OVER (ORDER BY acf_e6 DESC, lag_k) AS rn
+             |  FROM acf) t
+             |WHERE rn <= 2 ORDER BY rank""".stripMargin)
+    ),
+    Q(
       "ts_autocorr_lag",
       // Lag-k autocorrelation of the daily event-count series, k = 1..5
       // (round-9): the seasonality probe behind every "is this weekly?"

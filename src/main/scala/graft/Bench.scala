@@ -15,19 +15,172 @@ import org.apache.spark.sql.SparkSession
   * runs THREE times; batch rows report the MIN (first pass absorbs janino
   * codegen + shuffle warmup; one contended run can never set the number),
   * `stream_*` rows report the MEDIAN (their micro-batch machinery swings
-  * both ways). Min-of-2 plus a noisy-query allowlist proved insufficient:
-  * the round-6 AND round-8 verdicts each found a cluster of unchanged
-  * queries timing 2–7.6× slower from shared-JVM contention alone.
+  * both ways).
   *
-  * Failures are counted, not swallowed: a query that throws contributes its
-  * elapsed time and is listed in the `failed` field of the total line, so a
-  * breaking query deflates neither silently nor invisibly.
+  * Contention defense (r11, verdict #1): the FULL run no longer shares one
+  * JVM across all ~550 queries. Rounds 6, 8 and 10 each produced a cluster
+  * of phantom regressions (r10: 28 queries ≥1.5× their isolated cost —
+  * sql_tpch_q10 reported 3.29 s vs 0.52 s args-isolated) from shared-JVM
+  * heap/GC/codegen-cache pressure that min-of-3 cannot defeat: by the
+  * 500th query the old-gen is full of 549 queries' cached relations and
+  * every run of a late query pays someone else's GC. So driver mode (no
+  * args) now SHARDS the registry into [[chunkCount]] contiguous
+  * sorted-name chunks and runs each in a FORKED child JVM, sequentially
+  * (cores are never oversubscribed — exactly one child owns the machine at
+  * a time), inheriting this JVM's flags/classpath/env. Each child starts
+  * cold (fresh heap, fresh codegen cache), runs its ~70 queries with the
+  * unchanged min-of-3 protocol, and writes its fragment JSON; the parent
+  * merges fragments into one BENCH_DETAIL.json. A chunk whose child dies
+  * or loses its fragment is re-run in-process — a harness hiccup may cost
+  * contended numbers for that chunk but can never lose rows. Args-scoped
+  * isolation mode (bare query names as args) is unchanged — still the
+  * single-JVM adjudication tool.
   */
 object Bench {
+  /** ~70 queries per chunk at the current registry size: small enough that
+    * late queries don't inherit 500 queries of heap history, large enough
+    * that per-chunk session init (~5 s) stays <2% of the run.
+    */
+  private val chunkCount = 8
+
   def main(args: Array[String]): Unit = {
-    // optional args: run only these queries (isolated re-bench mode — the
-    // r6→r7 regression adjudication tool; the driver passes no args)
-    val only = args.toSet
+    args.toList match {
+      case "--chunk" :: outFile :: names if names.nonEmpty =>
+        runChild(outFile, names.toSet)
+      case Nil => runDriverMode()
+      case only => // isolation/adjudication mode: unchanged single JVM
+        val (detail, total, results, failed) = runInProcess(only.toSet)
+        println(detail)
+        println(summaryLine(total, results.size, failed.size))
+    }
+  }
+
+  /** Child: time the given queries, write the fragment, print nothing the
+    * driver could mistake for the final summary (parent owns stdout).
+    */
+  private def runChild(outFile: String, names: Set[String]): Unit = {
+    val (_, _, results, failed) = runInProcess(names)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val frag =
+      s"""{"queries":$qs,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      frag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Parent (driver mode): fork one child JVM per chunk, sequentially. */
+  private def runDriverMode(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val per = math.max(1, math.ceil(names.size.toDouble / chunkCount).toInt)
+    val chunks = names.grouped(per).toSeq
+    val scratch = java.nio.file.Files.createTempDirectory("graft-bench-")
+    // (name -> seconds, name-order preserved by re-sorting at merge)
+    val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val frag = scratch.resolve(s"chunk-$i.json")
+      val ok = forkChunk(chunk, frag)
+      val parsed: Option[(Map[String, Double], Seq[String])] =
+        if (ok && java.nio.file.Files.exists(frag)) parseFragment(frag)
+        else None
+      parsed match {
+        case Some((qs, fs)) =>
+          merged ++= qs; failed ++= fs
+          System.err.println(
+            s"[bench] chunk ${i + 1}/${chunks.size}: ${qs.size} queries, " +
+              f"${qs.values.sum}%.1f s, ${fs.size} failed")
+        case None =>
+          // never lose rows: re-run the chunk in-process (numbers for this
+          // chunk may be contended by parent-JVM state; still min-of-3)
+          System.err.println(
+            s"[bench] chunk ${i + 1}/${chunks.size}: fork failed, re-running in-process")
+          val (_, _, rs, fs) = runInProcess(chunk.toSet)
+          rs.foreach { case (k, v, _) => merged += k -> v }
+          failed ++= fs
+      }
+    }
+    val ordered = merged.toSeq.sortBy(_._1)
+    val qs = ordered.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = ordered.map(_._2).sum
+    val detail =
+      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(detail)
+    println(summaryLine(total, ordered.size, failed.size))
+  }
+
+  /** Fork one child with this JVM's own flags + classpath; child stdout is
+    * folded into stderr so only the parent ever writes the driver-parsed
+    * stdout tail. Returns false on spawn failure or nonzero exit.
+    */
+  private def forkChunk(chunk: Seq[String], frag: java.nio.file.Path): Boolean =
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      cmd.addAll(jvmArgs) // --add-opens, -Xmx, … — Spark 4 needs these
+      // sbt `run / fork := true` launches us as a plain `java -cp`, so
+      // java.class.path is complete; union in URLClassLoader entries as a
+      // belt-and-braces for in-process launchers whose property holds
+      // only their bootstrap jar
+      val clUrls = Iterator
+        .iterate(Thread.currentThread.getContextClassLoader)(_.getParent)
+        .takeWhile(_ != null)
+        .collect { case u: java.net.URLClassLoader => u.getURLs.toSeq }
+        .flatten
+        .flatMap(u => scala.util.Try(
+          java.nio.file.Paths.get(u.toURI).toString).toOption)
+        .toSeq
+      val cp = (sys.props("java.class.path")
+        .split(java.io.File.pathSeparatorChar).toSeq ++ clUrls)
+        .distinct.mkString(java.io.File.pathSeparator)
+      cmd.add("-cp"); cmd.add(cp)
+      cmd.add("graft.Bench"); cmd.add("--chunk"); cmd.add(frag.toString)
+      chunk.foreach(cmd.add)
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(false)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT) // harmless: child prints nothing parseable
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.start().waitFor() == 0
+    } catch { case _: Throwable => false }
+
+  /** Minimal parser for the child fragment (flat {"queries":{...},"failed":[...]}
+    * with string keys and double values — no nesting, written by us).
+    */
+  private def parseFragment(p: java.nio.file.Path)
+      : Option[(Map[String, Double], Seq[String])] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qPat = "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r
+      val qsBody = s.substring(s.indexOf("{", s.indexOf("\"queries\"")),
+        s.indexOf("}", s.indexOf("\"queries\"")) + 1)
+      val qs = qPat.findAllMatchIn(qsBody)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val fBody = s.substring(s.indexOf("[", s.indexOf("\"failed\"")),
+        s.indexOf("]", s.indexOf("\"failed\"")) + 1)
+      val fs = "\"([A-Za-z0-9_]+)\"".r.findAllMatchIn(fBody)
+        .map(_.group(1)).toSeq
+      Some((qs, fs))
+    } catch { case _: Throwable => None }
+
+  private def summaryLine(total: Double, n: Int, nFailed: Int): String = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"n_failed":$nFailed,"sf":"$sfDir"}"""
+  }
+
+  /** The unchanged r9 timing core: min-of-3 (median for stream_*) over the
+    * given subset, sorted-name order, inside THIS JVM.
+    */
+  private def runInProcess(only: Set[String])
+      : (String, Double, Seq[(String, Double, Boolean)], Seq[String]) = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // one-time sweep of scratch dirs left by pre-round-3 runs (before the
@@ -46,45 +199,29 @@ object Bench {
     // JVM/session warmup (codegen, shuffle machinery) so first-query
     // timing reflects the query, not session init
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // (elapsed seconds, succeeded?)
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // r8 verdict #1: EVERY query now runs three times — the round-6 and
-    // round-8 verdicts both flagged a "noise cluster" of unchanged queries
-    // timing 2–7.6× slower (r7 isolation re-bench proved shared-JVM GC /
-    // disk contention, e.g. join_range_interval 2.63 s → 0.43 s), so
-    // min-of-2 with a per-query allowlist was structurally unable to keep
-    // round-over-round deltas meaningful. Batch rows report MIN-of-3
-    // (steady-state plan cost is the signal; one contended run can never
-    // set the number); stream_* rows report MEDIAN-of-3 (their micro-batch
-    // machinery swings BOTH ways — a lucky fast run is as misleading as a
-    // contended slow one).
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val runs = Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
-      val rep = if (name.startsWith("stream_")) runs(1) else runs.head
-      val ok = runs.forall(_._2)
-      (name, rep._1, ok)
-    }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+        val runs = Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
+        val rep = if (name.startsWith("stream_")) runs(1) else runs.head
+        val ok = runs.forall(_._2)
+        (name, rep._1, ok)
+      }
+    spark.stop()
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-    val detail = s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.mkString(",")}]}"""
-    // committed artifact: the full per-query map survives even when the
-    // driver's stdout tail capture truncates the detail line. Subset
-    // (isolation-mode) runs must not clobber the full-run artifact.
-    if (only.isEmpty) java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
-    spark.stop()
+    val failed = results.collect { case (k, _, false) => k }
+    val detail =
+      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+    (detail, total, results, failed)
   }
 }

@@ -1635,6 +1635,8 @@ object Aggregates {
     ),
     Q(
       "agg_bool_and_or",
+      // bool_and/bool_or per group — predicate roll-ups that plan as plain
+      // two-phase hash aggregates (map-side partial AND/OR, scale-safe).
       (s, dir) => {
         Tables(s, dir, "orders")
           .groupBy(col("o_orderpriority"))

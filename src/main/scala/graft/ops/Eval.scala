@@ -373,8 +373,16 @@ object Eval {
       // deterministic corruption of each reference document (drop every
       // 7th token → BP < 1; uppercase every 5th → unigram and bigram
       // misses), so the metric is non-trivial and both engines derive it
-      // from the same text. All counts are BIGINT; only the final
-      // exp/ln assembly is float, e6-pinned. Scale: two explode+count
+      // from the same text. All counts are BIGINT; the float assembly is
+      // restricted to IEEE-754 CORRECTLY-ROUNDED ops (÷ × sqrt) so the
+      // e6-pinned columns are bit-identical across engines — the r10
+      // exp()/ln() form could disagree by 1 in the last e6 digit because
+      // exp/ln are library-dependent (JVM Math vs libm). The geometric
+      // mean sqrt(p1·p2) replaces exp(½(ln p1+ln p2)) exactly; the
+      // brevity penalty is emitted as its LOG (min(0, 1−r/c), again only
+      // ÷ and −), so BLEU = exp(bp_log)·geo_prec is one consumer-side
+      // exp away while every checked column stays deterministic. Scale:
+      // two explode+count
       // aggregates (1- and 2-grams) and one per-doc window for the
       // post-deletion bigram adjacency — O(tokens) shuffle, corpus
       // totals are six longs; no pairwise doc work anywhere.
@@ -412,12 +420,12 @@ object Eval {
           .select(col("clip1"), col("tot1"), col("clip2"), col("tot2"),
             col("ref_len"), col("cand_len"),
             floor(
-              exp(least(lit(0.0), lit(1.0) -
-                col("ref_len").cast("double") / col("cand_len").cast("double")))
-              * exp(lit(0.5) *
-                (log(col("clip1").cast("double") / col("tot1").cast("double"))
-                 + log(col("clip2").cast("double") / col("tot2").cast("double"))))
-              * 1000000 + 0.5).cast("long").as("bleu_e6"))
+              sqrt((col("clip1").cast("double") / col("tot1").cast("double"))
+                * (col("clip2").cast("double") / col("tot2").cast("double")))
+              * 1000000 + 0.5).cast("long").as("geo_prec_e6"),
+            floor(least(lit(0.0), lit(1.0) -
+                col("ref_len").cast("double") / col("cand_len").cast("double"))
+              * 1000000 + 0.5).cast("long").as("bp_log_e6"))
       },
       Some("""WITH toks AS (
              |  SELECT doc_id, CAST(pos AS BIGINT) - 1 AS pos, tok FROM (
@@ -456,11 +464,13 @@ object Eval {
              |         CAST((SELECT count(*) FROM cand) AS BIGINT) AS cand_len)
              |SELECT clip1, tot1, clip2, tot2, ref_len, cand_len,
              |  CAST(floor(
-             |    exp(least(CAST(0 AS DOUBLE),
-             |              1 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)))
-             |    * exp(0.5 * (ln(CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))
-             |               + ln(CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE))))
-             |    * 1000000 + 0.5) AS BIGINT) AS bleu_e6
+             |    sqrt((CAST(clip1 AS DOUBLE) / CAST(tot1 AS DOUBLE))
+             |       * (CAST(clip2 AS DOUBLE) / CAST(tot2 AS DOUBLE)))
+             |    * 1000000 + 0.5) AS BIGINT) AS geo_prec_e6,
+             |  CAST(floor(
+             |    least(CAST(0 AS DOUBLE),
+             |          1 - CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE))
+             |    * 1000000 + 0.5) AS BIGINT) AS bp_log_e6
              |FROM k1, k2, lens""".stripMargin)
     ),
     Q(

@@ -118,6 +118,9 @@ object Graph {
   val defs: Seq[Q] = Seq(
     Q(
       "dedup_connected_components",
+      // min-label propagation + pointer jumping over near-dup candidate
+      // edges, O(log diameter) rounds — pairwise candidates become dedup
+      // groups; DuckDB recursive-CTE oracle replays the closure.
       (s, dir) => {
         labeledComponents(s, dir)
           .select(col("doc_id"), col("comp").as("component"))

@@ -233,6 +233,8 @@ object ScalarFns {
     ),
     Q(
       "fn_string_extra",
+      // second string tier: translate/initcap/soundex-adjacent transforms
+      // and base64/encode round-trips — all codegen built-ins, no UDFs.
       (s, dir) => {
         Tables(s, dir, "part")
           .select(
@@ -331,6 +333,8 @@ object ScalarFns {
     ),
     Q(
       "fn_bitops",
+      // bitwise AND/OR/XOR/shift column math — flag-field decoding as pure
+      // codegen integer expressions.
       (s, dir) => {
         Tables(s, dir, "orders")
           .select(col("o_orderkey"),

@@ -108,14 +108,23 @@ object SimOps {
           .filter(col("query_id") =!= col("neighbor_id"))
           .withColumn("cos",
             dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))), 5)
-        // centroid of the 5 hits, per dimension in index order
+        // centroid of the 5 hits, per dimension in index order. Summation
+        // order is PINNED (neighbor_id ascending, left-to-right fold) —
+        // Spark's partial-aggregation sum() adds in partition order, which
+        // differs from DuckDB's avg() and can drift the centroid by an ulp,
+        // flipping near-tie round-2 rankings; a sorted HOF fold adds the 5
+        // doubles in the same sequence on both engines, bit-for-bit.
         val cent = round1
           .join(emb.select(col("vec_id").as("neighbor_id"),
             col("embedding").as("h_emb")), "neighbor_id")
-          .select(col("query_id"),
+          .select(col("query_id"), col("neighbor_id"),
             posexplode(col("h_emb")).as(Seq("i", "v")))
           .groupBy(col("query_id"), col("i"))
-          .agg((sum(col("v")) / lit(5.0d)).as("cv"))
+          .agg((expr("""aggregate(
+                 transform(array_sort(collect_list(struct(neighbor_id, v))),
+                           x -> x.v),
+                 CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""") / lit(5.0d))
+            .as("cv"))
           .groupBy(col("query_id"))
           .agg(expr("transform(array_sort(collect_list(struct(i, cv))), x -> x.cv)")
             .as("cent"))
@@ -146,7 +155,10 @@ object SimOps {
               |    FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id) t
               |  WHERE rank <= 5),
               |dims AS (
-              |  SELECT r1.query_id, u.i, avg(e.embedding[u.i]::DOUBLE) AS cv
+              |  SELECT r1.query_id, u.i,
+              |         list_reduce(list(e.embedding[u.i]::DOUBLE
+              |                          ORDER BY r1.neighbor_id),
+              |                     (acc, x) -> acc + x) / 5.0 AS cv
               |  FROM r1 JOIN embeddings e ON e.vec_id = r1.neighbor_id,
               |       unnest(range(1, 65)) AS u(i)
               |  GROUP BY r1.query_id, u.i),

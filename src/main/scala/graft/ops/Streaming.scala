@@ -455,7 +455,66 @@ object Streaming {
     s.table(name)
   }
 
+  /** Shared by the [[stream_changelog_checkpoint]] row and its spec: run a
+    * stateful aggregate on the RocksDB provider with CHANGELOG
+    * checkpointing — the 100 TB recovery posture: each commit uploads only
+    * the batch's delta (a `.changelog` file) instead of a full SST
+    * snapshot zip, so checkpoint cost is O(changed keys) per batch and
+    * restart replays base + changelogs. Two staged files ×
+    * `maxFilesPerTrigger=1` force ≥2 data micro-batches, so versions
+    * accumulate and at least one per-batch changelog is written. Returns
+    * (result, checkpointDir, progresses) so the spec can pin the
+    * `.changelog` files in the checkpoint AND the provider's custom
+    * metrics in the progress events; results are provider-independent
+    * (the oracle certifies exactly that).
+    */
+  private[graft] def changelogCheckpointRun(s: SparkSession, dir: String)
+      : (DataFrame, String,
+         Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true",
+      "spark.sql.shuffle.partitions" -> "4")
+    val keep = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val ckpt = graft.util.tempDir("graft_changelog_ckpt_")
+      val ev = eventsStream(s, stageSplitByTime(s, dir),
+        maxFilesPerTrigger = Some(1), ntz = false)
+      val counts = ev
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      val q = counts.writeStream.outputMode("complete")
+        .format("memory").queryName("t_changelog")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (s.table("t_changelog").orderBy(col("event_type")), ckpt,
+        q.recentProgress.toSeq)
+    } finally keep.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val defs: Seq[Q] = Seq(
+    Q(
+      "stream_changelog_checkpoint",
+      // Stateful streaming under RocksDB CHANGELOG checkpointing (r10
+      // verdict #5): per-batch delta files instead of full snapshot
+      // uploads — the recovery-cost posture a 100 TB stateful pipeline
+      // runs with. Results must be byte-identical to any other provider;
+      // StreamingSpec pins the .changelog files in the checkpoint and the
+      // RocksDB custom metrics in the query progress.
+      (s, dir) => changelogCheckpointRun(s, dir)._1,
+      Some("""SELECT event_type,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
     Q(
       "stream_tumbling_count",
       (s, dir) => {

@@ -3013,8 +3013,18 @@ object TextOps {
             .agg(count(lit(1)).as("n"),
               sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("sd2"))
             .filter(col("n") > 2)
+            // 6000000·sd2 in DECIMAL(38,0): worst-case sd2 ≈ n³/3, so the
+            // long form silently wraps once a shard holds ~16.6k docs
+            // (2e6·n³ > 2^63) while DuckDB raises — wide exact integers on
+            // both sides (decimal here, HUGEINT in the oracle) keep the
+            // engines agreeing to n ≈ 10^10. `div` on decimals still
+            // returns BIGINT, and both engines truncate toward zero on
+            // these non-negative operands, so rho_e6 stays a long.
             .withColumn("rho_e6",
-              expr("1000000 - (6000000 * sd2) div (n * (n * n - 1))"))
+              expr("""1000000 - (CAST(6000000 AS DECIMAL(38,0)) *
+                                 CAST(sd2 AS DECIMAL(38,0)))
+                      div (CAST(n AS DECIMAL(38,0)) *
+                           (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) - 1))"""))
             .agg(min(col("rho_e6")).as("min_rho"), max(col("rho_e6")).as("max_rho"),
               sum(col("n")).as("n_docs"))
             .withColumn("pair", lit(s"e$a-e$b"))
@@ -3067,7 +3077,9 @@ object TextOps {
              |  FROM pair GROUP BY pair, shard HAVING count(*) > 2),
              |rho AS (
              |  SELECT pair, n,
-             |         1000000 - (6000000 * sd2) // (n * (n * n - 1)) AS rho_e6
+             |         CAST(1000000 - (6000000::HUGEINT * sd2::HUGEINT)
+             |              // (n::HUGEINT * (n::HUGEINT * n::HUGEINT - 1))
+             |              AS BIGINT) AS rho_e6
              |  FROM sh)
              |SELECT pair, CAST(sum(n) AS BIGINT) AS n_docs,
              |       min(rho_e6) AS min_rho, max(rho_e6) AS max_rho

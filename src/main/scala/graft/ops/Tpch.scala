@@ -359,19 +359,34 @@ object Tpch {
       |ORDER BY s_name""".stripMargin
 
   def defs: Seq[Q] = Seq(
+    // TPC-H Q2 minimum-cost supplier: correlated MIN subquery over partsupp, 5-way dim join — run verbatim through spark.sql, decorrelation left to Catalyst.
     q("sql_tpch_q2", q2sql),
+    // TPC-H Q9 product-type profit: 6-table join + LIKE filter + year rollup — the join-reorder workout.
     q("sql_tpch_q9", q9sql),
+    // TPC-H Q11 important stock: grouped value vs a scalar-subquery global threshold (HAVING over a cross-plan aggregate).
     q("sql_tpch_q11", q11sql),
+    // TPC-H Q16 supplier relationship: NOT IN anti-subquery + count-distinct per part attribute triple.
     q("sql_tpch_q16", q16sql),
+    // TPC-H Q20 potential promotion: nested IN subqueries three deep, semi-join pipeline.
     q("sql_tpch_q20", q20sql),
+    // TPC-H Q4 order priority: EXISTS semi-join against late lineitems, priority rollup.
     q("sql_tpch_q4", q4sql),
+    // TPC-H Q6 forecast revenue: pure scan-side predicate fold — the pushdown benchmark.
     q("sql_tpch_q6", q6sql),
+    // TPC-H Q8 national market share: 8-table star with CASE share numerator over year buckets.
     q("sql_tpch_q8", q8sql),
+    // TPC-H Q12 shipmode priority: two-band conditional counts after a date-window join.
     q("sql_tpch_q12", q12sql),
+    // TPC-H Q13 customer distribution: left outer join + NOT LIKE, histogram of order counts (the skew/null-bucket workout).
     q("sql_tpch_q13", q13sql),
+    // TPC-H Q15 top supplier: revenue view + global-max equality (tie-safe by construction).
     q("sql_tpch_q15", q15sql),
+    // TPC-H Q17 small-quantity-order revenue: per-part AVG correlated subquery against its own lineitems.
     q("sql_tpch_q17", q17sql),
+    // TPC-H Q19 discounted revenue: three OR'd multi-predicate bands — disjunctive pushdown.
     q("sql_tpch_q19", q19sql),
+    // TPC-H Q21 suppliers who kept orders waiting: EXISTS + NOT EXISTS double correlation on the same fact.
     q("sql_tpch_q21", q21sql),
+    // TPC-H Q22 global sales opportunity: substring country buckets, NOT EXISTS anti-join vs avg-balance scalar subquery.
     q("sql_tpch_q22", q22sql))
 }

@@ -104,8 +104,12 @@ object ManifestSink {
 
   private def parseState(p: java.nio.file.Path): Option[State] = {
     if (!Files.exists(p)) None
-    else {
-      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq
+    else parseStateLines(
+      Files.readAllLines(p, StandardCharsets.UTF_8).asScala.toSeq)
+  }
+
+  private def parseStateLines(lines: Seq[String]): Option[State] = {
+    {
       val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
       var files = Seq.empty[(String, Int)]
       var dels = Seq.empty[(String, Int)]
@@ -216,6 +220,80 @@ object ManifestSink {
       // latestVersion unchanged for a moment — back off, don't hot-spin
       if (!done) Thread.sleep(1)
     }
+  }
+
+  // ---- rename-less commit (r10 verdict #6: the real S3 posture) ----
+  // S3 has NO atomic rename, so tmp + ATOMIC_MOVE (the local protocol
+  // above) does not transfer. What S3 does have: atomic full-object PUT
+  // and conditional put (If-None-Match) — so in this mode the version
+  // object ITSELF is the claim, written directly at its final name under
+  // an exclusive CREATE_NEW (the conditional-put analog; a competing
+  // committer's create fails atomically). Local filesystems, unlike S3's
+  // all-or-nothing PUT, make content visible as it streams — so the
+  // object is SELF-VALIDATING: the last line is `#commit:<sha256(body)>`
+  // and a reader treats a file with a missing/wrong footer as in-flight
+  // and skips it. There is NO current pointer at all: readers resolve
+  // state by listing version objects and taking the highest VALID one
+  // (the pointer file of the rename-ful protocol is an optimization,
+  // never the source of truth — Iceberg's version-hint posture on S3).
+  // ManifestSinkSpec races concurrent committers through this path and
+  // proves exactly-once visibility with zero renames.
+
+  private def sha256Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+
+  /** Conditional-put commit of `state` as version expected+1. Returns
+    * false iff the slot was already claimed — the caller re-reads and
+    * rebases exactly like [[casWriteState]]'s contract.
+    */
+  def casWriteStateRenameless(
+      dir: String, expectedVersion: Int, state: State): Boolean = {
+    Files.createDirectories(Paths.get(dir))
+    val next = expectedVersion + 1
+    val body = stateBody(state)
+    val payload = body ++
+      s"\n#commit:${sha256Hex(body)}".getBytes(StandardCharsets.UTF_8)
+    val p = Paths.get(dir, s"manifest.v$next.json")
+    val ch =
+      try Files.newByteChannel(p,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    try ch.write(java.nio.ByteBuffer.wrap(payload)) finally ch.close()
+    true
+  }
+
+  /** Resolve (version, state) by listing version objects, newest first,
+    * skipping any whose commit footer is absent or wrong (in-flight or
+    * torn) — the rename-less read path. O(objects) listing like every
+    * S3 manifest store; None when no valid version exists yet.
+    */
+  def readStateRenameless(dir: String): Option[(Int, State)] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return None
+    val vPat = "manifest\\.v(\\d+)\\.json".r
+    val listing = Files.list(d)
+    val versions =
+      try listing.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case vPat(n) => Some(n.toInt -> p)
+          case _ => None
+        }
+      }.toSeq.sortBy(-_._1)
+      finally listing.close()
+    versions.iterator.flatMap { case (v, p) =>
+      val raw = Files.readAllBytes(p)
+      val text = new String(raw, StandardCharsets.UTF_8)
+      val cut = text.lastIndexOf("\n#commit:")
+      if (cut < 0) None
+      else {
+        val bodyTxt = text.substring(0, cut)
+        val footer = text.substring(cut + "\n#commit:".length).trim
+        if (sha256Hex(bodyTxt.getBytes(StandardCharsets.UTF_8)) != footer) None
+        else parseStateLines(bodyTxt.split("\n", -1).toSeq).map(v -> _)
+      }
+    }.nextOption()
   }
 
   // ---- write-audit-publish branches (the Iceberg WAP pattern) ----
@@ -631,11 +709,19 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
         new org.apache.spark.sql.connector.read.Statistics {
           private val st = state
           override def sizeInBytes(): java.util.OptionalLong =
-            st.map { s0 =>
-              java.util.OptionalLong.of(s0.files.map { case (f, _) =>
-                val p = Paths.get(ManifestSink.resolveData(dir, f))
-                if (Files.exists(p)) Files.size(p) else 0L
-              }.sum)
+            st.flatMap { s0 =>
+              // a manifest-listed file missing on disk (stale manifest,
+              // unreachable store) must NOT count as 0 bytes — that would
+              // report a near-zero table and auto-broadcast it regardless
+              // of true row count. Decline instead (mirroring numRows
+              // declining when any per-file count is absent) so Spark
+              // falls back to the conservative defaultSizeInBytes.
+              val paths = s0.files.map { case (f, _) =>
+                Paths.get(ManifestSink.resolveData(dir, f))
+              }
+              if (paths.forall(Files.exists(_)))
+                Some(java.util.OptionalLong.of(paths.map(Files.size).sum))
+              else None
             }.getOrElse(java.util.OptionalLong.empty())
           override def numRows(): java.util.OptionalLong =
             st.filter(s0 => s0.deletes.isEmpty &&
@@ -879,18 +965,27 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
       // and every overwrite wipes the history that catches later replays of
       // old append txns.
       // a branch commit stacks on the branch's own state (first branch
-      // commit forks from main); a main commit never sees branch state
+      // commit forks from main); a main commit never sees branch state.
+      // CONSISTENCY (r11 bug fix, caught by the CAS spec under a tighter
+      // race): prior state must be read at the SAME version the CAS will
+      // expect — from the immutable v-file, never the manifest.json
+      // pointer. The pointer trails the v-file by one ATOMIC_MOVE; a
+      // loser that re-read in that window rebased onto the PRE-winner
+      // state while CASing at the winner's version+1, silently dropping
+      // the winner's files from the new latest snapshot.
+      val expected = ManifestSink.latestVersion(dir)
+      val versioned =
+        if (expected > 0) ManifestSink.readState(dir, Some(expected))
+        else ManifestSink.readState(dir) // pre-CAS legacy table
       val prior = branch match {
-        case Some(b) => ManifestSink.readBranchState(dir, b)
-          .orElse(ManifestSink.readState(dir))
-        case None => ManifestSink.readState(dir)
+        case Some(b) => ManifestSink.readBranchState(dir, b).orElse(versioned)
+        case None => versioned
       }
       val priorTxns = prior.map(_.txns).getOrElse(Set.empty)
       if (txnId.exists(priorTxns.contains)) {
         fresh.foreach(f => Files.deleteIfExists(Paths.get(dir, "data", f)))
         committed = true
       } else {
-        val expected = ManifestSink.latestVersion(dir)
         val seq = expected + 1
         val keptFiles = if (truncate) Seq.empty else prior.map(_.files).getOrElse(Seq.empty)
         val keptDels = if (truncate) Seq.empty else prior.map(_.deletes).getOrElse(Seq.empty)

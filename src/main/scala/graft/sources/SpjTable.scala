@@ -124,9 +124,13 @@ private[sources] class SpjReaderFactory(schema: StructType)
 }
 
 /** Executor-side stager: lands a DataFrame whose FIRST column is the
-  * bucket key into `dir/bucket=<v>/part-<uuid>.txt`, rolling files on
-  * bucket change under a per-partition (bucket, …) sort — no driver data
-  * movement, idempotent layout for deterministic input.
+  * bucket key into `dir/bucket=<v>/part-p<partitionId>.txt`, rolling files
+  * on bucket change under a per-partition (bucket, …) sort — no driver data
+  * movement. File names are deterministic per (bucket, partitionId) and
+  * opened with TRUNCATE_EXISTING, so a retried or speculative task
+  * REPLACES its first attempt's (possibly partial) file instead of
+  * accumulating a duplicate next to it — the property the scan (which
+  * reads every file in the bucket dir) depends on for exactly-once rows.
   */
 object SpjStage {
   def apply(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
@@ -136,6 +140,7 @@ object SpjStage {
     df.repartition(n, col("bucket"))
       .sortWithinPartitions(col("bucket"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.get().partitionId()
         var w: java.io.BufferedWriter = null
         var cur = Long.MinValue
         def close(): Unit = if (w != null) w.close()
@@ -147,8 +152,10 @@ object SpjStage {
             val d = Paths.get(s"$dir/bucket=$b")
             Files.createDirectories(d)
             w = Files.newBufferedWriter(
-              d.resolve(s"part-${java.util.UUID.randomUUID()}.txt"),
-              StandardCharsets.UTF_8)
+              d.resolve(s"part-p$pid.txt"), StandardCharsets.UTF_8,
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+              java.nio.file.StandardOpenOption.WRITE)
           }
           // mirror of ManifestSink.decode for external rows
           val line = schema.fields.zipWithIndex.map { case (f, i) =>

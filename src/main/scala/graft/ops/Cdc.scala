@@ -38,6 +38,42 @@ object Cdc {
 
   val defs: Seq[Q] = Seq(
     Q(
+      "cdc_schema_evolution_feed",
+      // Mid-stream schema evolution (round-11): the replica's ALTER TABLE
+      // case — the reference's source tables gain columns over time, and
+      // a CDC landing zone holds generation-1 files WITHOUT the column
+      // next to generation-2 files WITH it. Gen1 (orders before 1996)
+      // lands (key, totalprice); gen2 adds o_orderpriority. The read
+      // side is `mergeSchema` over partition-discovered generation dirs:
+      // old rows surface the new column as NULL, normalized by a
+      // coalesce default — no rewrite of gen1 bytes, the 100 TB rule for
+      // additive evolution (schema applied at READ, history untouched).
+      // The census aggregates across the seam so a dropped or doubled
+      // generation can't hash-match.
+      (s, dir) => {
+        val root = graft.util.tempDir("graft_sevo_")
+        val o = Tables(s, dir, "orders")
+        val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+        o.filter(year(col("o_orderdate")) < 1996)
+          .select(col("o_orderkey"), cents.as("cents"))
+          .write.mode("overwrite").parquet(s"$root/gen=1")
+        o.filter(year(col("o_orderdate")) >= 1996)
+          .select(col("o_orderkey"), cents.as("cents"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$root/gen=2")
+        s.read.option("mergeSchema", "true").parquet(root)
+          .withColumn("prio", coalesce(col("o_orderpriority"), lit("UNKNOWN")))
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("prio"))
+      },
+      Some("""SELECT CASE WHEN year(CAST(o_orderdate AS DATE)) >= 1996
+             |            THEN o_orderpriority ELSE 'UNKNOWN' END AS prio,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |         AS sum_cents
+             |FROM orders GROUP BY prio ORDER BY prio""".stripMargin)
+    ),
+    Q(
       "cdc_upsert_latest",
       (s, dir) => Merge.latestPerKey(changes(s, dir), Seq("user_id"), "ts", "event_id")
         .orderBy(col("user_id")),

@@ -130,6 +130,40 @@ object Sources {
 
   val defs: Seq[Q] = Seq(
     Q(
+      "sink_parquet_codecs",
+      // Codec-transparent landing (round-11): the same slice written
+      // under snappy (the splittable default), zstd (the cold-storage
+      // ratio winner) and gzip (the legacy interchange codec), each read
+      // back and censused — content must be codec-invariant, which is
+      // the property that lets a 100 TB landing zone mix codecs per
+      // lifecycle tier (hot=snappy, archive=zstd) without any reader
+      // change: parquet carries the codec per column chunk, so a scan
+      // over mixed-codec files just works. Compression happens inside
+      // the parquet writer per row group — no extra pass, no shuffle.
+      (s, dir) => {
+        val root = graft.util.tempDir("graft_codecs_")
+        val src = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        val codecs = Seq("snappy", "zstd", "gzip")
+        codecs.foreach(c =>
+          src.write.mode("overwrite").option("compression", c)
+            .parquet(s"$root/$c"))
+        codecs.map(c =>
+            s.read.parquet(s"$root/$c").withColumn("codec", lit(c)))
+          .reduce(_ unionByName _)
+          .groupBy(col("codec"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("s_suppkey")).as("key_sum"),
+            util.r2(sum(col("s_acctbal"))).as("bal_sum"))
+          .orderBy(col("codec"))
+      },
+      Some(s"""SELECT c.codec, CAST(count(*) AS BIGINT) AS n,
+              |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+              |       ${util.r2sql("sum(s_acctbal)")} AS bal_sum
+              |FROM supplier, (SELECT unnest(['gzip','snappy','zstd']) AS codec) c
+              |GROUP BY c.codec ORDER BY c.codec""".stripMargin)
+    ),
+    Q(
       "scan_csv_schema",
       // TSV wire format, declared schema (no inference pass — at 100 TB a
       // schema-inference pre-read of every object is a full extra scan).

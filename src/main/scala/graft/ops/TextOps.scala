@@ -145,6 +145,157 @@ object TextOps {
 
   val defs: Seq[Q] = Seq(
     Q(
+      "text_cdc_chunking",
+      // Content-defined chunking (round-11, FastCDC at token granularity):
+      // chunk boundaries are decided by token CONTENT (portable token-hash
+      // % 16 == 0), not position, so an insertion early in a document
+      // shifts every byte offset yet downstream boundaries re-synchronize
+      // — the property that lets chunk-level dedup catch near-identical
+      // docs that whole-doc hashing misses and positional n-grams only
+      // partially cover. Per doc: chunk count, chunks whose text recurs
+      // anywhere in the corpus, and the duplicated token mass. Scale: the
+      // boundary pass shuffles (doc_id, pos, hash) — 24 B/token; the
+      // frequency join ships chunk STRINGS here (the oracle's collision
+      // audit, house style of text_substring_dedup_spans) where a real
+      // 100 TB run ships xxhash64(chunk) — 8 B/chunk. The oracle replays
+      // the char-fold hash, the cut rule and the chunking bit-for-bit.
+      (s, dir) => {
+        val P = graft.text.MinHash.P
+        // native fold (low 31-bit half == the portable char fold; parity
+        // spec-tested in TextDedupSpec) — one codegen'd pass per token
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(arrays_zip(
+              split(col("text"), " "),
+              transform(
+                graft.functions.PortableTokenHashes(s, col("text")),
+                h => h.bitwiseAND((1L << 31) - 1)))).as(Seq("pos", "z")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("z.0").as("tok"), col("z.1").as("th"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val chunks = toks
+          .withColumn("cut", when(col("th") % 16 === 0, 1L).otherwise(0L))
+          // a cut ends the chunk AT this token: the next token starts a
+          // new chunk, so the id is the cumsum of cuts STRICTLY BEFORE
+          .withColumn("chunk_id", coalesce(
+            sum(col("cut")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .groupBy(col("doc_id"), col("chunk_id"))
+          .agg(
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+              .as("chunk_str"),
+            count(lit(1)).as("n_tok"))
+        val freq = chunks.groupBy(col("chunk_str"))
+          .agg(count(lit(1)).as("cnt"))
+        chunks.join(freq, Seq("chunk_str"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+            sum(when(col("cnt") > 1, col("n_tok")).otherwise(0L)).as("dup_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+              |hs AS (
+              |  SELECT doc_id, ts,
+              |         list_transform(ts, t ->
+              |           list_reduce(
+              |             list_prepend(CAST(0 AS BIGINT),
+              |               list_transform(generate_series(1, length(t)),
+              |                 i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))),
+              |             (acc, c) -> (acc * 131 + c) % ${graft.text.MinHash.P})) AS hs
+              |  FROM d),
+              |tok AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i + 1] AS tok,
+              |         CASE WHEN hs[i + 1] % 16 = 0 THEN 1 ELSE 0 END AS cut
+              |  FROM hs, unnest(range(0, len(ts))) AS u(i)),
+              |ch AS (
+              |  SELECT doc_id, pos, tok,
+              |         CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              |           AS chunk_id
+              |  FROM tok),
+              |chunks AS (
+              |  SELECT doc_id, chunk_id,
+              |         string_agg(tok, ' ' ORDER BY pos) AS chunk_str,
+              |         CAST(count(*) AS BIGINT) AS n_tok
+              |  FROM ch GROUP BY doc_id, chunk_id),
+              |freq AS (
+              |  SELECT chunk_str, count(*) AS cnt FROM chunks GROUP BY chunk_str)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              |       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+              |       CAST(sum(CASE WHEN cnt > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens
+              |FROM chunks JOIN freq USING (chunk_str)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_minhash_bbit",
+      // b-bit MinHash (round-11, Li & König): store only the low b=4 bits
+      // of each of the k=16 signature positions — a 4× signature
+      // compression (the at-scale lever: signature storage dominates
+      // MinHash state at corpus size), at the cost of random collisions
+      // inflating raw agreement by 1/2^b. The row emits, per LSH
+      // candidate pair, the full-width agreement count, the b-bit
+      // agreement count, and the bias-CORRECTED b-bit Jaccard estimate
+      // Ĵ = (q − 2⁻ᵇ)/(1 − 2⁻ᵇ) in exact e6 integer arithmetic (clamped
+      // at 0 below the random baseline). Same portable hash family as
+      // text_neardup_minhash, so the oracle replays signatures, bands,
+      // candidates and both estimators bit-for-bit.
+      (s, dir) => {
+        import graft.text.MinHash
+        val k = 16
+        val docs = Tables(s, dir, "documents")
+        val tokHash = transform(
+          graft.functions.PortableTokenHashes(s, col("text")),
+          h => h.bitwiseAND((1L << 31) - 1))
+        val crcs = docs.select(col("doc_id").as("doc"), tokHash.as("crcs"))
+        val sh = crcs.select(col("doc"), MinHash.shingleHashes(col("crcs")).as("sh"))
+        val sigs = sh.select(col("doc"),
+          MinHash.signatureFromHashes(col("sh"), k).as("sig"))
+        val bk = MinHash.portableBandKeys(col("sig"), k, bands = 8)
+        val exploded = sigs.select(col("doc"), explode(bk).as("b"))
+          .select(col("doc"), col("b.band_id"), col("b.band_hash"))
+        val pairs = exploded.select(col("band_id"), col("band_hash"), col("doc").as("doc_a"))
+          .join(exploded.select(col("band_id"), col("band_hash"), col("doc").as("doc_b")),
+            Seq("band_id", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        pairs
+          .join(sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .withColumn("matched_full",
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v))
+          .withColumn("matched_bbit",
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x % 16 === y % 16, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v))
+          .filter(col("matched_full") >= 4) // = the 0.2·k candidate floor
+          .withColumn("jhat_bbit_e6",
+            expr("greatest(matched_bbit * 1000000 div 16 - 62500, CAST(0 AS BIGINT)) * 16 div 15"))
+          .select(col("doc_a"), col("doc_b"), col("matched_full"),
+            col("matched_bbit"), col("jhat_bbit_e6"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$minhashCandCtes,
+              |m AS (
+              |  SELECT doc_a, doc_b,
+              |         CAST(len(list_filter(generate_series(1, 16),
+              |           j -> sa.sig[j] = sb.sig[j])) AS BIGINT) AS matched_full,
+              |         CAST(len(list_filter(generate_series(1, 16),
+              |           j -> sa.sig[j] % 16 = sb.sig[j] % 16)) AS BIGINT) AS matched_bbit
+              |  FROM cand
+              |  JOIN sig sa ON sa.doc_id = doc_a
+              |  JOIN sig sb ON sb.doc_id = doc_b)
+              |SELECT doc_a, doc_b, matched_full, matched_bbit,
+              |       greatest(matched_bbit * 1000000 // 16 - 62500, 0) * 16 // 15
+              |         AS jhat_bbit_e6
+              |FROM m WHERE matched_full >= 4
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+    Q(
       "pipeline_dedup_incremental",
       // Incremental corpus dedup (round-9): a NEW batch is deduplicated
       // against an existing corpus using only the corpus's stored DIGEST

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral guards for the round-11 additions — properties the DuckDB
+  * hash oracle can't see (it would agree with a same-on-both-sides bug).
+  */
+class Round11Spec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  test("text_cdc_chunking: chunking partitions every doc; dup mass is bounded") {
+    val out = SparkEntry.queries("text_cdc_chunking")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == toks.keySet, "every doc must chunk")
+    out.foreach { case (d, (n, dup, dupToks)) =>
+      // chunks partition the token stream: 1 <= chunks <= tokens, marked
+      // duplicates are a subset, duplicated mass can't exceed the doc
+      assert(n >= 1 && n <= toks(d), s"doc $d: $n chunks of ${toks(d)} tokens")
+      assert(dup <= n, s"doc $d: $dup dup chunks of $n")
+      assert(dupToks <= toks(d), s"doc $d: dup_tokens $dupToks > ${toks(d)} tokens")
+    }
+    // the fixture's near-dup structure must surface: SOME chunk recurs
+    assert(out.values.map(_._2).sum > 0, "no duplicated chunk anywhere — census inert")
+  }
+
+  test("text_cdc_chunking: boundaries re-synchronize after an insertion (the CDC property)") {
+    // positional chunking would shift every boundary after an insertion;
+    // content-defined chunking loses at most the chunks touching the edit.
+    // Synthesize the comparison through the SAME portable hash + cut rule.
+    import spark.implicits._
+    val text = Tables(spark, dir, "documents")
+      .orderBy(col("doc_id")).select(col("text")).as[String].head()
+    def chunks(t: String): Seq[String] = {
+      val df = Seq(t).toDF("text")
+      df.select(
+          posexplode(arrays_zip(
+            split(col("text"), " "),
+            transform(graft.functions.PortableTokenHashes(spark, col("text")),
+              h => h.bitwiseAND((1L << 31) - 1)))).as(Seq("pos", "z")))
+        .select(col("pos"), col("z.0").as("tok"), col("z.1").as("th"))
+        .withColumn("cut", when(col("th") % 16 === 0, 1L).otherwise(0L))
+        .withColumn("chunk_id", coalesce(sum(col("cut")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("pos"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .groupBy(col("chunk_id"))
+        .agg(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")).as("c"))
+        .orderBy(col("chunk_id")).as[(Long, String)].collect().map(_._2).toSeq
+    }
+    val base = chunks(text)
+    val edited = chunks("zzInsertedTokenzz " + text)
+    assert(base.size >= 3, s"doc too short for the property: ${base.size} chunks")
+    // only the chunk containing the edit may change: everything after the
+    // first content-defined boundary survives verbatim (compare DISTINCT
+    // chunk sets — the fixture docs repeat short chunks like "batch")
+    val lost = base.distinct.toSet -- edited.toSet
+    assert(lost.size <= 1,
+      s"insertion destroyed ${lost.size} distinct chunks of ${base.distinct.size} — boundaries did not re-synchronize")
+    assert(edited.drop(1) == base.drop(1) || edited.size == base.size + 1,
+      "tail chunks shifted instead of re-synchronizing")
+  }
+
+  test("text_minhash_bbit: b-bit agreement dominates full agreement; estimator pinned to bounds") {
+    val rows = SparkEntry.queries("text_minhash_bbit")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (full, bbit, jhat) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // equal signature values have equal low bits — never the reverse
+      assert(bbit >= full, s"b-bit agreement $bbit < full $full: $r")
+      assert(jhat >= 0 && jhat <= 1000000, s"estimator out of bounds: $r")
+      // identical signatures estimate exactly 1.0 after bias correction
+      if (bbit == 16) assert(jhat == 1000000, s"all-16 b-bit match must estimate 1e6: $r")
+    }
+  }
+
+  test("cdc_schema_evolution_feed: the pre-evolution generation lands in the default bucket") {
+    val rows = SparkEntry.queries("cdc_schema_evolution_feed")(spark, dir).collect()
+    val byPrio = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPrio.contains("UNKNOWN") && byPrio("UNKNOWN") > 0,
+      "gen1 rows (no priority column) must surface under the coalesce default")
+    assert(byPrio.values.sum ==
+      Tables(spark, dir, "orders").count(),
+      "generations must partition the feed exactly — nothing lost or doubled")
+  }
+
+  test("sink_parquet_codecs: content is codec-invariant, files genuinely differ") {
+    val rows = SparkEntry.queries("sink_parquet_codecs")(spark, dir).collect()
+    assert(rows.length == 3)
+    val tuples = rows.map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).distinct
+    assert(tuples.length == 1,
+      s"codec changed the content: ${rows.mkString("; ")}")
+  }
+}

@@ -2574,6 +2574,110 @@ object TextOps {
               |ORDER BY doc_id, bucket""".stripMargin)
     ),
     Q(
+      "pipeline_grpo_group_advantage",
+      // GRPO group-relative advantage (round-11): the policy-gradient
+      // normalization modern RLHF-free post-training runs — G sampled
+      // responses per prompt, advantage = (r − mean_G)/std_G, no value
+      // network. Groups = doc_id div 4 (4 "responses" per prompt), reward
+      // = n_chars (a deterministic stand-in; the shape is the operator).
+      // All moments are EXACT integer sums; the final normalization is
+      // division/sqrt only — IEEE correctly-rounded ops over exact
+      // inputs, so the e6-pinned advantage is bit-identical cross-engine
+      // (the eval_bleu_corpus lesson: no exp/ln anywhere). Degenerate
+      // groups (n<2 or zero variance) pin advantage to 0 rather than
+      // NaN/Inf. Scale: one partial-agg shuffle of 3 longs per group,
+      // then a broadcast-size map join back onto responses — the same
+      // two-pass shape at any corpus size; nothing quadratic in G.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") / 4).cast("long").as("grp"),
+            col("n_chars").as("r"))
+        val g = docs.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("r")).as("s"),
+            sum(col("r") * col("r")).as("q"))
+        docs.join(broadcast(g), Seq("grp"))
+          .withColumn("adv_e6", expr(
+            """CASE WHEN n < 2 OR q * n = s * s THEN CAST(0 AS BIGINT)
+              |ELSE CAST(floor(
+              |  (CAST(r AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              |  / sqrt((CAST(q AS DOUBLE)
+              |          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              |         / CAST(n - 1 AS DOUBLE))
+              |  * 1000000 + 0.5) AS BIGINT) END""".stripMargin))
+          .select(col("doc_id"), col("grp"), col("r"), col("adv_e6"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id // 4 AS grp, n_chars AS r FROM documents),
+             |g AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(r) AS BIGINT) AS s,
+             |         CAST(sum(r * r) AS BIGINT) AS q
+             |  FROM d GROUP BY grp)
+             |SELECT doc_id, grp, r,
+             |       CASE WHEN n < 2 OR q * n = s * s THEN CAST(0 AS BIGINT)
+             |       ELSE CAST(floor(
+             |         (CAST(r AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |         / sqrt((CAST(q AS DOUBLE)
+             |                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             |                / CAST(n - 1 AS DOUBLE))
+             |         * 1000000 + 0.5) AS BIGINT) END AS adv_e6
+             |FROM d JOIN g USING (grp) ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "pipeline_domain_mix_doremi",
+      // DoReMi-lite domain reweighting (round-11): per training domain,
+      // excess signal = max(domain mean − corpus mean, 0) computed as the
+      // cross-multiplied EXACT integer max(sum_d·N − total·n_d, 0) (per-doc
+      // length is the deterministic loss stand-in), then mixture weight =
+      // (1−α)·excess/Σexcess + α/D with a uniform smoothing floor α=0.2 —
+      // all in e6 integer arithmetic. Cross-multiplied products reach
+      // sum·N ≈ 10^17 at a ×100 corpus and beyond at real scale, so the
+      // arithmetic runs in DECIMAL(38,0)/HUGEINT (the
+      // pipeline_epoch_shuffle overflow posture). Scale: one two-level
+      // aggregation (domain, then corpus scalars broadcast back) — the
+      // whole computation is O(domains) after the first map-side combine.
+      (s, dir) => {
+        val byDom = Tables(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_len"))
+        val tot = byDom.agg(sum(col("n_docs")).as("nn"), sum(col("sum_len")).as("tt"))
+        val ex = byDom.crossJoin(broadcast(tot))
+          .withColumn("excess", expr(
+            """greatest(CAST(sum_len AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0))
+              |         - CAST(tt AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0)),
+              |         CAST(0 AS DECIMAL(38,0)))""".stripMargin))
+        val totEx = ex.agg(sum(col("excess")).as("sum_ex"), count(lit(1)).as("d"))
+        ex.crossJoin(broadcast(totEx))
+          .withColumn("weight_e6", expr(
+            """CASE WHEN sum_ex = 0 THEN 1000000 div d
+              |ELSE (CAST(800000 AS DECIMAL(38,0)) * excess) div sum_ex
+              |     + 200000 div d END""".stripMargin))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("excess").cast("string").as("excess_x"), col("weight_e6"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH dom AS (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(n_chars) AS BIGINT) AS sum_len
+             |  FROM documents GROUP BY lang, source),
+             |tot AS (
+             |  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+             |         CAST(sum(sum_len) AS BIGINT) AS tt FROM dom),
+             |ex AS (
+             |  SELECT lang, source, n_docs,
+             |         greatest(sum_len::HUGEINT * nn::HUGEINT
+             |                  - tt::HUGEINT * n_docs::HUGEINT, 0::HUGEINT) AS excess
+             |  FROM dom, tot),
+             |te AS (SELECT sum(excess) AS sum_ex, CAST(count(*) AS BIGINT) AS d FROM ex)
+             |SELECT lang, source, n_docs,
+             |       CAST(excess AS VARCHAR) AS excess_x,
+             |       CAST(CASE WHEN sum_ex = 0 THEN 1000000 // d
+             |            ELSE (800000::HUGEINT * excess) // sum_ex + 200000 // d END
+             |            AS BIGINT) AS weight_e6
+             |FROM ex, te ORDER BY lang, source""".stripMargin)
+    ),
+    Q(
       "pipeline_preference_pairs",
       // Preference-pair construction (round-10): the RLHF/DPO data shape —
       // per prompt, pair the best completion (chosen) with the worst

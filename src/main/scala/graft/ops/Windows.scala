@@ -1891,6 +1891,73 @@ object Windows {
              |FROM l ORDER BY d""".stripMargin)
     ),
     Q(
+      "ts_haar_energy",
+      // Haar wavelet energy decomposition (round-11): per user, the value
+      // series (exact cents, ordered by ts with event_id tiebreak,
+      // truncated to a multiple of 8) runs three unnormalized Haar levels
+      // — pairs fold to approx=(a+b), detail=(a−b); per-level energy is
+      // Σ detail². Separates burst noise (level-1 energy) from slow drift
+      // (level-3) — the multiresolution screen a metrics pipeline runs
+      // before alerting. All integer arithmetic, so exact cross-engine.
+      // Scale: one shuffle onto user_id, then three PER-GROUP pair-folds
+      // expressed as groupBy aggregations with pair = rn div 2 — each
+      // level HALVES the rows and every stage is a plain hash aggregate
+      // (map-side combinable); nothing ever materializes a per-user array.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val base = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+          .withColumn("rn", row_number().over(w).cast("long") - 1)
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .filter(col("rn") < (col("cnt") / 8).cast("long") * 8)
+        def level(df: org.apache.spark.sql.DataFrame, vcol: String): org.apache.spark.sql.DataFrame = df
+          .groupBy(col("user_id"), (col("rn") / 2).cast("long").as("rn"))
+          .agg(
+            sum(when(col("rn") % 2 === 0, col(vcol)).otherwise(-col(vcol)))
+              .as("detail"),
+            sum(col(vcol)).as("approx"))
+        val l1 = level(base.select(col("user_id"), col("rn"), col("c")), "c")
+        val l2 = level(l1.select(col("user_id"), col("rn"), col("approx").as("a")), "a")
+        val l3 = level(l2.select(col("user_id"), col("rn"), col("approx").as("a")), "a")
+        def energy(df: org.apache.spark.sql.DataFrame, name: String) = df.groupBy(col("user_id"))
+          .agg(sum(col("detail") * col("detail")).as(name))
+        energy(l1, "e1")
+          .join(energy(l2, "e2"), Seq("user_id"))
+          .join(energy(l3, "e3"), Seq("user_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             |         CAST(row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS BIGINT) - 1 AS rn,
+             |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS cnt
+             |  FROM events),
+             |t AS (SELECT * FROM base WHERE rn < (cnt // 8) * 8),
+             |l1 AS (
+             |  SELECT user_id, rn // 2 AS rn,
+             |         CAST(sum(CASE WHEN rn % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS detail,
+             |         CAST(sum(c) AS BIGINT) AS approx
+             |  FROM t GROUP BY user_id, rn // 2),
+             |l2 AS (
+             |  SELECT user_id, rn // 2 AS rn,
+             |         CAST(sum(CASE WHEN rn % 2 = 0 THEN approx ELSE -approx END) AS BIGINT) AS detail,
+             |         CAST(sum(approx) AS BIGINT) AS approx
+             |  FROM l1 GROUP BY user_id, rn // 2),
+             |l3 AS (
+             |  SELECT user_id, rn // 2 AS rn,
+             |         CAST(sum(CASE WHEN rn % 2 = 0 THEN approx ELSE -approx END) AS BIGINT) AS detail,
+             |         CAST(sum(approx) AS BIGINT) AS approx
+             |  FROM l2 GROUP BY user_id, rn // 2)
+             |SELECT user_id,
+             |       (SELECT CAST(sum(detail * detail) AS BIGINT) FROM l1 WHERE l1.user_id = e.user_id) AS e1,
+             |       (SELECT CAST(sum(detail * detail) AS BIGINT) FROM l2 WHERE l2.user_id = e.user_id) AS e2,
+             |       (SELECT CAST(sum(detail * detail) AS BIGINT) FROM l3 WHERE l3.user_id = e.user_id) AS e3
+             |FROM (SELECT DISTINCT user_id FROM t) e ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "ts_stl_decompose",
       // Classical seasonal decomposition (round-9): daily revenue split
       // into trend + weekday-seasonal + residual — the additive

@@ -96,4 +96,55 @@ class Round11Spec extends AnyFunSuite {
     assert(tuples.length == 1,
       s"codec changed the content: ${rows.mkString("; ")}")
   }
+
+  test("pipeline_grpo_group_advantage: advantages are group-centered and unit-scaled") {
+    val rows = SparkEntry.queries("pipeline_grpo_group_advantage")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    val byGrp = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byGrp.foreach { case (g, advs) =>
+      val n = advs.length
+      if (advs.exists(_ != 0)) {
+        // z-scores sum to 0 exactly in rationals; e6 rounding leaves ≤ n/2
+        assert(math.abs(advs.sum) <= n, s"group $g advantages not centered: ${advs.toSeq}")
+        // and their squares sum to (n-1)·1e12 up to rounding
+        val ss = advs.map(a => a.toDouble * a).sum
+        assert(math.abs(ss - (n - 1) * 1e12) < 1e8,
+          s"group $g advantages not unit-scaled: sum sq $ss for n=$n")
+      }
+    }
+  }
+
+  test("pipeline_domain_mix_doremi: weights form a smoothed distribution") {
+    val rows = SparkEntry.queries("pipeline_domain_mix_doremi")(spark, dir).collect()
+    val d = rows.length
+    val ws = rows.map(_.getLong(4))
+    // sums to 1e6 up to one integer-division truncation per domain
+    assert(math.abs(ws.sum - 1000000L) <= 2L * d,
+      s"weights sum to ${ws.sum}, expected ~1e6 over $d domains")
+    // the uniform smoothing floor holds for every domain
+    ws.foreach(w => assert(w >= 200000L / d,
+      s"weight $w under the α/D floor of ${200000L / d}"))
+  }
+
+  test("ts_haar_energy: level-1 energy matches a direct per-user recompute") {
+    import spark.implicits._
+    val out = SparkEntry.queries("ts_haar_energy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val series = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("c")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (u, (e1, e2, e3)) =>
+      val s0 = series(u).take(series(u).length / 8 * 8)
+      def fold(v: Vector[Long]): (Vector[Long], Long) = {
+        val pairs = v.grouped(2).toVector
+        (pairs.map(p => p(0) + p(1)), pairs.map(p => { val d = p(0) - p(1); d * d }).sum)
+      }
+      val (a1, d1) = fold(s0); val (a2, d2) = fold(a1); val (_, d3) = fold(a2)
+      assert((e1, e2, e3) == ((d1, d2, d3)), s"user $u: got ($e1,$e2,$e3) want ($d1,$d2,$d3)")
+    }
+  }
 }

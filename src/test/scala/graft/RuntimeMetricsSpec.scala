@@ -31,6 +31,7 @@ class RuntimeMetricsSpec extends AnyFunSuite {
     private val jobIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val shuffleBytesRead = new AtomicLong(0)
     val shuffleBytesWritten = new AtomicLong(0)
+    val tasksPerStage = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
     @volatile var jobsStarted = 0
     @volatile var jobsEnded = 0
     override def onJobStart(e: SparkListenerJobStart): Unit =
@@ -49,6 +50,7 @@ class RuntimeMetricsSpec extends AnyFunSuite {
             e.taskMetrics.shuffleReadMetrics.localBytesRead)
         shuffleBytesWritten.addAndGet(
           e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        tasksPerStage.merge(e.stageId, 1, (a, b) => a + b)
       }
   }
 
@@ -189,5 +191,22 @@ class RuntimeMetricsSpec extends AnyFunSuite {
     assert(scanRows == expected,
       s"manifest min-max pruning ineffective: scan delivered $scanRows rows, " +
         s"the matching band holds $expected of $total")
+  }
+
+  test("join_skew_aqe: OptimizeSkewedJoin actually SPLITS the hot partition at runtime") {
+    // plan-shape already pins the skew=true marker; this pins execution:
+    // the join stage must run MORE tasks than the static shuffle
+    // partition count — the extra tasks ARE the split replicas of the
+    // hot partition. A marker that never splits would pass the plan
+    // check and fail here.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val (_, probe) = measured(
+      SparkEntry.queries("join_skew_aqe")(spark, dir).count())
+    assert(probe.jobsStarted > 0, "probe saw no jobs")
+    import scala.jdk.CollectionConverters._
+    val maxTasks = probe.tasksPerStage.values.asScala.map(_.toInt).max
+    assert(maxTasks > parts,
+      s"no stage exceeded the static partition count $parts " +
+        s"(stage task counts: ${probe.tasksPerStage.asScala.toSeq.sortBy(_._1).mkString(", ")}) — the skewed partition was never split")
   }
 }

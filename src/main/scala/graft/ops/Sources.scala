@@ -130,6 +130,83 @@ object Sources {
 
   val defs: Seq[Q] = Seq(
     Q(
+      "scan_avro_roundtrip",
+      // Avro wire-format roundtrip (round-11): the r10 verdict recorded
+      // Avro as impossible offline because the spark-avro CONNECTOR jar
+      // is absent — but the avro-java core library ships with Spark
+      // (avro-1.12.1.jar), which is all a Spark-first implementation
+      // needs. Write side: each partition lands ONE Avro object-container
+      // file via GenericDatumWriter inside foreachPartition (deterministic
+      // part-p<pid>.avro names, executor-side, no driver data movement —
+      // the TarShard/SpjStage posture). Read side: `binaryFile` scans the
+      // containers and a mapPartitions leg decodes them with
+      // DataFileReader — whole-file blobs are exactly how Avro containers
+      // arrive from a Kafka-archive or Sqoop-era feed, and the decode is
+      // an iterator→iterator pass with constant memory. Identity oracle
+      // certifies losslessness (the scan_orc_roundtrip pattern). At
+      // 100 TB: one container per task both ways, codec = deflate
+      // (in-core), no single-machine choke point.
+      (s, dir) => {
+        val root = tmpDir("graft_avro_")
+        val avroSchemaJson =
+          """{"type":"record","name":"Order","fields":[
+            |{"name":"o_orderkey","type":"long"},
+            |{"name":"o_totalprice","type":"double"},
+            |{"name":"o_orderpriority","type":"string"}]}""".stripMargin
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .repartition(4, col("o_orderkey"))
+          .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.get().partitionId()
+            // schema parsed INSIDE the task: avro Schema serializability
+            // is version-dependent; the JSON string is the stable carrier
+            val schema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
+            val w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](schema))
+            w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+            w.create(schema, new java.io.File(s"$root/part-p$pid.avro"))
+            rows.foreach { r =>
+              val rec = new org.apache.avro.generic.GenericData.Record(schema)
+              rec.put("o_orderkey", r.getLong(0))
+              rec.put("o_totalprice", r.getDouble(1))
+              rec.put("o_orderpriority", r.getString(2))
+              w.append(rec)
+            }
+            w.close()
+          }
+        val st = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderpriority", StringType)))
+        val enc = org.apache.spark.sql.Encoders.row(st)
+        s.read.format("binaryFile").load(s"$root/*.avro")
+          .select(col("content"))
+          .mapPartitions { files =>
+            files.flatMap { f =>
+              val in = new org.apache.avro.file.SeekableByteArrayInput(
+                f.getAs[Array[Byte]](0))
+              val rdr = new org.apache.avro.file.DataFileReader(
+                in, new org.apache.avro.generic.GenericDatumReader[
+                  org.apache.avro.generic.GenericRecord]())
+              new Iterator[org.apache.spark.sql.Row] {
+                def hasNext: Boolean = { val h = rdr.hasNext; if (!h) rdr.close(); h }
+                def next(): org.apache.spark.sql.Row = {
+                  val rec = rdr.next()
+                  org.apache.spark.sql.Row(
+                    rec.get("o_orderkey").asInstanceOf[Long],
+                    rec.get("o_totalprice").asInstanceOf[Double],
+                    rec.get("o_orderpriority").toString)
+                }
+              }
+            }
+          }(enc)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sink_parquet_codecs",
       // Codec-transparent landing (round-11): the same slice written
       // under snappy (the splittable default), zstd (the cold-storage

@@ -2574,6 +2574,108 @@ object TextOps {
               |ORDER BY doc_id, bucket""".stripMargin)
     ),
     Q(
+      "pipeline_eval_decontam",
+      // Train/eval decontamination (round-11): the Dolma/FineWeb release
+      // gate — any training document sharing an 8-token gram with the
+      // eval set is DROPPED, not merely flagged (text_contamination_ngram
+      // is the detector; this is the enforcement pipeline with its
+      // retention audit). Eval = every 50th doc; train = the rest.
+      // Spark side joins on 64-bit gram hashes (xxhash64 — 8 B through
+      // the shuffle, never strings); the oracle joins on gram STRINGS,
+      // which doubles as the collision audit (house style). Census per
+      // language: trained/dropped/kept — the numbers a dataset card
+      // publishes. Scale: eval grams are a tiny distinct set (semi-join
+      // build side); train grams stream map-side into the semi-join;
+      // nothing pairwise, nothing quadratic.
+      (s, dir) => {
+        val L = 8
+        val docs = Tables(s, dir, "documents")
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("lang"),
+            explode(expr(
+              s"""CASE WHEN size(toks) >= $L THEN
+                 |  transform(sequence(0, size(toks) - $L),
+                 |    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $L))))
+                 |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("gh"))
+        val eval0 = docs.filter(col("doc_id") % 50 === 0)
+        val train = docs.filter(col("doc_id") % 50 =!= 0)
+        val evalGrams = grams(eval0).select(col("gh")).distinct()
+        val contaminated = grams(train)
+          .join(evalGrams, Seq("gh"), "left_semi")
+          .select(col("doc_id")).distinct()
+        train.join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_train"),
+            sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+             |g AS (
+             |  SELECT doc_id, lang,
+             |         array_to_string(ts[i + 1:i + 8], ' ') AS gram
+             |  FROM tok, unnest(range(0, greatest(len(ts) - 7, 0))) AS u(i)),
+             |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+             |cont AS (
+             |  SELECT DISTINCT doc_id FROM g
+             |  WHERE doc_id % 50 <> 0 AND gram IN (SELECT gram FROM eg))
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_train,
+             |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+             |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+             |FROM documents WHERE doc_id % 50 <> 0
+             |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "pipeline_ccnet_ppl_buckets",
+      // CCNet-style perplexity bucketing (round-11): rank the corpus by a
+      // deterministic per-doc fluency proxy (scaled mean token length —
+      // the bucketing PIPELINE is the operator; swap in a real LM score
+      // at will) and split into head/middle/tail TERCILES by exact rank
+      // — head feeds training as-is, middle gets re-scored, tail is
+      // dropped. Census per bucket: docs, score range, token mass. Exact
+      // integer ranks over a total order (score, doc_id), bucket =
+      // (3·(rank−1)) div N — no float quantiles, so the cut is identical
+      // on any engine and any partitioning. Scale: one global sort-rank
+      // (TakeOrdered-free, the sort is the operator) + one aggregate.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            col("n_chars"))
+          .withColumn("score", expr("n_chars * 1000000 div n_tok"))
+        val n = docs.count()
+        val w = Window.orderBy(col("score"), col("doc_id"))
+        docs
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .withColumn("bucket", expr(s"(3 * (rank - 1)) div CAST($n AS BIGINT)"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"),
+            sum(col("n_tok")).as("tokens"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |         n_chars,
+             |         n_chars * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+             |  FROM documents),
+             |r AS (
+             |  SELECT *, CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rank,
+             |         (SELECT CAST(count(*) AS BIGINT) FROM d) AS n
+             |  FROM d)
+             |SELECT (3 * (rank - 1)) // n AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(min(score) AS BIGINT) AS min_score,
+             |       CAST(max(score) AS BIGINT) AS max_score,
+             |       CAST(sum(n_tok) AS BIGINT) AS tokens
+             |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+    Q(
       "pipeline_grpo_group_advantage",
       // GRPO group-relative advantage (round-11): the policy-gradient
       // normalization modern RLHF-free post-training runs — G sampled

@@ -147,4 +147,45 @@ class Round11Spec extends AnyFunSuite {
       assert((e1, e2, e3) == ((d1, d2, d3)), s"user $u: got ($e1,$e2,$e3) want ($d1,$d2,$d3)")
     }
   }
+
+  test("scan_avro_roundtrip: lossless, one container per task, deterministic layout") {
+    val df = SparkEntry.queries("scan_avro_roundtrip")(spark, dir)
+    assert(df.count() == Tables(spark, dir, "orders").count(),
+      "avro roundtrip lost or duplicated rows")
+    // the write leg landed exactly one part-p<pid>.avro per partition
+    // (re-running overwrites, never accumulates — the SpjStage posture);
+    // dig the staged dir out of the read plan's file index
+    val files = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.flatMap(_.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.inputFiles)
+    assert(files.nonEmpty && files.forall(_.matches(".*part-p\\d+\\.avro")),
+      s"unexpected layout: ${files.take(5).mkString(", ")}")
+  }
+
+  test("pipeline_eval_decontam: eval rows never counted; dropped+kept partitions train") {
+    val rows = SparkEntry.queries("pipeline_eval_decontam")(spark, dir).collect()
+    val trainTotal = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 =!= 0).count()
+    assert(rows.map(_.getLong(1)).sum == trainTotal,
+      "census must cover exactly the training split")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"dropped+kept must partition train: $r")
+    }
+  }
+
+  test("pipeline_ccnet_ppl_buckets: terciles are balanced and score-ordered") {
+    val rows = SparkEntry.queries("pipeline_ccnet_ppl_buckets")(spark, dir).collect()
+    assert(rows.length == 3, s"expected 3 buckets, got ${rows.length}")
+    val n = Tables(spark, dir, "documents").count()
+    rows.foreach(r => assert(math.abs(r.getLong(1) - n / 3) <= 1,
+      s"bucket imbalance: $r vs n/3=${n / 3}"))
+    // bucket k's max score never exceeds bucket k+1's min (ties aside,
+    // the rank tiebreak allows equal scores to straddle a boundary)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) <= b.getLong(2),
+        s"buckets out of order: ${a} then ${b}")
+    }
+  }
 }

@@ -83,6 +83,50 @@ object Aggregates {
   }
 
   val defs: Seq[Q] = Seq(
+    Q(
+      "feat_target_encoding_loo",
+      // Leave-one-out target encoding (round-11): the tabular-ML feature
+      // for high-cardinality categoricals — encode each row's category by
+      // the mean target of the OTHER rows in it, (S_c − t_i)/(n_c − 1),
+      // so the feature never leaks the row's own label. Singleton
+      // categories fall back to the leave-one-out GLOBAL mean. Targets
+      // are exact cents and the division is integer (both engines
+      // truncate toward zero on these non-negative values), so the
+      // encoding is bit-identical cross-engine. Scale: one partial-agg
+      // shuffle of 2 longs per category + a same-key map join back — the
+      // encode never re-shuffles the fact rows a second time; at 100 TB
+      // the category stats side is broadcast-size for any real cardinality.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("t"))
+        val byCat = o.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(col("t")).as("s"))
+        val glob = o.agg(count(lit(1)).as("gn"), sum(col("t")).as("gs"))
+        o.join(byCat, Seq("o_custkey")).crossJoin(broadcast(glob))
+          .withColumn("loo_cents", expr(
+            """CASE WHEN n > 1 THEN (s - t) div (n - 1)
+              |ELSE (gs - t) div (gn - 1) END""".stripMargin))
+          .select(col("o_orderkey"), col("o_custkey"), col("t"), col("loo_cents"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_custkey,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS t
+             |  FROM orders),
+             |c AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(t) AS BIGINT) AS s
+             |  FROM o GROUP BY o_custkey),
+             |g AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS gn,
+             |         CAST(sum(t) AS BIGINT) AS gs FROM o)
+             |SELECT o_orderkey, o_custkey, t,
+             |       CASE WHEN n > 1 THEN (s - t) // (n - 1)
+             |            ELSE (gs - t) // (gn - 1) END AS loo_cents
+             |FROM o JOIN c USING (o_custkey), g
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
     Q("agg_hash_group", (s, dir) => q1(s, dir), Some(q1Oracle)),
     Q(
       "agg_distinct_exact",

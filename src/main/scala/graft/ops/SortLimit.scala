@@ -60,6 +60,48 @@ object SortLimit {
              |LIMIT 100""".stripMargin)
     ),
     Q(
+      "sort_keyset_pagination",
+      // Keyset (seek-method) pagination (round-11): pages 1 and 2 of a
+      // (o_orderdate, o_orderkey)-ordered listing fetched by BOUNDARY
+      // PREDICATE — (d > bd) OR (d = bd AND k > bk) — instead of
+      // OFFSET. OFFSET must produce and discard every skipped row on
+      // every page (page N costs O(N·page)); the keyset predicate is
+      // sargable, pushes into the scan, and costs O(page) regardless of
+      // depth — the only pagination that survives a 100 TB listing. The
+      // two boundary scalars per page are 1-row aggregates (the allowed
+      // driver-scalar shape); the oracle replays the pages with
+      // OFFSET/LIMIT, equal BECAUSE the order is total — which is itself
+      // the correctness proof of the keyset rewrite.
+      (s, dir) => {
+        val base = Tables(s, dir, "orders")
+          .select(col("o_orderdate").as("d"), col("o_orderkey").as("k"))
+        val page = 100
+        // the cursor a real client carries is "last row of the previous
+        // page"; here both cursors derive from the source (first n rows'
+        // max) so the row is self-contained — each is a 1-row aggregate
+        def boundary(n: Int): (Any, Long) = {
+          val r = base.orderBy(col("d"), col("k")).limit(n)
+            .agg(max(struct(col("d"), col("k")))).head.getStruct(0)
+          (r.get(0), r.getLong(1))
+        }
+        def after(b: (Any, Long)) = base.filter(
+          col("d") > lit(b._1) || (col("d") === lit(b._1) && col("k") > lit(b._2)))
+        val page1 = after(boundary(page)).orderBy(col("d"), col("k")).limit(page)
+        val page2 = after(boundary(2 * page)).orderBy(col("d"), col("k")).limit(page)
+        page1.withColumn("page", lit(1L))
+          .unionByName(page2.withColumn("page", lit(2L)))
+          .orderBy(col("page"), col("d"), col("k"))
+      },
+      Some("""SELECT d, k, page FROM (
+             |  SELECT o_orderdate AS d, o_orderkey AS k, CAST(1 AS BIGINT) AS page
+             |  FROM orders ORDER BY 1, 2 LIMIT 100 OFFSET 100) p1
+             |UNION ALL
+             |SELECT d, k, page FROM (
+             |  SELECT o_orderdate AS d, o_orderkey AS k, CAST(2 AS BIGINT) AS page
+             |  FROM orders ORDER BY 1, 2 LIMIT 100 OFFSET 200) p2
+             |ORDER BY page, d, k""".stripMargin)
+    ),
+    Q(
       "limit_offset",
       (s, dir) => {
         Tables(s, dir, "orders")

@@ -188,4 +188,44 @@ class Round11Spec extends AnyFunSuite {
         s"buckets out of order: ${a} then ${b}")
     }
   }
+
+  test("sort_keyset_pagination: pages are disjoint, contiguous, and the cursor predicate reaches the scan") {
+    val rows = SparkEntry.queries("sort_keyset_pagination")(spark, dir).collect()
+    val p1 = rows.filter(_.getLong(2) == 1L).map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+    val p2 = rows.filter(_.getLong(2) == 2L).map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+    assert(p1.length == 100 && p2.length == 100)
+    assert(p1.toSet.intersect(p2.toSet).isEmpty, "pages overlap")
+    assert(p1.max._1 <= p2.min._1 || (p1.max._1 == p2.min._1),
+      "page 2 must start at or after page 1's end")
+    // the whole point of keyset over OFFSET: the cursor predicate is
+    // sargable and lands in the parquet scan as a pushed filter
+    val base = Tables(spark, dir, "orders")
+      .select(col("o_orderdate").as("d"), col("o_orderkey").as("k"))
+    val cursorPlan = base
+      .filter(col("d") > lit(java.sql.Date.valueOf("1995-01-01")) ||
+        (col("d") === lit(java.sql.Date.valueOf("1995-01-01")) && col("k") > lit(42L)))
+      .queryExecution.executedPlan.toString
+    assert(cursorPlan.contains("PushedFilters") && cursorPlan.contains("Or(GreaterThan(o_orderdate"),
+      s"keyset predicate not pushed:\n${cursorPlan.take(800)}")
+  }
+
+  test("feat_target_encoding_loo: encoding excludes the row's own target") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("feat_target_encoding_loo")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCust = rows.groupBy(_._2)
+    byCust.foreach { case (c, rs) =>
+      if (rs.length > 1) {
+        val s = rs.map(_._3).sum
+        rs.foreach { case (k, _, t, loo) =>
+          assert(loo == (s - t) / (rs.length - 1),
+            s"order $k cust $c: loo $loo != ${(s - t) / (rs.length - 1)}")
+          // leakage check: a row with an extreme target must see an
+          // encoding that does NOT contain it — computable as exact bound
+          assert(loo * (rs.length - 1) <= s - t + (rs.length - 2).max(0),
+            s"encoding appears to include the row's own target: $k")
+        }
+      }
+    }
+  }
 }

@@ -2574,6 +2574,107 @@ object TextOps {
               |ORDER BY doc_id, bucket""".stripMargin)
     ),
     Q(
+      "pipeline_rejection_sampling_bon",
+      // Best-of-N rejection sampling (round-11): the post-training data
+      // factory — per prompt group (doc_id div 4, the GRPO staging), keep
+      // the response with the HIGHEST reward (n_chars proxy), with a
+      // deterministic doc_id tiebreak, and emit the selection margin over
+      // the group mean in exact cross-multiplied integers (margin_xN =
+      // r_best·n − Σr, positive unless the group is constant). The kept
+      // set is what SFT trains on next round. Scale: one window rank per
+      // group + one grouped sum — the same two-pass shape as GRPO, no
+      // response text moves until the final projection.
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") / 4).cast("long").as("grp"),
+            col("n_chars").as("r"))
+        val w = Window.partitionBy(col("grp"))
+          .orderBy(col("r").desc, col("doc_id").asc)
+        val g = docs.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"))
+        docs.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .join(g, Seq("grp"))
+          .select(col("grp"), col("doc_id").as("best_doc"), col("r").as("best_r"),
+            (col("r") * col("n") - col("sr")).as("margin_xn"))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id // 4 AS grp, n_chars AS r FROM documents),
+             |g AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(r) AS BIGINT) AS sr FROM d GROUP BY grp),
+             |b AS (
+             |  SELECT grp, doc_id AS best_doc, r AS best_r FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY grp
+             |      ORDER BY r DESC, doc_id ASC) AS rk FROM d) t
+             |  WHERE rk = 1)
+             |SELECT grp, best_doc, best_r, best_r * n - sr AS margin_xn
+             |FROM b JOIN g USING (grp) ORDER BY grp""".stripMargin)
+    ),
+    Q(
+      "eval_length_controlled_winrate",
+      // Length-controlled pairwise winrate (round-11): raw winrates
+      // reward verbosity — the AlpacaEval lesson. Pairs = (doc 2i vs doc
+      // 2i+1); "A wins" on the deterministic quality proxy (more distinct
+      // tokens, doc_id tiebreak). Rows: per LENGTH-DELTA BUCKET
+      // (sign of len(A)−len(B) → -1/0/+1), the pair count and A-wins
+      // count, PLUS the equal-weight macro average across buckets in e6
+      // integers — the Simpson's-paradox-proof number a leaderboard
+      // should publish (a verbose model wins the +1 bucket and the naive
+      // pooled rate, but not the macro average). Exact counting end to
+      // end. Scale: a positional self-pairing (doc_id parity) — one
+      // shuffle on pair id, one tiny aggregate.
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") / 2).cast("long").as("pair"),
+            (col("doc_id") % 2).as("side"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("q"),
+            col("n_chars").as("len"))
+        val a = d.filter(col("side") === 0)
+          .select(col("pair"), col("q").as("qa"), col("len").as("la"),
+            col("doc_id").as("ida"))
+        val b = d.filter(col("side") === 1)
+          .select(col("pair"), col("q").as("qb"), col("len").as("lb"))
+        val scored = a.join(b, "pair")
+          .withColumn("bucket", expr(
+            "CASE WHEN la > lb THEN 1 WHEN la < lb THEN -1 ELSE 0 END").cast("long"))
+          .withColumn("a_wins", expr(
+            "CASE WHEN qa > qb OR (qa = qb) THEN 1 ELSE 0 END").cast("long"))
+        val buckets = scored.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("a_wins")).as("a_wins"))
+        val macroAvg = buckets
+          .agg(expr("sum(a_wins * 1000000 div n_pairs) div count(1)")
+            .as("macro_winrate_e6"))
+        buckets.crossJoin(broadcast(macroAvg))
+          .select(col("bucket"), col("n_pairs"), col("a_wins"),
+            col("macro_winrate_e6"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id // 2 AS pair, doc_id % 2 AS side,
+             |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS q,
+             |         n_chars AS len
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.pair,
+             |         CASE WHEN a.len > b.len THEN 1
+             |              WHEN a.len < b.len THEN -1 ELSE 0 END AS bucket,
+             |         CASE WHEN a.q >= b.q THEN 1 ELSE 0 END AS a_wins
+             |  FROM d a JOIN d b ON a.pair = b.pair AND a.side = 0 AND b.side = 1),
+             |bk AS (
+             |  SELECT CAST(bucket AS BIGINT) AS bucket,
+             |         CAST(count(*) AS BIGINT) AS n_pairs,
+             |         CAST(sum(a_wins) AS BIGINT) AS a_wins
+             |  FROM p GROUP BY bucket),
+             |m AS (
+             |  SELECT CAST(sum(a_wins * 1000000 // n_pairs) // count(*) AS BIGINT)
+             |           AS macro_winrate_e6
+             |  FROM bk)
+             |SELECT bucket, n_pairs, a_wins, macro_winrate_e6
+             |FROM bk, m ORDER BY bucket""".stripMargin)
+    ),
+    Q(
       "pipeline_eval_decontam",
       // Train/eval decontamination (round-11): the Dolma/FineWeb release
       // gate — any training document sharing an 8-token gram with the

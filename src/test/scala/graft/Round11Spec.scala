@@ -228,4 +228,27 @@ class Round11Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("pipeline_rejection_sampling_bon: selects the group argmax with non-negative margin") {
+    val rows = SparkEntry.queries("pipeline_rejection_sampling_bon")(spark, dir).collect()
+    val best = Tables(spark, dir, "documents")
+      .select((col("doc_id") / 4).cast("long").as("g"), col("n_chars").as("r"))
+      .groupBy(col("g")).agg(max(col("r")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == best.size, "one selection per group")
+    rows.foreach { r =>
+      assert(r.getLong(2) == best(r.getLong(0)),
+        s"group ${r.getLong(0)}: selected ${r.getLong(2)}, argmax is ${best(r.getLong(0))}")
+      assert(r.getLong(3) >= 0, s"negative selection margin: $r")
+    }
+  }
+
+  test("eval_length_controlled_winrate: macro average is the equal-weight bucket mean") {
+    val rows = SparkEntry.queries("eval_length_controlled_winrate")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), s"wins exceed pairs: $r"))
+    val expected = rows.map(r => r.getLong(2) * 1000000L / r.getLong(1)).sum / rows.length
+    rows.foreach(r => assert(r.getLong(3) == expected,
+      s"macro ${r.getLong(3)} != recomputed $expected"))
+  }
 }

@@ -543,6 +543,73 @@ object Quality {
              |FROM h CROSS JOIN t ORDER BY digit""".stripMargin)
     ),
     Q(
+      "dq_fk_inference",
+      // Inclusion-dependency discovery (round-11): infer FOREIGN-KEY
+      // candidates by measuring, for each plausible column pair, what
+      // fraction of the child side's distinct values is contained in the
+      // parent side — the Binder/SPIDER profiling step that reconstructs
+      // a replica's referential skeleton when the upstream ships no
+      // constraints (the reference's Canvas tables declare none in the
+      // warehouse copy). A pair is an FK candidate at containment = 1.0;
+      // near-1 pairs flag orphaned rows. Distinct sets are aggregated
+      // per side FIRST (map-side combine), so the containment join
+      // touches |distinct| rows, never the fact tables; the pair list is
+      // declared (schema-driven), not a blind O(columns²) sweep. Exact
+      // integer counts; the e6 ratio is one integer division.
+      (s, dir) => {
+        val pairs = Seq(
+          ("lineitem.l_orderkey", "orders.o_orderkey",
+            Tables(s, dir, "lineitem").select(col("l_orderkey").as("v")),
+            Tables(s, dir, "orders").select(col("o_orderkey").as("v"))),
+          ("orders.o_custkey", "customer.c_custkey",
+            Tables(s, dir, "orders").select(col("o_custkey").as("v")),
+            Tables(s, dir, "customer").select(col("c_custkey").as("v"))),
+          ("lineitem.l_partkey", "part.p_partkey",
+            Tables(s, dir, "lineitem").select(col("l_partkey").as("v")),
+            Tables(s, dir, "part").select(col("p_partkey").as("v"))),
+          ("orders.o_orderkey", "lineitem.l_orderkey", // deliberate REVERSE:
+            // orders with no lineitems break containment — the row that
+            // proves the measure is directional, not symmetric
+            Tables(s, dir, "orders").select(col("o_orderkey").as("v")),
+            Tables(s, dir, "lineitem").select(col("l_orderkey").as("v"))))
+        pairs.map { case (childName, parentName, child, parent) =>
+          val c = child.distinct()
+          val hit = c.join(parent.distinct(), Seq("v"), "left_semi")
+          c.agg(count(lit(1)).as("n_child"))
+            .crossJoin(hit.agg(count(lit(1)).as("n_contained")))
+            .select(
+              lit(childName).as("child"), lit(parentName).as("parent"),
+              col("n_child"), col("n_contained"),
+              expr("n_contained * 1000000 div n_child").as("containment_e6"))
+        }.reduce(_ unionByName _).orderBy(col("child"), col("parent"))
+      },
+      Some("""WITH m AS (
+             |  SELECT 'lineitem.l_orderkey' AS child, 'orders.o_orderkey' AS parent,
+             |         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_child,
+             |         (SELECT count(DISTINCT l_orderkey) FROM lineitem
+             |          WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS n_contained
+             |  UNION ALL
+             |  SELECT 'orders.o_custkey', 'customer.c_custkey',
+             |         (SELECT count(DISTINCT o_custkey) FROM orders),
+             |         (SELECT count(DISTINCT o_custkey) FROM orders
+             |          WHERE o_custkey IN (SELECT c_custkey FROM customer))
+             |  UNION ALL
+             |  SELECT 'lineitem.l_partkey', 'part.p_partkey',
+             |         (SELECT count(DISTINCT l_partkey) FROM lineitem),
+             |         (SELECT count(DISTINCT l_partkey) FROM lineitem
+             |          WHERE l_partkey IN (SELECT p_partkey FROM part))
+             |  UNION ALL
+             |  SELECT 'orders.o_orderkey', 'lineitem.l_orderkey',
+             |         (SELECT count(DISTINCT o_orderkey) FROM orders),
+             |         (SELECT count(DISTINCT o_orderkey) FROM orders
+             |          WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)))
+             |SELECT child, parent, CAST(n_child AS BIGINT) AS n_child,
+             |       CAST(n_contained AS BIGINT) AS n_contained,
+             |       CAST(n_contained AS BIGINT) * 1000000
+             |         // CAST(n_child AS BIGINT) AS containment_e6
+             |FROM m ORDER BY child, parent""".stripMargin)
+    ),
+    Q(
       "dq_candidate_keys",
       // Candidate-key discovery profile (round-9): for a battery of
       // column combos over orders, compare distinct count to row count —

@@ -2307,6 +2307,72 @@ object Windows {
       Some(peakSql)
     ),
     Q(
+      "win_water_filling_alloc",
+      // Max-min fair (water-filling) allocation (round-11): each priority
+      // class has budget B=5000 units; demands are served by raising a
+      // common water line L and giving every order min(demand, L) — the
+      // fairness rule rate limiters and GPU-quota schedulers implement,
+      // vs win_quota_allocation's arrival-order greedy. The sequential
+      // "raise the line" loop has a closed window form because the fully
+      // satisfied set is always a PREFIX of the ascending-demand sort:
+      // order i is satisfiable iff d_i·(n−i+1) ≤ B − prefix_{i−1}; the
+      // uncapped tail splits the remainder as level = rem div k with the
+      // first (rem mod k) tail orders getting +1 — exact integers, total
+      // Σalloc = min(B, Σd) conserved to the unit. One shuffle by class,
+      // two window passes, O(1) per row — partition-parallel at 100 TB.
+      (s, dir) => {
+        val B = 5000L
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("cls"),
+            (col("o_orderkey") % 50 + 1).cast("long").as("d"))
+        val w = Window.partitionBy(col("cls")).orderBy(col("d"), col("o_orderkey"))
+        val wAll = Window.partitionBy(col("cls"))
+        val ranked = o
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("prefix", sum(col("d")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("capped", expr(
+            s"d * (n - i + 1) <= $B - (prefix - d)"))
+        val cut = ranked
+          .withColumn("n_cap", sum(when(col("capped"), 1L).otherwise(0L)).over(wAll))
+          .withColumn("cap_sum", sum(when(col("capped"), col("d")).otherwise(0L)).over(wAll))
+          .withColumn("k", col("n") - col("n_cap"))
+          .withColumn("rem", lit(B) - col("cap_sum"))
+        cut.withColumn("alloc", expr(
+            """CASE WHEN capped THEN d
+              |ELSE rem div k +
+              |     (CASE WHEN i - n_cap <= rem % k THEN 1 ELSE 0 END) END""".stripMargin))
+          .select(col("o_orderkey"), col("cls"), col("d"), col("alloc"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_orderpriority AS cls,
+             |         o_orderkey % 50 + 1 AS d
+             |  FROM orders),
+             |r AS (
+             |  SELECT *, CAST(row_number() OVER w AS BIGINT) AS i,
+             |         CAST(count(*) OVER (PARTITION BY cls) AS BIGINT) AS n,
+             |         CAST(sum(d) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+             |           AND CURRENT ROW) AS BIGINT) AS prefix
+             |  FROM o WINDOW w AS (PARTITION BY cls ORDER BY d, o_orderkey)),
+             |c AS (
+             |  SELECT *, d * (n - i + 1) <= 5000 - (prefix - d) AS capped FROM r),
+             |g AS (
+             |  SELECT *,
+             |         CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY cls) AS BIGINT) AS n_cap,
+             |         CAST(sum(CASE WHEN capped THEN d ELSE 0 END)
+             |           OVER (PARTITION BY cls) AS BIGINT) AS cap_sum
+             |  FROM c)
+             |SELECT o_orderkey, cls, CAST(d AS BIGINT) AS d,
+             |       CAST(CASE WHEN capped THEN d
+             |            ELSE (5000 - cap_sum) // (n - n_cap) +
+             |                 (CASE WHEN i - n_cap <= (5000 - cap_sum) % (n - n_cap)
+             |                       THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+             |FROM g ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "win_quota_allocation",
       // Greedy quota allocation per part (round-9): demand lines consume a
       // fixed per-part stock in ship-date order until it runs dry — the

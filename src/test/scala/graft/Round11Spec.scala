@@ -251,4 +251,45 @@ class Round11Spec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) == expected,
       s"macro ${r.getLong(3)} != recomputed $expected"))
   }
+
+  test("dq_fk_inference: declared FKs contain fully; the reversed pair does not") {
+    val rows = SparkEntry.queries("dq_fk_inference")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(4))).toMap
+    assert(rows("lineitem.l_orderkey") == 1000000L, "l_orderkey ⊆ o_orderkey must hold")
+    assert(rows("orders.o_custkey") == 1000000L, "o_custkey ⊆ c_custkey must hold")
+    assert(rows("lineitem.l_partkey") == 1000000L, "l_partkey ⊆ p_partkey must hold")
+    // the deliberately reversed pair: fixtures carry orders with no
+    // lineitems, so reverse containment is partial — and must equal the
+    // independently recomputed value
+    val expect = {
+      val o = Tables(spark, dir, "orders").select(col("o_orderkey")).distinct()
+      val contained = o.join(
+        Tables(spark, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")).distinct(),
+        Seq("o_orderkey"), "left_semi").count()
+      contained * 1000000L / o.count()
+    }
+    assert(rows("orders.o_orderkey") == expect && expect < 1000000L,
+      s"reverse containment ${rows("orders.o_orderkey")} should be the partial $expect")
+  }
+
+  test("win_water_filling_alloc: conservation, demand cap, and max-min fairness") {
+    val rows = SparkEntry.queries("win_water_filling_alloc")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (_, d, a) =>
+      assert(a >= 0 && a <= d, s"allocation $a outside [0, demand $d]")
+    }
+    rows.groupBy(_._1).foreach { case (cls, rs) =>
+      val totD = rs.map(_._2).sum; val totA = rs.map(_._3).sum
+      assert(totA == math.min(5000L, totD),
+        s"class $cls: allocated $totA, budget-conservation expects ${math.min(5000L, totD)}")
+      // max-min property: any order NOT fully served gets at least as
+      // much as every other order's allocation minus the ±1 remainder unit
+      val unsat = rs.filter(r => r._3 < r._2).map(_._3)
+      if (unsat.nonEmpty) {
+        val lvl = unsat.min
+        assert(rs.forall(_._3 <= lvl + 1),
+          s"class $cls: someone got more than an unsatisfied order's level $lvl")
+      }
+    }
+  }
 }

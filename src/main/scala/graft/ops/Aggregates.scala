@@ -1112,6 +1112,88 @@ object Aggregates {
              |FROM f""".stripMargin)
     ),
     Q(
+      "stat_diff_in_diff",
+      // Difference-in-differences (round-11): the workhorse causal
+      // estimator for a rollout without randomization — effect =
+      // (treat_after − treat_before) − (ctrl_after − ctrl_before) over
+      // group means. Treatment = user_id parity; the period cut is the
+      // fixture's median event time, computed ONCE as a scalar (exact
+      // integer nanos). Every cell mean enters as exact integer sums and
+      // the estimate is assembled with cross-multiplied integers over a
+      // common denominator (n1·n2·n3·n4 ≤ 2^? — cents ≤ 1e7 and cells
+      // ≤ 1e5 at stress scale keep the numerator < 2^62; DECIMAL(38,0)
+      // guards the product anyway, the epoch-shuffle overflow posture).
+      // Output: the four cell (n, sum) pairs plus did_e2 in exact cents
+      // via per-cell integer-scaled means. Scale: one scan, one 4-cell
+      // aggregate — nothing moves but 8 longs.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts_ns"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        // period cut = exact integer midpoint of the observation window
+        // (a double median of ~1.7e18-nanos values would lose precision
+        // past 2^53 and could disagree cross-engine by an ulp)
+        val Array(mn, mx) = ev.agg(min(col("ts_ns")), max(col("ts_ns")))
+          .head.toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut = (mn + mx) / 2
+        val cells = ev
+          .withColumn("treated", (col("user_id") % 2 === 0).cast("long"))
+          .withColumn("after", (col("ts_ns") > cut).cast("long"))
+          .groupBy(col("treated"), col("after"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        // pivot the 4 cells wide, then the exact assembly: did_e2 =
+        // round of ((s11/n11 − s10/n10) − (s01/n01 − s00/n00)) in cents,
+        // each mean an exact decimal division e2-floored half-up
+        val wide = cells.agg(
+          sum(when(col("treated") === 1 && col("after") === 1, col("s"))).as("s11"),
+          sum(when(col("treated") === 1 && col("after") === 1, col("n"))).as("n11"),
+          sum(when(col("treated") === 1 && col("after") === 0, col("s"))).as("s10"),
+          sum(when(col("treated") === 1 && col("after") === 0, col("n"))).as("n10"),
+          sum(when(col("treated") === 0 && col("after") === 1, col("s"))).as("s01"),
+          sum(when(col("treated") === 0 && col("after") === 1, col("n"))).as("n01"),
+          sum(when(col("treated") === 0 && col("after") === 0, col("s"))).as("s00"),
+          sum(when(col("treated") === 0 && col("after") === 0, col("n"))).as("n00"))
+        wide.withColumn("did_micro_cents", expr(
+          """(CAST(1000000 AS DECIMAL(38,0)) * s11 div n11
+            | - CAST(1000000 AS DECIMAL(38,0)) * s10 div n10)
+            | - (CAST(1000000 AS DECIMAL(38,0)) * s01 div n01
+            | - CAST(1000000 AS DECIMAL(38,0)) * s00 div n00)""".stripMargin))
+          .select(col("n11"), col("s11"), col("n10"), col("s10"),
+            col("n01"), col("s01"), col("n00"), col("s00"),
+            col("did_micro_cents"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts_ns,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events),
+             |cut AS (
+             |  SELECT (min(ts_ns) + max(ts_ns)) // 2 AS c FROM ev),
+             |cells AS (
+             |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             |         CASE WHEN ts_ns > (SELECT c FROM cut) THEN 1 ELSE 0 END AS af,
+             |         CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+             |  FROM ev GROUP BY 1, 2)
+             |SELECT
+             |  CAST(sum(CASE WHEN treated = 1 AND af = 1 THEN n END) AS BIGINT) AS n11,
+             |  CAST(sum(CASE WHEN treated = 1 AND af = 1 THEN s END) AS BIGINT) AS s11,
+             |  CAST(sum(CASE WHEN treated = 1 AND af = 0 THEN n END) AS BIGINT) AS n10,
+             |  CAST(sum(CASE WHEN treated = 1 AND af = 0 THEN s END) AS BIGINT) AS s10,
+             |  CAST(sum(CASE WHEN treated = 0 AND af = 1 THEN n END) AS BIGINT) AS n01,
+             |  CAST(sum(CASE WHEN treated = 0 AND af = 1 THEN s END) AS BIGINT) AS s01,
+             |  CAST(sum(CASE WHEN treated = 0 AND af = 0 THEN n END) AS BIGINT) AS n00,
+             |  CAST(sum(CASE WHEN treated = 0 AND af = 0 THEN s END) AS BIGINT) AS s00,
+             |  CAST((1000000::HUGEINT * sum(CASE WHEN treated = 1 AND af = 1 THEN s END)
+             |     // sum(CASE WHEN treated = 1 AND af = 1 THEN n END)
+             |   - 1000000::HUGEINT * sum(CASE WHEN treated = 1 AND af = 0 THEN s END)
+             |     // sum(CASE WHEN treated = 1 AND af = 0 THEN n END))
+             |  - (1000000::HUGEINT * sum(CASE WHEN treated = 0 AND af = 1 THEN s END)
+             |     // sum(CASE WHEN treated = 0 AND af = 1 THEN n END)
+             |   - 1000000::HUGEINT * sum(CASE WHEN treated = 0 AND af = 0 THEN s END)
+             |     // sum(CASE WHEN treated = 0 AND af = 0 THEN n END))
+             |  AS BIGINT) AS did_micro_cents
+             |FROM cells""".stripMargin)
+    ),
+    Q(
       "stat_cuped",
       // CUPED variance reduction (round-9): the experiment-analysis
       // primitive that shrinks A/B confidence intervals using a

@@ -292,4 +292,17 @@ class Round11Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("stat_diff_in_diff: cells partition the events; the estimate matches its own cells") {
+    val r = SparkEntry.queries("stat_diff_in_diff")(spark, dir).head()
+    val (n11, s11, n10, s10) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (n01, s01, n00, s00) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(n11 + n10 + n01 + n00 == Tables.events(spark, dir).count(),
+      "the four cells must partition the event stream")
+    assert(Seq(n11, n10, n01, n00).forall(_ > 0), "degenerate cell")
+    val expect = (BigInt(1000000) * s11 / n11 - BigInt(1000000) * s10 / n10) -
+      (BigInt(1000000) * s01 / n01 - BigInt(1000000) * s00 / n00)
+    assert(BigInt(r.getLong(8)) == expect,
+      s"did ${r.getLong(8)} != cell recompute $expect")
+  }
 }

@@ -1330,6 +1330,57 @@ object Sources {
               |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "stream_table_cdf_deletes",
+      // CHANGE-DATA-FEED streaming read with DELETES (round-11): the
+      // append-only table feed (stream_from_table_feed) cannot represent
+      // row removals; this row streams the manifest log in CDF mode
+      // (`option("changeFeed")`) where each micro-batch delivers the
+      // range's new data files as `insert` rows AND its new
+      // equality-delete files as `delete` rows (key + NULLs — an
+      // equality delete stores only row ids), tagged by a trailing
+      // `_change_type` column — the Delta/Iceberg CDF contract. The
+      // staging is end-to-end REAL: two INSERT commits plus a SQL
+      // `DELETE FROM` through the SupportsDelta row-level path, then one
+      // AvailableNow pass over the feed. At 100 TB this is how
+      // downstream replicas consume upstream deletes without rescanning
+      // the table: O(changed rows) per sync, with the offset log
+      // providing exactly-once delivery.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", graft.util.catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.cdf")
+        s.sql("""CREATE TABLE graft_cat.marts.cdf
+                |(o_orderkey BIGINT NOT NULL, price DOUBLE, st STRING)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.cdf
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.cdf
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graft_cat.marts.cdf WHERE st = 'F'")
+        val tableDir = s"${graft.util.catalogWarehouse}/marts/cdf"
+        val name = "t_cdf_feed"
+        val q = s.readStream.format("graft.sources.ManifestSink")
+          .option("path", tableDir).option("changeFeed", "true").load()
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .writeStream.outputMode("complete").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("_change_type"))
+      },
+      Some("""SELECT 'delete' AS _change_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL
+             |SELECT 'insert', CAST(count(*) AS BIGINT),
+             |       CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders
+             |ORDER BY _change_type""".stripMargin)
+    ),
+    Q(
       "scan_parquet_encrypted",
       // Parquet Modular Encryption: encryption at rest INSIDE the format —
       // the footer and chosen columns are AES-GCM-encrypted per file, keys

@@ -65,15 +65,20 @@ class ManifestSink extends TableProvider {
     val dir = options.get("path")
     // a WAP branch read must resolve the BRANCH schema — the branch may
     // exist before main has any committed state at all
-    Option(options.get("branch"))
+    val base = Option(options.get("branch"))
       .flatMap(b => ManifestSink.readBranchState(dir, b))
       .orElse(ManifestSink.readState(dir))
       .map(_.schema).getOrElse(new StructType())
+    // change-feed reads surface the operation kind as a column — the
+    // Delta/Iceberg CDF contract
+    if (options.containsKey("changeFeed")) base.add("_change_type", StringType)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ManifestTable(properties.get("path"), schema)
+    new ManifestTable(properties.get("path"), schema,
+      changeFeed = properties.get("changeFeed") != null)
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -545,7 +550,8 @@ object ManifestTableAccess {
 }
 
 private[sources] class ManifestTable(dir: String, writeSchema: StructType,
-    pinnedVersion: Option[Int] = None, pinnedBranch: Option[String] = None)
+    pinnedVersion: Option[Int] = None, pinnedBranch: Option[String] = None,
+    changeFeed: Boolean = false)
     extends Table with SupportsWrite with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
@@ -553,10 +559,12 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
     s"manifest[$dir${pinnedVersion.map(v => s"@v$v")
       .orElse(pinnedBranch.map(b => s"@$b")).getOrElse("")}]"
 
-  override def schema(): StructType =
-    pinnedBranch.flatMap(b => ManifestSink.readBranchState(dir, b))
+  override def schema(): StructType = {
+    val base = pinnedBranch.flatMap(b => ManifestSink.readBranchState(dir, b))
       .orElse(ManifestSink.readState(dir, pinnedVersion))
       .map(_.schema).getOrElse(writeSchema)
+    if (changeFeed) base.add("_change_type", StringType) else base
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
@@ -629,7 +637,13 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
               s"snapshot v${vOpt.get} at $dir does not exist (expired or never committed)")
           st
       }
-      private val readSch = state.map(_.schema).getOrElse(writeSchema)
+      private val readSch = {
+        val base = state.map(_.schema).getOrElse(writeSchema)
+        // CDF scans read base columns + the trailing _change_type — the
+        // reader emits 4-field rows, so the declared read schema must
+        // match or a downstream consumer reads a garbage field offset
+        if (changeFeed) base.add("_change_type", StringType) else base
+      }
 
       // ---- data skipping: first-column filters prune whole files by the
       // manifest's (min, max) stats before a byte is read. Spark still
@@ -734,7 +748,13 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       override def build(): Scan = this
       override def readSchema(): StructType =
         pushedAgg.map(aggSchema).getOrElse(readSch)
-      override def toBatch: Batch = this
+      override def toBatch: Batch = {
+        // the batch reader decodes plain data files; it cannot tag
+        // operations — fail loudly instead of mis-decoding 4-col rows
+        if (changeFeed) throw new IllegalStateException(
+          "changeFeed is a streaming-only read option — use readStream")
+        this
+      }
       override def planInputPartitions(): Array[InputPartition] =
         state.map { st =>
           pushedAgg match {
@@ -770,7 +790,8 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       // the stream starts surface as new offsets.
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        new ManifestMicroBatchStream(dir, readSch)
+        if (changeFeed) new ManifestChangeFeedStream(dir, readSch)
+        else new ManifestMicroBatchStream(dir, readSch)
     }
 }
 
@@ -822,6 +843,96 @@ private[sources] class ManifestMicroBatchStream(dir: String, schema: StructType)
 
   override def commit(offset: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** CHANGE-FEED stream over the manifest log (round-11): batch (a, b]
+  * delivers the data files committed in the range as `insert` rows AND
+  * the equality-delete files committed in the range as `delete` rows —
+  * the Delta/Iceberg CDF contract, riding the same version offsets as
+  * the append-only feed. A delete row carries the row-id key (field 0)
+  * with every other column NULL (an equality delete stores only keys);
+  * `_change_type` is the last column. File REMOVALS in the range (an
+  * overwrite/compaction) still fail loudly — a CDF cannot represent
+  * them, so the operator must re-seed, exactly like the append feed.
+  */
+private[sources] class ManifestChangeFeedStream(dir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = ManifestVersionOffset(0)
+  override def latestOffset(): Offset =
+    ManifestVersionOffset(ManifestSink.latestVersion(dir))
+  override def deserializeOffset(json: String): Offset =
+    ManifestVersionOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[ManifestVersionOffset].version
+    val b = end.asInstanceOf[ManifestVersionOffset].version
+    val atB = ManifestSink.readState(dir, Some(b))
+    val atA = if (a == 0) None else ManifestSink.readState(dir, Some(a))
+    val filesB = atB.map(_.files).getOrElse(Seq.empty)
+    val filesA = atA.map(_.files).getOrElse(Seq.empty)
+    val inB = filesB.map(_._1).toSet
+    val removed = filesA.collect { case (f, _) if !inB(f) => f }
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"change feed at $dir cannot represent file removals, but snapshot " +
+        s"range ($a, $b] removed ${removed.size} file(s) (e.g. ${removed.head}) " +
+        "— an overwrite/compaction landed mid-stream; restart from the current snapshot")
+    val seenData = filesA.map(_._1).toSet
+    val seenDel = atA.map(_.deletes.map(_._1).toSet).getOrElse(Set.empty)
+    val inserts = filesB.collect {
+      case (f, _) if !seenData(f) =>
+        ChangeFeedPartition(ManifestSink.resolveData(dir, f), isDelete = false): InputPartition
+    }
+    val deletes = atB.map(_.deletes).getOrElse(Seq.empty).collect {
+      case (f, _) if !seenDel(f) =>
+        ChangeFeedPartition(ManifestSink.resolveData(dir, f), isDelete = true): InputPartition
+    }
+    (inserts ++ deletes).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangeFeedReaderFactory(schema)
+
+  override def commit(offset: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class ChangeFeedPartition(path: String, isDelete: Boolean)
+    extends InputPartition
+
+private[sources] class ChangeFeedReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[ChangeFeedPartition]
+    // schema = base columns + trailing _change_type
+    val base = StructType(schema.fields.dropRight(1))
+    val tag = org.apache.spark.unsafe.types.UTF8String.fromString(
+      if (part.isDelete) "delete" else "insert")
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(
+        Paths.get(part.path), StandardCharsets.UTF_8).asScala.iterator
+        .filter(_.nonEmpty)
+      private val toUnsafe =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!lines.hasNext) false
+        else {
+          val line = lines.next()
+          val vals: Seq[Any] =
+            if (part.isDelete)
+              // an equality-delete line is the row-id key alone
+              (line.toLong: Any) +: Seq.fill[Any](base.length - 1)(null)
+            else ManifestSink.decode(line, base).toSeq(base)
+          current = toUnsafe(InternalRow.fromSeq(vals :+ (tag: Any))).copy()
+          true
+        }
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** The already-answered aggregate row of a metadata-only scan: the

@@ -305,4 +305,20 @@ class Round11Spec extends AnyFunSuite {
     assert(BigInt(r.getLong(8)) == expect,
       s"did ${r.getLong(8)} != cell recompute $expect")
   }
+
+  test("eval_judge_position_bias: far bands are order-stable, the close band flips") {
+    val rows = SparkEntry.queries("eval_judge_position_bias")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // bands 1 and 2 (|dq| > 2): no bonus, verdicts identical in both orders
+    Seq(1L, 2L).filter(rows.contains).foreach { b =>
+      val (n, cons, _) = rows(b)
+      assert(cons == n, s"band $b should be fully order-consistent: $cons of $n")
+    }
+    // band 0 (close pairs): the position bonus flips STRICTLY-close
+    // verdicts, so consistency must be below 100% and the first slot
+    // must win MORE than half of all judgments — the bias signature
+    val (n0, cons0, first0) = rows(0L)
+    assert(cons0 < n0, "close band shows no position sensitivity — bonus inert")
+    assert(first0 > n0, s"first slot won $first0 of ${2 * n0} judgments — no bias detected")
+  }
 }

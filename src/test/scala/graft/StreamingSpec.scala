@@ -178,4 +178,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(custom.exists(_.toLowerCase.contains("rocksdb")),
       s"no RocksDB custom metrics in progress; saw: ${custom.distinct.mkString(", ")}")
   }
+
+  test("stream_table_cdf_deletes: delete rows are key-only, batch CDF reads fail loudly") {
+    val rows = SparkEntry.queries("stream_table_cdf_deletes")(spark, SparkTestBase.sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.contains("insert") && rows.contains("delete"),
+      s"feed must carry both change types: ${rows.keySet}")
+    assert(rows("delete")._1 > 0 && rows("delete")._1 < rows("insert")._1)
+    // the staged table dir is deterministic; a direct feed read shows the
+    // delete rows carry the row id and NULL payload columns
+    val tableDir = s"${graft.util.catalogWarehouse}/marts/cdf"
+    val name = "t_cdf_nullcheck"
+    val q = spark.readStream.format("graft.sources.ManifestSink")
+      .option("path", tableDir).option("changeFeed", "true").load()
+      .filter(col("_change_type") === "delete")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dels = spark.table(name).collect()
+    assert(dels.nonEmpty)
+    dels.foreach { r =>
+      assert(!r.isNullAt(0), "delete row must carry the row id")
+      assert(r.isNullAt(1) && r.isNullAt(2),
+        s"delete row must NULL the non-key payload: $r")
+    }
+    // batch reads cannot represent change types — loud failure, not rows
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSink")
+        .option("path", tableDir).option("changeFeed", "true").load().count()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -24,8 +24,10 @@ import org.apache.spark.sql.SparkSession
   * heap/GC/codegen-cache pressure that min-of-3 cannot defeat: by the
   * 500th query the old-gen is full of 549 queries' cached relations and
   * every run of a late query pays someone else's GC. So driver mode (no
-  * args) now SHARDS the registry into [[chunkCount]] contiguous
-  * sorted-name chunks and runs each in a FORKED child JVM, sequentially
+  * args) now SHARDS the registry into [[chunkCount]] chunks (dealt
+  * round-robin over the sorted names since r12, so no single family —
+  * e.g. the 57 `sql_*` rows — monopolizes one child's heap; see
+  * [[runDriverMode]]) and runs each in a FORKED child JVM, sequentially
   * (cores are never oversubscribed — exactly one child owns the machine at
   * a time), inheriting this JVM's flags/classpath/env. Each child starts
   * cold (fresh heap, fresh codegen cache), runs its ~70 queries with the
@@ -68,12 +70,35 @@ object Bench {
       frag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** Parent (driver mode): fork one child JVM per chunk, sequentially. */
+  /** Parent (driver mode): fork one child JVM per chunk, sequentially.
+    *
+    * Chunk assembly (r12, verdict #1a): queries are DEALT round-robin over
+    * the sorted name list instead of split into contiguous slices. The r11
+    * contiguous split put every `sql_*` row (57 TPC-H-class queries) into
+    * ONE child JVM, recreating in miniature the shared-heap contention the
+    * fork design exists to kill — the driver's run manufactured ~7 phantom
+    * ≥2× "regressions" confined to that chunk (sql_tpch_q18 5.75 s chunked
+    * vs 0.67 s isolated). Dealing spreads every heavy family evenly across
+    * children; within a chunk the names stay sorted so run order remains
+    * comparable round-over-round.
+    *
+    * Adjudication (r12, verdict #1b): after the merge, any row that
+    * regressed >2× against the previous round's BENCH_DETAIL.json (read
+    * BEFORE this run overwrites it) gets ONE automatic fully-isolated
+    * re-run — its own forked child JVM timing just that query — and the
+    * isolated numbers are appended to the artifact as `"adjudicated"`.
+    * The contended number stays in `queries` (the artifact never lies
+    * about what the run measured); the adjudicated map is the evidence
+    * that separates real regressions from harness contention.
+    */
   private def runDriverMode(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val per = math.max(1, math.ceil(names.size.toDouble / chunkCount).toInt)
-    val chunks = names.grouped(per).toSeq
+    // prior-round per-query seconds, for post-merge adjudication; the file
+    // is overwritten below, so read it first
+    val prior = readPriorDetail(java.nio.file.Paths.get("BENCH_DETAIL.json"))
+    val chunks = names.zipWithIndex.groupBy(_._2 % chunkCount)
+      .toSeq.sortBy(_._1).map(_._2.map(_._1))
     val scratch = java.nio.file.Files.createTempDirectory("graft-bench-")
     // (name -> seconds, name-order preserved by re-sorting at merge)
     val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -104,8 +129,31 @@ object Bench {
     val qs = ordered.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = ordered.map(_._2).sum
+    // ---- adjudication: isolate apparent >2× regressions vs last round.
+    // Floor of 0.75 s keeps noise-band flips of cheap rows (0.05 → 0.12 s)
+    // out; cap of 16 bounds added wall-clock (~16 × ~15 s worst case) —
+    // a healthy run adjudicates 0 rows, a contended one buys its evidence.
+    val suspects = ordered.collect {
+      case (k, v) if v >= 0.75 && prior.get(k).exists(p => v > 2 * p) =>
+        (k, v, prior(k))
+    }.sortBy { case (_, v, p) => p - v }.take(16)
+    val adjudicated = suspects.flatMap { case (k, v, p) =>
+      System.err.println(
+        f"[bench] adjudicating $k: $v%.2f s this run vs $p%.2f s last round")
+      val frag = scratch.resolve(s"adj-$k.json")
+      val ok = forkChunk(Seq(k), frag)
+      val iso =
+        if (ok && java.nio.file.Files.exists(frag))
+          parseFragment(frag).flatMap(_._1.get(k))
+        else None
+      iso.foreach(sec => System.err.println(
+        f"[bench] adjudicated $k: isolated $sec%.2f s"))
+      iso.map(k -> _)
+    }
+    val adjJson = adjudicated
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],"adjudicated":$adjJson}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -113,9 +161,21 @@ object Bench {
     println(summaryLine(total, ordered.size, failed.size))
   }
 
+  /** Previous round's per-query seconds from an existing BENCH_DETAIL.json
+    * (the flat `"queries"` object — same shape parseFragment reads). Empty
+    * map when the file is missing or unparseable: first run adjudicates
+    * nothing, it has no yardstick.
+    */
+  private def readPriorDetail(p: java.nio.file.Path): Map[String, Double] =
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else parseFragment(p).map(_._1).getOrElse(Map.empty)
+
   /** Fork one child with this JVM's own flags + classpath; child stdout is
-    * folded into stderr so only the parent ever writes the driver-parsed
-    * stdout tail. Returns false on spawn failure or nonzero exit.
+    * redirected to a scratch log file (ADVICE r11: INHERIT passed it into
+    * the parent's stdout, where a stray child println could corrupt the
+    * driver-parsed tail) so only the parent ever writes stdout. Child
+    * stderr still flows through for progress. Returns false on spawn
+    * failure or nonzero exit.
     */
   private def forkChunk(chunk: Seq[String], frag: java.nio.file.Path): Boolean =
     try {
@@ -146,7 +206,7 @@ object Bench {
       chunk.foreach(cmd.add)
       val pb = new ProcessBuilder(cmd)
       pb.redirectErrorStream(false)
-      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT) // harmless: child prints nothing parseable
+      pb.redirectOutput(java.io.File.createTempFile("graft-bench-child-", ".out"))
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.start().waitFor() == 0
     } catch { case _: Throwable => false }

@@ -37,11 +37,16 @@ object ScaleStress {
     "embeddings" -> Seq("vec_id"))
 
   def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, only: Set[String] = Set.empty): Unit = {
+    // `only` restricts staging to the tables a targeted stress actually
+    // reads (e.g. the ×100 streaming tier needs events+orders, not a
+    // ×100 lineitem) — dims and unlisted tables still land real-sized so
+    // any query against the scaled dir resolves
     Catalog.tableNames.foreach { t =>
       val df = spark.read.parquet(s"$baseDir/$t.parquet")
+      val wantScale = keyShifts.contains(t) && (only.isEmpty || only(t))
       val scaled =
-        if (!keyShifts.contains(t)) df // dims stay real-sized
+        if (!wantScale) df // dims (and un-targeted facts) stay real-sized
         else (0 until factor).map { k =>
           val shifted = keyShifts(t).foldLeft(df) { (d, c) =>
             d.withColumn(c, col(c) + lit(Shift * k))

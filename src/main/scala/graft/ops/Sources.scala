@@ -804,6 +804,48 @@ object Sources {
              |GROUP BY 1 ORDER BY 1""".stripMargin)
     ),
     Q(
+      "scan_json_variant",
+      // Variant as the SCAN-side semi-structured contract (round-12,
+      // verdict #4): where fn_json_variant parses inline and
+      // sink_variant_roundtrip proves losslessness, this row exercises
+      // the read pattern that matters at 100 TB — parse each payload
+      // ONCE at land time into the binary Variant encoding, then a
+      // downstream query extracts FOUR typed fields from the landed
+      // column. Against a JSON-string column the same query re-parses
+      // the blob once PER FIELD PER ROW (4 GetJsonObject nodes, each a
+      // full Jackson parse); against Variant each access is an O(field)
+      // offset lookup into the already-encoded bytes and the scan plan
+      // contains no JSON parser at all (PlanShapeSpec pins both plan
+      // shapes; EXPLAINS.md records the measured gap). The enriched
+      // payload is synthesized from events columns so the extraction has
+      // real breadth; integer-quantized cents dodge float→JSON→float
+      // roundtrip hazards on both engines.
+      (s, dir) => {
+        val tmp = tmpDir("graft_scanvar_")
+        Tables.events(s, dir)
+          .select(col("event_id"), expr(
+            """parse_json(to_json(named_struct(
+              |  'k', cast(get_json_object(props, '$.k') as bigint),
+              |  'et', event_type,
+              |  'vc', cast(floor(value * 100 + 0.5) as bigint),
+              |  'uid', user_id)))""".stripMargin).as("v"))
+          .write.mode("overwrite").parquet(s"$tmp/t")
+        s.read.parquet(s"$tmp/t")
+          .select(col("event_id"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+            expr("variant_get(v, '$.et', 'string')").as("et"),
+            expr("variant_get(v, '$.vc', 'bigint')").as("vc"),
+            expr("variant_get(v, '$.uid', 'bigint')").as("uid"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |       event_type AS et,
+             |       CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             |       user_id AS uid
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "sink_overwrite_snapshot",
       // Snapshot replace semantics (`dap initdb` re-init): overwrite twice,
       // read back — idempotent, so the oracle is the identity on orders.
@@ -1379,6 +1421,65 @@ object Sources {
              |       CAST(sum(o_orderkey) AS BIGINT)
              |FROM orders
              |ORDER BY _change_type""".stripMargin)
+    ),
+    Q(
+      "scan_table_cdf_range",
+      // BATCH change-data-feed range read (round-12, verdict #2): the
+      // Delta `table_changes(tbl, v1, v2)` surface on the manifest
+      // format. Where stream_table_cdf_deletes TAILS the log,
+      // this row asks one BATCH question — "what changed in versions
+      // [v1, v2]?" — and gets insert rows from the range's new data
+      // files plus key-only delete rows from its equality-delete files,
+      // tagged `_change_type`, schema resolved AT the range end (a later
+      // evolution commit can't leak columns into an older range). The
+      // staging commits five versions (CREATE, two INSERTs, a SQL
+      // DELETE FROM through the SupportsDelta path, a third INSERT) and
+      // reads [3, 4]: exactly the second INSERT + the delete — the
+      // commit BEFORE the range and the commit AFTER it both provably
+      // excluded. At 100 TB this is the reference's incremental pull as
+      // a batch API: a consumer that was down for N versions catches up
+      // with one O(changed rows) scan, no message bus, no full rescan —
+      // and an out-of-range or expired boundary fails loudly instead of
+      // silently under-delivering changes.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", graft.util.catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.cdf_range")
+        // v1: CREATE (empty manifest — table existence IS the manifest)
+        s.sql("""CREATE TABLE graft_cat.marts.cdf_range
+                |(o_orderkey BIGINT NOT NULL, price DOUBLE, st STRING)""".stripMargin)
+        // v2
+        s.sql("""INSERT INTO graft_cat.marts.cdf_range
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)
+        // v3
+        s.sql("""INSERT INTO graft_cat.marts.cdf_range
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin)
+        // v4: equality-delete file over the rows landed so far (%3 ∈ {0,1})
+        s.sql("DELETE FROM graft_cat.marts.cdf_range WHERE st = 'F'")
+        // v5: OUTSIDE the requested range — must not appear
+        s.sql("""INSERT INTO graft_cat.marts.cdf_range
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin)
+        val tableDir = s"${graft.util.catalogWarehouse}/marts/cdf_range"
+        s.read.format("graft.sources.ManifestSink")
+          .option("path", tableDir)
+          .option("changeFeed", "true")
+          .option("startingVersion", "3").option("endingVersion", "4")
+          .load()
+          .select(col("o_orderkey"), col("price"), col("_change_type"))
+          .orderBy(col("_change_type"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, 'insert' AS _change_type
+             |FROM orders WHERE o_orderkey % 3 = 1
+             |UNION ALL
+             |SELECT o_orderkey, CAST(NULL AS DOUBLE), 'delete'
+             |FROM orders
+             |WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F'
+             |ORDER BY _change_type, o_orderkey""".stripMargin)
     ),
     Q(
       "scan_parquet_encrypted",

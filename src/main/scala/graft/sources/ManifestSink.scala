@@ -71,14 +71,21 @@ class ManifestSink extends TableProvider {
       .map(_.schema).getOrElse(new StructType())
     // change-feed reads surface the operation kind as a column — the
     // Delta/Iceberg CDF contract
-    if (options.containsKey("changeFeed")) base.add("_change_type", StringType)
+    if (options.getBoolean("changeFeed", false)) base.add("_change_type", StringType)
     else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new ManifestTable(properties.get("path"), schema,
-      changeFeed = properties.get("changeFeed") != null)
+      properties: util.Map[String, String]): Table = {
+    // ADVICE r11: read the flag through the SAME case-insensitive lens
+    // inferSchema uses — a case-sensitive properties.get here let
+    // .option("changefeed","true") grow the schema by _change_type while
+    // building a non-CDF table, whose reader then silently decoded that
+    // trailing column as NULL on every row
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ManifestTable(opts.get("path"), schema,
+      changeFeed = opts.getBoolean("changeFeed", false))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -103,9 +110,16 @@ object ManifestSink {
     * feeds metadata-only COUNT pushdown; two-field suffixes stay valid).
     */
   def readState(dir: String, versionAsOf: Option[Int] = None): Option[State] =
-    parseState(versionAsOf
-      .map(v => Paths.get(dir, s"manifest.v$v.json"))
-      .getOrElse(Paths.get(dir, "manifest.json")))
+    versionAsOf match {
+      case Some(v) => parseState(Paths.get(dir, s"manifest.v$v.json"))
+      case None =>
+        // pointer file first (the rename-ful protocol); a table whose
+        // commits are all rename-less has NO pointer — resolve by listing
+        // version objects and footer-validating, exactly like its readers
+        // (the pointer is an optimization, never the source of truth)
+        parseState(Paths.get(dir, "manifest.json"))
+          .orElse(readStateRenameless(dir).map(_._2))
+    }
 
   private def parseState(p: java.nio.file.Path): Option[State] = {
     if (!Files.exists(p)) None
@@ -134,6 +148,9 @@ object ManifestSink {
         }
       }
       lines.tail.filter(_.nonEmpty).foreach {
+        // a rename-less version object carries a trailing integrity
+        // footer — metadata, not a file entry
+        case c if c.startsWith("#commit:") => ()
         case t if t.startsWith("#txn:") => txns += t.stripPrefix("#txn:")
         case d if d.startsWith("#del:") =>
           val rest = d.stripPrefix("#del:")
@@ -248,9 +265,47 @@ object ManifestSink {
     java.security.MessageDigest.getInstance("SHA-256").digest(b)
       .map("%02x".format(_)).mkString
 
+  /** The body text of a renameless version object IFF its `#commit:`
+    * footer is present and matches — None for absent, torn, or in-flight
+    * objects (which readers skip and committers may reclaim).
+    */
+  private def validRenamelessBody(p: java.nio.file.Path): Option[String] = {
+    if (!Files.exists(p)) return None
+    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val cut = text.lastIndexOf("\n#commit:")
+    if (cut < 0) None
+    else {
+      val bodyTxt = text.substring(0, cut)
+      val footer = text.substring(cut + "\n#commit:".length).trim
+      Option.when(
+        sha256Hex(bodyTxt.getBytes(StandardCharsets.UTF_8)) == footer)(bodyTxt)
+    }
+  }
+
+  // serializes the torn-slot reclaim below: the overwrite of an invalid
+  // claim is NOT atomic (unlike the CREATE_NEW claim itself), so in-JVM
+  // racers — where Spark driver commits race — take a lock around
+  // re-validate + truncate-write. See the divergence note on
+  // [[casWriteStateRenameless]].
+  private val reclaimLock = new Object
+
   /** Conditional-put commit of `state` as version expected+1. Returns
-    * false iff the slot was already claimed — the caller re-reads and
-    * rebases exactly like [[casWriteState]]'s contract.
+    * false iff the slot was already claimed by a VALID competing commit —
+    * the caller re-reads and rebases exactly like [[casWriteState]]'s
+    * contract.
+    *
+    * Torn-slot reclaim (ADVICE r11): a committer that crashes between
+    * CREATE_NEW and the footer write leaves a claimed-but-invalid object.
+    * Readers skip it, so without reclaim every later commit of this
+    * version computes the same expected version, loses the CREATE_NEW
+    * race to a corpse, and the table livelocks. On REAL S3 this state
+    * cannot exist — a conditional PUT is all-or-nothing, the crash leaves
+    * no object at all and the next CREATE succeeds — so the reclaim path
+    * is purely local-simulation repair for the one way local files are
+    * weaker than S3 PUT (content visible mid-stream). A claim is
+    * reclaimed only when its bytes are footer-invalid AND stable across a
+    * grace re-check (a live writer mid-stream grows the file; a corpse
+    * never does), and the overwrite is serialized in-JVM.
     */
   def casWriteStateRenameless(
       dir: String, expectedVersion: Int, state: State): Boolean = {
@@ -264,7 +319,29 @@ object ManifestSink {
       try Files.newByteChannel(p,
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // slot taken: a valid object is a competing commit — lose and
+          // rebase. An invalid one may be torn (crashed writer) or still
+          // in flight: reclaim only if it stays invalid and size-stable
+          // across the grace window.
+          if (validRenamelessBody(p).isDefined) return false
+          val size0 = try Files.size(p) catch { case _: java.io.IOException => -1L }
+          Thread.sleep(20)
+          return reclaimLock.synchronized {
+            val stillTorn = Files.exists(p) &&
+              validRenamelessBody(p).isEmpty &&
+              (try Files.size(p) == size0 catch { case _: java.io.IOException => false })
+            if (!stillTorn) false
+            else {
+              val c = Files.newByteChannel(p,
+                java.nio.file.StandardOpenOption.WRITE,
+                java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+              try c.write(java.nio.ByteBuffer.wrap(payload)) finally c.close()
+              true
+            }
+          }
+      }
     try ch.write(java.nio.ByteBuffer.wrap(payload)) finally ch.close()
     true
   }
@@ -288,16 +365,9 @@ object ManifestSink {
       }.toSeq.sortBy(-_._1)
       finally listing.close()
     versions.iterator.flatMap { case (v, p) =>
-      val raw = Files.readAllBytes(p)
-      val text = new String(raw, StandardCharsets.UTF_8)
-      val cut = text.lastIndexOf("\n#commit:")
-      if (cut < 0) None
-      else {
-        val bodyTxt = text.substring(0, cut)
-        val footer = text.substring(cut + "\n#commit:".length).trim
-        if (sha256Hex(bodyTxt.getBytes(StandardCharsets.UTF_8)) != footer) None
-        else parseStateLines(bodyTxt.split("\n", -1).toSeq).map(v -> _)
-      }
+      validRenamelessBody(p)
+        .flatMap(bodyTxt => parseStateLines(bodyTxt.split("\n", -1).toSeq))
+        .map(v -> _)
     }.nextOption()
   }
 
@@ -476,6 +546,41 @@ object ManifestSink {
     }
   }
 
+  /** Change set of snapshot range (a, b]: the range's new data files as
+    * `insert` partitions plus its new equality-delete files as `delete`
+    * partitions — the Delta/Iceberg CDF contract. File REMOVALS in the
+    * range (an overwrite/compaction) fail loudly: a change feed cannot
+    * represent them, the consumer must re-seed from the current snapshot.
+    * Shared by the STREAMING feed (offset ranges are (a, b]) and the
+    * BATCH range read ([startingVersion, endingVersion] ≡
+    * (startingVersion-1, endingVersion]) so the two surfaces can never
+    * drift on semantics.
+    */
+  private[sources] def changeSetPartitions(
+      dir: String, a: Int, b: Int): Array[InputPartition] = {
+    val atB = readState(dir, Some(b))
+    val atA = if (a == 0) None else readState(dir, Some(a))
+    val filesB = atB.map(_.files).getOrElse(Seq.empty)
+    val filesA = atA.map(_.files).getOrElse(Seq.empty)
+    val inB = filesB.map(_._1).toSet
+    val removed = filesA.collect { case (f, _) if !inB(f) => f }
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"change feed at $dir cannot represent file removals, but snapshot " +
+        s"range ($a, $b] removed ${removed.size} file(s) (e.g. ${removed.head}) " +
+        "— an overwrite/compaction landed mid-range; re-read from the current snapshot")
+    val seenData = filesA.map(_._1).toSet
+    val seenDel = atA.map(_.deletes.map(_._1).toSet).getOrElse(Set.empty)
+    val inserts = filesB.collect {
+      case (f, _) if !seenData(f) =>
+        ChangeFeedPartition(resolveData(dir, f), isDelete = false): InputPartition
+    }
+    val deletes = atB.map(_.deletes).getOrElse(Seq.empty).collect {
+      case (f, _) if !seenDel(f) =>
+        ChangeFeedPartition(resolveData(dir, f), isDelete = true): InputPartition
+    }
+    (inserts ++ deletes).toArray
+  }
+
   /** Highest retained snapshot version, 0 if none. */
   def latestVersion(dir: String): Int = {
     val d = Paths.get(dir)
@@ -628,6 +733,11 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
         case None =>
           val vOpt = Option(options.get("versionAsOf")).map(_.toInt)
             .orElse(pinnedVersion)
+            // a batch CDF range read resolves schema AT the range's end —
+            // an evolution commit after endingVersion must not leak new
+            // columns into an older range's rows
+            .orElse(if (changeFeed)
+              Option(options.get("endingVersion")).map(_.toInt) else None)
           val st = ManifestSink.readState(dir, vOpt)
           // a requested snapshot that is EXPIRED (or never existed) must
           // fail loudly — an empty read would silently report zero rows
@@ -653,7 +763,11 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
         val statCol = readSch.fields.headOption
           .filter(_.dataType == LongType).map(_.name).getOrElse("")
-        pruning = filters.filter(f => ManifestSink.statsPredicate(f, statCol).isDefined)
+        // CDF scans never prune by stats: a delete partition is a key
+        // list, not a data file — its rows have no min/max interval
+        pruning =
+          if (changeFeed) Array.empty
+          else filters.filter(f => ManifestSink.statsPredicate(f, statCol).isDefined)
         filters
       }
       override def pushedFilters(): Array[sources.Filter] = pruning
@@ -675,7 +789,7 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
             statCol.nonEmpty && nr.fieldNames.sameElements(Array(statCol))
           case _ => false
         }
-        agg.groupByExpressions.isEmpty && st.deletes.isEmpty &&
+        !changeFeed && agg.groupByExpressions.isEmpty && st.deletes.isEmpty &&
           st.files.nonEmpty && pruning.isEmpty &&
           st.files.forall { case (f, _) =>
             st.stats.contains(f) && st.counts.contains(f) } &&
@@ -721,7 +835,10 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       override def estimateStatistics()
           : org.apache.spark.sql.connector.read.Statistics =
         new org.apache.spark.sql.connector.read.Statistics {
-          private val st = state
+          // a CDF scan's cardinality is the RANGE's change volume, not the
+          // table's — declining beats reporting the full table and letting
+          // the planner broadcast a "small" feed that is actually large
+          private val st = if (changeFeed) None else state
           override def sizeInBytes(): java.util.OptionalLong =
             st.flatMap { s0 =>
               // a manifest-listed file missing on disk (stale manifest,
@@ -748,15 +865,47 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       override def build(): Scan = this
       override def readSchema(): StructType =
         pushedAgg.map(aggSchema).getOrElse(readSch)
+
+      // ---- batch CDF range (r11 verdict #2): the Delta `table_changes`
+      // surface. option("changeFeed") + option("startingVersion", v1) /
+      // option("endingVersion", v2) on a BATCH read returns the changes
+      // committed by snapshots [v1, v2] — insert rows from the range's
+      // new data files, key-only delete rows from its equality-delete
+      // files — tagged by `_change_type`. Defaults: full history
+      // ([1, latest]). Out-of-range versions fail loudly (the expired-
+      // snapshot posture): silently clamping would report an incomplete
+      // change set as complete, the one lie an incremental consumer can
+      // never detect downstream.
+      private lazy val cdfRange: (Int, Int) = {
+        val latest = ManifestSink.latestVersion(dir)
+        val lo = Option(options.get("startingVersion")).map(_.toInt).getOrElse(1)
+        val hi = Option(options.get("endingVersion")).map(_.toInt).getOrElse(latest)
+        if (latest == 0) throw new IllegalStateException(
+          s"table at $dir has no committed snapshots — no changes to read")
+        if (lo < 1 || hi > latest || lo > hi) throw new IllegalArgumentException(
+          s"invalid change range [$lo, $hi] at $dir (retained versions: 1..$latest)")
+        // every version in [lo-1, hi] the diff touches must still be
+        // retained — an expired boundary silently widens the change set
+        val need = if (lo == 1) Seq(hi) else Seq(lo - 1, hi)
+        need.foreach { v =>
+          if (ManifestSink.readState(dir, Some(v)).isEmpty)
+            throw new IllegalStateException(
+              s"snapshot v$v at $dir does not exist (expired or never committed) — " +
+                "cannot compute the change set of a range whose boundary is gone")
+        }
+        (lo, hi)
+      }
+
       override def toBatch: Batch = {
-        // the batch reader decodes plain data files; it cannot tag
-        // operations — fail loudly instead of mis-decoding 4-col rows
-        if (changeFeed) throw new IllegalStateException(
-          "changeFeed is a streaming-only read option — use readStream")
+        if (changeFeed) cdfRange // validate the range at planning time
         this
       }
       override def planInputPartitions(): Array[InputPartition] =
-        state.map { st =>
+        if (changeFeed) {
+          val (lo, hi) = cdfRange
+          // [lo, hi] inclusive ≡ the streaming feed's (lo-1, hi]
+          ManifestSink.changeSetPartitions(dir, lo - 1, hi)
+        } else state.map { st =>
           pushedAgg match {
             case Some(agg) =>
               Array(ManifestAggPartition(aggAnswer(agg, st)): InputPartition)
@@ -778,7 +927,8 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
           }
         }.getOrElse(Array.empty)
       override def createReaderFactory(): PartitionReaderFactory =
-        pushedAgg match {
+        if (changeFeed) new ChangeFeedReaderFactory(readSch)
+        else pushedAgg match {
           case Some(agg) => new ManifestAggReaderFactory(aggSchema(agg))
           case None => new ManifestReaderFactory(readSch)
         }
@@ -865,31 +1015,10 @@ private[sources] class ManifestChangeFeedStream(dir: String, schema: StructType)
   override def deserializeOffset(json: String): Offset =
     ManifestVersionOffset(json.trim.toInt)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[ManifestVersionOffset].version
-    val b = end.asInstanceOf[ManifestVersionOffset].version
-    val atB = ManifestSink.readState(dir, Some(b))
-    val atA = if (a == 0) None else ManifestSink.readState(dir, Some(a))
-    val filesB = atB.map(_.files).getOrElse(Seq.empty)
-    val filesA = atA.map(_.files).getOrElse(Seq.empty)
-    val inB = filesB.map(_._1).toSet
-    val removed = filesA.collect { case (f, _) if !inB(f) => f }
-    if (removed.nonEmpty) throw new IllegalStateException(
-      s"change feed at $dir cannot represent file removals, but snapshot " +
-        s"range ($a, $b] removed ${removed.size} file(s) (e.g. ${removed.head}) " +
-        "— an overwrite/compaction landed mid-stream; restart from the current snapshot")
-    val seenData = filesA.map(_._1).toSet
-    val seenDel = atA.map(_.deletes.map(_._1).toSet).getOrElse(Set.empty)
-    val inserts = filesB.collect {
-      case (f, _) if !seenData(f) =>
-        ChangeFeedPartition(ManifestSink.resolveData(dir, f), isDelete = false): InputPartition
-    }
-    val deletes = atB.map(_.deletes).getOrElse(Seq.empty).collect {
-      case (f, _) if !seenDel(f) =>
-        ChangeFeedPartition(ManifestSink.resolveData(dir, f), isDelete = true): InputPartition
-    }
-    (inserts ++ deletes).toArray
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ManifestSink.changeSetPartitions(dir,
+      start.asInstanceOf[ManifestVersionOffset].version,
+      end.asInstanceOf[ManifestVersionOffset].version)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangeFeedReaderFactory(schema)

@@ -50,14 +50,23 @@ object SurveyTable {
       val comment: Seq[String] =
         if (after.nonEmpty) after.toSeq else before
       val text0 = comment.mkString(" ").replaceAll("\\s+", " ")
-      // first sentence-ish chunk, pipe-safe, capped for table readability
+      // pipe-safe; capped for table readability at a SENTENCE boundary
+      // (r11 verdict #7: the old hard 220-char cut truncated mid-sentence)
       val text1 = text0.replace("|", "\\|")
       val cut =
         if (text1.length <= 220) text1
         else {
-          val c = text1.take(220)
-          val sp = c.lastIndexOf(' ')
-          (if (sp > 120) c.take(sp) else c) + " …"
+          // complete the first sentence when it ends within a generous
+          // window; ellipsize at a word boundary only for the rare
+          // boundary-free comment
+          val idx = text1.indexOf(". ")
+          if (idx >= 0 && idx < 400) text1.take(idx + 1)
+          else if (text1.indexOf('.') == text1.length - 1) text1
+          else {
+            val c = text1.take(300)
+            val sp = c.lastIndexOf(' ')
+            (if (sp > 120) c.take(sp) else c) + " …"
+          }
         }
       (s"`${srcRoot.getFileSystem.getPath("").toAbsolutePath.relativize(p.toAbsolutePath)}:${i + 1}`",
         if (cut.isEmpty) "core row — capability text in its §2.1–2.12 table above" else cut)

@@ -486,4 +486,83 @@ class ManifestSinkSpec extends AnyFunSuite {
     val (vAfter, stAfter) = ManifestSink.readStateRenameless(dir).get
     assert(vAfter === finalV && stAfter.files.size === files.size)
   }
+
+  test("rename-less commit: a torn claim is reclaimed, a valid commit is not (r11 ADVICE)") {
+    // A committer that died between CREATE_NEW and the footer write left
+    // a claimed-but-invalid v1. Without reclaim the table livelocks:
+    // readers resolve v0 forever, every committer computes expected=0,
+    // and every CREATE_NEW of v1 loses to the corpse. (On real S3 a
+    // conditional PUT is all-or-nothing — the crash leaves NO object —
+    // so this repair path exists only because local files, unlike S3,
+    // expose partial writes.)
+    val dir = freshDir()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "manifest.v1.json"),
+      "half-written garbage, no footer"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(ManifestSink.readStateRenameless(dir).isEmpty,
+      "a torn object must never resolve as state")
+    val st = ManifestSink.State(schema, Seq(("data-a.txt", 1)), Seq.empty, Set.empty)
+    assert(ManifestSink.casWriteStateRenameless(dir, 0, st),
+      "commit over a stable torn claim must reclaim the slot, not livelock")
+    val (v, got) = ManifestSink.readStateRenameless(dir).get
+    assert(v === 1 && got.files.map(_._1) === Seq("data-a.txt"))
+    // but a VALID competing commit still wins: the same CAS at the same
+    // version now loses cleanly (returns false) and changes nothing
+    val st2 = ManifestSink.State(schema, Seq(("data-b.txt", 1)), Seq.empty, Set.empty)
+    assert(!ManifestSink.casWriteStateRenameless(dir, 0, st2))
+    assert(ManifestSink.readStateRenameless(dir).get._2
+      .files.map(_._1) === Seq("data-a.txt"))
+  }
+
+  test("batch CDF range read: inclusive bounds, evolution boundary inside the range, loud out-of-range (r11 verdict #2)") {
+    val dir = freshDir()
+    def cdf(opts: (String, String)*) = {
+      val r = spark.read.format("graft.sources.ManifestSink")
+        .option("path", dir).option("changeFeed", "true")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    // v1: two-column schema
+    (0L until 4L).map(i => (i, i * 1.5)).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .mode("overwrite").save()
+    // v2: ADD COLUMN — a schema-only commit (what GraftCatalog.alterTable
+    // publishes); the evolution boundary sits INSIDE the ranges below and
+    // v1's narrower files must decode with a NULL trailing column
+    val st1 = ManifestSink.readState(dir).get
+    ManifestSink.writeState(dir, st1.copy(schema = st1.schema.add(
+      "s", org.apache.spark.sql.types.StringType)))
+    // v3: data in the widened schema
+    (10L until 14L).map(i => (i, i * 1.5, s"s$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .mode("append").save()
+    // v4: outside the [1, 3] range
+    (20L until 22L).map(i => (i, i * 1.5, s"s$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .mode("append").save()
+    val r13 = cdf("startingVersion" -> "1", "endingVersion" -> "3")
+    assert(r13.columns.toSeq === Seq("k", "v", "s", "_change_type"),
+      "schema resolves at the range END, plus the change-type tag")
+    val rows = r13.collect().map(r =>
+      (r.getLong(0), r.isNullAt(2), r.getString(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L), "inclusive [1, 3], v4 excluded")
+    assert(rows.forall(_._3 == "insert"))
+    assert(rows.filter(_._1 < 10).forall(_._2),
+      "pre-evolution rows surface the added column as NULL")
+    assert(rows.filterNot(_._1 < 10).forall(!_._2))
+    // single-version slice [3, 3]
+    val r33 = cdf("startingVersion" -> "3", "endingVersion" -> "3")
+      .select("k").collect().map(_.getLong(0)).sorted
+    assert(r33.toSeq === Seq(10L, 11L, 12L, 13L))
+    // default range = full history
+    assert(cdf().count() === 10)
+    // out-of-range and inverted ranges fail loudly (never clamp)
+    intercept[Exception] { cdf("endingVersion" -> "9").count() }
+    intercept[Exception] {
+      cdf("startingVersion" -> "4", "endingVersion" -> "3").count() }
+  }
 }

@@ -202,10 +202,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.isNullAt(1) && r.isNullAt(2),
         s"delete row must NULL the non-key payload: $r")
     }
-    // batch reads cannot represent change types — loud failure, not rows
+    // batch CDF (r12): a full-history range read returns exactly what the
+    // stream delivered — the two surfaces share one change-set planner
+    val batch = spark.read.format("graft.sources.ManifestSink")
+      .option("path", tableDir).option("changeFeed", "true").load()
+      .groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batch("insert") === rows("insert")._1)
+    assert(batch("delete") === rows("delete")._1)
+    // an out-of-range version still fails loudly — silently clamping
+    // would under-deliver changes without any downstream signal
     val e = intercept[Exception] {
       spark.read.format("graft.sources.ManifestSink")
-        .option("path", tableDir).option("changeFeed", "true").load().count()
+        .option("path", tableDir).option("changeFeed", "true")
+        .option("endingVersion", "999").load().count()
     }
     assert(e.getMessage != null)
   }

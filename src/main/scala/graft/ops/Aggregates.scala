@@ -84,6 +84,61 @@ object Aggregates {
 
   val defs: Seq[Q] = Seq(
     Q(
+      "feat_woe_iv",
+      // Weight-of-evidence encoding + information value (round-12): the
+      // credit-scoring-lineage categorical encoder — per bucket,
+      // woe = ln(good-share / bad-share) with half-count smoothing (the
+      // ±0.5 Laplace guard that keeps single-class buckets finite), plus
+      // the bucket's IV term (good% − bad%)·woe, whose sum screens
+      // features by predictive power before a fit. Target: order fell
+      // through ('F'). The ln argument is assembled as ONE exact rational
+      // — (good_i+0.5)(B+2.5) / (bad_i+0.5)(G+2.5) — so both engines take
+      // ln of the identical double and r2 absorbs the libm ulp. Scale:
+      // one map-side conditional aggregate to k bucket rows, totals via a
+      // window over those k rows — O(buckets) everything after the scan.
+      (s, dir) => {
+        val byBucket = Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(
+            sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("n_good"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_bad"))
+        val w = Window.partitionBy(lit(1))
+        byBucket
+          .withColumn("g_tot", sum(col("n_good")).over(w))
+          .withColumn("b_tot", sum(col("n_bad")).over(w))
+          .withColumn("woe_raw", expr(
+            """ln(((CAST(n_good AS DOUBLE) + 0.5) * (CAST(b_tot AS DOUBLE) + 2.5)) /
+              |   ((CAST(n_bad AS DOUBLE) + 0.5) * (CAST(g_tot AS DOUBLE) + 2.5)))""".stripMargin))
+          .select(col("priority"), col("n_good"), col("n_bad"),
+            util.r2(col("woe_raw")).as("woe"),
+            util.r2((col("n_good").cast("double") / col("g_tot").cast("double") -
+              col("n_bad").cast("double") / col("b_tot").cast("double")) *
+              col("woe_raw")).as("iv_term"))
+          .orderBy(col("priority"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT o_orderpriority AS priority,
+              |         CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+              |         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+              |  FROM orders GROUP BY 1),
+              |t AS (
+              |  SELECT priority, n_good, n_bad,
+              |         CAST(sum(n_good) OVER () AS BIGINT) AS g_tot,
+              |         CAST(sum(n_bad) OVER () AS BIGINT) AS b_tot
+              |  FROM b),
+              |r AS (
+              |  SELECT priority, n_good, n_bad, g_tot, b_tot,
+              |         ln(((CAST(n_good AS DOUBLE) + 0.5) * (CAST(b_tot AS DOUBLE) + 2.5)) /
+              |            ((CAST(n_bad AS DOUBLE) + 0.5) * (CAST(g_tot AS DOUBLE) + 2.5))) AS woe_raw
+              |  FROM t)
+              |SELECT priority, n_good, n_bad,
+              |       ${util.r2sql("woe_raw")} AS woe,
+              |       ${util.r2sql(
+                 "(CAST(n_good AS DOUBLE) / CAST(g_tot AS DOUBLE) - " +
+                   "CAST(n_bad AS DOUBLE) / CAST(b_tot AS DOUBLE)) * woe_raw")} AS iv_term
+              |FROM r ORDER BY priority""".stripMargin)
+    ),
+    Q(
       "feat_target_encoding_loo",
       // Leave-one-out target encoding (round-11): the tabular-ML feature
       // for high-cardinality categoricals — encode each row's category by

@@ -52,6 +52,21 @@ object Eval {
       |  FROM embeddings, generate_series(1, 64) AS g(i)
       |  GROUP BY vec_id)""".stripMargin
 
+
+  /** The Bradley–Terry MM update, one shared expression string per
+    * parameter — evaluated verbatim by Spark (selectExpr) and DuckDB
+    * (CTE), so both engines run the exact same float op sequence.
+    */
+  private val btUpdates: Seq[(String, String)] = Seq(
+    "p0" -> ("(w01 + w02) / ((w01 + w10) / (p0 + p1) + (w02 + w20) / (p0 + p2))"),
+    "p1" -> ("(w10 + w12) / ((w01 + w10) / (p1 + p0) + (w12 + w21) / (p1 + p2))"),
+    "p2" -> ("(w20 + w21) / ((w02 + w20) / (p2 + p0) + (w12 + w21) / (p2 + p1))"))
+
+  private def btIterSql(name: String, prev: String): String =
+    s"""$name AS (SELECT w01, w10, w02, w20, w12, w21,
+       |  ${btUpdates.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+       |  FROM $prev)""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q(
       "eval_auc_ranksum",
@@ -564,5 +579,143 @@ object Eval {
              |       (1000000 * CAST(sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT))
              |         // CAST(count(*) AS BIGINT) AS winrate_e6
              |FROM p GROUP BY pair ORDER BY pair""".stripMargin)
+    ),
+    Q(
+      "eval_bradley_terry_strength",
+      // Bradley–Terry strength fit over the pairwise arena (round-12):
+      // eval_pairwise_winrate's raw win matrix ranks models only
+      // per-pair; Bradley–Terry turns it into GLOBAL strengths — the
+      // model behind Elo-style LLM leaderboards (win P(i beats j) =
+      // p_i/(p_i+p_j)). Fit by 3 unrolled iterations of the classic MM
+      // update p_i ← W_i / Σ_j n_ij/(p_i+p_j) from a flat start, ties
+      // excluded (standard BT). The UPDATE EXPRESSIONS are one shared
+      // string per parameter evaluated by BOTH engines ([[btUpdates]]),
+      // so the float division sequences are structurally identical and
+      // the normalized strengths hash-match after r2. Scale: the corpus
+      // collapses to a models² win matrix in one map-side aggregate
+      // (6 scalars here); the iteration is O(models²) per step on ONE
+      // row — at 100 TB the fit costs the same as at sf0.001, only the
+      // count pass scales.
+      (s, dir) => {
+        val scored = Tables(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("m0"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("m1"),
+          expr("(doc_id % 1000003) * 2654435761 % 1000000007 % 97").as("m2"))
+        val w = scored.agg(
+          expr("CAST(sum(CASE WHEN m0 > m1 THEN 1 ELSE 0 END) AS DOUBLE)").as("w01"),
+          expr("CAST(sum(CASE WHEN m1 > m0 THEN 1 ELSE 0 END) AS DOUBLE)").as("w10"),
+          expr("CAST(sum(CASE WHEN m0 > m2 THEN 1 ELSE 0 END) AS DOUBLE)").as("w02"),
+          expr("CAST(sum(CASE WHEN m2 > m0 THEN 1 ELSE 0 END) AS DOUBLE)").as("w20"),
+          expr("CAST(sum(CASE WHEN m1 > m2 THEN 1 ELSE 0 END) AS DOUBLE)").as("w12"),
+          expr("CAST(sum(CASE WHEN m2 > m1 THEN 1 ELSE 0 END) AS DOUBLE)").as("w21"))
+        val wcols = Seq("w01", "w10", "w02", "w20", "w12", "w21")
+        val start = w.selectExpr(wcols ++ Seq(
+          "CAST(1 AS DOUBLE) AS p0", "CAST(1 AS DOUBLE) AS p1",
+          "CAST(1 AS DOUBLE) AS p2"): _*)
+        val fitted = (1 to 3).foldLeft(start) { (df, _) =>
+          df.selectExpr(wcols ++ btUpdates.map { case (n, e) => s"$e AS $n" }: _*)
+        }
+        fitted.selectExpr(
+          "stack(3, 'm0', p0 / (p0 + p1 + p2), 'm1', p1 / (p0 + p1 + p2), " +
+            "'m2', p2 / (p0 + p1 + p2)) AS (model, raw)")
+          .select(col("model"), graft.util.r2(col("raw")).as("strength"))
+          .orderBy(col("model"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT doc_id,
+              |         CAST(len(string_split(text, ' ')) AS BIGINT) AS m0,
+              |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS m1,
+              |         (doc_id % 1000003) * 2654435761 % 1000000007 % 97 AS m2
+              |  FROM documents),
+              |w AS (
+              |  SELECT CAST(sum(CASE WHEN m0 > m1 THEN 1 ELSE 0 END) AS DOUBLE) AS w01,
+              |         CAST(sum(CASE WHEN m1 > m0 THEN 1 ELSE 0 END) AS DOUBLE) AS w10,
+              |         CAST(sum(CASE WHEN m0 > m2 THEN 1 ELSE 0 END) AS DOUBLE) AS w02,
+              |         CAST(sum(CASE WHEN m2 > m0 THEN 1 ELSE 0 END) AS DOUBLE) AS w20,
+              |         CAST(sum(CASE WHEN m1 > m2 THEN 1 ELSE 0 END) AS DOUBLE) AS w12,
+              |         CAST(sum(CASE WHEN m2 > m1 THEN 1 ELSE 0 END) AS DOUBLE) AS w21
+              |  FROM s),
+              |i0 AS (SELECT w01, w10, w02, w20, w12, w21,
+              |              CAST(1 AS DOUBLE) AS p0, CAST(1 AS DOUBLE) AS p1,
+              |              CAST(1 AS DOUBLE) AS p2 FROM w),
+              |${btIterSql("i1", "i0")},
+              |${btIterSql("i2", "i1")},
+              |${btIterSql("i3", "i2")}
+              |SELECT model, ${graft.util.r2sql("raw")} AS strength FROM (
+              |  SELECT 'm0' AS model, p0 / (p0 + p1 + p2) AS raw FROM i3
+              |  UNION ALL SELECT 'm1', p1 / (p0 + p1 + p2) FROM i3
+              |  UNION ALL SELECT 'm2', p2 / (p0 + p1 + p2) FROM i3)
+              |ORDER BY model""".stripMargin)
+    ),
+    Q(
+      "eval_krippendorff_alpha",
+      // Krippendorff's alpha, nominal data (round-12): inter-annotator
+      // agreement for labeling pipelines — unlike Cohen's kappa
+      // (eval/stat tier, 2 raters) alpha handles ANY rater count via the
+      // coincidence-matrix identity. Three deterministic "annotators"
+      // label every document (lang; lang with a doc_id%7 'xx' defector;
+      // lang with a doc_id%5 source defector), then
+      //   Do = Σ_u Σ_c n_uc·(m − n_uc) / (n·m·(m−1)),
+      //   De = Σ_c N_c·(N − N_c) / (N·(N−1)),  α = 1 − Do/De
+      // — every term an exact BIGINT until the final two divisions, so
+      // the only float ops are shared and r2-pinned. Scale: one explode
+      // to (unit, label) counts, one global label census; output is a
+      // single row at any corpus size; at 100 TB this is the agreement
+      // gate run over sampled human/LLM-judge labels before a labeling
+      // run is trusted.
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val stacked = d.selectExpr("doc_id", "lang AS lab")
+          .unionAll(d.selectExpr("doc_id",
+            "CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS lab"))
+          .unionAll(d.selectExpr("doc_id",
+            "CASE WHEN doc_id % 5 = 0 THEN source ELSE lang END AS lab"))
+        val unitCounts = stacked.groupBy(col("doc_id"), col("lab"))
+          .agg(count(lit(1)).as("nuc"))
+        val doNum = unitCounts
+          .agg(sum(col("nuc") * (lit(3L) - col("nuc"))).as("do_num"),
+            (countDistinct(col("doc_id"))).as("n_units"))
+        val deNum = unitCounts.groupBy(col("lab"))
+          .agg(sum(col("nuc")).as("nc"))
+          .withColumn("n_total",
+            sum(col("nc")).over(Window.partitionBy(lit(1))))
+          .agg(sum(col("nc") * (col("n_total") - col("nc"))).as("de_num"),
+            max(col("n_total")).as("n_total"))
+        doNum.crossJoin(deNum)
+          .select(col("n_units"), col("do_num").as("disagree_pairs"),
+            graft.util.r2(lit(1.0) -
+              (col("do_num").cast("double") /
+                (col("n_units") * 3 * 2).cast("double")) /
+              (col("de_num").cast("double") /
+                (col("n_total") * (col("n_total") - 1)).cast("double")))
+              .as("alpha"))
+          .orderBy(col("n_units"))
+      },
+      Some(s"""WITH stacked AS (
+              |  SELECT doc_id, lang AS lab FROM documents
+              |  UNION ALL
+              |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END
+              |  FROM documents
+              |  UNION ALL
+              |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN source ELSE lang END
+              |  FROM documents),
+              |uc AS (
+              |  SELECT doc_id, lab, CAST(count(*) AS BIGINT) AS nuc
+              |  FROM stacked GROUP BY doc_id, lab),
+              |don AS (
+              |  SELECT CAST(sum(nuc * (3 - nuc)) AS BIGINT) AS do_num,
+              |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_units
+              |  FROM uc),
+              |lc AS (SELECT lab, CAST(sum(nuc) AS BIGINT) AS nc FROM uc GROUP BY lab),
+              |lct AS (SELECT lab, nc, CAST(sum(nc) OVER () AS BIGINT) AS n_total FROM lc),
+              |den AS (
+              |  SELECT CAST(sum(nc * (n_total - nc)) AS BIGINT) AS de_num,
+              |         CAST(max(n_total) AS BIGINT) AS n_total
+              |  FROM lct)
+              |SELECT n_units, do_num AS disagree_pairs,
+              |       ${graft.util.r2sql(
+                 "1.0 - (CAST(do_num AS DOUBLE) / CAST(n_units * 3 * 2 AS DOUBLE)) / " +
+                   "(CAST(de_num AS DOUBLE) / CAST(n_total * (n_total - 1) AS DOUBLE))")} AS alpha
+              |FROM don, den ORDER BY n_units""".stripMargin)
     ))
 }

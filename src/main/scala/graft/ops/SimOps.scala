@@ -966,6 +966,16 @@ object SimOps {
       "sim_centroid_by_label",
       // Mean vector per label via posexplode → (label, pos) partial avg —
       // the shuffle carries label×dim rows, never whole vectors.
+      // Cost posture (r11 verdict #6, ACCEPTED): the isolated ~0.5 s at
+      // sf0.1 is the explode shuffle's constant (rows×64 8-byte cells +
+      // per-row group keys). A fused order-pinned vector-sum aggregate
+      // (the LongVectorOps pattern, but as a TypedImperativeAggregate)
+      // would shuffle one 64-double buffer per (partition × label)
+      // instead — worth it only when labels×dim rows dominate the stage,
+      // which at label-cardinality ~10 they never do here; the explode
+      // form keeps the whole plan in built-in codegen'd operators and
+      // partial aggregation already collapses the shuffle to
+      // labels×dim×partitions rows.
       (s, dir) => {
         Tables(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))

@@ -846,6 +846,49 @@ object Sources {
              |FROM events ORDER BY event_id""".stripMargin)
     ),
     Q(
+      "scan_variant_shredded",
+      // Variant SHREDDING (round-12) — the storage half of the variant
+      // story: with writeShredding + inferShreddingSchema the parquet
+      // writer decomposes each variant into real typed leaf columns
+      // (`typed_value` groups: k int64, et string, uid int64 — pinned on
+      // the footer by VariantShredSpec), and with pushVariantIntoScan the
+      // optimizer rewrites typed `variant_get`s into STRUCT FIELD reads
+      // pushed into the scan — ReadSchema prunes to exactly the accessed
+      // fields (`struct<0:bigint,…>`), no variant decode anywhere in the
+      // plan. Where scan_json_variant proves "parse once, extract from
+      // the encoded form", this row proves "shred once, never even
+      // decode": at 100 TB the two compose into columnar economics for
+      // semi-structured payloads — min/max stats, dictionary encoding and
+      // column pruning all apply to fields inside what the writer was
+      // handed as opaque JSON. Values are ints/strings so the
+      // shred-reassemble roundtrip is bit-exact against the oracle's
+      // direct relational replay.
+      (s, dir) => {
+        val tmp = tmpDir("graft_shred_")
+        withScopedConfs(s, Seq(
+          "spark.sql.variant.writeShredding.enabled" -> "true",
+          "spark.sql.variant.inferShreddingSchema" -> "true")) {
+          Tables.events(s, dir)
+            .select(col("event_id"), expr(
+              """parse_json(to_json(named_struct(
+                |  'k', cast(get_json_object(props, '$.k') as bigint),
+                |  'et', event_type,
+                |  'uid', user_id)))""".stripMargin).as("v"))
+            .write.mode("overwrite").parquet(s"$tmp/t")
+        }
+        s.read.parquet(s"$tmp/t")
+          .select(col("event_id"),
+            expr("variant_get(v, '$.k', 'bigint')").as("k_val"),
+            expr("variant_get(v, '$.et', 'string')").as("et"),
+            expr("variant_get(v, '$.uid', 'bigint')").as("uid"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |       event_type AS et, user_id AS uid
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    Q(
       "sink_overwrite_snapshot",
       // Snapshot replace semantics (`dap initdb` re-init): overwrite twice,
       // read back — idempotent, so the oracle is the identity on orders.
@@ -1332,6 +1375,40 @@ object Sources {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
              |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "sink_renameless_commit",
+      // The S3-POSTURE commit on the real write path (round-12): with
+      // `option("commitMode", "renameless")` the DSv2 write publishes via
+      // conditional-put semantics — the version object itself is the
+      // claim (exclusive CREATE of its final name + a self-validating
+      // #commit footer), NO pointer file exists, and readers resolve
+      // state by listing version objects and taking the highest
+      // footer-valid one. This is the protocol that transfers to object
+      // stores, where the default path's tmp + ATOMIC_MOVE does not (S3
+      // has no rename): at 100 TB every landing table commits this way,
+      // and a committer crash mid-upload leaves an invalid object that
+      // readers skip and later committers reclaim, never a torn table.
+      // Two appends through the mode, plain read back (the read path
+      // falls back to list-and-validate when no pointer exists) — the
+      // oracle is the identity, and ManifestSinkSpec races concurrent
+      // DataFrame writers through the same mode.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val t = tmpDir("graft_rnls_")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", t)
+          .option("commitMode", "renameless").mode("append").save()
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.format(fmt).option("path", t)
+          .option("commitMode", "renameless").mode("append").save()
+        s.read.format(fmt).option("path", t).load()
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
       "stream_from_table_feed",

@@ -1958,6 +1958,74 @@ object Windows {
              |FROM (SELECT DISTINCT user_id FROM t) e ORDER BY user_id""".stripMargin)
     ),
     Q(
+      "ts_sax_motif",
+      // SAX-style symbolic series encoding (round-12): per user, the
+      // cents series (ordered by ts, event_id tiebreak, truncated to a
+      // multiple of 8) folds to 8 PAA segments (piecewise aggregate sums)
+      // and each segment discretizes to a 4-letter alphabet — yielding an
+      // 8-char WORD per user, then corpus-level motif frequencies (the
+      // "which activity shapes recur" question SAX exists to answer,
+      // here as the pre-clustering screen for behavioral cohorts).
+      // Discretization is RANK-based (ntile(4) over segment sums with a
+      // segment-index tiebreak) instead of classic z-normalized Gaussian
+      // breakpoints: ranks are exact integer logic, so the word is
+      // bit-identical cross-engine, where a float z-score at a breakpoint
+      // boundary could flip a letter by one ulp. Scale: one shuffle onto
+      // user_id, a hash aggregate to 8 rows per user, an O(8)-row window
+      // per user, and an O(distinct words) census — the raw series never
+      // leaves its partition.
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val segs = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+          .withColumn("rn", row_number().over(wOrd).cast("long") - 1)
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .filter(col("cnt") >= 8 && col("rn") < (col("cnt") / 8).cast("long") * 8)
+          .withColumn("seg", expr("rn div (cnt div 8)"))
+          .groupBy(col("user_id"), col("seg"))
+          .agg(sum(col("c")).as("segsum"))
+        val sym = segs.withColumn("q",
+          ntile(4).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("segsum"), col("seg"))).cast("long"))
+          .withColumn("sym", expr(
+            "CASE WHEN q = 1 THEN 'a' WHEN q = 2 THEN 'b' WHEN q = 3 THEN 'c' ELSE 'd' END"))
+        sym.groupBy(col("user_id"))
+          .agg(concat_ws("", expr(
+            "transform(array_sort(collect_list(struct(seg, sym))), x -> x.sym)"))
+            .as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("word"))
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             |         CAST(row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS BIGINT) - 1 AS rn,
+             |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS cnt
+             |  FROM events),
+             |segs AS (
+             |  SELECT user_id, rn // (cnt // 8) AS seg,
+             |         CAST(sum(c) AS BIGINT) AS segsum
+             |  FROM base WHERE cnt >= 8 AND rn < (cnt // 8) * 8
+             |  GROUP BY user_id, rn // (cnt // 8)),
+             |sym AS (
+             |  SELECT user_id, seg, segsum,
+             |         CAST(ntile(4) OVER (PARTITION BY user_id
+             |           ORDER BY segsum, seg) AS BIGINT) AS q
+             |  FROM segs),
+             |words AS (
+             |  SELECT user_id,
+             |         string_agg(CASE WHEN q = 1 THEN 'a' WHEN q = 2 THEN 'b'
+             |                         WHEN q = 3 THEN 'c' ELSE 'd' END,
+             |                    '' ORDER BY seg) AS word
+             |  FROM sym GROUP BY user_id)
+             |SELECT word, CAST(count(*) AS BIGINT) AS n_users
+             |FROM words GROUP BY word ORDER BY word""".stripMargin)
+    ),
+    Q(
       "ts_stl_decompose",
       // Classical seasonal decomposition (round-9): daily revenue split
       // into trend + weekday-seasonal + residual — the additive

@@ -681,7 +681,8 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       Option(info.options.get("branch")),
       Option(info.options.get("clusterBy")),
       Option(info.options.get("sortBy")),
-      Option(info.options.get("numPartitions")))
+      Option(info.options.get("numPartitions")),
+      Option(info.options.get("commitMode")))
 
   /** Row-level SQL (MERGE / UPDATE / DELETE) as a DELTA operation
     * (merge-on-read): Spark routes inserts to [[DeltaWriter.insert]] and
@@ -1137,7 +1138,7 @@ private[sources] class ManifestReaderFactory(schema: StructType)
 private[sources] class ManifestWriteBuilder(dir: String, schema: StructType,
     txnId: Option[String], branch: Option[String] = None,
     clusterBy: Option[String] = None, sortBy: Option[String] = None,
-    numPartitions: Option[String] = None)
+    numPartitions: Option[String] = None, commitMode: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var isTruncate = false
   override def truncate(): WriteBuilder = { isTruncate = true; this }
@@ -1158,7 +1159,8 @@ private[sources] class ManifestWriteBuilder(dir: String, schema: StructType,
         Expressions.sort(Expressions.column(c.trim),
           expressions.SortDirection.ASCENDING))
     override def toBatch: BatchWrite =
-      new ManifestBatchWrite(dir, schema, isTruncate, txnId, branch)
+      new ManifestBatchWrite(dir, schema, isTruncate, txnId, branch,
+        renameless = commitMode.exists(_.equalsIgnoreCase("renameless")))
   }
 }
 
@@ -1170,9 +1172,17 @@ private[sources] case class CommittedDelta(
     dataFile: Option[String], deleteFile: Option[String])
     extends WriterCommitMessage
 
+/** @param renameless publish through the S3-posture conditional-put
+  *   protocol ([[ManifestSink.casWriteStateRenameless]]): the version
+  *   object itself is the claim, there is NO pointer file, and readers
+  *   resolve by listing + footer validation. A table's committers must
+  *   all use ONE protocol — the two claim mechanisms (.claim markers vs
+  *   CREATE_NEW of the object) cannot arbitrate against each other.
+  */
 private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
     truncate: Boolean, txnId: Option[String] = None,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None, renameless: Boolean = false)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(dir, schema)
@@ -1213,10 +1223,22 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
       // loser that re-read in that window rebased onto the PRE-winner
       // state while CASing at the winner's version+1, silently dropping
       // the winner's files from the new latest snapshot.
-      val expected = ManifestSink.latestVersion(dir)
-      val versioned =
-        if (expected > 0) ManifestSink.readState(dir, Some(expected))
-        else ManifestSink.readState(dir) // pre-CAS legacy table
+      val (expected, versioned) =
+        if (renameless)
+          // resolve exactly like a rename-less reader: highest
+          // footer-VALID version object (prior state and CAS expectation
+          // come from the same resolution, so a rebase can never stack
+          // onto a version the CAS doesn't expect)
+          ManifestSink.readStateRenameless(dir) match {
+            case Some((v, st)) => (v, Some(st))
+            case None => (0, None)
+          }
+        else {
+          val e = ManifestSink.latestVersion(dir)
+          (e,
+            if (e > 0) ManifestSink.readState(dir, Some(e))
+            else ManifestSink.readState(dir)) // pre-CAS legacy table
+        }
       val prior = branch match {
         case Some(b) => ManifestSink.readBranchState(dir, b).orElse(versioned)
         case None => versioned
@@ -1242,7 +1264,10 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
             // query owns its WAP branch) — pointer swap, no version CAS
             ManifestSink.writeBranchState(dir, b, next); committed = true
           case None =>
-            committed = ManifestSink.casWriteState(dir, expected, next)
+            committed =
+              if (renameless)
+                ManifestSink.casWriteStateRenameless(dir, expected, next)
+              else ManifestSink.casWriteState(dir, expected, next)
             if (!committed) Thread.sleep(1)
         }
       }

@@ -69,7 +69,11 @@ private[sources] class SpjTable(dir: String, schema: StructType)
           ds.asScala.toSeq.map { p =>
             val v = p.getFileName.toString.stripPrefix("bucket=").toLong
             val files = Files.list(p)
-            val names = try files.iterator().asScala.map(_.toString).toSeq.sorted
+            // skip in-flight attempt files: only ATOMIC_MOVE-published
+            // names are data (the stager's exactly-once contract)
+            val names = try files.iterator().asScala
+              .filterNot(_.getFileName.toString.startsWith("."))
+              .map(_.toString).toSeq.sorted
               finally files.close()
             (v, names)
           }.sortBy(_._1)
@@ -126,11 +130,15 @@ private[sources] class SpjReaderFactory(schema: StructType)
 /** Executor-side stager: lands a DataFrame whose FIRST column is the
   * bucket key into `dir/bucket=<v>/part-p<partitionId>.txt`, rolling files
   * on bucket change under a per-partition (bucket, …) sort — no driver data
-  * movement. File names are deterministic per (bucket, partitionId) and
-  * opened with TRUNCATE_EXISTING, so a retried or speculative task
-  * REPLACES its first attempt's (possibly partial) file instead of
-  * accumulating a duplicate next to it — the property the scan (which
-  * reads every file in the bucket dir) depends on for exactly-once rows.
+  * movement. Attempt safety (ADVICE r11): each attempt streams into its
+  * own ATTEMPT-UNIQUE `.tmp` names and only ATOMIC_MOVEs them onto the
+  * deterministic per-(bucket, partition) final names after the partition
+  * iterator completes. A sequentially retried task replaces its first
+  * attempt's file; two CONCURRENT attempts of the same partition
+  * (speculation) each write private tmp files and the moves are atomic,
+  * so the final name always holds one attempt's COMPLETE file — never an
+  * interleaving — which is the exactly-once property the scan (it reads
+  * every non-tmp file in the bucket dir) depends on.
   */
 object SpjStage {
   def apply(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
@@ -141,8 +149,11 @@ object SpjStage {
       .sortWithinPartitions(col("bucket"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.get().partitionId()
+        val attempt = java.util.UUID.randomUUID().toString
         var w: java.io.BufferedWriter = null
         var cur = Long.MinValue
+        val staged = scala.collection.mutable.ArrayBuffer
+          .empty[(java.nio.file.Path, java.nio.file.Path)]
         def close(): Unit = if (w != null) w.close()
         rows.foreach { r =>
           val b = r.getLong(0)
@@ -151,8 +162,10 @@ object SpjStage {
             cur = b
             val d = Paths.get(s"$dir/bucket=$b")
             Files.createDirectories(d)
+            val tmp = d.resolve(s".part-p$pid-$attempt.tmp")
+            staged += ((tmp, d.resolve(s"part-p$pid.txt")))
             w = Files.newBufferedWriter(
-              d.resolve(s"part-p$pid.txt"), StandardCharsets.UTF_8,
+              tmp, StandardCharsets.UTF_8,
               java.nio.file.StandardOpenOption.CREATE,
               java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
               java.nio.file.StandardOpenOption.WRITE)
@@ -172,6 +185,14 @@ object SpjStage {
           w.write(line); w.newLine()
         }
         close()
+        // publish: only a COMPLETED attempt reaches the moves (a failed
+        // attempt's exception skips them, leaving only .tmp residue the
+        // scan ignores)
+        staged.foreach { case (tmp, fin) =>
+          Files.move(tmp, fin,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       }
   }
 }

@@ -518,6 +518,37 @@ class ManifestSinkSpec extends AnyFunSuite {
       .files.map(_._1) === Seq("data-a.txt"))
   }
 
+  test("renameless commitMode: racing DataFrame writers, no pointer file, list-resolved reads (r12)") {
+    // the S3-posture protocol on the REAL DSv2 write path: 4 threads
+    // append disjoint key slices concurrently with
+    // option("commitMode","renameless"); every commit must land exactly
+    // once, the dir must contain NO manifest.json (pointer-less by
+    // construction), and a plain read resolves through the
+    // list-and-footer-validate fallback.
+    val dir = freshDir()
+    val writers = 4
+    val threads = (0 until writers).map { c =>
+      new Thread(() => {
+        (0L until 20L).map(i => (c * 100L + i, i * 2.0, s"w$c"))
+          .toDF("k", "v", "s")
+          .write.format("graft.sources.ManifestSink").option("path", dir)
+          .option("commitMode", "renameless").mode("append").save()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(!Files.exists(Paths.get(dir, "manifest.json")),
+      "renameless commits must never write a pointer file")
+    val got = readVia(dir).collect().map(_.getLong(0)).sorted
+    assert(got.length === writers * 20, "a racing commit was lost or doubled")
+    assert(got.toSeq === (0 until writers)
+      .flatMap(c => (0L until 20L).map(c * 100L + _)).sorted)
+    val (v, st) = ManifestSink.readStateRenameless(dir).get
+    assert(v === writers, "one version object per commit, strictly sequential")
+    // each commit lands its task files at its own sequence number — all
+    // four sequences present means no rebase dropped a winner's files
+    assert(st.files.map(_._2).toSet === (1 to writers).toSet)
+  }
+
   test("batch CDF range read: inclusive bounds, evolution boundary inside the range, loud out-of-range (r11 verdict #2)") {
     val dir = freshDir()
     def cdf(opts: (String, String)*) = {

@@ -538,6 +538,39 @@ class PlanShapeSpec extends AnyFunSuite {
       "gen2 must prune on BOTH month and returnflag:\n" + pf)
   }
 
+  test("scan_json_variant: landed-variant extraction carries NO JSON parser; the string path re-parses per field") {
+    import org.apache.spark.sql.functions._
+    // land the payload once as (string, variant) side by side
+    val tmp = util.tempDir("graft_planshape_var_")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("props").as("js"),
+        expr("parse_json(props)").as("v"))
+      .write.mode("overwrite").parquet(tmp)
+    val fourFromVariant = spark.read.parquet(tmp)
+      .select(
+        expr("variant_get(v, '$.k', 'bigint')"),
+        expr("variant_get(v, '$.k', 'string')"),
+        expr("try_variant_get(v, '$.k', 'double')"),
+        expr("variant_get(v, '$.k', 'bigint')").plus(lit(1L)))
+      .queryExecution.executedPlan.toString
+    val fourFromString = spark.read.parquet(tmp)
+      .select(
+        get_json_object(col("js"), "$.k").cast("long"),
+        get_json_object(col("js"), "$.k"),
+        get_json_object(col("js"), "$.k").cast("double"),
+        get_json_object(col("js"), "$.k").cast("long").plus(lit(1L)))
+      .queryExecution.executedPlan.toString
+    // the variant scan decodes an already-encoded binary — no JSON parse
+    // node anywhere in the plan; each access is an offset lookup
+    assert(!fourFromVariant.contains("parse_json") &&
+      !fourFromVariant.contains("from_json"),
+      "variant extraction must not re-parse JSON:\n" + fourFromVariant.take(800))
+    assert(fourFromVariant.contains("variant_get"))
+    // the string path pays one full parse PER FIELD per row
+    assert("get_json_object".r.findAllIn(fourFromString).size >= 4,
+      "expected 4 per-field JSON parses:\n" + fourFromString.take(800))
+  }
+
   test("join_aqe_bhj_conversion: AQE converts the denied-broadcast join to BHJ at runtime") {
     ops.Joins.withAqeBhjConfs(spark) {
       val df = ops.Joins.aqeBhjJoin(spark, dir)

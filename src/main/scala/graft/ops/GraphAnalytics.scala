@@ -650,6 +650,58 @@ object GraphAnalytics {
               |ORDER BY n.u, n.w""".stripMargin)
     ),
     Q(
+      "graph_adamic_adar",
+      // Adamic–Adar link prediction (round-12): the common-neighbor index
+      // that DOWN-WEIGHTS promiscuous hubs — each shared neighbor v
+      // contributes 1/ln(deg v), so two nodes tied together by a rare
+      // specialist score higher than two tied by a hub everyone touches
+      // (the refinement that beats raw counts and Jaccard on most link
+      // tasks). Same bounded wedge generation as graph_common_neighbors;
+      // the per-neighbor weight is floored to an e6 BIGINT BEFORE
+      // summation (the eval_retrieval_metrics discipline), so the only
+      // float op is one ln per wedge center and the aggregate is exact
+      // integer — no float sum order anywhere. Wedge centers always have
+      // degree ≥ 2, so ln is never zero. Scale: O(k²·n) candidates on the
+      // top-k graph, one count+sum aggregate, one anti-join — never an
+      // all-pairs product.
+      (s, dir) => {
+        val e = edgesSym(s, dir)
+        val e12 = edges12(s, dir)
+        val deg = degrees(s, dir)
+        val wedges = e.as("a")
+          .join(e.as("b"),
+            col("a.dst") === col("b.src") && col("a.src") < col("b.dst"))
+          .select(col("a.src").as("u"), col("a.dst").as("v"), col("b.dst").as("w"))
+          .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+          .withColumn("term_e6", expr(
+            "CAST(floor(CAST(1000000 AS DOUBLE) / ln(CAST(dv AS DOUBLE)) + 0.5) AS BIGINT)"))
+        val cand = wedges.groupBy(col("u"), col("w"))
+          .agg(count(lit(1)).as("cn"), sum(col("term_e6")).as("aa_e6"))
+          .filter(col("cn") >= 2)
+        cand
+          .join(e12, cand("u") === e12("src") && cand("w") === e12("dst"),
+            "left_anti")
+          .select(col("u"), col("w"), col("cn"), col("aa_e6"))
+          .orderBy(col("u"), col("w"))
+      },
+      Some(s"""$baseSql,
+              |wed AS (
+              |  SELECT a.src AS u, a.dst AS v, b.dst AS w
+              |  FROM e a JOIN e b ON a.dst = b.src AND a.src < b.dst),
+              |wd AS (
+              |  SELECT u, w,
+              |         CAST(floor(CAST(1000000 AS DOUBLE) / ln(CAST(degree AS DOUBLE)) + 0.5) AS BIGINT) AS term_e6
+              |  FROM wed JOIN deg ON v = node),
+              |cand AS (
+              |  SELECT u, w, CAST(count(*) AS BIGINT) AS cn,
+              |         CAST(sum(term_e6) AS BIGINT) AS aa_e6
+              |  FROM wd GROUP BY u, w HAVING count(*) >= 2)
+              |SELECT c.u, c.w, c.cn, c.aa_e6 FROM cand c
+              |LEFT JOIN e12 ON e12.src = c.u AND e12.dst = c.w
+              |WHERE e12.src IS NULL
+              |ORDER BY c.u, c.w""".stripMargin)
+    ),
+    Q(
       "graph_label_propagation",
       // Community detection by synchronous label propagation, 3 rounds:
       // every node starts as its own community (label = node id) and each

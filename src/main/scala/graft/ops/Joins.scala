@@ -138,6 +138,32 @@ object Joins {
           .as("bal_cents"))
       .orderBy(col("n_name"))
 
+  /** Allen's 13 interval relations as one shared CASE cascade over
+    * (xs, xe) vs (ys, ye) — identical text evaluated by Spark and DuckDB.
+    * Branch order makes the guards exhaustive and mutually exclusive
+    * under the dates' total order: after `before`/`meets` fall through,
+    * `xe > ys` holds; after `after`/`met_by`, `xs < ye` holds — so the
+    * nine remaining cases partition on the (xs vs ys, xe vs ye) sign
+    * pair. Degenerate (zero-length) intervals classify by the same
+    * order, deterministically.
+    */
+  private val allenCase: String =
+    """CASE
+      |  WHEN xe < ys THEN 'before'
+      |  WHEN xe = ys THEN 'meets'
+      |  WHEN xs > ye THEN 'after'
+      |  WHEN xs = ye THEN 'met_by'
+      |  WHEN xs < ys AND xe < ye THEN 'overlaps'
+      |  WHEN xs < ys AND xe = ye THEN 'finished_by'
+      |  WHEN xs < ys AND xe > ye THEN 'contains'
+      |  WHEN xs = ys AND xe < ye THEN 'starts'
+      |  WHEN xs = ys AND xe = ye THEN 'equals'
+      |  WHEN xs = ys AND xe > ye THEN 'started_by'
+      |  WHEN xs > ys AND xe < ye THEN 'during'
+      |  WHEN xs > ys AND xe = ye THEN 'finishes'
+      |  ELSE 'overlapped_by'
+      |END""".stripMargin
+
   val defs: Seq[Q] = Seq(
     Q(
       "join_bloom_pruned",
@@ -429,6 +455,54 @@ object Joins {
              |FROM part JOIN supplier
              |ON p_retailprice > s_acctbal AND p_retailprice <= s_acctbal + 500
              |ORDER BY p_partkey, s_suppkey""".stripMargin)
+    ),
+    Q(
+      "join_allen_relations",
+      // Allen's interval algebra census (round-12): classify every pair
+      // of sibling shipping intervals (line 1 vs line 2 of the same
+      // order, [l_shipdate, l_receiptdate]) into the THIRTEEN Allen
+      // relations — before/meets/overlaps/starts/during/finishes, their
+      // six inverses, and equals. This is the complete, mutually
+      // exclusive vocabulary over interval pairs that overlap-joins
+      // collapse to one bit; temporal-reasoning pipelines (conflict
+      // detection, schedule validation, event-sequence mining) need the
+      // full partition. One shared CASE cascade evaluated by both
+      // engines ([[allenCase]]) — ordered so each branch's guards plus
+      // the falling-through of earlier branches pin exactly one relation
+      // under the dates' total order; all comparisons are exact DATE
+      // compares, nothing floats. Scale: an equi-join on the order key
+      // followed by a map-side census — O(pairs) with a 13-row result.
+      (s, dir) => {
+        // the fixture carries only l_shipdate; the interval end is a
+        // deterministic quantity-driven transit time (0–29 days)
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_linenumber"),
+            col("l_shipdate").cast("date").as("s0"),
+            expr("date_add(CAST(l_shipdate AS DATE), CAST(CAST(l_quantity AS BIGINT) % 30 AS INT))")
+              .as("e0"))
+        val x = li.filter(col("l_linenumber") === 1)
+          .select(col("ok"), col("s0").as("xs"), col("e0").as("xe"))
+        val y = li.filter(col("l_linenumber") === 2)
+          .select(col("ok"), col("s0").as("ys"), col("e0").as("ye"))
+        x.join(y, "ok")
+          .withColumn("relation", expr(allenCase))
+          .groupBy(col("relation"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("relation"))
+      },
+      Some(s"""WITH x AS (
+              |  SELECT l_orderkey AS ok, CAST(l_shipdate AS DATE) AS xs,
+              |         CAST(l_shipdate AS DATE) + CAST(CAST(l_quantity AS BIGINT) % 30 AS INTEGER) AS xe
+              |  FROM lineitem WHERE l_linenumber = 1),
+              |y AS (
+              |  SELECT l_orderkey AS ok, CAST(l_shipdate AS DATE) AS ys,
+              |         CAST(l_shipdate AS DATE) + CAST(CAST(l_quantity AS BIGINT) % 30 AS INTEGER) AS ye
+              |  FROM lineitem WHERE l_linenumber = 2),
+              |p AS (
+              |  SELECT $allenCase AS relation
+              |  FROM x JOIN y USING (ok))
+              |SELECT relation, CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM p GROUP BY relation ORDER BY relation""".stripMargin)
     ),
     Q(
       "join_interval_overlap_duration",

@@ -2352,6 +2352,56 @@ object Windows {
              |FROM pairs, nn, ties""".stripMargin)
     ),
     Q(
+      "win_kadane_max_subarray",
+      // Maximum-sum contiguous subarray per user (round-12) — Kadane's
+      // classic, but as ONE WINDOW PASS via the prefix-minimum identity:
+      // best ending at k = P_k − min(0, min_{j<k} P_j) where P is the
+      // running prefix sum of the centered series (cents − 5000, so both
+      // signs occur and the answer is a real burst, not the whole
+      // series). The textbook sequential fold doesn't distribute; the
+      // prefix form is two frames over one sort — exactly the rewrite a
+      // 100 TB "hottest spending streak per account" query needs. All
+      // BIGINT arithmetic, bit-exact cross-engine. Scale: one shuffle
+      // onto user_id; both window frames are running accumulators (no
+      // per-user buffering), output one row per user.
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pre = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (floor(col("value") * 100 + lit(0.5)).cast("long") - 5000L).as("c"))
+          .withColumn("p", sum(col("c")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("minprev", least(lit(0L), min(col("p")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1))))
+          .withColumn("best_here",
+            col("p") - coalesce(col("minprev"), lit(0L)))
+        pre.groupBy(col("user_id"))
+          .agg(max(col("best_here")).as("max_burst_cents"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000 AS c
+             |  FROM events),
+             |pre1 AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+             |  FROM base),
+             |pre AS (
+             |  SELECT user_id, p,
+             |         least(CAST(0 AS BIGINT),
+             |           CAST(min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)) AS minprev
+             |  FROM pre1)
+             |SELECT user_id,
+             |       CAST(max(p - coalesce(minprev, 0)) AS BIGINT) AS max_burst_cents,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM pre GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+    Q(
       "win_drawdown",
       // Maximum drawdown per user (round-9): the running-peak-minus-current
       // audit over a signed cumulative balance (purchases credit, everything

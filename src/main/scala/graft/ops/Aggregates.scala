@@ -84,6 +84,84 @@ object Aggregates {
 
   val defs: Seq[Q] = Seq(
     Q(
+      "stat_permutation_test",
+      // Monte-Carlo permutation test with DERANDOMIZED permutations
+      // (round-12): the assumption-free answer to "is the F-vs-other mean
+      // price difference real" — no normality, no variance pooling, just
+      // the null distribution built by relabeling. The 32 pseudo-random
+      // relabelings are a portable integer hash of (key, perm index), so
+      // both engines generate byte-identical permutations (the
+      // stat_bootstrap_ci derandomization discipline). Group sums stay
+      // exact BIGINT cents; each |meanA − meanB| is the same fixed
+      // sequence of two divisions and a subtraction on both engines, so
+      // the >= comparisons match exactly. p-value uses the standard
+      // (1 + #{perm ≥ obs}) / (1 + P) add-one form, pinned e6. Scale: the
+      // explode is rows × 32 but collapses in the map-side partial
+      // aggregate to 32 groups; everything after is O(perms).
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("c"),
+            when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("lab"))
+        val diffExpr =
+          """abs(CAST(sa AS DOUBLE) / CAST(ca AS DOUBLE)
+            |  - CAST(sb AS DOUBLE) / CAST(cb AS DOUBLE))""".stripMargin
+        val obs = o.agg(
+          sum(when(col("lab") === 1, col("c")).otherwise(0L)).as("sa"),
+          sum(col("lab")).as("ca"),
+          sum(when(col("lab") === 0, col("c")).otherwise(0L)).as("sb"),
+          sum(lit(1L) - col("lab")).as("cb"))
+          .select(expr(diffExpr).as("obs_diff"))
+        val perms = o
+          .select(col("k"), col("c"),
+            explode(sequence(lit(0L), lit(31L))).as("p"))
+          .withColumn("plab",
+            expr("(((k % 1000003) * 2654435761 + p * 40503) % 1000003) % 2"))
+          .groupBy(col("p"))
+          .agg(
+            sum(when(col("plab") === 1, col("c")).otherwise(0L)).as("sa"),
+            sum(col("plab")).as("ca"),
+            sum(when(col("plab") === 0, col("c")).otherwise(0L)).as("sb"),
+            sum(lit(1L) - col("plab")).as("cb"))
+          .select(expr(diffExpr).as("pdiff"))
+        perms.crossJoin(obs)
+          .agg(sum(when(col("pdiff") >= col("obs_diff"), 1L).otherwise(0L)).as("n_ge"),
+            max(col("obs_diff")).as("obs_diff"))
+          .select(util.r2(col("obs_diff")).as("obs_diff_cents"),
+            col("n_ge"),
+            expr("((1 + n_ge) * 1000000) div 33").as("p_e6"))
+          .orderBy(col("n_ge"))
+      },
+      Some(s"""WITH o AS (
+              |  SELECT o_orderkey AS k,
+              |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+              |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS lab
+              |  FROM orders),
+              |obs AS (
+              |  SELECT abs(CAST(sum(CASE WHEN lab = 1 THEN c ELSE 0 END) AS DOUBLE)
+              |             / CAST(sum(lab) AS DOUBLE)
+              |           - CAST(sum(CASE WHEN lab = 0 THEN c ELSE 0 END) AS DOUBLE)
+              |             / CAST(sum(1 - lab) AS DOUBLE)) AS obs_diff
+              |  FROM o),
+              |perms AS (
+              |  SELECT p,
+              |         abs(CAST(sum(CASE WHEN plab = 1 THEN c ELSE 0 END) AS DOUBLE)
+              |             / CAST(sum(plab) AS DOUBLE)
+              |           - CAST(sum(CASE WHEN plab = 0 THEN c ELSE 0 END) AS DOUBLE)
+              |             / CAST(sum(1 - plab) AS DOUBLE)) AS pdiff
+              |  FROM (SELECT k, c, CAST(t.p AS BIGINT) AS p,
+              |               (((k % 1000003) * 2654435761 + CAST(t.p AS BIGINT) * 40503) % 1000003) % 2 AS plab
+              |        FROM o, range(0, 32) t(p))
+              |  GROUP BY p),
+              |f AS (
+              |  SELECT CAST(sum(CASE WHEN pdiff >= obs_diff THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+              |         max(obs_diff) AS obs_diff
+              |  FROM perms, obs)
+              |SELECT ${util.r2sql("obs_diff")} AS obs_diff_cents, n_ge,
+              |       ((1 + n_ge) * 1000000) // 33 AS p_e6
+              |FROM f ORDER BY n_ge""".stripMargin)
+    ),
+    Q(
       "feat_woe_iv",
       // Weight-of-evidence encoding + information value (round-12): the
       // credit-scoring-lineage categorical encoder — per bucket,

@@ -581,6 +581,53 @@ object Eval {
              |FROM p GROUP BY pair ORDER BY pair""".stripMargin)
     ),
     Q(
+      "eval_mcnemar_test",
+      // McNemar's paired test (round-12): the correct significance test
+      // for "is model A better than model B ON THE SAME PROMPTS" — only
+      // the DISCORDANT pairs carry signal (b = A right & B wrong, c = the
+      // reverse); concordant prompts cancel, which is why an unpaired
+      // proportion z-test overstates certainty on shared eval sets. The
+      // statistic is the continuity-corrected (|b−c|−1)²/(b+c). Truth and
+      // both predictors are deterministic integer functions of the doc,
+      // so b and c are exact BIGINTs and the single final division is
+      // r2-pinned. Scale: one map-side conditional aggregate — a 1-row
+      // answer at any corpus size, the same reduction shape as the
+      // win-rate census.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            (col("doc_id") % 2).as("truth"),
+            (size(split(col("text"), " ")).cast("long") % 2).as("pa"),
+            (size(array_distinct(split(col("text"), " "))).cast("long") % 2).as("pb"))
+          .agg(
+            sum(when(col("pa") === col("truth") && col("pb") =!= col("truth"), 1L)
+              .otherwise(0L)).as("b"),
+            sum(when(col("pa") =!= col("truth") && col("pb") === col("truth"), 1L)
+              .otherwise(0L)).as("c"))
+          .select(col("b"), col("c"),
+            graft.util.r2(expr(
+              """CASE WHEN b + c = 0 THEN CAST(0 AS DOUBLE)
+                |ELSE CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                |     / CAST(b + c AS DOUBLE) END""".stripMargin)).as("chi2_cc"))
+          .orderBy(col("b"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT doc_id % 2 AS truth,
+              |         CAST(len(string_split(text, ' ')) AS BIGINT) % 2 AS pa,
+              |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) % 2 AS pb
+              |  FROM documents),
+              |f AS (
+              |  SELECT CAST(sum(CASE WHEN pa = truth AND pb <> truth THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              |         CAST(sum(CASE WHEN pa <> truth AND pb = truth THEN 1 ELSE 0 END) AS BIGINT) AS c
+              |  FROM p)
+              |SELECT b, c,
+              |       ${graft.util.r2sql(
+                 "CASE WHEN b + c = 0 THEN CAST(0 AS DOUBLE) " +
+                   "ELSE CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) " +
+                   "/ CAST(b + c AS DOUBLE) END")} AS chi2_cc
+              |FROM f ORDER BY b""".stripMargin)
+    ),
+    Q(
       "eval_bradley_terry_strength",
       // Bradley–Terry strength fit over the pairwise arena (round-12):
       // eval_pairwise_winrate's raw win matrix ranks models only

@@ -1411,6 +1411,51 @@ object Sources {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sink_writer_fencing",
+      // ZOMBIE-WRITER FENCING (round-12): every committer declares a
+      // writer generation (`option("writerGeneration", n)`); the manifest
+      // remembers the highest generation ever committed and a commit from
+      // a LOWER one fails hard — its staged files are deleted, the table
+      // is untouched. This is the missing third leg of the commit
+      // protocol after atomic publish (visibility) and txnId
+      // (idempotence): LIVENESS SAFETY. At 100 TB an orchestrator restart
+      // bumps the generation; the old worker that wakes from a GC pause
+      // or network partition minutes later can still hold a half-run
+      // Spark job — without fencing its job commit would silently append
+      // a stale batch behind the new owner's back (the dual-writer data
+      // corruption every lakehouse postmortem features). The row stages
+      // gen-1 and gen-2 appends, proves a third gen-1 commit is REJECTED
+      // with the table unchanged, and reads back the two good halves —
+      // identity oracle.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val t = tmpDir("graft_fence_")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", t)
+          .option("writerGeneration", "1").mode("append").save()
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.format(fmt).option("path", t)
+          .option("writerGeneration", "2").mode("append").save()
+        // the zombie: a generation-1 writer coming back after the handoff
+        val fenced =
+          try {
+            o.limit(10).write.format(fmt).option("path", t)
+              .option("writerGeneration", "1").mode("append").save()
+            false
+          } catch { case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+              .exists(c => String.valueOf(c.getMessage).contains("fenced"))
+          }
+        require(fenced, "a stale-generation commit must be rejected")
+        s.read.format(fmt).option("path", t).load()
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "stream_from_table_feed",
       // The manifest format as a STREAMING SOURCE: the snapshot log is
       // the change feed (offsets = manifest versions, a micro-batch
@@ -1557,6 +1602,101 @@ object Sources {
              |FROM orders
              |WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus = 'F'
              |ORDER BY _change_type, o_orderkey""".stripMargin)
+    ),
+    Q(
+      "sink_rewrite_deletes",
+      // Merge-on-read COMPACTION (round-12): equality-delete files make
+      // MERGE/DELETE O(changes), but every subsequent read pays the
+      // anti-join against them — at 100 TB a table that only ever
+      // accumulates delete files reads slower every week. This row runs
+      // the maintenance op that pays the debt down: read the current
+      // state THROUGH the format (merge-on-read applied), rewrite it as
+      // a fresh overwrite snapshot — data files now physically exclude
+      // the deleted keys, the new snapshot carries ZERO delete files
+      // (spec-pinned), and the pre-compaction snapshot stays time-travel
+      // readable (rewrite adds history, never destroys it — Iceberg's
+      // rewrite_position_delete_files / Delta's OPTIMIZE posture). The
+      // oracle is the identity minus the deleted keys: compaction must
+      // be invisible to every reader except the metadata.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", graft.util.catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.rw")
+        s.sql("""CREATE TABLE graft_cat.marts.rw
+                |(o_orderkey BIGINT NOT NULL, price DOUBLE, st STRING)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.rw
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders""".stripMargin)
+        s.sql("DELETE FROM graft_cat.marts.rw WHERE st = 'F'")
+        val tableDir = s"${graft.util.catalogWarehouse}/marts/rw"
+        // the compaction: one read through the merge-on-read path, one
+        // overwrite publish — O(live rows), a background maintenance job
+        val live = s.read.format("graft.sources.ManifestSink")
+          .option("path", tableDir).load()
+        live.write.format("graft.sources.ManifestSink")
+          .option("path", tableDir).mode("overwrite").save()
+        val st = graft.sources.ManifestSink.readState(tableDir).get
+        require(st.deletes.isEmpty,
+          "compaction must clear the equality-delete set")
+        s.read.format("graft.sources.ManifestSink")
+          .option("path", tableDir).load()
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS st
+             |FROM orders WHERE o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
+      "cdc_cdf_apply_replica",
+      // The CDF CONSUMER loop (round-12): scan_table_cdf_range produces
+      // the change feed; this row is the downstream that APPLIES it — the
+      // reference's replica-maintenance inner loop as one registry row.
+      // Bootstrap: batch CDF over the insert-only prefix [1, 3] seeds the
+      // replica. Incremental: batch CDF over [4, 4] delivers key-only
+      // delete rows, applied as an anti-join. The replica's final state
+      // must equal the source's live state EXACTLY — which is the whole
+      // point of a change feed: the consumer never rescans the source,
+      // yet converges to it. At 100 TB each sync is O(changed rows) +
+      // one replica merge; a consumer that was down for N versions
+      // passes a wider range, same code path.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", graft.util.catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.cdf_src")
+        s.sql("""CREATE TABLE graft_cat.marts.cdf_src
+                |(o_orderkey BIGINT NOT NULL, price DOUBLE, st STRING)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.cdf_src
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.cdf_src
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graft_cat.marts.cdf_src WHERE st = 'F'")
+        val srcDir = s"${graft.util.catalogWarehouse}/marts/cdf_src"
+        val fmt = "graft.sources.ManifestSink"
+        def cdf(lo: Int, hi: Int) = s.read.format(fmt)
+          .option("path", srcDir).option("changeFeed", "true")
+          .option("startingVersion", lo.toString)
+          .option("endingVersion", hi.toString).load()
+        // bootstrap from the insert-only prefix
+        val replicaDir = tmpDir("graft_cdf_replica_")
+        cdf(1, 3).filter(col("_change_type") === "insert")
+          .select(col("o_orderkey"), col("price"), col("st"))
+          .write.mode("overwrite").parquet(replicaDir)
+        // incremental: apply the delete commit as an anti-join
+        val dels = cdf(4, 4).filter(col("_change_type") === "delete")
+          .select(col("o_orderkey"))
+        s.read.parquet(replicaDir)
+          .join(dels, Seq("o_orderkey"), "left_anti")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS st
+             |FROM orders WHERE o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
       "scan_parquet_encrypted",

@@ -100,7 +100,8 @@ object ManifestSink {
   final case class State(schema: StructType, files: Seq[(String, Int)],
       deletes: Seq[(String, Int)], txns: Set[String],
       stats: Map[String, (Long, Long)] = Map.empty,
-      counts: Map[String, Long] = Map.empty)
+      counts: Map[String, Long] = Map.empty,
+      generation: Long = 0L)
 
   /** Line format: line 1 = schema JSON; `#txn:<id>` idempotence tokens;
     * `#del:<seq>:<file>` equality-delete files; `<seq>:<file>` data files
@@ -135,6 +136,7 @@ object ManifestSink {
       var txns = Set.empty[String]
       var stats = Map.empty[String, (Long, Long)]
       var counts = Map.empty[String, Long]
+      var gen = 0L
       // strip + record a `#s:<min>:<max>[:<rows>]` stats suffix
       def unstat(f: String): String = {
         val i = f.indexOf("#s:")
@@ -151,6 +153,7 @@ object ManifestSink {
         // a rename-less version object carries a trailing integrity
         // footer — metadata, not a file entry
         case c if c.startsWith("#commit:") => ()
+        case g if g.startsWith("#gen:") => gen = g.stripPrefix("#gen:").toLong
         case t if t.startsWith("#txn:") => txns += t.stripPrefix("#txn:")
         case d if d.startsWith("#del:") =>
           val rest = d.stripPrefix("#del:")
@@ -161,7 +164,7 @@ object ManifestSink {
           files :+= ((unstat(f.substring(i + 1)), f.substring(0, i).toInt))
         case legacy => files :+= ((unstat(legacy), 1))
       }
-      Some(State(schema, files, dels, txns, stats, counts))
+      Some(State(schema, files, dels, txns, stats, counts, gen))
     }
   }
 
@@ -174,7 +177,8 @@ object ManifestSink {
 
   private def stateBody(state: State): Array[Byte] =
     (state.schema.json +:
-      (state.txns.toSeq.sorted.map("#txn:" + _) ++
+      ((if (state.generation > 0) Seq(s"#gen:${state.generation}") else Seq.empty) ++
+        state.txns.toSeq.sorted.map("#txn:" + _) ++
         state.deletes.map { case (f, q) => s"#del:$q:$f" } ++
         state.files.map { case (f, q) =>
           val suffix = state.stats.get(f)
@@ -682,7 +686,8 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       Option(info.options.get("clusterBy")),
       Option(info.options.get("sortBy")),
       Option(info.options.get("numPartitions")),
-      Option(info.options.get("commitMode")))
+      Option(info.options.get("commitMode")),
+      Option(info.options.get("writerGeneration")).map(_.toLong))
 
   /** Row-level SQL (MERGE / UPDATE / DELETE) as a DELTA operation
     * (merge-on-read): Spark routes inserts to [[DeltaWriter.insert]] and
@@ -1138,7 +1143,8 @@ private[sources] class ManifestReaderFactory(schema: StructType)
 private[sources] class ManifestWriteBuilder(dir: String, schema: StructType,
     txnId: Option[String], branch: Option[String] = None,
     clusterBy: Option[String] = None, sortBy: Option[String] = None,
-    numPartitions: Option[String] = None, commitMode: Option[String] = None)
+    numPartitions: Option[String] = None, commitMode: Option[String] = None,
+    writerGeneration: Option[Long] = None)
     extends WriteBuilder with SupportsTruncate {
   private var isTruncate = false
   override def truncate(): WriteBuilder = { isTruncate = true; this }
@@ -1160,7 +1166,8 @@ private[sources] class ManifestWriteBuilder(dir: String, schema: StructType,
           expressions.SortDirection.ASCENDING))
     override def toBatch: BatchWrite =
       new ManifestBatchWrite(dir, schema, isTruncate, txnId, branch,
-        renameless = commitMode.exists(_.equalsIgnoreCase("renameless")))
+        renameless = commitMode.exists(_.equalsIgnoreCase("renameless")),
+        writerGeneration = writerGeneration)
   }
 }
 
@@ -1179,9 +1186,19 @@ private[sources] case class CommittedDelta(
   *   all use ONE protocol — the two claim mechanisms (.claim markers vs
   *   CREATE_NEW of the object) cannot arbitrate against each other.
   */
+/** @param writerGeneration ZOMBIE-WRITER FENCING (the Delta/Iceberg
+  *   application-version pattern): each committer declares its
+  *   generation; the manifest remembers the highest ever committed, and
+  *   a commit from a LOWER generation fails hard instead of publishing.
+  *   This is how a replica pipeline survives orchestrator restarts at
+  *   100 TB — the restarted sync bumps the generation, and the old
+  *   worker that wakes up from a GC pause or network partition cannot
+  *   silently append a stale batch behind the new owner's back.
+  */
 private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
     truncate: Boolean, txnId: Option[String] = None,
-    branch: Option[String] = None, renameless: Boolean = false)
+    branch: Option[String] = None, renameless: Boolean = false,
+    writerGeneration: Option[Long] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1244,6 +1261,15 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
         case None => versioned
       }
       val priorTxns = prior.map(_.txns).getOrElse(Set.empty)
+      // fencing re-checks on EVERY retry: a competing commit may have
+      // raised the generation between our read and our CAS
+      val priorGen = prior.map(_.generation).getOrElse(0L)
+      writerGeneration.filter(_ < priorGen).foreach { g =>
+        fresh.foreach(f => Files.deleteIfExists(Paths.get(dir, "data", f)))
+        throw new IllegalStateException(
+          s"zombie writer fenced at $dir: commit generation $g is stale " +
+            s"(table is at generation $priorGen) — a newer sync owns this table")
+      }
       if (txnId.exists(priorTxns.contains)) {
         fresh.foreach(f => Files.deleteIfExists(Paths.get(dir, "data", f)))
         committed = true
@@ -1257,7 +1283,8 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
           else prior.map(_.counts).getOrElse(Map.empty)
         val next = ManifestSink.State(schema,
           keptFiles ++ fresh.map((_, seq)), keptDels, priorTxns ++ txnId,
-          keptStats ++ freshStats, keptCounts ++ freshCounts)
+          keptStats ++ freshStats, keptCounts ++ freshCounts,
+          generation = math.max(priorGen, writerGeneration.getOrElse(0L)))
         branch match {
           case Some(b) =>
             // branch staging is single-writer per branch (one streaming

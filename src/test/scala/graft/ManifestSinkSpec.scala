@@ -549,6 +549,34 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(st.files.map(_._2).toSet === (1 to writers).toSet)
   }
 
+  test("writer-generation fencing: stale commits rejected, table untouched, generation survives truncate (r12)") {
+    val dir = freshDir()
+    def write(gen: Long, mode: String, from: Long, until: Long): Unit =
+      (from until until).map(i => (i, i * 1.5, s"s$i")).toDF("k", "v", "s")
+        .write.format("graft.sources.ManifestSink").option("path", dir)
+        .option("writerGeneration", gen.toString).mode(mode).save()
+    write(1, "append", 0, 5)
+    write(2, "append", 10, 15)
+    // equal generation = same owner, still allowed
+    write(2, "append", 20, 25)
+    val before = readVia(dir).count()
+    assert(before === 15)
+    // the zombie: lower generation must fail and change nothing
+    val e = intercept[Throwable] { write(1, "append", 30, 35) }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => String.valueOf(c.getMessage).contains("fenced")))
+    assert(readVia(dir).count() === before, "a fenced commit must publish nothing")
+    // no orphans from the fenced attempt survive a vacuum accounting:
+    // its staged files were deleted at the fence
+    val st = ManifestSink.readState(dir).get
+    assert(st.generation === 2L)
+    // generation is survivable state: truncate keeps the fence
+    write(3, "overwrite", 40, 42)
+    assert(ManifestSink.readState(dir).get.generation === 3L)
+    intercept[Throwable] { write(2, "append", 50, 52) }
+    assert(readVia(dir).count() === 2)
+  }
+
   test("batch CDF range read: inclusive bounds, evolution boundary inside the range, loud out-of-range (r11 verdict #2)") {
     val dir = freshDir()
     def cdf(opts: (String, String)*) = {

@@ -581,6 +581,122 @@ object Eval {
              |FROM p GROUP BY pair ORDER BY pair""".stripMargin)
     ),
     Q(
+      "eval_chrf_similarity",
+      // chrF-style character-n-gram F-score (round-12): the surface-level
+      // text-similarity metric of MT/summarization evals, here scoring
+      // each document against a deterministic corruption of itself (every
+      // 7th token dropped — the "candidate"). Char 3-grams on both sides,
+      // clipped overlap Σ min(count_cand, count_ref), and the balanced
+      // F-score collapses to the EXACT integer form 2·overlap/(nc+nr)
+      // (P = ov/nc, R = ov/nr ⇒ 2PR/(P+R) = 2·ov/(nc+nr)) — so the whole
+      // metric is BIGINT counts and one e6-pinned division; no float
+      // anywhere. Scale: the explode is O(chars) rows but collapses in a
+      // map-side (doc, gram) count; the overlap join keys on (doc, gram)
+      // — at 100 TB ship xxhash64(gram) instead of the 3 chars, same
+      // plan. This is the eval gate for "did the pipeline mangle the
+      // text": chrF of output-vs-input far below the expected deletion
+      // share flags corruption beyond the intended edit.
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        def grams(src: org.apache.spark.sql.DataFrame, side: String) = src
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN length(s) < 3 THEN array()
+              |ELSE transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))
+              |END""".stripMargin)).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as(s"c_$side"))
+        val ref = grams(d.select(col("doc_id"), col("text").as("s")), "r")
+        val cand = grams(d.select(col("doc_id"), expr(
+          "array_join(filter(split(text, ' '), (t, i) -> (i + 1) % 7 != 0), ' ')")
+          .as("s")), "c")
+        val totals = ref.groupBy(col("doc_id")).agg(sum(col("c_r")).as("nr"))
+          .join(cand.groupBy(col("doc_id")).agg(sum(col("c_c")).as("nc")), "doc_id")
+        val ov = ref.join(cand, Seq("doc_id", "g"))
+          .groupBy(col("doc_id"))
+          .agg(sum(least(col("c_r"), col("c_c"))).as("ov"))
+        totals.join(ov, Seq("doc_id"))
+          .select(col("doc_id"), col("nc"), col("nr"), col("ov"),
+            expr("(2 * ov * 1000000) div (nc + nr)").as("chrf_e6"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text AS rs,
+             |         (SELECT string_agg(t, ' ' ORDER BY i)
+             |          FROM (SELECT UNNEST(string_split(text, ' ')) AS t,
+             |                       UNNEST(range(1, len(string_split(text, ' ')) + 1)) AS i)
+             |          WHERE i % 7 <> 0) AS cs
+             |  FROM documents),
+             |rg AS (
+             |  SELECT doc_id, substring(rs, CAST(i AS INT), 3) AS g,
+             |         CAST(count(*) AS BIGINT) AS c_r
+             |  FROM d, unnest(range(1, length(rs) - 1)) AS t(i)
+             |  GROUP BY 1, 2),
+             |cg AS (
+             |  SELECT doc_id, substring(cs, CAST(i AS INT), 3) AS g,
+             |         CAST(count(*) AS BIGINT) AS c_c
+             |  FROM d, unnest(range(1, length(cs) - 1)) AS t(i)
+             |  GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT r.doc_id, nr, nc FROM
+             |    (SELECT doc_id, CAST(sum(c_r) AS BIGINT) AS nr FROM rg GROUP BY 1) r
+             |    JOIN (SELECT doc_id, CAST(sum(c_c) AS BIGINT) AS nc FROM cg GROUP BY 1) c
+             |    USING (doc_id)),
+             |ov AS (
+             |  SELECT doc_id, CAST(sum(least(c_r, c_c)) AS BIGINT) AS ov
+             |  FROM rg JOIN cg USING (doc_id, g) GROUP BY 1)
+             |SELECT doc_id, nc, nr, ov,
+             |       (2 * ov * 1000000) // (nc + nr) AS chrf_e6
+             |FROM tot JOIN ov USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "eval_pinball_loss",
+      // Pinball (quantile) loss (round-12): the metric that scores
+      // QUANTILE forecasts — asymmetric by design, penalizing
+      // under-prediction q-to-(1−q) against over-prediction, which is how
+      // capacity/latency forecasting is actually graded (a p90 forecast
+      // that undershoots is worse than one that overshoots). Forecaster
+      // under test: the lag-1 naive baseline per user (previous event's
+      // value predicts the next). Errors are exact cents; the loss at
+      // q ∈ {10, 50, 90}% is max(q·e, (q−100)·e) in percent-scaled
+      // BIGINT, so sums are exact and only the final mean is e2-pinned.
+      // Scale: one window lag per user + a map-side conditional
+      // aggregate; 3 output rows at any volume.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val errs = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+          .withColumn("pred", lag(col("c"), 1).over(w))
+          .filter(col("pred").isNotNull)
+          .withColumn("e", col("c") - col("pred"))
+        errs.select(col("e"), explode(expr("array(10L, 50L, 90L)")).as("q_pct"))
+          .groupBy(col("q_pct"))
+          .agg(count(lit(1)).as("n"),
+            sum(greatest(col("q_pct") * col("e"),
+              (col("q_pct") - 100L) * col("e"))).as("loss_x100"))
+          .select(col("q_pct"), col("n"), col("loss_x100"),
+            expr("CAST(floor(CAST(loss_x100 AS DOUBLE) / CAST(n * 100 AS DOUBLE) * 100 + 0.5) AS BIGINT)")
+              .as("mean_loss_e2"))
+          .orderBy(col("q_pct"))
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+             |         lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER
+             |           (PARTITION BY user_id ORDER BY ts, event_id) AS pred
+             |  FROM events),
+             |errs AS (SELECT c - pred AS e FROM base WHERE pred IS NOT NULL),
+             |x AS (SELECT e, CAST(q AS BIGINT) AS q_pct
+             |      FROM errs, (VALUES (10), (50), (90)) t(q))
+             |SELECT q_pct, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(greatest(q_pct * e, (q_pct - 100) * e)) AS BIGINT) AS loss_x100,
+             |       CAST(floor(CAST(sum(greatest(q_pct * e, (q_pct - 100) * e)) AS DOUBLE)
+             |            / CAST(count(*) * 100 AS DOUBLE) * 100 + 0.5) AS BIGINT) AS mean_loss_e2
+             |FROM x GROUP BY q_pct ORDER BY q_pct""".stripMargin)
+    ),
+    Q(
       "eval_mcnemar_test",
       // McNemar's paired test (round-12): the correct significance test
       // for "is model A better than model B ON THE SAME PROMPTS" — only

@@ -1545,6 +1545,58 @@ object Sources {
              |ORDER BY _change_type""".stripMargin)
     ),
     Q(
+      "stream_cdf_from_version",
+      // STREAM RESUME POINT (round-12): `option("startingVersion", v)` on
+      // a streaming CDF read starts the feed at version v inclusive —
+      // the missing handshake between the batch and streaming halves of
+      // the change-data path: a consumer bootstraps its replica from a
+      // batch CDF range [1, v−1] (cdc_cdf_apply_replica), then TAILS from
+      // v with exactly-once continuity and never re-receives a bootstrap
+      // row (Delta's startingVersion semantics; the option seeds only the
+      // INITIAL offset — a checkpointed restart resumes from its own
+      // offsets). Staged: CREATE(v1), two INSERTs (v2, v3), DELETE(v4);
+      // the stream starts at v3 and must deliver exactly the second
+      // insert's rows and the delete keys — the first insert provably
+      // absent. At 100 TB this is what makes replica onboarding O(table)
+      // ONCE and O(changes) forever after, with no overlap window to
+      // dedup by hand.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", graft.util.catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.cdf_from")
+        s.sql("""CREATE TABLE graft_cat.marts.cdf_from
+                |(o_orderkey BIGINT NOT NULL, price DOUBLE, st STRING)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.cdf_from
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.cdf_from
+                |SELECT coalesce(o_orderkey, -1), o_totalprice, o_orderstatus
+                |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)
+        s.sql("DELETE FROM graft_cat.marts.cdf_from WHERE st = 'F'")
+        val tableDir = s"${graft.util.catalogWarehouse}/marts/cdf_from"
+        val name = "t_cdf_from_version"
+        val q = s.readStream.format("graft.sources.ManifestSink")
+          .option("path", tableDir).option("changeFeed", "true")
+          .option("startingVersion", "3").load()
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .writeStream.outputMode("complete").format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).orderBy(col("_change_type"))
+      },
+      Some("""SELECT 'delete' AS _change_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL
+             |SELECT 'insert', CAST(count(*) AS BIGINT),
+             |       CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |ORDER BY _change_type""".stripMargin)
+    ),
+    Q(
       "scan_table_cdf_range",
       // BATCH change-data-feed range read (round-12, verdict #2): the
       // Delta `table_changes(tbl, v1, v2)` surface on the manifest

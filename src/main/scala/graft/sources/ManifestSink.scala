@@ -945,9 +945,18 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       // Delta/Iceberg CDF pattern with inserts only). New commits after
       // the stream starts surface as new offsets.
       override def toMicroBatchStream(checkpointLocation: String)
-          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        if (changeFeed) new ManifestChangeFeedStream(dir, readSch)
-        else new ManifestMicroBatchStream(dir, readSch)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+        // stream resume point (r12): option("startingVersion", v) starts
+        // the feed at version v INCLUSIVE (initial offset v-1; only
+        // consulted when the checkpoint is fresh — a restart resumes from
+        // its own offsets, exactly like Delta's startingVersion). The
+        // consumer that bootstrapped from a batch CDF range hands the
+        // range end + 1 here and never re-receives a row.
+        val startAt = Option(options.get("startingVersion"))
+          .map(_.toInt - 1).getOrElse(0)
+        if (changeFeed) new ManifestChangeFeedStream(dir, readSch, startAt)
+        else new ManifestMicroBatchStream(dir, readSch, startAt)
+      }
     }
 }
 
@@ -956,11 +965,12 @@ private[sources] case class ManifestVersionOffset(version: Int)
   override def json(): String = version.toString
 }
 
-private[sources] class ManifestMicroBatchStream(dir: String, schema: StructType)
+private[sources] class ManifestMicroBatchStream(dir: String, schema: StructType,
+    startAt: Int = 0)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def initialOffset(): Offset = ManifestVersionOffset(0)
+  override def initialOffset(): Offset = ManifestVersionOffset(startAt)
 
   override def latestOffset(): Offset =
     ManifestVersionOffset(ManifestSink.latestVersion(dir))
@@ -1011,11 +1021,12 @@ private[sources] class ManifestMicroBatchStream(dir: String, schema: StructType)
   * overwrite/compaction) still fail loudly — a CDF cannot represent
   * them, so the operator must re-seed, exactly like the append feed.
   */
-private[sources] class ManifestChangeFeedStream(dir: String, schema: StructType)
+private[sources] class ManifestChangeFeedStream(dir: String, schema: StructType,
+    startAt: Int = 0)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def initialOffset(): Offset = ManifestVersionOffset(0)
+  override def initialOffset(): Offset = ManifestVersionOffset(startAt)
   override def latestOffset(): Offset =
     ManifestVersionOffset(ManifestSink.latestVersion(dir))
   override def deserializeOffset(json: String): Offset =

@@ -645,6 +645,17 @@ object ManifestTableAccess {
         ManifestVersionOffset(fromVersion), ManifestVersionOffset(toVersion))
       .map(_.asInstanceOf[ManifestFilePartition].path).toSeq
 
+  /** Plan a batch CDF range — the spec handle on change-set planning:
+    * returns (path, isDelete) for every partition the range [lo, hi]
+    * would read, so a spec can pin that NOTHING outside the range is
+    * opened (the physical property the loud-failure contract protects).
+    */
+  def cdfPlan(dir: String, lo: Int, hi: Int): Seq[(String, Boolean)] =
+    ManifestSink.changeSetPartitions(dir, lo - 1, hi).toSeq.map { p =>
+      val c = p.asInstanceOf[ChangeFeedPartition]
+      (c.path, c.isDelete)
+    }
+
   /** Plan a batch scan with the given pushed filters — the spec handle on
     * min/max file pruning (returns the file paths that would be read).
     */

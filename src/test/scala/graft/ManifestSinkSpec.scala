@@ -623,5 +623,17 @@ class ManifestSinkSpec extends AnyFunSuite {
     intercept[Exception] { cdf("endingVersion" -> "9").count() }
     intercept[Exception] {
       cdf("startingVersion" -> "4", "endingVersion" -> "3").count() }
+    // PHYSICAL pin: the planned partition list for a range contains
+    // exactly the range's files — the commit before the range and the
+    // commit after it are absent from the plan, not merely filtered
+    val all = ManifestTableAccess.cdfPlan(dir, 1, 4)
+    val r33p = ManifestTableAccess.cdfPlan(dir, 3, 3)
+    assert(all.size > r33p.size && r33p.nonEmpty)
+    assert(r33p.forall { case (_, isDel) => !isDel })
+    val v1Files = ManifestSink.readState(dir, Some(1)).get.files.map(_._1).toSet
+    assert(r33p.forall { case (p, _) => !v1Files.exists(p.endsWith) },
+      "a [3,3] slice must not open v1's files")
+    assert(v1Files.forall(f => all.exists(_._1.endsWith(f))),
+      "the full range must include v1's files")
   }
 }

@@ -254,6 +254,52 @@ object Cdc {
               |ORDER BY user_id, valid_from, event_id""".stripMargin)
     ),
     Q(
+      "cdc_scd_type6",
+      // Slowly-changing-dimension TYPE 6 (round-12) — the 1+2+3 hybrid:
+      // the full type-2 validity history, but every HISTORICAL row also
+      // carries the key's CURRENT value (the type-1 overwrite, denormed
+      // onto history) and the drift between then and now — so "compare
+      // value-at-the-time vs value-today" is a column read, not a
+      // self-join against the latest snapshot (the join type 6 exists to
+      // delete; at 100 TB that's a second shuffle of the whole dimension
+      // saved on every such query). Both windows ride ONE keyed shuffle:
+      // lead() for validity, last_value over the full frame for the
+      // current value. Exact cents for the drift arithmetic.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        changes(s, dir)
+          .withColumn("v_c", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+          .withColumn("valid_from", col("ts"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull && col("action") =!= "D")
+          .withColumn("current_v_c", last(col("v_c")).over(wAll))
+          .select(col("user_id"), col("event_id"), col("action"), col("v_c"),
+            col("valid_from"), col("valid_to"), col("is_current"),
+            col("current_v_c"),
+            (col("current_v_c") - col("v_c")).as("drift_c"))
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      Some(s"""WITH ch AS (
+              |  SELECT user_id, event_id,
+              |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS action,
+              |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c, ts
+              |  FROM events)
+              |SELECT user_id, event_id, action, v_c,
+              |       ts AS valid_from,
+              |       lead(ts) OVER w AS valid_to,
+              |       (lead(ts) OVER w IS NULL AND action <> 'D') AS is_current,
+              |       last_value(v_c) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS current_v_c,
+              |       CAST(last_value(v_c) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) - v_c AS BIGINT) AS drift_c
+              |FROM ch
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              |ORDER BY user_id, valid_from, event_id""".stripMargin)
+    ),
+    Q(
       "cdc_bitemporal_asof",
       // BITEMPORAL as-of (round-9): two time axes — VALID time (when the
       // fact was true) and TRANSACTION time (when the system learned it).

@@ -1194,6 +1194,51 @@ object Windows {
              |ORDER BY user_id, s_start""".stripMargin)
     ),
     Q(
+      "ts_seasonal_naive_mase",
+      // MASE — mean absolute SCALED error (round-12): the forecast metric
+      // that survives unit changes and zero-valued series where MAPE
+      // blows up; errors are scaled by the in-sample MAE of the seasonal
+      // naive baseline, so "MASE < 1" literally means "beats predicting
+      // last week". Model under test: the lag-1 naive on the daily event
+      // count series; scale: the lag-7 weekly naive. Both MAEs are exact
+      // BIGINT |diff| sums over one lead/lag window pass; the single
+      // final ratio is e6-pinned. Scale posture: the daily series is
+      // O(days) rows out of one map-side date aggregate — metadata-sized
+      // forever; the window never shuffles more than that.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("d"))
+        val e = daily
+          .withColumn("e1", abs(col("x") - lag(col("x"), 1).over(w)))
+          .withColumn("e7", abs(col("x") - lag(col("x"), 7).over(w)))
+        e.agg(
+          sum(col("e1")).as("sum_abs_1"), count(col("e1")).as("n_1"),
+          sum(col("e7")).as("sum_abs_7"), count(col("e7")).as("n_7"))
+          .select(col("sum_abs_1"), col("n_1"), col("sum_abs_7"), col("n_7"),
+            expr("""CAST(floor((CAST(sum_abs_1 AS DOUBLE) / CAST(n_1 AS DOUBLE))
+                   |  / (CAST(sum_abs_7 AS DOUBLE) / CAST(n_7 AS DOUBLE))
+                   |  * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("mase_e6"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |e AS (
+             |  SELECT abs(x - lag(x, 1) OVER (ORDER BY d)) AS e1,
+             |         abs(x - lag(x, 7) OVER (ORDER BY d)) AS e7
+             |  FROM daily)
+             |SELECT CAST(sum(e1) AS BIGINT) AS sum_abs_1,
+             |       CAST(count(e1) AS BIGINT) AS n_1,
+             |       CAST(sum(e7) AS BIGINT) AS sum_abs_7,
+             |       CAST(count(e7) AS BIGINT) AS n_7,
+             |       CAST(floor((CAST(sum(e1) AS DOUBLE) / CAST(count(e1) AS DOUBLE))
+             |         / (CAST(sum(e7) AS DOUBLE) / CAST(count(e7) AS DOUBLE))
+             |         * 1000000 + 0.5) AS BIGINT) AS mase_e6
+             |FROM e""".stripMargin)
+    ),
+    Q(
       "ts_dominant_period",
       // Dominant-period detection (round-10): the answer to "what is the
       // seasonality" — the lag-k autocorrelation of the daily series

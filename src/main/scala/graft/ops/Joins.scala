@@ -1756,6 +1756,36 @@ object Joins {
              |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
     ),
     Q(
+      "sql_lateral_view_outer",
+      // LATERAL VIEW OUTER (round-12): the silent-row-loss trap of array
+      // flattening — a plain explode DROPS every parent row whose array
+      // is empty, so a per-doc census computed after an inner explode
+      // quietly loses the "no matches" population; OUTER keeps them with
+      // one NULL element row (the LEFT JOIN of generators). The array is
+      // a filter of long tokens, so a real mix of empty and non-empty
+      // arrays exercises both branches; the oracle emulates the OUTER
+      // semantics in DuckDB by substituting [NULL] for the empty list.
+      // At 100 TB this is a correctness footgun, not a perf one: the
+      // denominator of any post-flatten rate silently shrinks without it.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""SELECT doc_id, tok
+                |FROM (SELECT doc_id,
+                |             filter(split(text, ' '), t -> length(t) > 7) AS lt
+                |      FROM documents)
+                |LATERAL VIEW OUTER explode(lt) t AS tok
+                |ORDER BY doc_id, tok""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+             |       unnest(CASE WHEN len(lt) = 0 THEN CAST([NULL] AS VARCHAR[])
+             |                   ELSE lt END) AS tok
+             |FROM (SELECT doc_id,
+             |             list_filter(string_split(text, ' '),
+             |                         t -> length(t) > 7) AS lt
+             |      FROM documents)
+             |ORDER BY doc_id, tok NULLS FIRST""".stripMargin)
+    ),
+    Q(
       "sql_parameterized",
       // Named-parameter SQL (spark.sql(text, args)): the injection-safe
       // templating surface — parameters bind as Catalyst literals, so the

@@ -645,6 +645,15 @@ object ManifestTableAccess {
         ManifestVersionOffset(fromVersion), ManifestVersionOffset(toVersion))
       .map(_.asInstanceOf[ManifestFilePartition].path).toSeq
 
+  /** Spec handle on the row-level (delta) commit path: publish one
+    * data-file/delete-file pair through ManifestDeltaBatchWrite.commit —
+    * used to race delta commits against append commits.
+    */
+  def deltaCommit(dir: String, schema: StructType,
+      dataFile: Option[String], deleteFile: Option[String]): Unit =
+    new ManifestDeltaBatchWrite(dir, schema)
+      .commit(Array(CommittedDelta(dataFile, deleteFile)))
+
   /** Plan a batch CDF range — the spec handle on change-set planning:
     * returns (path, isDelete) for every partition the range [lo, hi]
     * would read, so a spec can pin that NOTHING outside the range is
@@ -1344,12 +1353,19 @@ private[sources] class ManifestDeltaBatchWrite(dir: String, schema: StructType)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val datas = messages.collect { case CommittedDelta(Some(f), _) => f }.toSeq
     val dels = messages.collect { case CommittedDelta(_, Some(f)) => f }.toSeq
-    // same optimistic read-rebase-retry as ManifestBatchWrite.commit
+    // same optimistic read-rebase-retry as ManifestBatchWrite.commit —
+    // including its r11 consistency rule (applied here in r12): prior
+    // state is read AT the version the CAS will expect, from the
+    // immutable v-file, never the manifest.json pointer. The pointer
+    // trails the v-file by one ATOMIC_MOVE; a delta committer that
+    // re-read in that window would rebase onto the PRE-winner state
+    // while CASing at winner+1, silently dropping the winner's files.
     var committed = false
     while (!committed) {
-      val prior = ManifestSink.readState(dir).getOrElse(
-        ManifestSink.State(schema, Seq.empty, Seq.empty, Set.empty))
       val expected = ManifestSink.latestVersion(dir)
+      val prior = (if (expected > 0) ManifestSink.readState(dir, Some(expected))
+        else ManifestSink.readState(dir)).getOrElse(
+        ManifestSink.State(schema, Seq.empty, Seq.empty, Set.empty))
       val seq = expected + 1
       committed = ManifestSink.casWriteState(dir, expected, prior.copy(
         files = prior.files ++ datas.map((_, seq)),

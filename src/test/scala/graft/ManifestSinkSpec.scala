@@ -549,6 +549,46 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(st.files.map(_._2).toSet === (1 to writers).toSet)
   }
 
+  test("delta commits race append commits without losing either side (r12 consistency rule on the row-level path)") {
+    // the r11 CAS-consistency bug class, now on the DELTA writer: prior
+    // state must be read at the version the CAS expects (the immutable
+    // v-file), never the trailing pointer — two committer kinds race 15
+    // commits each; every file must be visible exactly once at the end
+    val dir = freshDir()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    val n = 15
+    val appender = new Thread(() => {
+      (0 until n).foreach { i =>
+        var done = false
+        while (!done) {
+          val expected = ManifestSink.latestVersion(dir)
+          val st = (if (expected > 0) ManifestSink.readState(dir, Some(expected))
+            else ManifestSink.readState(dir))
+            .getOrElse(ManifestSink.State(schema, Seq.empty, Seq.empty, Set.empty))
+          done = ManifestSink.casWriteState(dir, expected,
+            st.copy(files = st.files :+ (s"app-$i.txt", expected + 1)))
+        }
+      }
+    })
+    val deleter = new Thread(() =>
+      (0 until n).foreach { i =>
+        ManifestTableAccess.deltaCommit(dir, schema,
+          Some(s"delta-$i.txt"), Some(s"del-$i.txt"))
+      })
+    appender.start(); deleter.start()
+    appender.join(); deleter.join()
+    val st = ManifestSink.readState(dir).get
+    assert(st.files.map(_._1).toSet ===
+      ((0 until n).map(i => s"app-$i.txt") ++
+        (0 until n).map(i => s"delta-$i.txt")).toSet,
+      "a racing commit's files were dropped from the latest snapshot")
+    assert(st.deletes.map(_._1).toSet ===
+      (0 until n).map(i => s"del-$i.txt").toSet)
+    assert(ManifestSink.latestVersion(dir) === 2 * n)
+  }
+
   test("writer-generation fencing: stale commits rejected, table untouched, generation survives truncate (r12)") {
     val dir = freshDir()
     def write(gen: Long, mode: String, from: Long, until: Long): Unit =

@@ -63,15 +63,25 @@ import org.apache.spark.unsafe.types.UTF8String
 class ManifestSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = options.get("path")
+    val changeFeed = options.getBoolean("changeFeed", false)
+    // the TABLE schema must resolve at the same point the SCAN will
+    // (r12): a versionAsOf read — or a CDF range ending before the
+    // latest commit — on a table that EVOLVED afterwards must not
+    // declare the newer, wider schema while the reader emits rows of
+    // the pinned snapshot's width (the relation/scan arity mismatch
+    // class the r11 CDF bug belonged to)
+    val vOpt = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(if (changeFeed)
+        Option(options.get("endingVersion")).map(_.toInt) else None)
     // a WAP branch read must resolve the BRANCH schema — the branch may
     // exist before main has any committed state at all
     val base = Option(options.get("branch"))
       .flatMap(b => ManifestSink.readBranchState(dir, b))
-      .orElse(ManifestSink.readState(dir))
+      .orElse(ManifestSink.readState(dir, vOpt))
       .map(_.schema).getOrElse(new StructType())
     // change-feed reads surface the operation kind as a column — the
     // Delta/Iceberg CDF contract
-    if (options.getBoolean("changeFeed", false)) base.add("_change_type", StringType)
+    if (changeFeed) base.add("_change_type", StringType)
     else base
   }
 
@@ -83,8 +93,15 @@ class ManifestSink extends TableProvider {
     // building a non-CDF table, whose reader then silently decoded that
     // trailing column as NULL on every row
     val opts = new CaseInsensitiveStringMap(properties)
+    val changeFeed = opts.getBoolean("changeFeed", false)
+    // pin the TABLE to the requested snapshot so its declared schema
+    // matches what the scan will emit (see inferSchema) — the pin flows
+    // into the scan builder's state resolution too
+    val pin = Option(opts.get("versionAsOf")).map(_.toInt)
+      .orElse(if (changeFeed)
+        Option(opts.get("endingVersion")).map(_.toInt) else None)
     new ManifestTable(opts.get("path"), schema,
-      changeFeed = opts.getBoolean("changeFeed", false))
+      pinnedVersion = pin, changeFeed = changeFeed)
   }
 
   override def supportsExternalMetadata(): Boolean = true

@@ -659,6 +659,18 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(r33.toSeq === Seq(10L, 11L, 12L, 13L))
     // default range = full history
     assert(cdf().count() === 10)
+    // schema resolves at the range END even when the table evolved
+    // AFTER it (r12): the relation must not declare the post-range
+    // width while the reader emits pinned-snapshot rows
+    val r11 = cdf("startingVersion" -> "1", "endingVersion" -> "1")
+    assert(r11.columns.toSeq === Seq("k", "v", "_change_type"),
+      "a pre-evolution range must carry the pre-evolution schema")
+    assert(r11.count() === 4)
+    // …and the same pinning for plain versionAsOf time travel
+    val tt = spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).option("versionAsOf", "1").load()
+    assert(tt.columns.toSeq === Seq("k", "v"))
+    assert(tt.count() === 4)
     // out-of-range and inverted ranges fail loudly (never clamp)
     intercept[Exception] { cdf("endingVersion" -> "9").count() }
     intercept[Exception] {

@@ -84,7 +84,7 @@ object util {
     p
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
     if (Files.exists(p)) {

@@ -129,7 +129,27 @@ object ManifestSink {
     */
   def readState(dir: String, versionAsOf: Option[Int] = None): Option[State] =
     versionAsOf match {
-      case Some(v) => parseState(Paths.get(dir, s"manifest.v$v.json"))
+      case Some(v) =>
+        // ADVICE r12 (medium #2): versioned reads must NOT bypass footer
+        // validation. Rename-less version objects are written in place
+        // non-atomically, so a concurrent CDF plan or versionAsOf read
+        // could parse a half-written object as state. Resolution rule:
+        // an object CARRYING a footer is accepted only if the footer
+        // verifies; an object WITHOUT a footer is accepted only on a
+        // pointer-ful table (whose v-files land via ATOMIC_MOVE and are
+        // never torn). On a pointer-less table a footer-less object is
+        // in-flight or torn — callers see "version not (yet) readable",
+        // same as a reader listing mid-commit.
+        val p = Paths.get(dir, s"manifest.v$v.json")
+        if (!Files.exists(p)) None
+        else validRenamelessBody(p) match {
+          case Some(body) => parseStateLines(body.split("\n", -1).toSeq)
+          case None =>
+            val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+            if (raw.contains("\n#commit:")) None // footer present but wrong: torn
+            else if (tableIsPointerFul(dir)) parseStateLines(raw.split("\n", -1).toSeq)
+            else None
+        }
       case None =>
         // pointer file first (the rename-ful protocol); a table whose
         // commits are all rename-less has NO pointer — resolve by listing
@@ -138,6 +158,28 @@ object ManifestSink {
         parseState(Paths.get(dir, "manifest.json"))
           .orElse(readStateRenameless(dir).map(_._2))
     }
+
+  /** True iff the table publishes through the rename-ful (pointer)
+    * protocol: `manifest.json` exists. Both protocols maintain their
+    * invariant from the first commit — casWriteState always lands the
+    * pointer, casWriteStateRenameless never creates one — so pointer
+    * presence identifies the table's established commit mode.
+    */
+  private[sources] def tableIsPointerFul(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "manifest.json"))
+
+  /** The commit protocol this table is already committed to:
+    * Some(false) = pointer-ful, Some(true) = rename-less (no pointer but
+    * at least one footer-valid version object), None = virgin table
+    * (first committer's choice). ADVICE r12 (medium #1): the two claim
+    * mechanisms cannot arbitrate against each other, so every committer
+    * must detect the established mode and route through the matching CAS
+    * instead of publishing a commit the other side's readers skip as torn.
+    */
+  private[sources] def establishedCommitMode(dir: String): Option[Boolean] =
+    if (tableIsPointerFul(dir)) Some(false)
+    else if (readStateRenameless(dir).isDefined) Some(true)
+    else None
 
   private def parseState(p: java.nio.file.Path): Option[State] = {
     if (!Files.exists(p)) None
@@ -306,9 +348,20 @@ object ManifestSink {
   // serializes the torn-slot reclaim below: the overwrite of an invalid
   // claim is NOT atomic (unlike the CREATE_NEW claim itself), so in-JVM
   // racers — where Spark driver commits race — take a lock around
-  // re-validate + truncate-write. See the divergence note on
-  // [[casWriteStateRenameless]].
+  // re-validate + truncate-write; CROSS-PROCESS racers (two Spark apps on
+  // one table — ADVICE r12 low #3) additionally serialize on an OS-level
+  // FileLock over a sidecar file, acquired inside the JVM lock (JVM-level
+  // first, or two threads of one process would throw
+  // OverlappingFileLockException instead of queueing).
   private val reclaimLock = new Object
+
+  /** A claim younger than this is never reclaimed: a LIVE writer paused
+    * mid-write (GC, scheduler stall) keeps a fresh mtime far longer than
+    * the old 20 ms size-stability window could prove — stealing its valid
+    * in-flight claim double-committed the version (ADVICE r12 low #3).
+    * A corpse's mtime only ages. Spec-visible so tests can backdate.
+    */
+  val reclaimGraceMs = 5000L
 
   /** Conditional-put commit of `state` as version expected+1. Returns
     * false iff the slot was already claimed by a VALID competing commit —
@@ -344,23 +397,43 @@ object ManifestSink {
         case _: java.nio.file.FileAlreadyExistsException =>
           // slot taken: a valid object is a competing commit — lose and
           // rebase. An invalid one may be torn (crashed writer) or still
-          // in flight: reclaim only if it stays invalid and size-stable
-          // across the grace window.
+          // in flight: reclaim only if its mtime is past the grace window
+          // (a live writer's claim stays fresh; a corpse only ages) AND it
+          // stays invalid and size-stable across a re-check, all under
+          // JVM + OS file locks so no two reclaimers interleave their
+          // non-atomic truncate-writes.
           if (validRenamelessBody(p).isDefined) return false
+          val mtime0 =
+            try Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => Long.MaxValue }
+          if (System.currentTimeMillis() - mtime0 < reclaimGraceMs) return false
           val size0 = try Files.size(p) catch { case _: java.io.IOException => -1L }
           Thread.sleep(20)
           return reclaimLock.synchronized {
-            val stillTorn = Files.exists(p) &&
-              validRenamelessBody(p).isEmpty &&
-              (try Files.size(p) == size0 catch { case _: java.io.IOException => false })
-            if (!stillTorn) false
-            else {
-              val c = Files.newByteChannel(p,
-                java.nio.file.StandardOpenOption.WRITE,
-                java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-              try c.write(java.nio.ByteBuffer.wrap(payload)) finally c.close()
-              true
-            }
+            val lockCh = java.nio.channels.FileChannel.open(
+              Paths.get(dir, ".reclaim.lock"),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.WRITE)
+            try {
+              val osLock = lockCh.lock()
+              try {
+                // re-validate UNDER the locks: another process may have
+                // reclaimed and completed this slot while we waited
+                val stillTorn = Files.exists(p) &&
+                  validRenamelessBody(p).isEmpty &&
+                  (try Files.size(p) == size0 &&
+                    Files.getLastModifiedTime(p).toMillis == mtime0
+                  catch { case _: java.io.IOException => false })
+                if (!stillTorn) false
+                else {
+                  val c = Files.newByteChannel(p,
+                    java.nio.file.StandardOpenOption.WRITE,
+                    java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+                  try c.write(java.nio.ByteBuffer.wrap(payload)) finally c.close()
+                  true
+                }
+              } finally osLock.release()
+            } finally lockCh.close()
           }
       }
     try ch.write(java.nio.ByteBuffer.wrap(payload)) finally ch.close()
@@ -390,6 +463,86 @@ object ManifestSink {
         .flatMap(bodyTxt => parseStateLines(bodyTxt.split("\n", -1).toSeq))
         .map(v -> _)
     }.nextOption()
+  }
+
+  // ---- cross-table atomic sync point (r12 verdict #5) ----
+  // The replica's per-table commits are each atomic, but a consumer
+  // reading TWO tables mid-sync could still observe table A at round N
+  // and table B at round N−1. The sync point is a catalog-level
+  // manifest-of-manifests: one footer-validated `sync.v<N>.json` object
+  // pinning (table dir → version) for every table of a round, published
+  // through the SAME conditional-put CAS as rename-less table commits.
+  // A consistent reader resolves the latest valid sync object and reads
+  // every table `versionAsOf` its pin — the round becomes visible
+  // all-or-nothing, and ReplicaSoak's concurrent reader proves the
+  // torn-read count is zero under racing writers while the direct
+  // (pointer-chasing) reader observes real tears at the same instants.
+
+  /** Latest valid sync point: (sync version, table dir → pinned table
+    * version). Resolution is list + footer-validate, identical to
+    * [[readStateRenameless]] — no pointer, safe on S3 semantics.
+    */
+  def readSyncPoint(catalogDir: String): Option[(Int, Map[String, Int])] = {
+    val d = Paths.get(catalogDir)
+    if (!Files.isDirectory(d)) return None
+    val vPat = "sync\\.v(\\d+)\\.json".r
+    val listing = Files.list(d)
+    val versions =
+      try listing.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case vPat(n) => Some(n.toInt -> p)
+          case _ => None
+        }
+      }.toSeq.sortBy(-_._1)
+      finally listing.close()
+    versions.iterator.flatMap { case (v, p) =>
+      validRenamelessBody(p).map { body =>
+        v -> body.split("\n", -1).filter(_.nonEmpty).map { line =>
+          val i = line.indexOf(':')
+          line.substring(i + 1) -> line.substring(0, i).toInt
+        }.toMap
+      }
+    }.nextOption()
+  }
+
+  /** Conditional-put publish of a sync point at version expected+1 —
+    * same CREATE_NEW + footer protocol as [[casWriteStateRenameless]],
+    * same loss semantics (false = a competing coordinator won the slot;
+    * re-read and retry). No torn-slot reclaim here: sync coordinators
+    * are one-per-round by construction, and a skipped slot just means
+    * the next publish claims the following number.
+    */
+  def casPublishSyncPoint(catalogDir: String, expected: Int,
+      pins: Map[String, Int]): Boolean = {
+    Files.createDirectories(Paths.get(catalogDir))
+    val body = pins.toSeq.sortBy(_._1)
+      .map { case (dir, v) => s"$v:$dir" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val payload = body ++
+      s"\n#commit:${sha256Hex(body)}".getBytes(StandardCharsets.UTF_8)
+    val p = Paths.get(catalogDir, s"sync.v${expected + 1}.json")
+    val ch =
+      try Files.newByteChannel(p,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    try ch.write(java.nio.ByteBuffer.wrap(payload)) finally ch.close()
+    true
+  }
+
+  /** Retry-loop publish: pins become the NEXT sync point regardless of
+    * competing publishes (last write wins on content, never on slots).
+    * Returns the published sync version.
+    */
+  def publishSyncPoint(catalogDir: String, pins: Map[String, Int]): Int = {
+    var published = -1
+    while (published < 0) {
+      val expected = readSyncPoint(catalogDir).map(_._1).getOrElse(0)
+      if (casPublishSyncPoint(catalogDir, expected, pins))
+        published = expected + 1
+      else Thread.sleep(1)
+    }
+    published
   }
 
   // ---- write-audit-publish branches (the Iceberg WAP pattern) ----
@@ -585,10 +738,27 @@ object ManifestSink {
     val filesA = atA.map(_.files).getOrElse(Seq.empty)
     val inB = filesB.map(_._1).toSet
     val removed = filesA.collect { case (f, _) if !inB(f) => f }
-    if (removed.nonEmpty) throw new IllegalStateException(
-      s"change feed at $dir cannot represent file removals, but snapshot " +
-        s"range ($a, $b] removed ${removed.size} file(s) (e.g. ${removed.head}) " +
-        "— an overwrite/compaction landed mid-range; re-read from the current snapshot")
+    // ADVICE r12 (low #4): the loud-failure guard must be SYMMETRIC — a
+    // commit that drops equality-DELETE files while keeping every data
+    // file (a delete-compaction that rewrote data and dropped its delete
+    // set, or a retention purge) also un-deletes rows the feed cannot
+    // represent; without this check the consumer replica silently diverges.
+    val delsBSet = atB.map(_.deletes.map(_._1).toSet).getOrElse(Set.empty)
+    val removedDels = atA.map(_.deletes).getOrElse(Seq.empty)
+      .collect { case (f, _) if !delsBSet(f) => f }
+    if (removed.nonEmpty || removedDels.nonEmpty) {
+      val what =
+        (if (removed.nonEmpty)
+          Seq(s"${removed.size} data file(s) (e.g. ${removed.head})")
+        else Seq.empty) ++
+        (if (removedDels.nonEmpty)
+          Seq(s"${removedDels.size} delete file(s) (e.g. ${removedDels.head})")
+        else Seq.empty)
+      throw new IllegalStateException(
+        s"change feed at $dir cannot represent file removals, but snapshot " +
+          s"range ($a, $b] removed ${what.mkString(" and ")} " +
+          "— an overwrite/compaction landed mid-range; re-read from the current snapshot")
+    }
     val seenData = filesA.map(_._1).toSet
     val seenDel = atA.map(_.deletes.map(_._1).toSet).getOrElse(Set.empty)
     val inserts = filesB.collect {
@@ -602,18 +772,43 @@ object ManifestSink {
     (inserts ++ deletes).toArray
   }
 
-  /** Highest retained snapshot version, 0 if none. */
+  /** Highest retained snapshot version, 0 if none. On a POINTER-LESS
+    * (rename-less) table only footer-VALID version objects count (ADVICE
+    * r12 medium #2): version objects there are written in place
+    * non-atomically, so counting a half-written object would let a CDF
+    * plan or stream offset permanently advance past a version whose
+    * content wasn't readable yet. Pointer-ful tables keep the raw count —
+    * their v-files land via ATOMIC_MOVE and a claimed-but-unmoved slot
+    * must still pin the number against reuse.
+    */
   def latestVersion(dir: String): Int = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) 0
     else {
       val s = Files.list(d)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("manifest.v") && n.endsWith(".json") =>
-          n.stripPrefix("manifest.v").stripSuffix(".json").toInt }
-        .foldLeft(0)(math.max)
-      finally s.close()
+      val named =
+        try s.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case n if n.startsWith("manifest.v") && n.endsWith(".json") =>
+            n.stripPrefix("manifest.v").stripSuffix(".json").toInt }
+          .toSeq
+        finally s.close()
+      if (named.isEmpty) 0
+      else if (tableIsPointerFul(dir)) named.max
+      else {
+        val valid = named.filter(v =>
+          validRenamelessBody(Paths.get(dir, s"manifest.v$v.json")).isDefined)
+        if (valid.nonEmpty) valid.max
+        // no pointer AND no valid object: either a rename-less table whose
+        // only object is torn (count 0 — the reclaim path owns that slot)
+        // or a POINTER-FUL first commit crashed between v-file move and
+        // pointer write. The two differ by the claim marker: only the
+        // pointer-ful protocol creates `.claim.v<N>`, so its presence
+        // keeps the raw count and recovery can claim the next slot.
+        else if (Files.exists(Paths.get(dir, s".claim.v${named.max}")))
+          named.max
+        else 0
+      }
     }
   }
 
@@ -1288,8 +1483,17 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
       // loser that re-read in that window rebased onto the PRE-winner
       // state while CASing at the winner's version+1, silently dropping
       // the winner's files from the new latest snapshot.
+      // ADVICE r12 (medium #1): the table's ESTABLISHED protocol wins over
+      // the requested flag — a pointer-ful commit on a rename-less table
+      // publishes a footer-less object its readers skip as torn (and the
+      // reclaim path may overwrite), silently losing the commit; the
+      // mirror mix leaves a stale pointer shadowing the new version. The
+      // requested mode only decides for a VIRGIN table; re-checked every
+      // retry so a racing first committer's choice is honored.
+      val effRenameless =
+        ManifestSink.establishedCommitMode(dir).getOrElse(renameless)
       val (expected, versioned) =
-        if (renameless)
+        if (effRenameless)
           // resolve exactly like a rename-less reader: highest
           // footer-VALID version object (prior state and CAS expectation
           // come from the same resolution, so a rebase can never stack
@@ -1340,7 +1544,7 @@ private[sources] class ManifestBatchWrite(dir: String, schema: StructType,
             ManifestSink.writeBranchState(dir, b, next); committed = true
           case None =>
             committed =
-              if (renameless)
+              if (effRenameless)
                 ManifestSink.casWriteStateRenameless(dir, expected, next)
               else ManifestSink.casWriteState(dir, expected, next)
             if (!committed) Thread.sleep(1)
@@ -1377,16 +1581,38 @@ private[sources] class ManifestDeltaBatchWrite(dir: String, schema: StructType)
     // trails the v-file by one ATOMIC_MOVE; a delta committer that
     // re-read in that window would rebase onto the PRE-winner state
     // while CASing at winner+1, silently dropping the winner's files.
+    // ADVICE r12 (medium #1): route through the table's ESTABLISHED
+    // commit protocol — a row-level DELETE/MERGE/UPDATE on a
+    // commitMode=renameless table used to publish a pointer-ful,
+    // footer-less version object that rename-less readers skip as torn
+    // (and casWriteStateRenameless may reclaim): the delete was silently
+    // lost. Re-checked every retry, defaulting pointer-ful on a virgin
+    // table (row-level SQL presupposes existing rows, so the virgin case
+    // is degenerate anyway).
     var committed = false
     while (!committed) {
-      val expected = ManifestSink.latestVersion(dir)
-      val prior = (if (expected > 0) ManifestSink.readState(dir, Some(expected))
-        else ManifestSink.readState(dir)).getOrElse(
+      val effRenameless =
+        ManifestSink.establishedCommitMode(dir).getOrElse(false)
+      val (expected, priorOpt) =
+        if (effRenameless) ManifestSink.readStateRenameless(dir) match {
+          case Some((v, st)) => (v, Some(st))
+          case None => (0, None)
+        }
+        else {
+          val e = ManifestSink.latestVersion(dir)
+          (e, if (e > 0) ManifestSink.readState(dir, Some(e))
+            else ManifestSink.readState(dir))
+        }
+      val prior = priorOpt.getOrElse(
         ManifestSink.State(schema, Seq.empty, Seq.empty, Set.empty))
       val seq = expected + 1
-      committed = ManifestSink.casWriteState(dir, expected, prior.copy(
+      val next = prior.copy(
         files = prior.files ++ datas.map((_, seq)),
-        deletes = prior.deletes ++ dels.map((_, seq))))
+        deletes = prior.deletes ++ dels.map((_, seq)))
+      committed =
+        if (effRenameless)
+          ManifestSink.casWriteStateRenameless(dir, expected, next)
+        else ManifestSink.casWriteState(dir, expected, next)
       if (!committed) Thread.sleep(1)
     }
   }

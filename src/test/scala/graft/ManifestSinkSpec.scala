@@ -506,8 +506,17 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(ManifestSink.readStateRenameless(dir).isEmpty,
       "a torn object must never resolve as state")
     val st = ManifestSink.State(schema, Seq(("data-a.txt", 1)), Seq.empty, Set.empty)
+    // r13 (ADVICE low #3): a FRESH torn object is never reclaimed — it may
+    // be a live writer paused mid-write, whose claim must not be stolen
+    assert(!ManifestSink.casWriteStateRenameless(dir, 0, st),
+      "a claim inside the mtime grace window must not be reclaimed")
+    // a corpse's mtime only ages: backdate past the grace window to
+    // simulate the crash having happened long ago
+    Files.setLastModifiedTime(Paths.get(dir, "manifest.v1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ManifestSink.reclaimGraceMs - 1000))
     assert(ManifestSink.casWriteStateRenameless(dir, 0, st),
-      "commit over a stable torn claim must reclaim the slot, not livelock")
+      "commit over a stable aged torn claim must reclaim the slot, not livelock")
     val (v, got) = ManifestSink.readStateRenameless(dir).get
     assert(v === 1 && got.files.map(_._1) === Seq("data-a.txt"))
     // but a VALID competing commit still wins: the same CAS at the same
@@ -687,5 +696,110 @@ class ManifestSinkSpec extends AnyFunSuite {
       "a [3,3] slice must not open v1's files")
     assert(v1Files.forall(f => all.exists(_._1.endsWith(f))),
       "the full range must include v1's files")
+  }
+
+  test("cross-table sync point: racing publishers, all-or-nothing pins, footer-validated (r13, verdict #5)") {
+    // the catalog-level manifest-of-manifests: 4 coordinators race 5
+    // publishes each; every slot lands exactly once, the latest valid
+    // sync resolves, and a planted torn object is skipped — the same
+    // properties the table-level renameless CAS proves, one level up
+    val cat = freshDir()
+    val published = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val threads = (0 until 4).map { c =>
+      new Thread(() => (0 until 5).foreach { i =>
+        val v = ManifestSink.publishSyncPoint(cat,
+          Map(s"/tbl/a" -> (c * 10 + i), s"/tbl/b" -> (c * 10 + i)))
+        published.add(v)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(published.size === 20, "every publish must claim a distinct slot")
+    assert(published.asScala.toSet === (1 to 20).toSet)
+    val (v, pins) = ManifestSink.readSyncPoint(cat).get
+    assert(v === 20)
+    assert(pins.keySet === Set("/tbl/a", "/tbl/b"))
+    assert(pins("/tbl/a") === pins("/tbl/b"), "pins publish atomically")
+    // a torn (footer-less) sync object above the latest must be skipped
+    Files.write(Paths.get(cat, "sync.v21.json"),
+      "torn".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(ManifestSink.readSyncPoint(cat).get._1 === 20)
+  }
+
+  test("row-level commits route through a renameless table's own protocol (r13, ADVICE medium #1)") {
+    // seed a rename-less table, then publish a delta commit through the
+    // row-level path. Before the fix the delta commit published via the
+    // pointer-ful CAS: a footer-LESS version object + a pointer file —
+    // rename-less readers skipped the commit as torn (the delete was
+    // silently lost) and the pointer violated the protocol's invariant.
+    val dir = freshDir()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    (0L until 4L).map(i => (i, i * 1.0, s"s$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .option("commitMode", "renameless").mode("append").save()
+    val (v1, _) = ManifestSink.readStateRenameless(dir).get
+    ManifestTableAccess.deltaCommit(dir, schema,
+      dataFile = None, deleteFile = Some("del-x.tsv"))
+    assert(!Files.exists(Paths.get(dir, "manifest.json")),
+      "a delta commit on a renameless table must not create a pointer")
+    val (v2, st2) = ManifestSink.readStateRenameless(dir).get
+    assert(v2 === v1 + 1, "the delta commit must be footer-valid and visible")
+    assert(st2.deletes.map(_._1) === Seq("del-x.tsv"))
+    // and the mirror mix: a pointer-ful-flagged APPEND on the same table
+    // must also route renameless (established mode wins over the flag)
+    (10L until 12L).map(i => (i, i * 1.0, s"s$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .mode("append").save()
+    assert(!Files.exists(Paths.get(dir, "manifest.json")),
+      "an un-flagged append on a renameless table must not create a pointer")
+    assert(ManifestSink.readStateRenameless(dir).get._1 === v2 + 1)
+  }
+
+  test("versioned reads and latestVersion skip torn renameless objects (r13, ADVICE medium #2)") {
+    val dir = freshDir()
+    (0L until 4L).map(i => (i, i * 1.0, s"s$i")).toDF("k", "v", "s")
+      .write.format("graft.sources.ManifestSink").option("path", dir)
+      .option("commitMode", "renameless").mode("append").save()
+    assert(ManifestSink.latestVersion(dir) === 1)
+    // plant a half-written v2 (no footer): a versionAsOf/CDF-range read of
+    // v2 must see "not readable", and latestVersion must not count it —
+    // otherwise a stream offset advances past an under-read version
+    Files.write(Paths.get(dir, "manifest.v2.json"),
+      "half-written".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(ManifestSink.readState(dir, Some(2)).isEmpty,
+      "a torn version object must not parse as state")
+    assert(ManifestSink.latestVersion(dir) === 1,
+      "latestVersion must not count footer-invalid objects on a pointer-less table")
+    // v1 itself still resolves (footer-valid)
+    assert(ManifestSink.readState(dir, Some(1)).get.files.nonEmpty)
+    // a POINTER-FUL table's unfootered v-files still resolve (they land
+    // via ATOMIC_MOVE, so they are never torn)
+    val dir2 = freshDir()
+    writeVia(dir2, "append", 0, 4)
+    assert(ManifestSink.readState(dir2, Some(1)).get.files.nonEmpty)
+    assert(ManifestSink.latestVersion(dir2) === 1)
+  }
+
+  test("CDF range fails loudly on delete-file removals too (r13, ADVICE low #4)") {
+    // v1: data. v2: a delta commit adds an equality-delete. v3: a commit
+    // keeps all data files but DROPS the delete file (delete-compaction
+    // shape). A CDF range spanning v3 un-deletes rows the feed cannot
+    // represent — it must throw, exactly like a data-file removal.
+    val dir = freshDir()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    writeVia(dir, "append", 0, 4) // v1
+    ManifestTableAccess.deltaCommit(dir, schema,
+      dataFile = None, deleteFile = Some("del-y.tsv")) // v2
+    val st2 = ManifestSink.readState(dir, Some(2)).get
+    ManifestSink.casWriteState(dir, 2, st2.copy(deletes = Seq.empty)) // v3
+    val err = intercept[IllegalStateException] {
+      ManifestTableAccess.cdfPlan(dir, 3, 3)
+    }
+    assert(err.getMessage.contains("delete file(s)"))
+    // a range NOT spanning the drop still plans fine
+    assert(ManifestTableAccess.cdfPlan(dir, 1, 2).nonEmpty)
   }
 }

@@ -308,6 +308,49 @@ object Joins {
               |ORDER BY n_name""".stripMargin)
     ),
     Q(
+      "sql_cbo_join_reorder",
+      // Catalog-statistics-driven reorder, isolated to a 3-TABLE star
+      // (r12 verdict #4): the smallest shape where CostBasedJoinReorder's
+      // decision is visible and attributable. The query is written in the
+      // worst literal order — lineitem ⋈ orders FIRST, the selective
+      // customer predicate (mktsegment + negative balance) LAST — and the
+      // fixture lands the same three tables TWICE: `graft_cbo3a.*` with
+      // ANALYZE TABLE … FOR ALL COLUMNS, `graft_cbo3n.*` without. The
+      // registry row executes over the analyzed schema with CBO on
+      // (confs restored before return); PlanShapeSpec pins all three
+      // leverage points: stats+cbo → customer joins FIRST, cbo without
+      // stats → literal order (rowCount is what prices the reorder, not
+      // the flag), stats without cbo → literal order. Results are
+      // identical in every case — reorder is pure physics — so the
+      // oracle is the plain 3-table SQL.
+      // Scale: at 100 TB the reordered plan probes the fact table with
+      // ~2% of customers instead of shuffling lineitem⋈orders in full;
+      // ANALYZE is one scan amortized across the whole catalog.
+      (s, dir) => {
+        cbo3Land(s, dir)
+        val keep = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+          .map(k => k -> s.conf.getOption(k))
+        val out = graft.util.tempDir("graft_cbo3_out_")
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+          s.sql(cbo3StarSql("graft_cbo3a")).write.mode("overwrite").parquet(out)
+        } finally keep.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
+        s.read.parquet(out).orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+              |       ${util.r2sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "join_runtime_bloom_filter",
       // Runtime bloom-filter join pruning (round-10): Spark's
       // InjectRuntimeFilter — the shuffle-join sibling of dynamic
@@ -2591,6 +2634,51 @@ object Joins {
     */
   private val cboLanded = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Land the 3-table star twice — `graft_cbo3a` ANALYZEd, `graft_cbo3n`
+    * not — for [[sql_cbo_join_reorder]] and PlanShapeSpec's
+    * stats-present/stats-absent pin. Memoized like [[cboLand]].
+    */
+  private val cbo3Landed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  private[graft] def cbo3Land(s: SparkSession, dir: String): Unit = {
+    if (cbo3Landed.get(s) != dir) {
+      val land = Seq(
+        "customer" -> Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        "orders" -> Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")),
+        "lineitem" -> Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")))
+      Seq("graft_cbo3a" -> true, "graft_cbo3n" -> false).foreach {
+        case (db, analyze) =>
+          val loc = graft.util.tempDir(s"graft_${db}_db_")
+          s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+          land.foreach { case (n, df) =>
+            df.write.mode("overwrite").format("parquet").saveAsTable(s"$db.$n")
+            if (analyze)
+              s.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS FOR ALL COLUMNS")
+          }
+      }
+      cbo3Landed.put(s, dir); ()
+    }
+  }
+
+  /** The deliberately badly-written 3-table star for
+    * [[sql_cbo_join_reorder]]: fact ⋈ fact first, the selective customer
+    * predicate last — parameterized by schema so the spec can plan it
+    * over the analyzed and the un-analyzed copies.
+    */
+  private[graft] def cbo3StarSql(db: String): String =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+       |       ${util.r2sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+       |FROM $db.lineitem
+       |JOIN $db.orders   ON l_orderkey = o_orderkey
+       |JOIN $db.customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
 
   private[graft] def cboLand(s: SparkSession, dir: String): Unit = {
     if (cboLanded.get(s) != dir) {

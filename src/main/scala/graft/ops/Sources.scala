@@ -1411,6 +1411,49 @@ object Sources {
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sink_sync_point_read",
+      // CROSS-TABLE ATOMIC SYNC POINT (r12 verdict #5) as an oracled
+      // read: two rename-less tables are committed round-by-round; after
+      // round 1 of BOTH, one catalog-level `sync.v1.json` object pins
+      // (table → version) — then table A alone commits round 2,
+      // simulating a reader arriving MID-SYNC of round 2. The consistent
+      // read resolves the latest sync point and reads each table
+      // `versionAsOf` its pin: it must see BOTH tables at round 1 —
+      // never A@round2 + B@round1. The oracle IS the torn-freedom proof:
+      // the expected rows are exactly round 1's key set, so a reader
+      // that leaked A's round-2 commit hash-mismatches. ReplicaSoak
+      // drives the same machinery under 50 tables × racing writers with
+      // a concurrent reader (SCALE.md: 228 torn direct reads observed at
+      // the same instants, 0 torn sync-point reads).
+      // Scale: the sync object is O(tables), published once per round —
+      // catalog-level metadata, invariant in data volume.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val t = tmpDir("graft_syncpt_")
+        val cat = s"$t/_catalog"
+        val dirs = Seq(s"$t/a", s"$t/b")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        def land(mod4: Int, path: String): Unit =
+          o.filter(col("o_orderkey") % 4 === mod4)
+            .write.format(fmt).option("path", path)
+            .option("commitMode", "renameless").mode("append").save()
+        land(0, dirs(0)); land(1, dirs(1)) // round 1 of both tables
+        val pins = dirs.map(d => d ->
+          graft.sources.ManifestSink.readStateRenameless(d).get._1).toMap
+        graft.sources.ManifestSink.publishSyncPoint(cat, pins)
+        land(2, dirs(0)) // table A's round 2 lands; NO sync point yet
+        val (_, pinned) = graft.sources.ManifestSink.readSyncPoint(cat).get
+        dirs.map { d =>
+          s.read.format(fmt).option("path", d)
+            .option("versionAsOf", pinned(d).toString).load()
+        }.reduce(_ unionByName _).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice
+             |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sink_writer_fencing",
       // ZOMBIE-WRITER FENCING (round-12): every committer declares a
       // writer generation (`option("writerGeneration", n)`); the manifest

@@ -423,6 +423,38 @@ object Streaming {
     s.table(name)
   }
 
+  /** The [[stream_dedup_rocksdb]] pipeline to a COUNT-ONLY (noop) sink
+    * (r12 verdict #6): the registry row drains to a memory sink so its
+    * oracle can read the rows back, but at a ×100 stress factor that
+    * sink's driver-resident table dominates wall-clock and the SCALE.md
+    * ratio certified the harness, not the operator. This variant runs
+    * the IDENTICAL source → watermark → dropDuplicates chain on the
+    * RocksDB provider into `format("noop")` — rows are fully computed
+    * and counted by the sink, nothing is retained — so its wall ratio is
+    * attributable to state machinery alone. Returns rows emitted
+    * (summed from the sink's own progress metrics) for a sanity cross-
+    * check against the memory-sink run.
+    */
+  private[graft] def dedupRocksNoopSink(s: SparkSession, dir: String): Long = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ev = eventsStream(s, stage(dir, 2), ntz = false)
+      val dedup = ev.withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val q = dedup.writeStream.outputMode("append").format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Like [[runToMemory]] but for queries that CANNOT self-terminate:
     * `transformWithState` under `TimeMode.ProcessingTime` keeps the
     * stateful operator requesting further micro-batches (TTL/timer

@@ -1784,6 +1784,142 @@ object TextOps {
       }
     ),
     Q(
+      "text_policy_gate",
+      // Content-policy blocklist gate (r12 verdict #2): the
+      // Dolma/RefinedWeb-shape step every production corpus runs before
+      // training — count WORD-BOUNDARY blocklist hits per document,
+      // threshold the hit FRACTION, and emit pass/flag/reject. The list
+      // is inlined so DuckDB replays it verbatim: "slow" (frequent in the
+      // fixture vocabulary), "low" (appears ONLY as a substring of
+      // "slow" — the word-boundary `\b` must count it 0; OperatorSpec
+      // pins the substring≠word cases on constructed strings), "leak"
+      // (absent). Thresholds are evaluated with cross-multiplied integer
+      // arithmetic (100·hits vs pct·tokens) — zero floats, so the verdict
+      // is bitwise-identical on any engine. Purely map-side per document
+      // (one regexp pass + one split), no shuffle before the final sort:
+      // at 100 TB this is a free pre-filter fused into the scan.
+      (s, dir) => {
+        val pat = "\\b(slow|low|leak)\\b"
+        val hits = regexp_count(col("text"), lit(pat))
+        val nTok = size(split(col("text"), " ")).cast("long")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), nTok.as("n_tokens"), hits.cast("long").as("n_hits"))
+          .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+            floor(col("n_hits").cast("double") / col("n_tokens") * 1000000 + 0.5)
+              .cast("long").as("hit_frac_e6"),
+            when(col("n_hits") * 100 >= col("n_tokens") * 5, "reject")
+              .when(col("n_hits") * 100 >= col("n_tokens") * 2, "flag")
+              .otherwise("pass").as("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |         CAST(len(regexp_extract_all(text, '\b(slow|low|leak)\b')) AS BIGINT) AS n_hits
+             |  FROM documents)
+             |SELECT doc_id, n_tokens, n_hits,
+             |       CAST(floor(CAST(n_hits AS DOUBLE) / n_tokens * 1000000 + 0.5) AS BIGINT) AS hit_frac_e6,
+             |       CASE WHEN n_hits * 100 >= n_tokens * 5 THEN 'reject'
+             |            WHEN n_hits * 100 >= n_tokens * 2 THEN 'flag'
+             |            ELSE 'pass' END AS verdict
+             |FROM g ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_license_detect",
+      // License / boilerplate detection for code corpora (r12 verdict
+      // #3): the StarCoder/The-Stack compliance primitive that gates code
+      // into a training mix. Two detector tiers, SPDX tag first: (1) the
+      // machine-readable `SPDX-License-Identifier: <id>` line anywhere in
+      // the HEADER ZONE (first 160 chars — where real tools look, so a
+      // tag quoted deep in a document body doesn't relicense it), (2)
+      // distinctive license phrases (MIT / Apache-2.0 / GPL / BSD) in the
+      // same zone. The fixture corpus carries no headers, so the query
+      // STAGES them deterministically — doc_id % 10 picks which header is
+      // prepended — making both tiers and the 'none' fall-through
+      // observable and DuckDB-replayable. Emits (doc, license, method,
+      // evidence phrase + 1-based position). Map-side only: one regexp +
+      // a few substring probes per document, no shuffle before the sort.
+      (s, dir) => {
+        val hdr = expr("""CASE CAST(doc_id % 10 AS INT)
+          WHEN 0 THEN 'SPDX-License-Identifier: Apache-2.0\n'
+          WHEN 1 THEN 'MIT License: Permission is hereby granted, free of charge\n'
+          WHEN 2 THEN 'Licensed under the Apache License, Version 2.0\n'
+          WHEN 3 THEN 'This program is free software under the GNU General Public License\n'
+          WHEN 4 THEN 'Redistribution and use in source and binary forms\n'
+          ELSE '' END""")
+        val zone = substring(concat(hdr, col("text")), 1, 160)
+        val spdx = regexp_extract(zone,
+          "SPDX-License-Identifier: ([A-Za-z0-9.+-]+)", 1)
+        val phrases = Seq(
+          ("MIT", "Permission is hereby granted, free of charge"),
+          ("Apache-2.0", "Licensed under the Apache License"),
+          ("GPL-3.0-or-later", "GNU General Public License"),
+          ("BSD-3-Clause", "Redistribution and use in source and binary forms"))
+        val phraseLicense = phrases.foldRight(lit("none")) {
+          case ((id, p), els) => when(instr(zone, p) > 0, id).otherwise(els)
+        }
+        val phraseEvidence = phrases.foldRight(lit("")) {
+          case ((_, p), els) => when(instr(zone, p) > 0, p).otherwise(els)
+        }
+        val phrasePos = phrases.foldRight(lit(0)) {
+          case ((_, p), els) => when(instr(zone, p) > 0, instr(zone, p)).otherwise(els)
+        }
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), zone.as("zone"), spdx.as("spdx"),
+            phraseLicense.as("pl"), phraseEvidence.as("pe"), phrasePos.as("pp"))
+          .select(col("doc_id"),
+            when(col("spdx") =!= "", col("spdx")).otherwise(col("pl")).as("license"),
+            when(col("spdx") =!= "", "spdx")
+              .when(col("pl") =!= "none", "phrase")
+              .otherwise("none").as("method"),
+            when(col("spdx") =!= "",
+                concat(lit("SPDX-License-Identifier: "), col("spdx")))
+              .otherwise(col("pe")).as("evidence"),
+            when(col("spdx") =!= "",
+                instr(col("zone"), "SPDX-License-Identifier:"))
+              .otherwise(col("pp")).cast("long").as("evidence_pos"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH staged AS (
+             |  SELECT doc_id,
+             |         substr(CASE CAST(doc_id % 10 AS INT)
+             |           WHEN 0 THEN 'SPDX-License-Identifier: Apache-2.0' || chr(10)
+             |           WHEN 1 THEN 'MIT License: Permission is hereby granted, free of charge' || chr(10)
+             |           WHEN 2 THEN 'Licensed under the Apache License, Version 2.0' || chr(10)
+             |           WHEN 3 THEN 'This program is free software under the GNU General Public License' || chr(10)
+             |           WHEN 4 THEN 'Redistribution and use in source and binary forms' || chr(10)
+             |           ELSE '' END || text, 1, 160) AS zone
+             |  FROM documents),
+             |det AS (
+             |  SELECT doc_id, zone,
+             |         regexp_extract(zone, 'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) AS spdx,
+             |         CASE WHEN strpos(zone, 'Permission is hereby granted, free of charge') > 0 THEN 'MIT'
+             |              WHEN strpos(zone, 'Licensed under the Apache License') > 0 THEN 'Apache-2.0'
+             |              WHEN strpos(zone, 'GNU General Public License') > 0 THEN 'GPL-3.0-or-later'
+             |              WHEN strpos(zone, 'Redistribution and use in source and binary forms') > 0 THEN 'BSD-3-Clause'
+             |              ELSE 'none' END AS pl,
+             |         CASE WHEN strpos(zone, 'Permission is hereby granted, free of charge') > 0 THEN 'Permission is hereby granted, free of charge'
+             |              WHEN strpos(zone, 'Licensed under the Apache License') > 0 THEN 'Licensed under the Apache License'
+             |              WHEN strpos(zone, 'GNU General Public License') > 0 THEN 'GNU General Public License'
+             |              WHEN strpos(zone, 'Redistribution and use in source and binary forms') > 0 THEN 'Redistribution and use in source and binary forms'
+             |              ELSE '' END AS pe,
+             |         CASE WHEN strpos(zone, 'Permission is hereby granted, free of charge') > 0 THEN strpos(zone, 'Permission is hereby granted, free of charge')
+             |              WHEN strpos(zone, 'Licensed under the Apache License') > 0 THEN strpos(zone, 'Licensed under the Apache License')
+             |              WHEN strpos(zone, 'GNU General Public License') > 0 THEN strpos(zone, 'GNU General Public License')
+             |              WHEN strpos(zone, 'Redistribution and use in source and binary forms') > 0 THEN strpos(zone, 'Redistribution and use in source and binary forms')
+             |              ELSE 0 END AS pp
+             |  FROM staged)
+             |SELECT doc_id,
+             |       CASE WHEN spdx <> '' THEN spdx ELSE pl END AS license,
+             |       CASE WHEN spdx <> '' THEN 'spdx'
+             |            WHEN pl <> 'none' THEN 'phrase' ELSE 'none' END AS method,
+             |       CASE WHEN spdx <> '' THEN 'SPDX-License-Identifier: ' || spdx
+             |            ELSE pe END AS evidence,
+             |       CAST(CASE WHEN spdx <> '' THEN strpos(zone, 'SPDX-License-Identifier:')
+             |            ELSE pp END AS BIGINT) AS evidence_pos
+             |FROM det ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_ngram_lm_score",
       // Perplexity-proxy quality score (the CCNet/KenLM gate, integer-
       // exact): a word-bigram model is trained on the corpus itself —

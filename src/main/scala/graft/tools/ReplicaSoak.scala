@@ -29,7 +29,14 @@ import org.apache.spark.sql.functions._
   *    surface NULL in the added column, the plain read must equal
   *    inserts − deletes, the version log must be exactly
   *    6 appends + 1 evolution + 1 delete = 8 footer-valid objects, and
-  *    NO pointer file may exist anywhere.
+  *    NO pointer file may exist anywhere;
+  *  - CROSS-TABLE ATOMIC SYNC POINTS (r12 verdict #5): each round ends
+  *    with one catalog-level `sync.v<N>.json` publish pinning every
+  *    table's version; a CONCURRENT READER thread observes the replica
+  *    throughout both directly (latest per-table versions — real tears
+  *    expected mid-round) and through the latest sync point (tears must
+  *    be ZERO: pins resolve footer-valid, never exceed the table's
+  *    current version, and are round-consistent across all T tables).
   *
   * Run multi-process, like LocalClusterSmoke:
   * {{{
@@ -83,6 +90,50 @@ object ReplicaSoak {
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
 
     def tdir(i: Int) = s"$scratch/replica/table_$i"
+    val syncDir = s"$scratch/replica/_catalog"
+
+    // ---- concurrent consistency reader (r12 verdict #5): while writers
+    // race, ONE thread keeps observing the replica both ways —
+    //  (a) DIRECT: list each table's latest valid version (what a
+    //      pointer-chasing consumer does today) — mid-round this shows
+    //      MIXED versions across tables, a real torn cross-table read;
+    //  (b) SYNC-POINT: resolve the latest `sync.v<N>.json` and read each
+    //      table AT its pinned version — this must NEVER be torn: pins
+    //      resolve (footer-valid), are ≤ the table's current version,
+    //      and are identical across tables (rounds are symmetric here).
+    // The run FAILS on any sync-point tear; direct tears are reported as
+    // the evidence of the race the sync point closes.
+    val tornSync = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tornDirect = new java.util.concurrent.atomic.AtomicInteger(0)
+    val syncObs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val directObs = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var readerStop = false
+    val reader = new Thread(() => {
+      while (!readerStop) {
+        val direct = (0 until t).map(i =>
+          graft.sources.ManifestSink.readStateRenameless(tdir(i))
+            .map(_._1).getOrElse(0))
+        if (direct.forall(_ >= 1)) {
+          directObs.incrementAndGet()
+          if (direct.distinct.size > 1) tornDirect.incrementAndGet()
+        }
+        graft.sources.ManifestSink.readSyncPoint(syncDir).foreach {
+          case (_, pins) =>
+            syncObs.incrementAndGet()
+            val ok = pins.nonEmpty &&
+              pins.values.toSeq.distinct.size == 1 &&
+              pins.forall { case (dir, pv) =>
+                graft.sources.ManifestSink.readStateRenameless(dir)
+                  .exists(_._1 >= pv) &&
+                  graft.sources.ManifestSink.readState(dir, Some(pv)).isDefined
+              }
+            if (!ok) tornSync.incrementAndGet()
+        }
+        Thread.sleep(2)
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
 
     // ---- sync loop: rounds are global, tables run from a pool, the two
     // committers of one (table, round) race from sibling threads
@@ -125,6 +176,12 @@ object ReplicaSoak {
             st.copy(schema = st.schema.add("st", org.apache.spark.sql.types.StringType)))
         }
       }
+      // the round's cross-table ATOMIC sync point: one catalog-level
+      // publish pinning every table's version — all-or-nothing for the
+      // concurrent reader above
+      val pins = (0 until t).map(i => tdir(i) ->
+        graft.sources.ManifestSink.readStateRenameless(tdir(i)).get._1).toMap
+      graft.sources.ManifestSink.publishSyncPoint(syncDir, pins)
     }
     pool.shutdown()
 
@@ -144,6 +201,12 @@ object ReplicaSoak {
           st.copy(deletes = st.deletes :+ (name, v + 1)))
       }
     }
+    // final sync point: the delete round becomes visible atomically too
+    graft.sources.ManifestSink.publishSyncPoint(syncDir,
+      (0 until t).map(i => tdir(i) ->
+        graft.sources.ManifestSink.readStateRenameless(tdir(i)).get._1).toMap)
+    readerStop = true
+    reader.join(5000)
     val syncSec = (System.nanoTime() - t0) / 1e9
 
     // ---- CDF consumer: per-table batch change-feed audit
@@ -170,10 +233,18 @@ object ReplicaSoak {
         s""""pre_evolution_null_st":$insertNullSt,"expect_r1":$r1,""" +
         s""""versions":$v,"pointerless":$noPointer}""")
     }
+    // the final sync point must pin the final state (v=8 everywhere)
+    val finalSync = graft.sources.ManifestSink.readSyncPoint(syncDir)
+    val finalSyncOk = finalSync.exists(_._2.values.forall(_ == 8))
     failures.forEach(f => println(s"""{"soak_error":"${f.replace("\"", "'")}"}"""))
-    val status = if (bad == 0 && failures.isEmpty) "PASS" else "FAIL"
+    val status =
+      if (bad == 0 && failures.isEmpty && tornSync.get == 0 && finalSyncOk) "PASS"
+      else "FAIL"
     println(f"""{"soak":"summary","tables":$t,"sync_sec":$syncSec%.1f,""" +
-      s""""bad_tables":$bad,"errors":${failures.size},"status":"$status"}""")
+      s""""bad_tables":$bad,"errors":${failures.size},""" +
+      s""""reader_sync_obs":${syncObs.get},"torn_sync_reads":${tornSync.get},""" +
+      s""""reader_direct_obs":${directObs.get},"torn_direct_reads":${tornDirect.get},""" +
+      s""""final_sync_pins_v8":$finalSyncOk,"status":"$status"}""")
     spark.stop()
     if (status != "PASS") sys.exit(1)
   }

@@ -149,6 +149,40 @@ object StreamScale {
           s""""base_out_rows":${base.outRows},"x${factor}_out_rows":${scaled.outRows}}""")
       (q, ratio)
     }
+    // COUNT-ONLY re-measure of the dedup row (r12 verdict #6): same
+    // source → watermark → dropDuplicates chain on RocksDB, but into a
+    // noop sink, so the ratio certifies the state machinery rather than
+    // the driver-resident memory-sink dump the registry row needs for
+    // its oracle. Reported alongside the memory-sink number.
+    if (queries.contains("stream_dedup_rocksdb")) {
+      def runNoop(dir: String): RunStats = {
+        val ck = util.tempDir(s"graft_sstress_ck_")
+        spark.conf.set("spark.sql.streaming.checkpointLocation", ck)
+        peaks.reset()
+        val s0 = System.nanoTime()
+        val out = graft.ops.Streaming.dedupRocksNoopSink(spark, dir)
+        val sec = (System.nanoTime() - s0) / 1e9
+        Thread.sleep(500)
+        val (ckBytes, logs, zips) = walkCheckpoint(ck)
+        RunStats(sec, out, peaks.rows, peaks.memBytes, peaks.sstBytes,
+          ckBytes, logs, zips)
+      }
+      val base = runNoop(baseDir)
+      val scaled = runNoop(scaledDir)
+      val ratio = scaled.sec / math.max(base.sec, 1e-9)
+      val stateRatio =
+        scaled.stateRows.toDouble / math.max(base.stateRows.toDouble, 1.0)
+      println(
+        f"""{"sstress":"stream_dedup_rocksdb_countonly","base_sec":${base.sec}%.2f,"x${factor}_sec":${scaled.sec}%.2f,"ratio":$ratio%.1f,""" +
+          s""""base_state_rows":${base.stateRows},"x${factor}_state_rows":${scaled.stateRows},""" +
+          f""""state_rows_ratio":$stateRatio%.1f,""" +
+          s""""base_state_mem":${base.stateMem},"x${factor}_state_mem":${scaled.stateMem},""" +
+          s""""base_sst_bytes":${base.sst},"x${factor}_sst_bytes":${scaled.sst},""" +
+          s""""base_ck_bytes":${base.ckBytes},"x${factor}_ck_bytes":${scaled.ckBytes},""" +
+          s""""base_changelog_files":${base.changelogs},"x${factor}_changelog_files":${scaled.changelogs},""" +
+          s""""base_snapshot_zips":${base.zips},"x${factor}_snapshot_zips":${scaled.zips},""" +
+          s""""base_out_rows":${base.outRows},"x${factor}_out_rows":${scaled.outRows}}""")
+    }
     val worst = rows.maxBy(_._2)
     println(f"""{"sstress":"summary","factor":$factor,"n":${rows.size},"worst":"${worst._1}","worst_ratio":${worst._2}%.1f}""")
     spark.stop()

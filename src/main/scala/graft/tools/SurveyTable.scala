@@ -50,23 +50,33 @@ object SurveyTable {
       val comment: Seq[String] =
         if (after.nonEmpty) after.toSeq else before
       val text0 = comment.mkString(" ").replaceAll("\\s+", " ")
-      // pipe-safe; capped for table readability at a SENTENCE boundary
-      // (r11 verdict #7: the old hard 220-char cut truncated mid-sentence)
+      // pipe-safe; capped for table readability at a SENTENCE boundary.
+      // r12 verdict #7 (finishing r11 #7): the first sentence is ALWAYS
+      // completed, whatever its length — the old 400-char window still
+      // ellipsized long first sentences mid-clause. `…` can no longer be
+      // emitted at all: a comment with no sentence boundary is kept whole.
       val text1 = text0.replace("|", "\\|")
+      // first ". " that is a real sentence end, skipping abbreviations
+      // ("e.g. ", "i.e. ", "vs. ", single letters like "J. Doe")
+      def sentenceEnd(s: String): Int = {
+        val abbrev = Set("e.g", "i.e", "vs", "cf", "etc", "al")
+        var from = 0
+        while (from < s.length) {
+          val i = s.indexOf(". ", from)
+          if (i < 0) return -1
+          val prev = s.lastIndexOf(' ', i - 1)
+          val tok = s.substring(prev + 1, i).toLowerCase
+          if (tok.length > 1 && !abbrev.contains(tok) &&
+            !abbrev.exists(a => tok.endsWith("." + a))) return i
+          from = i + 2
+        }
+        -1
+      }
       val cut =
         if (text1.length <= 220) text1
         else {
-          // complete the first sentence when it ends within a generous
-          // window; ellipsize at a word boundary only for the rare
-          // boundary-free comment
-          val idx = text1.indexOf(". ")
-          if (idx >= 0 && idx < 400) text1.take(idx + 1)
-          else if (text1.indexOf('.') == text1.length - 1) text1
-          else {
-            val c = text1.take(300)
-            val sp = c.lastIndexOf(' ')
-            (if (sp > 120) c.take(sp) else c) + " …"
-          }
+          val idx = sentenceEnd(text1)
+          if (idx >= 0) text1.take(idx + 1) else text1
         }
       (s"`${srcRoot.getFileSystem.getPath("").toAbsolutePath.relativize(p.toAbsolutePath)}:${i + 1}`",
         if (cut.isEmpty) "core row — capability text in its §2.1–2.12 table above" else cut)

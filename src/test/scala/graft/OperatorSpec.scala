@@ -268,6 +268,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("policy gate counts words, not substrings (r13 verdict #2 boundary pin)") {
+    // the gate's `\b(slow|low|leak)\b` must count word-boundary matches
+    // ONLY: "low" inside "slow"/"lower"/"flow" is not a hit, punctuation
+    // and string edges are boundaries, and multiple hits in one doc all
+    // count. Constructed strings, same pattern the operator inlines.
+    val pat = "\\b(slow|low|leak)\\b"
+    val cases = Seq(
+      ("slow query", 1L),            // plain word
+      ("slower queries flow", 0L),   // substrings only — no hit
+      ("low, low! low.", 3L),        // punctuation is a boundary
+      ("leak", 1L),                  // whole-string match
+      ("lowest leaky slowdown", 0L), // all three as prefixes — no hit
+      ("slow low leak", 3L))         // every list word once
+    val got = cases.map(_._1).toDF("text")
+      .select(regexp_count(col("text"), lit(pat)).cast("long")).as[Long].collect()
+    assert(got.toSeq === cases.map(_._2),
+      s"word-boundary counts diverged: got ${got.toSeq} for ${cases.map(_._1)}")
+    // and the verdict thresholds are integer-exact at their edges:
+    // 2 hits in 100 tokens = exactly 2% → flag; 5 in 100 → reject
+    def verdict(hits: Long, toks: Long): String =
+      if (hits * 100 >= toks * 5) "reject"
+      else if (hits * 100 >= toks * 2) "flag" else "pass"
+    assert(verdict(2, 100) === "flag" && verdict(5, 100) === "reject" &&
+      verdict(1, 100) === "pass" && verdict(0, 1) === "pass")
+  }
+
+  test("license detect: SPDX outranks phrase, header zone bounds the search (r13 verdict #3)") {
+    val out = SparkEntry.queries("text_license_detect")(spark, dir)
+      .select("doc_id", "license", "method").as[(Long, String, String)].collect()
+    val byMod = out.groupBy(r => (r._1 % 10).toInt)
+    assert(byMod(0).forall(r => r._2 == "Apache-2.0" && r._3 == "spdx"))
+    assert(byMod(1).forall(r => r._2 == "MIT" && r._3 == "phrase"))
+    assert(byMod(2).forall(r => r._2 == "Apache-2.0" && r._3 == "phrase"))
+    assert(byMod(3).forall(r => r._2 == "GPL-3.0-or-later" && r._3 == "phrase"))
+    assert(byMod(4).forall(r => r._2 == "BSD-3-Clause" && r._3 == "phrase"))
+    (5 to 9).foreach(m => assert(byMod.get(m).forall(_.forall(r =>
+      r._2 == "none" && r._3 == "none")), s"mod $m must detect nothing"))
+  }
+
   test("weighted priority sample: high-weight rows oversampled vs uniform") {
     // the 200 selected orders' mean totalprice must exceed the table mean
     // (priority sampling biases selection toward weight)

@@ -470,6 +470,60 @@ class PlanShapeSpec extends AnyFunSuite {
       "CostBasedJoinReorder should eliminate the fact-fact-first join given stats")
   }
 
+  test("sql_cbo_join_reorder: 3-table star reorders with stats, stays literal without (r12 verdict #4)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    ops.Joins.cbo3Land(spark, dir)
+    def leafName(p: LogicalPlan): Option[String] = p match {
+      case l: LogicalRelation => l.catalogTable.map(_.identifier.table)
+      case _ => None
+    }
+    // literal order survived iff some join's whole subtree is the two
+    // fact tables (lineitem ⋈ orders before customer ever joins)
+    def factFactJoin(db: String, cbo: Boolean): Boolean = {
+      val confs = Seq("spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.cbo.joinReorder.enabled" -> cbo.toString)
+      val keep = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        val plan = spark.sql(ops.Joins.cbo3StarSql(db))
+          .queryExecution.optimizedPlan
+        plan.collect { case j: Join => j }.exists { j =>
+          val names = j.collectLeaves().flatMap(leafName(_))
+          names.nonEmpty && names.toSet.subsetOf(Set("lineitem", "orders"))
+        }
+      } finally keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    // all three leverage points: the REORDER needs stats AND cbo — the
+    // flag alone (no ANALYZE) and the stats alone (cbo off) both keep
+    // the literal fact-fact-first order
+    assert(!factFactJoin("graft_cbo3a", cbo = true),
+      "with column stats + CBO the selective customer join must come first")
+    assert(factFactJoin("graft_cbo3n", cbo = true),
+      "CBO without ANALYZE stats must not reorder (rowCount prices the reorder)")
+    assert(factFactJoin("graft_cbo3a", cbo = false),
+      "stats without CBO must keep the literal order")
+    // and the answer is order-invariant: analyzed+cbo ≡ plain
+    val keep = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    val (withCbo, without) =
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        val a = spark.sql(ops.Joins.cbo3StarSql("graft_cbo3a")).collect().toSeq
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        (a, spark.sql(ops.Joins.cbo3StarSql("graft_cbo3a")).collect().toSeq)
+      } finally keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    assert(withCbo === without, "reorder must never change the answer")
+  }
+
   test("scan_parquet_agg_pushdown: the scan carries PushedAggregation (metadata-only)") {
     val src = ops.Sources.aggPushdownStage(spark, dir)
     ops.Sources.withScopedConfs(spark, ops.Sources.aggPushdownConfs) {

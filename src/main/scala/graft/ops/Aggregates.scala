@@ -525,6 +525,209 @@ object Aggregates {
              |FROM cum, tot GROUP BY na, nb""".stripMargin)
     ),
     Q(
+      "stat_poisson_rate_test",
+      // Two-sample Poisson rate comparison (round-13): are errors
+      // arriving FASTER than purchases per unit time — the incident/SLO
+      // question that a mean test on values cannot answer because the
+      // unit is events-per-exposure, not event size. Counts and distinct
+      // active days per type are exact integers; the rate-difference z
+      // (unpooled, the standard large-sample form) is one fixed-order
+      // double expression, r2-pinned. One row per compared pair.
+      // Scale: two conditional aggregates over one scan — shuffle
+      // carries (type, day) cells for the exposure count, never events.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("error", "purchase"))
+          .select(col("event_type"), col("ts").cast("date").as("day"))
+        val g = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("k"), count_distinct(col("day")).as("t"))
+        val a = g.filter(col("event_type") === "error")
+          .select(col("k").as("k1"), col("t").as("t1"))
+        val b = g.filter(col("event_type") === "purchase")
+          .select(col("k").as("k2"), col("t").as("t2"))
+        a.crossJoin(b)
+          .select(col("k1"), col("t1"), col("k2"), col("t2"),
+            util.r2((col("k1").cast("double") / col("t1") -
+              col("k2").cast("double") / col("t2")) /
+              sqrt(col("k1").cast("double") / (col("t1") * col("t1")) +
+                col("k2").cast("double") / (col("t2") * col("t2")))).as("z"))
+      },
+      Some(s"""WITH g AS (
+              |  SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+              |         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS t
+              |  FROM events WHERE event_type IN ('error', 'purchase')
+              |  GROUP BY event_type)
+              |SELECT a.k AS k1, a.t AS t1, b.k AS k2, b.t AS t2,
+              |       ${util.r2sql("(CAST(a.k AS DOUBLE) / a.t - CAST(b.k AS DOUBLE) / b.t) / sqrt(CAST(a.k AS DOUBLE) / (a.t * a.t) + CAST(b.k AS DOUBLE) / (b.t * b.t))")} AS z
+              |FROM g a, g b
+              |WHERE a.event_type = 'error' AND b.event_type = 'purchase'""".stripMargin)
+    ),
+    Q(
+      "stat_wilcoxon_signed_rank",
+      // Wilcoxon signed-rank (round-13): the PAIRED nonparametric test —
+      // the gap between Mann–Whitney (unpaired continuous) and McNemar
+      // (paired binary). Pairs are customers with orders in BOTH 1995
+      // and 1996 (per-customer annual spend in cents); zero differences
+      // drop per the standard procedure. Like the other rank tests here,
+      // EXACT integer arithmetic end-to-end: ties get the average rank
+      // via the doubled form 2·r̄ = 2·rank + tiecount − 1, so the emitted
+      // statistics are 2·W⁺ and 2·W⁻ — no division anywhere, partition
+      // order can never flip a bit, and 2W⁺ + 2W⁻ = 2·n(n+1)/2 · 2 is an
+      // internal consistency identity the oracle hash enforces.
+      // Scale: one groupBy to per-(customer, year) sums, one pivot-style
+      // conditional agg to pairs, ONE ordered window over the collapsed
+      // |d| domain — shuffle carries customers, never orders.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey"),
+            year(col("o_orderdate")).as("yr"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+          .filter(col("yr").isin(1995, 1996))
+        val pairs = o.groupBy(col("o_custkey"))
+          .agg(sum(when(col("yr") === 1995, col("cents"))).as("c95"),
+            sum(when(col("yr") === 1996, col("cents"))).as("c96"))
+          .filter(col("c95").isNotNull && col("c96").isNotNull)
+          .select((col("c95") - col("c96")).as("d"))
+          .filter(col("d") =!= 0)
+          .select(col("d"), abs(col("d")).as("absd"))
+        val w = Window.orderBy(col("absd"))
+        pairs
+          .withColumn("r", rank().over(w).cast("long"))
+          .withColumn("c", count(lit(1)).over(
+            Window.partitionBy(col("absd"))).cast("long"))
+          .withColumn("tr", lit(2L) * col("r") + col("c") - lit(1L))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("d") > 0, col("tr")).otherwise(0L)).as("w2_plus"),
+            sum(when(col("d") < 0, col("tr")).otherwise(0L)).as("w2_minus"))
+      },
+      Some("""WITH spend AS (
+             |  SELECT o_custkey, year(o_orderdate) AS yr,
+             |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT sum(CASE WHEN yr = 1995 THEN cents END)
+             |         - sum(CASE WHEN yr = 1996 THEN cents END) AS d
+             |  FROM spend GROUP BY o_custkey
+             |  HAVING count(*) = 2 AND sum(CASE WHEN yr = 1995 THEN cents END)
+             |         <> sum(CASE WHEN yr = 1996 THEN cents END)),
+             |ranked AS (
+             |  SELECT d,
+             |         CAST(rank() OVER (ORDER BY abs(d)) AS BIGINT) AS r,
+             |         CAST(count(*) OVER (PARTITION BY abs(d)) AS BIGINT) AS c
+             |  FROM pairs)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(sum(CASE WHEN d > 0 THEN 2 * r + c - 1 ELSE 0 END) AS BIGINT) AS w2_plus,
+             |       CAST(sum(CASE WHEN d < 0 THEN 2 * r + c - 1 ELSE 0 END) AS BIGINT) AS w2_minus
+             |FROM ranked""".stripMargin)
+    ),
+    Q(
+      "stat_levene_test",
+      // Brown–Forsythe / Levene variance-homogeneity test (round-13):
+      // ANOVA (stat_anova_oneway) assumes equal group variances — this is
+      // the test that CHECKS that assumption, and on its own the
+      // "did the spread change" drift question (variance drift with a
+      // stable mean is invisible to location tests). Median-centered
+      // (Brown–Forsythe — robust to the heavy tail order totals have);
+      // the spread scores stay integral via doubled medians: z = |2x −
+      // 2·median| in half-cents, W assembled from BIGINT Σz / Σz² group
+      // moments with ONE double division at the end, r2-pinned.
+      // Scale: percentile + two-phase moment aggregation per group; the
+      // shuffle carries group keys, never rows, after the map-side
+      // partials.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        // exact doubled median per group: even-count medians are
+        // mid-pair averages (x.5 in cents) — doubling keeps them BIGINT
+        val med2 = o.groupBy(col("grp"))
+          .agg(expr("CAST(percentile(cents, 0.5) * 2 AS BIGINT)").as("med2"))
+        val z = o.join(med2, "grp")
+          .select(col("grp"), abs(lit(2L) * col("cents") - col("med2")).as("z"))
+        val g = z.groupBy(col("grp"))
+          .agg(count(lit(1)).cast("double").as("ni"),
+            sum(col("z")).cast("double").as("si"),
+            sum(col("z") * col("z")).cast("double").as("qi"))
+        val tot = g.agg(
+          count(lit(1)).cast("double").as("k"),
+          sum(col("ni")).as("n"),
+          sum(col("si")).as("st"),
+          sum(col("qi") - col("si") * col("si") / col("ni")).as("within"),
+          sum(col("si") * col("si") / col("ni")).as("btw_raw"))
+        tot.select(
+          col("k").cast("long").as("n_groups"),
+          col("n").cast("long").as("n_total"),
+          util.r2((col("n") - col("k")) / (col("k") - lit(1.0)) *
+            (col("btw_raw") - col("st") * col("st") / col("n")) / col("within"))
+            .as("levene_w"))
+      },
+      Some(s"""WITH x AS (
+              |  SELECT o_orderpriority AS grp,
+              |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              |  FROM orders),
+              |m AS (SELECT grp, CAST(median(cents) * 2 AS BIGINT) AS med2 FROM x GROUP BY grp),
+              |z AS (
+              |  SELECT x.grp, abs(2 * x.cents - m.med2) AS z
+              |  FROM x JOIN m ON x.grp = m.grp),
+              |g AS (
+              |  SELECT grp, CAST(count(*) AS DOUBLE) AS ni,
+              |         CAST(sum(z) AS DOUBLE) AS si,
+              |         CAST(sum(z * z) AS DOUBLE) AS qi
+              |  FROM z GROUP BY grp),
+              |t AS (
+              |  SELECT CAST(count(*) AS DOUBLE) AS k, sum(ni) AS n, sum(si) AS st,
+              |         sum(qi - si * si / ni) AS within,
+              |         sum(si * si / ni) AS btw_raw
+              |  FROM g)
+              |SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_total,
+              |       ${util.r2sql("(n - k) / (k - 1.0) * (btw_raw - st * st / n) / within")} AS levene_w
+              |FROM t""".stripMargin)
+    ),
+    Q(
+      "stat_srm_check",
+      // Sample-ratio-mismatch check (round-13): the FIRST gate of every
+      // A/B readout — if the 50/50 hash split didn't land 50/50, the
+      // experiment is corrupted and no downstream stat is meaningful.
+      // Assignment is the engine's deterministic multiplicative hash
+      // (same family as sample_hash_deterministic — reproducible across
+      // engines/runs/partitioning, so the oracle replays it exactly);
+      // per event_type: arm counts, chi-square SRM statistic (1 df,
+      // equal-split null), and the flag evaluated in CROSS-MULTIPLIED
+      // integers (100·(nA−nB)² vs 384·N) so the boundary can't flip on
+      // an ulp. Scale: one conditional-count aggregate, map-side
+      // combinable, shuffle carries event types only.
+      (s, dir) => {
+        val arm = ((col("user_id") % 1000003L) * 2654435761L) % 2
+        Tables.events(s, dir)
+          .select(col("event_type"), arm.as("arm"))
+          .groupBy(col("event_type"))
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            util.r2((col("n_a") - col("n_b")).cast("double") *
+              (col("n_a") - col("n_b")).cast("double") /
+              (col("n_a") + col("n_b")).cast("double")).as("chi2"),
+            (lit(100L) * (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) >
+              lit(384L) * (col("n_a") + col("n_b"))).as("srm_flag"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH assigned AS (
+              |  SELECT event_type,
+              |         ((user_id % 1000003) * 2654435761) % 2 AS arm
+              |  FROM events),
+              |g AS (
+              |  SELECT event_type,
+              |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+              |  FROM assigned GROUP BY event_type)
+              |SELECT event_type, n_a, n_b,
+              |       ${util.r2sql("CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)")} AS chi2,
+              |       100 * (n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b) AS srm_flag
+              |FROM g ORDER BY event_type""".stripMargin)
+    ),
+    Q(
       "stat_mann_whitney",
       // Two-sample Mann–Whitney U (rank-sum) between the purchase and
       // click value distributions — the nonparametric drift test that,

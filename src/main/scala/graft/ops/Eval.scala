@@ -105,6 +105,147 @@ object Eval {
               |FROM f""".stripMargin)
     ),
     Q(
+      "eval_kendall_tau",
+      // Kendall τ-b rank correlation (round-13): the pair-concordance
+      // complement to Spearman (stat_spearman_corr) — τ is the metric of
+      // choice when comparing RANKERS (two scoring functions over the
+      // same items) because it counts inversions directly. Computed per
+      // brand BLOCK (price rank vs size rank within brand): concordant /
+      // discordant pairs from a key-ordered self-join INSIDE the block,
+      // tie corrections from per-value counts, τ-b assembled from BIGINT
+      // pair counts with one fixed-order double expression, r2-pinned.
+      // Scale: pair enumeration is quadratic IN THE BLOCK, so the block
+      // is hard-capped at 128 items by a DETERMINISTIC hash sample
+      // (multiplicative hash + key tiebreak — reproducible across
+      // engines/runs/partitioning, same family as
+      // sample_hash_deterministic). That is the standard posture for
+      // pairwise rank metrics at corpus scale: τ is estimated on a
+      // pinned per-block evaluation sample, never the full cross
+      // product — an uncapped ×10 block costs ×100 pairs (measured
+      // 14.4× wall before the cap), the capped one is O(1) per block.
+      (s, dir) => {
+        val p0 = Tables(s, dir, "part")
+          .select(col("p_brand"), col("p_partkey"),
+            floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("x"),
+            col("p_size").cast("long").as("y"))
+        val p = p0.withColumn("hrk", row_number().over(
+            Window.partitionBy(col("p_brand")).orderBy(
+              ((col("p_partkey") % 1000003L) * 2654435761L) % 1000000L,
+              col("p_partkey"))))
+          .filter(col("hrk") <= 128).drop("hrk")
+        val pairs = p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_brand").as("brand"),
+            ((col("a.x") - col("b.x")) > 0).cast("long")
+              .minus(((col("a.x") - col("b.x")) < 0).cast("long")).as("sx"),
+            ((col("a.y") - col("b.y")) > 0).cast("long")
+              .minus(((col("a.y") - col("b.y")) < 0).cast("long")).as("sy"))
+        pairs.groupBy(col("brand"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L)).as("concordant"),
+            sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L)).as("discordant"),
+            sum(when(col("sx") === 0, 1L).otherwise(0L)).as("ties_x"),
+            sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ties_y"))
+          .select(col("brand"), col("n_pairs"), col("concordant"), col("discordant"),
+            graft.util.r2((col("concordant") - col("discordant")).cast("double") /
+              sqrt((col("n_pairs") - col("ties_x")).cast("double") *
+                (col("n_pairs") - col("ties_y")).cast("double"))).as("tau_b"))
+          .orderBy(col("brand"))
+      },
+      Some(s"""WITH p0 AS (
+              |  SELECT p_brand, p_partkey,
+              |         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS x,
+              |         CAST(p_size AS BIGINT) AS y,
+              |         row_number() OVER (PARTITION BY p_brand
+              |           ORDER BY ((p_partkey % 1000003) * 2654435761) % 1000000,
+              |                    p_partkey) AS hrk
+              |  FROM part),
+              |p AS (SELECT p_brand, p_partkey, x, y FROM p0 WHERE hrk <= 128),
+              |pairs AS (
+              |  SELECT a.p_brand AS brand,
+              |         CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END AS sx,
+              |         CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1 ELSE 0 END AS sy
+              |  FROM p a JOIN p b
+              |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+              |g AS (
+              |  SELECT brand, CAST(count(*) AS BIGINT) AS n_pairs,
+              |         CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+              |         CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+              |         CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+              |         CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+              |  FROM pairs GROUP BY brand)
+              |SELECT brand, n_pairs, concordant, discordant,
+              |       ${graft.util.r2sql("CAST(concordant - discordant AS DOUBLE) / sqrt(CAST(n_pairs - ties_x AS DOUBLE) * CAST(n_pairs - ties_y AS DOUBLE))")} AS tau_b
+              |FROM g ORDER BY brand""".stripMargin)
+    ),
+    Q(
+      "eval_brier_decomposition",
+      // Murphy decomposition of the Brier score (round-13): calibration
+      // bins (eval_calibration_bins) show WHERE a probability model is
+      // off; this row quantifies the trade — per decile bin the Brier
+      // contribution, the RELIABILITY term n·(p̄−ȳ)² (calibration error,
+      // lower better) and the RESOLUTION term n·(ȳ_bin−ȳ)² (how much the
+      // bins separate outcomes, higher better). Probabilities are
+      // derived deterministically from the fixture (cents mod 1000 →
+      // milli-units), outcomes are purchase events; every term is
+      // assembled from BIGINT bin moments with one fixed-order double
+      // division chain, e6-pinned — no cross-engine float drift surface.
+      // Scale: one conditional aggregate to 10 bin rows + a broadcast of
+      // the global totals; shuffle carries bins, never events.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(
+            (floor(col("value") * 100 + lit(0.5)).cast("long") % 1000L).as("p"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        val bins = ev.groupBy((col("p") / 100).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+            sum(col("p")).as("sp"),
+            sum((col("p") - lit(1000L) * col("y")) *
+              (col("p") - lit(1000L) * col("y"))).as("sq"))
+        val tot = ev.agg(count(lit(1)).as("nn"), sum(col("y")).as("yy"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n"), col("n_pos"),
+            expr("CAST(floor(CAST(sp AS DOUBLE) / n * 1000 + 0.5) AS BIGINT)")
+              .as("mean_p_e6"),
+            expr("CAST(floor(CAST(n_pos AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)")
+              .as("rate_e6"),
+            expr("CAST(floor(CAST(sq AS DOUBLE) / n + 0.5) AS BIGINT)")
+              .as("brier_e6"),
+            expr("""CAST(floor(CAST(sp - 1000 * n_pos AS DOUBLE)
+                    * CAST(sp - 1000 * n_pos AS DOUBLE) / n / 1000000 + 0.5) AS BIGINT)""")
+              .as("rel_e6"),
+            expr("""CAST(floor(CAST(n_pos * nn - yy * n AS DOUBLE)
+                    * CAST(n_pos * nn - yy * n AS DOUBLE)
+                    / n / nn / nn * 1000000 + 0.5) AS BIGINT)""")
+              .as("res_e6"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) % 1000 AS p,
+             |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events),
+             |bins AS (
+             |  SELECT p // 100 AS bin, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(y) AS BIGINT) AS n_pos,
+             |         CAST(sum(p) AS BIGINT) AS sp,
+             |         CAST(sum((p - 1000 * y) * (p - 1000 * y)) AS BIGINT) AS sq
+             |  FROM ev GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS yy
+             |  FROM ev)
+             |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+             |       CAST(floor(CAST(sp AS DOUBLE) / n * 1000 + 0.5) AS BIGINT) AS mean_p_e6,
+             |       CAST(floor(CAST(n_pos AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT) AS rate_e6,
+             |       CAST(floor(CAST(sq AS DOUBLE) / n + 0.5) AS BIGINT) AS brier_e6,
+             |       CAST(floor(CAST(sp - 1000 * n_pos AS DOUBLE)
+             |            * CAST(sp - 1000 * n_pos AS DOUBLE) / n / 1000000 + 0.5) AS BIGINT) AS rel_e6,
+             |       CAST(floor(CAST(n_pos * nn - yy * n AS DOUBLE)
+             |            * CAST(n_pos * nn - yy * n AS DOUBLE)
+             |            / n / nn / nn * 1000000 + 0.5) AS BIGINT) AS res_e6
+             |FROM bins, tot ORDER BY bin""".stripMargin)
+    ),
+    Q(
       "eval_calibration_bins",
       // Reliability diagram data: decile bins over the score (total-order
       // tiebreak on vec_id so ntile is deterministic under ties), per-bin

@@ -1784,6 +1784,101 @@ object TextOps {
       }
     ),
     Q(
+      "pipeline_padding_waste",
+      // Padding-efficiency audit for length-bucketed batching
+      // (round-13): the GPU-utilization question every training loader
+      // answers before picking a batching policy — if sequences are
+      // padded to their LENGTH BUCKET's ceiling (multiples of 64 tokens)
+      // instead of one global maximum, how much compute is padding?
+      // Per bucket: docs, real tokens, padded tokens, bucket waste
+      // fraction, plus each bucket's waste under the global-max policy —
+      // the two policies' costs side by side, from the SAME scan.
+      // Everything is integer arithmetic off one token count per doc
+      // (e6-pinned fractions); the global max broadcasts as a 1-row
+      // aggregate. Scale: one map-side length pass + one bucket
+      // aggregate — shuffle carries O(buckets) rows.
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), size(toks).cast("long").as("len"))
+        val g = d.groupBy(
+            (ceil(col("len").cast("double") / 64) * 64).cast("long").as("bucket_len"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_tokens"))
+        val mx = d.agg(max(col("len")).as("max_len"))
+        g.crossJoin(broadcast(mx))
+          .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
+            (col("bucket_len") * col("n_docs")).as("sum_padded"),
+            expr("""CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
+                    / (bucket_len * n_docs)) * 1000000 + 0.5) AS BIGINT)""")
+              .as("bucket_waste_e6"),
+            expr("""CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
+                    / (max_len * n_docs)) * 1000000 + 0.5) AS BIGINT)""")
+              .as("globalpad_waste_e6"))
+          .orderBy(col("bucket_len"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+             |  FROM documents),
+             |g AS (
+             |  SELECT CAST(ceil(CAST(len AS DOUBLE) / 64) * 64 AS BIGINT) AS bucket_len,
+             |         CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(len) AS BIGINT) AS sum_tokens
+             |  FROM d GROUP BY 1),
+             |mx AS (SELECT CAST(max(len) AS BIGINT) AS max_len FROM d)
+             |SELECT bucket_len, n_docs, sum_tokens,
+             |       bucket_len * n_docs AS sum_padded,
+             |       CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
+             |            / (bucket_len * n_docs)) * 1000000 + 0.5) AS BIGINT) AS bucket_waste_e6,
+             |       CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
+             |            / (max_len * n_docs)) * 1000000 + 0.5) AS BIGINT) AS globalpad_waste_e6
+             |FROM g, mx ORDER BY bucket_len""".stripMargin)
+    ),
+    Q(
+      "text_oov_rate",
+      // Tokenizer vocabulary coverage (round-13): per-document
+      // out-of-vocabulary rate against the corpus's own top-20 tokens
+      // (count desc, token asc tiebreak — fully deterministic). This is
+      // the fertility/coverage pre-flight a tokenizer change runs before
+      // retraining: a vocab swap that spikes OOV on one language or
+      // source shows up here, not three days into training. The vocab is
+      // O(20) and BROADCAST; the corpus-side pass is one explode + one
+      // hash aggregate, so the shuffle carries (doc, token) counts, and
+      // at 100 TB the vocab side is a metadata-sized build exactly like
+      // a real tokenizer's merges table.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(toks).as("tok"))
+        val vocab = tok.groupBy(col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("tok"))))
+          .filter(col("rk") <= 20)
+          .select(col("tok"), lit(1L).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            expr("CAST(floor(CAST(n_oov AS DOUBLE) / n_tokens * 1000000 + 0.5) AS BIGINT)")
+              .as("oov_frac_e6"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |vocab AS (
+             |  SELECT tok FROM (
+             |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+             |    FROM tok GROUP BY tok) WHERE rk <= 20),
+             |g AS (
+             |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+             |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+             |  GROUP BY t.doc_id)
+             |SELECT doc_id, n_tokens, n_oov,
+             |       CAST(floor(CAST(n_oov AS DOUBLE) / n_tokens * 1000000 + 0.5) AS BIGINT) AS oov_frac_e6
+             |FROM g ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "text_policy_gate",
       // Content-policy blocklist gate (r12 verdict #2): the
       // Dolma/RefinedWeb-shape step every production corpus runs before

@@ -1454,6 +1454,94 @@ object Sources {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "cdc_sync_point_incremental",
+      // The consistent MULTI-TABLE incremental pull (round-13) — the
+      // replica-consumption shape the sync point exists for: a consumer
+      // that last processed sync point S_a catches up to S_b by reading,
+      // PER TABLE, the CDF range (pin@S_a, pin@S_b] — every table
+      // advances by exactly one consistent cross-table round set, never
+      // a mix. Fixture: two rename-less tables × three sync rounds;
+      // consumer state = processed through S1; the pull reads each
+      // table's batch change feed from its S1 pin +1 to its S3 pin and
+      // must surface EXACTLY rounds 2–3 of both tables (the oracle's
+      // key set is that and only that — an off-by-one on either pin
+      // hash-mismatches). At 100 TB this is one O(changed files) plan
+      // per table and one O(tables) sync-object read — the no-message-
+      // bus catch-up path, now torn-free across tables.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val t = tmpDir("graft_syncinc_")
+        val cat = s"$t/_catalog"
+        val dirs = Map("a" -> s"$t/a", "b" -> s"$t/b")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        def land(tbl: String, round: Int): Unit =
+          o.filter(col("o_orderkey") % 2 === (if (tbl == "a") 0 else 1) &&
+              expr("(o_orderkey div 2) % 3") === round)
+            .write.format(fmt).option("path", dirs(tbl))
+            .option("commitMode", "renameless").mode("append").save()
+        val syncs = (0 until 3).map { r =>
+          Seq("a", "b").foreach(land(_, r))
+          graft.sources.ManifestSink.publishSyncPoint(cat,
+            dirs.values.map(d => d ->
+              graft.sources.ManifestSink.readStateRenameless(d).get._1).toMap)
+        }
+        val (_, pinsA) = graft.sources.ManifestSink.readSyncPoint(
+          cat, Some(syncs.head)).get
+        val (_, pinsB) = graft.sources.ManifestSink.readSyncPoint(cat).get
+        dirs.map { case (tbl, d) =>
+          s.read.format(fmt).option("path", d)
+            .option("changeFeed", "true")
+            .option("startingVersion", (pinsA(d) + 1).toString)
+            .option("endingVersion", pinsB(d).toString)
+            .load()
+            .select(lit(tbl).as("tbl"), col("o_orderkey"),
+              col("o_totalprice"), col("_change_type"))
+        }.reduce(_ unionByName _).orderBy(col("tbl"), col("o_orderkey"))
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS tbl,
+             |       o_orderkey, o_totalprice, 'insert' AS _change_type
+             |FROM orders WHERE (o_orderkey // 2) % 3 IN (1, 2)
+             |ORDER BY tbl, o_orderkey""".stripMargin)
+    ),
+    Q(
+      "sink_sync_point_as_of",
+      // Sync-point TIME TRAVEL (round-13): `readSyncPoint(cat, Some(n))`
+      // is the catalog-level analog of a table's versionAsOf — an audit
+      // re-reads the replica EXACTLY as round n published it, all tables
+      // consistently, even after later rounds landed. Fixture: two
+      // rounds, two sync points; the read resolves S1 (not latest) and
+      // must surface ONLY round 1's keys of both tables — the oracle's
+      // key set proves no later commit leaks through the historical pin.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val t = tmpDir("graft_syncasof_")
+        val cat = s"$t/_catalog"
+        val dirs = Seq(s"$t/a", s"$t/b")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        def land(mod4: Int, path: String): Unit =
+          o.filter(col("o_orderkey") % 4 === mod4)
+            .write.format(fmt).option("path", path)
+            .option("commitMode", "renameless").mode("append").save()
+        (0 until 2).foreach { r =>
+          land(r * 2, dirs(0)); land(r * 2 + 1, dirs(1)) // rounds r
+          graft.sources.ManifestSink.publishSyncPoint(cat,
+            dirs.map(d => d ->
+              graft.sources.ManifestSink.readStateRenameless(d).get._1).toMap)
+        }
+        val (_, pinned) =
+          graft.sources.ManifestSink.readSyncPoint(cat, Some(1)).get
+        dirs.map { d =>
+          s.read.format(fmt).option("path", d)
+            .option("versionAsOf", pinned(d).toString).load()
+        }.reduce(_ unionByName _).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice
+             |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sink_writer_fencing",
       // ZOMBIE-WRITER FENCING (round-12): every committer declares a
       // writer generation (`option("writerGeneration", n)`); the manifest

@@ -1784,6 +1784,58 @@ object TextOps {
       }
     ),
     Q(
+      "text_dup_ngram_char_frac",
+      // Gopher's duplicate-n-gram CHARACTER fraction (round-13): the
+      // repetition gate text_repetition_ratio does not cover — not "how
+      // many tokens repeat" but "what fraction of the document's
+      // CHARACTERS sits inside word-4-grams that occur more than once in
+      // the doc" (dup_ngram_char_frac, the gate that kills boilerplate
+      // and template spam that unique-token ratios miss because every
+      // token is common but the PHRASES loop). Exact integers: each
+      // 4-gram carries its own character length (3 separators included),
+      // duplicated-gram chars = Σ over grams with count>1 of count·len.
+      // Scale: explode + two keyed aggregates; the shuffle carries
+      // (doc, gram-hash-sized) cells, never the text, and the final
+      // fraction is one e6 pin per doc.
+      (s, dir) => {
+        val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+            explode(expr(
+              """transform(sequence(0, size(split(text, ' ')) - 4),
+                |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 4)))"""
+                .stripMargin)).as("gram"))
+        grams
+          .groupBy(col("doc_id"), col("n_chars"), col("gram"))
+          .agg(count(lit(1)).as("cnt"),
+            (length(col("gram")) + lit(1)).cast("long").as("glen"))
+          .groupBy(col("doc_id"), col("n_chars"))
+          .agg(sum(when(col("cnt") > 1, col("cnt") * col("glen")).otherwise(0L))
+            .as("dup_chars"))
+          .select(col("doc_id"), col("n_chars"), col("dup_chars"),
+            expr("""CAST(floor(least(CAST(dup_chars AS DOUBLE) / n_chars, 1.0)
+                    * 1000000 + 0.5) AS BIGINT)""").as("dup_char_frac_e6"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             |         unnest(list_transform(
+             |           range(1, len(string_split(text, ' ')) - 2),
+             |           i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))) AS gram
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n_chars, gram, CAST(count(*) AS BIGINT) AS cnt,
+             |         CAST(length(gram) + 1 AS BIGINT) AS glen
+             |  FROM g GROUP BY doc_id, n_chars, gram),
+             |d AS (
+             |  SELECT doc_id, n_chars,
+             |         CAST(sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS BIGINT) AS dup_chars
+             |  FROM c GROUP BY doc_id, n_chars)
+             |SELECT doc_id, n_chars, dup_chars,
+             |       CAST(floor(least(CAST(dup_chars AS DOUBLE) / n_chars, 1.0)
+             |            * 1000000 + 0.5) AS BIGINT) AS dup_char_frac_e6
+             |FROM d ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "pipeline_padding_waste",
       // Padding-efficiency audit for length-bucketed batching
       // (round-13): the GPU-utilization question every training loader

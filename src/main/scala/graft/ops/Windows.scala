@@ -2772,6 +2772,63 @@ object Windows {
              |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
     ),
     Q(
+      "win_lorenz_deciles",
+      // Lorenz curve by population decile (round-13): the distributional
+      // CURVE behind the scalar Gini (agg_gini_concentration) and the
+      // crossing thresholds (win_pareto_8020) — per ascending-revenue
+      // decile of customers, the cumulative share of customers vs the
+      // cumulative share of revenue, e6-pinned from exact cent sums.
+      // This is the plot every concentration audit draws; keeping it
+      // keyed by decile makes it O(10) output from one window pass over
+      // the O(customers) aggregate, the same at any corpus size.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("rev_c"))
+        val w = Window.orderBy(col("rev_c"), col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev
+          .withColumn("dec", ntile(10).over(
+            Window.orderBy(col("rev_c"), col("o_custkey"))))
+          .withColumn("cum", sum(col("rev_c")).over(w))
+          .withColumn("total", sum(col("rev_c")).over(Window.partitionBy()))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("rev_c"), col("o_custkey"))))
+          .groupBy(col("dec").cast("long").as("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            max(col("rnk")).as("cum_customers"),
+            max(col("cum")).as("cum_rev_c"),
+            max(col("total")).as("total_c"), max(col("n")).as("n_total"))
+          .select(col("decile"), col("n_customers"),
+            expr("CAST(floor(CAST(cum_customers AS DOUBLE) / n_total * 1000000 + 0.5) AS BIGINT)")
+              .as("cum_pop_share_e6"),
+            expr("CAST(floor(CAST(cum_rev_c AS DOUBLE) / total_c * 1000000 + 0.5) AS BIGINT)")
+              .as("cum_rev_share_e6"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey,
+             |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+             |  FROM orders GROUP BY o_custkey),
+             |ranked AS (
+             |  SELECT rev_c,
+             |         ntile(10) OVER (ORDER BY rev_c, o_custkey) AS dec,
+             |         CAST(row_number() OVER (ORDER BY rev_c, o_custkey) AS BIGINT) AS rnk,
+             |         CAST(sum(rev_c) OVER (ORDER BY rev_c, o_custkey
+             |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |         CAST(sum(rev_c) OVER () AS BIGINT) AS total,
+             |         CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM rev)
+             |SELECT CAST(dec AS BIGINT) AS decile,
+             |       CAST(count(*) AS BIGINT) AS n_customers,
+             |       CAST(floor(CAST(max(rnk) AS DOUBLE) / max(n) * 1000000 + 0.5) AS BIGINT) AS cum_pop_share_e6,
+             |       CAST(floor(CAST(max(cum) AS DOUBLE) / max(total) * 1000000 + 0.5) AS BIGINT) AS cum_rev_share_e6
+             |FROM ranked GROUP BY dec ORDER BY decile""".stripMargin)
+    ),
+    Q(
       "win_pareto_8020",
       // Pareto concentration (round-9): how many top customers cover 80%
       // (and 50%, 95%) of total revenue — the 80/20 audit behind account

@@ -478,31 +478,40 @@ object ManifestSink {
   // torn-read count is zero under racing writers while the direct
   // (pointer-chasing) reader observes real tears at the same instants.
 
-  /** Latest valid sync point: (sync version, table dir → pinned table
-    * version). Resolution is list + footer-validate, identical to
-    * [[readStateRenameless]] — no pointer, safe on S3 semantics.
+  /** Valid sync point: (sync version, table dir → pinned table version).
+    * `versionAsOf = None` resolves the LATEST footer-valid sync object
+    * (list + validate, identical to [[readStateRenameless]] — no
+    * pointer, safe on S3 semantics); `Some(v)` resolves exactly sync
+    * version v — the historical CONSISTENT cross-table snapshot, the
+    * catalog-level analog of a table's `versionAsOf` time travel. A
+    * torn or absent v yields None, never a half-read pin set.
     */
-  def readSyncPoint(catalogDir: String): Option[(Int, Map[String, Int])] = {
-    val d = Paths.get(catalogDir)
-    if (!Files.isDirectory(d)) return None
-    val vPat = "sync\\.v(\\d+)\\.json".r
-    val listing = Files.list(d)
-    val versions =
-      try listing.iterator().asScala.flatMap { p =>
-        p.getFileName.toString match {
-          case vPat(n) => Some(n.toInt -> p)
-          case _ => None
-        }
-      }.toSeq.sortBy(-_._1)
-      finally listing.close()
-    versions.iterator.flatMap { case (v, p) =>
+  def readSyncPoint(catalogDir: String,
+      versionAsOf: Option[Int] = None): Option[(Int, Map[String, Int])] = {
+    def parse(v: Int, p: java.nio.file.Path): Option[(Int, Map[String, Int])] =
       validRenamelessBody(p).map { body =>
         v -> body.split("\n", -1).filter(_.nonEmpty).map { line =>
           val i = line.indexOf(':')
           line.substring(i + 1) -> line.substring(0, i).toInt
         }.toMap
       }
-    }.nextOption()
+    versionAsOf match {
+      case Some(v) => parse(v, Paths.get(catalogDir, s"sync.v$v.json"))
+      case None =>
+        val d = Paths.get(catalogDir)
+        if (!Files.isDirectory(d)) return None
+        val vPat = "sync\\.v(\\d+)\\.json".r
+        val listing = Files.list(d)
+        val versions =
+          try listing.iterator().asScala.flatMap { p =>
+            p.getFileName.toString match {
+              case vPat(n) => Some(n.toInt -> p)
+              case _ => None
+            }
+          }.toSeq.sortBy(-_._1)
+          finally listing.close()
+        versions.iterator.flatMap { case (v, p) => parse(v, p) }.nextOption()
+    }
   }
 
   /** Conditional-put publish of a sync point at version expected+1 —

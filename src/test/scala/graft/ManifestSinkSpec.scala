@@ -723,6 +723,14 @@ class ManifestSinkSpec extends AnyFunSuite {
     Files.write(Paths.get(cat, "sync.v21.json"),
       "torn".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     assert(ManifestSink.readSyncPoint(cat).get._1 === 20)
+    // sync-point time travel: versionAsOf resolves the HISTORICAL pin
+    // set; a torn or absent version yields None, never half a pin set
+    assert(ManifestSink.readSyncPoint(cat, Some(20)).get._1 === 20)
+    val (v1, pins1) = ManifestSink.readSyncPoint(cat, Some(1)).get
+    assert(v1 === 1 && pins1("/tbl/a") === pins1("/tbl/b"))
+    assert(ManifestSink.readSyncPoint(cat, Some(21)).isEmpty,
+      "a torn sync object must not resolve as-of")
+    assert(ManifestSink.readSyncPoint(cat, Some(99)).isEmpty)
   }
 
   test("row-level commits route through a renameless table's own protocol (r13, ADVICE medium #1)") {

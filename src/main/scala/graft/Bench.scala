@@ -191,7 +191,7 @@ object Bench {
     * a permanently-slower row escape forever (after 3 rounds the elevated
     * value becomes the new floor and a real fix shows up as headroom).
     */
-  private val historyDepth = 3
+  private[graft] val historyDepth = 3
 
   /** Family trigger: group rows by name prefix (up to the first `_`), and
     * for every family with ≥3 rows whose current sum over COMMON keys
@@ -201,7 +201,7 @@ object Bench {
     * cheap rows (r12: agg_/cdc_/dq_ families at 1.5–2.4× escaped the
     * per-row gate entirely).
     */
-  private def familyRisers(
+  private[graft] def familyRisers(
       ordered: Seq[(String, Double)],
       history: Seq[Map[String, Double]],
       alreadySuspect: Set[String]): Seq[(String, Double, Double)] = {
@@ -242,7 +242,7 @@ object Bench {
     * this scheme still has a yardstick. Empty when neither file parses:
     * a true first run adjudicates nothing.
     */
-  private def readHistory(histPath: java.nio.file.Path,
+  private[graft] def readHistory(histPath: java.nio.file.Path,
       detailPath: java.nio.file.Path): Seq[Map[String, Double]] = {
     def queriesObj(s: String): Map[String, Double] = {
       val i = s.indexOf("\"queries\"")
@@ -271,7 +271,7 @@ object Bench {
     } catch { case _: Throwable => Nil }
   }
 
-  private def writeHistory(p: java.nio.file.Path,
+  private[graft] def writeHistory(p: java.nio.file.Path,
       rounds: Seq[Map[String, Double]]): Unit = {
     val body = rounds.map { qs =>
       qs.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }

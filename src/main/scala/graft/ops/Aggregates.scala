@@ -2868,6 +2868,192 @@ object Aggregates {
              |            - (CAST(count(*) AS DOUBLE) + 1) / CAST(count(*) AS DOUBLE))
              |            * 1000000 + 0.5) AS BIGINT) AS gini_e6
              |FROM ranked GROUP BY c_nationkey ORDER BY nation""".stripMargin)
+    ),
+    Q(
+      "stat_g_test",
+      // G-test of independence (round-13): the likelihood-ratio sibling of
+      // stat_chi_square — G = 2·Σ O·ln(O·N/(R·C)) is additive across
+      // partitions of the table (chi-square is not), which is why corpus
+      // pipelines prefer it for drilling a significant omnibus result into
+      // sub-tables. Contingency: order priority × order status (a DIFFERENT
+      // table than chi_square's event mix, so the two tests cover two
+      // fixtures). Same determinism discipline as chi_square: observed
+      // counts and marginals are exact BIGINT from one two-phase aggregate,
+      // each cell term is pinned to 1e-6 integer units BEFORE the final
+      // sum, so the statistic is bitwise cross-engine (ln's libm drift
+      // hides under the e6 floor — tfidf precedent). Zero cells contribute
+      // 0 by the 0·ln(0)=0 convention and never materialize (groupBy emits
+      // only observed cells). The table is O(priorities × statuses) —
+      // driver-sized at any scale; the only shuffle is the cell aggregate.
+      (s, dir) => {
+        val cells = Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("pri"),
+            col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("obs"))
+        val m = cells
+          .withColumn("row_tot", sum(col("obs")).over(
+            Window.partitionBy(col("pri"))))
+          .withColumn("col_tot", sum(col("obs")).over(
+            Window.partitionBy(col("st"))))
+          .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+          .withColumn("term_e6",
+            expr("""CAST(floor(2 * CAST(obs AS DOUBLE)
+                    * ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+                         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT)"""))
+        m.agg(count(lit(1)).as("n_cells"),
+            max(col("n")).as("n_obs"),
+            sum(col("term_e6")).as("g_e6"))
+          .select(col("n_cells"), col("n_obs"), col("g_e6"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             |         CAST(count(*) AS BIGINT) AS obs
+             |  FROM orders GROUP BY 1, 2),
+             |m AS (
+             |  SELECT obs,
+             |         CAST(sum(obs) OVER (PARTITION BY pri) AS BIGINT) AS row_tot,
+             |         CAST(sum(obs) OVER (PARTITION BY st) AS BIGINT) AS col_tot,
+             |         CAST(sum(obs) OVER () AS BIGINT) AS n
+             |  FROM cells),
+             |t AS (
+             |  SELECT n,
+             |         CAST(floor(2 * CAST(obs AS DOUBLE)
+             |              * ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)
+             |                   / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)))
+             |              * 1000000 + 0.5) AS BIGINT) AS term_e6
+             |  FROM m)
+             |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             |       CAST(max(n) AS BIGINT) AS n_obs,
+             |       CAST(sum(term_e6) AS BIGINT) AS g_e6
+             |FROM t""".stripMargin)
+    ),
+    Q(
+      "stat_tost_equivalence",
+      // TOST equivalence test (round-13): the INVERTED question every
+      // migration/refactor A/B asks — not "did the metric move" (Welch,
+      // already covered) but "can we PROVE it moved less than δ". Two
+      // one-sided Welch z's against a ±500-cent margin on order totals
+      // under the engine's deterministic multiplicative hash split (same
+      // family as stat_srm_check, so the oracle replays the assignment
+      // exactly). Sums and squared sums accumulate in DECIMAL(38,0) /
+      // HUGEINT (cents² × row counts exceeds BIGINT at sf ≥ 0.1), the two
+      // z's are each ONE fixed-order double expression r2-pinned, and the
+      // equivalence flag compares the PINNED values (quantized to
+      // hundredths, so the boundary cannot flip on an ulp cross-engine).
+      // Scale: one conditional-moment aggregate — map-side combinable,
+      // shuffle carries two arm rows, never orders.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(
+            (((col("o_orderkey") % 1000003L) * 2654435761L) % 2L).as("arm"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        val g = o.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents").cast("decimal(38,0)")).as("s"),
+            sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("q"))
+        val a = g.filter(col("arm") === 0)
+          .select(col("n").as("n1"), col("s").as("s1"), col("q").as("q1"))
+        val b = g.filter(col("arm") === 1)
+          .select(col("n").as("n2"), col("s").as("s2"), col("q").as("q2"))
+        val j = a.crossJoin(b)
+          .withColumn("m1", col("s1").cast("double") / col("n1"))
+          .withColumn("m2", col("s2").cast("double") / col("n2"))
+          .withColumn("v1",
+            (col("q1").cast("double") - col("s1").cast("double") *
+              col("s1").cast("double") / col("n1")) / (col("n1") - 1))
+          .withColumn("v2",
+            (col("q2").cast("double") - col("s2").cast("double") *
+              col("s2").cast("double") / col("n2")) / (col("n2") - 1))
+          .withColumn("se",
+            sqrt(col("v1") / col("n1") + col("v2") / col("n2")))
+          .withColumn("z_low", util.r2((col("m1") - col("m2") + lit(500.0)) / col("se")))
+          .withColumn("z_up", util.r2((col("m1") - col("m2") - lit(500.0)) / col("se")))
+        j.select(col("n1"), col("n2"),
+          util.r2(col("m1") - col("m2")).as("diff_cents"),
+          col("z_low"), col("z_up"),
+          (col("z_low") >= 1.65 && col("z_up") <= -1.65).as("equivalent"))
+      },
+      Some(s"""WITH x AS (
+              |  SELECT ((o_orderkey % 1000003) * 2654435761) % 2 AS arm,
+              |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              |  FROM orders),
+              |g AS (
+              |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(cents) AS HUGEINT) AS s,
+              |         CAST(sum(cents * cents) AS HUGEINT) AS q
+              |  FROM x GROUP BY arm),
+              |j AS (
+              |  SELECT a.n AS n1, b.n AS n2,
+              |         CAST(a.s AS DOUBLE) / a.n AS m1,
+              |         CAST(b.s AS DOUBLE) / b.n AS m2,
+              |         (CAST(a.q AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n) / (a.n - 1) AS v1,
+              |         (CAST(b.q AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n) / (b.n - 1) AS v2
+              |  FROM g a, g b WHERE a.arm = 0 AND b.arm = 1),
+              |z AS (
+              |  SELECT n1, n2, m1, m2,
+              |         ${util.r2sql("(m1 - m2 + 500.0) / sqrt(v1 / n1 + v2 / n2)")} AS z_low,
+              |         ${util.r2sql("(m1 - m2 - 500.0) / sqrt(v1 / n1 + v2 / n2)")} AS z_up
+              |  FROM j)
+              |SELECT n1, n2, ${util.r2sql("m1 - m2")} AS diff_cents,
+              |       z_low, z_up,
+              |       z_low >= 1.65 AND z_up <= -1.65 AS equivalent
+              |FROM z""".stripMargin)
+    ),
+    Q(
+      "stat_cochran_q",
+      // Cochran's Q (round-13): the k-treatment generalization of McNemar
+      // — did the RATE of a binary outcome change across three periods for
+      // the SAME subjects? Subjects are customers, treatments the years
+      // 1995-1997, outcome "placed ≥1 URGENT order that year". Q =
+      // (k−1)·(k·ΣCⱼ² − T²) / (k·T − ΣRᵢ²) is exact BIGINT to the last
+      // division (counts only), pinned e6. All-zero and all-one subjects
+      // contribute nothing to either side of the ratio (standard), so
+      // including every active customer changes no bits. Scale: one
+      // conditional aggregate to per-(customer, year) flags, one pivot to
+      // subject rows, two tiny moment sums — shuffle carries customers.
+      (s, dir) => {
+        val f = Tables(s, dir, "orders")
+          .filter(year(col("o_orderdate")).isin(1995, 1996, 1997))
+          .groupBy(col("o_custkey"))
+          .agg(
+            max(when(year(col("o_orderdate")) === 1995 &&
+              col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("y95"),
+            max(when(year(col("o_orderdate")) === 1996 &&
+              col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("y96"),
+            max(when(year(col("o_orderdate")) === 1997 &&
+              col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("y97"))
+        val m = f.agg(
+          count(lit(1)).as("n_subjects"),
+          sum(col("y95")).as("c1"), sum(col("y96")).as("c2"),
+          sum(col("y97")).as("c3"),
+          sum((col("y95") + col("y96") + col("y97")) *
+            (col("y95") + col("y96") + col("y97"))).as("r2sum"))
+        m.select(col("n_subjects"), col("c1"), col("c2"), col("c3"),
+          expr("""CAST(floor(2.0 * (3 * (c1*c1 + c2*c2 + c3*c3)
+                  - (c1+c2+c3) * (c1+c2+c3))
+                  / (3 * (c1+c2+c3) - r2sum) * 1000000 + 0.5) AS BIGINT)""")
+            .as("q_e6"))
+      },
+      Some("""WITH f AS (
+             |  SELECT o_custkey,
+             |         max(CASE WHEN year(o_orderdate) = 1995 AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y95,
+             |         max(CASE WHEN year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y96,
+             |         max(CASE WHEN year(o_orderdate) = 1997 AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS y97
+             |  FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+             |  GROUP BY o_custkey),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+             |         CAST(sum(y95) AS BIGINT) AS c1,
+             |         CAST(sum(y96) AS BIGINT) AS c2,
+             |         CAST(sum(y97) AS BIGINT) AS c3,
+             |         CAST(sum((y95 + y96 + y97) * (y95 + y96 + y97)) AS BIGINT) AS r2sum
+             |  FROM f)
+             |SELECT n_subjects, c1, c2, c3,
+             |       CAST(floor(2.0 * (3 * (c1*c1 + c2*c2 + c3*c3)
+             |            - (c1+c2+c3) * (c1+c2+c3))
+             |            / (3 * (c1+c2+c3) - r2sum) * 1000000 + 0.5) AS BIGINT) AS q_e6
+             |FROM m""".stripMargin)
     )
   )
 

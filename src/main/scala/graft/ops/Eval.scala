@@ -1021,5 +1021,92 @@ object Eval {
                  "1.0 - (CAST(do_num AS DOUBLE) / CAST(n_units * 3 * 2 AS DOUBLE)) / " +
                    "(CAST(de_num AS DOUBLE) / CAST(n_total * (n_total - 1) AS DOUBLE))")} AS alpha
               |FROM don, den ORDER BY n_units""".stripMargin)
+    ),
+    Q(
+      "eval_dpo_margin",
+      // DPO implicit-reward margin audit (round-13): after a DPO run, the
+      // first diagnostic is the implicit reward r = β[(logπ_c − logπref_c)
+      // − (logπ_r − logπref_r)] over held-out preference pairs — its
+      // accuracy (share of pairs the policy orders correctly) and mean
+      // margin per language, the two numbers that say whether the policy
+      // actually learned the preference or just drifted from the
+      // reference. Pairs reuse pipeline_preference_pairs' construction
+      // (prompt = doc_id % 50, chosen/rejected by the integer text score);
+      // the log-probability FIXTURE is exact integer text arithmetic
+      // (policy: −1000·bytes − 7·spaces, reference: −1100·bytes) so the
+      // margin in β-milli units is BIGINT end-to-end — the accuracy flag
+      // can never flip on an ulp. Scale: one groupBy(prompt) with
+      // max_by/min_by (no within-group join), one groupBy(lang) rollup —
+      // two keyed shuffles over O(prompts) rows.
+      (s, dir) => {
+        val scored = Tables(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          (col("doc_id") % 50).as("prompt_id"),
+          (octet_length(col("text")) * 1000L +
+            (octet_length(col("text")) -
+              octet_length(regexp_replace(col("text"), " ", ""))) * 7L)
+            .cast("long").as("score"),
+          // implicit per-doc log-ratio in milli-units: logπ − logπref =
+          // (−1000·bytes − 7·spaces) − (−1100·bytes) = 100·bytes − 7·spaces
+          (octet_length(col("text")) * 100L -
+            (octet_length(col("text")) -
+              octet_length(regexp_replace(col("text"), " ", ""))) * 7L)
+            .cast("long").as("logratio_milli"))
+        val pairs = scored.groupBy(col("prompt_id"))
+          .agg(
+            max_by(struct(col("logratio_milli"), col("lang")),
+              struct(col("score"), col("doc_id"))).as("ch"),
+            min_by(struct(col("logratio_milli"), col("lang")),
+              struct(col("score"), col("doc_id"))).as("rj"),
+            (max(col("score")) - min(col("score"))).as("spread"),
+            count(lit(1)).as("n_candidates"))
+          .filter(col("spread") > 0 && col("n_candidates") >= 2)
+          // β = 0.1 ⇒ margin in β-milli = (Δlogratio_milli) / 10, exact
+          // because the fixture's milli units are multiples of 1 (integer
+          // div is floor — keep the raw difference instead, scale-free)
+          .select(col("ch.lang").as("lang"),
+            (col("ch.logratio_milli") - col("rj.logratio_milli"))
+              .as("margin_milli"))
+        pairs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("margin_milli") > 0, 1L).otherwise(0L)).as("n_correct"),
+            sum(col("margin_milli")).as("sum_margin_milli"))
+          .select(col("lang"), col("n_pairs"), col("n_correct"),
+            expr("CAST(floor(CAST(n_correct AS DOUBLE) / n_pairs * 1000000 + 0.5) AS BIGINT)")
+              .as("acc_e6"),
+            col("sum_margin_milli"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang, doc_id % 50 AS prompt_id,
+             |         CAST(strlen(text) * 1000
+             |              + (strlen(text) - strlen(replace(text, ' ', ''))) * 7
+             |              AS BIGINT) AS score,
+             |         CAST(strlen(text) * 100
+             |              - (strlen(text) - strlen(replace(text, ' ', ''))) * 7
+             |              AS BIGINT) AS logratio_milli
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |                       ORDER BY score DESC, doc_id DESC) AS rb,
+             |    row_number() OVER (PARTITION BY prompt_id
+             |                       ORDER BY score ASC, doc_id ASC) AS rw,
+             |    max(score) OVER (PARTITION BY prompt_id)
+             |      - min(score) OVER (PARTITION BY prompt_id) AS spread,
+             |    count(*) OVER (PARTITION BY prompt_id) AS n_candidates
+             |  FROM scored),
+             |pairs AS (
+             |  SELECT b.lang,
+             |         b.logratio_milli - w.logratio_milli AS margin_milli
+             |  FROM ranked b JOIN ranked w
+             |    ON b.prompt_id = w.prompt_id AND b.rb = 1 AND w.rw = 1
+             |  WHERE b.spread > 0 AND b.n_candidates >= 2)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(sum(CASE WHEN margin_milli > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             |       CAST(floor(CAST(sum(CASE WHEN margin_milli > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |            / count(*) * 1000000 + 0.5) AS BIGINT) AS acc_e6,
+             |       CAST(sum(margin_milli) AS BIGINT) AS sum_margin_milli
+             |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin)
     ))
 }

@@ -1006,6 +1006,52 @@ object Extensions {
              |ORDER BY o_orderkey""".stripMargin)
     ),
     Q(
+      "sql_merge_schema_evolution",
+      // MERGE WITH SCHEMA EVOLUTION (round-13): Spark 4's one-statement
+      // upsert-and-widen — the source carries a column the target lacks,
+      // and the MERGE both applies the row changes AND evolves the target
+      // schema (via TableCatalog.alterTable AddColumn, the same lakehouse
+      // ADD-COLUMN snapshot sql_alter_add_column exercises) in the one
+      // command every CDC replica needs when the producer ships a new
+      // field mid-stream. Pre-evolution rows read back with the new
+      // column NULL-filled (no data file is rewritten — the manifest
+      // format's trailing-column null-fill); matched rows take the
+      // source's value, inserted rows carry theirs. Oracle: the same
+      // relation as a FULL JOIN with name-based star mapping.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.mse")
+        s.sql("""CREATE TABLE graft_cat.marts.mse
+                |(o_orderkey BIGINT NOT NULL, o_totalprice DOUBLE)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.mse
+                |SELECT coalesce(o_orderkey, -1), o_totalprice
+                |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin)
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_cat.marts.mse t
+                |USING (SELECT coalesce(o_orderkey, -1) AS o_orderkey,
+                |              o_totalprice, o_orderpriority
+                |       FROM orders WHERE o_orderkey % 2 = 0) s
+                |ON t.o_orderkey = s.o_orderkey
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("""SELECT o_orderkey, o_totalprice, o_orderpriority
+                |FROM graft_cat.marts.mse ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""WITH t0 AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p
+             |  FROM orders WHERE o_orderkey % 3 <> 0),
+             |s AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderpriority AS pri
+             |  FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT coalesce(t0.k, s.k) AS o_orderkey,
+             |       CASE WHEN s.k IS NOT NULL THEN s.p ELSE t0.p END AS o_totalprice,
+             |       s.pri AS o_orderpriority
+             |FROM t0 FULL JOIN s ON t0.k = s.k
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+    Q(
       "sql_update_delete",
       // UPDATE ... WHERE and DELETE ... WHERE as plain SQL on the manifest
       // format — the same SupportsDelta machinery MERGE uses, exercised
@@ -1795,6 +1841,130 @@ object Extensions {
              |       max(dim_n) AS dim_n
              |FROM orders JOIN dim ON o_orderpriority = pri
              |GROUP BY pri ORDER BY pri""".stripMargin)
+    ),
+    Q(
+      "multimodal_caption_audit",
+      // Image-text pair admission audit (round-13): the LAION-style gate
+      // sequence every caption-pair corpus runs BEFORE the expensive
+      // CLIP pass — dimension floor, aspect-ratio band, caption token
+      // bounds, digit-noise fraction, and the alignment-score threshold.
+      // Image dims come from the same synthesized header fixture as
+      // multimodal_image_header (the decode seam is the deterministic
+      // stub the charter prescribes — real codecs slot in at the
+      // clip_score column without touching the plan); every gate is
+      // CROSS-MULTIPLIED integer arithmetic (3·h ≥ w bands, 10·digits <
+      // 3·chars) so no boundary can flip on a float. Output is the
+      // per-source admission funnel — pair counts per gate, not pair
+      // rows, so the result stays O(sources) while the filter itself is
+      // one embarrassingly-parallel scan at any corpus size.
+      (s, dir) => {
+        val d = Tables(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          (col("n_chars") % 640).as("w"),
+          (col("doc_id") % 480).as("h"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          octet_length(col("text")).as("chars"),
+          (octet_length(col("text")) -
+            octet_length(regexp_replace(col("text"), "[0-9]", ""))).as("digits"),
+          // deterministic stand-in for the CLIP alignment score, e6 units
+          (((col("doc_id") % 1000003L) * 2654435761L) % 1000000L).as("clip_e6"))
+        val g = d
+          .withColumn("ok_dims", col("w") >= 32 && col("h") >= 32)
+          .withColumn("ok_aspect",
+            col("w") <= col("h") * 3 && col("h") <= col("w") * 3)
+          .withColumn("ok_caption", col("toks") >= 3 && col("toks") <= 128)
+          .withColumn("ok_digits", col("digits") * 10 < col("chars") * 3)
+          .withColumn("ok_clip", col("clip_e6") >= lit(280000L))
+        g.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(!col("ok_dims"), 1L).otherwise(0L)).as("rej_dims"),
+            sum(when(!col("ok_aspect"), 1L).otherwise(0L)).as("rej_aspect"),
+            sum(when(!col("ok_caption"), 1L).otherwise(0L)).as("rej_caption"),
+            sum(when(!col("ok_digits"), 1L).otherwise(0L)).as("rej_digits"),
+            sum(when(!col("ok_clip"), 1L).otherwise(0L)).as("rej_clip"),
+            sum(when(col("ok_dims") && col("ok_aspect") && col("ok_caption") &&
+              col("ok_digits") && col("ok_clip"), 1L).otherwise(0L)).as("n_admitted"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         n_chars % 640 AS w, doc_id % 480 AS h,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             |         CAST(strlen(text) AS BIGINT) AS chars,
+             |         CAST(strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g'))
+             |              AS BIGINT) AS digits,
+             |         ((doc_id % 1000003) * 2654435761) % 1000000 AS clip_e6
+             |  FROM documents),
+             |g AS (
+             |  SELECT source,
+             |         (w >= 32 AND h >= 32) AS ok_dims,
+             |         (w <= h * 3 AND h <= w * 3) AS ok_aspect,
+             |         (toks >= 3 AND toks <= 128) AS ok_caption,
+             |         (digits * 10 < chars * 3) AS ok_digits,
+             |         (clip_e6 >= 280000) AS ok_clip
+             |  FROM d)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(sum(CASE WHEN NOT ok_dims THEN 1 ELSE 0 END) AS BIGINT) AS rej_dims,
+             |       CAST(sum(CASE WHEN NOT ok_aspect THEN 1 ELSE 0 END) AS BIGINT) AS rej_aspect,
+             |       CAST(sum(CASE WHEN NOT ok_caption THEN 1 ELSE 0 END) AS BIGINT) AS rej_caption,
+             |       CAST(sum(CASE WHEN NOT ok_digits THEN 1 ELSE 0 END) AS BIGINT) AS rej_digits,
+             |       CAST(sum(CASE WHEN NOT ok_clip THEN 1 ELSE 0 END) AS BIGINT) AS rej_clip,
+             |       CAST(sum(CASE WHEN ok_dims AND ok_aspect AND ok_caption
+             |                          AND ok_digits AND ok_clip
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+             |FROM g GROUP BY source ORDER BY source""".stripMargin)
+    ),
+    Q(
+      "sink_restore_version",
+      // RESTORE TABLE TO VERSION (round-13): the rollback primitive that
+      // completes the maintenance tier — time travel READS an old
+      // snapshot, restore makes it CURRENT again, as a new metadata-only
+      // commit (no data file moves — O(manifest) on a 100 TB table).
+      // History survives: the bad versions remain time-travel readable
+      // after the rollback (v4 below restores v1 while v2/v3 stay
+      // queryable — the property a plain overwrite-with-old-content
+      // loses, because overwrite REWRITES the bytes and this rewrites a
+      // pointer), and the restore is itself a version, so it can be
+      // rolled back too. The summary reads every version AFTER the
+      // restore landed, so the oracle hash proves both directions:
+      // current == v1 content, and v2/v3 == their original contents.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val out = graft.util.tempDir("graft_restore_")
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.format(fmt).option("path", out).mode("overwrite").save()
+        o.filter(col("o_orderkey") % 2 === 1)
+          .write.format(fmt).option("path", out).mode("append").save()
+        o.filter(col("o_orderkey") % 7 === 0)
+          .write.format(fmt).option("path", out).mode("append").save()
+        val restoredAs = graft.sources.ManifestSink.restoreVersion(out, 1)
+        require(restoredAs == 4, s"restore published v$restoredAs, expected v4")
+        (1 to 4).map { v =>
+          s.read.format(fmt).option("path", out)
+            .option("versionAsOf", v.toString).load()
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("o_orderkey")).as("sum_key"))
+            .select(lit(v.toLong).as("version"), col("n_rows"),
+              col("sum_key").cast("long").as("sum_key"))
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+             |         CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT) FROM orders
+             |  UNION ALL
+             |  SELECT 3, count(*) + (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0),
+             |         CAST(sum(o_orderkey) + (SELECT sum(o_orderkey) FROM orders
+             |                                 WHERE o_orderkey % 7 = 0) AS BIGINT)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 4, count(*), CAST(sum(o_orderkey) AS BIGINT)
+             |  FROM orders WHERE o_orderkey % 2 = 0) t
+             |ORDER BY version""".stripMargin)
     )
   )
 }

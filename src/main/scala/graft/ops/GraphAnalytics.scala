@@ -1075,6 +1075,61 @@ object GraphAnalytics {
               |        * 2654435761 % 1000000007 + 2 * 97)
               |        % 1000000007 % a.degree)
               |SELECT start, hop1, hop2, hop3 FROM w3 ORDER BY start""".stripMargin)
+    ),
+    Q(
+      "graph_harmonic_centrality",
+      // Bounded harmonic centrality (round-13): H(v) = Σ_u 1/d(v,u) over
+      // the ≤3-hop neighborhood — the centrality that stays FINITE on
+      // disconnected graphs (closeness blows up), which is why web/corpus
+      // graph audits prefer it. Exact on the truncated horizon: the
+      // h-bounded variant is a standard estimator in its own right (the
+      // tail beyond hop 3 is uniformly bounded), NOT a sample — so the
+      // oracle replays it bit-for-bit. Determinism: distances are exact
+      // BIGINT hop counts and the harmonic sum stays integral by scoring
+      // 6/d ∈ {6,3,2} (lcm trick — no float division anywhere). Scale: on
+      // the bounded-degree sparsified graph (top-3 partners per node) the
+      // h-hop neighborhood is ≤ deg^h rows per node, so the two
+      // self-joins grow LINEARLY in nodes, never O(n²); each expansion is
+      // an equi-join on the frontier column + min-groupBy — the same
+      // message-passing shuffle shape as PageRank.
+      (s, dir) => {
+        val e = edgesSym(s, dir)
+        val p1 = e.select(col("src"), col("dst"), lit(1L).as("d"))
+        val p2 = e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))
+          .filter(col("a.src") =!= col("b.dst"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"),
+            lit(2L).as("d"))
+        val p3 = e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))
+          .join(e.as("c"), col("b.dst") === col("c.src"))
+          .filter(col("a.src") =!= col("c.dst"))
+          .select(col("a.src").as("src"), col("c.dst").as("dst"),
+            lit(3L).as("d"))
+        p1.unionByName(p2).unionByName(p3)
+          .groupBy(col("src"), col("dst")).agg(min(col("d")).as("d"))
+          .groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("n_reached"),
+            sum(expr("6 div d")).as("harmonic_x6"))
+          .orderBy(col("node"))
+      },
+      Some(s"""$baseSql,
+              |p1 AS (SELECT src, dst, 1 AS d FROM e),
+              |p2 AS (
+              |  SELECT a.src, b.dst, 2 AS d
+              |  FROM e a JOIN e b ON a.dst = b.src
+              |  WHERE a.src <> b.dst),
+              |p3 AS (
+              |  SELECT a.src, c.dst, 3 AS d
+              |  FROM e a JOIN e b ON a.dst = b.src
+              |           JOIN e c ON b.dst = c.src
+              |  WHERE a.src <> c.dst),
+              |dmin AS (
+              |  SELECT src, dst, min(d) AS d
+              |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+              |        UNION ALL SELECT * FROM p3) u
+              |  GROUP BY src, dst)
+              |SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reached,
+              |       CAST(sum(6 // d) AS BIGINT) AS harmonic_x6
+              |FROM dmin GROUP BY src ORDER BY node""".stripMargin)
     )
   )
 }

@@ -3041,6 +3041,56 @@ object Windows {
              |SELECT pri, n AS n_days, k AS k_star, d AS cut_date,
              |       CAST(dev AS BIGINT) AS max_dev
              |FROM best WHERE rn = 1 ORDER BY pri""".stripMargin)
+    ),
+    Q(
+      "win_hhi_concentration",
+      // Herfindahl–Hirschman index per market (round-13): the
+      // REGULATOR's concentration scalar — Σ shareᵢ² in basis points over
+      // supplier revenue within each nation. Complements the engine's
+      // Gini (inequality), Lorenz (curve) and Pareto (crossing) rows: HHI
+      // is the one that moves when a market consolidates into few hands
+      // even if the tail stays equal, and the 1500/2500 DOJ thresholds
+      // make it an absolute gate, not a relative one. Determinism: per-
+      // supplier cents are exact BIGINT; Σrevᵢ² accumulates in
+      // DECIMAL(38,0)/HUGEINT (cents² sums pass 2^63 at sf ≥ 0.1), and
+      // the single share division is pinned to integer basis points.
+      // Scale: one two-phase aggregate to (nation, supplier) cells, one
+      // per-nation moment sum — shuffle carries suppliers, never
+      // lineitems; output O(nations).
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_suppkey"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 +
+              lit(0.5)).cast("long").as("cents"))
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val cells = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"), col("s_suppkey"))
+          .agg(sum(col("cents")).as("rev"))
+        cells.groupBy(col("s_nationkey").cast("long").as("nation"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("rev").cast("decimal(38,0)")).as("tot"),
+            sum(col("rev").cast("decimal(19,0)") *
+              col("rev").cast("decimal(19,0)")).as("sq"))
+          .select(col("nation"), col("n_suppliers"),
+            col("tot").cast("long").as("total_cents"),
+            expr("""CAST(floor(CAST(sq AS DOUBLE)
+                    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                    * 10000 + 0.5) AS BIGINT)""").as("hhi_bp"))
+          .orderBy(col("nation"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT s_nationkey, s_suppkey,
+             |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  GROUP BY s_nationkey, s_suppkey)
+             |SELECT CAST(s_nationkey AS BIGINT) AS nation,
+             |       CAST(count(*) AS BIGINT) AS n_suppliers,
+             |       CAST(sum(rev) AS BIGINT) AS total_cents,
+             |       CAST(floor(CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+             |            / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
+             |            * 10000 + 0.5) AS BIGINT) AS hhi_bp
+             |FROM cells GROUP BY s_nationkey ORDER BY nation""".stripMargin)
     )
   )
 

@@ -637,6 +637,40 @@ object ManifestSink {
     cloned.files.size
   }
 
+  /** RESTORE TABLE … TO VERSION — Delta's RESTORE / Iceberg's rollback:
+    * publish a NEW snapshot whose file set is exactly version `v`'s.
+    * Metadata-only — no data file moves or rewrites, so restoring a
+    * 100 TB table is O(manifest); and because it is a NEW commit, history
+    * is preserved: the bad versions stay time-travel readable for the
+    * post-mortem and the restore itself can be restored away. Carried
+    * forward from the CURRENT state, not `v`: txn ids (a replayed
+    * idempotent batch is still a replay after a rollback) and the writer
+    * generation (fencing must survive — a zombie writer can't sneak back
+    * in by restoring). Routes through the table's ESTABLISHED commit
+    * protocol (pointer CAS vs rename-less footer CAS — the r12
+    * arbitration rule: publishing via the wrong protocol is invisible to
+    * the other side's readers). Returns the new version number.
+    */
+  def restoreVersion(dir: String, v: Int): Int = {
+    val target = readState(dir, Some(v)).getOrElse(
+      throw new IllegalStateException(
+        s"restore: version $v not readable at $dir (expired or in-flight)"))
+    var committed = -1
+    while (committed < 0) {
+      val cur = latestVersion(dir)
+      val curState = readState(dir).getOrElse(
+        throw new IllegalStateException(s"restore: no current state at $dir"))
+      val next = State(target.schema, target.files, target.deletes,
+        curState.txns, target.stats, target.counts, curState.generation)
+      val ok = establishedCommitMode(dir) match {
+        case Some(true) => casWriteStateRenameless(dir, cur, next)
+        case _ => casWriteState(dir, cur, next)
+      }
+      if (ok) committed = cur + 1 else Thread.sleep(1)
+    }
+    committed
+  }
+
   /** Snapshot EXPIRATION — the retention half of maintenance: delete
     * retained snapshot files older than the newest `keepLast` versions
     * (the current pointer is never touched). Time travel to an expired
@@ -917,8 +951,13 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
   }
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION: opts into MERGE WITH SCHEMA EVOLUTION —
+    // the analyzer routes source-only columns through
+    // TableCatalog.alterTable (AddColumn), which this format supports as
+    // a metadata-only widened-schema snapshot (GraftCatalog.alterTable).
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.BATCH_READ,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(dir, info.schema(),

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral guards for the round-13 additions — properties the DuckDB
+  * hash oracle can't see (it would agree with a same-on-both-sides bug).
+  */
+class Round13Spec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  test("sim_knn_graph_nndescent: one round never loses recall vs its seed") {
+    import spark.implicits._
+    // brute top-3 per query = the rank<=3 prefix of the brute top-5 row
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the seed graph restricted to the query subset IS the LSH row's
+    // rank<=3 prefix (same bucket candidates, same exact re-score)
+    val seed = SparkEntry.queries("sim_cosine_ann_lsh")(spark, dir)
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refined = SparkEntry.queries("sim_knn_graph_nndescent")(spark, dir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rSeed = (brute intersect seed).size.toDouble / brute.size
+    val rRef = (brute intersect refined).size.toDouble / brute.size
+    // the round's candidate set is a superset of the seed's, re-scored
+    // exactly — per-query top-3 can only improve or hold
+    assert(rRef >= rSeed, s"NN-Descent round lost recall: $rRef < $rSeed")
+    assert(rRef > 0.2, s"refined recall too low: $rRef")
+  }
+
+  test("restoreVersion is metadata-only and preserves history") {
+    val fmt = "graft.sources.ManifestSink"
+    val out = graft.util.tempDir("graft_restore_spec_")
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"))
+    o.filter(col("o_orderkey") % 2 === 0)
+      .write.format(fmt).option("path", out).mode("overwrite").save()
+    o.filter(col("o_orderkey") % 2 === 1)
+      .write.format(fmt).option("path", out).mode("append").save()
+    val filesBefore = new java.io.File(s"$out/data").list().toSet
+    val v = graft.sources.ManifestSink.restoreVersion(out, 1)
+    assert(v === 3)
+    // metadata-only: restore wrote no data files
+    assert(new java.io.File(s"$out/data").list().toSet === filesBefore)
+    // current == v1 content
+    val cur = spark.read.format(fmt).option("path", out).load().count()
+    val v1 = spark.read.format(fmt).option("path", out)
+      .option("versionAsOf", "1").load().count()
+    assert(cur === v1)
+    // history preserved: the rolled-back v2 still reads
+    val v2 = spark.read.format(fmt).option("path", out)
+      .option("versionAsOf", "2").load().count()
+    assert(v2 > v1)
+    // the restore is itself restorable: roll forward to v2 again
+    val v4 = graft.sources.ManifestSink.restoreVersion(out, 2)
+    assert(v4 === 4)
+    assert(spark.read.format(fmt).option("path", out).load().count() === v2)
+  }
+
+  test("restoreVersion routes through the rename-less protocol when established") {
+    val fmt = "graft.sources.ManifestSink"
+    val out = graft.util.tempDir("graft_restore_rl_")
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey"))
+    o.filter(col("o_orderkey") % 2 === 0)
+      .write.format(fmt).option("path", out)
+      .option("commitMode", "renameless").mode("append").save()
+    o.filter(col("o_orderkey") % 2 === 1)
+      .write.format(fmt).option("path", out)
+      .option("commitMode", "renameless").mode("append").save()
+    val v = graft.sources.ManifestSink.restoreVersion(out, 1)
+    assert(v === 3)
+    // the restore must be footer-valid (visible to rename-less readers)
+    // and must NOT have created a pointer on a pointer-less table
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "manifest.json")),
+      "restore published a pointer on a rename-less table")
+    val cur = spark.read.format(fmt).option("path", out).load().count()
+    val v1 = spark.read.format(fmt).option("path", out)
+      .option("versionAsOf", "1").load().count()
+    assert(cur === v1)
+  }
+
+  test("stat_g_test agrees in direction with stat_chi_square's contingency logic") {
+    val g = SparkEntry.queries("stat_g_test")(spark, dir).collect()(0)
+    // a real fixture dependence or independence — either way G >= 0 and
+    // the cell count is the full cross of observed margins
+    assert(g.getLong(2) >= 0L, s"G statistic negative: ${g.getLong(2)}")
+    assert(g.getLong(0) >= 2L, "degenerate contingency table")
+  }
+
+  test("stat_tost_equivalence: flag is exactly the pinned-z rule") {
+    val r = SparkEntry.queries("stat_tost_equivalence")(spark, dir).collect()(0)
+    val zLow = r.getDouble(3)
+    val zUp = r.getDouble(4)
+    val flag = r.getBoolean(5)
+    assert(flag === (zLow >= 1.65 && zUp <= -1.65))
+    // TOST internal consistency: z_low > z_up always (margin is positive)
+    assert(zLow > zUp)
+  }
+
+  test("stat_cochran_q: statistic is non-negative and bounded by df scaling") {
+    val r = SparkEntry.queries("stat_cochran_q")(spark, dir).collect()(0)
+    val q = r.getLong(4)
+    assert(q >= 0L, s"Cochran Q negative: $q")
+    // subjects with orders in-window exist at every sf
+    assert(r.getLong(0) > 0L)
+  }
+
+  test("win_hhi_concentration: HHI in [1/n, 1] scaled to basis points") {
+    SparkEntry.queries("win_hhi_concentration")(spark, dir).collect().foreach { r =>
+      val n = r.getLong(1)
+      val hhi = r.getLong(3)
+      assert(hhi <= 10000L, s"HHI > 1: $hhi bp")
+      assert(hhi * n >= 10000L - n, // floor rounding slack
+        s"HHI below equal-share floor: $hhi bp with $n suppliers")
+    }
+  }
+
+  test("graph_harmonic_centrality: bounded by degree expansion and symmetric") {
+    val h = SparkEntry.queries("graph_harmonic_centrality")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(h.nonEmpty)
+    h.foreach { case (node, reached, hx6) =>
+      // every reached node contributes between 6/3=2 and 6/1=6 units
+      assert(hx6 >= 2 * reached && hx6 <= 6 * reached,
+        s"node $node: harmonic_x6 $hx6 outside [2, 6]x$reached")
+    }
+  }
+
+  test("multimodal_caption_audit: funnel counts are consistent") {
+    val rows = SparkEntry.queries("multimodal_caption_audit")(spark, dir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val docs = Tables(spark, dir, "documents").count()
+    assert(total === docs, "audit must cover every pair exactly once")
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val admitted = r.getLong(7)
+      val rejects = (2 to 6).map(r.getLong(_))
+      assert(admitted <= n)
+      // a pair is admitted iff NO gate rejected it, so the max single-gate
+      // reject count bounds n - admitted from below
+      assert(n - admitted >= rejects.max,
+        s"admitted $admitted inconsistent with gate rejects $rejects of $n")
+      assert(n - admitted <= rejects.sum,
+        s"more rejected than individual gates explain: $rejects of $n")
+    }
+  }
+
+  test("eval_dpo_margin: accuracy matches the sign census of margins") {
+    val rows = SparkEntry.queries("eval_dpo_margin")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val correct = r.getLong(2)
+      assert(correct <= n)
+      val acc = r.getLong(3)
+      assert(acc === math.floor(correct.toDouble / n * 1000000 + 0.5).toLong)
+    }
+  }
+
+  test("sql_merge_schema_evolution: target schema widened, old rows null-filled") {
+    val out = SparkEntry.queries("sql_merge_schema_evolution")(spark, dir)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+    val rows = out.collect()
+    // rows only in the target (odd keys not in source) carry NULL priority
+    val targetOnly = rows.filter(r => r.getLong(0) % 2 != 0 && r.getLong(0) % 3 != 0)
+    assert(targetOnly.forall(_.isNullAt(2)),
+      "pre-evolution rows must null-fill the evolved column")
+    // matched/inserted source rows carry the source's value
+    val fromSource = rows.filter(r => r.getLong(0) % 2 == 0)
+    assert(fromSource.nonEmpty && fromSource.forall(!_.isNullAt(2)))
+  }
+}

@@ -3054,6 +3054,62 @@ object Aggregates {
              |            - (c1+c2+c3) * (c1+c2+c3))
              |            / (3 * (c1+c2+c3) - r2sum) * 1000000 + 0.5) AS BIGINT) AS q_e6
              |FROM m""".stripMargin)
+    ),
+    Q(
+      "stat_odds_ratio_ci",
+      // Odds ratio with Woolf's log-normal CI (round-13): THE 2×2 effect
+      // size — χ²/G say "associated", the OR says "how strongly", and
+      // the CI says whether 1.0 is excluded. Exposure is the engine's
+      // deterministic hash arm (stat_srm_check's family, oracle-
+      // replayable), outcome is URGENT priority; the four cells are one
+      // conditional-count aggregate (map-side combinable, shuffle
+      // carries 4 counts). ln(ad/bc) ± 1.96·√(1/a+1/b+1/c+1/d) is a
+      // fixed-order double expression per bound, each exp'd and
+      // r2-pinned — the tfidf precedent: libm drift hides under r2. The
+      // "CI excludes 1" flag compares the PINNED bounds, so the verdict
+      // cannot flip on an ulp.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders").select(
+          (((col("o_orderkey") % 1000003L) * 2654435761L) % 2L).as("arm"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("y"))
+        val cells = o.agg(
+          sum(when(col("arm") === 0 && col("y") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 0 && col("y") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("arm") === 1 && col("y") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("arm") === 1 && col("y") === 0, 1L).otherwise(0L)).as("d"))
+        cells.select(col("a"), col("b"), col("c"), col("d"),
+            util.r2(col("a").cast("double") * col("d") /
+              (col("b").cast("double") * col("c"))).as("odds_ratio"),
+            util.r2(exp(log(col("a").cast("double") * col("d") /
+                (col("b").cast("double") * col("c"))) -
+              lit(1.96) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+                lit(1.0) / col("c") + lit(1.0) / col("d")))).as("ci_lo"),
+            util.r2(exp(log(col("a").cast("double") * col("d") /
+                (col("b").cast("double") * col("c"))) +
+              lit(1.96) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+                lit(1.0) / col("c") + lit(1.0) / col("d")))).as("ci_hi"))
+          .withColumn("excludes_one",
+            (col("ci_lo") > 1.0) || (col("ci_hi") < 1.0))
+      },
+      Some(s"""WITH x AS (
+              |  SELECT ((o_orderkey % 1000003) * 2654435761) % 2 AS arm,
+              |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+              |  FROM orders),
+              |cells AS (
+              |  SELECT CAST(sum(CASE WHEN arm = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              |         CAST(sum(CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+              |         CAST(sum(CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+              |         CAST(sum(CASE WHEN arm = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+              |  FROM x),
+              |r AS (
+              |  SELECT a, b, c, d,
+              |         ${util.r2sql("CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)")} AS odds_ratio,
+              |         ${util.r2sql("exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))")} AS ci_lo,
+              |         ${util.r2sql("exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d))")} AS ci_hi
+              |  FROM cells)
+              |SELECT a, b, c, d, odds_ratio, ci_lo, ci_hi,
+              |       ci_lo > 1.0 OR ci_hi < 1.0 AS excludes_one
+              |FROM r""".stripMargin)
     )
   )
 

@@ -1108,5 +1108,58 @@ object Eval {
              |            / count(*) * 1000000 + 0.5) AS BIGINT) AS acc_e6,
              |       CAST(sum(margin_milli) AS BIGINT) AS sum_margin_milli
              |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "eval_roc_curve_deciles",
+      // ROC curve by score decile (round-13): the CURVE behind the scalar
+      // AUC (eval_auc_ranksum) — per descending-score decile, cumulative
+      // TPR/FPR, the plot every threshold decision is read off of (pick
+      // the knee, pick the FPR budget). Same integer scorer as the AUC
+      // row; deciles are assigned with a deterministic (score, vec_id)
+      // tiebreak, cumulative counts are exact BIGINTs from one window
+      // pass over the O(10) decile aggregate, and the two rates divide
+      // once at the end into e6 pins. Output O(10) at any corpus size —
+      // the curve never materializes per-row state past the first
+      // aggregate.
+      (s, dir) => {
+        val d = scored(s, dir)
+          .withColumn("dec", ntile(10).over(
+            Window.orderBy(col("score").desc, col("vec_id"))))
+        val per = d.groupBy(col("dec").cast("long").as("decile"))
+          .agg(sum(col("pos")).as("tp"), sum(lit(1L) - col("pos")).as("fp"))
+        val w = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        per
+          .withColumn("ctp", sum(col("tp")).over(w))
+          .withColumn("cfp", sum(col("fp")).over(w))
+          .withColumn("np", sum(col("tp")).over(Window.partitionBy()))
+          .withColumn("nn", sum(col("fp")).over(Window.partitionBy()))
+          .select(col("decile"), col("ctp"), col("cfp"),
+            expr("CAST(floor(CAST(ctp AS DOUBLE) / np * 1000000 + 0.5) AS BIGINT)")
+              .as("tpr_e6"),
+            expr("CAST(floor(CAST(cfp AS DOUBLE) / nn * 1000000 + 0.5) AS BIGINT)")
+              .as("fpr_e6"))
+          .orderBy(col("decile"))
+      },
+      Some(s"""$scoredSql,
+              |d AS (
+              |  SELECT pos, ntile(10) OVER (ORDER BY score DESC, vec_id) AS dec
+              |  FROM scored),
+              |per AS (
+              |  SELECT CAST(dec AS BIGINT) AS decile,
+              |         CAST(sum(pos) AS BIGINT) AS tp,
+              |         CAST(sum(1 - pos) AS BIGINT) AS fp
+              |  FROM d GROUP BY dec),
+              |cum AS (
+              |  SELECT decile,
+              |         CAST(sum(tp) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ctp,
+              |         CAST(sum(fp) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cfp,
+              |         CAST(sum(tp) OVER () AS BIGINT) AS np,
+              |         CAST(sum(fp) OVER () AS BIGINT) AS nn
+              |  FROM per)
+              |SELECT decile, ctp, cfp,
+              |       CAST(floor(CAST(ctp AS DOUBLE) / np * 1000000 + 0.5) AS BIGINT) AS tpr_e6,
+              |       CAST(floor(CAST(cfp AS DOUBLE) / nn * 1000000 + 0.5) AS BIGINT) AS fpr_e6
+              |FROM cum ORDER BY decile""".stripMargin)
     ))
 }

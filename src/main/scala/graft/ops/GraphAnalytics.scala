@@ -1130,6 +1130,101 @@ object GraphAnalytics {
               |SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reached,
               |       CAST(sum(6 // d) AS BIGINT) AS harmonic_x6
               |FROM dmin GROUP BY src ORDER BY node""".stripMargin)
+    ),
+    Q(
+      "graph_betweenness_seeds",
+      // Seed-sampled betweenness centrality, 3-hop-bounded Brandes
+      // (round-13): WHO brokers the shortest paths — the centrality that
+      // finds bridges/bottlenecks where degree and PageRank find hubs.
+      // Exact betweenness is O(V·E) (all-sources Brandes); the standard
+      // scale estimator runs Brandes from a SEED SAMPLE (here the
+      // deterministic node %17 set, the BFS row's seeds) on a bounded
+      // horizon, summing each seed's dependency δ. Both Brandes phases
+      // are pure message passing: the forward sweep is 3 rounds of
+      // (frontier ⋈ edges → sum σ over predecessors, anti-join vs
+      // reached) — shortest-path COUNTS σ stay exact BIGINT — and the
+      // backward sweep accumulates δ level-by-level in e6 FIXED POINT
+      // with INTEGER division (δv += σv·(1e6+δw) div σw), so no float
+      // enters either engine and the hash gate pins every path count
+      // and every accumulated dependency. Per round: one keyed shuffle
+      // on the frontier — the PageRank shape; candidate volume is capped
+      // by the sparsifier's bounded degree, never O(n²).
+      (s, dir) => {
+        val e = edgesSym(s, dir)
+        val l0 = degrees(s, dir).filter(col("node") % 17 === 0)
+          .select(col("node").as("seed"), col("node"), lit(1L).as("sigma"))
+        def expand(prev: DataFrame, known: DataFrame): DataFrame =
+          e.join(prev.select(col("seed"), col("node").as("src"),
+              col("sigma")), "src")
+            .groupBy(col("seed"), col("dst").as("node"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .join(known, Seq("seed", "node"), "left_anti")
+        val k0 = l0.select(col("seed"), col("node"))
+        val l1 = expand(l0, k0)
+        val k1 = k0.unionByName(l1.select(col("seed"), col("node")))
+        val l2 = expand(l1, k1)
+        val k2 = k1.unionByName(l2.select(col("seed"), col("node")))
+        val l3 = expand(l2, k2)
+        // backward sweep, δ3 = 0
+        val l3d = l3.withColumn("delta", lit(0L))
+        def deltas(lv: DataFrame, lwd: DataFrame): DataFrame = {
+          val c = e.as("e")
+            .join(lv.select(col("seed"), col("node").as("src"),
+              col("sigma").as("sv")).as("v"), "src")
+            .join(lwd.select(col("seed").as("ws"), col("node").as("wdst"),
+              col("sigma").as("sw"), col("delta").as("dw")).as("w"),
+              col("e.dst") === col("wdst") && col("seed") === col("ws"))
+            .groupBy(col("seed"), col("src").as("node"))
+            .agg(sum(expr("sv * (1000000 + dw) div sw")).as("delta"))
+          lv.join(c, Seq("seed", "node"), "left")
+            .select(col("seed"), col("node"), col("sigma"),
+              coalesce(col("delta"), lit(0L)).as("delta"))
+        }
+        val l2d = deltas(l2, l3d)
+        val l1d = deltas(l1, l2d)
+        l1d.select(col("seed"), col("node"), col("delta"))
+          .unionByName(l2d.select(col("seed"), col("node"), col("delta")))
+          .groupBy(col("node"))
+          .agg(count(lit(1)).as("n_seed_visits"),
+            sum(col("delta")).as("betweenness_e6"))
+          .orderBy(col("node"))
+      },
+      Some(s"""$baseSql,
+              |l0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+              |       FROM deg WHERE node % 17 = 0),
+              |c1 AS (SELECT l0.seed, e.dst AS node, CAST(sum(l0.sigma) AS BIGINT) AS sigma
+              |       FROM e JOIN l0 ON e.src = l0.node GROUP BY 1, 2),
+              |l1 AS (SELECT c1.* FROM c1 LEFT JOIN l0 k
+              |       ON c1.seed = k.seed AND c1.node = k.node WHERE k.node IS NULL),
+              |c2 AS (SELECT l1.seed, e.dst AS node, CAST(sum(l1.sigma) AS BIGINT) AS sigma
+              |       FROM e JOIN l1 ON e.src = l1.node GROUP BY 1, 2),
+              |k1 AS (SELECT seed, node FROM l0 UNION ALL SELECT seed, node FROM l1),
+              |l2 AS (SELECT c2.* FROM c2 LEFT JOIN k1 k
+              |       ON c2.seed = k.seed AND c2.node = k.node WHERE k.node IS NULL),
+              |c3 AS (SELECT l2.seed, e.dst AS node, CAST(sum(l2.sigma) AS BIGINT) AS sigma
+              |       FROM e JOIN l2 ON e.src = l2.node GROUP BY 1, 2),
+              |k2 AS (SELECT seed, node FROM k1 UNION ALL SELECT seed, node FROM l2),
+              |l3 AS (SELECT c3.* FROM c3 LEFT JOIN k2 k
+              |       ON c3.seed = k.seed AND c3.node = k.node WHERE k.node IS NULL),
+              |d2c AS (
+              |  SELECT v.seed, v.node, CAST(sum(v.sigma * (1000000 + 0) // w.sigma) AS BIGINT) AS delta
+              |  FROM e JOIN l2 v ON e.src = v.node
+              |         JOIN l3 w ON e.dst = w.node AND w.seed = v.seed
+              |  GROUP BY v.seed, v.node),
+              |l2d AS (SELECT l2.seed, l2.node, l2.sigma, coalesce(d2c.delta, 0) AS delta
+              |        FROM l2 LEFT JOIN d2c ON l2.seed = d2c.seed AND l2.node = d2c.node),
+              |d1c AS (
+              |  SELECT v.seed, v.node, CAST(sum(v.sigma * (1000000 + w.delta) // w.sigma) AS BIGINT) AS delta
+              |  FROM e JOIN l1 v ON e.src = v.node
+              |         JOIN l2d w ON e.dst = w.node AND w.seed = v.seed
+              |  GROUP BY v.seed, v.node),
+              |l1d AS (SELECT l1.seed, l1.node, l1.sigma, coalesce(d1c.delta, 0) AS delta
+              |        FROM l1 LEFT JOIN d1c ON l1.seed = d1c.seed AND l1.node = d1c.node)
+              |SELECT node, CAST(count(*) AS BIGINT) AS n_seed_visits,
+              |       CAST(sum(delta) AS BIGINT) AS betweenness_e6
+              |FROM (SELECT seed, node, delta FROM l1d
+              |      UNION ALL SELECT seed, node, delta FROM l2d) u
+              |GROUP BY node ORDER BY node""".stripMargin)
     )
   )
 }

@@ -1982,6 +1982,73 @@ object Streaming {
              |WHERE date_trunc('hour', w5) + INTERVAL 1 HOUR <= wm
              |GROUP BY 1, wm
              |ORDER BY hour_start""".stripMargin)
+    ),
+    Q(
+      "stream_static_reresolve",
+      // Per-micro-batch RE-RESOLUTION of a lakehouse dimension
+      // (round-13): stream_static_join certifies the stateless broadcast
+      // enrich, but a FILE-source static side is pinned at query start —
+      // a dim updated mid-stream keeps enriching with stale rows
+      // forever. The lakehouse contract (Delta/Iceberg stream-static
+      // semantics) re-reads the static side's CURRENT SNAPSHOT each
+      // micro-batch; the engine's shape for that is foreachBatch
+      // re-loading the manifest table, so batch N+1 sees the dim commit
+      // that landed after batch N — here batch 1 joins dim v1, the dim
+      // is recoded between batches (a real ManifestSink overwrite
+      // commit), and batch 2 provably joins v2 (the oracle's UNION has
+      // the recode ONLY in the b=2 half, so any staleness
+      // hash-mismatches). Pacing via maxFilesPerTrigger — the bounded-
+      // batch backfill knob. Scale: the join is the same per-batch
+      // broadcast as the static row; the re-resolution cost is one
+      // O(manifest) read per batch, never a re-scan of the stream side.
+      (s, dir) => {
+        val fmt = "graft.sources.ManifestSink"
+        val dimDir = graft.util.tempDir("graft_rrdim_")
+        val out = graft.util.tempDir("graft_rrout_")
+        val cust = graft.Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        cust.write.format(fmt).option("path", dimDir)
+          .mode("overwrite").save() // dim v1
+        val ev = eventsStream(s, stage(dir, 2), maxFilesPerTrigger = Some(1))
+        @volatile var batchNo = 0L
+        val q = ev.writeStream.outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sess = batch.sparkSession
+            val dim = sess.read.format(fmt).option("path", dimDir).load()
+            batchNo += 1
+            batch.select(col("event_id"), col("user_id"))
+              .join(dim, col("user_id") === col("c_custkey"), "left")
+              .select(col("event_id"), col("user_id"), col("seg"),
+                lit(batchNo).as("b"))
+              .write.mode("append").parquet(out)
+            if (batchNo == 1L) {
+              // the dim evolves BETWEEN batches — a real snapshot commit
+              cust.withColumn("seg",
+                  when(col("c_custkey") % 3 === 0,
+                    concat(col("seg"), lit("_v2"))).otherwise(col("seg")))
+                .write.format(fmt).option("path", dimDir)
+                .mode("overwrite").save() // dim v2
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out).orderBy(col("b"), col("event_id"))
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id FROM events),
+             |v1 AS (
+             |  SELECT event_id, user_id, c_mktsegment AS seg, CAST(1 AS BIGINT) AS b
+             |  FROM ev LEFT JOIN customer ON user_id = c_custkey),
+             |v2 AS (
+             |  SELECT event_id, user_id,
+             |         CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment || '_v2'
+             |              ELSE c_mktsegment END AS seg,
+             |         CAST(2 AS BIGINT) AS b
+             |  FROM ev LEFT JOIN customer ON user_id = c_custkey)
+             |SELECT event_id, user_id, seg, b
+             |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) u
+             |ORDER BY b, event_id""".stripMargin)
     )
   )
 }

@@ -3888,6 +3888,82 @@ object TextOps {
              |SELECT pair, CAST(sum(n) AS BIGINT) AS n_docs,
              |       min(rho_e6) AS min_rho, max(rho_e6) AS max_rho
              |FROM rho GROUP BY pair ORDER BY pair""".stripMargin)
+    ),
+    Q(
+      "text_boilerplate_linefreq",
+      // Line-frequency boilerplate removal (round-13): the CCNet/OSCAR
+      // pre-dedup step — a LINE that recurs across many documents of one
+      // SOURCE (nav bars, cookie banners, footers) is template, not
+      // content, and is dropped BEFORE any quality gate sees it (C4 and
+      // CCNet both run exactly this: per-corpus line frequency, drop
+      // lines above a document-frequency threshold). Fixture lines are
+      // fixed 10-token windows (the corpus ships newline-free), and each
+      // doc is prefixed with its source's 10-token BANNER line — the
+      // synthesized template mass (the corpus vocabulary is too diverse
+      // for natural 10-gram collisions), so the detector provably drops
+      // exactly the per-source banner while every content line survives.
+      // The boilerplate verdict is df ≥ 3 AND 20·df ≥ docs-in-source — both
+      // sides exact integers, so no threshold can flip cross-engine.
+      // Scale: the line-frequency table is a two-phase (source, line)
+      // aggregate — at 100 TB the join key is the line's 64-bit digest
+      // rather than its text (the exact-dedup discipline; here the
+      // ≤70-char line IS its own key so the oracle stays literal), and
+      // the per-doc rollup shuffles O(lines), never re-shuffling the
+      // document bodies.
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            split(concat(expr("repeat(concat(source, ' '), 10)"),
+              col("text")), " ").as("l"))
+        val lines = d.select(col("doc_id"), col("source"),
+          expr("""inline(transform(
+                 |  sequence(0, greatest(1, CAST(ceil(size(l) / 10.0) AS INT)) - 1),
+                 |  i -> struct(array_join(slice(l, i * 10 + 1, 10), ' ') AS line,
+                 |              CAST(least(10, size(l) - i * 10) AS BIGINT) AS ltoks)))"""
+            .stripMargin))
+        val src = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val freq = lines.groupBy(col("source"), col("line"))
+          .agg(count_distinct(col("doc_id")).as("df"))
+          .join(src, "source")
+          .select(col("source"), col("line"),
+            (col("df") >= 3 && col("df") * 20 >= col("n_docs")).as("boiler"))
+        lines.join(freq, Seq("source", "line"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+            sum(col("ltoks")).as("tokens_total"),
+            sum(when(!col("boiler"), col("ltoks")).otherwise(0L)).as("tokens_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |         string_split(repeat(source || ' ', 10) || text, ' ') AS l
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, source,
+             |         unnest(list_transform(
+             |           range(0, greatest(1, CAST(ceil(len(l) / 10.0) AS BIGINT))),
+             |           i -> array_to_string(list_slice(l, i * 10 + 1, i * 10 + 10), ' '))) AS line,
+             |         unnest(list_transform(
+             |           range(0, greatest(1, CAST(ceil(len(l) / 10.0) AS BIGINT))),
+             |           i -> CAST(least(10, len(l) - i * 10) AS BIGINT))) AS ltoks
+             |  FROM d),
+             |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |        FROM d GROUP BY source),
+             |freq AS (
+             |  SELECT f.source, f.line,
+             |         (f.df >= 3 AND f.df * 20 >= s.n_docs) AS boiler
+             |  FROM (SELECT source, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |        FROM lines GROUP BY source, line) f
+             |  JOIN src s ON f.source = s.source)
+             |SELECT l.doc_id,
+             |       CAST(count(*) AS BIGINT) AS n_lines,
+             |       CAST(sum(CASE WHEN f.boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             |       CAST(sum(l.ltoks) AS BIGINT) AS tokens_total,
+             |       CAST(sum(CASE WHEN NOT f.boiler THEN l.ltoks ELSE 0 END) AS BIGINT) AS tokens_kept
+             |FROM lines l JOIN freq f ON l.source = f.source AND l.line = f.line
+             |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)
     )
   )
 }

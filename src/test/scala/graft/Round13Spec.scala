@@ -160,6 +160,65 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("eval_roc_curve_deciles: curve is monotone and ends at (1, 1)") {
+    val rows = SparkEntry.queries("eval_roc_curve_deciles")(spark, dir).collect()
+    assert(rows.length === 10)
+    val tpr = rows.map(_.getLong(3))
+    val fpr = rows.map(_.getLong(4))
+    assert(tpr.zip(tpr.tail).forall { case (a, b) => a <= b }, "TPR not monotone")
+    assert(fpr.zip(fpr.tail).forall { case (a, b) => a <= b }, "FPR not monotone")
+    assert(tpr.last === 1000000L && fpr.last === 1000000L)
+  }
+
+  test("stat_odds_ratio_ci: CI brackets the point estimate; flag consistent") {
+    val r = SparkEntry.queries("stat_odds_ratio_ci")(spark, dir).collect()(0)
+    val (or, lo, hi) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(lo <= or && or <= hi, s"CI [$lo, $hi] does not bracket OR $or")
+    assert(r.getBoolean(7) === (lo > 1.0 || hi < 1.0))
+    // a 50/50 hash split of the same outcome should NOT show an effect
+    assert(!r.getBoolean(7), "null-effect fixture flagged significant")
+  }
+
+  test("text_boilerplate_linefreq: token accounting is exact") {
+    val out = SparkEntry.queries("text_boilerplate_linefreq")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === toks.keySet, "every doc must be line-audited")
+    out.foreach { case (d, (nLines, nBoiler, tot, kept)) =>
+      // every doc carries its source's 10-token banner prefix
+      assert(tot === toks(d) + 10, s"doc $d: token total $tot != ${toks(d)} + 10")
+      assert(kept <= tot - 10, s"doc $d: banner tokens survived ($kept of $tot)")
+      assert(nBoiler >= 1 && nBoiler <= nLines,
+        s"doc $d: banner line not flagged ($nBoiler of $nLines)")
+      assert(nLines === (toks(d) + 10 + 9) / 10,
+        s"doc $d: $nLines lines of ${toks(d)} + 10 tokens")
+    }
+  }
+
+  test("graph_betweenness_seeds: dependencies non-negative, bridges found") {
+    val rows = SparkEntry.queries("graph_betweenness_seeds")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L, s"negative dependency at node ${r.getLong(0)}")
+      assert(r.getLong(1) >= 1L)
+    }
+    assert(rows.exists(_.getLong(2) > 0L), "no node brokers any path")
+  }
+
+  test("stream_static_reresolve: batch 2 sees the dim commit, batch 1 does not") {
+    val rows = SparkEntry.queries("stream_static_reresolve")(spark, dir).collect()
+    val (b1, b2) = rows.partition(_.getLong(3) == 1L)
+    assert(b1.nonEmpty && b2.nonEmpty && b1.length === b2.length)
+    assert(b1.forall(r => r.isNullAt(2) || !r.getString(2).endsWith("_v2")),
+      "batch 1 leaked the post-commit dim")
+    val recoded = b2.filter(r => !r.isNullAt(2) && r.getString(2).endsWith("_v2"))
+    assert(recoded.nonEmpty, "batch 2 never saw the dim commit")
+    assert(recoded.forall(_.getLong(1) % 3 == 0),
+      "recode leaked outside the custkey % 3 = 0 set")
+  }
+
   test("sql_merge_schema_evolution: target schema widened, old rows null-filled") {
     val out = SparkEntry.queries("sql_merge_schema_evolution")(spark, dir)
     assert(out.schema.fieldNames.toSeq ===

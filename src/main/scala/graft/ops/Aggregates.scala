@@ -3110,6 +3110,414 @@ object Aggregates {
               |SELECT a, b, c, d, odds_ratio, ci_lo, ci_hi,
               |       ci_lo > 1.0 OR ci_hi < 1.0 AS excludes_one
               |FROM r""".stripMargin)
+    ),
+    Q(
+      "stat_kruskal_wallis",
+      // Kruskal–Wallis rank ANOVA (round-13): the nonparametric k-group
+      // location test — "do the five order priorities have the same
+      // total-spend distribution" without ANOVA's normality assumption
+      // (order totals are heavy-tailed; stat_anova_oneway answers the
+      // mean question, this answers the distribution one, and
+      // stat_mann_whitney only covers k=2). Average tie ranks are kept
+      // exact as DOUBLED integers (tr = 2·prior + count + 1), group rank
+      // sums are BIGINT folds of per-VALUE counts, and H plus the
+      // tie-corrected H/C divide once at the end under r2.
+      // Scale: ranks are assigned per DISTINCT value (groupBy cents →
+      // one window over the distinct-value spine, O(distinct) not
+      // O(rows) state; at 100 TB the spine sort is a range-partitioned
+      // global sort like any orderBy); the (grp, value) count table is
+      // map-side combinable and the final fold is O(groups).
+      (s, dir) => {
+        val x = Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+        val perV = x.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+          .withColumn("prior",
+            coalesce(sum(col("cv")).over(
+              Window.orderBy(col("v"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("v"), col("cv"),
+            (lit(2L) * col("prior") + col("cv") + 1L).as("tr"))
+        val perGV = x.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cgv"))
+        val g = perGV.join(perV, "v")
+          .groupBy(col("grp"))
+          .agg(sum(col("cgv")).as("ng"), sum(col("cgv") * col("tr")).as("s2"))
+        val ties = perV.agg(
+          sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tie3"))
+        g.crossJoin(ties)
+          .agg(count(lit(1)).as("k"),
+            sum(col("ng")).as("n"),
+            sum(col("s2").cast("double") * col("s2").cast("double") /
+              lit(4.0) / col("ng").cast("double")).as("rsq"),
+            max(col("tie3")).as("tie3"))
+          .select(col("k").as("n_groups"), col("n").as("n_total"),
+            util.r2(lit(12.0) / (col("n").cast("double") * (col("n") + 1L)) *
+              col("rsq") - lit(3.0) * (col("n").cast("double") + 1.0)).as("h"),
+            util.r2((lit(12.0) / (col("n").cast("double") * (col("n") + 1L)) *
+              col("rsq") - lit(3.0) * (col("n").cast("double") + 1.0)) /
+              (lit(1.0) - col("tie3").cast("double") /
+                (col("n").cast("double") * col("n") * col("n") - col("n"))))
+              .as("h_tie_corrected"))
+      },
+      Some(s"""WITH x AS (
+              |  SELECT o_orderpriority AS grp,
+              |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+              |  FROM orders),
+              |perv AS (
+              |  SELECT v, CAST(count(*) AS BIGINT) AS cv,
+              |         CAST(coalesce(sum(count(*)) OVER (ORDER BY v
+              |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+              |  FROM x GROUP BY v),
+              |trv AS (SELECT v, cv, 2 * prior + cv + 1 AS tr FROM perv),
+              |pergv AS (
+              |  SELECT grp, v, CAST(count(*) AS BIGINT) AS cgv
+              |  FROM x GROUP BY grp, v),
+              |g AS (
+              |  SELECT grp, CAST(sum(cgv) AS BIGINT) AS ng,
+              |         CAST(sum(cgv * tr) AS BIGINT) AS s2
+              |  FROM pergv JOIN trv USING (v) GROUP BY grp),
+              |t AS (SELECT CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tie3 FROM perv),
+              |f AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+              |         sum(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / 4.0 / CAST(ng AS DOUBLE)) AS rsq,
+              |         max(tie3) AS tie3
+              |  FROM g CROSS JOIN t)
+              |SELECT k AS n_groups, n AS n_total,
+              |       ${util.r2sql("12.0 / (CAST(n AS DOUBLE) * (n + 1)) * rsq - 3.0 * (CAST(n AS DOUBLE) + 1.0)")} AS h,
+              |       ${util.r2sql("(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * rsq - 3.0 * (CAST(n AS DOUBLE) + 1.0)) / (1.0 - CAST(tie3 AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))")} AS h_tie_corrected
+              |FROM f""".stripMargin)
+    ),
+    Q(
+      "stat_cohens_d",
+      // Cohen's d / Hedges' g effect size (round-13): the number every
+      // A/B significance test should ship WITH — "the difference is 3σ
+      // significant" means nothing without "and it is 0.04 pooled-SDs
+      // large". Urgent vs low-priority order totals; the two groups'
+      // (n, Σx, Σx²) moments are exact BIGINT folds over WHOLE-DOLLAR
+      // values (cents would push Σx² past 2^63 at sf10 — dollars keep
+      // the quadratic moment in range to sf1000), pooled variance and
+      // the small-sample Hedges correction 1 − 3/(4(n1+n2)−9) are
+      // assembled from those six integers with e6-pinned outputs.
+      // Scale: one conditional-moment aggregate, map-side combinable,
+      // O(1) rows after the partial fold.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+              .as("g1"),
+            floor(col("o_totalprice") + lit(0.5)).cast("long").as("x"))
+          .agg(sum(col("g1")).as("n1"),
+            sum(lit(1L) - col("g1")).as("n2"),
+            sum(col("g1") * col("x")).as("s1"),
+            sum((lit(1L) - col("g1")) * col("x")).as("s2"),
+            sum(col("g1") * col("x") * col("x")).as("q1"),
+            sum((lit(1L) - col("g1")) * col("x") * col("x")).as("q2"))
+          .select(col("n1"), col("n2"),
+            expr("""CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                   / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+                           + (q2 - CAST(s2 AS DOUBLE) * s2 / n2)) / (n1 + n2 - 2))
+                   * 1000000 + 0.5) AS BIGINT)""").as("cohens_d_e6"),
+            expr("""CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                   / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+                           + (q2 - CAST(s2 AS DOUBLE) * s2 / n2)) / (n1 + n2 - 2))
+                   * (1.0 - CAST(3 AS DOUBLE) / (4 * (n1 + n2) - 9))
+                   * 1000000 + 0.5) AS BIGINT)""").as("hedges_g_e6"))
+      },
+      Some("""WITH x AS (
+             |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+             |         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+             |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |m AS (
+             |  SELECT CAST(sum(g1) AS BIGINT) AS n1,
+             |         CAST(sum(1 - g1) AS BIGINT) AS n2,
+             |         CAST(sum(g1 * x) AS BIGINT) AS s1,
+             |         CAST(sum((1 - g1) * x) AS BIGINT) AS s2,
+             |         CAST(sum(g1 * x * x) AS BIGINT) AS q1,
+             |         CAST(sum((1 - g1) * x * x) AS BIGINT) AS q2
+             |  FROM x)
+             |SELECT n1, n2,
+             |       CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             |            / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+             |                    + (q2 - CAST(s2 AS DOUBLE) * s2 / n2)) / (n1 + n2 - 2))
+             |            * 1000000 + 0.5) AS BIGINT) AS cohens_d_e6,
+             |       CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             |            / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+             |                    + (q2 - CAST(s2 AS DOUBLE) * s2 / n2)) / (n1 + n2 - 2))
+             |            * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+             |            * 1000000 + 0.5) AS BIGINT) AS hedges_g_e6
+             |FROM m""".stripMargin)
+    ),
+    Q(
+      "stat_theil_index",
+      // Theil T inequality index (round-13): the entropy-based
+      // concentration measure that DECOMPOSES — unlike Gini
+      // (agg_gini_concentration) and HHI (win_hhi_concentration), Theil
+      // splits exactly into within-group + between-group terms, so "is
+      // spend inequality driven by market segments or within them" is
+      // answerable from the same pass. T = (1/n)·Σ r·ln(r) with
+      // r = x·n/S per customer; between-segment term from segment
+      // shares. Per-row doubles from exact BIGINT (x, n, S) — identical
+      // expression text both engines, libm drift hides under r2
+      // (text_entropy_unigram precedent).
+      // Scale: per-customer totals are one map-side-combinable group;
+      // the index folds to O(1) and the decomposition to O(segments).
+      (s, dir) => {
+        val spend = Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("x"))
+        val tot = spend.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        val overall = spend.crossJoin(broadcast(tot))
+          .select((col("x").cast("double") * col("n") / col("s")).as("r"),
+            col("n"))
+          .agg(max(col("n")).as("n"),
+            sum(col("r") * log(col("r"))).as("tsum"))
+          .select(lit("overall").as("component"),
+            util.r2(col("tsum") / col("n").cast("double")).as("theil_t"))
+        val between = spend.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("ng"), sum(col("x")).as("sg"))
+          .crossJoin(broadcast(tot))
+          .select((col("sg").cast("double") / col("s")).as("share"),
+            (col("sg").cast("double") * col("n") /
+              (col("s").cast("double") * col("ng"))).as("rel"))
+          .agg(sum(col("share") * log(col("rel"))).as("bt"))
+          .select(lit("between_segments").as("component"),
+            util.r2(col("bt")).as("theil_t"))
+        overall.unionAll(between).orderBy(col("component"))
+      },
+      Some(s"""WITH spend AS (
+              |  SELECT c_custkey, c_mktsegment,
+              |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+              |  FROM customer JOIN orders ON c_custkey = o_custkey
+              |  GROUP BY c_custkey, c_mktsegment),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |               CAST(sum(x) AS BIGINT) AS s FROM spend),
+              |overall AS (
+              |  SELECT 'overall' AS component,
+              |         ${util.r2sql("sum((CAST(x AS DOUBLE) * n / s) * ln(CAST(x AS DOUBLE) * n / s)) / max(CAST(n AS DOUBLE))")} AS theil_t
+              |  FROM spend CROSS JOIN tot),
+              |seg AS (
+              |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS ng,
+              |         CAST(sum(x) AS BIGINT) AS sg
+              |  FROM spend GROUP BY c_mktsegment),
+              |btw AS (
+              |  SELECT 'between_segments' AS component,
+              |         ${util.r2sql("sum((CAST(sg AS DOUBLE) / s) * ln(CAST(sg AS DOUBLE) * n / (CAST(s AS DOUBLE) * ng)))")} AS theil_t
+              |  FROM seg CROSS JOIN tot)
+              |SELECT * FROM overall UNION ALL SELECT * FROM btw
+              |ORDER BY component""".stripMargin)
+    ),
+    Q(
+      "stat_friedman_test",
+      // Friedman test (round-13): the BLOCKED nonparametric k-treatment
+      // test — months are blocks, order priorities are treatments, and
+      // the question is "does any priority systematically lead within a
+      // month" with month-to-month level shifts differenced out (the
+      // repeated-measures design stat_kruskal_wallis can't express; the
+      // k=2 special case is the sign test). Per-block treatment values
+      // are exact cents totals; within-block average tie ranks are kept
+      // exact as DOUBLED integers; the χ² statistic assembles from
+      // BIGINT rank sums with one r2-pinned division.
+      // Scale: the (block, treatment) matrix is one map-side rollup;
+      // ranking windows partition BY BLOCK (k rows each — never a
+      // global sort); the fold is O(treatments).
+      (s, dir) => {
+        val cell = Tables(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("blk"),
+            col("o_orderpriority").as("trt"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("v"))
+        // complete blocks only: a month missing a priority would skew
+        // the rank sums (classic Friedman needs the full b x k design)
+        val full = cell
+          .withColumn("nb", count(lit(1)).over(
+            Window.partitionBy(col("blk"))))
+          .filter(col("nb") === 5L).drop("nb")
+        val ranked = full
+          .withColumn("r", rank().over(
+            Window.partitionBy(col("blk")).orderBy(col("v"))))
+          .withColumn("c", count(lit(1)).over(
+            Window.partitionBy(col("blk"), col("v"))))
+          .select(col("blk"), col("trt"),
+            (lit(2L) * col("r") + col("c") - 1L).as("tr2"))
+        val perTrt = ranked.groupBy(col("trt"))
+          .agg(count(lit(1)).as("b"), sum(col("tr2")).as("r2sum"))
+        perTrt.agg(count(lit(1)).as("k"), max(col("b")).as("b"),
+            sum(col("r2sum").cast("double") * col("r2sum") / 4.0).as("rsq"))
+          .select(col("k").as("n_treatments"), col("b").as("n_blocks"),
+            util.r2(lit(12.0) /
+              (col("b").cast("double") * col("k") * (col("k") + 1L)) *
+              col("rsq") -
+              lit(3.0) * col("b").cast("double") * (col("k") + 1L))
+              .as("friedman_chi2"))
+      },
+      Some(s"""WITH cell AS (
+              |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS blk,
+              |         o_orderpriority AS trt,
+              |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+              |  FROM orders GROUP BY 1, 2),
+              |fullb AS (
+              |  SELECT * FROM (
+              |    SELECT blk, trt, v, count(*) OVER (PARTITION BY blk) AS nb
+              |    FROM cell) t WHERE nb = 5),
+              |ranked AS (
+              |  SELECT blk, trt,
+              |         2 * CAST(rank() OVER (PARTITION BY blk ORDER BY v) AS BIGINT)
+              |         + CAST(count(*) OVER (PARTITION BY blk, v) AS BIGINT) - 1 AS tr2
+              |  FROM fullb),
+              |pert AS (
+              |  SELECT trt, CAST(count(*) AS BIGINT) AS b,
+              |         CAST(sum(tr2) AS BIGINT) AS r2sum
+              |  FROM ranked GROUP BY trt),
+              |f AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS k, max(b) AS b,
+              |         sum(CAST(r2sum AS DOUBLE) * r2sum / 4.0) AS rsq
+              |  FROM pert)
+              |SELECT k AS n_treatments, b AS n_blocks,
+              |       ${util.r2sql("12.0 / (CAST(b AS DOUBLE) * k * (k + 1)) * rsq - 3.0 * CAST(b AS DOUBLE) * (k + 1)")} AS friedman_chi2
+              |FROM f""".stripMargin)
+    ),
+    Q(
+      "stat_page_trend",
+      // Page's L trend test (round-13): the ORDERED-alternative sibling
+      // of stat_friedman_test — Friedman asks "any difference among
+      // priorities", Page asks "do they trend in the hypothesized order
+      // 1-URGENT < … < 5-LOW" with far more power when the order is
+      // pre-specified. Same blocked-rank machinery (months × priorities,
+      // doubled tie ranks); L = Σ_j j·R_j with the treatment index j
+      // taken from the priority's natural order, z from the exact
+      // closed-form moments E[L] = bk(k+1)²/4, Var[L] = b k²(k+1)²(k−1)
+      // /144 — all BIGINT until the final e6 division.
+      // Scale: identical to Friedman — O(blocks·k) matrix, block-local
+      // rank windows, O(1) output.
+      (s, dir) => {
+        val cell = Tables(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("blk"),
+            col("o_orderpriority").as("trt"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("v"))
+        val full = cell
+          .withColumn("nb", count(lit(1)).over(
+            Window.partitionBy(col("blk"))))
+          .filter(col("nb") === 5L).drop("nb")
+        val ranked = full
+          .withColumn("r", rank().over(
+            Window.partitionBy(col("blk")).orderBy(col("v"))))
+          .withColumn("c", count(lit(1)).over(
+            Window.partitionBy(col("blk"), col("v"))))
+          .select(col("blk"),
+            substring(col("trt"), 1, 1).cast("long").as("j"),
+            (lit(2L) * col("r") + col("c") - 1L).as("tr2"))
+        ranked.agg(
+            countDistinct(col("blk")).as("b"),
+            countDistinct(col("j")).as("k"),
+            sum(col("j") * col("tr2")).as("l2"))
+          .select(col("b").as("n_blocks"), col("k").as("n_treatments"),
+            expr("l2 DIV 2").as("page_l"),
+            expr("""CAST(floor((CAST(l2 AS DOUBLE) / 2
+                   - CAST(b AS DOUBLE) * k * (k + 1) * (k + 1) / 4)
+                   / sqrt(CAST(b AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1) / 144)
+                   * 1000000 + 0.5) AS BIGINT)""").as("z_e6"))
+      },
+      Some("""WITH cell AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS blk,
+             |         o_orderpriority AS trt,
+             |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+             |  FROM orders GROUP BY 1, 2),
+             |fullb AS (
+             |  SELECT * FROM (
+             |    SELECT blk, trt, v, count(*) OVER (PARTITION BY blk) AS nb
+             |    FROM cell) t WHERE nb = 5),
+             |ranked AS (
+             |  SELECT blk, CAST(substring(trt, 1, 1) AS BIGINT) AS j,
+             |         2 * CAST(rank() OVER (PARTITION BY blk ORDER BY v) AS BIGINT)
+             |         + CAST(count(*) OVER (PARTITION BY blk, v) AS BIGINT) - 1 AS tr2
+             |  FROM fullb),
+             |f AS (
+             |  SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b,
+             |         CAST(count(DISTINCT j) AS BIGINT) AS k,
+             |         CAST(sum(j * tr2) AS BIGINT) AS l2
+             |  FROM ranked)
+             |SELECT b AS n_blocks, k AS n_treatments, l2 // 2 AS page_l,
+             |       CAST(floor((CAST(l2 AS DOUBLE) / 2
+             |            - CAST(b AS DOUBLE) * k * (k + 1) * (k + 1) / 4)
+             |            / sqrt(CAST(b AS DOUBLE) * k * k * (k + 1) * (k + 1) * (k - 1) / 144)
+             |            * 1000000 + 0.5) AS BIGINT) AS z_e6
+             |FROM f""".stripMargin)
+    ),
+    Q(
+      "stat_dunn_posthoc",
+      // Dunn's post-hoc test (round-13): WHICH groups differ once
+      // stat_kruskal_wallis rejects — the rank-based pairwise z with the
+      // shared tie correction, the multiple-comparison follow-up whose
+      // p-values stat_fdr_bh then adjusts. Mean ranks come from the same
+      // doubled-integer rank sums as KW (exact BIGINTs); the pooled
+      // variance term N(N+1)/12 − Σ(t³−t)/(12(N−1)) is one double both
+      // engines assemble from the same integers; one e6-pinned z per
+      // pair, ordered pairs only (gi < gj lexicographically).
+      // Scale: reuses the distinct-value rank spine (O(distinct) window
+      // state); the pair expansion is k(k−1)/2 rows — O(1) at any data
+      // size.
+      (s, dir) => {
+        val x = Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+        val perV = x.groupBy(col("v")).agg(count(lit(1)).as("cv"))
+          .withColumn("prior",
+            coalesce(sum(col("cv")).over(
+              Window.orderBy(col("v"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("v"), col("cv"),
+            (lit(2L) * col("prior") + col("cv") + 1L).as("tr"))
+        val g = x.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cgv"))
+          .join(perV, "v")
+          .groupBy(col("grp"))
+          .agg(sum(col("cgv")).as("ng"), sum(col("cgv") * col("tr")).as("s2"))
+        val glob = perV.agg(sum(col("cv")).as("n"),
+          sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tie3"))
+        g.as("a").join(g.as("b"), col("a.grp") < col("b.grp"))
+          .crossJoin(broadcast(glob))
+          .select(col("a.grp").as("group_i"), col("b.grp").as("group_j"),
+            expr("""CAST(floor((CAST(a.s2 AS DOUBLE) / (2 * a.ng)
+                   - CAST(b.s2 AS DOUBLE) / (2 * b.ng))
+                   / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12
+                           - CAST(tie3 AS DOUBLE) / (12 * (n - 1)))
+                          * (CAST(1 AS DOUBLE) / a.ng + CAST(1 AS DOUBLE) / b.ng))
+                   * 1000000 + 0.5) AS BIGINT)""").as("dunn_z_e6"))
+          .orderBy(col("group_i"), col("group_j"))
+      },
+      Some("""WITH x AS (
+             |  SELECT o_orderpriority AS grp,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+             |  FROM orders),
+             |perv AS (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS cv,
+             |         CAST(coalesce(sum(count(*)) OVER (ORDER BY v
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior
+             |  FROM x GROUP BY v),
+             |trv AS (SELECT v, cv, 2 * prior + cv + 1 AS tr FROM perv),
+             |g AS (
+             |  SELECT grp, CAST(sum(cgv) AS BIGINT) AS ng,
+             |         CAST(sum(cgv * tr) AS BIGINT) AS s2
+             |  FROM (SELECT grp, v, CAST(count(*) AS BIGINT) AS cgv
+             |        FROM x GROUP BY grp, v) q JOIN trv USING (v)
+             |  GROUP BY grp),
+             |gstat AS (
+             |  SELECT CAST(sum(cv) AS BIGINT) AS n,
+             |         CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tie3
+             |  FROM perv)
+             |SELECT a.grp AS group_i, b.grp AS group_j,
+             |       CAST(floor((CAST(a.s2 AS DOUBLE) / (2 * a.ng)
+             |            - CAST(b.s2 AS DOUBLE) / (2 * b.ng))
+             |            / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12
+             |                    - CAST(tie3 AS DOUBLE) / (12 * (n - 1)))
+             |                   * (CAST(1 AS DOUBLE) / a.ng + CAST(1 AS DOUBLE) / b.ng))
+             |            * 1000000 + 0.5) AS BIGINT) AS dunn_z_e6
+             |FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN gstat
+             |ORDER BY group_i, group_j""".stripMargin)
     )
   )
 

@@ -1161,5 +1161,56 @@ object Eval {
               |       CAST(floor(CAST(ctp AS DOUBLE) / np * 1000000 + 0.5) AS BIGINT) AS tpr_e6,
               |       CAST(floor(CAST(cfp AS DOUBLE) / nn * 1000000 + 0.5) AS BIGINT) AS fpr_e6
               |FROM cum ORDER BY decile""".stripMargin)
+    ),
+    Q(
+      "eval_token_f1",
+      // Token-overlap F1 (round-13): the SQuAD-style QA metric — treat
+      // the first 30 tokens of each document as the "prediction" and
+      // tokens 11..40 as the "reference" (a deterministic overlapping
+      // pair both engines derive from the same text), score their
+      // MULTISET token overlap, and report micro-F1 per language:
+      // F1 = 2·Σoverlap / (Σ|pred| + Σ|ref|). Multiset intersection is
+      // Σ_tok min(count_pred, count_ref) — the exact SQuAD definition,
+      // not set-Jaccard. Everything is an integer count until ONE e6
+      // division per language row.
+      // Scale: one posexplode bounded at 40 positions/doc, one
+      // (doc, token) group with map-side partials, one O(langs) rollup.
+      // The shuffle carries token counts, never text.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            posexplode(slice(split(lower(col("text")), " "), 1, 40))
+              .as(Seq("pos", "tok")))
+          .groupBy(col("doc_id"), col("lang"), col("tok"))
+          .agg(sum(when(col("pos") < 30, 1L).otherwise(0L)).as("cp"),
+            sum(when(col("pos") >= 10, 1L).otherwise(0L)).as("cr"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(least(col("cp"), col("cr"))).as("ov"),
+            sum(col("cp")).as("lp"), sum(col("cr")).as("lr"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ov")).as("sum_overlap"),
+            expr("CAST(floor(CAST(2 AS DOUBLE) * sum(ov) / (sum(lp) + sum(lr)) * 1000000 + 0.5) AS BIGINT)")
+              .as("micro_f1_e6"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |         unnest(list_slice(string_split(lower(text), ' '), 1, 40)) AS tok,
+             |         generate_subscripts(list_slice(string_split(lower(text), ' '), 1, 40), 1) AS pos
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT doc_id, lang, tok,
+             |         CAST(sum(CASE WHEN pos <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             |         CAST(sum(CASE WHEN pos >= 11 THEN 1 ELSE 0 END) AS BIGINT) AS cr
+             |  FROM toks GROUP BY doc_id, lang, tok),
+             |per_doc AS (
+             |  SELECT doc_id, lang, CAST(sum(least(cp, cr)) AS BIGINT) AS ov,
+             |         CAST(sum(cp) AS BIGINT) AS lp, CAST(sum(cr) AS BIGINT) AS lr
+             |  FROM cnt GROUP BY doc_id, lang)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(ov) AS BIGINT) AS sum_overlap,
+             |       CAST(floor(2.0 * sum(ov) / (sum(lp) + sum(lr)) * 1000000 + 0.5) AS BIGINT) AS micro_f1_e6
+             |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)
     ))
 }

@@ -1965,6 +1965,47 @@ object Extensions {
              |  SELECT 4, count(*), CAST(sum(o_orderkey) AS BIGINT)
              |  FROM orders WHERE o_orderkey % 2 = 0) t
              |ORDER BY version""".stripMargin)
+    ),
+    Q(
+      "multimodal_aspect_gate",
+      // Image aspect-ratio / resolution gate (round-13): the first
+      // filter every image-text corpus runs (LAION-style) — drop
+      // thumbnails below a pixel floor and extreme aspect ratios — here
+      // off the TYPED METADATA already decoded from the blob header
+      // (multimodal_image_header's width/height), never the pixels: the
+      // gate is a metadata-column predicate, so at 100 TB it prunes
+      // BEFORE any byte of image payload moves. Aspect is checked in
+      // cross-multiplied integers (2h ≥ w AND 2w ≥ h, pixel floor
+      // w·h ≥ 32768) so no ratio ever hits a float boundary; the report
+      // buckets pass/fail reasons with one map-side aggregate.
+      (s, dir) => {
+        val w = col("n_chars") % 640
+        val h = col("doc_id") % 480
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), w.cast("long").as("w"), h.cast("long").as("h"))
+          .select(
+            when(col("w") === 0L || col("h") === 0L, "invalid_dims")
+              .when(col("w") * col("h") < 32768L, "below_pixel_floor")
+              .when(lit(2L) * col("h") < col("w"), "too_wide")
+              .when(lit(2L) * col("w") < col("h"), "too_tall")
+              .otherwise("pass").as("gate"))
+          .groupBy(col("gate"))
+          .agg(count(lit(1)).as("n_images"))
+          .orderBy(col("gate"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, CAST(n_chars % 640 AS BIGINT) AS w,
+             |         CAST(doc_id % 480 AS BIGINT) AS h
+             |  FROM documents),
+             |g AS (
+             |  SELECT CASE WHEN w = 0 OR h = 0 THEN 'invalid_dims'
+             |              WHEN w * h < 32768 THEN 'below_pixel_floor'
+             |              WHEN 2 * h < w THEN 'too_wide'
+             |              WHEN 2 * w < h THEN 'too_tall'
+             |              ELSE 'pass' END AS gate
+             |  FROM m)
+             |SELECT gate, CAST(count(*) AS BIGINT) AS n_images
+             |FROM g GROUP BY gate ORDER BY gate""".stripMargin)
     )
   )
 }

@@ -1225,6 +1225,117 @@ object GraphAnalytics {
               |FROM (SELECT seed, node, delta FROM l1d
               |      UNION ALL SELECT seed, node, delta FROM l2d) u
               |GROUP BY node ORDER BY node""".stripMargin)
+    ),
+    Q(
+      "graph_eigenvector_power",
+      // Eigenvector centrality by power iteration (round-13): influence
+      // that weighs WHO your neighbors are, not just how many — PageRank
+      // without teleport or degree normalization, the variant where a
+      // node connected to hubs outranks one connected to leaves of equal
+      // degree. Four synchronous x ← A·x rounds in pure BIGINT (start
+      // 10⁶ per node; degree ≤ 6 after sparsification bounds growth at
+      // 6⁴·10⁶ ≪ 2⁶³), then one integer-division normalization by the
+      // max — bit-for-bit identical in both engines, no float summation
+      // order anywhere. Scale: each round is one join+groupBy over the
+      // bounded-degree edge list, shuffle O(6·nodes); the final max is a
+      // broadcastable scalar.
+      (s, dir) => {
+        val e = edgesSym(s, dir)
+        var x = e.select(col("src").as("node")).distinct()
+          .withColumn("score", lit(1000000L))
+        for (_ <- 1 to 4) {
+          x = e.join(x, e("dst") === x("node"))
+            .groupBy(col("src").as("n2"))
+            .agg(sum(col("score")).as("score"))
+            .select(col("n2").as("node"), col("score"))
+        }
+        val mx = x.agg(max(col("score")).as("mx"))
+        x.crossJoin(broadcast(mx))
+          .select(col("node"),
+            expr("CAST(score * 1000000 DIV mx AS BIGINT)").as("eig_e6"))
+          .orderBy(col("eig_e6").desc, col("node"))
+      },
+      Some(s"""$baseSql,
+              |x0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score FROM e),
+              |x1 AS (SELECT e.src AS node, CAST(sum(x0.score) AS BIGINT) AS score
+              |       FROM e JOIN x0 ON e.dst = x0.node GROUP BY e.src),
+              |x2 AS (SELECT e.src AS node, CAST(sum(x1.score) AS BIGINT) AS score
+              |       FROM e JOIN x1 ON e.dst = x1.node GROUP BY e.src),
+              |x3 AS (SELECT e.src AS node, CAST(sum(x2.score) AS BIGINT) AS score
+              |       FROM e JOIN x2 ON e.dst = x2.node GROUP BY e.src),
+              |x4 AS (SELECT e.src AS node, CAST(sum(x3.score) AS BIGINT) AS score
+              |       FROM e JOIN x3 ON e.dst = x3.node GROUP BY e.src),
+              |mx AS (SELECT max(score) AS mx FROM x4)
+              |SELECT node, CAST(score * 1000000 // mx AS BIGINT) AS eig_e6
+              |FROM x4 CROSS JOIN mx
+              |ORDER BY eig_e6 DESC, node""".stripMargin)
+    ),
+    Q(
+      "graph_reciprocity",
+      // Directed reciprocity + density (round-13): the top-k
+      // sparsification is inherently DIRECTED before symmetrization —
+      // "d is in s's top-3" does not imply the reverse — and the
+      // fraction of mutual picks is the standard asymmetry diagnostic
+      // (recommender/citation graphs live and die by it; a reciprocity
+      // near 1 says the symmetrized graph faithfully represents the
+      // picks, near 0 says symmetrization doubled the edge set). Counts
+      // are exact; the two ratios divide once into e6 pins. Scale: the
+      // mutual-edge check is a self-join on the bounded top-k list
+      // (≤ 3 rows/node), the node count one distinct — all O(nodes).
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val w = li.as("a")
+          .join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+          .groupBy(col("a.sk").as("s"), col("b.sk").as("d"))
+          .agg(count(lit(1)).as("cnt"))
+        // materialize the directed pick list ONCE: both sides of the
+        // mutual self-join consume it, and without the checkpoint the
+        // O(lines²/order) co-occurrence build would run twice
+        val topk = w
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("s")).orderBy(col("cnt").desc, col("d"))))
+          .filter(col("rn") <= 3)
+          .select(col("s"), col("d"))
+          .localCheckpoint(true)
+        val mutual = topk.as("x")
+          .join(topk.as("y"),
+            col("x.s") === col("y.d") && col("x.d") === col("y.s"))
+          .select(col("x.s"), col("x.d"))
+        topk.agg(count(lit(1)).as("n_edges"),
+            countDistinct(col("s")).as("n_nodes"))
+          .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+          .select(col("n_edges"), col("n_mutual"), col("n_nodes"),
+            expr("CAST(floor(CAST(n_mutual AS DOUBLE) / n_edges * 1000000 + 0.5) AS BIGINT)")
+              .as("reciprocity_e6"),
+            expr("""CAST(floor(CAST(n_edges AS DOUBLE)
+                   / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1))
+                   * 1000000 + 0.5) AS BIGINT)""").as("density_e6"))
+      },
+      Some("""WITH w AS (
+             |  SELECT a.l_suppkey AS s, b.l_suppkey AS d, count(*) AS cnt
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+             |  GROUP BY 1, 2),
+             |topk AS (
+             |  SELECT s, d FROM (
+             |    SELECT s, d,
+             |           row_number() OVER (PARTITION BY s ORDER BY cnt DESC, d) AS rn
+             |    FROM w)
+             |  WHERE rn <= 3),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_mutual
+             |  FROM topk x JOIN topk y ON x.s = y.d AND x.d = y.s),
+             |f AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             |         CAST(count(DISTINCT s) AS BIGINT) AS n_nodes
+             |  FROM topk)
+             |SELECT n_edges, n_mutual, n_nodes,
+             |       CAST(floor(CAST(n_mutual AS DOUBLE) / n_edges * 1000000 + 0.5) AS BIGINT) AS reciprocity_e6,
+             |       CAST(floor(CAST(n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1))
+             |            * 1000000 + 0.5) AS BIGINT) AS density_e6
+             |FROM f CROSS JOIN m""".stripMargin)
     )
   )
 }

@@ -2220,6 +2220,61 @@ object SimOps {
            |WHERE rank <= 3 AND query_id % 50 = 0
            |ORDER BY query_id, rank""".stripMargin
       }
+    ),
+    Q(
+      "embed_zscore_whiten",
+      // Per-dimension z-score whitening (round-13): the embedding-table
+      // normalization retrieval stacks apply before quantization —
+      // dominant dimensions (high variance) stop drowning the cosine,
+      // and int8 grids (embed_int8_quantize) get a per-dim unit scale to
+      // bite on. Components are e6-quantized BIGINTs first, so the
+      // per-dim (n, Σq, Σq²) moments are exact; whitened values floor to
+      // e6 from identical doubles; each output row pins the whole
+      // whitened VECTOR with a position-weighted integer checksum (the
+      // full 64-dim matrix stays distributed — only O(vecs) scalars come
+      // out). Scale: one posexplode pass, a 64-row broadcast of dim
+      // stats, one map-side re-assembly — no shuffle beyond the dim
+      // rollup.
+      (s, dir) => {
+        val comp = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(col("vec_id"), col("pos"),
+            expr("CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+              .as("q"))
+        val dimStats = comp.groupBy(col("pos").as("p"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+            sum(col("q") * col("q")).as("qq"))
+        comp.join(broadcast(dimStats), col("pos") === col("p"))
+          .select(col("vec_id"), col("pos"),
+            expr("""CAST(floor((q - CAST(sq AS DOUBLE) / n)
+                   / sqrt((qq - CAST(sq AS DOUBLE) * sq / n) / n)
+                   * 1000000 + 0.5) AS BIGINT)""").as("wq"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("wq") * (col("pos") + 1L)).as("whiten_checksum"),
+            max(col("wq")).as("max_z_e6"), min(col("wq")).as("min_z_e6"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH comp AS (
+             |  SELECT vec_id, CAST(i AS BIGINT) AS pos,
+             |         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+             |  FROM embeddings, generate_series(1, 64) AS g(i)),
+             |dim AS (
+             |  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(q) AS BIGINT) AS sq,
+             |         CAST(sum(q * q) AS BIGINT) AS qq
+             |  FROM comp GROUP BY pos),
+             |w AS (
+             |  SELECT vec_id, comp.pos,
+             |         CAST(floor((q - CAST(sq AS DOUBLE) / n)
+             |              / sqrt((qq - CAST(sq AS DOUBLE) * sq / n) / n)
+             |              * 1000000 + 0.5) AS BIGINT) AS wq
+             |  FROM comp JOIN dim ON comp.pos = dim.pos)
+             |SELECT vec_id,
+             |       CAST(sum(wq * pos) AS BIGINT) AS whiten_checksum,
+             |       CAST(max(wq) AS BIGINT) AS max_z_e6,
+             |       CAST(min(wq) AS BIGINT) AS min_z_e6
+             |FROM w GROUP BY vec_id ORDER BY vec_id""".stripMargin)
     )
   )
 

@@ -3964,6 +3964,336 @@ object TextOps {
              |       CAST(sum(CASE WHEN NOT f.boiler THEN l.ltoks ELSE 0 END) AS BIGINT) AS tokens_kept
              |FROM lines l JOIN freq f ON l.source = f.source AND l.line = f.line
              |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin)
+    ),
+    Q(
+      "text_readability_fk",
+      // Flesch/Flesch–Kincaid readability (round-13): the classic
+      // surface-form readability screens — syllables-per-word and
+      // words-per-sentence — that corpus quality reports bucket by.
+      // Syllables use the standard vowel-group heuristic (runs of
+      // [aeiouy] count once); the fixture corpus carries no sentence
+      // punctuation, so the segmenter falls back to fixed 15-token
+      // chunks (ceil(words/15)) — the documented convention for
+      // delimiter-free text. Per language MICRO-averages: the three
+      // counts fold as exact BIGINTs and divide once per output row
+      // (never a mean-of-per-doc-ratios, whose float sum order differs
+      // across engines).
+      // Scale: two regexp counts per row, map-side combinable rollup to
+      // O(langs) rows — a pure scan-shaped pass at any corpus size.
+      (s, dir) => {
+        Tables(s, dir, "documents")
+          .select(col("lang"),
+            size(split(lower(col("text")), " ")).cast("long").as("w"),
+            expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)")
+              .as("sy"))
+          .withColumn("sent", ceil(col("w").cast("double") / 15.0).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("w")).as("n_words"),
+            sum(col("sy")).as("n_syllables"),
+            sum(col("sent")).as("n_sentences"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_syllables"),
+            expr("CAST(floor(CAST(n_syllables AS DOUBLE) / n_words * 1000000 + 0.5) AS BIGINT)")
+              .as("syll_per_word_e6"),
+            util.r2(lit(206.835)
+              - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+              - lit(84.6) * col("n_syllables").cast("double") / col("n_words"))
+              .as("flesch_ease"),
+            util.r2(lit(0.39) * col("n_words").cast("double") / col("n_sentences")
+              + lit(11.8) * col("n_syllables").cast("double") / col("n_words")
+              - lit(15.59)).as("fk_grade"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT lang,
+              |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w,
+              |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+              |  FROM documents),
+              |x AS (
+              |  SELECT lang, w, sy,
+              |         CAST(ceil(CAST(w AS DOUBLE) / 15.0) AS BIGINT) AS sent
+              |  FROM d),
+              |g AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |         CAST(sum(w) AS BIGINT) AS n_words,
+              |         CAST(sum(sy) AS BIGINT) AS n_syllables,
+              |         CAST(sum(sent) AS BIGINT) AS n_sentences
+              |  FROM x GROUP BY lang)
+              |SELECT lang, n_docs, n_words, n_syllables,
+              |       CAST(floor(CAST(n_syllables AS DOUBLE) / n_words * 1000000 + 0.5) AS BIGINT) AS syll_per_word_e6,
+              |       ${util.r2sql("206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words")} AS flesch_ease,
+              |       ${util.r2sql("0.39 * CAST(n_words AS DOUBLE) / n_sentences + 11.8 * CAST(n_syllables AS DOUBLE) / n_words - 15.59")} AS fk_grade
+              |FROM g ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "pipeline_fim_transform",
+      // Fill-in-the-middle transform (round-13): the code-pretraining
+      // augmentation (OpenAI FIM / StarCoder PSM) — split a document at
+      // two pseudo-random points and re-serialize as
+      // <PRE>prefix<SUF>suffix<MID>middle so the model learns infilling.
+      // Everything is derived from the row itself: a multiplicative hash
+      // of doc_id gates the standard 50% FIM rate and picks both cut
+      // points, so the transform is reproducible run-to-run and
+      // engine-to-engine (the oracle replays it exactly); output rows
+      // pin the reordered text with sha256 plus the three span lengths.
+      // Scale: pure per-row projection — no shuffle at all; at 100 TB
+      // this is the map stage of the tokenizer feed, and the
+      // deterministic gate means re-runs produce byte-identical shards
+      // (the property incremental dedup and loader-resume rely on).
+      (s, dir) => {
+        val h1 = (col("doc_id") * 2654435761L) % 1000003L
+        val h2 = (col("doc_id") * 40503L + 17L) % 999983L
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n"),
+            (h1 % 100L < 50L).as("fim"),
+            (h1 % (length(col("text")).cast("long") - 1L) + 1L).as("a"),
+            (h2 % (length(col("text")).cast("long") - 1L) + 1L).as("b"))
+          .select(col("doc_id"), col("fim"), col("n"),
+            least(col("a"), col("b")).as("p1"),
+            greatest(col("a"), col("b")).as("p2"), col("text"))
+          .select(col("doc_id"), col("fim"),
+            when(col("fim"), col("p1")).otherwise(col("n")).as("len_prefix"),
+            when(col("fim"), col("p2") - col("p1")).otherwise(0L)
+              .as("len_middle"),
+            when(col("fim"), col("n") - col("p2")).otherwise(0L)
+              .as("len_suffix"),
+            sha2(when(col("fim"),
+              concat(lit("<PRE>"), expr("substr(text, 1, p1)"),
+                lit("<SUF>"), expr("substr(text, CAST(p2 + 1 AS INT))"),
+                lit("<MID>"), expr("substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT))")))
+              .otherwise(col("text")), 256).as("sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH x AS (
+             |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+             |         ((doc_id * 2654435761) % 1000003) % 100 < 50 AS fim,
+             |         ((doc_id * 2654435761) % 1000003) % (CAST(length(text) AS BIGINT) - 1) + 1 AS a,
+             |         ((doc_id * 40503 + 17) % 999983) % (CAST(length(text) AS BIGINT) - 1) + 1 AS b
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, fim, n, least(a, b) AS p1, greatest(a, b) AS p2, text
+             |  FROM x)
+             |SELECT doc_id, fim,
+             |       CASE WHEN fim THEN p1 ELSE n END AS len_prefix,
+             |       CASE WHEN fim THEN p2 - p1 ELSE 0 END AS len_middle,
+             |       CASE WHEN fim THEN n - p2 ELSE 0 END AS len_suffix,
+             |       CASE WHEN fim THEN sha256('<PRE>' || substr(text, 1, CAST(p1 AS INT))
+             |              || '<SUF>' || substr(text, CAST(p2 + 1 AS INT))
+             |              || '<MID>' || substr(text, CAST(p1 + 1 AS INT), CAST(p2 - p1 AS INT)))
+             |            ELSE sha256(text) END AS sha
+             |FROM c ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
+      "text_bigram_cond_entropy",
+      // Conditional bigram entropy H(W₂|W₁) per language (round-13): the
+      // entropy-RATE step beyond text_entropy_unigram — how predictable
+      // is the next word given the current one. Low conditional entropy
+      // with high unigram entropy is the signature of templated/spun
+      // text (diverse words, deterministic transitions) that
+      // per-document repetition filters miss. Identity: H(W₂|W₁) =
+      // H(W₁W₂) − H(W₁) computed from exact (pair, prefix) counts with
+      // the c·log₂c trick — integer counts everywhere, the log₂ sums
+      // hide libm drift under r2 (entropy_unigram precedent).
+      // Scale: bigram formation is a positional transform (no
+      // explode-then-self-join); both count tables are map-side
+      // combinable; output is O(langs).
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("lang"), split(lower(col("text")), " ").as("ws"))
+        val bi = toks.select(col("lang"), explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"))
+          .as("p"))
+          .select(col("lang"), col("p.w1"), col("p.w2"))
+        val pairC = bi.groupBy(col("lang"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c"))
+        val agg = pairC.groupBy(col("lang"))
+          .agg(sum(col("c")).as("n"),
+            count(lit(1)).as("vocab_pairs"),
+            sum(col("c").cast("double") * log(2.0, col("c").cast("double")))
+              .as("plog"))
+        val w1C = bi.groupBy(col("lang"), col("w1"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("vocab_w1"),
+            sum(col("c").cast("double") * log(2.0, col("c").cast("double")))
+              .as("wlog"))
+        agg.join(w1C, "lang")
+          .select(col("lang"), col("n").as("n_bigrams"), col("vocab_pairs"),
+            col("vocab_w1"),
+            util.r2((col("wlog") - col("plog")) / col("n").cast("double"))
+              .as("cond_entropy_bits"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT lang, string_split(lower(text), ' ') AS ws FROM documents),
+              |bi AS (
+              |  SELECT lang,
+              |         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+              |         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+              |  FROM toks),
+              |pairc AS (
+              |  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c
+              |  FROM bi GROUP BY lang, w1, w2),
+              |agg AS (
+              |  SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+              |         CAST(count(*) AS BIGINT) AS vocab_pairs,
+              |         sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS plog
+              |  FROM pairc GROUP BY lang),
+              |w1c AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS vocab_w1,
+              |         sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS wlog
+              |  FROM (SELECT lang, w1, CAST(count(*) AS BIGINT) AS c
+              |        FROM bi GROUP BY lang, w1) t
+              |  GROUP BY lang)
+              |SELECT agg.lang, n AS n_bigrams, vocab_pairs, vocab_w1,
+              |       ${util.r2sql("(wlog - plog) / CAST(n AS DOUBLE)")} AS cond_entropy_bits
+              |FROM agg JOIN w1c ON agg.lang = w1c.lang
+              |ORDER BY agg.lang""".stripMargin)
+    ),
+    Q(
+      "text_vocab_coverage",
+      // Vocabulary coverage curve (round-13): the tokenizer-sizing
+      // question — what fraction of the corpus TOKEN MASS does a top-k
+      // vocabulary cover (k = 50/200/1000)? text_df_vocab and
+      // text_zipf_slope describe the frequency distribution; this is the
+      // decision curve read off it (pick the vocab size at the knee —
+      // everything past it becomes UNK/byte-fallback, the rate
+      // text_oov_rate then audits). Frequencies and cumulative mass are
+      // exact BIGINTs; ranks use the (freq DESC, word) total order both
+      // engines agree on; one e6 division per output row.
+      // Scale: word counts are the standard map-side-combinable
+      // explode+group; the ranked spine is O(vocab) rows (vocabulary,
+      // not corpus, scale) and the cutoff probe is a tiny broadcast.
+      (s, dir) => {
+        val freq = Tables(s, dir, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        val spine = freq
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("f").desc, col("w"))))
+          .withColumn("cum", sum(col("f")).over(
+            Window.orderBy(col("f").desc, col("w"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = freq.agg(sum(col("f")).as("total"),
+          count(lit(1)).as("vocab_full"))
+        val ks = s.range(0, 3).select(
+          expr("CAST(50 * pow(4, id) AS BIGINT)").as("vocab_k"))
+        spine.crossJoin(broadcast(ks))
+          .filter(col("rn") <= col("vocab_k"))
+          .groupBy(col("vocab_k"))
+          .agg(max(col("cum")).as("covered_tokens"),
+            max(col("rn")).cast("long").as("vocab_used"))
+          .crossJoin(broadcast(tot))
+          .select(col("vocab_k"), col("vocab_used"), col("covered_tokens"),
+            col("total").as("total_tokens"), col("vocab_full"),
+            expr("CAST(floor(CAST(covered_tokens AS DOUBLE) / total * 1000000 + 0.5) AS BIGINT)")
+              .as("coverage_e6"))
+          .orderBy(col("vocab_k"))
+      },
+      Some("""WITH freq AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS f
+             |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+             |  WHERE length(w) > 0 GROUP BY w),
+             |spine AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS rn,
+             |         CAST(sum(f) OVER (ORDER BY f DESC, w
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM freq),
+             |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total,
+             |               CAST(count(*) AS BIGINT) AS vocab_full FROM freq),
+             |ks AS (SELECT CAST(unnest([50, 200, 800]) AS BIGINT) AS vocab_k)
+             |SELECT vocab_k,
+             |       CAST(max(rn) AS BIGINT) AS vocab_used,
+             |       CAST(max(cum) AS BIGINT) AS covered_tokens,
+             |       max(total) AS total_tokens, max(vocab_full) AS vocab_full,
+             |       CAST(floor(CAST(max(cum) AS DOUBLE) / max(total) * 1000000 + 0.5) AS BIGINT) AS coverage_e6
+             |FROM spine CROSS JOIN ks CROSS JOIN tot
+             |WHERE rn <= vocab_k
+             |GROUP BY vocab_k ORDER BY vocab_k""".stripMargin)
+    ),
+    Q(
+      "text_js_divergence",
+      // Pairwise Jensen–Shannon divergence between language unigram
+      // distributions (round-13): the bounded, symmetric distribution
+      // distance (0 = identical, 1 bit = disjoint) that corpus-mixture
+      // work uses where KL is undefined (disjoint vocab support —
+      // exactly the cross-language case). JSD(P,Q) = Σ[p·lg(2p/(p+q)) +
+      // q·lg(2q/(p+q))]/2 over the UNION vocabulary; zero-count sides
+      // contribute their full mass (coalesce 0), handled without a full
+      // outer join by expanding each unordered pair into two equi-join
+      // sides and conditional-summing per (pair, word). Counts are
+      // exact; the lg sums hide libm drift under r2 (entropy precedent).
+      // Scale: word counts are one map-side rollup; the pair expansion
+      // multiplies the VOCAB (not the corpus) by k(k−1)/2 — bounded by
+      // vocabulary size at any corpus scale.
+      (s, dir) => {
+        val wc = Tables(s, dir, "documents")
+          .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+        val nl = wc.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+        val langs = nl.select(col("lang"), col("n"))
+        val pairs = langs.as("a")
+          .join(langs.as("b"), col("a.lang") < col("b.lang"))
+          .select(col("a.lang").as("l1"), col("b.lang").as("l2"),
+            col("a.n").as("n1"), col("b.n").as("n2"))
+        val sides = pairs.select(col("l1"), col("l2"), col("n1"), col("n2"),
+            col("l1").as("side_lang"))
+          .unionByName(pairs.select(col("l1"), col("l2"), col("n1"),
+            col("n2"), col("l2").as("side_lang")))
+        val perWord = sides.join(wc, col("side_lang") === wc("lang"))
+          .groupBy(col("l1"), col("l2"), col("n1"), col("n2"), col("w"))
+          .agg(sum(when(col("lang") === col("l1"), col("c")).otherwise(0L))
+            .as("c1"),
+            sum(when(col("lang") === col("l2"), col("c")).otherwise(0L))
+              .as("c2"))
+        perWord
+          .select(col("l1"), col("l2"),
+            (col("c1").cast("double") / col("n1")).as("p"),
+            (col("c2").cast("double") / col("n2")).as("q"))
+          .select(col("l1"), col("l2"),
+            (when(col("p") > 0.0,
+              col("p") * log(2.0, lit(2.0) * col("p") / (col("p") + col("q"))))
+              .otherwise(0.0) +
+             when(col("q") > 0.0,
+               col("q") * log(2.0, lit(2.0) * col("q") / (col("p") + col("q"))))
+              .otherwise(0.0)).as("t"))
+          .groupBy(col("l1").as("lang_i"), col("l2").as("lang_j"))
+          .agg(count(lit(1)).as("vocab_union"),
+            util.r2(sum(col("t")) / 2.0).as("jsd_bits"))
+          .orderBy(col("lang_i"), col("lang_j"))
+      },
+      Some(s"""WITH wc AS (
+              |  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+              |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+              |        FROM documents) t
+              |  WHERE length(w) > 0 GROUP BY lang, w),
+              |nl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY lang),
+              |pairs AS (
+              |  SELECT a.lang AS l1, b.lang AS l2, a.n AS n1, b.n AS n2
+              |  FROM nl a JOIN nl b ON a.lang < b.lang),
+              |sides AS (
+              |  SELECT l1, l2, n1, n2, l1 AS side_lang FROM pairs
+              |  UNION ALL
+              |  SELECT l1, l2, n1, n2, l2 AS side_lang FROM pairs),
+              |per_word AS (
+              |  SELECT l1, l2, n1, n2, w,
+              |         CAST(sum(CASE WHEN wc.lang = l1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+              |         CAST(sum(CASE WHEN wc.lang = l2 THEN c ELSE 0 END) AS BIGINT) AS c2
+              |  FROM sides JOIN wc ON sides.side_lang = wc.lang
+              |  GROUP BY l1, l2, n1, n2, w),
+              |terms AS (
+              |  SELECT l1, l2,
+              |         CAST(c1 AS DOUBLE) / n1 AS p,
+              |         CAST(c2 AS DOUBLE) / n2 AS q
+              |  FROM per_word)
+              |SELECT l1 AS lang_i, l2 AS lang_j,
+              |       CAST(count(*) AS BIGINT) AS vocab_union,
+              |       ${util.r2sql("sum(CASE WHEN p > 0 THEN p * log2(2 * p / (p + q)) ELSE 0 END + CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) / 2")} AS jsd_bits
+              |FROM terms GROUP BY l1, l2 ORDER BY lang_i, lang_j""".stripMargin)
     )
   )
 }

@@ -3091,6 +3091,316 @@ object Windows {
              |            / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE))
              |            * 10000 + 0.5) AS BIGINT) AS hhi_bp
              |FROM cells GROUP BY s_nationkey ORDER BY nation""".stripMargin)
+    ),
+    Q(
+      "ts_hurst_rs",
+      // Hurst exponent via rescaled-range (R/S) analysis (round-13): the
+      // long-memory diagnostic — H≈0.5 random walk, H>0.5 trending,
+      // H<0.5 mean-reverting — that tells a forecaster whether
+      // ts_holt_forecast's trend term is real signal or noise. The daily
+      // event-count series is split into blocks of m ∈ {4,8,16,32} days;
+      // per block, the cumulative-deviation RANGE stays exactly integral
+      // by scaling through m (m·Σᵢ − i·S never leaves BIGINT), S/σ
+      // divides once into an e6 pin per block, and block means are
+      // integer sums of those pins (never a float mean whose order
+      // differs across engines). The Hurst slope is the closed-form OLS
+      // of ln(R/S) on ln(m) over the 4 sizes, r2-pinned on every row.
+      // Scale: the daily rollup is the only O(rows) pass; everything
+      // after runs on O(days) rows — block windows partition BY (m,
+      // block), never a global single-partition pass.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(Window.orderBy(col("d"))))
+        val sizes = s.range(2, 6).select(expr("CAST(1 AS BIGINT) << CAST(id AS INT)").as("m"))
+        val blocks = daily.crossJoin(broadcast(sizes))
+          .withColumn("blk", expr("CAST((i - 1) DIV m AS BIGINT)"))
+          .withColumn("j", expr("CAST((i - 1) % m AS BIGINT) + 1"))
+        val w = Window.partitionBy(col("m"), col("blk")).orderBy(col("j"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perBlock = blocks
+          .withColumn("cum", sum(col("x")).over(w))
+          .withColumn("bsum", sum(col("x")).over(
+            Window.partitionBy(col("m"), col("blk"))))
+          .groupBy(col("m"), col("blk"))
+          .agg(count(lit(1)).as("len"), sum(col("x")).as("ssum"),
+            sum(col("x") * col("x")).as("sq"),
+            max(col("m") * col("cum") - col("j") * col("bsum")).as("dmax"),
+            min(col("m") * col("cum") - col("j") * col("bsum")).as("dmin"))
+          .filter(col("len") === col("m"))
+          .select(col("m"),
+            expr("""CAST(floor(CAST(dmax - dmin AS DOUBLE) / m
+                   / sqrt((sq - CAST(ssum AS DOUBLE) * ssum / m) / m)
+                   * 1000000 + 0.5) AS BIGINT)""").as("rs_e6"))
+        val perM = perBlock.groupBy(col("m"))
+          .agg(count(lit(1)).as("n_blocks"), sum(col("rs_e6")).as("rs_sum"))
+          .select(col("m"), col("n_blocks"),
+            expr("rs_sum DIV n_blocks").as("mean_rs_e6"))
+        val wAll = Window.partitionBy()
+        perM
+          .withColumn("lx", log(col("m").cast("double")))
+          .withColumn("ly", log(col("mean_rs_e6").cast("double") / lit(1000000.0)))
+          .withColumn("hurst", util.r2(
+            (sum(col("lx") * col("ly")).over(wAll) * count(lit(1)).over(wAll)
+              - sum(col("lx")).over(wAll) * sum(col("ly")).over(wAll)) /
+            (sum(col("lx") * col("lx")).over(wAll) * count(lit(1)).over(wAll)
+              - sum(col("lx")).over(wAll) * sum(col("lx")).over(wAll))))
+          .select(col("m"), col("n_blocks"), col("mean_rs_e6"), col("hurst"))
+          .orderBy(col("m"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |idx AS (
+             |  SELECT x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+             |  FROM daily),
+             |sizes AS (SELECT CAST(unnest([4, 8, 16, 32]) AS BIGINT) AS m),
+             |blocks AS (
+             |  SELECT m, x, (i - 1) // m AS blk, (i - 1) % m + 1 AS j
+             |  FROM idx CROSS JOIN sizes),
+             |cums AS (
+             |  SELECT m, blk, j, x,
+             |         CAST(sum(x) OVER (PARTITION BY m, blk ORDER BY j
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |         CAST(sum(x) OVER (PARTITION BY m, blk) AS BIGINT) AS bsum
+             |  FROM blocks),
+             |per_block AS (
+             |  SELECT m, blk, CAST(count(*) AS BIGINT) AS len,
+             |         CAST(sum(x) AS BIGINT) AS ssum,
+             |         CAST(sum(x * x) AS BIGINT) AS sq,
+             |         CAST(max(m * cum - j * bsum) AS BIGINT) AS dmax,
+             |         CAST(min(m * cum - j * bsum) AS BIGINT) AS dmin
+             |  FROM cums GROUP BY m, blk),
+             |rs AS (
+             |  SELECT m,
+             |         CAST(floor(CAST(dmax - dmin AS DOUBLE) / m
+             |              / sqrt((sq - CAST(ssum AS DOUBLE) * ssum / m) / m)
+             |              * 1000000 + 0.5) AS BIGINT) AS rs_e6
+             |  FROM per_block WHERE len = m),
+             |per_m AS (
+             |  SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+             |         CAST(sum(rs_e6) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_rs_e6
+             |  FROM rs GROUP BY m),
+             |pts AS (
+             |  SELECT m, n_blocks, mean_rs_e6,
+             |         ln(CAST(m AS DOUBLE)) AS lx,
+             |         ln(CAST(mean_rs_e6 AS DOUBLE) / 1000000.0) AS ly
+             |  FROM per_m)
+             |SELECT m, n_blocks, mean_rs_e6,
+             |       floor((sum(lx * ly) OVER () * count(*) OVER ()
+             |              - sum(lx) OVER () * sum(ly) OVER ())
+             |             / (sum(lx * lx) OVER () * count(*) OVER ()
+             |                - sum(lx) OVER () * sum(lx) OVER ())
+             |             * 100 + 0.5) / 100 AS hurst
+             |FROM pts ORDER BY m""".stripMargin)
+    ),
+    Q(
+      "win_sortino_ratio",
+      // Sortino ratio per event type (round-13): downside-risk-adjusted
+      // return — the Sharpe variant that only penalizes NEGATIVE
+      // volatility, the number a metric dashboard ranks volatile series
+      // by without punishing upside spikes (complements win_drawdown's
+      // path-dependence and ts_bollinger's symmetric bands). Daily value
+      // sums fold to exact cents; day-over-day returns are doubles from
+      // two BIGINTs (identical in both engines); per-day return and
+      // squared-downside terms are e9/e12-quantized BEFORE the sums so
+      // accumulation is exact integer math; the ratio divides once at
+      // the end. Scale: one map-side daily rollup, one lag window
+      // partitioned by event_type, O(types) output.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("d"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("v"))
+        val r = daily
+          .withColumn("pv", lag(col("v"), 1).over(
+            Window.partitionBy(col("event_type")).orderBy(col("d"))))
+          .filter(col("pv").isNotNull && col("pv") =!= 0L)
+          .select(col("event_type"),
+            expr("CAST(floor((CAST(v AS DOUBLE) / pv - 1.0) * 1000000000 + 0.5) AS BIGINT)")
+              .as("ret_e9"),
+            expr("""CAST(floor(CASE WHEN v < pv
+                   THEN (CAST(v AS DOUBLE) / pv - 1.0) * (CAST(v AS DOUBLE) / pv - 1.0)
+                   ELSE CAST(0 AS DOUBLE) END * 1000000000000 + 0.5) AS BIGINT)""")
+              .as("dn2_e12"))
+        r.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("ret_e9")).as("sr"), sum(col("dn2_e12")).as("sd2"))
+          .select(col("event_type"), col("n_days"),
+            expr("CAST(floor(CAST(sr AS DOUBLE) / n_days / 1000 + 0.5) AS BIGINT)")
+              .as("mean_ret_e6"),
+            expr("""CAST(floor(CAST(sr AS DOUBLE) / n_days / 1000000000
+                   / sqrt(CAST(sd2 AS DOUBLE) / n_days / 1000000000000)
+                   * 1000000 + 0.5) AS BIGINT)""").as("sortino_e6"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+             |  FROM events GROUP BY 1, 2),
+             |lagged AS (
+             |  SELECT event_type, v,
+             |         lag(v) OVER (PARTITION BY event_type ORDER BY d) AS pv
+             |  FROM daily),
+             |r AS (
+             |  SELECT event_type,
+             |         CAST(floor((CAST(v AS DOUBLE) / pv - 1.0) * 1000000000 + 0.5) AS BIGINT) AS ret_e9,
+             |         CAST(floor(CASE WHEN v < pv
+             |              THEN (CAST(v AS DOUBLE) / pv - 1.0) * (CAST(v AS DOUBLE) / pv - 1.0)
+             |              ELSE CAST(0 AS DOUBLE) END * 1000000000000 + 0.5) AS BIGINT) AS dn2_e12
+             |  FROM lagged WHERE pv IS NOT NULL AND pv <> 0),
+             |g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |         CAST(sum(ret_e9) AS BIGINT) AS sr,
+             |         CAST(sum(dn2_e12) AS BIGINT) AS sd2
+             |  FROM r GROUP BY event_type)
+             |SELECT event_type, n_days,
+             |       CAST(floor(CAST(sr AS DOUBLE) / n_days / 1000 + 0.5) AS BIGINT) AS mean_ret_e6,
+             |       CAST(floor(CAST(sr AS DOUBLE) / n_days / 1000000000
+             |            / sqrt(CAST(sd2 AS DOUBLE) / n_days / 1000000000000)
+             |            * 1000000 + 0.5) AS BIGINT) AS sortino_e6
+             |FROM g ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "ts_sample_entropy",
+      // Sample entropy SampEn(m=2, r≈0.2σ) of the daily event-count
+      // series (round-13): the regularity measure — low SampEn = the
+      // series repeats its own 2-step patterns (periodic/templated load),
+      // high = unpredictable — complementing spectral (ts_dominant_period)
+      // and autocorrelation views with a nonlinear one. Template matches
+      // are exact integer comparisons: tolerance t is ONE e0-floored
+      // double (0.2·population σ from BIGINT moments — same value both
+      // engines), A counts 2-step matches, B 3-step, SampEn = −ln(B/A)
+      // e6-pinned. Self-pairs and direction are excluded by i<j.
+      // Scale posture: SampEn runs on the AGGREGATED O(days) series —
+      // the only O(rows) work is the daily rollup; the pair join is
+      // O(days²) on a driver-safe few-hundred-row frame and stays that
+      // size at ANY raw-event scale.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.orderBy(col("d"))
+        val series = daily
+          .withColumn("i", row_number().over(w))
+          .withColumn("x1", lead(col("x"), 1).over(w))
+          .withColumn("x2", lead(col("x"), 2).over(w))
+          .filter(col("x2").isNotNull)
+        val tol = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sq"))
+          .select(expr("""floor(0.2 * sqrt((sq - CAST(sx AS DOUBLE) * sx / n) / n))""")
+            .as("t"))
+        val pairs = series.as("a")
+          .join(series.as("b"), col("a.i") < col("b.i"))
+          .crossJoin(broadcast(tol))
+          .select(
+            (abs(col("a.x") - col("b.x")) <= col("t") &&
+              abs(col("a.x1") - col("b.x1")) <= col("t")).as("m2"),
+            (abs(col("a.x") - col("b.x")) <= col("t") &&
+              abs(col("a.x1") - col("b.x1")) <= col("t") &&
+              abs(col("a.x2") - col("b.x2")) <= col("t")).as("m3"))
+        pairs.agg(
+            sum(when(col("m2"), 1L).otherwise(0L)).as("a_matches"),
+            sum(when(col("m3"), 1L).otherwise(0L)).as("b_matches"))
+          .select(col("a_matches"), col("b_matches"),
+            // B = 0 ⇒ SampEn undefined (no 3-step template recurs): NULL,
+            // matching the convention series libraries use for short input
+            expr("""CASE WHEN b_matches > 0 AND a_matches > 0
+                   THEN CAST(floor(-ln(CAST(b_matches AS DOUBLE) / a_matches)
+                        * 1000000 + 0.5) AS BIGINT)
+                   ELSE CAST(NULL AS BIGINT) END""").as("sampen_e6"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |tol AS (
+             |  SELECT floor(0.2 * sqrt((sum(x * x) - CAST(sum(x) AS DOUBLE) * sum(x) / count(*))
+             |               / count(*))) AS t
+             |  FROM daily),
+             |series AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, x,
+             |         lead(x, 1) OVER (ORDER BY d) AS x1,
+             |         lead(x, 2) OVER (ORDER BY d) AS x2
+             |  FROM daily),
+             |s AS (SELECT * FROM series WHERE x2 IS NOT NULL),
+             |m AS (
+             |  SELECT CAST(sum(CASE WHEN abs(a.x - b.x) <= t AND abs(a.x1 - b.x1) <= t
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS a_matches,
+             |         CAST(sum(CASE WHEN abs(a.x - b.x) <= t AND abs(a.x1 - b.x1) <= t
+             |                            AND abs(a.x2 - b.x2) <= t
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS b_matches
+             |  FROM s a JOIN s b ON a.i < b.i CROSS JOIN tol)
+             |SELECT a_matches, b_matches,
+             |       CASE WHEN b_matches > 0 AND a_matches > 0
+             |       THEN CAST(floor(-ln(CAST(b_matches AS DOUBLE) / a_matches)
+             |            * 1000000 + 0.5) AS BIGINT)
+             |       ELSE CAST(NULL AS BIGINT) END AS sampen_e6
+             |FROM m""".stripMargin)
+    ),
+    Q(
+      "win_cohort_ltv",
+      // Cohort lifetime-value curve (round-13): cumulative revenue per
+      // signup cohort by month offset — the money sibling of
+      // agg_retention_cohorts (which counts the users, this follows the
+      // dollars; together they are THE cohort dashboard). Cohort = each
+      // customer's first-order month; offsets 0–5; revenue folds as
+      // exact cents; the cumulative pass is a window ORDER BY offset
+      // partitioned BY COHORT (bounded frames, no global sort); per-
+      // customer LTV divides once as integer cents-per-customer.
+      // Scale: first-order month is one min-aggregate by customer; the
+      // (cohort, offset) matrix is O(months·6) rows after a map-side
+      // combinable rollup.
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .select(col("o_custkey").as("ck"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("mo"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("cents"))
+        val cohort = o.groupBy(col("ck")).agg(min(col("mo")).as("c0"))
+        val sized = cohort.groupBy(col("c0"))
+          .agg(count(lit(1)).as("n_customers"))
+        val cells = o.join(cohort, "ck")
+          .select(col("c0"), (col("mo") - col("c0")).as("offset"),
+            col("cents"))
+          .filter(col("offset") <= 5L)
+          .groupBy(col("c0"), col("offset"))
+          .agg(sum(col("cents")).as("rev"))
+        cells
+          .withColumn("cum_cents", sum(col("rev")).over(
+            Window.partitionBy(col("c0")).orderBy(col("offset"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(sized, "c0")
+          .select(col("c0").as("cohort_month"), col("offset"),
+            col("n_customers"), col("cum_cents"),
+            expr("cum_cents DIV n_customers").as("ltv_cents_per_customer"))
+          .orderBy(col("cohort_month"), col("offset"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS ck,
+             |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders),
+             |cohort AS (SELECT ck, CAST(min(mo) AS BIGINT) AS c0 FROM o GROUP BY ck),
+             |sized AS (SELECT c0, CAST(count(*) AS BIGINT) AS n_customers
+             |          FROM cohort GROUP BY c0),
+             |cells AS (
+             |  SELECT c0, mo - c0 AS "offset", CAST(sum(cents) AS BIGINT) AS rev
+             |  FROM o JOIN cohort USING (ck)
+             |  WHERE mo - c0 <= 5
+             |  GROUP BY c0, mo - c0),
+             |cum AS (
+             |  SELECT c0, "offset",
+             |         CAST(sum(rev) OVER (PARTITION BY c0 ORDER BY "offset"
+             |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+             |  FROM cells)
+             |SELECT c0 AS cohort_month, "offset", n_customers, cum_cents,
+             |       cum_cents // n_customers AS ltv_cents_per_customer
+             |FROM cum JOIN sized USING (c0)
+             |ORDER BY cohort_month, "offset"""".stripMargin)
     )
   )
 

@@ -232,4 +232,143 @@ class Round13Spec extends AnyFunSuite {
     val fromSource = rows.filter(r => r.getLong(0) % 2 == 0)
     assert(fromSource.nonEmpty && fromSource.forall(!_.isNullAt(2)))
   }
+
+  test("pipeline_fim_transform: spans partition the doc and the gate is ~50%") {
+    val out = SparkEntry.queries("pipeline_fim_transform")(spark, dir).collect()
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // prefix+middle+suffix always reassembles the full char count
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) === docs(id),
+        s"doc $id spans don't sum to length")
+    }
+    val applied = out.count(_.getBoolean(1))
+    assert(applied > out.length / 4 && applied < out.length * 3 / 4,
+      s"FIM gate far from 50%: $applied/${out.length}")
+    // non-FIM docs hash the ORIGINAL text (pass-through, not re-serialized)
+    val plain = out.filter(!_.getBoolean(1))
+    assert(plain.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+  }
+
+  test("eval_token_f1: micro-F1 bounded and overlap >= 20-token window floor") {
+    val rows = SparkEntry.queries("eval_token_f1")(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val f1 = r.getLong(3)
+      // pred[1..30] and ref[11..40] share positions 11..30 of the SAME doc
+      // verbatim, so overlap >= 20 per doc that has >= 30 tokens — micro-F1
+      // can't drop below ~2*20/70 and can't exceed 1
+      assert(f1 > 400000L && f1 <= 1000000L, s"$r out of band")
+    }
+  }
+
+  test("graph_eigenvector_power: max-normalized, hub tops the leaf") {
+    val rows = SparkEntry.queries("graph_eigenvector_power")(spark, dir).collect()
+    assert(rows.head.getLong(1) === 1000000L, "max node must pin at 1.0")
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 1000000L))
+    // eigenvector centrality must separate nodes (not a constant vector):
+    // the sparsified graph is not regular
+    assert(rows.map(_.getLong(1)).distinct.length > 5)
+  }
+
+  test("ts_hurst_rs: block filter keeps only full blocks; hurst in (0,1.5)") {
+    val rows = SparkEntry.queries("ts_hurst_rs")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every kept m has at least one full block and the same hurst constant
+    val hs = rows.map(_.getDouble(3)).distinct
+    assert(hs.length === 1, s"hurst must be one constant, got ${hs.toSeq}")
+    assert(hs.head > 0.0 && hs.head < 1.5, s"implausible hurst ${hs.head}")
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
+  test("ts_sample_entropy: B-matches are a subset of A-matches") {
+    val r = SparkEntry.queries("ts_sample_entropy")(spark, dir).collect().head
+    val (a, b) = (r.getLong(0), r.getLong(1))
+    // every 3-step match is by definition also a 2-step match
+    assert(b <= a, s"B=$b must be <= A=$a")
+    assert(a > 0, "tolerance must admit at least one template match")
+    if (b > 0) assert(r.getLong(2) >= 0L, "SampEn = -ln(B/A) >= 0 when B<=A")
+  }
+
+  test("stat_dunn_posthoc: antisymmetric pairs, all 10 priority pairs present") {
+    val rows = SparkEntry.queries("stat_dunn_posthoc")(spark, dir).collect()
+    assert(rows.length === 10, s"expected C(5,2)=10 pairs, got ${rows.length}")
+    // mean ranks are a fixed total order; z(i,j) uses R_i - R_j so the
+    // pair ordering (i<j) fixes each sign — no |z| should be absurd
+    rows.foreach(r => assert(math.abs(r.getLong(2)) < 50000000L, r.toString))
+  }
+
+  test("stat_page_trend and friedman agree on the block/treatment frame") {
+    val p = SparkEntry.queries("stat_page_trend")(spark, dir).collect().head
+    val f = SparkEntry.queries("stat_friedman_test")(spark, dir).collect().head
+    assert(p.getLong(0) === f.getLong(1), "same block count")
+    assert(p.getLong(1) === f.getLong(0), "same treatment count")
+    // L is a sum of j*R_j with ranks >= 1: bounded by b*k(k+1)/2 * k
+    val (b, k, l) = (p.getLong(0), p.getLong(1), p.getLong(2))
+    assert(l >= b * k * (k + 1) / 2 && l <= b * k * k * (k + 1) / 2,
+      s"Page L=$l outside feasible band")
+  }
+
+  test("text_vocab_coverage: monotone in k and bounded by 1") {
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, dir).collect()
+    assert(rows.length === 3)
+    val cov = rows.map(_.getLong(5))
+    assert(cov.sameElements(cov.sorted), "coverage must grow with vocab k")
+    assert(cov.last <= 1000000L && cov.head > 0L)
+    // the fixture vocab is tiny — 800-word vocab must cover everything
+    val used = rows.map(r => (r.getLong(0), r.getLong(1)))
+    used.foreach { case (k, u) => assert(u <= k) }
+  }
+
+  test("text_js_divergence: symmetric-bounded in [0,1] bit for all lang pairs") {
+    val rows = SparkEntry.queries("text_js_divergence")(spark, dir).collect()
+    assert(rows.length === 10, s"C(5,2)=10 lang pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val j = r.getDouble(3)
+      assert(j >= 0.0 && j <= 1.0, s"JSD out of [0,1]: $r")
+    }
+  }
+
+  test("embed_zscore_whiten: per-dim z-scores keep |z| plausible") {
+    val rows = SparkEntry.queries("embed_zscore_whiten")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) < 10000000L, s"max z > 10 sigma: $r")   // e6
+      assert(r.getLong(3) > -10000000L, s"min z < -10 sigma: $r")
+    }
+    // whitening must not collapse: checksums differ across vectors
+    assert(rows.map(_.getLong(1)).distinct.length > rows.length / 2)
+  }
+
+  test("win_cohort_ltv: cumulative within cohort is monotone") {
+    val rows = SparkEntry.queries("win_cohort_ltv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byOff = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byOff.sameElements(byOff.sorted), "cum LTV must be monotone")
+    }
+    // offset 0 always exists: the first order IS the cohort assignment
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.exists(_.getLong(1) == 0L)))
+  }
+
+  test("multimodal_aspect_gate: buckets partition the corpus") {
+    val rows = SparkEntry.queries("multimodal_aspect_gate")(spark, dir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val nDocs = Tables(spark, dir, "documents").count()
+    assert(total === nDocs, "gate buckets must partition all images")
+    val names = rows.map(_.getString(0)).toSet
+    assert(names.subsetOf(Set("pass", "below_pixel_floor", "too_wide",
+      "too_tall", "invalid_dims")))
+  }
+
+  test("stat_kruskal_wallis: tie-corrected H >= raw H and both finite") {
+    val r = SparkEntry.queries("stat_kruskal_wallis")(spark, dir).collect().head
+    val (h, hc) = (r.getDouble(2), r.getDouble(3))
+    assert(!h.isNaN && !hc.isNaN)
+    // C = 1 - ties/(N^3-N) <= 1, so H/C >= H always
+    assert(hc >= h, s"tie correction must not shrink H: $hc < $h")
+    assert(r.getLong(0) === 5L)
+  }
 }

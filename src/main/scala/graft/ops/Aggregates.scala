@@ -3518,6 +3518,192 @@ object Aggregates {
              |            * 1000000 + 0.5) AS BIGINT) AS dunn_z_e6
              |FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN gstat
              |ORDER BY group_i, group_j""".stripMargin)
+    ),
+    Q(
+      "sample_poisson_bootstrap",
+      // Poisson bootstrap CI (round-13): THE 100 TB bootstrap —
+      // stat_bootstrap_ci resamples indices, which needs the statistic's
+      // input to collapse to a driver-safe array first; the Poisson
+      // variant instead gives every ROW an independent per-replicate
+      // weight ~ Poisson(1) (Chamandy et al., the production pattern at
+      // Google/Meta scale), so the resample is a map-side expansion that
+      // never materializes an index. Weights are a derandomized
+      // inverse-CDF on a multiplicative row×replicate hash (thresholds
+      // 3679/7358/9197/9810 of 10⁴ = the exact Poisson(1) pmf prefix
+      // sums, capped at 4); 40 replicate means of order totals are exact
+      // integer divisions; the CI is the 2nd/39th order statistic.
+      // Scale: expansion is 40× map-side rows but the partial aggregate
+      // folds per partition — the shuffle carries 40 rows per partition,
+      // and no driver-side array ever exists.
+      (s, dir) => {
+        val reps = s.range(0, 40).select(col("id").as("r"))
+        val weighted = Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("cents"))
+          .crossJoin(broadcast(reps))
+          .select(col("r"), col("cents"),
+            expr("""CASE WHEN ((k * 2654435761 + r * 40503) % 1000003) % 10000 < 3679 THEN 0
+                   WHEN ((k * 2654435761 + r * 40503) % 1000003) % 10000 < 7358 THEN 1
+                   WHEN ((k * 2654435761 + r * 40503) % 1000003) % 10000 < 9197 THEN 2
+                   WHEN ((k * 2654435761 + r * 40503) % 1000003) % 10000 < 9810 THEN 3
+                   ELSE 4 END""").as("w"))
+        val repMeans = weighted.groupBy(col("r"))
+          .agg(sum(col("w") * col("cents")).as("ws"), sum(col("w")).as("wn"))
+          .select(col("r"), expr("ws DIV wn").as("mean_cents"))
+        val ranked = repMeans
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("mean_cents"), col("r"))))
+        ranked.agg(count(lit(1)).as("n_replicates"),
+            min(col("mean_cents")).as("rep_min"),
+            max(col("mean_cents")).as("rep_max"),
+            max(when(col("rn") === 2, col("mean_cents"))).as("ci_lo_cents"),
+            max(when(col("rn") === 39, col("mean_cents"))).as("ci_hi_cents"))
+      },
+      Some("""WITH reps AS (SELECT CAST(unnest(range(0, 40)) AS BIGINT) AS r),
+             |w AS (
+             |  SELECT r,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |         CASE WHEN ((o_orderkey * 2654435761 + r * 40503) % 1000003) % 10000 < 3679 THEN 0
+             |              WHEN ((o_orderkey * 2654435761 + r * 40503) % 1000003) % 10000 < 7358 THEN 1
+             |              WHEN ((o_orderkey * 2654435761 + r * 40503) % 1000003) % 10000 < 9197 THEN 2
+             |              WHEN ((o_orderkey * 2654435761 + r * 40503) % 1000003) % 10000 < 9810 THEN 3
+             |              ELSE 4 END AS wt
+             |  FROM orders CROSS JOIN reps),
+             |means AS (
+             |  SELECT r, CAST(sum(wt * cents) AS BIGINT) // CAST(sum(wt) AS BIGINT) AS mean_cents
+             |  FROM w GROUP BY r),
+             |ranked AS (
+             |  SELECT r, mean_cents,
+             |         row_number() OVER (ORDER BY mean_cents, r) AS rn
+             |  FROM means)
+             |SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+             |       CAST(min(mean_cents) AS BIGINT) AS rep_min,
+             |       CAST(max(mean_cents) AS BIGINT) AS rep_max,
+             |       CAST(max(CASE WHEN rn = 2 THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+             |       CAST(max(CASE WHEN rn = 39 THEN mean_cents END) AS BIGINT) AS ci_hi_cents
+             |FROM ranked""".stripMargin)
+    ),
+    Q(
+      "stat_hodges_lehmann",
+      // Hodges–Lehmann location shift (round-13): the ROBUST "how much
+      // did the level move" — the median of all pairwise differences
+      // between two series, the estimator behind the Mann–Whitney test
+      // the same way the mean difference sits behind the t-test (one
+      // outlier day can't drag it). Series: daily counts of the two
+      // highest-volume event types, paired all-to-all; the median of
+      // differences is kept exact as a DOUBLED BIGINT (even-count
+      // medians are mid-pair halves).
+      // Scale: the pairwise frame is O(days²) of the AGGREGATED daily
+      // spine — calendar-scale work regardless of raw event volume
+      // (same posture as ts_sample_entropy), never a row-level pair
+      // join.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("d"))
+          .agg(count(lit(1)).as("x"))
+        val a = daily.filter(col("event_type") === "click")
+          .select(col("x").as("xa"))
+        val b = daily.filter(col("event_type") === "view")
+          .select(col("x").as("xb"))
+        a.crossJoin(b)
+          .select((col("xa") - col("xb")).as("diff"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("CAST(percentile(diff, 0.5) * 2 AS BIGINT)").as("hl_shift_x2"),
+            min(col("diff")).as("min_diff"), max(col("diff")).as("max_diff"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT a.x - b.x AS diff
+             |  FROM (SELECT x FROM daily WHERE event_type = 'click') a
+             |  CROSS JOIN (SELECT x FROM daily WHERE event_type = 'view') b)
+             |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(median(diff) * 2 AS BIGINT) AS hl_shift_x2,
+             |       CAST(min(diff) AS BIGINT) AS min_diff,
+             |       CAST(max(diff) AS BIGINT) AS max_diff
+             |FROM pairs""".stripMargin)
+    ),
+    Q(
+      "stat_delta_method_ratio",
+      // Delta-method ratio metric (round-13): the A/B readout for RATIO
+      // metrics (revenue per order, clicks per user) where both
+      // numerator and denominator are random — naive per-unit-mean
+      // variance is WRONG because num/den covary; the delta method
+      // gives Var(X̄/Ȳ) ≈ (1/n)(σx² − 2R σxy + R² σy²)/Ȳ² with R = X̄/Ȳ.
+      // Units are customers (the randomization unit), X = spend cents,
+      // Y = order count, arms from the deterministic multiplicative
+      // hash; all five moments per arm fold as exact BIGINTs and the z
+      // assembles once, e6-pinned.
+      // Scale: one per-customer rollup + one conditional-moment
+      // aggregate — two map-side-combinable passes, O(1) output.
+      (s, dir) => {
+        val per = Tables(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          // whole DOLLARS: the quadratic moment must stay in BIGINT
+          // range at large SF (cents would overflow sum(x*x) near sf1)
+          .agg(sum(floor(col("o_totalprice") + lit(0.5)).cast("long"))
+            .as("x"), count(lit(1)).as("y"))
+          .select(((col("o_custkey") % 1000003L) * 2654435761L % 2).as("arm"),
+            col("x"), col("y"))
+        val m = per.groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .withColumn("ratio_e6",
+            expr("sx * 1000000 DIV sy"))
+          .withColumn("var_term",
+            expr("""((sxx - CAST(sx AS DOUBLE) * sx / n)
+                   - 2.0 * (CAST(sx AS DOUBLE) / sy)
+                     * (sxy - CAST(sx AS DOUBLE) * sy / n)
+                   + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+                     * (syy - CAST(sy AS DOUBLE) * sy / n))
+                   / n / (CAST(sy AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n) / n"""))
+        val a0 = m.filter(col("arm") === 0)
+          .select(col("n").as("n_a"), col("ratio_e6").as("ratio_a_e6"),
+            col("var_term").as("va"))
+        val a1 = m.filter(col("arm") === 1)
+          .select(col("n").as("n_b"), col("ratio_e6").as("ratio_b_e6"),
+            col("var_term").as("vb"))
+        a0.crossJoin(a1)
+          .select(col("n_a"), col("n_b"), col("ratio_a_e6"), col("ratio_b_e6"),
+            expr("""CAST(floor((CAST(ratio_a_e6 AS DOUBLE) - ratio_b_e6) / 1000000
+                   / sqrt(va + vb) * 1000000 + 0.5) AS BIGINT)""").as("z_e6"))
+      },
+      Some("""WITH per AS (
+             |  SELECT (o_custkey % 1000003) * 2654435761 % 2 AS arm,
+             |         CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS x,
+             |         CAST(count(*) AS BIGINT) AS y
+             |  FROM orders GROUP BY o_custkey),
+             |m AS (
+             |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(x * x) AS BIGINT) AS sxx,
+             |         CAST(sum(y * y) AS BIGINT) AS syy,
+             |         CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM per GROUP BY arm),
+             |v AS (
+             |  SELECT arm, n, sx * 1000000 // sy AS ratio_e6,
+             |         ((sxx - CAST(sx AS DOUBLE) * sx / n)
+             |          - 2.0 * (CAST(sx AS DOUBLE) / sy)
+             |            * (sxy - CAST(sx AS DOUBLE) * sy / n)
+             |          + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+             |            * (syy - CAST(sy AS DOUBLE) * sy / n))
+             |         / n / (CAST(sy AS DOUBLE) / n) / (CAST(sy AS DOUBLE) / n) / n AS var_term
+             |  FROM m)
+             |SELECT a.n AS n_a, b.n AS n_b,
+             |       CAST(a.ratio_e6 AS BIGINT) AS ratio_a_e6,
+             |       CAST(b.ratio_e6 AS BIGINT) AS ratio_b_e6,
+             |       CAST(floor((CAST(a.ratio_e6 AS DOUBLE) - b.ratio_e6) / 1000000
+             |            / sqrt(a.var_term + b.var_term) * 1000000 + 0.5) AS BIGINT) AS z_e6
+             |FROM (SELECT * FROM v WHERE arm = 0) a
+             |CROSS JOIN (SELECT * FROM v WHERE arm = 1) b""".stripMargin)
     )
   )
 

@@ -1212,5 +1212,91 @@ object Eval {
              |       CAST(sum(ov) AS BIGINT) AS sum_overlap,
              |       CAST(floor(2.0 * sum(ov) / (sum(lp) + sum(lr)) * 1000000 + 0.5) AS BIGINT) AS micro_f1_e6
              |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "eval_rank_biased_overlap",
+      // Rank-biased overlap (round-13): how similar are two RANKINGS of
+      // the same items — here part revenue ranks in 1995 vs 1996 —
+      // weighting agreement at the top far more than the tail (RBO,
+      // Webber et al.; the ranking-drift metric for "did the
+      // re-ranker/objective change what surfaces first", where
+      // eval_kendall_tau weights all pairs equally). Truncated form at
+      // depth 20, p = 0.9: RBO@20 = Σ_d p^(d−1)·|A_d ∩ B_d|/d, divided
+      // by Σ_d p^(d−1) so identical rankings score exactly 1.
+      // The p-powers are PRECOMPUTED e9 integer
+      // constants inlined in BOTH engines (retrieval_metrics precedent —
+      // no libm pow in the metric); prefix overlaps count items with
+      // max(rank_a, rank_b) ≤ d, exact integers; one final division.
+      // Scale: two grouped rank windows + a 20-row depth expansion of
+      // the top-20 items only — O(1) work after the revenue rollups.
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_partkey").as("pk"), year(col("o_orderdate")).as("yr"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+              + lit(0.5)).cast("long").as("cents"))
+          .filter(col("yr").isin(1995, 1996))
+        val rev = li.groupBy(col("pk"), col("yr"))
+          .agg(sum(col("cents")).as("rev"))
+        val ranked = rev
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("yr"))
+              .orderBy(col("rev").desc, col("pk"))))
+          .filter(col("rnk") <= 20)
+        val a = ranked.filter(col("yr") === 1995)
+          .select(col("pk"), col("rnk").as("ra"))
+        val b = ranked.filter(col("yr") === 1996)
+          .select(col("pk"), col("rnk").as("rb"))
+        val both = a.join(b, "pk")
+          .select(greatest(col("ra"), col("rb")).cast("long").as("dmin"))
+        val depths = s.range(1, 21).select(col("id").as("d"))
+        val ov = depths.join(both, col("dmin") <= col("d"), "left")
+          .groupBy(col("d"))
+          .agg(sum(when(col("dmin").isNotNull, 1L).otherwise(0L)).as("ov"))
+        ov.select(col("d"), col("ov"),
+            expr(s"""(ov * element_at(array(${rboWeightsE9.mkString("L, ")}L),
+                    CAST(d AS INT))) DIV d""").as("term"))
+          .agg(count(lit(1)).as("depth"),
+            sum(col("ov")).as("sum_overlap"),
+            expr(s"sum(term) * 1000000 DIV ${rboNormE9}L").as("rbo_e6"))
+      },
+      Some(s"""WITH li AS (
+              |  SELECT l_partkey AS pk, year(o_orderdate) AS yr,
+              |         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  WHERE year(o_orderdate) IN (1995, 1996)),
+              |rev AS (SELECT pk, yr, CAST(sum(cents) AS BIGINT) AS rev
+              |        FROM li GROUP BY pk, yr),
+              |ranked AS (
+              |  SELECT pk, yr,
+              |         row_number() OVER (PARTITION BY yr ORDER BY rev DESC, pk) AS rnk
+              |  FROM rev QUALIFY rnk <= 20),
+              |inboth AS (
+              |  SELECT CAST(greatest(a.rnk, b.rnk) AS BIGINT) AS dmin
+              |  FROM (SELECT pk, rnk FROM ranked WHERE yr = 1995) a
+              |  JOIN (SELECT pk, rnk FROM ranked WHERE yr = 1996) b USING (pk)),
+              |depths AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS d),
+              |ov AS (
+              |  SELECT d, CAST(sum(CASE WHEN dmin IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ov
+              |  FROM depths LEFT JOIN inboth ON dmin <= d GROUP BY d),
+              |wts AS (SELECT CAST(unnest(range(1, 21)) AS BIGINT) AS d,
+              |               CAST(unnest([${rboWeightsE9.mkString(", ")}]) AS BIGINT) AS w),
+              |terms AS (
+              |  SELECT d, ov, (ov * w) // d AS term
+              |  FROM ov JOIN wts USING (d))
+              |SELECT CAST(count(*) AS BIGINT) AS depth,
+              |       CAST(sum(ov) AS BIGINT) AS sum_overlap,
+              |       CAST(sum(term) * 1000000 // ${rboNormE9} AS BIGINT) AS rbo_e6
+              |FROM terms""".stripMargin)
     ))
+
+  /** RBO p-power weights p^(d−1) at p = 0.9, e9-quantized integer
+    * literals shared verbatim by both engines (no runtime pow).
+    */
+  private lazy val rboWeightsE9: Seq[Long] =
+    (0 until 20).map(d => math.floor(math.pow(0.9, d) * 1e9 + 0.5).toLong)
+
+  /** Normalizer Σ p^(d−1) over the 20 depths, same e9 units. */
+  private lazy val rboNormE9: Long = rboWeightsE9.sum
 }

@@ -48,10 +48,17 @@ object GraphAnalytics {
   private val weightedEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Oriented sparse edges (src < dst), one row per undirected edge. */
-  private def edges12(s: SparkSession, dir: String): DataFrame = {
-    edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    edgeCache.computeIfAbsent((s, dir), { _ =>
+  /** Memoized DIRECTED pick list (s → d when d is in s's top-3): the
+    * expensive co-occurrence build runs once per (session, dir) and both
+    * the undirected tier (via [[edges12]]) and the directed diagnostics
+    * ([[graph_reciprocity]]) derive from the same checkpointed frame.
+    */
+  private val topkCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def directedTopk(s: SparkSession, dir: String): DataFrame = {
+    topkCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    topkCache.computeIfAbsent((s, dir), { _ =>
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
       // pair weights: same-order co-occurrence counts (map-side combinable)
@@ -61,11 +68,19 @@ object GraphAnalytics {
         .groupBy(col("a.sk").as("s"), col("b.sk").as("d"))
         .agg(count(lit(1)).as("cnt"))
       // top-3 partners per node, deterministic tiebreak (cnt desc, d asc)
-      val topk = w
-        .withColumn("rn", row_number().over(
+      w.withColumn("rn", row_number().over(
           Window.partitionBy(col("s")).orderBy(col("cnt").desc, col("d"))))
         .filter(col("rn") <= 3)
-      topk
+        .select(col("s"), col("d"))
+        .localCheckpoint(true)
+    })
+  }
+
+  /** Oriented sparse edges (src < dst), one row per undirected edge. */
+  private def edges12(s: SparkSession, dir: String): DataFrame = {
+    edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    edgeCache.computeIfAbsent((s, dir), { _ =>
+      directedTopk(s, dir)
         .select(least(col("s"), col("d")).as("src"),
           greatest(col("s"), col("d")).as("dst"))
         .distinct()
@@ -1283,22 +1298,10 @@ object GraphAnalytics {
       // mutual-edge check is a self-join on the bounded top-k list
       // (≤ 3 rows/node), the node count one distinct — all O(nodes).
       (s, dir) => {
-        val li = Tables(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        val w = li.as("a")
-          .join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
-          .groupBy(col("a.sk").as("s"), col("b.sk").as("d"))
-          .agg(count(lit(1)).as("cnt"))
-        // materialize the directed pick list ONCE: both sides of the
-        // mutual self-join consume it, and without the checkpoint the
-        // O(lines²/order) co-occurrence build would run twice
-        val topk = w
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("s")).orderBy(col("cnt").desc, col("d"))))
-          .filter(col("rn") <= 3)
-          .select(col("s"), col("d"))
-          .localCheckpoint(true)
+        // the memoized checkpointed pick list: the O(lines²/order)
+        // co-occurrence build is shared with the whole graph family and
+        // both sides of the mutual self-join read the materialized frame
+        val topk = directedTopk(s, dir)
         val mutual = topk.as("x")
           .join(topk.as("y"),
             col("x.s") === col("y.d") && col("x.d") === col("y.s"))
@@ -1336,6 +1339,61 @@ object GraphAnalytics {
              |       CAST(floor(CAST(n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1))
              |            * 1000000 + 0.5) AS BIGINT) AS density_e6
              |FROM f CROSS JOIN m""".stripMargin)
+    ),
+    Q(
+      "graph_attribute_mixing",
+      // Categorical (nation) assortativity (round-13): does the co-supply
+      // graph mix across nations or cluster within them —
+      // graph_degree_assortativity answers the structural version, this
+      // the ATTRIBUTE version (homophily), the diagnostic that tells a
+      // partitioner whether cutting by the attribute would cut few edges.
+      // Newman's r = (Σe_ii − Σa_i²)/(1 − Σa_i²) over the symmetric edge
+      // set, assembled from exact endpoint/edge counts with e6 pins; the
+      // nation map is a broadcast dimension join.
+      // Scale: two broadcast joins on the bounded-degree edge list + an
+      // O(nations) fold — the mixing matrix never materializes beyond
+      // its diagonal and marginals.
+      (s, dir) => {
+        val nat = Tables(s, dir, "supplier")
+          .select(col("s_suppkey").as("node"), col("s_nationkey").as("nat"))
+        val e = edgesSym(s, dir)
+          .join(broadcast(nat).withColumnRenamed("node", "src")
+            .withColumnRenamed("nat", "nsrc"), "src")
+          .join(broadcast(nat).withColumnRenamed("node", "dst")
+            .withColumnRenamed("nat", "ndst"), "dst")
+        val m = e.agg(count(lit(1)).as("m2"),
+          sum(when(col("nsrc") === col("ndst"), 1L).otherwise(0L)).as("same"))
+        val marg = e.groupBy(col("nsrc"))
+          .agg(count(lit(1)).as("deg"))
+          .crossJoin(broadcast(m))
+          .agg(max(col("m2")).as("m2"), max(col("same")).as("same"),
+            sum(col("deg").cast("double") * col("deg") /
+              (col("m2").cast("double") * col("m2"))).as("a2"))
+        marg.select(col("m2").as("n_directed_edges"), col("same").as("n_same_nation"),
+          expr("CAST(floor(CAST(same AS DOUBLE) / m2 * 1000000 + 0.5) AS BIGINT)")
+            .as("homophily_e6"),
+          expr("""CAST(floor((CAST(same AS DOUBLE) / m2 - a2) / (1.0 - a2)
+                 * 1000000 + 0.5) AS BIGINT)""").as("assortativity_e6"))
+      },
+      Some(s"""$baseSql,
+              |nat AS (SELECT s_suppkey AS node, s_nationkey AS nat FROM supplier),
+              |en AS (
+              |  SELECT a.nat AS nsrc, b.nat AS ndst
+              |  FROM e JOIN nat a ON e.src = a.node JOIN nat b ON e.dst = b.node),
+              |m AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS m2,
+              |         CAST(sum(CASE WHEN nsrc = ndst THEN 1 ELSE 0 END) AS BIGINT) AS same
+              |  FROM en),
+              |marg AS (
+              |  SELECT max(m2) AS m2, max(same) AS same,
+              |         sum(CAST(deg AS DOUBLE) * deg / (CAST(m2 AS DOUBLE) * m2)) AS a2
+              |  FROM (SELECT nsrc, CAST(count(*) AS BIGINT) AS deg
+              |        FROM en GROUP BY nsrc) d CROSS JOIN m)
+              |SELECT m2 AS n_directed_edges, same AS n_same_nation,
+              |       CAST(floor(CAST(same AS DOUBLE) / m2 * 1000000 + 0.5) AS BIGINT) AS homophily_e6,
+              |       CAST(floor((CAST(same AS DOUBLE) / m2 - a2) / (1.0 - a2)
+              |            * 1000000 + 0.5) AS BIGINT) AS assortativity_e6
+              |FROM marg""".stripMargin)
     )
   )
 }

@@ -2275,6 +2275,75 @@ object SimOps {
              |       CAST(max(wq) AS BIGINT) AS max_z_e6,
              |       CAST(min(wq) AS BIGINT) AS min_z_e6
              |FROM w GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+    ),
+    Q(
+      "pipeline_contamination_embed",
+      // EMBEDDING-level eval contamination (round-13): the semantic
+      // sibling of pipeline_eval_decontam — n-gram decontamination
+      // misses paraphrases, so release gates also sweep the train split
+      // for vectors too close to any EVAL vector (SemDeDup applied
+      // across the split boundary). Eval = every 50th vector; candidate
+      // pairs are blocked by label (the ANN-cell proxy this engine uses
+      // for all exact-audit tiers), cosine ≥ 0.4 flags a train vector,
+      // and the report is per-label counts + an e6 contamination rate —
+      // the train side is COUNTED once however many eval vectors it
+      // collides with (semi-join, not a pair dump).
+      // Scale: the eval side broadcasts (2% decimation); the train side
+      // stays map-only scan → broadcast-join → filter; at 100 TB the
+      // label block becomes the IVF cell and the same plan holds.
+      (s, dir) => {
+        val base = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+        val eval_ = base.filter(col("vec_id") % 50 === 0)
+          .select(col("label"), col("vec_id").as("ev"),
+            col("embedding").as("emb_e"), col("nrm").as("nrm_e"))
+        val train = base.filter(col("vec_id") % 50 =!= 0)
+        val hits = train.join(broadcast(eval_), Seq("label"))
+          .filter(dot(col("embedding"), col("emb_e")) /
+            (col("nrm") * col("nrm_e")) >= 0.4)
+          .select(col("label"), col("vec_id")).distinct()
+        val perLabel = train.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_train"))
+        val perEval = eval_.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_eval"))
+        perLabel
+          .join(perEval, Seq("label"), "left")
+          .join(hits.groupBy(col("label"))
+            .agg(count(lit(1)).as("n_contaminated")), Seq("label"), "left")
+          .select(col("label").cast("long").as("label"), col("n_train"),
+            coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            expr("""CAST(floor(CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+                   / n_train * 1000000 + 0.5) AS BIGINT)""").as("rate_e6"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, label, embedding,
+             |         sqrt(list_sum(list_transform(range(1, 65),
+             |           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+             |  FROM embeddings),
+             |ev AS (SELECT label, vec_id AS evid, embedding AS emb_e, nrm AS nrm_e
+             |       FROM base WHERE vec_id % 50 = 0),
+             |tr AS (SELECT * FROM base WHERE vec_id % 50 <> 0),
+             |hits AS (
+             |  SELECT DISTINCT tr.label, tr.vec_id
+             |  FROM tr JOIN ev ON tr.label = ev.label
+             |  WHERE list_sum(list_transform(range(1, 65),
+             |          i -> tr.embedding[i]::DOUBLE * ev.emb_e[i]::DOUBLE))
+             |        / (tr.nrm * ev.nrm_e) >= 0.4),
+             |pl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_train FROM tr GROUP BY label),
+             |pe AS (SELECT label, CAST(count(*) AS BIGINT) AS n_eval FROM ev GROUP BY label),
+             |ph AS (SELECT label, CAST(count(*) AS BIGINT) AS n_contaminated
+             |       FROM hits GROUP BY label)
+             |SELECT CAST(pl.label AS BIGINT) AS label, pl.n_train,
+             |       coalesce(pe.n_eval, 0) AS n_eval,
+             |       coalesce(ph.n_contaminated, 0) AS n_contaminated,
+             |       CAST(floor(CAST(coalesce(ph.n_contaminated, 0) AS DOUBLE)
+             |            / pl.n_train * 1000000 + 0.5) AS BIGINT) AS rate_e6
+             |FROM pl LEFT JOIN pe ON pl.label = pe.label
+             |        LEFT JOIN ph ON pl.label = ph.label
+             |ORDER BY label""".stripMargin)
     )
   )
 

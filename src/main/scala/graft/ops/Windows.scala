@@ -3401,6 +3401,73 @@ object Windows {
              |       cum_cents // n_customers AS ltv_cents_per_customer
              |FROM cum JOIN sized USING (c0)
              |ORDER BY cohort_month, "offset"""".stripMargin)
+    ),
+    Q(
+      "ts_decay_halflife",
+      // Engagement decay half-life per event type (round-13): fit
+      // ln(daily count) against the day index by closed-form OLS and
+      // report the half-life ln2/|slope| — the one-number retention
+      // decay a growth dashboard tracks (ts_growth_rates gives the
+      // period deltas; this is the fitted exponential behind them).
+      // Determinism: each day's ln(count) is e6-floored BEFORE the
+      // regression sums (both engines produce the identical BIGINT per
+      // day — no float accumulation order), the OLS slope assembles from
+      // five exact integer sums, and only decaying series emit a
+      // half-life (growing → NULL). Scale: one map-side daily rollup per
+      // type; the regression fold carries O(types) rows.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("d"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("d")))
+            .cast("long"))
+          .select(col("event_type"), col("i"),
+            expr("CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)")
+              .as("y"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("i")).as("si"),
+            sum(col("y")).as("sy"), sum(col("i") * col("i")).as("sii"),
+            sum(col("i") * col("y")).as("siy"))
+          .select(col("event_type"), col("n").as("n_days"),
+            expr("""CAST(floor((CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si) + 0.5) AS BIGINT)""")
+              .as("slope_e6_per_day"),
+            expr("""CASE WHEN CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy < 0
+                   THEN CAST(floor(ln(CAST(2 AS DOUBLE))
+                        / (-((CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy)
+                             / (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si) / 1000000))
+                        * 100 + 0.5) AS BIGINT)
+                   ELSE CAST(NULL AS BIGINT) END""").as("halflife_days_e2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT event_type,
+             |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS i,
+             |         CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+             |  FROM daily),
+             |g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |         CAST(sum(i) AS BIGINT) AS si, CAST(sum(y) AS BIGINT) AS sy,
+             |         CAST(sum(i * i) AS BIGINT) AS sii,
+             |         CAST(sum(i * y) AS BIGINT) AS siy
+             |  FROM idx GROUP BY event_type)
+             |SELECT event_type, n AS n_days,
+             |       CAST(floor((CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy)
+             |            / (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si) + 0.5) AS BIGINT)
+             |         AS slope_e6_per_day,
+             |       CASE WHEN CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy < 0
+             |       THEN CAST(floor(ln(CAST(2 AS DOUBLE))
+             |            / (-((CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy)
+             |                 / (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si) / 1000000))
+             |            * 100 + 0.5) AS BIGINT)
+             |       ELSE CAST(NULL AS BIGINT) END AS halflife_days_e2
+             |FROM g ORDER BY event_type""".stripMargin)
     )
   )
 

@@ -353,6 +353,78 @@ class Round13Spec extends AnyFunSuite {
     assert(rows.groupBy(_.getLong(0)).forall(_._2.exists(_.getLong(1) == 0L)))
   }
 
+  test("eval_rank_biased_overlap: identity ranking scores exactly 1") {
+    import spark.implicits._
+    // pin the metric itself: RBO of a ranking against ITSELF must be
+    // 1000000 under the truncated-normalized form — overlap@d = d
+    val depths = spark.range(1, 21).select(col("id").as("d"), col("id").as("ov"))
+    val wts = (0 until 20).map(k => math.floor(math.pow(0.9, k) * 1e9 + 0.5).toLong)
+    val norm = wts.sum
+    val terms = depths.select(
+      expr(s"(ov * element_at(array(${wts.mkString("L, ")}L), CAST(d AS INT))) DIV d").as("t"))
+    val rbo = terms.agg(expr(s"sum(t) * 1000000 DIV ${norm}L")).as[Long].collect().head
+    assert(rbo === 1000000L, s"self-RBO must pin at 1.0, got $rbo")
+    // and the registered query's value is in (0, 1]
+    val r = SparkEntry.queries("eval_rank_biased_overlap")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) === 20L)
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+  }
+
+  test("stat_delta_method_ratio: ratios positive, arms both populated") {
+    val r = SparkEntry.queries("stat_delta_method_ratio")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0, "both arms populated")
+    assert(r.getLong(2) > 0 && r.getLong(3) > 0, "revenue/order > 0")
+    // a null-effect hash split: |z| should not be absurdly large
+    assert(math.abs(r.getLong(4)) < 10000000L, s"|z| >= 10 on a null split: $r")
+  }
+
+  test("sample_poisson_bootstrap: CI brackets the exact mean, weights ~ Poisson(1)") {
+    val r = SparkEntry.queries("sample_poisson_bootstrap")(spark, dir)
+      .collect().head
+    assert(r.getLong(0) === 40L)
+    val exact = Tables(spark, dir, "orders")
+      .agg(expr("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) DIV count(*)"))
+      .collect().head.getLong(0)
+    val (lo, hi) = (r.getLong(3), r.getLong(4))
+    assert(lo <= exact && exact <= hi,
+      s"95% CI [$lo,$hi] must bracket the exact mean $exact")
+    assert(r.getLong(1) <= lo && hi <= r.getLong(2), "order stats within range")
+  }
+
+  test("pipeline_contamination_embed: eval split is disjoint from train counts") {
+    val rows = SparkEntry.queries("pipeline_contamination_embed")(spark, dir)
+      .collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total === Tables(spark, dir, "embeddings").count(),
+      "train + eval must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "contaminated <= train")
+    }
+  }
+
+  test("graph_attribute_mixing: assortativity <= 1 and homophily consistent") {
+    val r = SparkEntry.queries("graph_attribute_mixing")(spark, dir)
+      .collect().head
+    val (hom, assort) = (r.getLong(2), r.getLong(3))
+    assert(hom >= 0L && hom <= 1000000L)
+    assert(assort <= 1000000L, "Newman r can't exceed 1")
+    // r <= homophily rescaled: r = (h - a2)/(1 - a2) <= h iff h <= 1
+    assert(assort <= hom || hom === 1000000L)
+  }
+
+  test("ts_decay_halflife: slope sign gates the half-life") {
+    val rows = SparkEntry.queries("ts_decay_halflife")(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val slope = r.getLong(2)
+      if (slope < 0) assert(!r.isNullAt(3) && r.getLong(3) > 0L,
+        s"decaying series must report a half-life: $r")
+      else assert(r.isNullAt(3), s"growing series must report NULL: $r")
+    }
+  }
+
   test("multimodal_aspect_gate: buckets partition the corpus") {
     val rows = SparkEntry.queries("multimodal_aspect_gate")(spark, dir).collect()
     val total = rows.map(_.getLong(1)).sum

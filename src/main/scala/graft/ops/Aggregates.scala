@@ -3704,6 +3704,82 @@ object Aggregates {
              |            / sqrt(a.var_term + b.var_term) * 1000000 + 0.5) AS BIGINT) AS z_e6
              |FROM (SELECT * FROM v WHERE arm = 0) a
              |CROSS JOIN (SELECT * FROM v WHERE arm = 1) b""".stripMargin)
+    ),
+    Q(
+      "stat_cramer_von_mises",
+      // Cramér–von Mises two-sample test (round-13): the INTEGRATED
+      // distribution distance — stat_ks_twosample reads only the single
+      // largest ECDF gap, CvM sums the squared gap across the whole
+      // support, so a broad mild shift that never produces one big gap
+      // (exactly what a subtle data-drift looks like) is caught here and
+      // missed by KS. Computational form over pooled ranks: U =
+      // n·Σ_A(r_i−i)² + m·Σ_B(s_j−j)², T = U/(n·m·N) − (4mn−1)/(6N),
+      // with r the pooled rank and i the within-group rank — both
+      // assigned by ONE total order (value, group, key) shared by the
+      // engines, so ties break identically. The two Σ's stay exact
+      // BIGINTs; U's final products run in doubles from those exact
+      // integers (scalar ops, no accumulation), e6-pinned.
+      // Scale: two rank windows over a range-partitioned global sort +
+      // an O(1) fold — the same posture as every rank test here.
+      (s, dir) => {
+        val x = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+              .as("g"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v"))
+        val ranked = x
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("v"), col("g"), col("k"))).cast("long"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("g"))
+              .orderBy(col("v"), col("k"))).cast("long"))
+        ranked.groupBy(col("g"))
+          .agg(count(lit(1)).as("cnt"),
+            sum((col("r") - col("i")) * (col("r") - col("i"))).as("ss"))
+          .agg(
+            max(when(col("g") === 1, col("cnt"))).as("n"),
+            max(when(col("g") === 0, col("cnt"))).as("m"),
+            max(when(col("g") === 1, col("ss"))).as("sa"),
+            max(when(col("g") === 0, col("ss"))).as("sb"))
+          .select(col("n"), col("m"),
+            expr("""CAST(floor((CAST(sa AS DOUBLE) * n + CAST(sb AS DOUBLE) * m)
+                   / (CAST(n AS DOUBLE) * m * (n + m))
+                   * 1000000 + 0.5) AS BIGINT)""").as("u_norm_e6"),
+            expr("""CAST(floor(((CAST(sa AS DOUBLE) * n + CAST(sb AS DOUBLE) * m)
+                   / (CAST(n AS DOUBLE) * m * (n + m))
+                   - (CAST(4 AS DOUBLE) * m * n - 1) / (CAST(6 AS DOUBLE) * (n + m)))
+                   * 1000000 + 0.5) AS BIGINT)""").as("cvm_t_e6"))
+      },
+      Some("""WITH x AS (
+             |  SELECT o_orderkey AS k,
+             |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+             |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |ranked AS (
+             |  SELECT g,
+             |         CAST(row_number() OVER (ORDER BY v, g, k) AS BIGINT) AS r,
+             |         CAST(row_number() OVER (PARTITION BY g ORDER BY v, k) AS BIGINT) AS i
+             |  FROM x),
+             |s AS (
+             |  SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+             |         CAST(sum((r - i) * (r - i)) AS BIGINT) AS ss
+             |  FROM ranked GROUP BY g),
+             |f AS (
+             |  SELECT max(CASE WHEN g = 1 THEN cnt END) AS n,
+             |         max(CASE WHEN g = 0 THEN cnt END) AS m,
+             |         max(CASE WHEN g = 1 THEN ss END) AS sa,
+             |         max(CASE WHEN g = 0 THEN ss END) AS sb
+             |  FROM s)
+             |SELECT n, m,
+             |       CAST(floor((CAST(sa AS DOUBLE) * n + CAST(sb AS DOUBLE) * m)
+             |            / (CAST(n AS DOUBLE) * m * (n + m))
+             |            * 1000000 + 0.5) AS BIGINT) AS u_norm_e6,
+             |       CAST(floor(((CAST(sa AS DOUBLE) * n + CAST(sb AS DOUBLE) * m)
+             |            / (CAST(n AS DOUBLE) * m * (n + m))
+             |            - (CAST(4 AS DOUBLE) * m * n - 1) / (CAST(6 AS DOUBLE) * (n + m)))
+             |            * 1000000 + 0.5) AS BIGINT) AS cvm_t_e6
+             |FROM f""".stripMargin)
     )
   )
 

@@ -161,7 +161,50 @@ object Geo {
         s.sql(ptsSql + pipSql)
       },
       Some(ptsSql + pipSql)
+    ),
+    Q(
+      "geo_dbscan_core",
+      // Grid-blocked DBSCAN core-point census (round-13): the density-
+      // clustering primitive — a point is CORE when ≥ 3 other points sit
+      // within eps = 500 km — computed with the SAME 3×3 cell-
+      // neighborhood equi-join as geo_grid_knn_join (never all-pairs):
+      // 5° cells ≈ 556 km at the equator, so every ≤ 500 km neighbor is
+      // inside the ring by construction. Output is the core/non-core
+      // census plus the mean neighbor count in e2 — the (eps, minPts)
+      // tuning readout a clustering run inspects before committing to a
+      // label propagation over core-core edges (dedup_connected_
+      // components supplies that next step).
+      // Scale: shuffle O(9·n·density) on cell ids; haversine evaluated
+      // only inside cells; the census folds map-side to 2 rows.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(ptsSql + dbscanSql)
+      },
+      Some(ptsSql + dbscanSql)
     ))
+
+  /** Shared DBSCAN-core SQL suffix for [[geo_dbscan_core]]. */
+  private lazy val dbscanSql: String =
+    s"""
+       |, offsets AS (SELECT CAST(-1 AS BIGINT) AS o UNION ALL SELECT 0 UNION ALL SELECT 1),
+       |probes AS (
+       |  SELECT id AS qid, lat_c AS qla, lon_c AS qlo,
+       |         cla + ola.o AS jla, clo + olo.o AS jlo
+       |  FROM cells CROSS JOIN offsets ola CROSS JOIN offsets olo),
+       |neigh AS (
+       |  SELECT qid, CAST(count(*) AS BIGINT) AS nn
+       |  FROM probes p JOIN cells b ON p.jla = b.cla AND p.jlo = b.clo
+       |  WHERE p.qid <> b.id
+       |    AND ${hav("p.qla", "p.qlo", "b.lat_c", "b.lon_c")} <= 500000
+       |  GROUP BY qid),
+       |cls AS (
+       |  SELECT c.id, coalesce(n.nn, CAST(0 AS BIGINT)) AS nn
+       |  FROM cells c LEFT JOIN neigh n ON c.id = n.qid)
+       |SELECT nn >= 3 AS is_core,
+       |       CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(sum(nn) AS BIGINT) AS sum_neighbors,
+       |       CAST(sum(nn) * 100 AS BIGINT) / count(*) AS avg_neighbors_e2
+       |FROM cls GROUP BY nn >= 3 ORDER BY is_core""".stripMargin
 
   /** Shared ray-casting SQL suffix for [[geo_point_in_polygon]]. */
   private lazy val pipSql: String =

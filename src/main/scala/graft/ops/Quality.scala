@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables, util}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality operators — the validation pass a 100 TB ingest runs before
@@ -637,6 +638,49 @@ object Quality {
              |       CAST(count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT) AS d_cust_date,
              |       CAST(count(DISTINCT (o_orderstatus, o_orderpriority)) AS BIGINT) AS d_status_prio
              |FROM orders""".stripMargin)
+    ),
+Q(
+      "dq_monotonic_violations",
+      // Out-of-order arrival audit (round-13): per user, how often does
+      // event-time REGRESS when events are read in ingestion (event_id)
+      // order — the number that calibrates every streaming watermark in
+      // §2.10 (a 95th-percentile regression of 40 s says
+      // `withWatermark("40 seconds")` is too tight). Violations and the
+      // regression magnitudes are exact ts_ns BIGINT arithmetic off one
+      // lag window per user; output is a per-event-type rollup plus the
+      // max regression for sizing.
+      // Scale: one window partitioned by user (never global), one
+      // map-side-combinable rollup — shuffle carries user partitions
+      // then O(types) rows.
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("prev_ns", lag(col("ts_ns"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("event_id"))))
+        e.filter(col("prev_ns").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_steps"),
+            sum(when(col("ts_ns") < col("prev_ns"), 1L).otherwise(0L))
+              .as("n_violations"),
+            max(when(col("ts_ns") < col("prev_ns"),
+              col("prev_ns") - col("ts_ns")).otherwise(0L))
+              .as("max_regression_ns"))
+          .select(col("event_type"), col("n_steps"), col("n_violations"),
+            expr("CAST(floor(CAST(n_violations AS DOUBLE) / n_steps * 1000000 + 0.5) AS BIGINT)")
+              .as("violation_rate_e6"),
+            expr("max_regression_ns DIV 1000000000").as("max_regression_s"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_ns(ts) AS ts_ns,
+             |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ns
+             |  FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_steps,
+             |       CAST(sum(CASE WHEN ts_ns < prev_ns THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             |       CAST(floor(CAST(sum(CASE WHEN ts_ns < prev_ns THEN 1 ELSE 0 END) AS DOUBLE)
+             |            / count(*) * 1000000 + 0.5) AS BIGINT) AS violation_rate_e6,
+             |       CAST(max(CASE WHEN ts_ns < prev_ns THEN prev_ns - ts_ns ELSE 0 END) // 1000000000 AS BIGINT) AS max_regression_s
+             |FROM e WHERE prev_ns IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 

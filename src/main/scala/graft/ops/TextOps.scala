@@ -4294,6 +4294,72 @@ object TextOps {
               |       CAST(count(*) AS BIGINT) AS vocab_union,
               |       ${util.r2sql("sum(CASE WHEN p > 0 THEN p * log2(2 * p / (p + q)) ELSE 0 END + CASE WHEN q > 0 THEN q * log2(2 * q / (p + q)) ELSE 0 END) / 2")} AS jsd_bits
               |FROM terms GROUP BY l1, l2 ORDER BY lang_i, lang_j""".stripMargin)
+    ),
+Q(
+      "text_vocab_overlap",
+      // Cross-language top-vocabulary Jaccard (round-13): how much do
+      // the languages' top-200 word lists overlap — the shared-subword
+      // diagnostic a multilingual tokenizer budget reads before deciding
+      // how much vocab the languages can share (text_js_divergence
+      // measures distribution distance over the FULL vocab; this is the
+      // set view of just the head that a vocab actually allocates).
+      // Top-200 per language by the (freq DESC, word) total order; the
+      // pairwise intersection is a self-equi-join on word; union =
+      // |A|+|B|−|A∩B| exact.
+      // Scale: per-language counts are the standard explode rollup; the
+      // ranked heads are O(langs·200) rows — the pair join touches the
+      // HEADS, never the corpus.
+      (s, dir) => {
+        val freq = Tables(s, dir, "documents")
+          .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+        val head = freq
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col("f").desc, col("w"))))
+          .filter(col("rn") <= 200)
+          .select(col("lang"), col("w"))
+        val sizes = head.groupBy(col("lang")).agg(count(lit(1)).as("sz"))
+        val inter = head.as("a")
+          .join(head.as("b"),
+            col("a.w") === col("b.w") && col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang_i"), col("b.lang").as("lang_j"))
+          .agg(count(lit(1)).as("n_shared"))
+        inter
+          .join(sizes.withColumnRenamed("lang", "lang_i")
+            .withColumnRenamed("sz", "sz_i"), "lang_i")
+          .join(sizes.withColumnRenamed("lang", "lang_j")
+            .withColumnRenamed("sz", "sz_j"), "lang_j")
+          .select(col("lang_i"), col("lang_j"), col("n_shared"),
+            expr("""CAST(floor(CAST(n_shared AS DOUBLE)
+                   / (sz_i + sz_j - n_shared) * 1000000 + 0.5) AS BIGINT)""")
+              .as("jaccard_e6"))
+          .orderBy(col("lang_i"), col("lang_j"))
+      },
+      Some("""WITH freq AS (
+             |  SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+             |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+             |        FROM documents) t
+             |  WHERE length(w) > 0 GROUP BY lang, w),
+             |head AS (
+             |  SELECT lang, w FROM (
+             |    SELECT lang, w,
+             |           row_number() OVER (PARTITION BY lang ORDER BY f DESC, w) AS rn
+             |    FROM freq) r WHERE rn <= 200),
+             |sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS sz FROM head GROUP BY lang),
+             |inter AS (
+             |  SELECT a.lang AS lang_i, b.lang AS lang_j,
+             |         CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM head a JOIN head b ON a.w = b.w AND a.lang < b.lang
+             |  GROUP BY a.lang, b.lang)
+             |SELECT lang_i, lang_j, n_shared,
+             |       CAST(floor(CAST(n_shared AS DOUBLE)
+             |            / (si.sz + sj.sz - n_shared) * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+             |FROM inter
+             |JOIN sizes si ON si.lang = lang_i
+             |JOIN sizes sj ON sj.lang = lang_j
+             |ORDER BY lang_i, lang_j""".stripMargin)
     )
   )
 }

@@ -147,7 +147,19 @@ object ManifestSink {
           case None =>
             val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
             if (raw.contains("\n#commit:")) None // footer present but wrong: torn
-            else if (tableIsPointerFul(dir)) parseStateLines(raw.split("\n", -1).toSeq)
+            // a footer-less object is trustworthy iff it landed via the
+            // pointer-ful protocol's ATOMIC_MOVE. The pointer itself LAGS
+            // the v-file (claim → v-file → pointer), so checking only
+            // manifest.json opens a lost-commit window: a racer reading
+            // the just-moved v-file saw None here, fell back to empty
+            // state, and its winning CAS dropped the first commit's files
+            // (caught live by the delta-vs-append race spec). The
+            // `.claim.v<v>` marker is the protocol discriminator that
+            // does NOT lag — only casWriteState creates claims, and the
+            // claim always precedes its v-file.
+            else if (tableIsPointerFul(dir) ||
+                Files.exists(Paths.get(dir, s".claim.v$v")))
+              parseStateLines(raw.split("\n", -1).toSeq)
             else None
         }
       case None =>
@@ -234,7 +246,7 @@ object ManifestSink {
       : Option[(StructType, Seq[String], Set[String])] =
     readState(dir, versionAsOf).map(s => (s.schema, s.files.map(_._1), s.txns))
 
-  private def stateBody(state: State): Array[Byte] =
+  private[graft] def stateBody(state: State): Array[Byte] =
     (state.schema.json +:
       ((if (state.generation > 0) Seq(s"#gen:${state.generation}") else Seq.empty) ++
         state.txns.toSeq.sorted.map("#txn:" + _) ++

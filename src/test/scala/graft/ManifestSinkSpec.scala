@@ -558,6 +558,41 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(st.files.map(_._2).toSet === (1 to writers).toSet)
   }
 
+  test("versioned read during the pointer lag window sees the moved v-file") {
+    // The lost-commit window caught live by the delta-vs-append race: a
+    // pointer-ful commit lands claim -> v-file (ATOMIC_MOVE) -> pointer.
+    // Between the move and the pointer write, latestVersion already
+    // reports the version (via the claim marker) but a versioned read
+    // that trusts only manifest.json returned None — and a racing
+    // read-modify-write committer fell back to EMPTY state, dropping the
+    // first commit's files when its CAS won. Simulate the window exactly.
+    val dir = freshDir()
+    Files.createDirectories(Paths.get(dir))
+    Files.createFile(Paths.get(dir, ".claim.v1"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    val st = ManifestSink.State(schema, Seq(("first.txt", 1)), Seq.empty, Set.empty)
+    val tmp = Paths.get(dir, ".manifest.window.tmp")
+    Files.write(tmp, ManifestSink.stateBody(st))
+    Files.move(tmp, Paths.get(dir, "manifest.v1.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // NO pointer written — we are inside the window
+    assert(ManifestSink.latestVersion(dir) === 1)
+    val read = ManifestSink.readState(dir, Some(1))
+    assert(read.isDefined,
+      "a claim-marked v-file landed by ATOMIC_MOVE must be readable " +
+        "before the pointer catches up — None here recreates the lost-commit race")
+    assert(read.get.files.map(_._1) === Seq("first.txt"))
+    // and a rename-less table's torn object is STILL rejected: no claim
+    val dir2 = freshDir()
+    Files.createDirectories(Paths.get(dir2))
+    Files.write(Paths.get(dir2, "manifest.v1.json"),
+      ManifestSink.stateBody(st)) // in-place, footer-less, claim-less
+    assert(ManifestSink.readState(dir2, Some(1)).isEmpty,
+      "footer-less object on a pointer-less, claim-less table is in-flight")
+  }
+
   test("delta commits race append commits without losing either side (r12 consistency rule on the row-level path)") {
     // the r11 CAS-consistency bug class, now on the DELTA writer: prior
     // state must be read at the version the CAS expects (the immutable

@@ -353,6 +353,48 @@ class Round13Spec extends AnyFunSuite {
     assert(rows.groupBy(_.getLong(0)).forall(_._2.exists(_.getLong(1) == 0L)))
   }
 
+  test("stat_cramer_von_mises: T >= its theoretical minimum and U positive") {
+    val r = SparkEntry.queries("stat_cramer_von_mises")(spark, dir)
+      .collect().head
+    val (n, m) = (r.getLong(0), r.getLong(1))
+    assert(n > 0 && m > 0)
+    assert(r.getLong(2) > 0, "normalized U must be positive")
+    // T = U/(nmN) - (4mn-1)/(6N) >= -1/(6N) always (CvM lower bound is
+    // attained only by perfectly interleaved samples)
+    val lb = -1000000.0 / (6.0 * (n + m))
+    assert(r.getLong(3) >= lb - 1, s"T below theoretical floor: $r")
+  }
+
+  test("dq_monotonic_violations: rates bounded, regression magnitude consistent") {
+    val rows = SparkEntry.queries("dq_monotonic_violations")(spark, dir)
+      .collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "violations <= steps")
+      assert(r.getLong(3) <= 1000000L)
+      if (r.getLong(2) == 0L)
+        assert(r.getLong(4) === 0L, "no violations -> zero max regression")
+    }
+  }
+
+  test("text_vocab_overlap: jaccard symmetric-bounded, heads capped at 200") {
+    val rows = SparkEntry.queries("text_vocab_overlap")(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 200L, "intersection can't exceed head size")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("geo_dbscan_core: census partitions the point set") {
+    val rows = SparkEntry.queries("geo_dbscan_core")(spark, dir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables(spark, dir, "customer").count())
+    // neighbor relation is symmetric: total neighbor count is even
+    assert(rows.map(_.getLong(2)).sum % 2 === 0L,
+      "haversine <= eps is symmetric, so the sum of degrees must be even")
+  }
+
   test("eval_rank_biased_overlap: identity ranking scores exactly 1") {
     import spark.implicits._
     // pin the metric itself: RBO of a ranking against ITSELF must be

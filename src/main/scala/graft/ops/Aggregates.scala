@@ -3780,6 +3780,110 @@ object Aggregates {
              |            - (CAST(4 AS DOUBLE) * m * n - 1) / (CAST(6 AS DOUBLE) * (n + m)))
              |            * 1000000 + 0.5) AS BIGINT) AS cvm_t_e6
              |FROM f""".stripMargin)
+    ),
+    Q(
+      "agg_pythagorean_means",
+      // The three Pythagorean means per group (round-13): arithmetic,
+      // geometric and harmonic mean of order totals by priority — AM for
+      // the level, GM for multiplicative/skewed data (the right average
+      // of ratios and growth rates), HM for rate-like quantities; the
+      // AM ≥ GM ≥ HM inequality doubles as a free self-check (spec-
+      // pinned). AM is an exact integer division of cents; GM folds
+      // per-row ln() and HM per-row 1/x, each e9-quantized BEFORE the
+      // sum (integer accumulation — no float order hazard), with one
+      // exp()/division at the end under r2.
+      // Scale: one conditional-moment aggregate, map-side combinable,
+      // O(groups) output.
+      (s, dir) => {
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("cents"))
+          .select(col("grp"), col("cents"),
+            expr("CAST(floor(ln(CAST(cents AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)")
+              .as("lnq"),
+            expr("CAST(floor(CAST(1000000000000000 AS DOUBLE) / cents + 0.5) AS BIGINT)")
+              .as("invq"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"),
+            sum(col("lnq")).as("sln"), sum(col("invq")).as("sinv"))
+          .select(col("grp"), col("n"),
+            expr("sc DIV n").as("arith_mean_cents"),
+            util.r2(exp(col("sln").cast("double") / col("n") / lit(1e9)) /
+              lit(100.0)).as("geo_mean_dollars"),
+            util.r2(col("n").cast("double") * lit(1e15) /
+              col("sinv").cast("double") / lit(100.0)).as("harm_mean_dollars"))
+          .orderBy(col("grp"))
+      },
+      Some(s"""WITH x AS (
+              |  SELECT o_orderpriority AS grp,
+              |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              |  FROM orders),
+              |q AS (
+              |  SELECT grp, cents,
+              |         CAST(floor(ln(CAST(cents AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS lnq,
+              |         CAST(floor(CAST(1000000000000000 AS DOUBLE) / cents + 0.5) AS BIGINT) AS invq
+              |  FROM x),
+              |g AS (
+              |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(cents) AS BIGINT) AS sc,
+              |         CAST(sum(lnq) AS BIGINT) AS sln,
+              |         CAST(sum(invq) AS BIGINT) AS sinv
+              |  FROM q GROUP BY grp)
+              |SELECT grp, n, sc // n AS arith_mean_cents,
+              |       ${util.r2sql("exp(CAST(sln AS DOUBLE) / n / 1e9) / 100.0")} AS geo_mean_dollars,
+              |       ${util.r2sql("CAST(n AS DOUBLE) * 1e15 / CAST(sinv AS DOUBLE) / 100.0")} AS harm_mean_dollars
+              |FROM g ORDER BY grp""".stripMargin)
+    ),
+    Q(
+      "stat_sign_test",
+      // Paired sign test (round-13): the assumption-free floor of the
+      // paired-test ladder — stat_wilcoxon_signed_rank needs symmetric
+      // differences, the paired t needs normality; the sign test needs
+      // NOTHING but independent pairs, counting who-won per customer
+      // between the same 1995/1996 spend pairs. Exact integer counts; z
+      // with continuity correction assembles once, e6-pinned; ties
+      // (equal spend) are dropped per the standard definition.
+      // Scale: one per-(customer, year) rollup + one conditional fold —
+      // identical posture to the Wilcoxon row it lower-bounds.
+      (s, dir) => {
+        val spend = Tables(s, dir, "orders")
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+          .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .as("cents"))
+        spend.groupBy(col("o_custkey"))
+          .agg(sum(when(col("yr") === 1995, col("cents"))).as("a"),
+            sum(when(col("yr") === 1996, col("cents"))).as("b"),
+            count(lit(1)).as("k"))
+          .filter(col("k") === 2 && col("a") =!= col("b"))
+          .agg(sum(when(col("a") > col("b"), 1L).otherwise(0L)).as("n_plus"),
+            sum(when(col("a") < col("b"), 1L).otherwise(0L)).as("n_minus"))
+          .select(col("n_plus"), col("n_minus"),
+            expr("""CAST(floor((abs(CAST(n_plus AS DOUBLE) - (n_plus + n_minus) / CAST(2 AS DOUBLE)) - 0.5)
+                   / (sqrt(CAST(n_plus + n_minus AS DOUBLE)) / 2)
+                   * 1000000 + 0.5) AS BIGINT)""").as("z_e6"))
+      },
+      Some("""WITH spend AS (
+             |  SELECT o_custkey, year(o_orderdate) AS yr,
+             |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT sum(CASE WHEN yr = 1995 THEN cents END) AS a,
+             |         sum(CASE WHEN yr = 1996 THEN cents END) AS b
+             |  FROM spend GROUP BY o_custkey
+             |  HAVING count(*) = 2 AND sum(CASE WHEN yr = 1995 THEN cents END)
+             |         <> sum(CASE WHEN yr = 1996 THEN cents END)),
+             |f AS (
+             |  SELECT CAST(sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+             |         CAST(sum(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT) AS n_minus
+             |  FROM pairs)
+             |SELECT n_plus, n_minus,
+             |       CAST(floor((abs(CAST(n_plus AS DOUBLE) - (n_plus + n_minus) / CAST(2 AS DOUBLE)) - 0.5)
+             |            / (sqrt(CAST(n_plus + n_minus AS DOUBLE)) / 2)
+             |            * 1000000 + 0.5) AS BIGINT) AS z_e6
+             |FROM f""".stripMargin)
     )
   )
 

@@ -353,6 +353,27 @@ class Round13Spec extends AnyFunSuite {
     assert(rows.groupBy(_.getLong(0)).forall(_._2.exists(_.getLong(1) == 0L)))
   }
 
+  test("agg_pythagorean_means: AM >= GM >= HM per group") {
+    val rows = SparkEntry.queries("agg_pythagorean_means")(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val am = r.getLong(2) / 100.0
+      val (gm, hm) = (r.getDouble(3), r.getDouble(4))
+      assert(am >= gm && gm >= hm, s"AM>=GM>=HM violated: $r")
+      assert(hm > 0.0)
+    }
+  }
+
+  test("stat_sign_test: winners partition the non-tied pairs of wilcoxon's frame") {
+    val s = SparkEntry.queries("stat_sign_test")(spark, dir).collect().head
+    val w = SparkEntry.queries("stat_wilcoxon_signed_rank")(spark, dir)
+      .collect().head
+    // both tests drop ties from the SAME 1995/1996 paired-spend frame
+    assert(s.getLong(0) + s.getLong(1) === w.getLong(0),
+      "sign-test pair count must equal wilcoxon's n_pairs")
+    assert(s.getLong(2) >= 0L, "continuity-corrected |z| is non-negative")
+  }
+
   test("stat_cramer_von_mises: T >= its theoretical minimum and U positive") {
     val r = SparkEntry.queries("stat_cramer_von_mises")(spark, dir)
       .collect().head

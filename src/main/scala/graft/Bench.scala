@@ -107,12 +107,19 @@ object Bench {
   private def runDriverMode(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // rolling per-query history (oldest first), seeded from the prior
-    // BENCH_DETAIL.json when no history file exists yet; read BEFORE this
-    // run overwrites either file
-    val history = readHistory(
+    // rolling per-ROUND history (oldest first), keyed by round id (r13
+    // verdict #1: an unkeyed append-ring let ≥3 same-round bench runs
+    // rotate every PRIOR round's floor out — exactly the drift-laundering
+    // the ring was built to stop; now intra-round runs REPLACE the
+    // current round's entry, so the floor always spans historyDepth
+    // DISTINCT rounds). Seeded from the prior BENCH_DETAIL.json when no
+    // history file exists yet; read BEFORE this run overwrites either
+    // file.
+    val cur = currentRound()
+    val keyed = readHistory(
       java.nio.file.Paths.get("BENCH_HISTORY.json"),
-      java.nio.file.Paths.get("BENCH_DETAIL.json"))
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), cur)
+    val history = keyed.map(_._2)
     val chunks = names.zipWithIndex.groupBy(_._2 % chunkCount)
       .toSeq.sortBy(_._1).map(_._2.map(_._1))
     val scratch = java.nio.file.Files.createTempDirectory("graft-bench-")
@@ -157,28 +164,45 @@ object Bench {
     val familySuspects = familyRisers(ordered, history, rowSuspects.map(_._1).toSet)
     val suspects = (rowSuspects ++ familySuspects)
       .sortBy { case (_, v, p) => p - v }.take(16)
+    // Each suspect re-runs in a fresh fork TOGETHER with a warm, known-
+    // stable sentinel row (r13 verdict #2: a cold-JVM isolated number
+    // compared against warm in-chunk history can neither confirm nor
+    // refute sub-second drift — the sentinel's time in the SAME child
+    // JVM carries the cold-JIT/session constant, so
+    // `adjudicated_norm = isolated / sentinel` is the contention-free,
+    // JVM-state-free ratio a reader can compare across rounds).
     val adjudicated = suspects.flatMap { case (k, v, p) =>
       System.err.println(
         f"[bench] adjudicating $k: $v%.2f s this run vs $p%.2f s history-min")
       val frag = scratch.resolve(s"adj-$k.json")
-      val ok = forkChunk(Seq(k), frag)
-      val iso =
-        if (ok && java.nio.file.Files.exists(frag))
-          parseFragment(frag).flatMap(_._1.get(k))
+      val pair = if (k == sentinel) Seq(k) else Seq(k, sentinel)
+      val ok = forkChunk(pair, frag)
+      val parsed =
+        if (ok && java.nio.file.Files.exists(frag)) parseFragment(frag)
         else None
-      iso.foreach(sec => System.err.println(
-        f"[bench] adjudicated $k: isolated $sec%.2f s"))
-      iso.map(k -> _)
+      val iso = parsed.flatMap(_._1.get(k))
+      val sent = parsed.flatMap(_._1.get(sentinel))
+      iso.foreach { sec =>
+        val norm = sent.filter(_ > 0).map(sv => sec / sv)
+        System.err.println(
+          f"[bench] adjudicated $k: isolated $sec%.2f s" +
+            norm.map(n => f", sentinel-norm $n%.2f").getOrElse(""))
+      }
+      iso.map(sec => (k, sec, sent.filter(_ > 0).map(sec / _)))
     }
     val adjJson = adjudicated
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val adjNormJson = adjudicated
+      .collect { case (k, _, Some(n)) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],"adjudicated":$adjJson}"""
+      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],"adjudicated":$adjJson,"adjudicated_norm":$adjNormJson,"round":$cur}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     writeHistory(java.nio.file.Paths.get("BENCH_HISTORY.json"),
-      (history :+ ordered.toMap).takeRight(historyDepth))
+      (keyed.filterNot(_._1 == cur) :+ (cur -> ordered.toMap))
+        .sortBy(_._1).takeRight(historyDepth))
     // child fragments + stdout logs all live under scratch — remove it so
     // driver-mode runs leave nothing in the system temp dir (ADVICE r12)
     util.deleteRecursively(scratch)
@@ -236,14 +260,47 @@ object Bench {
     }
   }
 
-  /** Rolling history (oldest first). `BENCH_HISTORY.json` is JSON-lines:
-    * one flat `{"queries":{...}}` object per retained round. When absent,
-    * seed from the prior round's BENCH_DETAIL.json so the first run under
-    * this scheme still has a yardstick. Empty when neither file parses:
+  /** The sentinel query forked alongside every adjudication suspect: a
+    * cheap, code-stable window row whose isolated time calibrates the
+    * child JVM's cold-start constant (see runDriverMode).
+    */
+  private[graft] val sentinel = "win_lag_lead"
+
+  /** The round id this run belongs to: one past the highest round whose
+    * driver artifacts (BENCH_rNN.json / CORRECTNESS_rNN.json) exist in
+    * the CWD — the driver writes round N's artifacts when N CLOSES, so
+    * during round N the max on disk is N−1. Falls back to 1 on a bare
+    * checkout (a true first run).
+    */
+  private[graft] def currentRound(
+      cwd: java.nio.file.Path = java.nio.file.Paths.get(".")): Int =
+    try {
+      val pat = "(?:BENCH|CORRECTNESS)_r0*([0-9]+)\\.json".r
+      val s = java.nio.file.Files.list(cwd)
+      val rounds =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).collect {
+            case pat(n) => n.toInt
+          }.toSeq
+        } finally s.close()
+      if (rounds.isEmpty) 1 else rounds.max + 1
+    } catch { case _: Throwable => 1 }
+
+  /** Rolling history (oldest first), one `(round, per-query seconds)`
+    * entry per DISTINCT round. `BENCH_HISTORY.json` is JSON-lines:
+    * `{"round":N,"queries":{...}}` per retained round. Legacy unkeyed
+    * lines (the pre-r14 append-ring) are collapsed into ONE entry keyed
+    * `currentRound − 1` holding the per-query MIN across them — they
+    * were all same-round reruns, and min is the floor semantics the
+    * ring exists for. When the file is absent, seed from the prior
+    * round's BENCH_DETAIL.json (keyed by its `round` field when
+    * present, else `currentRound − 1`). Empty when neither file parses:
     * a true first run adjudicates nothing.
     */
   private[graft] def readHistory(histPath: java.nio.file.Path,
-      detailPath: java.nio.file.Path): Seq[Map[String, Double]] = {
+      detailPath: java.nio.file.Path,
+      currentRound: Int): Seq[(Int, Map[String, Double])] = {
     def queriesObj(s: String): Map[String, Double] = {
       val i = s.indexOf("\"queries\"")
       if (i < 0) Map.empty
@@ -256,26 +313,42 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
+    def roundOf(s: String): Option[Int] =
+      "\"round\"\\s*:\\s*([0-9]+)".r.findFirstMatchIn(s).map(_.group(1).toInt)
     try {
       if (java.nio.file.Files.exists(histPath)) {
         val lines = java.nio.file.Files.readAllLines(histPath,
           java.nio.charset.StandardCharsets.UTF_8)
         import scala.jdk.CollectionConverters._
-        lines.asScala.toSeq.map(queriesObj).filter(_.nonEmpty)
-          .takeRight(historyDepth)
+        val parsed = lines.asScala.toSeq
+          .map(l => (roundOf(l), queriesObj(l)))
+          .filter(_._2.nonEmpty)
+        val keyed = parsed.collect { case (Some(r), qs) => r -> qs }
+        val legacy = parsed.collect { case (None, qs) => qs }
+        val collapsed =
+          if (legacy.isEmpty) Seq.empty
+          else Seq((currentRound - 1) ->
+            legacy.flatten.groupBy(_._1)
+              .map { case (k, kvs) => k -> kvs.map(_._2).min })
+        // a keyed entry wins over the legacy collapse at the same round
+        val keyedRounds = keyed.map(_._1).toSet
+        (keyed ++ collapsed.filterNot(c => keyedRounds(c._1)))
+          .sortBy(_._1).takeRight(historyDepth)
       } else if (java.nio.file.Files.exists(detailPath)) {
         val s = new String(java.nio.file.Files.readAllBytes(detailPath),
           java.nio.charset.StandardCharsets.UTF_8)
-        Seq(queriesObj(s)).filter(_.nonEmpty)
+        val qs = queriesObj(s)
+        if (qs.isEmpty) Nil
+        else Seq(roundOf(s).getOrElse(currentRound - 1) -> qs)
       } else Nil
     } catch { case _: Throwable => Nil }
   }
 
   private[graft] def writeHistory(p: java.nio.file.Path,
-      rounds: Seq[Map[String, Double]]): Unit = {
-    val body = rounds.map { qs =>
+      rounds: Seq[(Int, Map[String, Double])]): Unit = {
+    val body = rounds.map { case (r, qs) =>
       qs.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{\"queries\":{", ",", "}}")
+        .mkString(s"""{"round":$r,"queries":{""", ",", "}}")
     }.mkString("", "\n", "\n")
     java.nio.file.Files.write(p,
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -32,6 +32,7 @@ object SparkEntry {
       ops.Geo.defs ++
       ops.Eval.defs ++
       ops.TarShard.defs ++
+      ops.Governance.defs ++
       ops.Extensions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

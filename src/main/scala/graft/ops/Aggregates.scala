@@ -11,6 +11,82 @@ import org.apache.spark.sql.functions._
   */
 object Aggregates {
 
+  /** Portable deterministic HLL SQL (round-14, verdict #2), emitted for
+    * either engine (`duck` switches `//` vs `DIV`, `xor()` vs `^`,
+    * `<<` vs `shiftleft`, and the range-TVF column name — everything
+    * else is the identical integer math).
+    *
+    * Pipeline: key → murmur3 fmix32 finalizer (the xor-shift /
+    * wrapping-multiply avalanche, int64-safe: each 32-bit multiply is
+    * split into 16-bit halves so no intermediate exceeds 2^48) →
+    * register j = low 8 bits, suffix v = remaining 24 bits → rho =
+    * 25 − bitlen(v) by a range-join against 25 power-of-two rows
+    * (v = 0 → 25) → per-register max → Z as the scaled BIGINT
+    * Σ 2^(25−M) (empty registers contribute 2^25) → E = α·m²·2²⁵/Z
+    * with linear counting below 2.5m. An avalanche hash is load-bearing:
+    * affine mod-prime scrambles spread consecutive keys TOO evenly
+    * (3-distance theorem), wrecking the binomial occupancy statistics
+    * linear counting inverts — measured +40–50% bias on the fixture.
+    *
+    * `partial` (the merge row): sketch per (group, partial, register)
+    * first, then union-merge by per-register MAX up to the group —
+    * lossless at equal m, the property OperatorSpec pins.
+    */
+  private[graft] def hllSql(duck: Boolean, table: String, key: String,
+      grp: String, estName: String, partial: Option[String]): String = {
+    val div = if (duck) "//" else "DIV"
+    def xor(a: String, b: String) = if (duck) s"xor($a, $b)" else s"($a ^ $b)"
+    def shl(e: String) =
+      if (duck) s"(CAST(1 AS BIGINT) << CAST($e AS INT))"
+      else s"shiftleft(CAST(1 AS BIGINT), CAST($e AS INT))"
+    val rangeTvf =
+      if (duck) "FROM range(0, 25) t(i)" else "FROM range(0, 25)"
+    val rangeCol = if (duck) "i" else "id"
+    val pt = partial.map(c => s", $c AS pt").getOrElse("")
+    val ptCol = partial.map(_ => ", pt").getOrElse("")
+    val regCte = partial match {
+      case None =>
+        s"""reg AS (
+           |  SELECT g, j, max(CASE WHEN v = 0 THEN 25 ELSE 25 - p.bl END) AS mj
+           |  FROM bkt LEFT JOIN pows p ON v >= p.lb AND v < p.lb * 2
+           |  GROUP BY g, j)""".stripMargin
+      case Some(_) =>
+        s"""partials AS (
+           |  SELECT g, pt, j, max(CASE WHEN v = 0 THEN 25 ELSE 25 - p.bl END) AS mj
+           |  FROM bkt LEFT JOIN pows p ON v >= p.lb AND v < p.lb * 2
+           |  GROUP BY g, pt, j),
+           |reg AS (SELECT g, j, max(mj) AS mj FROM partials GROUP BY g, j)""".stripMargin
+    }
+    s"""WITH x0 AS (SELECT $grp AS g$pt, ($key % 4294967296) AS x FROM $table),
+       |s1 AS (SELECT g$ptCol, ${xor("x", s"x $div 65536")} AS a FROM x0),
+       |s2 AS (SELECT g$ptCol, ((a % 65536) * 2246822507
+       |         + ((a $div 65536) * 2246822507 % 65536) * 65536) % 4294967296 AS b FROM s1),
+       |s3 AS (SELECT g$ptCol, ${xor("b", s"b $div 8192")} AS c FROM s2),
+       |s4 AS (SELECT g$ptCol, ((c % 65536) * 3266489909
+       |         + ((c $div 65536) * 3266489909 % 65536) * 65536) % 4294967296 AS d FROM s3),
+       |s5 AS (SELECT g$ptCol, ${xor("d", s"d $div 65536")} AS w FROM s4),
+       |bkt AS (SELECT g$ptCol, w % 256 AS j, w $div 256 AS v FROM s5),
+       |pows AS (SELECT CAST($rangeCol + 1 AS INT) AS bl, ${shl(rangeCol)} AS lb
+       |         $rangeTvf),
+       |$regCte,
+       |z AS (
+       |  SELECT g,
+       |         CAST(sum(${shl("25 - mj")}) AS BIGINT)
+       |           + (256 - CAST(count(*) AS BIGINT)) * CAST(33554432 AS BIGINT) AS z_scaled,
+       |         CAST(256 - count(*) AS BIGINT) AS v_zero
+       |  FROM reg GROUP BY g),
+       |est AS (
+       |  SELECT g, z_scaled, v_zero,
+       |         CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 256)
+       |           * 65536 * 33554432 / z_scaled AS e_raw
+       |  FROM z)
+       |SELECT g AS $grp,
+       |       ${util.r2sql("CASE WHEN e_raw <= 640 AND v_zero > 0 THEN 256 * ln(256 / CAST(v_zero AS DOUBLE)) ELSE e_raw END")}
+       |         AS $estName,
+       |       z_scaled, v_zero
+       |FROM est ORDER BY $grp""".stripMargin
+  }
+
   /** TPC-H Q1 shape — the flagship `SparkEntry.entry` query. */
   def q1(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Tables(s, dir, "lineitem")
@@ -281,42 +357,119 @@ object Aggregates {
     ),
     Q(
       "agg_approx_hll",
-      // HyperLogLog++ distinct — THE 100 TB cardinality answer (exact
-      // distinct shuffles every key; HLL ships a constant-size sketch).
-      // No oracle: sketch estimates are engine-specific; OperatorSpec bounds the
-      // error vs exact counts.
+      // HyperLogLog distinct — THE 100 TB cardinality answer (exact
+      // distinct shuffles every key; HLL ships a constant-size register
+      // table). Round-14 (verdict #2): the sketch is now a PORTABLE
+      // deterministic HLL the DuckDB oracle replays bit-for-bit, closing
+      // the registry's last no-oracle rows. The hash is a full murmur3
+      // fmix32 avalanche finalizer written in overflow-safe int64 SQL
+      // (xor-shift via integer division, the two 32-bit wrapping
+      // multiplies split into 16-bit halves) — linear mod-prime
+      // scrambles were measured off by 40–50% here because HLL needs
+      // BINOMIAL collision statistics, which no affine map provides.
+      // m = 256 registers (p=8, rsd ≈ 6.5%); rho = leading-zero rank of
+      // the 24-bit suffix via a range-join against a 25-row power table
+      // (pure integers, no float log); the indicator sum Σ2^−M folds as
+      // the SCALED BIGINT Σ2^(25−M), so the only float ops are the
+      // final α·m²·2²⁵/Z division (correctly rounded, engine-identical)
+      // and the small-range linear-counting ln (r2-pinned). Spark's
+      // production instance of this row is approx_count_distinct —
+      // OperatorSpec keeps both within rsd bands of exact so the
+      // portable sketch certifies the native one. Scale: (flag,
+      // register) partials fold map-side; the shuffle carries ≤ 256
+      // rows per group — the mergeable-sketch shape that makes distinct
+      // counts roll up without raw rescans.
       (s, dir) => {
-        Tables(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-          .orderBy(col("l_returnflag"))
+        graft.Catalog.registerAll(s, dir)
+        s.sql(hllSql(duck = false, "lineitem", "l_partkey",
+          "l_returnflag", "approx_parts", partial = None))
       },
-      None
+      Some(hllSql(duck = true, "lineitem", "l_partkey",
+        "l_returnflag", "approx_parts", partial = None))
     ),
     Q(
       "agg_approx_quantile",
-      // KLL/GK-style quantile sketch (approx_percentile): like HLL, the
-      // 100 TB answer — constant-size sketch per group vs a full sort.
-      // No oracle (sketch internals are engine-specific); OperatorSpec bounds
-      // the estimates against exact percentiles. Quartiles are emitted as
-      // three scalar columns — "scalars out" convention: the gate tooling
-      // sorts/hashes cell values and chokes on array cells.
+      // Approximate quantiles by DERANDOMIZED level sampling (round-14,
+      // verdict #2): the KLL sketch's bottom level with its coin replaced
+      // by the portable row hash — every 16th row by hash survives, and
+      // nearest-rank quantiles of the sample estimate the population's
+      // (rank error ~ 1/(2√(n/16)), bounded in OperatorSpec against the
+      // exact percentiles). Because the "coin" is the hash, the sample —
+      // and therefore every output cell — is deterministic and the
+      // DuckDB oracle replays it exactly: this row is hash-matched while
+      // still exercising the approximate path. The sample is mergeable
+      // (union of per-partition samples IS the sample of the union —
+      // the property that lets 1000 executors sketch independently).
+      // Spark's production instance is approx_percentile, kept in the
+      // same OperatorSpec band. Values are exact integer cents; the
+      // only float is the rank arithmetic on exactly-representable
+      // quarters. Scale: the window sort runs over the 1/16 sample,
+      // never the corpus; shuffle O(n/16).
       (s, dir) => {
-        Tables(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(
-            expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-              .as("qs"),
-            expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"))
-          .select(
-            col("l_returnflag"),
-            element_at(col("qs"), 1).as("price_q25"),
-            element_at(col("qs"), 2).as("price_q50"),
-            element_at(col("qs"), 3).as("price_q75"),
-            col("median_qty"))
-          .orderBy(col("l_returnflag"))
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH s AS (
+          |  SELECT l_returnflag AS flag,
+          |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+          |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+          |  FROM lineitem
+          |  WHERE (((l_orderkey % 1000003) * 2654435761
+          |          + l_linenumber * 40503) % 1000003) % 16 = 0),
+          |n AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY flag),
+          |rp AS (SELECT flag, cents,
+          |              CAST(row_number() OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS rn
+          |       FROM s),
+          |rq AS (SELECT flag, qty,
+          |              CAST(row_number() OVER (PARTITION BY flag ORDER BY qty) AS BIGINT) AS rn
+          |       FROM s),
+          |picks AS (SELECT flag,
+          |    CAST(floor(CAST(0.25 AS DOUBLE) * (n - 1) + 0.5) AS BIGINT) + 1 AS r25,
+          |    CAST(floor(CAST(0.50 AS DOUBLE) * (n - 1) + 0.5) AS BIGINT) + 1 AS r50,
+          |    CAST(floor(CAST(0.75 AS DOUBLE) * (n - 1) + 0.5) AS BIGINT) + 1 AS r75
+          |  FROM n),
+          |qp AS (SELECT p.flag,
+          |         CAST(max(CASE WHEN rp.rn = p.r25 THEN rp.cents END) AS BIGINT) AS price_q25_cents,
+          |         CAST(max(CASE WHEN rp.rn = p.r50 THEN rp.cents END) AS BIGINT) AS price_q50_cents,
+          |         CAST(max(CASE WHEN rp.rn = p.r75 THEN rp.cents END) AS BIGINT) AS price_q75_cents
+          |       FROM picks p JOIN rp ON rp.flag = p.flag GROUP BY p.flag),
+          |qq AS (SELECT p.flag,
+          |         CAST(max(CASE WHEN rq.rn = p.r50 THEN rq.qty END) AS BIGINT) AS median_qty
+          |       FROM picks p JOIN rq ON rq.flag = p.flag GROUP BY p.flag)
+          |SELECT qp.flag AS l_returnflag, price_q25_cents, price_q50_cents,
+          |       price_q75_cents, median_qty
+          |FROM qp JOIN qq ON qp.flag = qq.flag
+          |ORDER BY l_returnflag""".stripMargin)
       },
-      None
+      Some("""WITH s AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+        |  FROM lineitem
+        |  WHERE (((l_orderkey % 1000003) * 2654435761
+        |          + l_linenumber * 40503) % 1000003) % 16 = 0),
+        |n AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY flag),
+        |rp AS (SELECT flag, cents,
+        |              CAST(row_number() OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS rn
+        |       FROM s),
+        |rq AS (SELECT flag, qty,
+        |              CAST(row_number() OVER (PARTITION BY flag ORDER BY qty) AS BIGINT) AS rn
+        |       FROM s),
+        |picks AS (SELECT flag,
+        |    CAST(floor(CAST(0.25 AS DOUBLE) * (n - 1) + 0.5) AS BIGINT) + 1 AS r25,
+        |    CAST(floor(CAST(0.50 AS DOUBLE) * (n - 1) + 0.5) AS BIGINT) + 1 AS r50,
+        |    CAST(floor(CAST(0.75 AS DOUBLE) * (n - 1) + 0.5) AS BIGINT) + 1 AS r75
+        |  FROM n),
+        |qp AS (SELECT p.flag,
+        |         CAST(max(CASE WHEN rp.rn = p.r25 THEN rp.cents END) AS BIGINT) AS price_q25_cents,
+        |         CAST(max(CASE WHEN rp.rn = p.r50 THEN rp.cents END) AS BIGINT) AS price_q50_cents,
+        |         CAST(max(CASE WHEN rp.rn = p.r75 THEN rp.cents END) AS BIGINT) AS price_q75_cents
+        |       FROM picks p JOIN rp ON rp.flag = p.flag GROUP BY p.flag),
+        |qq AS (SELECT p.flag,
+        |         CAST(max(CASE WHEN rq.rn = p.r50 THEN rq.qty END) AS BIGINT) AS median_qty
+        |       FROM picks p JOIN rq ON rq.flag = p.flag GROUP BY p.flag)
+        |SELECT qp.flag AS l_returnflag, price_q25_cents, price_q50_cents,
+        |       price_q75_cents, median_qty
+        |FROM qp JOIN qq ON qp.flag = qq.flag
+        |ORDER BY l_returnflag""".stripMargin)
     ),
     Q(
       "agg_percentile_exact",
@@ -2033,25 +2186,29 @@ object Aggregates {
     ),
     Q(
       "agg_hll_partial_merge",
-      // REAGGREGATABLE distinct sketches (Datasketches HLL, Spark 3.5+):
-      // per-(priority, status) partial sketches union-merge up to
-      // priority — the pre-aggregated-cube pattern that makes distinct
-      // counts roll up WITHOUT rescanning raw data at 100 TB. HLL union
-      // at equal lgK is lossless, so merging partials gives the SAME
-      // estimate as sketching the raw group directly (asserted exactly in
-      // OperatorSpec, alongside the error bound vs exact). No oracle —
-      // sketch internals are engine-specific.
+      // REAGGREGATABLE distinct sketches: per-(priority, status) PARTIAL
+      // register tables union-merge up to priority — the pre-aggregated-
+      // cube pattern that makes distinct counts roll up WITHOUT
+      // rescanning raw data at 100 TB. Round-14 (verdict #2): the
+      // sketch is the same portable deterministic HLL as agg_approx_hll
+      // (m = 256, FM least-set-bit rho), so union = per-register MAX —
+      // associative and LOSSLESS at equal m, which is why merging the
+      // per-status partials gives byte-identical registers to sketching
+      // each priority directly (OperatorSpec asserts that equality, and
+      // keeps Spark's native hll_sketch_agg/hll_union_agg path inside
+      // the same error band as the certified portable math). The DuckDB
+      // oracle replays partial-then-merge exactly → hash-matched.
+      // Scale: two map-side-combinable folds — (prio, status, register)
+      // partials, then the O(groups·256) merge; raw rows shuffle once.
       (s, dir) => {
-        val partials = Tables(s, dir, "orders")
-          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
-          .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
-        partials
-          .groupBy(col("o_orderpriority"))
-          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-            .cast("long").as("approx_customers"))
-          .orderBy(col("o_orderpriority"))
+        graft.Catalog.registerAll(s, dir)
+        s.sql(hllSql(duck = false, "orders", "o_custkey",
+          "o_orderpriority", "approx_customers",
+          partial = Some("o_orderstatus")))
       },
-      None
+      Some(hllSql(duck = true, "orders", "o_custkey",
+        "o_orderpriority", "approx_customers",
+        partial = Some("o_orderstatus")))
     ),
     Q(
       "agg_weighted_median",
@@ -3193,10 +3350,12 @@ object Aggregates {
       // A/B significance test should ship WITH — "the difference is 3σ
       // significant" means nothing without "and it is 0.04 pooled-SDs
       // large". Urgent vs low-priority order totals; the two groups'
-      // (n, Σx, Σx²) moments are exact BIGINT folds over WHOLE-DOLLAR
-      // values (cents would push Σx² past 2^63 at sf10 — dollars keep
-      // the quadratic moment in range to sf1000), pooled variance and
-      // the small-sample Hedges correction 1 − 3/(4(n1+n2)−9) are
+      // (n, Σx, Σx²) moments are exact BIGINT folds over HUNDRED-DOLLAR
+      // units (ADVICE r13: dollars kept Σx² ~ 3·10⁷/row, overflowing
+      // int64 near sf300–500; hundreds shrink the quadratic moment 10⁴×,
+      // pushing headroom past sf 10⁵ — d is scale-free, so only the
+      // quantization, not the unit, touches the value), pooled variance
+      // and the small-sample Hedges correction 1 − 3/(4(n1+n2)−9) are
       // assembled from those six integers with e6-pinned outputs.
       // Scale: one conditional-moment aggregate, map-side combinable,
       // O(1) rows after the partial fold.
@@ -3206,7 +3365,7 @@ object Aggregates {
           .select(
             when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
               .as("g1"),
-            floor(col("o_totalprice") + lit(0.5)).cast("long").as("x"))
+            floor(col("o_totalprice") / 100 + lit(0.5)).cast("long").as("x"))
           .agg(sum(col("g1")).as("n1"),
             sum(lit(1L) - col("g1")).as("n2"),
             sum(col("g1") * col("x")).as("s1"),
@@ -3226,7 +3385,7 @@ object Aggregates {
       },
       Some("""WITH x AS (
              |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
-             |         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+             |         CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT) AS x
              |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
              |m AS (
              |  SELECT CAST(sum(g1) AS BIGINT) AS n1,
@@ -3528,7 +3687,11 @@ object Aggregates {
       // weight ~ Poisson(1) (Chamandy et al., the production pattern at
       // Google/Meta scale), so the resample is a map-side expansion that
       // never materializes an index. Weights are a derandomized
-      // inverse-CDF on a multiplicative row×replicate hash (thresholds
+      // inverse-CDF on a multiplicative row×replicate hash — the key is
+      // folded mod 1000003 BEFORE the 2654435761 multiply (ADVICE r13:
+      // the unfolded product wraps int64 once o_orderkey passes ~3.5·10⁹,
+      // around sf600; folding first caps the product at ~2.7·10¹⁵ at any
+      // sf) — (thresholds
       // 3679/7358/9197/9810 of 10⁴ = the exact Poisson(1) pmf prefix
       // sums, capped at 4); 40 replicate means of order totals are exact
       // integer divisions; the CI is the 2nd/39th order statistic.
@@ -3543,10 +3706,10 @@ object Aggregates {
               .as("cents"))
           .crossJoin(broadcast(reps))
           .select(col("r"), col("cents"),
-            expr("""CASE WHEN ((k * 2654435761 + r * 40503) % 1000003) % 10000 < 3679 THEN 0
-                   WHEN ((k * 2654435761 + r * 40503) % 1000003) % 10000 < 7358 THEN 1
-                   WHEN ((k * 2654435761 + r * 40503) % 1000003) % 10000 < 9197 THEN 2
-                   WHEN ((k * 2654435761 + r * 40503) % 1000003) % 10000 < 9810 THEN 3
+            expr("""CASE WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 3679 THEN 0
+                   WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 7358 THEN 1
+                   WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 9197 THEN 2
+                   WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 9810 THEN 3
                    ELSE 4 END""").as("w"))
         val repMeans = weighted.groupBy(col("r"))
           .agg(sum(col("w") * col("cents")).as("ws"), sum(col("w")).as("wn"))
@@ -3564,10 +3727,10 @@ object Aggregates {
              |w AS (
              |  SELECT r,
              |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-             |         CASE WHEN ((o_orderkey * 2654435761 + r * 40503) % 1000003) % 10000 < 3679 THEN 0
-             |              WHEN ((o_orderkey * 2654435761 + r * 40503) % 1000003) % 10000 < 7358 THEN 1
-             |              WHEN ((o_orderkey * 2654435761 + r * 40503) % 1000003) % 10000 < 9197 THEN 2
-             |              WHEN ((o_orderkey * 2654435761 + r * 40503) % 1000003) % 10000 < 9810 THEN 3
+             |         CASE WHEN (((o_orderkey % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 3679 THEN 0
+             |              WHEN (((o_orderkey % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 7358 THEN 1
+             |              WHEN (((o_orderkey % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 9197 THEN 2
+             |              WHEN (((o_orderkey % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 9810 THEN 3
              |              ELSE 4 END AS wt
              |  FROM orders CROSS JOIN reps),
              |means AS (
@@ -3636,7 +3799,8 @@ object Aggregates {
       // numerator and denominator are random — naive per-unit-mean
       // variance is WRONG because num/den covary; the delta method
       // gives Var(X̄/Ȳ) ≈ (1/n)(σx² − 2R σxy + R² σy²)/Ȳ² with R = X̄/Ȳ.
-      // Units are customers (the randomization unit), X = spend cents,
+      // Units are customers (the randomization unit), X = spend in
+      // hundred-dollar units (see the headroom note below),
       // Y = order count, arms from the deterministic multiplicative
       // hash; all five moments per arm fold as exact BIGINTs and the z
       // assembles once, e6-pinned.
@@ -3645,9 +3809,11 @@ object Aggregates {
       (s, dir) => {
         val per = Tables(s, dir, "orders")
           .groupBy(col("o_custkey"))
-          // whole DOLLARS: the quadratic moment must stay in BIGINT
-          // range at large SF (cents would overflow sum(x*x) near sf1)
-          .agg(sum(floor(col("o_totalprice") + lit(0.5)).cast("long"))
+          // HUNDREDS of dollars (ADVICE r13): per-customer spend² in whole
+          // dollars ran ~2·10¹², overflowing Σx² near sf30; hundreds cut
+          // the quadratic moment 10⁴× (headroom past sf 10⁵). The ratio
+          // and its delta-method variance are unit-free up to the pin.
+          .agg(sum(floor(col("o_totalprice") / 100 + lit(0.5)).cast("long"))
             .as("x"), count(lit(1)).as("y"))
           .select(((col("o_custkey") % 1000003L) * 2654435761L % 2).as("arm"),
             col("x"), col("y"))
@@ -3678,7 +3844,7 @@ object Aggregates {
       },
       Some("""WITH per AS (
              |  SELECT (o_custkey % 1000003) * 2654435761 % 2 AS arm,
-             |         CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS x,
+             |         CAST(sum(CAST(floor(o_totalprice / 100 + 0.5) AS BIGINT)) AS BIGINT) AS x,
              |         CAST(count(*) AS BIGINT) AS y
              |  FROM orders GROUP BY o_custkey),
              |m AS (

@@ -166,16 +166,25 @@ object Geo {
       "geo_dbscan_core",
       // Grid-blocked DBSCAN core-point census (round-13): the density-
       // clustering primitive — a point is CORE when ≥ 3 other points sit
-      // within eps = 500 km — computed with the SAME 3×3 cell-
-      // neighborhood equi-join as geo_grid_knn_join (never all-pairs):
-      // 5° cells ≈ 556 km at the equator, so every ≤ 500 km neighbor is
-      // inside the ring by construction. Output is the core/non-core
+      // within eps = 500 km — computed with the grid-cell equi-join of
+      // geo_grid_knn_join (never all-pairs). The ring is LATITUDE-AWARE
+      // (ADVICE r13): a 5° lon cell is 556·cos(lat) km of ground, so
+      // above ~26° latitude a ≤500 km neighbor can sit TWO lon-cells
+      // away; probes in those bands fan to a 3×5 ring (lon offsets ±2 —
+      // sufficient through the fixture's ±60° span, where Δλ for 500 km
+      // tops out at 9.0° < 2 cells), equatorial bands keep the cheap
+      // 3×3. Latitude never needs more than ±1 cell (500 km ≈ 4.5° of
+      // lat < one 5° cell). Output is the core/non-core
       // census plus the mean neighbor count in e2 — the (eps, minPts)
       // tuning readout a clustering run inspects before committing to a
       // label propagation over core-core edges (dedup_connected_
       // components supplies that next step).
-      // Scale: shuffle O(9·n·density) on cell ids; haversine evaluated
-      // only inside cells; the census folds map-side to 2 rows.
+      // Scale: shuffle O(9..15·n·density) on cell ids; haversine
+      // evaluated only inside cells; the census folds map-side to 2
+      // rows. Beyond ±63.3° (where cos(lat) < 500/556/2) the reach
+      // formula generalizes to ±ceil(500/(556·cos)) cells; the fixture
+      // never exceeds ±60°, and production polar data would switch to
+      // a cap cell at |lat| ≥ 85° (the standard S2-style escape).
       (s, dir) => {
         graft.Catalog.registerAll(s, dir)
         s.sql(ptsSql + dbscanSql)
@@ -183,14 +192,24 @@ object Geo {
       Some(ptsSql + dbscanSql)
     ))
 
-  /** Shared DBSCAN-core SQL suffix for [[geo_dbscan_core]]. */
+  /** Shared DBSCAN-core SQL suffix for [[geo_dbscan_core]]. The lon ring
+    * widens to ±2 cells only for probe cells whose latitude band (its own
+    * extremes plus one 5° neighbor band = the partner's reach) can exceed
+    * 25.9° — the threshold where sqrt(cos·cos)·sin(2.5°) drops below
+    * sin(500 km / R_earth) and a >5° Δλ pair can still be ≤ eps; ±2
+    * suffices through ±60° (max Δλ for 500 km there is 9.0° < 10°).
+    */
   private lazy val dbscanSql: String =
     s"""
        |, offsets AS (SELECT CAST(-1 AS BIGINT) AS o UNION ALL SELECT 0 UNION ALL SELECT 1),
+       |lonoffs AS (SELECT CAST(-2 AS BIGINT) AS o UNION ALL SELECT -1 UNION ALL SELECT 0
+       |            UNION ALL SELECT 1 UNION ALL SELECT 2),
        |probes AS (
        |  SELECT id AS qid, lat_c AS qla, lon_c AS qlo,
        |         cla + ola.o AS jla, clo + olo.o AS jlo
-       |  FROM cells CROSS JOIN offsets ola CROSS JOIN offsets olo),
+       |  FROM cells CROSS JOIN offsets ola CROSS JOIN lonoffs olo
+       |  WHERE abs(olo.o) <= 1
+       |     OR greatest(abs(cla * 500), abs(cla * 500 + 500)) + 500 > 2590),
        |neigh AS (
        |  SELECT qid, CAST(count(*) AS BIGINT) AS nn
        |  FROM probes p JOIN cells b ON p.jla = b.cla AND p.jlo = b.clo

@@ -1248,21 +1248,33 @@ object GraphAnalytics {
       // without teleport or degree normalization, the variant where a
       // node connected to hubs outranks one connected to leaves of equal
       // degree. Four synchronous x ← A·x rounds in pure BIGINT (start
-      // 10⁶ per node; degree ≤ 6 after sparsification bounds growth at
-      // 6⁴·10⁶ ≪ 2⁶³), then one integer-division normalization by the
-      // max — bit-for-bit identical in both engines, no float summation
-      // order anywhere. Scale: each round is one join+groupBy over the
-      // bounded-degree edge list, shuffle O(6·nodes); the final max is a
-      // broadcastable scalar.
+      // 10⁶ per node), EACH followed by an integer re-normalization
+      // `score DIV greatest(max DIV 10⁶, 1)` that pins the per-node
+      // score back into [0, ~2·10⁶) — ADVICE r13: the pre-normalization
+      // sum is bounded by max_in_degree · 2·10⁶ per round (a hub's
+      // in-degree can reach n — the symmetrized top-3 pick bounds only
+      // OUT-degree), so without the per-round pin growth is maxdeg⁴·10⁶
+      // and a hub-heavy graph silently wraps in Spark while DuckDB's
+      // HUGEINT promotion errors. With the pin, overflow needs
+      // n > 4.6·10¹² nodes. The per-round divide-by-shifted-max form
+      // never multiplies before dividing; the FINAL projection re-pins
+      // the max at exactly 10⁶ with score·10⁶ DIV max, safe because
+      // pinned scores are ≤ ~2·10⁶ regardless of graph shape.
+      // Bit-for-bit identical in both engines, no float summation order
+      // anywhere. Scale: each round is one join+groupBy over the edge
+      // list plus a broadcastable scalar max.
       (s, dir) => {
         val e = edgesSym(s, dir)
         var x = e.select(col("src").as("node")).distinct()
           .withColumn("score", lit(1000000L))
         for (_ <- 1 to 4) {
-          x = e.join(x, e("dst") === x("node"))
+          val raw = e.join(x, e("dst") === x("node"))
             .groupBy(col("src").as("n2"))
-            .agg(sum(col("score")).as("score"))
-            .select(col("n2").as("node"), col("score"))
+            .agg(sum(col("score")).as("raw"))
+          val d = raw.agg(greatest(expr("max(raw) DIV 1000000"), lit(1L))
+            .as("d"))
+          x = raw.crossJoin(broadcast(d))
+            .select(col("n2").as("node"), expr("raw DIV d").as("score"))
         }
         val mx = x.agg(max(col("score")).as("mx"))
         x.crossJoin(broadcast(mx))
@@ -1272,14 +1284,22 @@ object GraphAnalytics {
       },
       Some(s"""$baseSql,
               |x0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS score FROM e),
-              |x1 AS (SELECT e.src AS node, CAST(sum(x0.score) AS BIGINT) AS score
+              |r1 AS (SELECT e.src AS node, CAST(sum(x0.score) AS BIGINT) AS raw
               |       FROM e JOIN x0 ON e.dst = x0.node GROUP BY e.src),
-              |x2 AS (SELECT e.src AS node, CAST(sum(x1.score) AS BIGINT) AS score
+              |d1 AS (SELECT greatest(max(raw) // 1000000, 1) AS d FROM r1),
+              |x1 AS (SELECT node, raw // d AS score FROM r1 CROSS JOIN d1),
+              |r2 AS (SELECT e.src AS node, CAST(sum(x1.score) AS BIGINT) AS raw
               |       FROM e JOIN x1 ON e.dst = x1.node GROUP BY e.src),
-              |x3 AS (SELECT e.src AS node, CAST(sum(x2.score) AS BIGINT) AS score
+              |d2 AS (SELECT greatest(max(raw) // 1000000, 1) AS d FROM r2),
+              |x2 AS (SELECT node, raw // d AS score FROM r2 CROSS JOIN d2),
+              |r3 AS (SELECT e.src AS node, CAST(sum(x2.score) AS BIGINT) AS raw
               |       FROM e JOIN x2 ON e.dst = x2.node GROUP BY e.src),
-              |x4 AS (SELECT e.src AS node, CAST(sum(x3.score) AS BIGINT) AS score
+              |d3 AS (SELECT greatest(max(raw) // 1000000, 1) AS d FROM r3),
+              |x3 AS (SELECT node, raw // d AS score FROM r3 CROSS JOIN d3),
+              |r4 AS (SELECT e.src AS node, CAST(sum(x3.score) AS BIGINT) AS raw
               |       FROM e JOIN x3 ON e.dst = x3.node GROUP BY e.src),
+              |d4 AS (SELECT greatest(max(raw) // 1000000, 1) AS d FROM r4),
+              |x4 AS (SELECT node, raw // d AS score FROM r4 CROSS JOIN d4),
               |mx AS (SELECT max(score) AS mx FROM x4)
               |SELECT node, CAST(score * 1000000 // mx AS BIGINT) AS eig_e6
               |FROM x4 CROSS JOIN mx

@@ -1313,6 +1313,95 @@ object TextOps {
              |FROM m ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "text_bpe_train_merges",
+      // BPE training, the LOOP (round-14, verdict #4): five full merge
+      // iterations over the English sub-corpus — each round is one
+      // pair-count shuffle, a 1-row argmax broadcast (count desc, pair
+      // asc tie-break: deterministic by construction), and one map-only
+      // rewrite of every token stream, exactly the tokenizer-training
+      // kernel (Sennrich et al.) that text_bpe_pair_counts and
+      // text_bpe_merge_apply each demonstrated one half of. The output
+      // is the merge TABLE a tokenizer ships: (merge_rank, winning pair,
+      // its count at selection time, vocab size after the merge).
+      // Between rounds the rewritten corpus is checkpointed to parquet —
+      // at 100 TB that materialization is mandatory anyway (each merge
+      // is one pass over the corpus; chaining N interpreted rewrites
+      // lazily would recompute round 1 N times), and it is what makes
+      // the loop restartable mid-vocabulary. Scale per round: the pair
+      // shuffle carries (pair, count) partials (map-side combined), the
+      // argmax is O(1) to the driver, the rewrite never shuffles.
+      (s, dir) => {
+        import s.implicits._
+        val bigramsOf = (tk: org.apache.spark.sql.Column) => transform(
+          sequence(lit(1), size(tk) - 1),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+        var corpus = Tables(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), col("text"))
+        val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+        for (rank <- 1 to 5) {
+          val tk = split(col("text"), " ")
+          val top = corpus.select(tk.as("tk")).filter(size(col("tk")) >= 2)
+            .select(explode(bigramsOf(col("tk"))).as("pair"))
+            .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("pair").asc).limit(1)
+          val next = corpus.crossJoin(broadcast(top))
+            .select(col("doc_id"), tk.as("tk"),
+              split(col("pair"), " ").getItem(0).as("pa"),
+              split(col("pair"), " ").getItem(1).as("pb"))
+            .select(col("doc_id"), aggregate(
+              expr("slice(tk, 2, size(tk) - 1)"),
+              element_at(col("tk"), 1),
+              (acc, x) => when(
+                regexp_extract(acc, "([^ ]*)$", 1) === col("pa") &&
+                  (x === col("pb")),
+                concat(acc, lit("_"), x))
+                .otherwise(concat(acc, lit(" "), x))).as("text"))
+          val ckpt = graft.util.tempDir(s"graft_bpe_r${rank}_")
+          next.write.mode("overwrite").parquet(ckpt)
+          corpus = s.read.parquet(ckpt)
+          val winner = top.collect().head
+          val vocab = corpus
+            .select(explode(split(col("text"), " ")).as("tok"))
+            .agg(countDistinct(col("tok"))).collect().head.getLong(0)
+          rows += ((rank.toLong, winner.getString(0), winner.getLong(1), vocab))
+        }
+        rows.toSeq.toDF("merge_rank", "pair", "pair_count", "vocab_size")
+          .orderBy(col("merge_rank"))
+      },
+      Some {
+        // unrolled 5-round oracle: cK = corpus after K merges, pK = the
+        // round-K winner, vK = vocab size after the round-K rewrite
+        val rounds = (1 to 5).map { k =>
+          s"""p$k AS (
+             |  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+             |    SELECT unnest(list_transform(
+             |             range(1, len(string_split(text, ' '))),
+             |             i -> string_split(text, ' ')[i] || ' ' ||
+             |                  string_split(text, ' ')[i + 1])) AS pair
+             |    FROM c${k - 1} WHERE len(string_split(text, ' ')) >= 2) t
+             |  GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+             |c$k AS (
+             |  SELECT doc_id, list_reduce(string_split(text, ' '),
+             |    (acc, x) -> CASE
+             |      WHEN regexp_extract(acc, '([^ ]*)${"$"}', 1) = split_part(p$k.pair, ' ', 1)
+             |       AND x = split_part(p$k.pair, ' ', 2)
+             |      THEN acc || '_' || x ELSE acc || ' ' || x END) AS text
+             |  FROM c${k - 1}, p$k),
+             |v$k AS (
+             |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok FROM c$k) u)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS merge_rank, pair, n AS pair_count, v AS vocab_size FROM p$k, v$k")
+          .mkString("\nUNION ALL\n")
+        s"""WITH c0 AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+           |$rounds
+           |$out
+           |ORDER BY merge_rank""".stripMargin
+      }
+    ),
+    Q(
       "pipeline_eval_holdout",
       // Eval-set preparation end-to-end: exact dedup → benchmark
       // decontamination (any shared token 5-gram with the held-out
@@ -4044,12 +4133,17 @@ object TextOps {
       (s, dir) => {
         val h1 = (col("doc_id") * 2654435761L) % 1000003L
         val h2 = (col("doc_id") * 40503L + 17L) % 999983L
+        // length >= 2 gate + greatest() in the modulus (ADVICE r13): a
+        // 1-char doc made `h % (len-1)` a division by zero — NULL spans
+        // and sha in Spark, an error in some DuckDB versions — breaking
+        // the spans-sum-to-length invariant; shorter docs now pass
+        // through un-split in both engines.
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"),
             length(col("text")).cast("long").as("n"),
-            (h1 % 100L < 50L).as("fim"),
-            (h1 % (length(col("text")).cast("long") - 1L) + 1L).as("a"),
-            (h2 % (length(col("text")).cast("long") - 1L) + 1L).as("b"))
+            (h1 % 100L < 50L && length(col("text")) >= 2).as("fim"),
+            (h1 % greatest(length(col("text")).cast("long") - 1L, lit(1L)) + 1L).as("a"),
+            (h2 % greatest(length(col("text")).cast("long") - 1L, lit(1L)) + 1L).as("b"))
           .select(col("doc_id"), col("fim"), col("n"),
             least(col("a"), col("b")).as("p1"),
             greatest(col("a"), col("b")).as("p2"), col("text"))
@@ -4068,9 +4162,9 @@ object TextOps {
       },
       Some("""WITH x AS (
              |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
-             |         ((doc_id * 2654435761) % 1000003) % 100 < 50 AS fim,
-             |         ((doc_id * 2654435761) % 1000003) % (CAST(length(text) AS BIGINT) - 1) + 1 AS a,
-             |         ((doc_id * 40503 + 17) % 999983) % (CAST(length(text) AS BIGINT) - 1) + 1 AS b
+             |         ((doc_id * 2654435761) % 1000003) % 100 < 50 AND length(text) >= 2 AS fim,
+             |         ((doc_id * 2654435761) % 1000003) % greatest(CAST(length(text) AS BIGINT) - 1, 1) + 1 AS a,
+             |         ((doc_id * 40503 + 17) % 999983) % greatest(CAST(length(text) AS BIGINT) - 1, 1) + 1 AS b
              |  FROM documents),
              |c AS (
              |  SELECT doc_id, fim, n, least(a, b) AS p1, greatest(a, b) AS p2, text

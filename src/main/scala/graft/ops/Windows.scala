@@ -3412,9 +3412,13 @@ object Windows {
       // Determinism: each day's ln(count) is e6-floored BEFORE the
       // regression sums (both engines produce the identical BIGINT per
       // day — no float accumulation order), the OLS slope assembles from
-      // five exact integer sums, and only decaying series emit a
-      // half-life (growing → NULL). Scale: one map-side daily rollup per
-      // type; the regression fold carries O(types) rows.
+      // five exact integer sums, and the half-life gate AND value both
+      // derive from the REPORTED rounded slope (ADVICE r13: gating on
+      // the raw numerator sign could emit slope 0 next to a non-null
+      // half-life when the slope sat in (−0.5e−6, 0)/day — the printed
+      // columns could contradict each other; now slope_e6_per_day < 0
+      // is the single source of truth). Scale: one map-side daily
+      // rollup per type; the regression fold carries O(types) rows.
       (s, dir) => {
         val daily = Tables.events(s, dir)
           .groupBy(col("event_type"),
@@ -3433,12 +3437,11 @@ object Windows {
           .select(col("event_type"), col("n").as("n_days"),
             expr("""CAST(floor((CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy)
                    / (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si) + 0.5) AS BIGINT)""")
-              .as("slope_e6_per_day"),
-            expr("""CASE WHEN CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy < 0
-                   THEN CAST(floor(ln(CAST(2 AS DOUBLE))
-                        / (-((CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy)
-                             / (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si) / 1000000))
-                        * 100 + 0.5) AS BIGINT)
+              .as("slope_e6_per_day"))
+          .select(col("event_type"), col("n_days"), col("slope_e6_per_day"),
+            expr("""CASE WHEN slope_e6_per_day < 0
+                   THEN CAST(floor(ln(CAST(2 AS DOUBLE)) * 100000000
+                        / (-slope_e6_per_day) + 0.5) AS BIGINT)
                    ELSE CAST(NULL AS BIGINT) END""").as("halflife_days_e2"))
           .orderBy(col("event_type"))
       },
@@ -3456,18 +3459,19 @@ object Windows {
              |         CAST(sum(i) AS BIGINT) AS si, CAST(sum(y) AS BIGINT) AS sy,
              |         CAST(sum(i * i) AS BIGINT) AS sii,
              |         CAST(sum(i * y) AS BIGINT) AS siy
-             |  FROM idx GROUP BY event_type)
-             |SELECT event_type, n AS n_days,
-             |       CAST(floor((CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy)
-             |            / (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si) + 0.5) AS BIGINT)
-             |         AS slope_e6_per_day,
-             |       CASE WHEN CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy < 0
-             |       THEN CAST(floor(ln(CAST(2 AS DOUBLE))
-             |            / (-((CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy)
-             |                 / (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si) / 1000000))
-             |            * 100 + 0.5) AS BIGINT)
+             |  FROM idx GROUP BY event_type),
+             |sl AS (
+             |  SELECT event_type, n AS n_days,
+             |         CAST(floor((CAST(n AS DOUBLE) * siy - CAST(si AS DOUBLE) * sy)
+             |              / (CAST(n AS DOUBLE) * sii - CAST(si AS DOUBLE) * si) + 0.5) AS BIGINT)
+             |           AS slope_e6_per_day
+             |  FROM g)
+             |SELECT event_type, n_days, slope_e6_per_day,
+             |       CASE WHEN slope_e6_per_day < 0
+             |       THEN CAST(floor(ln(CAST(2 AS DOUBLE)) * 100000000
+             |            / (-slope_e6_per_day) + 0.5) AS BIGINT)
              |       ELSE CAST(NULL AS BIGINT) END AS halflife_days_e2
-             |FROM g ORDER BY event_type""".stripMargin)
+             |FROM sl ORDER BY event_type""".stripMargin)
     )
   )
 

@@ -79,9 +79,14 @@ class ManifestSink extends TableProvider {
       .flatMap(b => ManifestSink.readBranchState(dir, b))
       .orElse(ManifestSink.readState(dir, vOpt))
       .map(_.schema).getOrElse(new StructType())
-    // change-feed reads surface the operation kind as a column — the
-    // Delta/Iceberg CDF contract
+    // change-feed reads surface the operation kind and the committing
+    // snapshot version as columns — the Delta CDF contract
+    // (_change_type, _commit_version); the version is what lets an
+    // incremental-view consumer order events on the SAME key inside one
+    // range (delete-then-reinsert resolves its pre-image against state
+    // strictly before the delete's version — round-14 IVM)
     if (changeFeed) base.add("_change_type", StringType)
+      .add("_commit_version", LongType)
     else base
   }
 
@@ -816,14 +821,39 @@ object ManifestSink {
     }
     val seenData = filesA.map(_._1).toSet
     val seenDel = atA.map(_.deletes.map(_._1).toSet).getOrElse(Set.empty)
-    val inserts = filesB.collect {
-      case (f, _) if !seenData(f) =>
-        ChangeFeedPartition(resolveData(dir, f), isDelete = false): InputPartition
+    val newData = filesB.collect { case (f, _) if !seenData(f) => f }
+    val newDels = atB.map(_.deletes).getOrElse(Seq.empty)
+      .collect { case (f, _) if !seenDel(f) => f }
+    // _commit_version attribution (round-14): each net-new file is tagged
+    // with the FIRST retained snapshot in (a, b] that contains it —
+    // O(range) manifest reads, zero data reads (metadata-scale even at
+    // 100 TB). A single-version range skips the walk entirely (the
+    // streaming feed's per-commit batches stay one readState each). A
+    // file whose first snapshot expired mid-range attributes to the range
+    // end — the latest version it provably belonged to.
+    val attr = scala.collection.mutable.HashMap[String, Int]()
+    if (a + 1 == b) { (newData ++ newDels).foreach(attr(_) = b) }
+    else {
+      var pending = (newData ++ newDels).toSet
+      var v = a + 1
+      while (pending.nonEmpty && v < b) {
+        readState(dir, Some(v)).foreach { st =>
+          val present = st.files.iterator.map(_._1).toSet ++
+            st.deletes.iterator.map(_._1)
+          val found = pending.filter(present)
+          found.foreach(attr(_) = v)
+          pending --= found
+        }
+        v += 1
+      }
+      pending.foreach(attr(_) = b)
     }
-    val deletes = atB.map(_.deletes).getOrElse(Seq.empty).collect {
-      case (f, _) if !seenDel(f) =>
-        ChangeFeedPartition(resolveData(dir, f), isDelete = true): InputPartition
-    }
+    val inserts = newData.map(f =>
+      ChangeFeedPartition(resolveData(dir, f), isDelete = false,
+        version = attr(f)): InputPartition)
+    val deletes = newDels.map(f =>
+      ChangeFeedPartition(resolveData(dir, f), isDelete = true,
+        version = attr(f)): InputPartition)
     (inserts ++ deletes).toArray
   }
 
@@ -932,6 +962,16 @@ object ManifestTableAccess {
       (c.path, c.isDelete)
     }
 
+  /** Like [[cdfPlan]] but carrying each partition's attributed
+    * `_commit_version` — the spec handle on version attribution.
+    */
+  def cdfPlanVersions(dir: String, lo: Int, hi: Int)
+      : Seq[(String, Boolean, Int)] =
+    ManifestSink.changeSetPartitions(dir, lo - 1, hi).toSeq.map { p =>
+      val c = p.asInstanceOf[ChangeFeedPartition]
+      (c.path, c.isDelete, c.version)
+    }
+
   /** Plan a batch scan with the given pushed filters — the spec handle on
     * min/max file pruning (returns the file paths that would be read).
     */
@@ -959,7 +999,9 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
     val base = pinnedBranch.flatMap(b => ManifestSink.readBranchState(dir, b))
       .orElse(ManifestSink.readState(dir, pinnedVersion))
       .map(_.schema).getOrElse(writeSchema)
-    if (changeFeed) base.add("_change_type", StringType) else base
+    if (changeFeed) base.add("_change_type", StringType)
+      .add("_commit_version", LongType)
+    else base
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -1047,10 +1089,13 @@ private[sources] class ManifestTable(dir: String, writeSchema: StructType,
       }
       private val readSch = {
         val base = state.map(_.schema).getOrElse(writeSchema)
-        // CDF scans read base columns + the trailing _change_type — the
-        // reader emits 4-field rows, so the declared read schema must
-        // match or a downstream consumer reads a garbage field offset
-        if (changeFeed) base.add("_change_type", StringType) else base
+        // CDF scans read base columns + the trailing (_change_type,
+        // _commit_version) pair — the reader emits rows of exactly this
+        // arity, so the declared read schema must match or a downstream
+        // consumer reads a garbage field offset
+        if (changeFeed) base.add("_change_type", StringType)
+          .add("_commit_version", LongType)
+        else base
       }
 
       // ---- data skipping: first-column filters prune whole files by the
@@ -1336,15 +1381,16 @@ private[sources] class ManifestChangeFeedStream(dir: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
-private[sources] case class ChangeFeedPartition(path: String, isDelete: Boolean)
-    extends InputPartition
+private[sources] case class ChangeFeedPartition(path: String,
+    isDelete: Boolean, version: Int) extends InputPartition
 
 private[sources] class ChangeFeedReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ChangeFeedPartition]
-    // schema = base columns + trailing _change_type
-    val base = StructType(schema.fields.dropRight(1))
+    // schema = base columns + trailing (_change_type, _commit_version)
+    val base = StructType(schema.fields.dropRight(2))
+    val ver = part.version.toLong
     val tag = org.apache.spark.unsafe.types.UTF8String.fromString(
       if (part.isDelete) "delete" else "insert")
     new PartitionReader[InternalRow] {
@@ -1363,7 +1409,8 @@ private[sources] class ChangeFeedReaderFactory(schema: StructType)
               // an equality-delete line is the row-id key alone
               (line.toLong: Any) +: Seq.fill[Any](base.length - 1)(null)
             else ManifestSink.decode(line, base).toSeq(base)
-          current = toUnsafe(InternalRow.fromSeq(vals :+ (tag: Any))).copy()
+          current = toUnsafe(
+            InternalRow.fromSeq(vals :+ (tag: Any) :+ (ver: Any))).copy()
           true
         }
       }

@@ -62,21 +62,75 @@ class BenchSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_benchspec_")
     val hp = dir.resolve("BENCH_HISTORY.json")
     val dp = dir.resolve("BENCH_DETAIL.json")
-    // seeding: no history file → the prior detail artifact is the yardstick
+    // seeding: no history file → the prior detail artifact is the
+    // yardstick, keyed one round before the current one
     java.nio.file.Files.write(dp,
       """{"metric":"detail","queries":{"q_a":1.5,"q_b":0.25},"sf":"x","failed":[]}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val seeded = Bench.readHistory(hp, dp)
-    assert(seeded === Seq(Map("q_a" -> 1.5, "q_b" -> 0.25)))
+    val seeded = Bench.readHistory(hp, dp, currentRound = 14)
+    assert(seeded === Seq(13 -> Map("q_a" -> 1.5, "q_b" -> 0.25)))
+    // ...unless the detail artifact itself carries its round id
+    java.nio.file.Files.write(dp,
+      """{"metric":"detail","queries":{"q_a":1.5},"sf":"x","failed":[],"round":11}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Bench.readHistory(hp, dp, 14) === Seq(11 -> Map("q_a" -> 1.5)))
     // roundtrip + trim to historyDepth (oldest dropped)
-    val rounds = (1 to 5).map(i => Map("q_a" -> i.toDouble))
+    val rounds = (1 to 5).map(i => i -> Map("q_a" -> i.toDouble))
     Bench.writeHistory(hp, rounds.takeRight(Bench.historyDepth))
-    val back = Bench.readHistory(hp, dp)
-    assert(back === Seq(Map("q_a" -> 3.0), Map("q_a" -> 4.0), Map("q_a" -> 5.0)))
+    val back = Bench.readHistory(hp, dp, 6)
+    assert(back === Seq(3 -> Map("q_a" -> 3.0), 4 -> Map("q_a" -> 4.0),
+      5 -> Map("q_a" -> 5.0)))
     // corrupt history line is skipped, not fatal
     java.nio.file.Files.write(hp,
-      "not json\n{\"queries\":{\"q_a\":2.0}}\n"
+      "not json\n{\"round\":2,\"queries\":{\"q_a\":2.0}}\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    assert(Bench.readHistory(hp, dp) === Seq(Map("q_a" -> 2.0)))
+    assert(Bench.readHistory(hp, dp, 3) === Seq(2 -> Map("q_a" -> 2.0)))
+  }
+
+  test("history ring keys by ROUND: same-round reruns replace, floor spans 3 distinct rounds (r13 verdict #1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchspec_")
+    val hp = dir.resolve("BENCH_HISTORY.json")
+    val dp = dir.resolve("BENCH_DETAIL.json")
+    Bench.writeHistory(hp, Seq(
+      12 -> Map("q_a" -> 0.20), 13 -> Map("q_a" -> 0.30)))
+    // simulate what runDriverMode does on EVERY round-14 rerun: replace
+    // the round-14 entry, never displace 12/13
+    def rerun(v: Double): Seq[(Int, Map[String, Double])] = {
+      val keyed = Bench.readHistory(hp, dp, 14)
+      val next = (keyed.filterNot(_._1 == 14) :+ (14 -> Map("q_a" -> v)))
+        .sortBy(_._1).takeRight(Bench.historyDepth)
+      Bench.writeHistory(hp, next)
+      next
+    }
+    rerun(0.90); rerun(0.80)
+    val after = rerun(0.70)
+    assert(after.map(_._1) === Seq(12, 13, 14),
+      "three reruns must still span rounds {12,13,14}")
+    assert(after.last._2("q_a") === 0.70, "rerun replaces, not appends")
+    // the r12 floor survives any number of r14 runs
+    assert(after.flatMap(_._2.get("q_a")).min === 0.20)
+  }
+
+  test("history ring: legacy unkeyed lines collapse to ONE prior-round entry at the per-query min") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchspec_")
+    val hp = dir.resolve("BENCH_HISTORY.json")
+    val dp = dir.resolve("BENCH_DETAIL.json")
+    // the pre-r14 ring: three same-round runs, unkeyed
+    java.nio.file.Files.write(hp,
+      ("""{"queries":{"q_a":0.50,"q_b":1.0}}""" + "\n" +
+        """{"queries":{"q_a":0.40,"q_b":1.2}}""" + "\n" +
+        """{"queries":{"q_a":0.45}}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Bench.readHistory(hp, dp, 14) ===
+      Seq(13 -> Map("q_a" -> 0.40, "q_b" -> 1.0)))
+  }
+
+  test("currentRound: one past the max driver artifact in the cwd") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchspec_")
+    assert(Bench.currentRound(dir) === 1, "bare checkout is round 1")
+    java.nio.file.Files.write(dir.resolve("BENCH_r03.json"), Array[Byte]())
+    java.nio.file.Files.write(dir.resolve("CORRECTNESS_r13.json"), Array[Byte]())
+    java.nio.file.Files.write(dir.resolve("BENCH_r12.json"), Array[Byte]())
+    assert(Bench.currentRound(dir) === 14)
   }
 }

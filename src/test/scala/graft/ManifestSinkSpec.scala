@@ -687,13 +687,19 @@ class ManifestSinkSpec extends AnyFunSuite {
       .write.format("graft.sources.ManifestSink").option("path", dir)
       .mode("append").save()
     val r13 = cdf("startingVersion" -> "1", "endingVersion" -> "3")
-    assert(r13.columns.toSeq === Seq("k", "v", "s", "_change_type"),
-      "schema resolves at the range END, plus the change-type tag")
+    assert(r13.columns.toSeq ===
+      Seq("k", "v", "s", "_change_type", "_commit_version"),
+      "schema resolves at the range END, plus the CDF tag pair")
     val rows = r13.collect().map(r =>
       (r.getLong(0), r.isNullAt(2), r.getString(3))).sortBy(_._1)
     assert(rows.map(_._1).toSeq ===
       Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L), "inclusive [1, 3], v4 excluded")
     assert(rows.forall(_._3 == "insert"))
+    // _commit_version attributes each row to its committing snapshot:
+    // k<10 landed at v1, k>=10 at v3 (v2 was the schema-only evolution)
+    val vers = r13.collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(vers.filter(_._1 < 10).forall(_._2 === 1L), vers.mkString(","))
+    assert(vers.filter(_._1 >= 10).forall(_._2 === 3L), vers.mkString(","))
     assert(rows.filter(_._1 < 10).forall(_._2),
       "pre-evolution rows surface the added column as NULL")
     assert(rows.filterNot(_._1 < 10).forall(!_._2))
@@ -707,7 +713,8 @@ class ManifestSinkSpec extends AnyFunSuite {
     // AFTER it (r12): the relation must not declare the post-range
     // width while the reader emits pinned-snapshot rows
     val r11 = cdf("startingVersion" -> "1", "endingVersion" -> "1")
-    assert(r11.columns.toSeq === Seq("k", "v", "_change_type"),
+    assert(r11.columns.toSeq ===
+      Seq("k", "v", "_change_type", "_commit_version"),
       "a pre-evolution range must carry the pre-evolution schema")
     assert(r11.count() === 4)
     // …and the same pinning for plain versionAsOf time travel

@@ -68,35 +68,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
-  test("approx quantiles land within 5% rank error of exact percentiles") {
+  test("approx quantiles (portable sample + native sketch) land within rank-error bands of exact") {
     val got = SparkEntry.queries("agg_approx_quantile")(spark, dir)
-      .selectExpr("l_returnflag", "price_q50 as approx_median")
-      .as[(String, Double)].collect().toMap
-    val exact = Tables(spark, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .selectExpr("l_returnflag", "CAST(price_q50_cents AS DOUBLE) / 100 AS approx_median")
       .as[(String, Double)].collect().toMap
     got.foreach { case (flag, approx) =>
-      // rank-error bound translated loosely to value space: within the
-      // 45th..55th percentile band
+      // 1/16 sample of a ~2000-row group → median rank error well
+      // inside the 38th..62nd percentile band
       val band = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === flag)
-        .selectExpr("percentile(l_extendedprice, 0.45) lo", "percentile(l_extendedprice, 0.55) hi")
+        .selectExpr("percentile(l_extendedprice, 0.38) lo", "percentile(l_extendedprice, 0.62) hi")
         .as[(Double, Double)].head()
       assert(approx >= band._1 && approx <= band._2,
-        s"$flag: approx $approx outside [$band] around exact ${exact(flag)}")
+        s"$flag: approx $approx outside [$band]")
+      // Spark's production sketch stays inside the same band — the
+      // certified portable estimator and the native one agree on rank
+      val native = Tables(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === flag)
+        .selectExpr("approx_percentile(l_extendedprice, 0.5, 10000) m")
+        .as[Double].head()
+      assert(native >= band._1 && native <= band._2,
+        s"$flag: native $native outside [$band]")
     }
   }
 
-  test("HLL approx distinct within rsd bound of exact") {
+  test("HLL approx distinct (portable registers + native sketch) within rsd bound of exact") {
     val approx = SparkEntry.queries("agg_approx_hll")(spark, dir)
+      .selectExpr("l_returnflag", "approx_parts")
+      .as[(String, Double)].collect().toMap
+    val native = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n"))
       .as[(String, Long)].collect().toMap
     val exact = Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag").agg(countDistinct(col("l_partkey")))
       .as[(String, Long)].collect().toMap
     exact.foreach { case (k, n) =>
-      // rsd 0.02 → allow 3 sigma ≈ 6%
-      assert(math.abs(approx(k) - n) <= math.max(1, (0.06 * n).toLong),
-        s"$k: approx ${approx(k)} vs exact $n")
+      // m=256 → rsd ≈ 6.5%; allow 3 sigma ≈ 20% (linear-counting path
+      // at small sf is much tighter)
+      assert(math.abs(approx(k) - n) <= math.max(2, 0.20 * n),
+        s"$k: portable ${approx(k)} vs exact $n")
+      // the native sketch (rsd 0.02 → 3σ ≈ 6%) stays in ITS band
+      assert(math.abs(native(k) - n) <= math.max(1, (0.06 * n).toLong),
+        s"$k: native ${native(k)} vs exact $n")
     }
   }
 
@@ -123,20 +136,40 @@ class OperatorSpec extends AnyFunSuite {
 
   test("hll partial-merge: union of partials equals direct sketch; bounded error vs exact") {
     val merged = SparkEntry.queries("agg_hll_partial_merge")(spark, dir)
+      .selectExpr("o_orderpriority", "approx_customers", "z_scaled", "v_zero")
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    // lossless union at equal m: per-register max over the per-status
+    // partials must give EXACTLY the registers (hence z/v/estimate) of
+    // sketching each priority group directly — the direct query is the
+    // same portable HLL minus the partial stage
+    graft.Catalog.registerAll(spark, dir)
+    val direct = spark.sql(ops.Aggregates.hllSql(duck = false, "orders",
+        "o_custkey", "o_orderpriority", "approx_customers", partial = None))
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(merged === direct,
+      s"partial-merge diverged from direct sketch:\n $merged\n $direct")
+    // Spark's native Datasketches union is lossless the same way
+    val nativeMerged = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("est"))
       .as[(String, Long)].collect().toMap
-    // lossless union at equal lgK: merging per-status partials must give
-    // EXACTLY the estimate of sketching each priority group directly
-    val direct = Tables(spark, dir, "orders")
+    val nativeDirect = Tables(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).cast("long").as("est"))
       .as[(String, Long)].collect().toMap
-    assert(merged === direct, "partial-merge estimate diverged from direct sketch")
+    assert(nativeMerged === nativeDirect,
+      "native partial-merge estimate diverged from direct sketch")
     val exact = Tables(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_custkey")).as("n")).as[(String, Long)].collect().toMap
     exact.foreach { case (k, n) =>
-      assert(math.abs(merged(k) - n).toDouble / n < 0.05,
-        s"HLL estimate for $k off by >5%: ${merged(k)} vs $n")
+      val m = merged.find(_._1 == k).get._2
+      assert(math.abs(m - n) / n < 0.20,
+        s"portable HLL estimate for $k off by >20%: $m vs $n")
+      assert(math.abs(nativeMerged(k) - n).toDouble / n < 0.05,
+        s"native HLL estimate for $k off by >5%: ${nativeMerged(k)} vs $n")
     }
   }
 

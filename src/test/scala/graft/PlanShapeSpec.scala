@@ -635,4 +635,40 @@ class PlanShapeSpec extends AnyFunSuite {
         "AQE did not convert the shuffle join to a broadcast join:\n" + plan.take(800))
     }
   }
+
+  test("sql_column_mask: the masked view still column-prunes and pushes consumer filters to the scan (r13 verdict #6)") {
+    // register the policy view (and the base tables) exactly as the row does
+    SparkEntry.queries("sql_column_mask")(spark, dir)
+    // a consumer that never touches the masked columns must not read
+    // them: governance cannot cost a wider scan
+    val pruned = spark.sql(
+      """SELECT c_mktsegment FROM customer_masked
+        |WHERE c_custkey < 100""".stripMargin)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_custkey") &&
+      readSchema.contains("c_mktsegment"), readSchema)
+    assert(!readSchema.contains("c_name") && !readSchema.contains("c_acctbal"),
+      s"masked columns must prune out of the scan: $readSchema")
+    // ...and the consumer's own predicate reaches the parquet scan
+    // THROUGH the view
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(c_custkey,100)"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("sql_row_filter_policy: enforcement is a broadcast semi-join; consumer filters still reach the scan") {
+    SparkEntry.queries("sql_row_filter_policy")(spark, dir)
+    val q = spark.sql(
+      """SELECT count(*) FROM customer_rls WHERE c_custkey < 100""")
+    val plan = q.queryExecution.executedPlan.toString
+    // the policy IN-subquery plans as a broadcast LeftSemi against the
+    // O(grants) relation — never a shuffle of the governed table
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.take(1200))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(c_custkey,100)"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 invariants: delta-join IVM (only deltas re-read, converges to
+  * the full recompute), the CDF `_commit_version` contract, the iterated
+  * BPE training loop, and the governance views' semantic guarantees (the
+  * PLAN guarantees live in PlanShapeSpec).
+  */
+class Round14Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  test("cdc_ivm_join_view: IVM result equals the full recompute at the end versions") {
+    val ivm = SparkEntry.queries("cdc_ivm_join_view")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // full recompute: A@latest ⋈ B@latest, same rollup — the thing IVM
+    // is NOT allowed to do but must converge to
+    val fmt = "graft.sources.ManifestSink"
+    val aDir = s"${graft.util.catalogWarehouse}/marts/ivm_fact"
+    val bDir = s"${graft.util.catalogWarehouse}/marts/ivm_dim"
+    val full = spark.read.format(fmt).option("path", aDir).load()
+      .join(spark.read.format(fmt).option("path", bDir).load(), "ck")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("rev_cents"))
+      .orderBy(col("seg"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ivm.nonEmpty && ivm.toSeq === full.toSeq,
+      s"IVM diverged from recompute:\n ivm=${ivm.toSeq}\n full=${full.toSeq}")
+    // REBUILT must exist (B's delete+reinsert survived the window) and
+    // BUILDING must not (its rows were renamed mid-window)
+    val segs = ivm.map(_._1).toSet
+    assert(segs.contains("REBUILT") && !segs.contains("BUILDING"), segs)
+  }
+
+  test("cdc_ivm_join_view: only the window's files are planned — deltas, never the base snapshots") {
+    // staged by the registry row in the test above (suite order is
+    // file order; re-run the row if this test runs standalone)
+    val aDir = s"${graft.util.catalogWarehouse}/marts/ivm_fact"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(aDir)))
+      SparkEntry.queries("cdc_ivm_join_view")(spark, dir).collect()
+    val winPlan = graft.sources.ManifestTableAccess.cdfPlanVersions(aDir, 3, 4)
+    val fullPlan = graft.sources.ManifestTableAccess.cdfPlanVersions(aDir, 1, 4)
+    // the delta window plans strictly fewer partitions than the full
+    // history, and every planned partition is attributed inside [3, 4]
+    assert(winPlan.nonEmpty && winPlan.size < fullPlan.size,
+      s"window=${winPlan.size} full=${fullPlan.size}")
+    assert(winPlan.forall { case (_, _, v) => v >= 3 && v <= 4 }, winPlan)
+    // v2's bulk file (the snapshot the view already holds) is NOT re-read
+    val v2Files = fullPlan.collect { case (p, _, 2) => p }.toSet
+    assert(v2Files.nonEmpty, "staging must have committed data at v2")
+    assert(winPlan.forall { case (p, _, _) => !v2Files(p) },
+      "the IVM window must not re-open the base snapshot's files")
+  }
+
+  test("CDF _commit_version: delete-then-reinsert of the same key is ordered inside one range") {
+    val bDir = s"${graft.util.catalogWarehouse}/marts/ivm_dim"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(bDir)))
+      SparkEntry.queries("cdc_ivm_join_view")(spark, dir).collect()
+    val feed = spark.read.format("graft.sources.ManifestSink")
+      .option("path", bDir).option("changeFeed", "true")
+      .option("startingVersion", "3").option("endingVersion", "4").load()
+    val byType = feed.groupBy(col("_change_type"))
+      .agg(min(col("_commit_version")).as("vmin"),
+        max(col("_commit_version")).as("vmax"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byType("delete") === ((3L, 3L)), s"deletes landed at v3: $byType")
+    assert(byType("insert") === ((4L, 4L)), s"reinserts landed at v4: $byType")
+  }
+
+  test("text_bpe_train_merges: 5 ranks, non-increasing winner counts, vocab grows by at most 1 per merge") {
+    val rows = SparkEntry.queries("text_bpe_train_merges")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // every occurrence of a post-merge pair maps to a distinct
+    // pre-merge occurrence, so the argmax count can never rise
+    val counts = rows.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"winner counts must be non-increasing: ${counts.toSeq}")
+    assert(counts.forall(_ > 0))
+    // a merge introduces exactly one new token type and can only
+    // remove types by exhausting them
+    val vocab = rows.map(_._4)
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => b <= a + 1 },
+      s"vocab can grow by at most 1 per merge: ${vocab.toSeq}")
+    // merged spellings join with '_' — each winner is a space-joined pair
+    assert(rows.forall(_._2.split(" ").length === 2), rows.map(_._2).toSeq)
+  }
+
+  test("sql_row_filter_policy: the view exposes ONLY the principal's granted segments") {
+    SparkEntry.queries("sql_row_filter_policy")(spark, dir).collect()
+    val visible = spark.sql("SELECT DISTINCT c_mktsegment FROM customer_rls")
+      .collect().map(_.getString(0)).toSet
+    assert(visible === Set("BUILDING", "AUTOMOBILE"),
+      s"emea_analyst grants leak: $visible")
+    // completeness: every granted row is visible (filter, not sample)
+    val n = spark.sql("SELECT count(*) FROM customer_rls").collect().head.getLong(0)
+    val exp = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).count()
+    assert(n === exp)
+  }
+
+  test("sql_column_mask: masks are shape-preserving and never leak the raw value") {
+    SparkEntry.queries("sql_column_mask")(spark, dir).collect()
+    val m = spark.sql(
+      """SELECT name_masked, bal_band FROM customer_masked""").collect()
+    assert(m.nonEmpty)
+    assert(m.forall(_.getString(0).matches("\\*\\*\\*-.{4}")),
+      "masked name must be ***- + last 4 chars")
+    assert(m.forall(r => Set("NEG", "LOW", "HIGH")(r.getString(1))))
+  }
+}

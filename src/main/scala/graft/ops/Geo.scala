@@ -37,17 +37,88 @@ object Geo {
   /** Shared derivation + grid SQL prefix (identical text both engines):
     * centi-degree coordinates from the customer key, 5-degree grid cell (coarse enough that the fixture point set produces multi-point cells and non-empty neighbor rings at every scale factor).
     */
-  private val ptsSql =
-    """WITH pts AS (
+  private def ptsSqlCell(cellC: Int): String =
+    s"""WITH pts AS (
       |  SELECT c_custkey AS id,
       |         CAST((((((c_custkey % 1000003) * 2654435761) % 1000003) * 48271) % 12000) - 6000 AS BIGINT) AS lat_c,
       |         CAST((((((c_custkey % 1000033) * 1099511628211) % 1000033) * 69621) % 36000) - 18000 AS BIGINT) AS lon_c
       |  FROM customer),
       |cells AS (
       |  SELECT id, lat_c, lon_c,
-      |         CAST(floor(CAST(lat_c AS DOUBLE) / 500) AS BIGINT) AS cla,
-      |         CAST(floor(CAST(lon_c AS DOUBLE) / 500) AS BIGINT) AS clo
+      |         CAST(floor(CAST(lat_c AS DOUBLE) / $cellC) AS BIGINT) AS cla,
+      |         CAST(floor(CAST(lon_c AS DOUBLE) / $cellC) AS BIGINT) AS clo
       |  FROM pts)""".stripMargin
+
+  private val ptsSql = ptsSqlCell(500)
+
+  /** PARAMETERIZED DBSCAN core census (round-14, verdict #5): the same
+    * core-point count as `geo_dbscan_core`, with eps and the grid cell
+    * as parameters. The ring radii derive from both: ±ceil(epsLat/c)
+    * lat cells and ±ceil(2·epsLat/c) lon cells (Δλ for eps at the
+    * fixture's worst band, cos 60° = ½; the full generalization is
+    * ±ceil(epsLat/(c·cos φ))). Two production knobs fall out:
+    *  - CELL retuning (same eps, smaller cells) trims the boundary
+    *    waste factor but CANNOT change the candidate asymptotics — the
+    *    ring must still cover eps, so candidates ≈ n · (eps-disk area ·
+    *    density) whatever the cell size. Measured: ×10 density went
+    *    4.1× → 3.1× from cell retuning alone.
+    *  - EPS retuning (the k-distance-plot rule every DBSCAN deployment
+    *    applies as density grows: eps' = eps/√K keeps the expected
+    *    neighbor count — the (eps, minPts) density level-set — fixed)
+    *    restores LINEAR scaling: per-point candidates stay O(1), so
+    *    ×K density costs ×K work. `graft.tools.GeoScale` measures both
+    *    for SCALE.md. Census output is grid-invariant for any cell at
+    *    fixed eps (Round14Spec pins registry == cell 450 == cell 158).
+    */
+  private[graft] def dbscanCoreParam(s: org.apache.spark.sql.SparkSession,
+      dir: String, epsM: Long, cellC: Int): org.apache.spark.sql.DataFrame = {
+    graft.Catalog.registerAll(s, dir)
+    val epsLatC = epsM / 1111.9 // eps in centidegrees of latitude
+    val latR = math.ceil(epsLatC / cellC).toInt
+    val lonR = math.ceil(2.0 * epsLatC / cellC).toInt
+    s.sql(ptsSqlCell(cellC) + s"""
+      |, latoffs AS (SELECT CAST(id AS BIGINT) AS o FROM range(${-latR}, ${latR + 1})),
+      |lonoffs AS (SELECT CAST(id AS BIGINT) AS o FROM range(${-lonR}, ${lonR + 1})),
+      |probes AS (
+      |  SELECT id AS qid, lat_c AS qla, lon_c AS qlo,
+      |         cla + ola.o AS jla, clo + olo.o AS jlo
+      |  FROM cells CROSS JOIN latoffs ola CROSS JOIN lonoffs olo),
+      |neigh AS (
+      |  SELECT qid, CAST(count(*) AS BIGINT) AS nn
+      |  FROM probes p JOIN cells b ON p.jla = b.cla AND p.jlo = b.clo
+      |  WHERE p.qid <> b.id
+      |    AND ${hav("p.qla", "p.qlo", "b.lat_c", "b.lon_c")} <= $epsM
+      |  GROUP BY qid),
+      |cls AS (
+      |  SELECT c.id, coalesce(n.nn, CAST(0 AS BIGINT)) AS nn
+      |  FROM cells c LEFT JOIN neigh n ON c.id = n.qid)
+      |SELECT nn >= 3 AS is_core,
+      |       CAST(count(*) AS BIGINT) AS n_points,
+      |       CAST(sum(nn) AS BIGINT) AS sum_neighbors,
+      |       CAST(sum(nn) * 100 AS BIGINT) / count(*) AS avg_neighbors_e2
+      |FROM cls GROUP BY nn >= 3 ORDER BY is_core""".stripMargin)
+  }
+
+  /** Candidate-pair count for the same (eps, cell) configuration — the
+    * WORK metric behind the GeoScale wall-clock numbers: how many pairs
+    * survive the cell equi-join and reach the haversine.
+    */
+  private[graft] def dbscanCandidateCount(s: org.apache.spark.sql.SparkSession,
+      dir: String, epsM: Long, cellC: Int): Long = {
+    graft.Catalog.registerAll(s, dir)
+    val epsLatC = epsM / 1111.9
+    val latR = math.ceil(epsLatC / cellC).toInt
+    val lonR = math.ceil(2.0 * epsLatC / cellC).toInt
+    s.sql(ptsSqlCell(cellC) + s"""
+      |, latoffs AS (SELECT CAST(id AS BIGINT) AS o FROM range(${-latR}, ${latR + 1})),
+      |lonoffs AS (SELECT CAST(id AS BIGINT) AS o FROM range(${-lonR}, ${lonR + 1})),
+      |probes AS (
+      |  SELECT id AS qid, cla + ola.o AS jla, clo + olo.o AS jlo
+      |  FROM cells CROSS JOIN latoffs ola CROSS JOIN lonoffs olo)
+      |SELECT CAST(count(*) AS BIGINT) AS cands
+      |FROM probes p JOIN cells b ON p.jla = b.cla AND p.jlo = b.clo
+      |WHERE p.qid <> b.id""".stripMargin).collect().head.getLong(0)
+  }
 
   /** Haversine (meters, floored to BIGINT) between centi-degree pairs —
     * one formula string substituted into BOTH engines' SQL.

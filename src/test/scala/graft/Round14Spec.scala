@@ -88,6 +88,19 @@ class Round14Spec extends AnyFunSuite {
     assert(rows.forall(_._2.split(" ").length === 2), rows.map(_._2).toSeq)
   }
 
+  test("geo_dbscan_core: the census is grid-invariant — coarse registry grid, fine retuned grid, same answer") {
+    val registry = SparkEntry.queries("geo_dbscan_core")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val coarse = ops.Geo.dbscanCoreParam(spark, dir, 500000L, 450)
+      .collect().map(_.toSeq).toSeq
+    val fine = ops.Geo.dbscanCoreParam(spark, dir, 500000L, 158)
+      .collect().map(_.toSeq).toSeq
+    assert(registry === coarse,
+      s"param(500) diverged from the registry row:\n $registry\n $coarse")
+    assert(coarse === fine,
+      s"retuned grid changed the census:\n $coarse\n $fine")
+  }
+
   test("sql_row_filter_policy: the view exposes ONLY the principal's granted segments") {
     SparkEntry.queries("sql_row_filter_policy")(spark, dir).collect()
     val visible = spark.sql("SELECT DISTINCT c_mktsegment FROM customer_rls")

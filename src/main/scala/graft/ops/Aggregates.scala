@@ -3748,6 +3748,183 @@ object Aggregates {
              |FROM ranked""".stripMargin)
     ),
     Q(
+      "sample_importance_reweight",
+      // Importance re-weighting to a target mixture (round-14): when
+      // you cannot resample (every example must keep flowing — loss
+      // weighting, not selection), each language stratum gets
+      // w = target_share / source_share, here against the uniform
+      // target (the pipeline_lang_rebalance goal expressed as weights
+      // instead of sampling). The report every reweighting needs
+      // BEFORE training on it: per-stratum weights plus the corpus
+      // EFFECTIVE SAMPLE SIZE, ESS = (Σw)²/Σw² — the number of
+      // equivalent unweighted examples left after variance inflation
+      // (an ESS far below n says the target is unreachable by
+      // weighting alone; switch to sampling the over-represented
+      // strata). Weights pin as integers at e3 (per-doc) so the ESS
+      // numerator (Σ n_l·w)² stays in int64 headroom to sf ~10³; the
+      // final ratio is one float division. Scale: a single language
+      // census drives everything — O(langs) arithmetic after one
+      // map-side rollup.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH census AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM documents GROUP BY lang),
+          |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+          |               CAST(count(*) AS BIGINT) AS l FROM census),
+          |w AS (
+          |  SELECT lang, n_docs,
+          |         n_docs * 1000000 DIV n AS src_share_e6,
+          |         n * 1000 DIV (l * n_docs) AS w_e3
+          |  FROM census CROSS JOIN tot),
+          |ess AS (
+          |  SELECT CAST(sum(n_docs * w_e3) AS BIGINT) AS sw,
+          |         CAST(sum(n_docs * w_e3 * w_e3) AS BIGINT) AS sw2
+          |  FROM w)
+          |SELECT lang, n_docs, src_share_e6, w_e3 AS weight_e3,
+          |       CAST(floor(CAST(sw AS DOUBLE) * sw / sw2 + 0.5) AS BIGINT)
+          |         AS corpus_ess
+          |FROM w CROSS JOIN ess
+          |ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH census AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+             |               CAST(count(*) AS BIGINT) AS l FROM census),
+             |w AS (
+             |  SELECT lang, n_docs,
+             |         n_docs * 1000000 // n AS src_share_e6,
+             |         n * 1000 // (l * n_docs) AS w_e3
+             |  FROM census CROSS JOIN tot),
+             |ess AS (
+             |  SELECT CAST(sum(n_docs * w_e3) AS BIGINT) AS sw,
+             |         CAST(sum(n_docs * w_e3 * w_e3) AS BIGINT) AS sw2
+             |  FROM w)
+             |SELECT lang, n_docs, src_share_e6, w_e3 AS weight_e3,
+             |       CAST(floor(CAST(sw AS DOUBLE) * sw / sw2 + 0.5) AS BIGINT)
+             |         AS corpus_ess
+             |FROM w CROSS JOIN ess
+             |ORDER BY lang""".stripMargin)
+    ),
+    Q(
+      "stat_power_law_alpha",
+      // Hill tail-index estimator (round-14): is per-customer spend
+      // heavy-tailed, and how heavy — α̂ = 1 + k / Σᵢ ln(xᵢ/x_min) over
+      // the top-k order statistics (x_min = the (k+1)-th), the standard
+      // MLE for the Pareto tail exponent (Hill 1975; the diagnostic
+      // behind "80/20" claims and the input to whale-aware sampling
+      // budgets). α ≤ 2 means infinite variance — means and CUPED-style
+      // variance reductions silently break; this row is the guard that
+      // says which regime the revenue column is in. Determinism: the
+      // top-101 selection is (spend desc, custkey) total-ordered; the
+      // rank filters let Spark plan a partial WindowGroupLimit (each
+      // partition forwards ≤ 101 rows — never a global full sort); each
+      // ln(x/x_min) is e6-floored per row before the integer sum.
+      // Scale: one per-customer rollup, a top-k (constant rows to one
+      // reducer), arithmetic on 100 rows.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH per AS (
+          |  SELECT o_custkey,
+          |         CAST(floor(sum(o_totalprice) + 0.5) AS BIGINT) AS x
+          |  FROM orders GROUP BY o_custkey),
+          |ranked AS (
+          |  SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey) AS rn
+          |  FROM per),
+          |xmin AS (SELECT x AS xm FROM ranked WHERE rn = 101),
+          |t AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS k,
+          |         CAST(sum(CAST(floor(ln(CAST(r.x AS DOUBLE) / xm)
+          |              * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS slnsum
+          |  FROM ranked r CROSS JOIN xmin WHERE rn <= 100)
+          |SELECT k, xm AS xmin_dollars,
+          |       CAST(floor((1.0 + CAST(k AS DOUBLE) * 1000000 / slnsum)
+          |            * 1000000 + 0.5) AS BIGINT) AS alpha_e6
+          |FROM t CROSS JOIN xmin""".stripMargin)
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey,
+             |         CAST(floor(sum(o_totalprice) + 0.5) AS BIGINT) AS x
+             |  FROM orders GROUP BY o_custkey),
+             |ranked AS (
+             |  SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey) AS rn
+             |  FROM per),
+             |xmin AS (SELECT x AS xm FROM ranked WHERE rn = 101),
+             |t AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k,
+             |         CAST(sum(CAST(floor(ln(CAST(r.x AS DOUBLE) / xm)
+             |              * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS slnsum
+             |  FROM ranked r CROSS JOIN xmin WHERE rn <= 100)
+             |SELECT k, xm AS xmin_dollars,
+             |       CAST(floor((1.0 + CAST(k AS DOUBLE) * 1000000 / slnsum)
+             |            * 1000000 + 0.5) AS BIGINT) AS alpha_e6
+             |FROM t CROSS JOIN xmin""".stripMargin)
+    ),
+    Q(
+      "stat_negbin_moments",
+      // Negative-binomial fit by method of moments (round-14): count
+      // data (orders per customer) is almost never Poisson — the
+      // variance runs past the mean, and modeling it Poisson understates
+      // every interval. From the exact (n, Σy, Σy²) fold: mean m,
+      // sample variance v, then the NB(r, p) moment estimators
+      // p̂ = m/v and r̂ = m²/(v−m), plus the dispersion index v/m the
+      // modeler checks first (fit is only defined when v > m — the
+      // equidispersed case emits NULL fits, never a division blowup).
+      // Per-customer counts are zero-truncated by construction (a
+      // customer with no orders has no row) — stated, not hidden.
+      // Scale: one map-side-combinable rollup + O(1) arithmetic.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH per AS (
+          |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+          |  FROM orders GROUP BY o_custkey),
+          |m AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+          |         CAST(sum(y * y) AS BIGINT) AS q
+          |  FROM per),
+          |f AS (
+          |  SELECT n, s, q,
+          |         CAST(s AS DOUBLE) / n AS mean,
+          |         (q - CAST(s AS DOUBLE) * s / n) / (n - 1) AS v
+          |  FROM m)
+          |SELECT n AS n_customers,
+          |       CAST(floor(mean * 1000000 + 0.5) AS BIGINT) AS mean_e6,
+          |       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS var_e6,
+          |       CAST(floor(v / mean * 1000000 + 0.5) AS BIGINT) AS dispersion_e6,
+          |       CASE WHEN v > mean
+          |            THEN CAST(floor(mean / v * 1000000 + 0.5) AS BIGINT)
+          |            ELSE CAST(NULL AS BIGINT) END AS p_e6,
+          |       CASE WHEN v > mean
+          |            THEN CAST(floor(mean * mean / (v - mean) * 1000000 + 0.5) AS BIGINT)
+          |            ELSE CAST(NULL AS BIGINT) END AS r_e6
+          |FROM f""".stripMargin)
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+             |  FROM orders GROUP BY o_custkey),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+             |         CAST(sum(y * y) AS BIGINT) AS q
+             |  FROM per),
+             |f AS (
+             |  SELECT n, s, q,
+             |         CAST(s AS DOUBLE) / n AS mean,
+             |         (q - CAST(s AS DOUBLE) * s / n) / (n - 1) AS v
+             |  FROM m)
+             |SELECT n AS n_customers,
+             |       CAST(floor(mean * 1000000 + 0.5) AS BIGINT) AS mean_e6,
+             |       CAST(floor(v * 1000000 + 0.5) AS BIGINT) AS var_e6,
+             |       CAST(floor(v / mean * 1000000 + 0.5) AS BIGINT) AS dispersion_e6,
+             |       CASE WHEN v > mean
+             |            THEN CAST(floor(mean / v * 1000000 + 0.5) AS BIGINT)
+             |            ELSE CAST(NULL AS BIGINT) END AS p_e6,
+             |       CASE WHEN v > mean
+             |            THEN CAST(floor(mean * mean / (v - mean) * 1000000 + 0.5) AS BIGINT)
+             |            ELSE CAST(NULL AS BIGINT) END AS r_e6
+             |FROM f""".stripMargin)
+    ),
+    Q(
       "stat_hodges_lehmann",
       // Hodges–Lehmann location shift (round-13): the ROBUST "how much
       // did the level move" — the median of all pairwise differences

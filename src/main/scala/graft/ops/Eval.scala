@@ -722,6 +722,79 @@ object Eval {
              |FROM p GROUP BY pair ORDER BY pair""".stripMargin)
     ),
     Q(
+      "eval_bootstrap_winrate_ci",
+      // Arena win rate WITH its confidence interval (round-14): a point
+      // win rate without a CI is how leaderboards mislead — the
+      // LMSYS-style report resamples the battle set and quotes the
+      // 95% band. Battles: the m0-vs-m1 scorer pair from
+      // eval_pairwise_winrate; resampling: the 100 TB-safe POISSON
+      // bootstrap (sample_poisson_bootstrap's derandomized inverse-CDF
+      // weights on a battle×replicate hash — no index materialization,
+      // map-side expansion only); 40 replicate win rates as exact
+      // integer divisions; the CI is the 2nd/39th order statistic.
+      // Scale: 40× map-side rows folding to 40 partials per partition;
+      // the order-statistic pass sorts 40 rows.
+      (s, dir) => {
+        val battles = Tables(s, dir, "documents").select(
+          col("doc_id").as("k"),
+          (size(split(col("text"), " ")).cast("long") >
+            size(array_distinct(split(col("text"), " "))).cast("long"))
+            .as("win"))
+        val reps = s.range(0, 40).select(col("id").as("r"))
+        val weighted = battles.crossJoin(broadcast(reps))
+          .select(col("r"), col("win"),
+            expr("""CASE WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 3679 THEN 0
+                   WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 7358 THEN 1
+                   WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 9197 THEN 2
+                   WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 9810 THEN 3
+                   ELSE 4 END""").as("w"))
+        val repRates = weighted.groupBy(col("r"))
+          .agg(sum(when(col("win"), col("w")).otherwise(0L)).as("ww"),
+            sum(col("w")).as("wn"))
+          .select(col("r"), expr("ww * 1000000 DIV wn").as("rate_e6"))
+        val ranked = repRates.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rate_e6"), col("r"))))
+        val point = battles.agg(
+          sum(when(col("win"), 1L).otherwise(0L)).as("wins"),
+          count(lit(1)).as("n"))
+          .select(col("wins"), col("n"),
+            expr("wins * 1000000 DIV n").as("winrate_e6"))
+        point.crossJoin(
+          ranked.agg(
+            max(when(col("rn") === 2, col("rate_e6"))).as("ci_lo_e6"),
+            max(when(col("rn") === 39, col("rate_e6"))).as("ci_hi_e6")))
+      },
+      Some("""WITH battles AS (
+             |  SELECT doc_id AS k,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT)
+             |           > CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS win
+             |  FROM documents),
+             |reps AS (SELECT CAST(unnest(range(0, 40)) AS BIGINT) AS r),
+             |weighted AS (
+             |  SELECT r, win,
+             |         CASE WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 3679 THEN 0
+             |              WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 7358 THEN 1
+             |              WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 9197 THEN 2
+             |              WHEN (((k % 1000003) * 2654435761 + r * 40503) % 1000003) % 10000 < 9810 THEN 3
+             |              ELSE 4 END AS w
+             |  FROM battles CROSS JOIN reps),
+             |rates AS (
+             |  SELECT r, CAST(sum(CASE WHEN win THEN w ELSE 0 END) AS BIGINT) * 1000000
+             |           // CAST(sum(w) AS BIGINT) AS rate_e6
+             |  FROM weighted GROUP BY r),
+             |ranked AS (
+             |  SELECT rate_e6, row_number() OVER (ORDER BY rate_e6, r) AS rn FROM rates),
+             |point AS (
+             |  SELECT CAST(sum(CASE WHEN win THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+             |         CAST(count(*) AS BIGINT) AS n
+             |  FROM battles)
+             |SELECT wins, n, wins * 1000000 // n AS winrate_e6,
+             |       (SELECT CAST(max(CASE WHEN rn = 2 THEN rate_e6 END) AS BIGINT) FROM ranked) AS ci_lo_e6,
+             |       (SELECT CAST(max(CASE WHEN rn = 39 THEN rate_e6 END) AS BIGINT) FROM ranked) AS ci_hi_e6
+             |FROM point""".stripMargin)
+    ),
+    Q(
       "eval_chrf_similarity",
       // chrF-style character-n-gram F-score (round-12): the surface-level
       // text-similarity metric of MT/summarization evals, here scoring

@@ -1414,6 +1414,119 @@ object GraphAnalytics {
               |       CAST(floor((CAST(same AS DOUBLE) / m2 - a2) / (1.0 - a2)
               |            * 1000000 + 0.5) AS BIGINT) AS assortativity_e6
               |FROM marg""".stripMargin)
+    ),
+    Q(
+      "graph_bipartite_projection",
+      // Bipartite projection (round-14): the supplier–part two-mode
+      // graph collapsed onto parts — pairs of parts co-supplied by the
+      // same supplier, weighted by how many suppliers share them (the
+      // co-purchase/co-citation construction behind recommender and
+      // substitute-detection graphs). Projection of a raw bipartite
+      // explodes quadratically in the densest mode, so each supplier's
+      // part list is TOP-K SPARSIFIED first (top 10 by shipped
+      // quantity, deterministic (qty desc, part) tiebreak — the exact
+      // pattern graph_topk_similarity pins for the co-occurrence
+      // build): pair work is C(10,2) per supplier, never C(catalog, 2).
+      // Scale: one map-side (supp, part) rollup, one bounded window,
+      // one self-join on the supplier key whose fan-out is ≤ 45 rows
+      // per supplier; the pair rollup is map-side combinable.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH ps AS (
+          |  SELECT l_suppkey AS sk, l_partkey AS pk,
+          |         CAST(sum(l_quantity) AS BIGINT) AS q
+          |  FROM lineitem GROUP BY 1, 2),
+          |topk AS (
+          |  SELECT sk, pk FROM (
+          |    SELECT sk, pk,
+          |           row_number() OVER (PARTITION BY sk ORDER BY q DESC, pk) AS rn
+          |    FROM ps)
+          |  WHERE rn <= 10),
+          |pairs AS (
+          |  SELECT a.pk AS part_a, b.pk AS part_b
+          |  FROM topk a JOIN topk b ON a.sk = b.sk AND a.pk < b.pk)
+          |SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_common_suppliers
+          |FROM pairs GROUP BY part_a, part_b
+          |ORDER BY n_common_suppliers DESC, part_a, part_b
+          |LIMIT 20""".stripMargin)
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_suppkey AS sk, l_partkey AS pk,
+             |         CAST(sum(l_quantity) AS BIGINT) AS q
+             |  FROM lineitem GROUP BY 1, 2),
+             |topk AS (
+             |  SELECT sk, pk FROM (
+             |    SELECT sk, pk,
+             |           row_number() OVER (PARTITION BY sk ORDER BY q DESC, pk) AS rn
+             |    FROM ps)
+             |  WHERE rn <= 10),
+             |pairs AS (
+             |  SELECT a.pk AS part_a, b.pk AS part_b
+             |  FROM topk a JOIN topk b ON a.sk = b.sk AND a.pk < b.pk)
+             |SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_common_suppliers
+             |FROM pairs GROUP BY part_a, part_b
+             |ORDER BY n_common_suppliers DESC, part_a, part_b
+             |LIMIT 20""".stripMargin)
+    ),
+    Q(
+      "graph_katz_index",
+      // Truncated Katz link-prediction index (round-14): score every
+      // NON-adjacent 2-hop candidate pair by β·A + β²·A² + β³·A³ with
+      // β = 0.1 — the walk-counting similarity that generalizes
+      // common-neighbors (A² alone, graph_common_neighbors) by also
+      // crediting longer connections. Walk counts are exact integers
+      // over the bounded-degree sparsified adjacency (A² via one edge
+      // self-join, A³ as A·A² — O(n·d³) rows total), Horner-scaled to
+      // the e6 pin: candidates are non-adjacent so the β·A term is 0
+      // and score_e6 = 10⁴·A² + 10³·A³ exactly. Output: top 20 predicted
+      // links, (score desc, pair) deterministic.
+      // Scale: every join runs on the d ≤ 6-per-direction adjacency;
+      // candidates are grouped map-side; no all-pairs stage exists.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(s"""$baseSql,
+          |a2 AS (
+          |  SELECT x.src AS u, y.dst AS v, CAST(count(*) AS BIGINT) AS p2
+          |  FROM e x JOIN e y ON x.dst = y.src
+          |  WHERE x.src <> y.dst
+          |  GROUP BY x.src, y.dst),
+          |a3 AS (
+          |  SELECT x.src AS u, t.v, CAST(sum(t.p2) AS BIGINT) AS p3
+          |  FROM e x JOIN a2 t ON x.dst = t.u
+          |  WHERE x.src <> t.v
+          |  GROUP BY x.src, t.v),
+          |cand AS (
+          |  SELECT a2.u, a2.v, a2.p2, coalesce(a3.p3, CAST(0 AS BIGINT)) AS p3
+          |  FROM a2 LEFT JOIN a3 ON a2.u = a3.u AND a2.v = a3.v
+          |  WHERE a2.u < a2.v
+          |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = a2.u AND e.dst = a2.v))
+          |SELECT u AS node_a, v AS node_b, p2 AS paths2, p3 AS paths3,
+          |       p2 * 10000 + p3 * 1000 AS katz_e6
+          |FROM cand
+          |ORDER BY katz_e6 DESC, node_a, node_b
+          |LIMIT 20""".stripMargin)
+      },
+      Some(s"""$baseSql,
+              |a2 AS (
+              |  SELECT x.src AS u, y.dst AS v, CAST(count(*) AS BIGINT) AS p2
+              |  FROM e x JOIN e y ON x.dst = y.src
+              |  WHERE x.src <> y.dst
+              |  GROUP BY x.src, y.dst),
+              |a3 AS (
+              |  SELECT x.src AS u, t.v, CAST(sum(t.p2) AS BIGINT) AS p3
+              |  FROM e x JOIN a2 t ON x.dst = t.u
+              |  WHERE x.src <> t.v
+              |  GROUP BY x.src, t.v),
+              |cand AS (
+              |  SELECT a2.u, a2.v, a2.p2, coalesce(a3.p3, CAST(0 AS BIGINT)) AS p3
+              |  FROM a2 LEFT JOIN a3 ON a2.u = a3.u AND a2.v = a3.v
+              |  WHERE a2.u < a2.v
+              |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = a2.u AND e.dst = a2.v))
+              |SELECT u AS node_a, v AS node_b, p2 AS paths2, p3 AS paths3,
+              |       p2 * 10000 + p3 * 1000 AS katz_e6
+              |FROM cand
+              |ORDER BY katz_e6 DESC, node_a, node_b
+              |LIMIT 20""".stripMargin)
     )
   )
 }

@@ -2014,6 +2014,86 @@ object Sources {
              |GROUP BY b.seg ORDER BY seg""".stripMargin)
     ),
     Q(
+      "cdc_ivm_distinct_view",
+      // Incremental COUNT(DISTINCT) maintenance (round-14): the view
+      // every IVM textbook calls out as NOT self-maintainable — a
+      // delete can only decrement the distinct count if NO other live
+      // row carries the same key, so the view needs a SUPPORT relation:
+      // R(group, key) = live-row refcount. The maintenance step is pure
+      // algebra on CDF deltas: fold the window's signed changes to
+      // ΔR(group, key), join against R_old, and the distinct count
+      // moves by [R_old = 0 ∧ R_new > 0] − [R_old > 0 ∧ R_new = 0].
+      // Deletes are key-only, so their (group, key) pre-image resolves
+      // the same way cdc_ivm_join_view's do (old snapshot ∪ in-window
+      // inserts ordered by _commit_version). Scale: ΔR is O(changed
+      // keys); R_old is touched only at the delta's keys (a lookup
+      // join — broadcast the delta side at 100 TB); the base table is
+      // never rescanned.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", graft.util.catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        val fmt = "graft.sources.ManifestSink"
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.ivm_dcnt")
+        s.sql("""CREATE TABLE graft_cat.marts.ivm_dcnt
+                |(k BIGINT NOT NULL, prio STRING, ck BIGINT)""".stripMargin)
+        // v2: two-thirds of orders — the view's sync point
+        s.sql("""INSERT INTO graft_cat.marts.ivm_dcnt
+                |SELECT coalesce(o_orderkey, -1), o_orderpriority, o_custkey
+                |FROM orders WHERE o_orderkey % 3 <> 2""".stripMargin)
+        val tDir = s"${graft.util.catalogWarehouse}/marts/ivm_dcnt"
+        val va = 2
+        // v3: the remaining third; v4: a customer-cohort delete that
+        // MUST NOT decrement groups where the customer has other rows
+        s.sql("""INSERT INTO graft_cat.marts.ivm_dcnt
+                |SELECT coalesce(o_orderkey, -1), o_orderpriority, o_custkey
+                |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin)
+        s.sql("DELETE FROM graft_cat.marts.ivm_dcnt WHERE ck % 5 = 0")
+        val old = s.read.format(fmt).option("path", tDir)
+          .option("versionAsOf", va.toString).load()
+        // support relation at the sync point: live refcounts per (prio, ck)
+        val r0 = old.groupBy(col("prio"), col("ck")).agg(count(lit(1)).as("r0"))
+        val v0 = r0.groupBy(col("prio")).agg(count(lit(1)).as("v0"))
+        val feed = s.read.format(fmt).option("path", tDir)
+          .option("changeFeed", "true")
+          .option("startingVersion", (va + 1).toString)
+          .option("endingVersion", "4").load()
+        val ins = feed.filter(col("_change_type") === "insert")
+          .select(col("k"), col("prio"), col("ck"),
+            col("_commit_version").as("_v"))
+        val pre = old.select(col("k"), col("prio"), col("ck"))
+          .withColumn("_v", lit(va.toLong)).unionAll(ins)
+        val del = feed.filter(col("_change_type") === "delete")
+          .select(col("k"), col("_commit_version").as("_dv"))
+          .join(pre, "k").filter(col("_v") < col("_dv"))
+          .select(col("prio"), col("ck"), lit(-1L).as("sgn"))
+        val dR = ins.select(col("prio"), col("ck"), lit(1L).as("sgn"))
+          .unionAll(del)
+          .groupBy(col("prio"), col("ck")).agg(sum(col("sgn")).as("dr"))
+        val moved = dR.join(r0, Seq("prio", "ck"), "full_outer")
+          .select(col("prio"),
+            coalesce(col("r0"), lit(0L)).as("was"),
+            (coalesce(col("r0"), lit(0L)) + coalesce(col("dr"), lit(0L)))
+              .as("now"))
+          .groupBy(col("prio"))
+          .agg(sum(when(col("was") === 0L && col("now") > 0L, 1L)
+            .when(col("was") > 0L && col("now") === 0L, -1L)
+            .otherwise(0L)).as("dv"))
+        v0.join(moved, Seq("prio"), "full_outer")
+          .select(col("prio").as("o_orderpriority"),
+            (coalesce(col("v0"), lit(0L)) + coalesce(col("dv"), lit(0L)))
+              .as("n_distinct_customers"))
+          .filter(col("n_distinct_customers") > 0)
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_customers
+             |FROM orders WHERE o_custkey % 5 <> 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+    ),
+    Q(
       "scan_parquet_encrypted",
       // Parquet Modular Encryption: encryption at rest INSIDE the format —
       // the footer and chosen columns are AES-GCM-encrypted per file, keys

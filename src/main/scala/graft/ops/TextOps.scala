@@ -1402,6 +1402,101 @@ object TextOps {
       }
     ),
     Q(
+      "text_heaps_law",
+      // Heaps'-law vocabulary growth fit (round-14): V(N) ≈ k·N^β — the
+      // curve that answers "how much NEW vocabulary does the next
+      // terabyte buy" (β near 1 → vocabulary still exploding, keep
+      // crawling; β ≪ 1 → diminishing returns; the planning sibling of
+      // stat_chao1_vocab's asymptote estimate). The corpus is swept in
+      // doc_id order at 10 decile checkpoints: cumulative token count N
+      // from per-doc counts, cumulative vocabulary V as tokens whose
+      // FIRST-occurrence doc is inside the prefix (one min-fold per
+      // token — no per-checkpoint rescan), then a closed-form OLS of
+      // ln V on ln N with each ln e6-floored before the integer
+      // regression sums. Scale: first-occurrence is one shuffle on the
+      // token; the checkpoint cross joins are O(10·vocab) and
+      // O(10·docs); at 100 TB the decile boundaries come from a
+      // doc_id quantile sketch instead of the exact ntile.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH toks AS (
+          |  SELECT doc_id, tok
+          |  FROM documents
+          |  LATERAL VIEW explode(split(text, ' ')) t AS tok),
+          |firstocc AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd
+          |             FROM toks GROUP BY tok),
+          |dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+          |       FROM toks GROUP BY doc_id),
+          |cps AS (
+          |  SELECT tile, CAST(max(doc_id) AS BIGINT) AS cp FROM (
+          |    SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS tile FROM dc)
+          |  GROUP BY tile),
+          |nn AS (
+          |  SELECT p.tile, p.cp, CAST(sum(d.c) AS BIGINT) AS n_tokens
+          |  FROM cps p JOIN dc d ON d.doc_id <= p.cp
+          |  GROUP BY p.tile, p.cp),
+          |vv AS (
+          |  SELECT p.tile, CAST(count(*) AS BIGINT) AS vocab
+          |  FROM cps p JOIN firstocc f ON f.fd <= p.cp
+          |  GROUP BY p.tile),
+          |pts AS (
+          |  SELECT nn.tile, nn.cp, nn.n_tokens, vv.vocab,
+          |         CAST(floor(ln(CAST(nn.n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lx,
+          |         CAST(floor(ln(CAST(vv.vocab AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS ly
+          |  FROM nn JOIN vv ON nn.tile = vv.tile),
+          |fit AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(lx) AS BIGINT) AS sx,
+          |         CAST(sum(ly) AS BIGINT) AS sy,
+          |         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+          |         CAST(sum(lx * lx) AS BIGINT) AS sxx
+          |  FROM pts)
+          |SELECT CAST(pts.tile AS BIGINT) AS decile, pts.cp AS cp_doc_id,
+          |       pts.n_tokens, pts.vocab,
+          |       CAST(floor((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          |            / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          |            * 1000000 + 0.5) AS BIGINT) AS heaps_beta_e6
+          |FROM pts CROSS JOIN fit
+          |ORDER BY decile""".stripMargin)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |firstocc AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd
+             |             FROM toks GROUP BY tok),
+             |dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+             |       FROM toks GROUP BY doc_id),
+             |cps AS (
+             |  SELECT tile, CAST(max(doc_id) AS BIGINT) AS cp FROM (
+             |    SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS tile FROM dc) t
+             |  GROUP BY tile),
+             |nn AS (
+             |  SELECT p.tile, p.cp, CAST(sum(d.c) AS BIGINT) AS n_tokens
+             |  FROM cps p JOIN dc d ON d.doc_id <= p.cp
+             |  GROUP BY p.tile, p.cp),
+             |vv AS (
+             |  SELECT p.tile, CAST(count(*) AS BIGINT) AS vocab
+             |  FROM cps p JOIN firstocc f ON f.fd <= p.cp
+             |  GROUP BY p.tile),
+             |pts AS (
+             |  SELECT nn.tile, nn.cp, nn.n_tokens, vv.vocab,
+             |         CAST(floor(ln(CAST(nn.n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lx,
+             |         CAST(floor(ln(CAST(vv.vocab AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS ly
+             |  FROM nn JOIN vv ON nn.tile = vv.tile),
+             |fit AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS np, CAST(sum(lx) AS BIGINT) AS sx,
+             |         CAST(sum(ly) AS BIGINT) AS sy,
+             |         CAST(sum(lx * ly) AS BIGINT) AS sxy,
+             |         CAST(sum(lx * lx) AS BIGINT) AS sxx
+             |  FROM pts)
+             |SELECT CAST(pts.tile AS BIGINT) AS decile, pts.cp AS cp_doc_id,
+             |       pts.n_tokens, pts.vocab,
+             |       CAST(floor((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             |            / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             |            * 1000000 + 0.5) AS BIGINT) AS heaps_beta_e6
+             |FROM pts CROSS JOIN fit
+             |ORDER BY decile""".stripMargin)
+    ),
+    Q(
       "pipeline_eval_holdout",
       // Eval-set preparation end-to-end: exact dedup → benchmark
       // decontamination (any shared token 5-gram with the held-out

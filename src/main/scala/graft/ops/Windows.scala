@@ -1378,6 +1378,149 @@ object Windows {
              |FROM pairs, stats ORDER BY lag_k""".stripMargin)
     ),
     Q(
+      "ts_ljung_box",
+      // Ljung–Box portmanteau test (round-14): the one-number "is this
+      // series white noise" verdict over the first 5 autocorrelations —
+      // Q = n(n+2)·Σ r_k²/(n−k), the standard residual-diagnostic after
+      // any forecast fit (ts_holt_forecast / ts_seasonal_naive_mase
+      // produce the residuals this test judges). Each r_k is the exact
+      // integer-moment autocorrelation ts_autocorr_lag pins, e6-floored
+      // BEFORE squaring; the per-lag term r_e6²/(n−k) is an integer
+      // division and the 5-term sum is a BIGINT fold — so Q assembles
+      // from integers with no float accumulation order anywhere, and
+      // the reject flag compares against the χ²(5, 0.95) critical value
+      // 11.0705 as a pure integer comparison. Scale: O(days) spine,
+      // 5-row lag join, one scalar out.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        val stats = daily.agg(
+          expr("CAST(count(*) AS BIGINT)").as("n"),
+          expr("CAST(sum(x) AS BIGINT)").as("s"),
+          expr("CAST(sum(x * x) AS BIGINT)").as("q"))
+        val lags = s.range(1, 6).select(col("id").cast("int").as("k"))
+        val pairs = lags
+          .crossJoin(daily.select(col("d").as("ad"), col("x").as("ax")))
+          .join(daily.select(col("d").as("bd"), col("x").as("bx0")),
+            col("bd") === expr("date_add(ad, k)"))
+          .groupBy(col("k"))
+          .agg(
+            expr("CAST(count(*) AS BIGINT)").as("m"),
+            expr("CAST(sum(ax * bx0) AS BIGINT)").as("axx"),
+            expr("CAST(sum(ax) AS BIGINT)").as("bx"),
+            expr("CAST(sum(bx0) AS BIGINT)").as("cx"))
+        pairs.crossJoin(stats)
+          .select(col("k"), col("n"),
+            expr("""CAST(floor((CAST(axx AS DOUBLE)
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(bx + cx AS DOUBLE)
+                    + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * 1000000 + 0.5) AS BIGINT)""").as("r_e6"))
+          .select(col("n"), expr("r_e6 * r_e6 DIV (n - k)").as("t"))
+          .groupBy(col("n"))
+          .agg(sum(col("t")).as("tsum"))
+          .select(col("n").as("n_days"),
+            expr("n * (n + 2) * tsum DIV 1000000").as("q_stat_e6"),
+            lit(5L).as("df"),
+            expr("n * (n + 2) * tsum DIV 1000000 > 11070500")
+              .as("reject_white_noise"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1),
+             |stats AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             |         CAST(sum(x * x) AS BIGINT) AS q FROM daily),
+             |lags AS (SELECT unnest(range(1, 6)) AS k),
+             |pairs AS (
+             |  SELECT l.k,
+             |         CAST(count(*) AS BIGINT) AS m,
+             |         CAST(sum(a.x * b.x) AS BIGINT) AS axx,
+             |         CAST(sum(a.x) AS BIGINT) AS bx,
+             |         CAST(sum(b.x) AS BIGINT) AS cx
+             |  FROM lags l
+             |  JOIN daily a ON TRUE
+             |  JOIN daily b ON b.d = a.d + CAST(l.k AS INTEGER)
+             |  GROUP BY l.k),
+             |rk AS (
+             |  SELECT k, n,
+             |         CAST(floor((CAST(axx AS DOUBLE)
+             |              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(bx + cx AS DOUBLE)
+             |              + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |              / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             |              * 1000000 + 0.5) AS BIGINT) AS r_e6
+             |  FROM pairs, stats),
+             |tt AS (SELECT n, CAST(sum(r_e6 * r_e6 // (n - k)) AS BIGINT) AS tsum
+             |       FROM rk GROUP BY n)
+             |SELECT n AS n_days,
+             |       n * (n + 2) * tsum // 1000000 AS q_stat_e6,
+             |       CAST(5 AS BIGINT) AS df,
+             |       n * (n + 2) * tsum // 1000000 > 11070500 AS reject_white_noise
+             |FROM tt""".stripMargin)
+    ),
+    Q(
+      "ts_seasonal_strength",
+      // Seasonal-strength scalar per event type (round-14): how much of
+      // the daily-count variance the day-of-week profile explains —
+      // F = 1 − SSE_within_dow / SST, the one-number readout that says
+      // whether the weekly seasonality ts_seasonality_heatmap displays
+      // is LOAD-BEARING or noise (F near 0 → don't bother with a
+      // seasonal model; the STL and seasonal-naive rows assume it).
+      // Exactness: within-dow squared error uses the identity
+      // Σ(x−x̄_d)² = (n_d·Σx² − S_d²)/n_d per day-of-week, kept as the
+      // integer A_d = n_d·q_d − S_d² divided e6-scaled by n_d (BIGINT
+      // division — order-free integer sum across the 7 groups), and SST
+      // the same way globally; one float division assembles F.
+      // Headroom: Q·n at daily-count scale wraps int64 near sf ~10³ —
+      // quantize counts to hundreds there (same rule as the moment
+      // folds). Scale: O(days) spine per type, 7-row rollup, one scalar
+      // per type.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+          .select(col("event_type"), col("x"), dayofweek(col("d")).as("dow"))
+        val per = daily.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("nd"), sum(col("x")).as("sd"),
+            sum(col("x") * col("x")).as("qd"))
+          .select(col("event_type"), col("nd"), col("sd"), col("qd"),
+            expr("(nd * qd - sd * sd) * 1000000 DIV nd").as("sse_e6"))
+        per.groupBy(col("event_type"))
+          .agg(sum(col("nd")).as("n"), sum(col("sd")).as("s"),
+            sum(col("qd")).as("q"), sum(col("sse_e6")).as("within_e6"))
+          .select(col("event_type"), col("n").as("n_days"),
+            expr("""CAST(floor((1.0 - CAST(within_e6 AS DOUBLE)
+                   / ((n * q - s * s) * 1000000 DIV n))
+                   * 1000000 + 0.5) AS BIGINT)""").as("seasonal_strength_e6"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             |         CAST(count(*) AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |dows AS (
+             |  SELECT event_type, x, dayofweek(d) + 1 AS dow FROM daily),
+             |per AS (
+             |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nd,
+             |         CAST(sum(x) AS BIGINT) AS sd,
+             |         CAST(sum(x * x) AS BIGINT) AS qd
+             |  FROM dows GROUP BY 1, 2),
+             |pe AS (
+             |  SELECT event_type, nd, sd, qd,
+             |         (nd * qd - sd * sd) * 1000000 // nd AS sse_e6
+             |  FROM per)
+             |SELECT event_type, CAST(sum(nd) AS BIGINT) AS n_days,
+             |       CAST(floor((1.0 - CAST(sum(sse_e6) AS DOUBLE)
+             |            / ((CAST(sum(nd) AS BIGINT) * CAST(sum(qd) AS BIGINT)
+             |                - CAST(sum(sd) AS BIGINT) * CAST(sum(sd) AS BIGINT))
+             |               * 1000000 // CAST(sum(nd) AS BIGINT)))
+             |            * 1000000 + 0.5) AS BIGINT) AS seasonal_strength_e6
+             |FROM pe GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
       "win_sequence_pattern",
       // Regex over the per-user event-type sequence (round-9): the
       // MATCH_RECOGNIZE-ish CEP shape — order each user's events, project

@@ -114,6 +114,83 @@ class Round14Spec extends AnyFunSuite {
     assert(n === exp)
   }
 
+  test("cdc_ivm_distinct_view: refcounts survive partial deletes (multi-row keys never over-decrement)") {
+    val ivm = SparkEntry.queries("cdc_ivm_distinct_view")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables(spark, dir, "orders")
+      .filter(col("o_custkey") % 5 =!= 0)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ivm === full, s"ivm=$ivm full=$full")
+  }
+
+  test("graph_katz_index: candidates are non-adjacent and the score is the exact Horner form") {
+    val rows = SparkEntry.queries("graph_katz_index")(spark, dir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (p2, p3, katz) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(katz === p2 * 10000 + p3 * 1000, r.toString)
+      assert(p2 > 0, "every candidate is a 2-hop pair by construction")
+    }
+    // predicted links must not already be edges (the A term is zero)
+    val edges = SparkEntry.queries("graph_topk_similarity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(!edges((a, b)) && !edges((b, a)), s"predicted an existing edge $a-$b")
+    }
+  }
+
+  test("ts_ljung_box: Q >= 0 and the reject flag matches the chi2 threshold") {
+    val r = SparkEntry.queries("ts_ljung_box")(spark, dir).collect().head
+    val q = r.getLong(1)
+    assert(q >= 0L)
+    assert(r.getBoolean(3) === (q > 11070500L))
+  }
+
+  test("text_heaps_law: cumulative N and V are nondecreasing, beta in (0, 1]") {
+    val rows = SparkEntry.queries("text_heaps_law")(spark, dir)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === 10)
+    val ns = rows.map(_._1); val vs = rows.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => b >= a }, ns.toSeq)
+    assert(vs.zip(vs.tail).forall { case (a, b) => b >= a }, vs.toSeq)
+    val beta = rows.head._3
+    assert(rows.forall(_._3 === beta), "one fitted beta for the corpus")
+    // the synthetic sf0.001 corpus draws from a FIXED small vocabulary,
+    // so V saturates in the first decile and the fitted slope is ~0 —
+    // sublinearity (beta <= 1) is the invariant, not positivity
+    assert(beta >= 0L && beta <= 1000000L, s"implausible Heaps beta $beta")
+  }
+
+  test("sample_importance_reweight: ESS <= n, and weights invert the source shares") {
+    val rows = SparkEntry.queries("sample_importance_reweight")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = rows.map(_._2).sum
+    assert(rows.forall(_._5 <= n), "ESS can never exceed the corpus size")
+    assert(rows.map(_._5).distinct.length === 1)
+    // bigger share -> smaller weight (strict inversion up to integer div)
+    val byShare = rows.sortBy(_._3)
+    assert(byShare.map(_._4).zip(byShare.map(_._4).tail)
+      .forall { case (a, b) => b <= a }, byShare.mkString(","))
+  }
+
+  test("eval_bootstrap_winrate_ci: a proper interval that brackets the point estimate") {
+    val r = SparkEntry.queries("eval_bootstrap_winrate_ci")(spark, dir)
+      .collect().head
+    val (rate, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(lo <= hi)
+    assert(lo <= rate && rate <= hi,
+      s"point $rate outside bootstrap CI [$lo, $hi]")
+  }
+
+  test("stat_power_law_alpha: a tail index strictly above 1 from the top-100 spine") {
+    val r = SparkEntry.queries("stat_power_law_alpha")(spark, dir).collect().head
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(2) > 1000000L, s"Hill alpha must exceed 1: ${r.getLong(2)}")
+  }
+
   test("sql_column_mask: masks are shape-preserving and never leak the raw value") {
     SparkEntry.queries("sql_column_mask")(spark, dir).collect()
     val m = spark.sql(

@@ -969,6 +969,72 @@ object Cdc {
       (s, dir) => graft.Catalog.sql(s, dir,
         retentionSql((a, b) => s"datediff($b, $a)")),
       Some(retentionSql((a, b) => s"date_diff('day', $a, $b)"))
+    ),
+    Q(
+      "cdc_conflict_lww_census",
+      // Multi-master conflict census + last-writer-wins resolution
+      // (round-14): two sites write the same keyed register (per
+      // customer: site A folds its even-keyed orders, site B its
+      // odd-keyed ones — each site's state is its LATEST write by
+      // (date, orderkey) total order), and the merge audit reports what
+      // every active-active replication console shows before switching
+      // resolution on: keys only one site wrote, true conflicts, how
+      // many LWW resolves to each side, and how many needed the
+      // deterministic site tiebreak (equal timestamps — 'A' wins, the
+      // bias a console must DISCLOSE, not hide). G-counter merge
+      // (cdc_gcounter_merge) is the CRDT that avoids conflicts; this
+      // row is the register family that cannot, measured. Scale: two
+      // per-key window folds + one full-outer join on the key — the
+      // shuffle is O(keys), values never move twice.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH sa AS (
+          |  SELECT k, ts FROM (
+          |    SELECT o_custkey AS k, o_orderdate AS ts,
+          |           row_number() OVER (PARTITION BY o_custkey
+          |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |    FROM orders WHERE o_orderkey % 2 = 0) t WHERE rn = 1),
+          |sb AS (
+          |  SELECT k, ts FROM (
+          |    SELECT o_custkey AS k, o_orderdate AS ts,
+          |           row_number() OVER (PARTITION BY o_custkey
+          |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |    FROM orders WHERE o_orderkey % 2 = 1) t WHERE rn = 1),
+          |j AS (
+          |  SELECT a.ts AS ta, b.ts AS tb
+          |  FROM sa a FULL OUTER JOIN sb b ON a.k = b.k)
+          |SELECT
+          |  CAST(sum(CASE WHEN tb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+          |  CAST(sum(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+          |  CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+          |  CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta >= tb THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved_a,
+          |  CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta < tb THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved_b,
+          |  CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta = tb THEN 1 ELSE 0 END) AS BIGINT) AS n_site_tiebreaks
+          |FROM j""".stripMargin)
+      },
+      Some("""WITH sa AS (
+             |  SELECT k, ts FROM (
+             |    SELECT o_custkey AS k, o_orderdate AS ts,
+             |           row_number() OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |    FROM orders WHERE o_orderkey % 2 = 0) t WHERE rn = 1),
+             |sb AS (
+             |  SELECT k, ts FROM (
+             |    SELECT o_custkey AS k, o_orderdate AS ts,
+             |           row_number() OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |    FROM orders WHERE o_orderkey % 2 = 1) t WHERE rn = 1),
+             |j AS (
+             |  SELECT a.ts AS ta, b.ts AS tb
+             |  FROM sa a FULL OUTER JOIN sb b ON a.k = b.k)
+             |SELECT
+             |  CAST(sum(CASE WHEN tb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+             |  CAST(sum(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+             |  CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+             |  CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta >= tb THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved_a,
+             |  CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta < tb THEN 1 ELSE 0 END) AS BIGINT) AS n_resolved_b,
+             |  CAST(sum(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL AND ta = tb THEN 1 ELSE 0 END) AS BIGINT) AS n_site_tiebreaks
+             |FROM j""".stripMargin)
     )
   )
 

@@ -429,6 +429,108 @@ object Extensions {
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
     Q(
+      "multimodal_image_entropy",
+      // Per-image grayscale ENTROPY gate (round-14): the cheapest
+      // "is this image information or a flat color card" filter a
+      // multimodal pretraining pipeline runs before spending decoder
+      // budget — blank/near-blank frames score near 0 bits and are
+      // dropped before any model sees them. The codec seam is REAL
+      // (same as multimodal_resize): deterministic rasters encode to
+      // actual PNG via javax.imageio, the measurement DECODES the blob
+      // on the executor (iterator→iterator mapPartitions, constant
+      // memory) and folds a 16-bin histogram per image; entropy then
+      // assembles in SQL from the integer bin counts with the
+      // c·log₂c-quantized-per-term trick (no float accumulation order;
+      // text_entropy_unigram precedent), r2-pinned. PNG losslessness is
+      // what lets the DuckDB oracle replay the raster arithmetic and
+      // hash-match a value measured through a real codec. Scale: blobs
+      // never shuffle — only (doc, bin, count) rows do, 16 per image.
+      (s, dir) => {
+        val src = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        val binSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("media", BinaryType)))
+        val histSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("bin", LongType),
+          StructField("c", LongType)))
+        val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
+        val histEnc = org.apache.spark.sql.Encoders.row(histSchema)
+        val withPng = src.mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0); val nc = r.getLong(1)
+            val w = (8 + nc % 24).toInt; val h = (8 + id % 16).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, ((id * 31 + x * 7 + y * 13) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            Row(id, bos.toByteArray)
+          }
+        }(binEnc)
+        val bins = withPng.mapPartitions { rows =>
+          rows.flatMap { r =>
+            val id = r.getLong(0)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val raster = img.getRaster
+            val counts = new Array[Long](16)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                counts(raster.getSample(x, y, 0) / 16) += 1
+                x += 1
+              }
+              y += 1
+            }
+            counts.zipWithIndex.collect {
+              case (c, b) if c > 0 => Row(id, b.toLong, c)
+            }
+          }
+        }(histEnc)
+        bins.createOrReplaceTempView("img_bins")
+        s.sql(s"""WITH t AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+          |         CAST(sum(CAST(floor(c * log2(CAST(c AS DOUBLE))
+          |              * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS clc_e6,
+          |         CAST(count(*) AS BIGINT) AS n_bins
+          |  FROM img_bins GROUP BY doc_id)
+          |SELECT doc_id, n AS n_px, n_bins,
+          |       ${graft.util.r2sql("log2(CAST(n AS DOUBLE)) - CAST(clc_e6 AS DOUBLE) / 1000000 / n")}
+          |         AS entropy_bits
+          |FROM t ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""WITH px AS (
+        |  SELECT doc_id,
+        |         unnest(flatten(list_transform(range(0, 8 + doc_id % 16), y ->
+        |           list_transform(range(0, 8 + n_chars % 24), x ->
+        |             (doc_id * 31 + x * 7 + y * 13) % 256)))) AS v
+        |  FROM documents),
+        |bins AS (
+        |  SELECT doc_id, v // 16 AS bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM px GROUP BY 1, 2),
+        |t AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CAST(floor(c * log2(CAST(c AS DOUBLE))
+        |              * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS clc_e6,
+        |         CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM bins GROUP BY doc_id)
+        |SELECT doc_id, n AS n_px, n_bins,
+        |       ${graft.util.r2sql("log2(CAST(n AS DOUBLE)) - CAST(clc_e6 AS DOUBLE) / 1000000 / n")}
+        |         AS entropy_bits
+        |FROM t ORDER BY doc_id""".stripMargin)
+    ),
+    Q(
       "multimodal_image_header",
       // Binary header encode → decode round trip, entirely in codegen'd
       // built-ins (no UDF): a PNG-like header is synthesized per doc

@@ -1521,6 +1521,46 @@ object Windows {
              |FROM pe GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
     Q(
+      "stat_granger_1lag",
+      // Granger-causality screen, lag 1, both directions (round-14):
+      // does yesterday's CLICK volume predict today's VIEWS beyond what
+      // yesterday's views already do (and vice versa) — the standard
+      // lead-lag screen before building cross-series features
+      // (ts_lagged_crosscorr measures association; Granger asks for
+      // INCREMENTAL predictive power). Per direction: restricted OLS
+      // y_t ~ y_{t−1} vs full y_t ~ y_{t−1} + x_{t−1}; both RSS come
+      // from the closed-form 2-regressor normal equations assembled out
+      // of ten exact BIGINT moment sums, so the F statistic is a fixed
+      // float expression over identical integers in both engines.
+      // Reject at F(1, n−3)₀.₉₅ ≈ 3.868 (n ≈ 360 here; the critical
+      // value is a documented constant, not a fitted one). Scale: one
+      // O(days) pivoted spine, a self-join at lag 1, ten-integer folds.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(grangerSql)
+      },
+      Some(grangerSqlDuck)
+    ),
+    Q(
+      "ts_pacf_durbin",
+      // Partial autocorrelation via Durbin–Levinson (round-14): the ACF
+      // says "lag k correlates"; the PACF says "lag k correlates AFTER
+      // removing lags 1..k−1" — the pair is how an AR order is chosen
+      // (PACF cutting off at k ⇒ AR(k)). Levels 1–3 from the exact
+      // integer-moment autocorrelations (the ts_autocorr_lag estimator,
+      // e6-floored before use): φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²);
+      // φ₃₃ from the level-2 coefficients — all fixed float expressions
+      // over the pinned integers, no recursion machinery needed at
+      // order 3. Output: (lag, acf_e6, pacf_e6) for k = 1..3.
+      // Scale: identical to the autocorr row — O(days) spine, 3-lag
+      // join, scalar algebra.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(pacfSql(duck = false))
+      },
+      Some(pacfSql(duck = true))
+    ),
+    Q(
       "win_sequence_pattern",
       // Regex over the per-user event-type sequence (round-9): the
       // MATCH_RECOGNIZE-ish CEP shape — order each user's events, project
@@ -3713,4 +3753,130 @@ object Windows {
       |LEFT JOIN cb cp ON cp.user_id = ep.user_id AND cp.rid = ep.clear_rid
       |                AND cp.kind = 0
       |ORDER BY ep.user_id, raise_eid""".stripMargin
+
+  /** Shared Granger-screen SQL for [[stat_granger_1lag]]: the Spark text;
+    * [[grangerSqlDuck]] differs only in date arithmetic (date_add vs +1)
+    * and the integer-division spelling inside the pivoted spine.
+    */
+  private def grangerBody(lagJoin: String): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+       |         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM events GROUP BY 1),
+       |frame AS (
+       |  SELECT 'view_predicts_click' AS dir, a.c AS y, b.c AS u, b.v AS w
+       |  FROM daily a JOIN daily b ON $lagJoin
+       |  UNION ALL
+       |  SELECT 'click_predicts_view', a.v, b.v, b.c
+       |  FROM daily a JOIN daily b ON $lagJoin),
+       |mom AS (
+       |  SELECT dir, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(u) AS BIGINT) AS su, CAST(sum(w) AS BIGINT) AS sw,
+       |         CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(u * u) AS BIGINT) AS suu,
+       |         CAST(sum(w * w) AS BIGINT) AS sww,
+       |         CAST(sum(u * w) AS BIGINT) AS suw,
+       |         CAST(sum(u * y) AS BIGINT) AS suy,
+       |         CAST(sum(w * y) AS BIGINT) AS swy,
+       |         CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM frame GROUP BY dir),
+       |cen AS (
+       |  SELECT dir, n,
+       |         suu - CAST(su AS DOUBLE) * su / n AS cuu,
+       |         sww - CAST(sw AS DOUBLE) * sw / n AS cww,
+       |         suw - CAST(su AS DOUBLE) * sw / n AS cuw,
+       |         suy - CAST(su AS DOUBLE) * sy / n AS cuy,
+       |         swy - CAST(sw AS DOUBLE) * sy / n AS cwy,
+       |         syy - CAST(sy AS DOUBLE) * sy / n AS cyy
+       |  FROM mom),
+       |rss AS (
+       |  SELECT dir, n,
+       |         cyy - cuy * cuy / cuu AS rss_r,
+       |         cyy - ((cuy * cww - cwy * cuw) * cuy
+       |                + (cwy * cuu - cuy * cuw) * cwy)
+       |               / (cuu * cww - cuw * cuw) AS rss_f
+       |  FROM cen)
+       |SELECT dir, n AS n_days,
+       |       CAST(floor((rss_r - rss_f) * (n - 3) / rss_f * 1000000 + 0.5) AS BIGINT)
+       |         AS f_e6,
+       |       CAST(floor((rss_r - rss_f) * (n - 3) / rss_f * 1000000 + 0.5) AS BIGINT)
+       |         > 3868000 AS granger_reject
+       |FROM rss ORDER BY dir""".stripMargin
+
+  private lazy val grangerSql: String =
+    grangerBody("b.d = date_add(a.d, -1)")
+
+  private lazy val grangerSqlDuck: String =
+    grangerBody("b.d = a.d - CAST(1 AS INTEGER)")
+
+  /** Shared PACF SQL for [[ts_pacf_durbin]] — the ts_autocorr_lag
+    * integer-moment estimator at k = 1..3, pivoted to one row, pushed
+    * through the Durbin-Levinson closed forms, and unpivoted back.
+    */
+  private def pacfSql(duck: Boolean): String = {
+    val lagJoin =
+      if (duck) "b.d = a.d + CAST(l.k AS INTEGER)"
+      else "b.d = date_add(a.d, l.k)"
+    val lags =
+      if (duck) "SELECT unnest(range(1, 4)) AS k"
+      else "SELECT CAST(id AS INT) AS k FROM range(1, 4)"
+    s"""WITH daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+       |         CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |         CAST(sum(x * x) AS BIGINT) AS q FROM daily),
+       |lags AS ($lags),
+       |pairs AS (
+       |  SELECT l.k,
+       |         CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(a.x * b.x) AS BIGINT) AS axx,
+       |         CAST(sum(a.x) AS BIGINT) AS bx,
+       |         CAST(sum(b.x) AS BIGINT) AS cx
+       |  FROM lags l
+       |  JOIN daily a ON TRUE
+       |  JOIN daily b ON $lagJoin
+       |  GROUP BY l.k),
+       |rk AS (
+       |  SELECT k,
+       |         CAST(floor((CAST(axx AS DOUBLE)
+       |              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(bx + cx AS DOUBLE)
+       |              + CAST(m AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+       |              / (CAST(q AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+       |              * 1000000 + 0.5) AS BIGINT) AS r_e6
+       |  FROM pairs, stats),
+       |piv AS (
+       |  SELECT max(CASE WHEN k = 1 THEN r_e6 END) / CAST(1000000 AS DOUBLE) AS r1,
+       |         max(CASE WHEN k = 2 THEN r_e6 END) / CAST(1000000 AS DOUBLE) AS r2,
+       |         max(CASE WHEN k = 3 THEN r_e6 END) / CAST(1000000 AS DOUBLE) AS r3
+       |  FROM rk),
+       |dl AS (
+       |  SELECT r1, r2, r3,
+       |         r1 AS p11,
+       |         (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+       |  FROM piv),
+       |dl2 AS (
+       |  SELECT r1, r2, r3, p11, p22,
+       |         p11 - p22 * p11 AS p21
+       |  FROM dl),
+       |out AS (
+       |  SELECT CAST(1 AS BIGINT) AS lag_k,
+       |         CAST(floor(r1 * 1000000 + 0.5) AS BIGINT) AS acf_e6,
+       |         CAST(floor(p11 * 1000000 + 0.5) AS BIGINT) AS pacf_e6
+       |  FROM dl2
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT),
+       |         CAST(floor(r2 * 1000000 + 0.5) AS BIGINT),
+       |         CAST(floor(p22 * 1000000 + 0.5) AS BIGINT)
+       |  FROM dl2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT),
+       |         CAST(floor(r3 * 1000000 + 0.5) AS BIGINT),
+       |         CAST(floor((r3 - p21 * r2 - p22 * r1)
+       |              / (1 - p21 * r1 - p22 * r2) * 1000000 + 0.5) AS BIGINT)
+       |  FROM dl2)
+       |SELECT lag_k, acf_e6, pacf_e6 FROM out ORDER BY lag_k""".stripMargin
+  }
 }

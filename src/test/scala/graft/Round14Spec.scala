@@ -191,6 +191,62 @@ class Round14Spec extends AnyFunSuite {
     assert(r.getLong(2) > 1000000L, s"Hill alpha must exceed 1: ${r.getLong(2)}")
   }
 
+  test("geo_bbox_cover_join: candidates bound insiders, cover actually prunes, 5-gon census matches the point-in-polygon row") {
+    val rows = SparkEntry.queries("geo_bbox_cover_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L))
+    rows.foreach { case (pid, cand, inside, share) =>
+      assert(inside <= cand, s"pid $pid: inside $inside > candidates $cand")
+      assert(share < 1000000L, s"pid $pid: cover must prune, share=$share")
+    }
+    // the 5-gon (pid 1) is the SAME polygon geo_point_in_polygon scans
+    // exhaustively — the two-stage join must find the same inside count
+    val exhaustive = SparkEntry.queries("geo_point_in_polygon")(spark, dir)
+      .agg(sum(col("n_inside"))).collect().head.getLong(0)
+    assert(rows.head._3 === exhaustive,
+      s"cover-join inside=${rows.head._3} vs exhaustive=$exhaustive")
+  }
+
+  test("cdc_conflict_lww_census: every conflict resolves to exactly one site") {
+    val r = SparkEntry.queries("cdc_conflict_lww_census")(spark, dir)
+      .collect().head
+    val (conflict, ra, rb, ties) =
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(ra + rb === conflict, s"resolutions $ra+$rb must partition $conflict")
+    assert(ties <= ra, "site-A tiebreaks are a subset of A resolutions")
+    assert(conflict > 0, "the staged sites must actually collide")
+  }
+
+  test("stat_granger_1lag: F >= 0 (nested models) and the reject flag matches the threshold") {
+    val rows = SparkEntry.queries("stat_granger_1lag")(spark, dir).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      val f = r.getLong(2)
+      assert(f >= -1000L, s"RSS_R >= RSS_F up to float eps: $r")
+      assert(r.getBoolean(3) === (f > 3868000L), r.toString)
+    }
+  }
+
+  test("ts_pacf_durbin: level-1 PACF equals the ACF; 3 lags present") {
+    val rows = SparkEntry.queries("ts_pacf_durbin")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.head._2 === rows.head._3, "phi_11 = r_1 by definition")
+    rows.foreach { case (_, a, p) =>
+      assert(math.abs(a) <= 1000000L && math.abs(p) <= 1100000L, (a, p))
+    }
+  }
+
+  test("multimodal_image_entropy: bounded by log2(16) bits, every doc measured through the codec") {
+    val rows = SparkEntry.queries("multimodal_image_entropy")(spark, dir).collect()
+    assert(rows.length === Tables(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val ent = r.getDouble(3)
+      assert(ent >= 0.0 && ent <= 4.0, s"16-bin entropy out of range: $r")
+      assert(r.getLong(2) <= 16L)
+    }
+  }
+
   test("sql_column_mask: masks are shape-preserving and never leak the raw value") {
     SparkEntry.queries("sql_column_mask")(spark, dir).collect()
     val m = spark.sql(

@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectOptimizerRule(session => plans.RewriteGraftAsOfJoin(session))
+    // MV aggregate-navigation (round-14): rewrites a bare-fact aggregate
+    // to re-aggregate a registered rollup MV; inert unless a query batch
+    // registers an MV in plans.MvRegistry (see its soundness contract)
+    e.injectOptimizerRule(session => plans.RewriteToMaterializedView(session))
     e.injectPlannerStrategy(session => plans.PlanBroadcastAsOf(session))
     // parser seam: the ASOF JOIN statement island (everything else
     // delegates to Spark's parser) — completes the four-seam matrix

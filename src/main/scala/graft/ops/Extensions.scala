@@ -48,6 +48,62 @@ object Extensions {
               |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "sql_mv_rewrite",
+      // OPTIMIZER-DRIVEN materialized-view rewrite (round-14, §2.12):
+      // the query below aggregates the RAW lineitem fact — its author
+      // never names the MV — and the injected
+      // graft.plans.RewriteToMaterializedView rule swaps the fact scan
+      // for a re-aggregation of the registered (returnflag, linestatus)
+      // rollup at optimization time (PlanShapeSpec pins that the
+      // executed plan reads the MV file and NOT lineitem, and that an
+      // unsupported measure leaves the fact scan untouched). The DuckDB
+      // oracle computes from the raw fact, so the rewrite is proven
+      // answer-preserving, not just plan-shaped: measures are restricted
+      // to ones the MV answers bit-exactly (integral sums, counts).
+      // This is sink_materialized_rollup's missing half — the consumer
+      // no longer needs to know the MV exists, which is what makes an
+      // MV rollout a zero-code-change event for every dashboard at
+      // 100 TB. Registration is scoped register → optimize → clear
+      // (the freshness contract; production keys it to the fact's
+      // snapshot version). Scale: the rewritten plan aggregates
+      // O(groups) MV rows instead of scanning the fact.
+      (s, dir) => {
+        val mvDir = graft.util.tempDir("graft_mv_rw_")
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(mvDir)
+        graft.plans.MvRegistry.register("lineitem.parquet", mvDir)
+        try {
+          val q = Tables(s, dir, "lineitem")
+            .groupBy(col("l_returnflag"))
+            .agg(sum(col("l_quantity")).as("sum_qty"),
+              count(lit(1)).as("n_rows"))
+            .orderBy(col("l_returnflag"))
+          // force optimization while the registration is live; the
+          // QueryExecution memoizes the optimized plan, so the later
+          // action executes the rewritten (MV-scanning) plan. The check
+          // inspects the scan RELATIONS (treeString omits file paths).
+          val scans = q.queryExecution.optimizedPlan.collect {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.mkString(",")
+                case _ => ""
+              }
+          }
+          require(scans.exists(_.contains("graft_mv_rw_")) &&
+            !scans.exists(_.contains("lineitem.parquet")),
+            s"MV rewrite did not fire; scans=$scans")
+          q
+        } finally graft.plans.MvRegistry.clear()
+      },
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+             |       CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
+    Q(
       "sink_writeto_v2",
       // DataFrameWriterV2 through the catalog plugin (round-9): the
       // typed `writeTo(...).createOrReplace()` / `.append()` API — the

@@ -1268,9 +1268,15 @@ object GraphAnalytics {
         var x = e.select(col("src").as("node")).distinct()
           .withColumn("score", lit(1000000L))
         for (_ <- 1 to 4) {
+          // materialize each round once (r14 bench adjudication): the
+          // per-round normalization reads the round's output TWICE (max,
+          // then the divide) and chains into the next round — without a
+          // checkpoint every one of those passes re-executes the whole
+          // lineage from round 1, turning 4 rounds into O(R²) joins
           val raw = e.join(x, e("dst") === x("node"))
             .groupBy(col("src").as("n2"))
             .agg(sum(col("score")).as("raw"))
+            .localCheckpoint(true)
           val d = raw.agg(greatest(expr("max(raw) DIV 1000000"), lit(1L))
             .as("d"))
           x = raw.crossJoin(broadcast(d))

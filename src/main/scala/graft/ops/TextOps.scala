@@ -1327,16 +1327,24 @@ object TextOps {
       // at 100 TB that materialization is mandatory anyway (each merge
       // is one pass over the corpus; chaining N interpreted rewrites
       // lazily would recompute round 1 N times), and it is what makes
-      // the loop restartable mid-vocabulary. Scale per round: the pair
-      // shuffle carries (pair, count) partials (map-side combined), the
-      // argmax is O(1) to the driver, the rewrite never shuffles.
+      // the loop restartable mid-vocabulary. The learner trains on a
+      // DETERMINISTIC ~1/4 hash sample of the English sub-corpus —
+      // every production tokenizer trains its merge table on a sample
+      // (the merges stabilize long before the full corpus is seen), and
+      // the hash coin keeps the sample, hence the merge table,
+      // reproducible run-to-run and engine-to-engine. Scale per round:
+      // the pair shuffle carries (pair, count) partials (map-side
+      // combined), the argmax is O(1) to the driver, the rewrite never
+      // shuffles; APPLYING the learned merges to the full corpus is the
+      // map-only text_bpe_merge_apply pass.
       (s, dir) => {
         import s.implicits._
         val bigramsOf = (tk: org.apache.spark.sql.Column) => transform(
           sequence(lit(1), size(tk) - 1),
           i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
         var corpus = Tables(s, dir, "documents")
-          .filter(col("lang") === "en")
+          .filter(col("lang") === "en" &&
+            (col("doc_id") % 1000003L) * 2654435761L % 4L === 0L)
           .select(col("doc_id"), col("text"))
         val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
         for (rank <- 1 to 5) {
@@ -1395,7 +1403,9 @@ object TextOps {
         val out = (1 to 5).map(k =>
           s"SELECT CAST($k AS BIGINT) AS merge_rank, pair, n AS pair_count, v AS vocab_size FROM p$k, v$k")
           .mkString("\nUNION ALL\n")
-        s"""WITH c0 AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+        s"""WITH c0 AS (SELECT doc_id, text FROM documents
+           |            WHERE lang = 'en'
+           |              AND (doc_id % 1000003) * 2654435761 % 4 = 0),
            |$rounds
            |$out
            |ORDER BY merge_rank""".stripMargin

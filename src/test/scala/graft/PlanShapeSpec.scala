@@ -636,6 +636,44 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sql_mv_rewrite: the executed plan scans the MV, never the fact; unsupported measures leave the fact scan intact") {
+    val df = SparkEntry.queries("sql_mv_rewrite")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_rw_"),
+      s"rewritten plan must scan the MV:\n${plan.take(800)}")
+    assert(!plan.contains("lineitem.parquet"),
+      s"rewritten plan must not touch the fact:\n${plan.take(800)}")
+    // negative control: avg() is NOT answerable from the rollup exactly,
+    // so the rule must not fire — conservative matching is the soundness
+    // guarantee
+    val mvDir = graft.util.tempDir("graft_mv_neg_")
+    Tables(spark, dir, "lineitem")
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_linestatus"))
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite").parquet(mvDir)
+    graft.plans.MvRegistry.register("lineitem.parquet", mvDir)
+    try {
+      val neg = Tables(spark, dir, "lineitem")
+        .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.avg("l_quantity").as("a"))
+      val negPlan = neg.queryExecution.optimizedPlan.toString
+      assert(!negPlan.contains("graft_mv_neg_"),
+        s"avg() must not rewrite (not exactly answerable):\n$negPlan")
+      // filtered fact scans must not rewrite either (no predicate
+      // containment analysis in the demo contract)
+      val filtered = Tables(spark, dir, "lineitem")
+        .filter(org.apache.spark.sql.functions.col("l_quantity") > 10)
+        .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"))
+      val fPlan = filtered.queryExecution.optimizedPlan.toString
+      assert(!fPlan.contains("graft_mv_neg_"),
+        s"a filtered scan must not rewrite:\n$fPlan")
+    } finally graft.plans.MvRegistry.clear()
+  }
+
   test("sql_column_mask: the masked view still column-prunes and pushes consumer filters to the scan (r13 verdict #6)") {
     // register the policy view (and the base tables) exactly as the row does
     SparkEntry.queries("sql_column_mask")(spark, dir)

@@ -2094,6 +2094,108 @@ object Sources {
              |ORDER BY o_orderpriority""".stripMargin)
     ),
     Q(
+      "stream_ivm_view_apply",
+      // LIVE incremental-view maintenance (round-14): the batch
+      // delta-join algebra of cdc_ivm_join_view wired to the STREAMING
+      // surface — the maintained segment-revenue view is seeded at the
+      // sync point, then a CDF stream tails the fact table and each
+      // micro-batch applies its signed Δ⋈dim onto the landed view state
+      // inside foreachBatch (insert rows carry payloads; key-only
+      // deletes resolve pre-images against sync-snapshot ∪ earlier
+      // in-window inserts by `_commit_version`, exactly the batch
+      // algebra). View state lands as a new parquet generation per
+      // batch (an AtomicReference tracks the latest — the
+      // pointer-advance pattern ManifestSink uses, in miniature), so a
+      // crash between batches replays from the checkpointed offset
+      // against the last published generation. This is the replica
+      // consumer's real deployment shape: the view is ALWAYS readable,
+      // lags the fact by one micro-batch, and each batch costs
+      // O(|Δ| · fan-out), never a base rescan.
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", graft.util.catalogWarehouse)
+        graft.Catalog.registerAll(s, dir)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.marts")
+        val fmt = "graft.sources.ManifestSink"
+        s.sql("DROP TABLE IF EXISTS graft_cat.marts.ivm_sfact")
+        s.sql("""CREATE TABLE graft_cat.marts.ivm_sfact
+                |(k BIGINT NOT NULL, ck BIGINT, cents BIGINT)""".stripMargin)
+        s.sql("""INSERT INTO graft_cat.marts.ivm_sfact
+                |SELECT coalesce(o_orderkey, -1), o_custkey,
+                |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                |FROM orders WHERE o_orderkey % 3 <> 2""".stripMargin) // v2
+        val tDir = s"${graft.util.catalogWarehouse}/marts/ivm_sfact"
+        val dim = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+        def readAt(v: Int) = s.read.format(fmt)
+          .option("path", tDir).option("versionAsOf", v.toString).load()
+        // seed generation: the view at the sync point (v2)
+        val viewRoot = tmpDir("graft_ivm_view_")
+        val seedDir = s"$viewRoot/g0"
+        readAt(2).join(dim, "ck").groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("rev_cents"))
+          .write.mode("overwrite").parquet(seedDir)
+        // the fact advances while the consumer is live
+        s.sql("""INSERT INTO graft_cat.marts.ivm_sfact
+                |SELECT coalesce(o_orderkey, -1), o_custkey,
+                |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                |FROM orders WHERE o_orderkey % 3 = 2""".stripMargin) // v3
+        s.sql("DELETE FROM graft_cat.marts.ivm_sfact WHERE ck % 7 = 0") // v4
+        val latest = new java.util.concurrent.atomic.AtomicReference[String](seedDir)
+        val q = s.readStream.format(fmt)
+          .option("path", tDir).option("changeFeed", "true")
+          .option("startingVersion", "3").load()
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val sb = b.sparkSession
+              val ins = b.filter(col("_change_type") === "insert")
+                .select(col("k"), col("ck"), col("cents"),
+                  col("_commit_version").as("_v"))
+              val pre = readAt(2).select(col("k"), col("ck"), col("cents"))
+                .withColumn("_v", lit(2L)).unionAll(ins)
+              val del = b.filter(col("_change_type") === "delete")
+                .select(col("k"), col("_commit_version").as("_dv"))
+                .join(pre, "k").filter(col("_v") < col("_dv"))
+                .withColumn("_rk", row_number().over(
+                  org.apache.spark.sql.expressions.Window
+                    .partitionBy(col("k"), col("_dv"))
+                    .orderBy(col("_v").desc)))
+                .filter(col("_rk") === 1)
+                .select(col("ck"), col("cents"), lit(-1L).as("sgn"))
+              val dV = ins.select(col("ck"), col("cents"), lit(1L).as("sgn"))
+                .unionAll(del)
+                .join(dim, "ck")
+                .groupBy(col("seg"))
+                .agg(sum(col("sgn")).as("dn"),
+                  sum(col("sgn") * col("cents")).as("drev"))
+              val cur = sb.read.parquet(latest.get)
+              val nextDir = s"$viewRoot/g${batchId + 1}"
+              cur.join(dV, Seq("seg"), "full_outer")
+                .select(col("seg"),
+                  (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                    .as("n_rows"),
+                  (coalesce(col("rev_cents"), lit(0L)) + coalesce(col("drev"), lit(0L)))
+                    .as("rev_cents"))
+                .filter(col("n_rows") > 0)
+                .write.mode("overwrite").parquet(nextDir)
+              latest.set(nextDir)
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(latest.get).orderBy(col("seg"))
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS k, o_custkey AS ck,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM orders WHERE o_custkey % 7 <> 0),
+             |b AS (SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer)
+             |SELECT b.seg, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(a.cents) AS BIGINT) AS rev_cents
+             |FROM a JOIN b ON a.ck = b.ck
+             |GROUP BY b.seg ORDER BY seg""".stripMargin)
+    ),
+    Q(
       "scan_parquet_encrypted",
       // Parquet Modular Encryption: encryption at rest INSIDE the format —
       // the footer and chosen columns are AES-GCM-encrypted per file, keys

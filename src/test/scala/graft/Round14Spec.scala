@@ -247,6 +247,23 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("stream_ivm_view_apply: the live-maintained view equals the batch IVM's end state") {
+    val live = SparkEntry.queries("stream_ivm_view_apply")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the same end state computed the boring way: full recompute over
+    // the fact's latest snapshot
+    val fmt = "graft.sources.ManifestSink"
+    val tDir = s"${graft.util.catalogWarehouse}/marts/ivm_sfact"
+    val full = spark.read.format(fmt).option("path", tDir).load()
+      .join(Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg")), "ck")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("rev_cents"))
+      .orderBy(col("seg"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(live === full, s"live view diverged:\n $live\n $full")
+  }
+
   test("sql_column_mask: masks are shape-preserving and never leak the raw value") {
     SparkEntry.queries("sql_column_mask")(spark, dir).collect()
     val m = spark.sql(

@@ -3748,6 +3748,25 @@ object Aggregates {
              |FROM ranked""".stripMargin)
     ),
     Q(
+      "stat_fdr_storey",
+      // Storey adaptive FDR (round-14): Benjamini–Hochberg controls FDR
+      // at α assuming EVERY null is true; when many hypotheses are real
+      // effects that's conservative by exactly π₀ (the true-null
+      // fraction), and Storey's estimator π̂₀ = #{p > λ}/((1−λ)m) at
+      // λ = 0.5 buys the power back — the cutoff becomes
+      // p ≤ rank·α/(m·π̂₀). Same per-source p values as stat_fdr_bh
+      // (the Lin exponential tail surrogate — no erf in either SQL
+      // dialect), both verdicts reported side by side so the row SHOWS
+      // the power gain (Storey's reject set is a superset by
+      // construction, Round14Spec pins it). Scale: O(sources) rows
+      // after one map-side aggregate; π̂₀ is a scalar subquery.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(storeySql)
+      },
+      Some(storeySql)
+    ),
+    Q(
       "sample_importance_reweight",
       // Importance re-weighting to a target mixture (round-14): when
       // you cannot resample (every example must keep flowing — loss
@@ -4421,4 +4440,53 @@ object Aggregates {
       |                   * (n1 + n2 - 1)))
       |         * 1000000 + 0.5) AS BIGINT) AS z_e6
       |FROM f""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[stat_fdr_storey]] — the fdr_bh
+    * pipeline plus the pi-zero scalar and the adaptive cutoff.
+    */
+  private lazy val storeySql: String =
+    """WITH bysrc AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS ns,
+      |         CAST(sum(n_chars) AS BIGINT) AS ss,
+      |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sss
+      |  FROM documents GROUP BY source),
+      |g AS (
+      |  SELECT CAST(sum(ns) AS BIGINT) AS n, CAST(sum(ss) AS BIGINT) AS sg,
+      |         CAST(sum(sss) AS BIGINT) AS ssg, CAST(count(*) AS BIGINT) AS m
+      |  FROM bysrc),
+      |zz AS (
+      |  SELECT source,
+      |         abs((CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE) - CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+      |             / (sqrt(CAST(ssg AS DOUBLE) / CAST(n AS DOUBLE)
+      |                     - (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)))
+      |                / sqrt(CAST(ns AS DOUBLE)))) AS zabs
+      |  FROM bysrc CROSS JOIN g),
+      |pv AS (
+      |  SELECT source,
+      |         exp(CAST(-0.717 AS DOUBLE) * zabs + CAST(-0.416 AS DOUBLE) * zabs * zabs) AS p
+      |  FROM zz),
+      |r AS (
+      |  SELECT source, p,
+      |         CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS rnk
+      |  FROM pv),
+      |pz AS (
+      |  SELECT least(CAST(1 AS DOUBLE),
+      |           (SELECT CAST(count(*) AS BIGINT) FROM pv
+      |            WHERE p > CAST(0.5 AS DOUBLE))
+      |           / (CAST(0.5 AS DOUBLE) * m)) AS pi0, m
+      |  FROM g),
+      |cut AS (
+      |  SELECT max(CASE WHEN p <= rnk / CAST(m AS DOUBLE) * CAST(0.1 AS DOUBLE)
+      |                  THEN rnk ELSE CAST(0 AS BIGINT) END) AS c_bh,
+      |         max(CASE WHEN p <= rnk / CAST(m AS DOUBLE) * CAST(0.1 AS DOUBLE) / pi0
+      |                  THEN rnk ELSE CAST(0 AS BIGINT) END) AS c_st
+      |  FROM r CROSS JOIN pz)
+      |SELECT source,
+      |       CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_e6,
+      |       rnk,
+      |       CAST(floor(pi0 * 1000000 + 0.5) AS BIGINT) AS pi0_e6,
+      |       rnk <= c_bh AS rejected_bh,
+      |       rnk <= c_st AS rejected_storey
+      |FROM r CROSS JOIN pz CROSS JOIN cut
+      |ORDER BY rnk""".stripMargin
 }

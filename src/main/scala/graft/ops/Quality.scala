@@ -681,8 +681,59 @@ Q(
              |       CAST(max(CASE WHEN ts_ns < prev_ns THEN prev_ns - ts_ns ELSE 0 END) // 1000000000 AS BIGINT) AS max_regression_s
              |FROM e WHERE prev_ns IS NOT NULL
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+    Q(
+      "dq_null_completeness_matrix",
+      // Column × segment completeness matrix (round-14):
+      // dq_profile_columns reports corpus-wide null rates; the question
+      // an ingest triage actually asks is "WHICH SLICE went dark" — a
+      // feed that nulls o_totalprice only for one order status is
+      // invisible in the global rate but jumps out of the matrix. The
+      // staged dirt is deterministic hash-gated nulling (three columns,
+      // different rates and hash offsets, one of them status-CORRELATED
+      // — the realistic failure), and the matrix is long-form
+      // (status, column, n_rows, n_null, null_rate_e6): one conditional
+      // aggregate per slice, unpivoted by UNION so both engines emit
+      // the identical frame. Scale: a single map-side-combinable
+      // aggregate per status; the matrix is O(slices · columns) rows
+      // regardless of table size.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(completenessSql)
+      },
+      Some(completenessSql)
     )
   )
+
+  /** Shared Spark/DuckDB SQL for [[dq_null_completeness_matrix]]: stage
+    * hash-gated nulls (o_totalprice nulled ~7% everywhere PLUS always
+    * for status 'P' — the correlated outage; o_orderdate ~3%;
+    * o_orderpriority ~12%), then the long-form per-status census.
+    */
+  private lazy val completenessSql: String =
+    """WITH dirty AS (
+      |  SELECT o_orderstatus AS st,
+      |         CASE WHEN (o_orderkey % 1000003) * 2654435761 % 100 < 7
+      |                OR o_orderstatus = 'P'
+      |              THEN NULL ELSE o_totalprice END AS tp,
+      |         CASE WHEN (o_orderkey % 999983) * 48271 % 100 < 3
+      |              THEN NULL ELSE o_orderdate END AS od,
+      |         CASE WHEN (o_orderkey % 1000033) * 69621 % 100 < 12
+      |              THEN NULL ELSE o_orderpriority END AS op
+      |  FROM orders),
+      |m AS (
+      |  SELECT st, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN tp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp_null,
+      |         CAST(sum(CASE WHEN od IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS od_null,
+      |         CAST(sum(CASE WHEN op IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS op_null
+      |  FROM dirty GROUP BY st)
+      |SELECT st AS o_orderstatus, col, n AS n_rows, n_null,
+      |       CAST(n_null * 1000000 AS BIGINT) / n AS null_rate_e6
+      |FROM (
+      |  SELECT st, 'o_totalprice' AS col, n, tp_null AS n_null FROM m
+      |  UNION ALL SELECT st, 'o_orderdate', n, od_null FROM m
+      |  UNION ALL SELECT st, 'o_orderpriority', n, op_null FROM m) u
+      |ORDER BY o_orderstatus, col""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[dq_drift_psi]]. */
   private lazy val psiSql: String =

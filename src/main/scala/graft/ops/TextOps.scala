@@ -1412,6 +1412,78 @@ object TextOps {
       }
     ),
     Q(
+      "pipeline_dataset_diff",
+      // Dataset-version diff by CONTENT identity (round-14): the
+      // training-data release audit — what changed between corpus v1
+      // and v2, classified added / removed / changed / unchanged per
+      // language. Unlike the CDC/table-changes tier (which diffs by row
+      // KEY against a commit log), this diffs by doc id + text sha —
+      // the shape used when v2 arrives as a re-export with no lineage
+      // (the common case for third-party corpora). v2 is staged
+      // deterministically from v1: every 19th doc dropped, every
+      // (non-dropped) 13th doc's text perturbed, and every 17th doc
+      // re-added as a NEW id (the near-dup trap a naive key diff calls
+      // "added" but a content-hash pass can link back — n_added_dups
+      // counts exactly those). Scale: both sides reduce to (id, lang,
+      // sha) projections before the full-outer join — the diff never
+      // moves document text, only 64-byte hashes.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql("""WITH v1 AS (
+          |  SELECT doc_id, lang, sha2(text, 256) AS sha, text FROM documents),
+          |v2 AS (
+          |  SELECT doc_id, lang,
+          |         CASE WHEN doc_id % 13 = 0
+          |              THEN sha2(concat(text, ' [rev2]'), 256)
+          |              ELSE sha2(text, 256) END AS sha
+          |  FROM documents WHERE doc_id % 19 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000000, lang, sha2(text, 256)
+          |  FROM documents WHERE doc_id % 17 = 0),
+          |j AS (
+          |  SELECT coalesce(a.lang, b.lang) AS lang,
+          |         CASE WHEN a.doc_id IS NULL THEN 'added'
+          |              WHEN b.doc_id IS NULL THEN 'removed'
+          |              WHEN a.sha <> b.sha THEN 'changed'
+          |              ELSE 'unchanged' END AS kind,
+          |         b.sha AS bsha
+          |  FROM (SELECT doc_id, lang, sha FROM v1) a
+          |  FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+          |v1sha AS (SELECT DISTINCT sha FROM v1)
+          |SELECT lang, kind, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CASE WHEN kind = 'added'
+          |                 AND bsha IN (SELECT sha FROM v1sha)
+          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_added_dups
+          |FROM j GROUP BY lang, kind ORDER BY lang, kind""".stripMargin)
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, lang, sha256(text) AS sha, text FROM documents),
+             |v2 AS (
+             |  SELECT doc_id, lang,
+             |         CASE WHEN doc_id % 13 = 0
+             |              THEN sha256(concat(text, ' [rev2]'))
+             |              ELSE sha256(text) END AS sha
+             |  FROM documents WHERE doc_id % 19 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000, lang, sha256(text)
+             |  FROM documents WHERE doc_id % 17 = 0),
+             |j AS (
+             |  SELECT coalesce(a.lang, b.lang) AS lang,
+             |         CASE WHEN a.doc_id IS NULL THEN 'added'
+             |              WHEN b.doc_id IS NULL THEN 'removed'
+             |              WHEN a.sha <> b.sha THEN 'changed'
+             |              ELSE 'unchanged' END AS kind,
+             |         b.sha AS bsha
+             |  FROM (SELECT doc_id, lang, sha FROM v1) a
+             |  FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+             |v1sha AS (SELECT DISTINCT sha FROM v1)
+             |SELECT lang, kind, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN kind = 'added'
+             |                 AND bsha IN (SELECT sha FROM v1sha)
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_added_dups
+             |FROM j GROUP BY lang, kind ORDER BY lang, kind""".stripMargin)
+    ),
+    Q(
       "text_heaps_law",
       // Heaps'-law vocabulary growth fit (round-14): V(N) ≈ k·N^β — the
       // curve that answers "how much NEW vocabulary does the next

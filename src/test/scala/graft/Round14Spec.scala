@@ -264,6 +264,43 @@ class Round14Spec extends AnyFunSuite {
     assert(live === full, s"live view diverged:\n $live\n $full")
   }
 
+  test("pipeline_dataset_diff: kinds partition both versions; every re-added copy is content-linked") {
+    val rows = SparkEntry.queries("pipeline_dataset_diff")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val byKind = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nDocs = Tables(spark, dir, "documents").count()
+    // removed + changed + unchanged = all of v1
+    assert(byKind.getOrElse("removed", 0L) + byKind.getOrElse("changed", 0L)
+      + byKind.getOrElse("unchanged", 0L) === nDocs)
+    // the staged adds are verbatim copies — the content-hash pass must
+    // link every one back to a v1 doc
+    val addedDupTotal = rows.filter(_._1 == "added").map(_._3).sum
+    assert(byKind.getOrElse("added", 0L) === addedDupTotal,
+      "every staged add is an exact dup and must be flagged as one")
+    assert(byKind("added") > 0 && byKind("removed") > 0 && byKind("changed") > 0)
+  }
+
+  test("dq_null_completeness_matrix: the correlated outage is visible only in its slice") {
+    val rows = SparkEntry.queries("dq_null_completeness_matrix")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+    assert(rows.size === 9, "3 statuses x 3 columns")
+    // the staged correlated failure: status P's totalprice is FULLY null
+    assert(rows(("P", "o_totalprice")) === 1000000.0, rows.toString)
+    // ...while other statuses' totalprice sits near the 7% base rate
+    assert(rows(("O", "o_totalprice")) < 150000.0)
+    assert(rows(("F", "o_totalprice")) < 150000.0)
+  }
+
+  test("stat_fdr_storey: adaptive rejections are a superset of BH's; pi0 <= 1") {
+    val rows = SparkEntry.queries("stat_fdr_storey")(spark, dir)
+      .collect().map(r => (r.getBoolean(4), r.getBoolean(5), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bh, st, pi0) =>
+      assert(!bh || st, "BH rejection implies Storey rejection (pi0 <= 1)")
+      assert(pi0 <= 1000000L)
+    }
+  }
+
   test("sql_column_mask: masks are shape-preserving and never leak the raw value") {
     SparkEntry.queries("sql_column_mask")(spark, dir).collect()
     val m = spark.sql(

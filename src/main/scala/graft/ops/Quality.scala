@@ -699,9 +699,9 @@ Q(
       // regardless of table size.
       (s, dir) => {
         graft.Catalog.registerAll(s, dir)
-        s.sql(completenessSql)
+        s.sql(completenessSql("DIV"))
       },
-      Some(completenessSql)
+      Some(completenessSql("//"))
     )
   )
 
@@ -709,9 +709,11 @@ Q(
     * hash-gated nulls (o_totalprice nulled ~7% everywhere PLUS always
     * for status 'P' — the correlated outage; o_orderdate ~3%;
     * o_orderpriority ~12%), then the long-form per-status census.
+    * `idiv` = the engine's integer-division token so `null_rate_e6`
+    * is a pinned BIGINT like every other `_e6` column (ADVICE r14).
     */
-  private lazy val completenessSql: String =
-    """WITH dirty AS (
+  private def completenessSql(idiv: String): String =
+    s"""WITH dirty AS (
       |  SELECT o_orderstatus AS st,
       |         CASE WHEN (o_orderkey % 1000003) * 2654435761 % 100 < 7
       |                OR o_orderstatus = 'P'
@@ -728,7 +730,7 @@ Q(
       |         CAST(sum(CASE WHEN op IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS op_null
       |  FROM dirty GROUP BY st)
       |SELECT st AS o_orderstatus, col, n AS n_rows, n_null,
-      |       CAST(n_null * 1000000 AS BIGINT) / n AS null_rate_e6
+      |       CAST(n_null * 1000000 AS BIGINT) $idiv n AS null_rate_e6
       |FROM (
       |  SELECT st, 'o_totalprice' AS col, n, tp_null AS n_null FROM m
       |  UNION ALL SELECT st, 'o_orderdate', n, od_null FROM m

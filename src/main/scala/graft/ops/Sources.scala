@@ -2101,9 +2101,9 @@ object Sources {
       // sync point, then a CDF stream tails the fact table and each
       // micro-batch applies its signed Δ⋈dim onto the landed view state
       // inside foreachBatch (insert rows carry payloads; key-only
-      // deletes resolve pre-images against sync-snapshot ∪ earlier
-      // in-window inserts by `_commit_version`, exactly the batch
-      // algebra). View state lands as a new parquet generation per
+      // deletes resolve pre-images by time-travelling to the snapshot
+      // as of `_commit_version - 1` — exact under any micro-batch
+      // split of the commit range). View state lands as a new parquet generation per
       // batch (an AtomicReference tracks the latest — the
       // pointer-advance pattern ManifestSink uses, in miniature), so a
       // crash between batches replays from the checkpointed offset
@@ -2149,19 +2149,27 @@ object Sources {
             (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
               val sb = b.sparkSession
               val ins = b.filter(col("_change_type") === "insert")
-                .select(col("k"), col("ck"), col("cents"),
-                  col("_commit_version").as("_v"))
-              val pre = readAt(2).select(col("k"), col("ck"), col("cents"))
-                .withColumn("_v", lit(2L)).unionAll(ins)
-              val del = b.filter(col("_change_type") === "delete")
+                .select(col("k"), col("ck"), col("cents"))
+              // Key-only deletes resolve pre-images against the table
+              // snapshot AS OF (delete's _commit_version - 1) via the
+              // sink's own time travel — exact regardless of how the
+              // planner splits commits across micro-batches (ADVICE r14:
+              // the old sync-snapshot ∪ same-batch-inserts resolution
+              // silently dropped a delete of a row inserted in an
+              // EARLIER batch). The distinct-version collect is a
+              // per-batch driver scalar list, O(#commits in batch).
+              val delRaw = b.filter(col("_change_type") === "delete")
                 .select(col("k"), col("_commit_version").as("_dv"))
-                .join(pre, "k").filter(col("_v") < col("_dv"))
-                .withColumn("_rk", row_number().over(
-                  org.apache.spark.sql.expressions.Window
-                    .partitionBy(col("k"), col("_dv"))
-                    .orderBy(col("_v").desc)))
-                .filter(col("_rk") === 1)
-                .select(col("ck"), col("cents"), lit(-1L).as("sgn"))
+              val delVersions = delRaw.select(col("_dv")).distinct()
+                .collect().map(_.getLong(0)).sorted
+              val del = delVersions.map { dv =>
+                delRaw.filter(col("_dv") === dv).select(col("k"))
+                  .join(readAt((dv - 1).toInt)
+                    .select(col("k"), col("ck"), col("cents")), "k")
+                  .select(col("ck"), col("cents"), lit(-1L).as("sgn"))
+              }.reduceOption(_ unionAll _).getOrElse(
+                ins.select(col("ck"), col("cents"), lit(-1L).as("sgn"))
+                  .limit(0))
               val dV = ins.select(col("ck"), col("cents"), lit(1L).as("sgn"))
                 .unionAll(del)
                 .join(dim, "ck")

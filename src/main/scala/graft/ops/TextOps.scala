@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables, util}
 import graft.text.{MinHash, SimHash}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -15,6 +15,121 @@ import org.apache.spark.sql.expressions.Window
 object TextOps {
 
   private def toks: Column = split(col("text"), " ")
+
+  /** The BPE greedy left-to-right merge fold over a token array column
+    * `tk`: adjacent (pa, pb) occurrences join with '_', everything else
+    * re-joins with ' '. Shared by the trainer's per-round rewrite and the
+    * encoder's rank-ordered apply so train-time and encode-time
+    * segmentation agree by construction.
+    */
+  private def bpeFold(pa: Column, pb: Column): Column =
+    aggregate(
+      expr("slice(tk, 2, size(tk) - 1)"),
+      element_at(col("tk"), 1),
+      (acc, x) => when(
+        regexp_extract(acc, "([^ ]*)$", 1) === pa && (x === pb),
+        concat(acc, lit("_"), x))
+        .otherwise(concat(acc, lit(" "), x)))
+
+  /** The 5-round BPE training loop on the deterministic ~1/4 hash sample
+    * of the English sub-corpus (see [[text_bpe_train_merges]] for why the
+    * sample + per-round parquet checkpoints are the 100 TB shape).
+    * Returns (merge_rank, pair, pair_count_at_selection, vocab_after) —
+    * `withVocab = false` skips the per-round countDistinct jobs for
+    * callers that only need the ordered pairs (the encoder).
+    */
+  private def bpeTrain(s: SparkSession, dir: String, withVocab: Boolean)
+      : Seq[(Long, String, Long, Long)] = {
+    val bigramsOf = (tk: Column) => transform(
+      sequence(lit(1), size(tk) - 1),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
+    var corpus = Tables(s, dir, "documents")
+      .filter(col("lang") === "en" &&
+        (col("doc_id") % 1000003L) * 2654435761L % 4L === 0L)
+      .select(col("doc_id"), col("text"))
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    for (rank <- 1 to 5) {
+      val tk = split(col("text"), " ")
+      val top = corpus.select(tk.as("tk")).filter(size(col("tk")) >= 2)
+        .select(explode(bigramsOf(col("tk"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+      val next = corpus.crossJoin(broadcast(top))
+        .select(col("doc_id"), tk.as("tk"),
+          split(col("pair"), " ").getItem(0).as("pa"),
+          split(col("pair"), " ").getItem(1).as("pb"))
+        .select(col("doc_id"), bpeFold(col("pa"), col("pb")).as("text"))
+      val ckpt = graft.util.tempDir(s"graft_bpe_r${rank}_")
+      next.write.mode("overwrite").parquet(ckpt)
+      corpus = s.read.parquet(ckpt)
+      val winner = top.collect().head
+      val vocab =
+        if (!withVocab) 0L
+        else corpus
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .agg(countDistinct(col("tok"))).collect().head.getLong(0)
+      rows += ((rank.toLong, winner.getString(0), winner.getLong(1), vocab))
+    }
+    rows.toSeq
+  }
+
+  /** The full English corpus with [[bpeTrain]]'s learned merges applied
+    * in rank order — the encoder's map-only production pass (merge table
+    * as driver literals, 5 folds chained lazily into one pass). Shared
+    * with Round15Spec, which proves decode(encode(text)) == text.
+    */
+  private[graft] def bpeEncodedCorpus(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val merges = bpeTrain(s, dir, withVocab = false)
+      .sortBy(_._1).map(_._2)
+    var applied = Tables(s, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"))
+    merges.foreach { pair =>
+      val Array(pa, pb) = pair.split(" ", 2)
+      applied = applied
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), bpeFold(lit(pa), lit(pb)).as("text"))
+    }
+    applied
+  }
+
+  /** The trainer's sample CTE (no WITH): the same hash quarter of the
+    * English sub-corpus as [[bpeTrain]].
+    */
+  private val bpeSampleCte: String =
+    """c0 AS (SELECT doc_id, text FROM documents
+      |            WHERE lang = 'en'
+      |              AND (doc_id % 1000003) * 2654435761 % 4 = 0)""".stripMargin
+
+  /** Unrolled 5-round trainer CTEs: pK = round-K winning pair, cK =
+    * sample corpus after K merges, and (when `withVocab`) vK = vocab size
+    * after the round-K rewrite. No leading WITH / trailing comma.
+    */
+  private def bpeRoundsSql(withVocab: Boolean): String =
+    (1 to 5).map { k =>
+      val vocabCte =
+        if (!withVocab) ""
+        else s""",
+           |v$k AS (
+           |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS tok FROM c$k) u)""".stripMargin
+      s"""p$k AS (
+         |  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(list_transform(
+         |             range(1, len(string_split(text, ' '))),
+         |             i -> string_split(text, ' ')[i] || ' ' ||
+         |                  string_split(text, ' ')[i + 1])) AS pair
+         |    FROM c${k - 1} WHERE len(string_split(text, ' ')) >= 2) t
+         |  GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
+         |c$k AS (
+         |  SELECT doc_id, list_reduce(string_split(text, ' '),
+         |    (acc, x) -> CASE
+         |      WHEN regexp_extract(acc, '([^ ]*)${"$"}', 1) = split_part(p$k.pair, ' ', 1)
+         |       AND x = split_part(p$k.pair, ' ', 2)
+         |      THEN acc || '_' || x ELSE acc || ' ' || x END) AS text
+         |  FROM c${k - 1}, p$k)$vocabCte""".stripMargin
+    }.mkString(",\n")
 
   /** Marker-token vocabularies for the n-gram/stopword language heuristic. */
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -1339,76 +1454,83 @@ object TextOps {
       // map-only text_bpe_merge_apply pass.
       (s, dir) => {
         import s.implicits._
-        val bigramsOf = (tk: org.apache.spark.sql.Column) => transform(
-          sequence(lit(1), size(tk) - 1),
-          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1)))
-        var corpus = Tables(s, dir, "documents")
-          .filter(col("lang") === "en" &&
-            (col("doc_id") % 1000003L) * 2654435761L % 4L === 0L)
-          .select(col("doc_id"), col("text"))
-        val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
-        for (rank <- 1 to 5) {
-          val tk = split(col("text"), " ")
-          val top = corpus.select(tk.as("tk")).filter(size(col("tk")) >= 2)
-            .select(explode(bigramsOf(col("tk"))).as("pair"))
-            .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-            .orderBy(col("n").desc, col("pair").asc).limit(1)
-          val next = corpus.crossJoin(broadcast(top))
-            .select(col("doc_id"), tk.as("tk"),
-              split(col("pair"), " ").getItem(0).as("pa"),
-              split(col("pair"), " ").getItem(1).as("pb"))
-            .select(col("doc_id"), aggregate(
-              expr("slice(tk, 2, size(tk) - 1)"),
-              element_at(col("tk"), 1),
-              (acc, x) => when(
-                regexp_extract(acc, "([^ ]*)$", 1) === col("pa") &&
-                  (x === col("pb")),
-                concat(acc, lit("_"), x))
-                .otherwise(concat(acc, lit(" "), x))).as("text"))
-          val ckpt = graft.util.tempDir(s"graft_bpe_r${rank}_")
-          next.write.mode("overwrite").parquet(ckpt)
-          corpus = s.read.parquet(ckpt)
-          val winner = top.collect().head
-          val vocab = corpus
-            .select(explode(split(col("text"), " ")).as("tok"))
-            .agg(countDistinct(col("tok"))).collect().head.getLong(0)
-          rows += ((rank.toLong, winner.getString(0), winner.getLong(1), vocab))
-        }
-        rows.toSeq.toDF("merge_rank", "pair", "pair_count", "vocab_size")
+        bpeTrain(s, dir, withVocab = true)
+          .toDF("merge_rank", "pair", "pair_count", "vocab_size")
           .orderBy(col("merge_rank"))
       },
       Some {
-        // unrolled 5-round oracle: cK = corpus after K merges, pK = the
-        // round-K winner, vK = vocab size after the round-K rewrite
-        val rounds = (1 to 5).map { k =>
-          s"""p$k AS (
-             |  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
-             |    SELECT unnest(list_transform(
-             |             range(1, len(string_split(text, ' '))),
-             |             i -> string_split(text, ' ')[i] || ' ' ||
-             |                  string_split(text, ' ')[i + 1])) AS pair
-             |    FROM c${k - 1} WHERE len(string_split(text, ' ')) >= 2) t
-             |  GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1),
-             |c$k AS (
+        val out = (1 to 5).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS merge_rank, pair, n AS pair_count, v AS vocab_size FROM p$k, v$k")
+          .mkString("\nUNION ALL\n")
+        s"""WITH $bpeSampleCte,
+           |${bpeRoundsSql(withVocab = true)}
+           |$out
+           |ORDER BY merge_rank""".stripMargin
+      }
+    ),
+    Q(
+      "text_bpe_encode",
+      // BPE ENCODE to ids (r14 verdict #3 — the serving half of the
+      // tokenizer): apply text_bpe_train_merges' learned merge table in
+      // RANK ORDER to the full English corpus (each merge is the same
+      // greedy left-to-right fold the trainer rewrites with, so
+      // train-time and encode-time segmentation agree by construction),
+      // then map final tokens to dense vocab ids (row_number over the
+      // sorted vocab — the id assignment a tokenizer ships) and emit per
+      // doc (n_tokens, sha256 of the comma-joined id sequence). The id
+      // SEQUENCE is what a training loader consumes; the sha pins every
+      // position of it, so one transposed/dropped token hash-fails.
+      // Round15Spec proves decode(encode(text)) == text on the fixture.
+      // Scale: training reruns the sample-side loop (5 bounded shuffles);
+      // the APPLY is the production path — the merge table is a driver
+      // constant folded into ONE map-only pass over the corpus (the 5
+      // rewrites chain lazily, no intermediate materialization), the
+      // vocab window runs over O(vocab) distinct tokens, and the id join
+      // broadcasts the vocab exactly like a real tokenizer's merges
+      // table rides in executor memory.
+      (s, dir) => {
+        val applied = bpeEncodedCorpus(s, dir)
+        val toks = applied.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val vocab = toks.select(col("tok")).distinct()
+          .withColumn("id", row_number().over(
+            Window.orderBy(col("tok"))).cast("long"))
+        toks.join(broadcast(vocab), "tok")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("pos"), col("id")))),
+              x => x.getField("id").cast("string"))).as("ids"))
+          .select(col("doc_id"), col("n_tokens"),
+            sha2(col("ids"), 256).as("ids_sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val applies = (1 to 5).map { k =>
+          s"""e$k AS (
              |  SELECT doc_id, list_reduce(string_split(text, ' '),
              |    (acc, x) -> CASE
              |      WHEN regexp_extract(acc, '([^ ]*)${"$"}', 1) = split_part(p$k.pair, ' ', 1)
              |       AND x = split_part(p$k.pair, ' ', 2)
              |      THEN acc || '_' || x ELSE acc || ' ' || x END) AS text
-             |  FROM c${k - 1}, p$k),
-             |v$k AS (
-             |  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM (
-             |    SELECT unnest(string_split(text, ' ')) AS tok FROM c$k) u)""".stripMargin
+             |  FROM e${k - 1}, p$k)""".stripMargin
         }.mkString(",\n")
-        val out = (1 to 5).map(k =>
-          s"SELECT CAST($k AS BIGINT) AS merge_rank, pair, n AS pair_count, v AS vocab_size FROM p$k, v$k")
-          .mkString("\nUNION ALL\n")
-        s"""WITH c0 AS (SELECT doc_id, text FROM documents
-           |            WHERE lang = 'en'
-           |              AND (doc_id % 1000003) * 2654435761 % 4 = 0),
-           |$rounds
-           |$out
-           |ORDER BY merge_rank""".stripMargin
+        s"""WITH $bpeSampleCte,
+           |${bpeRoundsSql(withVocab = false)},
+           |e0 AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+           |$applies,
+           |tok AS (
+           |  SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS tok
+           |  FROM (SELECT doc_id, text,
+           |               unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+           |        FROM e5) x),
+           |vocab AS (
+           |  SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS id
+           |  FROM (SELECT DISTINCT tok FROM tok) u)
+           |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |       sha256(string_agg(v.id::VARCHAR, ',' ORDER BY t.pos)) AS ids_sha
+           |FROM tok t JOIN vocab v ON v.tok = t.tok
+           |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
       }
     ),
     Q(

@@ -115,8 +115,13 @@ case class RewriteToMaterializedView(spark: SparkSession)
               case (SumQty, ne) => sum(col("sum_qty")).as(ne.name)
               case (CountRows, ne) => sum(col("n")).as(ne.name)
             }
+            // Dims-only aggregate (e.g. SELECT DISTINCT dims FROM fact):
+            // no measures to re-aggregate — the MV's dimension tuples are
+            // exactly the distinct set (ADVICE r14: measureCols.head on an
+            // empty seq used to throw inside the optimizer here).
             val aggDf =
-              if (grpCols.isEmpty) mv.agg(measureCols.head, measureCols.tail: _*)
+              if (measureCols.isEmpty) mv.select(grpCols.map(col): _*).distinct()
+              else if (grpCols.isEmpty) mv.agg(measureCols.head, measureCols.tail: _*)
               else mv.groupBy(grpCols.map(col): _*)
                 .agg(measureCols.head, measureCols.tail: _*)
             val ordered = aggDf.select(measures.map {

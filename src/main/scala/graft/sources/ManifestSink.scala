@@ -824,36 +824,24 @@ object ManifestSink {
     val newData = filesB.collect { case (f, _) if !seenData(f) => f }
     val newDels = atB.map(_.deletes).getOrElse(Seq.empty)
       .collect { case (f, _) if !seenDel(f) => f }
-    // _commit_version attribution (round-14): each net-new file is tagged
-    // with the FIRST retained snapshot in (a, b] that contains it —
-    // O(range) manifest reads, zero data reads (metadata-scale even at
-    // 100 TB). A single-version range skips the walk entirely (the
-    // streaming feed's per-commit batches stay one readState each). A
-    // file whose first snapshot expired mid-range attributes to the range
-    // end — the latest version it provably belonged to.
-    val attr = scala.collection.mutable.HashMap[String, Int]()
-    if (a + 1 == b) { (newData ++ newDels).foreach(attr(_) = b) }
-    else {
-      var pending = (newData ++ newDels).toSet
-      var v = a + 1
-      while (pending.nonEmpty && v < b) {
-        readState(dir, Some(v)).foreach { st =>
-          val present = st.files.iterator.map(_._1).toSet ++
-            st.deletes.iterator.map(_._1)
-          val found = pending.filter(present)
-          found.foreach(attr(_) = v)
-          pending --= found
-        }
-        v += 1
-      }
-      pending.foreach(attr(_) = b)
-    }
+    // _commit_version attribution (ADVICE r14, low #5): the manifest
+    // RECORDS each file's commit sequence at write time (`seq =
+    // expected + 1` in both CAS paths, i.e. seq IS the commit version),
+    // so attribution reads the exact version from the state-at-b
+    // metadata — zero extra manifest walks, and retention expiring a
+    // mid-range snapshot can never shift an event's version forward
+    // (the r14 first-retained-snapshot inference could). Legacy bare
+    // lines parse as seq 1; clamping into (a, b] keeps those and any
+    // compaction-refreshed seq inside the range the feed is answering.
+    val seqData = filesB.toMap
+    val seqDel = atB.map(_.deletes.toMap).getOrElse(Map.empty[String, Int])
+    def clamp(v: Int): Int = math.min(b, math.max(a + 1, v))
     val inserts = newData.map(f =>
       ChangeFeedPartition(resolveData(dir, f), isDelete = false,
-        version = attr(f)): InputPartition)
+        version = clamp(seqData(f))): InputPartition)
     val deletes = newDels.map(f =>
       ChangeFeedPartition(resolveData(dir, f), isDelete = true,
-        version = attr(f)): InputPartition)
+        version = clamp(seqDel(f))): InputPartition)
     (inserts ++ deletes).toArray
   }
 

@@ -102,6 +102,26 @@ object SurveyTable {
       case Some(f) => Files.writeString(Paths.get(f), out)
       case None => print(out)
     }
+    syncReadmeCount(names.size)
     System.err.println(s"[survey-table] ${names.size} rows, ${oracled.size} oracled")
+  }
+
+  /** r14 verdict #6: README.md's headline operator count drifted from the
+    * registry (671 vs 674) because it was hand-edited. Generate it the way
+    * §2.14 is generated: every `**N registered operators**` / `**all N`
+    * token in README.md is rewritten from `SparkEntry.queries.size`;
+    * `ReadmeCountSpec` pins the file equals the registry at test time.
+    */
+  private[tools] def syncReadmeCount(
+      n: Int, readme: Path = Paths.get("README.md")): Boolean = {
+    if (!Files.exists(readme)) false
+    else {
+      val txt = Files.readString(readme)
+      val fixed = txt
+        .replaceAll("\\*\\*\\d+ registered operators\\*\\*",
+          s"**$n registered operators**")
+        .replaceAll("\\*\\*all \\d+ ", s"**all $n ")
+      if (fixed != txt) { Files.writeString(readme, fixed); true } else false
+    }
   }
 }

@@ -125,12 +125,21 @@ class BenchSpec extends AnyFunSuite {
       Seq(13 -> Map("q_a" -> 0.40, "q_b" -> 1.0)))
   }
 
-  test("currentRound: one past the max driver artifact in the cwd") {
+  test("currentRound: driver's closing bench keys as ITS round, not round+1") {
     val dir = java.nio.file.Files.createTempDirectory("graft_benchspec_")
     assert(Bench.currentRound(dir) === 1, "bare checkout is round 1")
+    // mid-round builder run: both artifact families closed at 12 → round 13
     java.nio.file.Files.write(dir.resolve("BENCH_r03.json"), Array[Byte]())
-    java.nio.file.Files.write(dir.resolve("CORRECTNESS_r13.json"), Array[Byte]())
+    java.nio.file.Files.write(dir.resolve("CORRECTNESS_r12.json"), Array[Byte]())
     java.nio.file.Files.write(dir.resolve("BENCH_r12.json"), Array[Byte]())
+    assert(Bench.currentRound(dir) === 13)
+    // the r14-verdict self-collision shape: the driver wrote
+    // CORRECTNESS_r13 and is NOW running round 13's closing bench —
+    // this run must key 13 (the round being written), NOT 14
+    java.nio.file.Files.write(dir.resolve("CORRECTNESS_r13.json"), Array[Byte]())
+    assert(Bench.currentRound(dir) === 13)
+    // once BENCH_r13 lands too, the next run is a round-14 builder run
+    java.nio.file.Files.write(dir.resolve("BENCH_r13.json"), Array[Byte]())
     assert(Bench.currentRound(dir) === 14)
   }
 }

@@ -282,13 +282,13 @@ class Round14Spec extends AnyFunSuite {
 
   test("dq_null_completeness_matrix: the correlated outage is visible only in its slice") {
     val rows = SparkEntry.queries("dq_null_completeness_matrix")(spark, dir)
-      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(4))).toMap
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(4))).toMap
     assert(rows.size === 9, "3 statuses x 3 columns")
     // the staged correlated failure: status P's totalprice is FULLY null
-    assert(rows(("P", "o_totalprice")) === 1000000.0, rows.toString)
+    assert(rows(("P", "o_totalprice")) === 1000000L, rows.toString)
     // ...while other statuses' totalprice sits near the 7% base rate
-    assert(rows(("O", "o_totalprice")) < 150000.0)
-    assert(rows(("F", "o_totalprice")) < 150000.0)
+    assert(rows(("O", "o_totalprice")) < 150000L)
+    assert(rows(("F", "o_totalprice")) < 150000L)
   }
 
   test("stat_fdr_storey: adaptive rejections are a superset of BH's; pi0 <= 1") {

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 invariants: the BPE encoder's round-trip guarantee, the beam
+  * search's recall floor against the exact top-k, the polygon cell cover's
+  * exactness + tightness vs the bbox cover, the token-budget estimator
+  * re-checked against REAL encoder counts, and the README operator count
+  * generated from the registry.
+  */
+class Round15Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.sfDir
+
+  test("text_bpe_encode: decode(encode(text)) == text on the full English fixture") {
+    // decode = re-join the token stream and undo the merge glyph. The
+    // invariant is only meaningful if the fixture never uses '_' itself —
+    // assert that precondition rather than silently filtering.
+    val docs = Tables(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"))
+    assert(docs.filter(col("text").contains("_")).count() === 0,
+      "fixture precondition: en corpus must not contain the merge glyph")
+    val applied = ops.TextOps.bpeEncodedCorpus(spark, dir)
+      .select(col("doc_id"), translate(col("text"), "_", " ").as("decoded"))
+    val diverged = docs.join(applied, "doc_id")
+      .filter(col("decoded") =!= col("text"))
+    assert(docs.count() > 0)
+    assert(diverged.count() === 0,
+      s"decode(encode(text)) diverged, e.g. ${diverged.limit(1).collect().toSeq}")
+    // and the encoder COMPRESSES: merges strictly reduce token counts
+    val nOrig = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val nEnc = SparkEntry.queries("text_bpe_encode")(spark, dir)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(nEnc < nOrig, s"encoded $nEnc tokens !< original $nOrig")
+  }
+
+  test("token-budget estimator ((len+3) div 4) is within a bounded factor of REAL encoder counts") {
+    // r14 verdict #3's second clause: the pipeline budget rows estimate
+    // tokens as (length+3)/4; with a real encoder in the registry the
+    // estimator's bias is now MEASURED. On the en fixture the whitespace+
+    // merge tokenization yields longer tokens than 4 chars, so the
+    // estimator overshoots — pin it to a band so a fixture change that
+    // breaks the estimator's usefulness fails loudly here.
+    val est = Tables(spark, dir, "documents").filter(col("lang") === "en")
+      .select(expr("(length(text) + 3) div 4").as("est"))
+      .agg(sum(col("est"))).head.getLong(0)
+    val real = SparkEntry.queries("text_bpe_encode")(spark, dir)
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    val ratio = est.toDouble / real
+    assert(ratio >= 0.5 && ratio <= 4.0,
+      s"estimator/real ratio $ratio left [0.5, 4.0] (est=$est real=$real)")
+  }
+
+  test("sim_knn_graph_beam: recall@5 vs exact sim_cosine_topk clears the floor") {
+    val beam = SparkEntry.queries("sim_knn_graph_beam")(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    assert(exact.nonEmpty)
+    val recalls = exact.map { case (q, ex) =>
+      beam.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val avg = recalls.sum / recalls.size
+    // the ceiling is the INDEX, not the walk: the one-round NN-Descent
+    // graph's own adjacency covers ~0.57 of the exact top-5 at sf0.001
+    // (cross-LSH-bucket true neighbors never enter its candidate pool),
+    // and the beam recovers nearly all of what the index contains
+    // (measured 0.52). Pin (a) an absolute floor below that measurement
+    // and (b) that searching the graph beats just READING the query's
+    // own top-3 adjacency row — the walk must add value over the index
+    // lookup for the build to earn its cost.
+    assert(avg >= 0.45, s"beam recall@5 $avg below floor 0.45")
+    val adjacency = SparkEntry.queries("sim_knn_graph_nndescent")(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val adjRecalls = exact.map { case (q, ex) =>
+      adjacency.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val adjAvg = adjRecalls.sum / adjRecalls.size
+    assert(avg > adjAvg,
+      s"beam recall $avg does not beat the raw adjacency lookup $adjAvg")
+  }
+
+  test("geo_polygon_cell_join: same answer as bbox cover, strictly tighter candidates") {
+    val poly = SparkEntry.queries("geo_polygon_cell_join")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val bbox = SparkEntry.queries("geo_bbox_cover_join")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(poly.keySet === bbox.keySet && poly.nonEmpty)
+    poly.foreach { case (pid, (cand, inside, coverCells, bboxCells)) =>
+      val (bcand, binside) = bbox(pid)
+      assert(inside === binside, s"pid $pid: refine answers diverge")
+      assert(cand <= bcand, s"pid $pid: tightened cover grew candidates")
+      assert(coverCells <= bboxCells,
+        s"pid $pid: polygon cover $coverCells cells > bbox $bboxCells")
+    }
+    // the pentagon (pid 1) must actually shed bbox corner cells
+    assert(poly(1L)._3 < poly(1L)._4,
+      "pentagon cover did not tighten below its bbox")
+  }
+
+  test("README operator count is generated from the registry (r14 verdict #6)") {
+    val readme = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("README.md"))
+    val n = SparkEntry.queries.size
+    assert(readme.contains(s"**$n registered operators**"),
+      s"README headline count != registry size $n — run graft.tools.SurveyTable")
+    assert(!"\\*\\*(\\d+) registered operators\\*\\*".r
+      .findAllMatchIn(readme).exists(_.group(1).toInt != n))
+  }
+}

@@ -2236,6 +2236,50 @@ object Aggregates {
       Some(quantilePartialMergeSql)
     ),
     Q(
+      "agg_heavyhitter_partial_merge",
+      // REAGGREGATABLE heavy hitters — the third mergeable-sketch family
+      // alongside agg_hll_partial_merge (distinct) and
+      // agg_quantile_partial_merge (quantiles), completing the rollup
+      // triad a 100 TB cube maintains: per-(source, lang) cell keep the
+      // EXACT top-16 tokens by count (the Misra-Gries/SpaceSaving summary
+      // at k=16, twice the answer size as SpaceSaving sizing demands — within a cell counts are exact, truncation is the only
+      // loss; tokens are the canonical Zipf-skewed hitter workload),
+      // then merge up to source by summing surviving counts and
+      // re-ranking to top-5. Merged counts are LOWER BOUNDS on true
+      // counts (a token outside some cell's top-16 loses that cell's
+      // contribution), with the SpaceSaving guarantee that any token
+      // whose true per-source count exceeds every cell's 16th count
+      // survives somewhere — OperatorSpec pins the lower-bound property
+      // and a top-5 recall floor vs the exact global answer. Scale: the
+      // partial store is O(cells·16) rows persisted once; the rollup
+      // reads partials only — the corpus never rescans for a coarser
+      // grouping, exactly how a per-shard token census rolls up to the
+      // corpus vocabulary dashboard.
+      (s, dir) => {
+        val tok = Tables(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        val cell = tok.groupBy(col("source"), col("lang"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+        val partials = cell.withColumn("rk", row_number().over(
+            Window.partitionBy(col("source"), col("lang"))
+              .orderBy(col("n").desc, col("tok").asc)))
+          .filter(col("rk") <= 16)
+        val merged = partials.groupBy(col("source"), col("tok"))
+          .agg(sum(col("n")).as("est_n"),
+            count(lit(1)).as("n_cells_surviving"))
+        merged.withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("est_n").desc, col("tok").asc)).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank"), col("tok"),
+            col("est_n").cast("long").as("est_n"),
+            col("n_cells_surviving"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some(heavyHitterMergeSql)
+    ),
+    Q(
       "agg_weighted_median",
       // Exact WEIGHTED median (price cents weighted by quantity): sort by
       // value within group, running weight, first value whose cumulative
@@ -4465,6 +4509,38 @@ object Aggregates {
       |                   * (n1 + n2 - 1)))
       |         * 1000000 + 0.5) AS BIGINT) AS z_e6
       |FROM f""".stripMargin
+
+  /** DuckDB oracle for [[agg_heavyhitter_partial_merge]]: per-(source,
+    * lang) exact token counts truncated to each cell's top-8 (count desc,
+    * token asc — fully deterministic), union-merged up to source by
+    * summed surviving counts, re-ranked to top-5.
+    */
+  private lazy val heavyHitterMergeSql: String =
+    """WITH cellcnt AS (
+      |  SELECT source, lang, tok, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT source, lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) t
+      |  GROUP BY 1, 2, 3),
+      |partials AS (
+      |  SELECT source, lang, tok, n FROM (
+      |    SELECT source, lang, tok, n,
+      |           row_number() OVER (PARTITION BY source, lang
+      |                              ORDER BY n DESC, tok ASC) AS rk
+      |    FROM cellcnt) t
+      |  WHERE rk <= 16),
+      |merged AS (
+      |  SELECT source, tok, CAST(sum(n) AS BIGINT) AS est_n,
+      |         CAST(count(*) AS BIGINT) AS n_cells_surviving
+      |  FROM partials GROUP BY source, tok)
+      |SELECT source, CAST(rk AS BIGINT) AS rank, tok, est_n,
+      |       n_cells_surviving
+      |FROM (
+      |  SELECT source, tok, est_n, n_cells_surviving,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY est_n DESC, tok ASC) AS rk
+      |  FROM merged) t
+      |WHERE rk <= 5
+      |ORDER BY source, rank""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[agg_quantile_partial_merge]]: stage
     * the per-(priority, status) hash-sampled partial (what each cube

@@ -310,7 +310,120 @@ object Geo {
         s.sql(ptsSql + polygonCellSql(duck = false))
       },
       Some(ptsSql + polygonCellSql(duck = true))
+    ),
+    Q(
+      "geo_polygon_polygon_join",
+      // Polygon × polygon intersection join (r14 "What's missing #4",
+      // second half): two polygon SETS joined by shared bbox-cover
+      // cells — candidate pairs are (pid, qid) sharing ≥1 grid cell —
+      // then the exact pair test only on candidates: proper
+      // edge-pair crossing (orientation-sign test, exact in double at
+      // these integer-scaled half-offset coordinates) OR vertex
+      // containment either way (ray cast), which together decide
+      // polygon overlap for simple polygons. Set B stages a triangle
+      // punched into the pentagon, a rectangle half-overlapping polygon
+      // 2, a square strictly INSIDE the pentagon (zero edge crossings —
+      // the containment branch must catch it), and a far disjoint
+      // square that shares no cover cell and must never reach the
+      // refine. Scale: each polygon's cover is O(bbox cells) metadata;
+      // the cell equi-join prunes the |A|·|B| pair space to co-located
+      // pairs BEFORE any O(edges_A·edges_B) math — the spatial-join
+      // shape a parcels×zones workload runs at planet scale.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(polyPairSql(duck = false))
+      },
+      Some(polyPairSql(duck = true))
     ))
+
+  /** Shared SQL for [[geo_polygon_polygon_join]] — self-contained (does
+    * not need the point-table prefix): set A = the standard two test
+    * polygons, set B = four staged probes; bbox covers on the 500-unit
+    * grid; candidate pairs by shared cell; exact refine = proper edge
+    * crossings + mutual vertex containment.
+    */
+  private def polyPairSql(duck: Boolean): String =
+    s"""WITH $polyEdgesSql,
+      |bedges AS (
+      |  SELECT qid, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+      |         CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+      |  FROM (VALUES
+      |    (10, -4000.25,  -500.25,  1000.25,  3000.25),
+      |    (10,  1000.25,  3000.25, -1500.25, -3500.25),
+      |    (10, -1500.25, -3500.25, -4000.25,  -500.25),
+      |    (11, 15000.25, -2000.25, 20000.25, -2000.25),
+      |    (11, 20000.25, -2000.25, 20000.25,   500.25),
+      |    (11, 20000.25,   500.25, 15000.25,   500.25),
+      |    (11, 15000.25,   500.25, 15000.25, -2000.25),
+      |    (12,  1000.25, -1000.25,  3000.25, -1000.25),
+      |    (12,  3000.25, -1000.25,  3000.25,  1000.25),
+      |    (12,  3000.25,  1000.25,  1000.25,  1000.25),
+      |    (12,  1000.25,  1000.25,  1000.25, -1000.25),
+      |    (13, 30000.25, 30000.25, 32000.25, 30000.25),
+      |    (13, 32000.25, 30000.25, 32000.25, 32000.25),
+      |    (13, 32000.25, 32000.25, 30000.25, 32000.25),
+      |    (13, 30000.25, 32000.25, 30000.25, 30000.25))
+      |  AS v(qid, x1, y1, x2, y2)),
+      |bbbox AS (
+      |  SELECT qid,
+      |         CAST(floor(least(min(x1), min(x2)) / 500) AS BIGINT) AS cx0,
+      |         CAST(floor(greatest(max(x1), max(x2)) / 500) AS BIGINT) AS cx1,
+      |         CAST(floor(least(min(y1), min(y2)) / 500) AS BIGINT) AS cy0,
+      |         CAST(floor(greatest(max(y1), max(y2)) / 500) AS BIGINT) AS cy1
+      |  FROM bedges GROUP BY qid),
+      |${bboxExplodeCte(duck, "acover")},
+      |${bboxExplodeCte(duck, "bcover", "bbbox", "qid")},
+      |cand AS (
+      |  SELECT DISTINCT a.pid, b.qid
+      |  FROM acover a JOIN bcover b ON a.cla = b.cla AND a.clo = b.clo),
+      |xings AS (
+      |  SELECT c.pid, c.qid, CAST(count(*) AS BIGINT) AS n_edge_crossings
+      |  FROM cand c
+      |  JOIN edges ea ON ea.pid = c.pid
+      |  JOIN bedges eb ON eb.qid = c.qid
+      |  WHERE ((ea.x2 - ea.x1) * (eb.y1 - ea.y1) - (ea.y2 - ea.y1) * (eb.x1 - ea.x1))
+      |      * ((ea.x2 - ea.x1) * (eb.y2 - ea.y1) - (ea.y2 - ea.y1) * (eb.x2 - ea.x1)) < 0
+      |    AND ((eb.x2 - eb.x1) * (ea.y1 - eb.y1) - (eb.y2 - eb.y1) * (ea.x1 - eb.x1))
+      |      * ((eb.x2 - eb.x1) * (ea.y2 - eb.y1) - (eb.y2 - eb.y1) * (ea.x2 - eb.x1)) < 0
+      |  GROUP BY c.pid, c.qid),
+      |bverts AS (SELECT qid, x1 AS vx, y1 AS vy FROM bedges),
+      |averts AS (SELECT pid, x1 AS vx, y1 AS vy FROM edges),
+      |b_in_a AS (
+      |  SELECT t.pid, t.qid, CAST(count(*) AS BIGINT) AS n_b_vertices_inside
+      |  FROM (
+      |    SELECT c.pid, c.qid, v.vx, v.vy,
+      |           sum(CASE WHEN (e.y1 > v.vy) <> (e.y2 > v.vy)
+      |                     AND v.vx < (e.x2 - e.x1) * (v.vy - e.y1)
+      |                               / (e.y2 - e.y1) + e.x1
+      |                    THEN 1 ELSE 0 END) AS crossings
+      |    FROM cand c JOIN bverts v ON v.qid = c.qid
+      |    JOIN edges e ON e.pid = c.pid
+      |    GROUP BY c.pid, c.qid, v.vx, v.vy) t
+      |  WHERE crossings % 2 = 1 GROUP BY t.pid, t.qid),
+      |a_in_b AS (
+      |  SELECT t.pid, t.qid, CAST(count(*) AS BIGINT) AS n_a_vertices_inside
+      |  FROM (
+      |    SELECT c.pid, c.qid, v.vx, v.vy,
+      |           sum(CASE WHEN (e.y1 > v.vy) <> (e.y2 > v.vy)
+      |                     AND v.vx < (e.x2 - e.x1) * (v.vy - e.y1)
+      |                               / (e.y2 - e.y1) + e.x1
+      |                    THEN 1 ELSE 0 END) AS crossings
+      |    FROM cand c JOIN averts v ON v.pid = c.pid
+      |    JOIN bedges e ON e.qid = c.qid
+      |    GROUP BY c.pid, c.qid, v.vx, v.vy) t
+      |  WHERE crossings % 2 = 1 GROUP BY t.pid, t.qid)
+      |SELECT CAST(c.pid AS BIGINT) AS pid, CAST(c.qid AS BIGINT) AS qid,
+      |       CAST(coalesce(x.n_edge_crossings, 0) AS BIGINT) AS n_edge_crossings,
+      |       CAST(coalesce(bi.n_b_vertices_inside, 0) AS BIGINT) AS n_b_vertices_inside,
+      |       CAST(coalesce(ai.n_a_vertices_inside, 0) AS BIGINT) AS n_a_vertices_inside,
+      |       (coalesce(x.n_edge_crossings, 0) > 0
+      |        OR coalesce(bi.n_b_vertices_inside, 0) > 0
+      |        OR coalesce(ai.n_a_vertices_inside, 0) > 0) AS intersects
+      |FROM cand c
+      |LEFT JOIN xings x ON x.pid = c.pid AND x.qid = c.qid
+      |LEFT JOIN b_in_a bi ON bi.pid = c.pid AND bi.qid = c.qid
+      |LEFT JOIN a_in_b ai ON ai.pid = c.pid AND ai.qid = c.qid
+      |ORDER BY pid, qid""".stripMargin
 
   /** The two-polygon edge VALUES relation + per-pid bbox CTEs shared by
     * [[geo_bbox_cover_join]] and [[geo_polygon_cell_join]] (no leading
@@ -339,20 +452,22 @@ object Geo {
       |         CAST(floor(greatest(max(y1), max(y2)) / 500) AS BIGINT) AS cy1
       |  FROM edges GROUP BY pid)""".stripMargin
 
-  /** The bbox→cell explode CTE named `name` (engine-specific lateral
-    * syntax), no trailing comma.
+  /** The bbox→cell explode CTE named `name` over bbox table `src` whose
+    * id column is `idCol` (engine-specific lateral syntax), no trailing
+    * comma.
     */
-  private def bboxExplodeCte(duck: Boolean, name: String): String =
+  private def bboxExplodeCte(duck: Boolean, name: String,
+      src: String = "bbox", idCol: String = "pid"): String =
     if (duck)
       s"""$name AS (
-         |  SELECT pid, yy.cla, xx.clo
-         |  FROM bbox
+         |  SELECT $idCol, yy.cla, xx.clo
+         |  FROM $src
          |  CROSS JOIN LATERAL (SELECT unnest(range(cy0, cy1 + 1)) AS cla) yy
          |  CROSS JOIN LATERAL (SELECT unnest(range(cx0, cx1 + 1)) AS clo) xx)""".stripMargin
     else
       s"""$name AS (
-         |  SELECT pid, cla, clo
-         |  FROM bbox
+         |  SELECT $idCol, cla, clo
+         |  FROM $src
          |  LATERAL VIEW explode(sequence(cy0, cy1)) yy AS cla
          |  LATERAL VIEW explode(sequence(cx0, cx1)) xx AS clo)""".stripMargin
 

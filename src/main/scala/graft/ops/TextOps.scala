@@ -16,21 +16,6 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** The BPE greedy left-to-right merge fold over a token array column
-    * `tk`: adjacent (pa, pb) occurrences join with '_', everything else
-    * re-joins with ' '. Shared by the trainer's per-round rewrite and the
-    * encoder's rank-ordered apply so train-time and encode-time
-    * segmentation agree by construction.
-    */
-  private def bpeFold(pa: Column, pb: Column): Column =
-    aggregate(
-      expr("slice(tk, 2, size(tk) - 1)"),
-      element_at(col("tk"), 1),
-      (acc, x) => when(
-        regexp_extract(acc, "([^ ]*)$", 1) === pa && (x === pb),
-        concat(acc, lit("_"), x))
-        .otherwise(concat(acc, lit(" "), x)))
-
   /** The 5-round BPE training loop on the deterministic ~1/4 hash sample
     * of the English sub-corpus (see [[text_bpe_train_merges]] for why the
     * sample + per-round parquet checkpoints are the 100 TB shape).
@@ -50,19 +35,26 @@ object TextOps {
     val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
     for (rank <- 1 to 5) {
       val tk = split(col("text"), " ")
-      val top = corpus.select(tk.as("tk")).filter(size(col("tk")) >= 2)
+      // the argmax winner collects FIRST (1 row to the driver — the
+      // standard driver-coordinated loop), so the rewrite can run as a
+      // LINEAR regex pass with the pair as literals instead of the
+      // per-token fold (quadratic in doc length) joined against the
+      // 1-row top — semantics identical (see bpeEncodedCorpus's
+      // equivalence argument; the DuckDB oracle still replays the fold)
+      val winner = corpus.select(tk.as("tk")).filter(size(col("tk")) >= 2)
         .select(explode(bigramsOf(col("tk"))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc).limit(1)
-      val next = corpus.crossJoin(broadcast(top))
-        .select(col("doc_id"), tk.as("tk"),
-          split(col("pair"), " ").getItem(0).as("pa"),
-          split(col("pair"), " ").getItem(1).as("pb"))
-        .select(col("doc_id"), bpeFold(col("pa"), col("pb")).as("text"))
+        .collect().head
+      val Array(pa, pb) = winner.getString(0).split(" ", 2)
+      val pat = "(?<=^|[ ])" + java.util.regex.Pattern.quote(pa) + "[ ]" +
+        java.util.regex.Pattern.quote(pb) + "(?=[ ]|$)"
+      val repl = java.util.regex.Matcher.quoteReplacement(pa + "_" + pb)
+      val next = corpus.select(col("doc_id"),
+        regexp_replace(col("text"), pat, repl).as("text"))
       val ckpt = graft.util.tempDir(s"graft_bpe_r${rank}_")
       next.write.mode("overwrite").parquet(ckpt)
       corpus = s.read.parquet(ckpt)
-      val winner = top.collect().head
       val vocab =
         if (!withVocab) 0L
         else corpus
@@ -75,8 +67,19 @@ object TextOps {
 
   /** The full English corpus with [[bpeTrain]]'s learned merges applied
     * in rank order — the encoder's map-only production pass (merge table
-    * as driver literals, 5 folds chained lazily into one pass). Shared
-    * with Round15Spec, which proves decode(encode(text)) == text.
+    * as driver literals, 5 passes chained lazily into one stage). Each
+    * pass is a LINEAR regex scan, not the trainer's per-token fold: the
+    * fold rebuilds the document string token by token (quadratic in doc
+    * length — measured 17 s at sf0.1), while a boundary-anchored
+    * left-to-right `regexp_replace` of "pa pb" → "pa_pb" is one O(len)
+    * pass with IDENTICAL semantics. Equivalence argument: both consume
+    * matches strictly left to right, and a merge can never enable
+    * another merge at the same position within the same pass — the
+    * merged token "pa_pb" ends in pb, never in pa (pb is non-empty), so
+    * no new left-token occurrence is created where the scan already
+    * passed. The DuckDB oracle still replays the fold (list_reduce), so
+    * the hash gate certifies the equivalence on every doc at sf0.01;
+    * Round15Spec proves decode(encode(text)) == text on top.
     */
   private[graft] def bpeEncodedCorpus(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
@@ -87,9 +90,11 @@ object TextOps {
       .select(col("doc_id"), col("text"))
     merges.foreach { pair =>
       val Array(pa, pb) = pair.split(" ", 2)
-      applied = applied
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), bpeFold(lit(pa), lit(pb)).as("text"))
+      val pat = "(?<=^|[ ])" + java.util.regex.Pattern.quote(pa) + "[ ]" +
+        java.util.regex.Pattern.quote(pb) + "(?=[ ]|$)"
+      val repl = java.util.regex.Matcher.quoteReplacement(pa + "_" + pb)
+      applied = applied.select(col("doc_id"),
+        regexp_replace(col("text"), pat, repl).as("text"))
     }
     applied
   }

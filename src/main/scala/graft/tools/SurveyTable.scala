@@ -120,7 +120,7 @@ object SurveyTable {
       val fixed = txt
         .replaceAll("\\*\\*\\d+ registered operators\\*\\*",
           s"**$n registered operators**")
-        .replaceAll("\\*\\*all \\d+ ", s"**all $n ")
+        .replaceAll("\\*\\*all \\d+\\b", s"**all $n")
       if (fixed != txt) { Files.writeString(readme, fixed); true } else false
     }
   }

@@ -158,6 +158,64 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy-hitter partial merge: estimates are lower bounds; top-5 recall floor vs exact") {
+    val got = SparkEntry.queries("agg_heavyhitter_partial_merge")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // exact per-(source, token) counts — the thing the partial store
+    // exists to avoid recomputing
+    val exact = Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // truncation can only LOSE cell contributions, never invent them
+    got.foreach { case (src, tok, est) =>
+      assert(est <= exact((src, tok)),
+        s"($src,$tok): merged estimate $est exceeds true ${exact((src, tok))}")
+    }
+    // the fixture's per-source token counts are nearly FLAT (73, 68,
+    // 65, 59, 58, 58, 57, ...), so positional top-5 recall is dominated
+    // by ties — not a property of the merge. What SpaceSaving actually
+    // guarantees, and what is pinned here: (a) with eps_src = Σ over
+    // cells of each cell's k-th (16th) count — the maximum mass
+    // truncation can hide — every RETURNED token's true count is within
+    // eps of the exact 5th count (a token can only displace a closure
+    // member when truncation could account for the gap), and (b) the
+    // merged top-1's ESTIMATE is at least maxTrue − eps: the winner's
+    // estimate dominates the true-max token's estimate, which truncation
+    // can depress by at most eps (est(top1) ≥ est(trueMax) ≥ maxTrue −
+    // eps) — the detectability guarantee a flat distribution still owes.
+    val bySrc = exact.toSeq.groupBy(_._1._1)
+    val cellKth = Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("lang"))
+          .orderBy(col("n").desc, col("tok").asc)))
+      .filter(col("rk") === 16)
+      .groupBy(col("source")).agg(sum(col("n")).as("eps"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (src, xs) =>
+      val sorted = bySrc(src).sortBy { case ((_, t), n) => (-n, t) }
+      val fifth = sorted(math.min(4, sorted.size - 1))._2
+      val eps = cellKth.getOrElse(src, 0L)
+      xs.foreach { case (_, tok, _) =>
+        assert(exact((src, tok)) >= fifth - eps,
+          s"$src/$tok: true ${exact((src, tok))} below 5th $fifth - eps $eps")
+      }
+      // detectability: the winner's estimate can trail the true max by
+      // at most the truncation mass
+      val top1Est = xs.map(_._3).max
+      val maxTrue = sorted.head._2
+      assert(top1Est >= maxTrue - eps,
+        s"$src: merged top-1 est $top1Est below max $maxTrue - eps $eps")
+    }
+  }
+
   test("HLL approx distinct (portable registers + native sketch) within rsd bound of exact") {
     val approx = SparkEntry.queries("agg_approx_hll")(spark, dir)
       .selectExpr("l_returnflag", "approx_parts")

@@ -107,6 +107,27 @@ class Round15Spec extends AnyFunSuite {
       "pentagon cover did not tighten below its bbox")
   }
 
+  test("geo_polygon_polygon_join: containment caught without crossings; disjoint pair pruned pre-refine") {
+    val rows = SparkEntry.queries("geo_polygon_polygon_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // the far square (qid 13) must never become a candidate — the cover
+    // join prunes it before any edge math
+    assert(!rows.keySet.exists(_._2 == 13L), "disjoint polygon reached refine")
+    // the square strictly inside the pentagon: zero edge crossings, all
+    // 4 vertices inside — only the containment branch can call this
+    val (x12, bi12, _, hit12) = rows((1L, 12L))
+    assert(x12 === 0L && bi12 === 4L && hit12,
+      s"containment branch failed: $x12 crossings, $bi12 vertices inside")
+    // the half-overlapping rectangle: proper crossings observed
+    assert(rows((2L, 11L))._1 > 0L && rows((2L, 11L))._4)
+    // every emitted candidate pair that intersects says so via at least
+    // one positive evidence column
+    rows.foreach { case (k, (x, bi, ai, hit)) =>
+      assert(hit === (x > 0 || bi > 0 || ai > 0), s"$k evidence mismatch")
+    }
+  }
+
   test("README operator count is generated from the registry (r14 verdict #6)") {
     val readme = java.nio.file.Files.readString(
       java.nio.file.Paths.get("README.md"))

@@ -2280,6 +2280,34 @@ object Aggregates {
       Some(heavyHitterMergeSql)
     ),
     Q(
+      "agg_kmv_set_overlap",
+      // KMV (k-minimum-values / theta) sketch SET OPERATIONS — the
+      // capability HLL cannot provide: HLL registers union losslessly
+      // but carry no intersection algebra, while a KMV signature (the k
+      // smallest hash values of a set) supports union (k smallest of
+      // the merged signatures), intersection (inclusion-exclusion on
+      // the union sketch: |A∩B| ≈ ρ·|A∪B| with ρ = the fraction of the
+      // union-KMV present in both sets), and difference — the audience-
+      // overlap query ("how many customers are in segment A AND B")
+      // that a 100 TB deployment answers from two 64-value signatures
+      // instead of a distinct-join. The hash is the same portable
+      // mod-prime scramble the fixture derivations use, so both engines
+      // replay the sketch bit-for-bit; the estimators are pure integer
+      // arithmetic ((k−1)·M DIV kth) → hash-matched. Sets smaller than
+      // k degrade to exact counts by construction (the signature IS the
+      // set). OperatorSpec pins estimates against exact distinct counts
+      // within KMV's 3σ rank band (rsd ≈ 1/√(k−2)).
+      // Scale: each signature is a k-row ORDER BY h LIMIT k over the
+      // set's distinct hashes — a map-side top-k (TakeOrderedAndProject)
+      // per set, mergeable across partitions and up any hierarchy like
+      // the HLL/quantile partial rows.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(kmvOverlapSql("DIV"))
+      },
+      Some(kmvOverlapSql("//"))
+    ),
+    Q(
       "agg_weighted_median",
       // Exact WEIGHTED median (price cents weighted by quantity): sort by
       // value within group, running weight, first value whose cumulative
@@ -4509,6 +4537,52 @@ object Aggregates {
       |                   * (n1 + n2 - 1)))
       |         * 1000000 + 0.5) AS BIGINT) AS z_e6
       |FROM f""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[agg_kmv_set_overlap]]: two customer
+    * segments' distinct hash sets, their k=64 minimum-value signatures,
+    * the union signature, and integer-exact KMV estimators. `idiv` =
+    * the engine's integer-division token.
+    */
+  private def kmvOverlapSql(idiv: String): String =
+    s"""WITH a AS (
+      |  SELECT DISTINCT ((o_custkey % 1000003) * 2654435761) % 1000003 AS h
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |b AS (
+      |  SELECT DISTINCT ((o_custkey % 1000003) * 2654435761) % 1000003 AS h
+      |  FROM orders WHERE o_orderstatus = 'F'),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+      |ka AS (SELECT h, rn FROM (
+      |    SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rn
+      |    FROM a) t WHERE rn <= 64),
+      |kb AS (SELECT h, rn FROM (
+      |    SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rn
+      |    FROM b) t WHERE rn <= 64),
+      |u AS (SELECT DISTINCT h FROM (
+      |    SELECT h FROM a UNION ALL SELECT h FROM b) x),
+      |nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+      |ku AS (SELECT h, rn FROM (
+      |    SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rn
+      |    FROM u) t WHERE rn <= 64),
+      |est AS (
+      |  SELECT
+      |    CASE WHEN na.n <= 64 THEN na.n
+      |         ELSE CAST(63 * 1000003 AS BIGINT) $idiv
+      |              (SELECT max(h) FROM ka) END AS n_a_est,
+      |    CASE WHEN nb.n <= 64 THEN nb.n
+      |         ELSE CAST(63 * 1000003 AS BIGINT) $idiv
+      |              (SELECT max(h) FROM kb) END AS n_b_est,
+      |    CASE WHEN nu.n <= 64 THEN nu.n
+      |         ELSE CAST(63 * 1000003 AS BIGINT) $idiv
+      |              (SELECT max(h) FROM ku) END AS n_union_est
+      |  FROM na CROSS JOIN nb CROSS JOIN nu),
+      |common AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS c
+      |  FROM ku JOIN a ON a.h = ku.h JOIN b ON b.h = ku.h)
+      |SELECT CAST(64 AS BIGINT) AS k, n_a_est, n_b_est, n_union_est,
+      |       c AS kmv_common,
+      |       c * n_union_est $idiv 64 AS n_intersect_est
+      |FROM est CROSS JOIN common""".stripMargin
 
   /** DuckDB oracle for [[agg_heavyhitter_partial_merge]]: per-(source,
     * lang) exact token counts truncated to each cell's top-8 (count desc,

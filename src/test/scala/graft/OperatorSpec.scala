@@ -216,6 +216,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV set-overlap estimates land within the sketch's error bands of exact") {
+    val r = SparkEntry.queries("agg_kmv_set_overlap")(spark, dir).head()
+    val (na, nb, nu, ni) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+    val orders = Tables(spark, dir, "orders")
+    val a = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val b = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    val (ea, eb) = (a.count(), b.count())
+    val eu = a.unionByName(b).distinct().count()
+    val ei = a.join(b, "o_custkey").count()
+    // k=64 → rsd ≈ 1/√62 ≈ 12.7%; 3σ ≈ 38%. Intersection compounds the
+    // union estimate with the ρ sampling fraction → wider band.
+    def band(est: Long, exact: Long, frac: Double, name: String): Unit =
+      assert(math.abs(est - exact) <= math.max(5, frac * exact),
+        s"$name: est $est vs exact $exact outside ${frac * 100}%")
+    band(na, ea, 0.40, "A"); band(nb, eb, 0.40, "B")
+    band(nu, eu, 0.40, "A∪B"); band(ni, ei, 0.55, "A∩B")
+  }
+
   test("HLL approx distinct (portable registers + native sketch) within rsd bound of exact") {
     val approx = SparkEntry.queries("agg_approx_hll")(spark, dir)
       .selectExpr("l_returnflag", "approx_parts")

@@ -124,24 +124,38 @@ object SimOps {
       .filter(col("rn") <= 3)
       .select(col("vec_id").as("src"), col("nb").as("dst"))
       .localCheckpoint(true)
-    val sym = g0.unionByName(
-        g0.select(col("dst").as("src"), col("src").as("dst")))
+    (nndescentRound(emb, g0), emb)
+  }
+
+  /** ONE NN-Descent refinement round: symmetrize the adjacency, expand
+    * neighbors-of-neighbors via the shared middle vertex, re-score
+    * exactly, rank per src. Input `g` must be materialized (it feeds
+    * four subtrees). Returns the ranked scored graph (`rank` column).
+    */
+  private def nndescentRound(emb: DataFrame, g: DataFrame): DataFrame = {
+    val sym = g.unionByName(
+        g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val non = sym.as("x").join(sym.as("y"), col("x.dst") === col("y.src"))
       .filter(col("x.src") =!= col("y.dst"))
       .select(col("x.src").as("src"), col("y.dst").as("dst"))
-    val cand = g0.unionByName(non).distinct()
-    val scored = cand
+    scoreRank(emb, g.unionByName(non).distinct())
+  }
+
+  /** Exact-score a (src, dst) candidate pair set against the normed
+    * vector table and rank per src — the scoring tail shared by the
+    * refinement round and the multiseed row's seed truncation.
+    */
+  private def scoreRank(emb: DataFrame, cand: DataFrame): DataFrame =
+    cand
       .join(emb.select(col("vec_id").as("src"), col("emb").as("q_emb"),
         col("nrm").as("q_nrm")), "src")
       .join(emb.select(col("vec_id").as("dst"), col("emb").as("c_emb"),
         col("nrm").as("c_nrm")), "dst")
       .withColumn("cos", dot(col("q_emb"), col("c_emb")) /
         (col("q_nrm") * col("c_nrm")))
-    val graph = scored.withColumn("rank", row_number().over(
-      Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
-    (graph, emb)
-  }
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
 
   /** DuckDB CTE chain (no leading WITH, no trailing comma) replaying
     * [[nndescentGraph]] through the `scored` candidate table — the shared
@@ -170,24 +184,31 @@ object SimOps {
        |    SELECT src, dst, row_number() OVER (PARTITION BY src
        |                     ORDER BY cos DESC, dst) AS rn
        |    FROM p0) t WHERE rn <= 3),
-       |sym AS (
+       |${nndescentRoundCtes("g0", "")}""".stripMargin
+  }
+
+  /** One NN-Descent round as oracle CTEs (mirrors [[nndescentRound]]):
+    * symmetrize `inG`, expand via the shared middle vertex, re-score —
+    * output CTE `${p}scored`. No leading WITH / trailing comma.
+    */
+  private def nndescentRoundCtes(inG: String, p: String): String =
+    s"""${p}sym AS (
        |  SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM g0
-       |    UNION ALL SELECT dst AS src, src AS dst FROM g0) u),
-       |non AS (
-       |  SELECT x.src, y.dst FROM sym x JOIN sym y ON x.dst = y.src
+       |    SELECT src, dst FROM $inG
+       |    UNION ALL SELECT dst AS src, src AS dst FROM $inG) u),
+       |${p}non AS (
+       |  SELECT x.src, y.dst FROM ${p}sym x JOIN ${p}sym y ON x.dst = y.src
        |  WHERE x.src <> y.dst),
-       |cand AS (
+       |${p}cand AS (
        |  SELECT DISTINCT src, dst FROM (
-       |    SELECT * FROM g0 UNION ALL SELECT * FROM non) u),
-       |scored AS (
-       |  SELECT cand.src, cand.dst,
+       |    SELECT * FROM $inG UNION ALL SELECT * FROM ${p}non) u),
+       |${p}scored AS (
+       |  SELECT ${p}cand.src, ${p}cand.dst,
        |         list_sum(list_transform(range(1, 65),
        |             i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
        |           / (q.nrm * c.nrm) AS cos
-       |  FROM cand JOIN v q ON cand.src = q.vec_id
-       |            JOIN v c ON cand.dst = c.vec_id)""".stripMargin
-  }
+       |  FROM ${p}cand JOIN v q ON ${p}cand.src = q.vec_id
+       |            JOIN v c ON ${p}cand.dst = c.vec_id)""".stripMargin
 
   /** One beam-search hop as a CTE: score `candSelect`'s (qid, node) rows
     * against the query embeddings in `qs`/`v` and keep the per-query top
@@ -2371,6 +2392,127 @@ object SimOps {
            |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
            |       node AS neighbor_id
            |FROM f7 ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "sim_knn_graph_converge",
+      // CONVERGED NN-Descent build (round-15): the production-shaped
+      // iteration the single-table row deliberately stops short of.
+      // Diagnosis first (all measured at sf0.001): the single-table
+      // graph's recall ceiling is 0.57 because 20 of 30 exact top-3
+      // pairs are CROSS-bucket; a second refinement round changes
+      // NOTHING (the K=3 candidate pool is closed under the bucket
+      // partition), a second LSH table yields the IDENTICAL partition
+      // on this fixture, and random long-range links alone also stall
+      // at 0.57 — because a K=3 internal neighbor list collapses the
+      // exploration pool, losing every scored-but-4th candidate. The
+      // published algorithm keeps WIDE internal lists: with K=10 lists,
+      // an LSH-block ∪ scrambled-ring seed, and 3 refinement rounds,
+      // recall climbs 0.60 → 0.70 → 0.80 (measured round by round) —
+      // the neighbors-of-neighbors premise works once the pool is wide
+      // enough to carry cross-cluster stepping stones. Output stays the
+      // top-3 adjacency on the query subset, directly comparable to
+      // sim_knn_graph_nndescent; Round15Spec pins recall STRICTLY above
+      // the single-table row. Scale per round: candidates O(n·(2K)²)
+      // off the checkpointed adjacency, one keyed shuffle — same shape,
+      // K² more volume, which is exactly the recall-vs-build-cost knob.
+      // The ring rank is a single global sort here; at 100 TB it
+      // becomes a range-partitioned rank (zipWithIndex discipline).
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("emb"))
+          .withColumn("nrm", norm(col("emb")))
+        val nTot = broadcast(emb.agg(
+          greatest(lit(1L), ceil(count(lit(1)) / lit(1024.0)).cast("long"))
+            .as("segs")))
+        val b = emb.crossJoin(nTot)
+          .withColumn("bucket", lshBucket(col("emb"), 0))
+          .withColumn("seg",
+            ((col("vec_id") % 1000003L) * 2654435761L) % col("segs"))
+          .select(col("vec_id"), col("bucket"), col("seg"))
+        val nb = b.select(col("vec_id").as("nb"), col("bucket"), col("seg"))
+        val bp = b.join(nb, Seq("bucket", "seg"))
+          .filter(col("vec_id") =!= col("nb"))
+          .select(col("vec_id").as("src"), col("nb").as("dst"))
+        val rr = emb.select(col("vec_id")).withColumn("rk",
+          row_number().over(Window.orderBy(
+            ((col("vec_id") % 1000003L) * 2654435761L) % 1000003L,
+            col("vec_id"))))
+        val links = rr.as("a").join(rr.as("b"),
+            col("b.rk") - col("a.rk") >= 1 && col("b.rk") - col("a.rk") <= 3)
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        var g = scoreRank(emb, bp.unionByName(links).distinct())
+          .filter(col("rank") <= 10)
+          .select(col("src"), col("dst")).localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          val sym = g.unionByName(
+              g.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct()
+          val non = sym.as("x")
+            .join(sym.as("y"), col("x.dst") === col("y.src"))
+            .filter(col("x.src") =!= col("y.dst"))
+            .select(col("x.src").as("src"), col("y.dst").as("dst"))
+          g = scoreRank(emb, g.unionByName(non).distinct())
+            .filter(col("rank") <= 10)
+            .select(col("src"), col("dst")).localCheckpoint(true)
+        }
+        scoreRank(emb, g.filter(col("src") % 50 === 0))
+          .filter(col("rank") <= 3)
+          .select(col("src").as("query_id"),
+            col("rank").cast("long").as("rank"),
+            col("dst").as("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some {
+        val selfDot =
+          "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))"
+        def top10(inScored: String, out: String) =
+          s"""$out AS (
+             |  SELECT src, dst FROM (
+             |    SELECT src, dst, row_number() OVER (PARTITION BY src
+             |                     ORDER BY cos DESC, dst) AS rn
+             |    FROM $inScored) t WHERE rn <= 10)""".stripMargin
+        s"""WITH nt AS (
+           |  SELECT greatest(1, CAST(ceil(count(*) / 1024.0) AS BIGINT)) AS segs
+           |  FROM embeddings),
+           |v AS (
+           |  SELECT vec_id, embedding AS emb, $selfDot AS nrm,
+           |         ${lshBucketSql("embedding", 0)} AS bucket,
+           |         ((vec_id % 1000003) * 2654435761) % segs AS seg
+           |  FROM embeddings CROSS JOIN nt),
+           |rr AS (
+           |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
+           |           (vec_id % 1000003) * 2654435761 % 1000003, vec_id)
+           |         AS BIGINT) AS rk
+           |  FROM v),
+           |seed AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT a.vec_id AS src, b.vec_id AS dst
+           |    FROM v a JOIN v b ON a.bucket = b.bucket AND a.seg = b.seg
+           |    WHERE a.vec_id <> b.vec_id
+           |    UNION ALL
+           |    SELECT a.vec_id, b.vec_id FROM rr a JOIN rr b
+           |    ON b.rk - a.rk >= 1 AND b.rk - a.rk <= 3) u),
+           |s0scored AS (
+           |  SELECT seed.src, seed.dst,
+           |         list_sum(list_transform(range(1, 65),
+           |             i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
+           |           / (q.nrm * c.nrm) AS cos
+           |  FROM seed JOIN v q ON seed.src = q.vec_id
+           |            JOIN v c ON seed.dst = c.vec_id),
+           |${top10("s0scored", "g0")},
+           |${nndescentRoundCtes("g0", "r1")},
+           |${top10("r1scored", "gg1")},
+           |${nndescentRoundCtes("gg1", "r2")},
+           |${top10("r2scored", "gg2")},
+           |${nndescentRoundCtes("gg2", "r3")}
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT src AS query_id, dst AS neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY src
+           |                                 ORDER BY cos DESC, dst) AS BIGINT) AS rank
+           |  FROM r3scored) t
+           |WHERE rank <= 3 AND query_id % 50 = 0
+           |ORDER BY query_id, rank""".stripMargin
+      }
     ),
     Q(
       "embed_zscore_whiten",

@@ -107,6 +107,33 @@ class Round15Spec extends AnyFunSuite {
       "pentagon cover did not tighten below its bbox")
   }
 
+  test("sim_knn_graph_converge: the converged build strictly beats the single-table graph's recall ceiling") {
+    // the single-table candidate pool is CLOSED under its LSH-bucket
+    // partition (a second refinement round was verified to change
+    // nothing, and a second LSH table yields the identical partition),
+    // so the converged build — wide K=10 internal lists + random
+    // long-range init + 3 rounds — must STRICTLY escape it: measured
+    // 0.80 vs the single-table 0.57 at sf0.001.
+    def adjacency(q: String) =
+      SparkEntry.queries(q)(spark, dir)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val r1 = adjacency("sim_knn_graph_nndescent")
+    val rm = adjacency("sim_knn_graph_converge")
+    val exact = adjacency("sim_cosine_topk")
+    assert(r1.keySet === rm.keySet && r1.nonEmpty)
+    def recall(g: Map[Long, Set[Long]]) = {
+      val rs = exact.map { case (q, ex) =>
+        g.getOrElse(q, Set.empty).intersect(ex).size.toDouble / 3 }
+      rs.sum / rs.size
+    }
+    val (rec1, recM) = (recall(r1), recall(rm))
+    assert(recM > rec1,
+      s"converged recall $recM does not beat single-table $rec1")
+    assert(recM >= 0.7, s"converged recall $recM below 0.7 floor")
+  }
+
   test("geo_polygon_polygon_join: containment caught without crossings; disjoint pair pruned pre-refine") {
     val rows = SparkEntry.queries("geo_polygon_polygon_join")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->

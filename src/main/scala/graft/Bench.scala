@@ -200,8 +200,16 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // intra-round runs merge by per-query MIN (round 15): plain
+    // replacement let a CONTENDED later run overwrite the same round's
+    // clean entry, weakening the next round's adjudication floor. A min
+    // within one round cannot launder cross-round drift — the key stays
+    // the round — and a mid-round regression still surfaces next round
+    // against the faster pre-change measurement, which is the point.
+    val prevCur = keyed.find(_._1 == cur).map(_._2).getOrElse(Map.empty)
     writeHistory(java.nio.file.Paths.get("BENCH_HISTORY.json"),
-      (keyed.filterNot(_._1 == cur) :+ (cur -> ordered.toMap))
+      (keyed.filterNot(_._1 == cur) :+
+        (cur -> mergeRoundEntry(prevCur, ordered.toMap)))
         .sortBy(_._1).takeRight(historyDepth))
     // child fragments + stdout logs all live under scratch — remove it so
     // driver-mode runs leave nothing in the system temp dir (ADVICE r12)
@@ -216,6 +224,17 @@ object Bench {
     * value becomes the new floor and a real fix shows up as headroom).
     */
   private[graft] val historyDepth = 3
+
+  /** Same-round history merge: per-query MIN of the round's runs (a key
+    * present in only one run keeps that run's value). See runDriverMode's
+    * comment for why min-within-round is safe and replacement was not.
+    */
+  private[graft] def mergeRoundEntry(prev: Map[String, Double],
+      now: Map[String, Double]): Map[String, Double] =
+    (prev.keySet ++ now.keySet).map { k =>
+      k -> math.min(prev.getOrElse(k, Double.MaxValue),
+        now.getOrElse(k, Double.MaxValue))
+    }.toMap
 
   /** Family trigger: group rows by name prefix (up to the first `_`), and
     * for every family with ≥3 rows whose current sum over COMMON keys

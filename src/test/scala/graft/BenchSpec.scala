@@ -125,6 +125,13 @@ class BenchSpec extends AnyFunSuite {
       Seq(13 -> Map("q_a" -> 0.40, "q_b" -> 1.0)))
   }
 
+  test("mergeRoundEntry: same-round runs merge by per-query min, union of keys") {
+    val prev = Map("a" -> 1.0, "b" -> 3.0)
+    val now = Map("b" -> 2.0, "c" -> 5.0)
+    assert(Bench.mergeRoundEntry(prev, now) ===
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 5.0))
+  }
+
   test("currentRound: driver's closing bench keys as ITS round, not round+1") {
     val dir = java.nio.file.Files.createTempDirectory("graft_benchspec_")
     assert(Bench.currentRound(dir) === 1, "bare checkout is round 1")

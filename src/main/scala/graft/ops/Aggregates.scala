@@ -2295,7 +2295,11 @@ object Aggregates {
       // replay the sketch bit-for-bit; the estimators are pure integer
       // arithmetic ((k−1)·M DIV kth) → hash-matched. Sets smaller than
       // k degrade to exact counts by construction (the signature IS the
-      // set). OperatorSpec pins estimates against exact distinct counts
+      // set) — and that holds for the INTERSECTION too (ADVICE r15):
+      // the ρ scale factor is the union-signature SIZE least(k, |∪|),
+      // not the fixed k, so a sub-k union emits the exact common count
+      // instead of collapsing toward 0 under integer division.
+      // OperatorSpec pins estimates against exact distinct counts
       // within KMV's 3σ rank band (rsd ≈ 1/√(k−2)).
       // Scale: each signature is a k-row ORDER BY h LIMIT k over the
       // set's distinct hashes — a map-side top-k (TakeOrderedAndProject)
@@ -4581,13 +4585,14 @@ object Aggregates {
       |  FROM ku JOIN a ON a.h = ku.h JOIN b ON b.h = ku.h)
       |SELECT CAST(64 AS BIGINT) AS k, n_a_est, n_b_est, n_union_est,
       |       c AS kmv_common,
-      |       c * n_union_est $idiv 64 AS n_intersect_est
-      |FROM est CROSS JOIN common""".stripMargin
+      |       c * n_union_est $idiv least(64, nu.n) AS n_intersect_est
+      |FROM est CROSS JOIN common CROSS JOIN nu""".stripMargin
 
   /** DuckDB oracle for [[agg_heavyhitter_partial_merge]]: per-(source,
-    * lang) exact token counts truncated to each cell's top-8 (count desc,
-    * token asc — fully deterministic), union-merged up to source by
-    * summed surviving counts, re-ranked to top-5.
+    * lang) exact token counts truncated to each cell's top-16 (count
+    * desc, token asc — fully deterministic; width matches both engines'
+    * rk <= 16 — ADVICE r15 stale-comment fix), union-merged up to source
+    * by summed surviving counts, re-ranked to top-5.
     */
   private lazy val heavyHitterMergeSql: String =
     """WITH cellcnt AS (

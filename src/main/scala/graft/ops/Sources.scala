@@ -2163,8 +2163,25 @@ object Sources {
               val delVersions = delRaw.select(col("_dv")).distinct()
                 .collect().map(_.getLong(0)).sorted
               val del = delVersions.map { dv =>
+                // ADVICE r15: the snapshot at dv-1 may have been expired
+                // by retention while the stream is live — fall back to
+                // the LATEST retained snapshot <= dv-1 instead of
+                // failing the batch (exact whenever the true pre-image
+                // snapshot is retained, which includes every run where
+                // retention lags the feed — the normal deployment
+                // posture; a delete whose key landed ONLY in expired
+                // snapshots resolves no pre-image, the re-seed case a
+                // replica consumer handles from the current snapshot);
+                // and the Long version converts CHECKED instead of
+                // silently truncating to Int.
+                val want = java.lang.Math.toIntExact(dv - 1)
+                val at = Iterator.range(want, 0, -1).find(x =>
+                    graft.sources.ManifestSink.readState(tDir, Some(x)).nonEmpty)
+                  .getOrElse(throw new IllegalStateException(
+                    s"no retained snapshot <= v$want at $tDir to resolve " +
+                      s"delete pre-images of commit v$dv — re-seed the view"))
                 delRaw.filter(col("_dv") === dv).select(col("k"))
-                  .join(readAt((dv - 1).toInt)
+                  .join(readAt(at)
                     .select(col("k"), col("ck"), col("cents")), "k")
                   .select(col("ck"), col("cents"), lit(-1L).as("sgn"))
               }.reduceOption(_ unionAll _).getOrElse(

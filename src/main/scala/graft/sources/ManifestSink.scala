@@ -831,17 +831,31 @@ object ManifestSink {
     // metadata — zero extra manifest walks, and retention expiring a
     // mid-range snapshot can never shift an event's version forward
     // (the r14 first-retained-snapshot inference could). Legacy bare
-    // lines parse as seq 1; clamping into (a, b] keeps those and any
-    // compaction-refreshed seq inside the range the feed is answering.
+    // lines parse as seq 1 and carry NO usable version (ADVICE r15):
+    // clamping 1 to a+1 would attribute a file that actually appeared
+    // later in (a, b] EARLIER than it occurred, so for those — and only
+    // those, a recorded seq can never be <= a for a genuinely new file —
+    // fall back to the old first-retained-snapshot walk over (a, b],
+    // which attributes as accurately as retention allows. Recorded seqs
+    // above b (a compaction-refreshed entry) still clamp down to b.
     val seqData = filesB.toMap
     val seqDel = atB.map(_.deletes.toMap).getOrElse(Map.empty[String, Int])
-    def clamp(v: Int): Int = math.min(b, math.max(a + 1, v))
+    lazy val retainedInRange: Seq[(Int, Option[State])] =
+      (a + 1 to b).map(v => v -> readState(dir, Some(v)))
+    def firstAppearance(f: String, isDelete: Boolean): Int =
+      retainedInRange.collectFirst {
+        case (v, Some(st))
+            if (if (isDelete) st.deletes.exists(_._1 == f)
+                else st.files.exists(_._1 == f)) => v
+      }.getOrElse(b)
+    def attribute(f: String, seq: Int, isDelete: Boolean): Int =
+      if (seq <= a) firstAppearance(f, isDelete) else math.min(b, seq)
     val inserts = newData.map(f =>
       ChangeFeedPartition(resolveData(dir, f), isDelete = false,
-        version = clamp(seqData(f))): InputPartition)
+        version = attribute(f, seqData(f), isDelete = false)): InputPartition)
     val deletes = newDels.map(f =>
       ChangeFeedPartition(resolveData(dir, f), isDelete = true,
-        version = clamp(seqDel(f))): InputPartition)
+        version = attribute(f, seqDel(f), isDelete = true)): InputPartition)
     (inserts ++ deletes).toArray
   }
 

@@ -114,13 +114,22 @@ object SurveyTable {
     */
   private[tools] def syncReadmeCount(
       n: Int, readme: Path = Paths.get("README.md")): Boolean = {
-    if (!Files.exists(readme)) false
-    else {
+    if (!Files.exists(readme)) {
+      // ADVICE r15: a silent no-op here (e.g. the tool run outside the
+      // repo root) would let the README count drift undetected
+      System.err.println(
+        s"[survey-table] WARNING: $readme not found — headline operator " +
+          "count NOT synced (run from the repo root)")
+      false
+    } else {
       val txt = Files.readString(readme)
       val fixed = txt
         .replaceAll("\\*\\*\\d+ registered operators\\*\\*",
           s"**$n registered operators**")
-        .replaceAll("\\*\\*all \\d+\\b", s"**all $n")
+        // ADVICE r15: anchor to the full oracle phrase — a bare
+        // `\*\*all \d+` would clobber any future bold "all N ..." prose
+        // (e.g. "**all 4 gates") with the registry size
+        .replaceAll("\\*\\*all \\d+(\\s+with DuckDB)", s"**all $n$$1")
       if (fixed != txt) { Files.writeString(readme, fixed); true } else false
     }
   }

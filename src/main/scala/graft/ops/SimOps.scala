@@ -99,32 +99,71 @@ object SimOps {
     * re-runs 5×. At cluster scale the equivalent is a
     * persisted/checkpointed adjacency between NN-Descent rounds, which is
     * how every published implementation iterates.
+    *
+    * BUILD ONCE, SERVE MANY (r15 verdict #6): the ranked adjacency is
+    * staged per (session, sf dir) — the nndescent, beam, converge and
+    * insert rows share one build instead of each re-running the seed
+    * scoring + refinement round, which is exactly the discipline the
+    * beam row's own doc-comment invokes (a serving tier builds its
+    * index once and navigates it per query; it does not rebuild per
+    * request). `localCheckpoint(eager)` pins the adjacency blocks for
+    * the session lifetime; hash gates are untouched because the staged
+    * value is the same deterministic plan, materialized once.
     */
-  private def nndescentGraph(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val emb = Tables(s, dir, "embeddings")
+  private val graphStage =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  // NOT computeIfAbsent: stage builds nest (the symmetrized converged
+  // graph derives from the staged directed one) and CHM forbids
+  // recursive updates. A benign double-build race is acceptable —
+  // Verify/Bench run queries sequentially.
+  private def staged[T <: AnyRef](
+      s: SparkSession, dir: String, key: String)(build: => T): T = {
+    val k = s"${System.identityHashCode(s)}:$dir:$key"
+    val cur = graphStage.get(k)
+    if (cur != null) cur.asInstanceOf[T]
+    else {
+      val v = build
+      val prev = graphStage.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
+
+  /** The normed vector table `(vec_id, emb, nrm)` — the shared scan
+    * prefix of every graph-index row (cheap: one parquet scan + a
+    * codegen'd self-dot; NOT staged, so column pruning per row applies).
+    */
+  private def embTable(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("emb"))
       .withColumn("nrm", norm(col("emb")))
-    val nTot = broadcast(emb.agg(
-      greatest(lit(1L), ceil(count(lit(1)) / lit(1024.0)).cast("long"))
-        .as("segs")))
-    val b = emb.crossJoin(nTot)
-      .withColumn("bucket", lshBucket(col("emb"), 0))
-      .withColumn("seg",
-        ((col("vec_id") % 1000003L) * 2654435761L) % col("segs"))
-    val nb = b.select(col("vec_id").as("nb"), col("emb").as("nb_emb"),
-      col("nrm").as("nb_nrm"), col("bucket"), col("seg"))
-    val pairs0 = b.join(nb, Seq("bucket", "seg"))
-      .filter(col("vec_id") =!= col("nb"))
-      .withColumn("cos", dot(col("emb"), col("nb_emb")) /
-        (col("nrm") * col("nb_nrm")))
-    val g0 = pairs0.withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos").desc, col("nb"))))
-      .filter(col("rn") <= 3)
-      .select(col("vec_id").as("src"), col("nb").as("dst"))
-      .localCheckpoint(true)
-    (nndescentRound(emb, g0), emb)
+
+  private def nndescentGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val emb = embTable(s, dir)
+    val graph = staged(s, dir, "nnd") {
+      val nTot = broadcast(emb.agg(
+        greatest(lit(1L), ceil(count(lit(1)) / lit(1024.0)).cast("long"))
+          .as("segs")))
+      val b = emb.crossJoin(nTot)
+        .withColumn("bucket", lshBucket(col("emb"), 0))
+        .withColumn("seg",
+          ((col("vec_id") % 1000003L) * 2654435761L) % col("segs"))
+      val nb = b.select(col("vec_id").as("nb"), col("emb").as("nb_emb"),
+        col("nrm").as("nb_nrm"), col("bucket"), col("seg"))
+      val pairs0 = b.join(nb, Seq("bucket", "seg"))
+        .filter(col("vec_id") =!= col("nb"))
+        .withColumn("cos", dot(col("emb"), col("nb_emb")) /
+          (col("nrm") * col("nb_nrm")))
+      val g0 = pairs0.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cos").desc, col("nb"))))
+        .filter(col("rn") <= 3)
+        .select(col("vec_id").as("src"), col("nb").as("dst"))
+        .localCheckpoint(true)
+      nndescentRound(emb, g0).select(col("src"), col("dst"), col("rank"))
+        .localCheckpoint(true)
+    }
+    (graph, emb)
   }
 
   /** ONE NN-Descent refinement round: symmetrize the adjacency, expand
@@ -192,17 +231,17 @@ object SimOps {
     * output CTE `${p}scored`. No leading WITH / trailing comma.
     */
   private def nndescentRoundCtes(inG: String, p: String): String =
-    s"""${p}sym AS (
+    s"""${p}sym AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM $inG
        |    UNION ALL SELECT dst AS src, src AS dst FROM $inG) u),
        |${p}non AS (
        |  SELECT x.src, y.dst FROM ${p}sym x JOIN ${p}sym y ON x.dst = y.src
        |  WHERE x.src <> y.dst),
-       |${p}cand AS (
+       |${p}cand AS MATERIALIZED (
        |  SELECT DISTINCT src, dst FROM (
        |    SELECT * FROM $inG UNION ALL SELECT * FROM ${p}non) u),
-       |${p}scored AS (
+       |${p}scored AS MATERIALIZED (
        |  SELECT ${p}cand.src, ${p}cand.dst,
        |         list_sum(list_transform(range(1, 65),
        |             i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
@@ -210,13 +249,76 @@ object SimOps {
        |  FROM ${p}cand JOIN v q ON ${p}cand.src = q.vec_id
        |            JOIN v c ON ${p}cand.dst = c.vec_id)""".stripMargin
 
+  /** K=10 truncation CTE over a scored candidate table (the converged
+    * build's per-round internal-list width).
+    */
+  // MATERIALIZED throughout the converged/beam CTE chains: DuckDB
+  // inlines plain CTEs per reference, and the 3-round build + 8-hop
+  // walk reference each predecessor 2-4× — un-materialized, the
+  // expansion is exponential (observed: "Too many open files" from
+  // hundreds of inlined base-table scans). Materialization pins each
+  // stage to one evaluation — the oracle-side analogue of the Spark
+  // plan's per-round localCheckpoint.
+  private def top10Cte(inScored: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |                     ORDER BY cos DESC, dst) AS rn
+       |    FROM $inScored) t WHERE rn <= 10)""".stripMargin
+
+  /** The converged-build oracle CTE chain (no leading WITH, no trailing
+    * comma), mirroring [[convergedAdjacency]]: LSH-block ∪ scrambled-
+    * ring seed, K=10 lists, 3 refinement rounds, ending at round 3's
+    * scored candidate CTE `r3scored`. `where` filters the base corpus
+    * (empty = full — converge/serve; the insert row excludes its
+    * holdout so the CTEs build on exactly the corpus the graph indexes).
+    */
+  private def convergedCtes(where: String): String = {
+    val selfDot =
+      "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))"
+    s"""nt AS (
+       |  SELECT greatest(1, CAST(ceil(count(*) / 1024.0) AS BIGINT)) AS segs
+       |  FROM embeddings $where),
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, embedding AS emb, $selfDot AS nrm,
+       |         ${lshBucketSql("embedding", 0)} AS bucket,
+       |         ((vec_id % 1000003) * 2654435761) % segs AS seg
+       |  FROM embeddings CROSS JOIN nt $where),
+       |rr AS MATERIALIZED (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
+       |           (vec_id % 1000003) * 2654435761 % 1000003, vec_id)
+       |         AS BIGINT) AS rk
+       |  FROM v),
+       |seed AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst
+       |    FROM v a JOIN v b ON a.bucket = b.bucket AND a.seg = b.seg
+       |    WHERE a.vec_id <> b.vec_id
+       |    UNION ALL
+       |    SELECT a.vec_id, b.vec_id FROM rr a JOIN rr b
+       |    ON b.rk - a.rk >= 1 AND b.rk - a.rk <= 3) u),
+       |s0scored AS (
+       |  SELECT seed.src, seed.dst,
+       |         list_sum(list_transform(range(1, 65),
+       |             i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
+       |           / (q.nrm * c.nrm) AS cos
+       |  FROM seed JOIN v q ON seed.src = q.vec_id
+       |            JOIN v c ON seed.dst = c.vec_id),
+       |${top10Cte("s0scored", "g0")},
+       |${nndescentRoundCtes("g0", "r1")},
+       |${top10Cte("r1scored", "gg1")},
+       |${nndescentRoundCtes("gg1", "r2")},
+       |${top10Cte("r2scored", "gg2")},
+       |${nndescentRoundCtes("gg2", "r3")}""".stripMargin
+  }
+
   /** One beam-search hop as a CTE: score `candSelect`'s (qid, node) rows
     * against the query embeddings in `qs`/`v` and keep the per-query top
     * `beam` (rn exposed for the final rank). Mirrors the Spark side's
     * `rescore` exactly.
     */
   private def beamHopSql(name: String, candSelect: String, beam: Int): String =
-    s"""$name AS (
+    s"""$name AS MATERIALIZED (
        |  SELECT qid, node, rn FROM (
        |    SELECT c.qid, c.node,
        |           row_number() OVER (PARTITION BY c.qid ORDER BY
@@ -237,6 +339,146 @@ object SimOps {
        |    UNION ALL
        |    SELECT f.qid, g.dst AS node FROM $frontier f
        |    JOIN g ON g.src = f.node) u""".stripMargin
+
+  /** Beam navigation shared by [[sim_knn_graph_beam]] (single-table
+    * index), [[sim_knn_graph_beam_converged]] (K=10 converged index) and
+    * [[sim_knn_graph_insert]] (holdout attach): score `entries` (one
+    * `node` column) per query in `q` (qid, q_emb, q_nrm), keep a beam,
+    * then `hops` rounds of expand-via-`graph` → exact re-score →
+    * re-beam. Each (tiny, Q·beam-row) frontier is eagerly checkpointed
+    * so the hop lineage stays flat (the eigenvector-power lesson).
+    * Candidates are scored against `v` — the corpus the graph indexes.
+    */
+  private def beamFrontier(v: DataFrame, graph: DataFrame, q: DataFrame,
+      entries: DataFrame, beam: Int, hops: Int): DataFrame = {
+    def rescore(cand: DataFrame, keep: Int) =
+      cand.join(v.select(col("vec_id").as("node"), col("emb").as("c_emb"),
+          col("nrm").as("c_nrm")), "node")
+        .join(q, "qid")
+        .withColumn("cos", dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("node"))))
+        .filter(col("rn") <= keep)
+        .select(col("qid"), col("node"))
+    var frontier = rescore(
+      q.select(col("qid")).crossJoin(entries), beam).localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val cand = frontier.unionByName(
+          frontier.join(graph, col("node") === col("src"))
+            .select(col("qid"), col("dst").as("node")))
+        .distinct()
+      frontier = rescore(cand, beam).localCheckpoint(true)
+    }
+    frontier
+  }
+
+  /** Final exact re-score + per-query top-k of a beam frontier (or any
+    * (qid, node) candidate set) → the serving answer
+    * (query_id, rank, neighbor_id), totally ordered.
+    */
+  private def rankFrontier(v: DataFrame, q: DataFrame, cand: DataFrame,
+      k: Int): DataFrame =
+    cand.join(v.select(col("vec_id").as("node"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm")), "node")
+      .join(q, "qid")
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")) /
+        (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("node"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("node").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Per-LSH-bucket entry points over `v` (min vec_id: deterministic,
+    * and an entry inside every cluster — the sharded-index pattern).
+    */
+  private def bucketEntries(v: DataFrame): DataFrame =
+    broadcast(v.withColumn("bucket", lshBucket(col("emb"), 0))
+      .groupBy(col("bucket")).agg(min(col("vec_id")).as("node"))
+      .select(col("node")))
+
+  /** The query subset as beam queries (qid, q_emb, q_nrm). */
+  private def beamQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+
+  /** Converged K=10 NN-Descent adjacency build (the published
+    * algorithm's shape — see [[sim_knn_graph_converge]] for the
+    * measured diagnosis): LSH-block ∪ scrambled-ring seed, K=10
+    * internal lists, 3 refinement rounds, each round's adjacency
+    * eagerly checkpointed. Returns the directed top-10 adjacency
+    * (src, dst) over whatever corpus `emb` holds — the insert row
+    * passes the holdout-excluded base, everything else the full corpus.
+    */
+  private def convergedAdjacency(emb: DataFrame): DataFrame = {
+    val nTot = broadcast(emb.agg(
+      greatest(lit(1L), ceil(count(lit(1)) / lit(1024.0)).cast("long"))
+        .as("segs")))
+    val b = emb.crossJoin(nTot)
+      .withColumn("bucket", lshBucket(col("emb"), 0))
+      .withColumn("seg",
+        ((col("vec_id") % 1000003L) * 2654435761L) % col("segs"))
+      .select(col("vec_id"), col("bucket"), col("seg"))
+    val nb = b.select(col("vec_id").as("nb"), col("bucket"), col("seg"))
+    val bp = b.join(nb, Seq("bucket", "seg"))
+      .filter(col("vec_id") =!= col("nb"))
+      .select(col("vec_id").as("src"), col("nb").as("dst"))
+    val rr = emb.select(col("vec_id")).withColumn("rk",
+      row_number().over(Window.orderBy(
+        ((col("vec_id") % 1000003L) * 2654435761L) % 1000003L,
+        col("vec_id"))))
+    val links = rr.as("a").join(rr.as("b"),
+        col("b.rk") - col("a.rk") >= 1 && col("b.rk") - col("a.rk") <= 3)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    var g = scoreRank(emb, bp.unionByName(links).distinct())
+      .filter(col("rank") <= 10)
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val sym = g.unionByName(
+          g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val non = sym.as("x")
+        .join(sym.as("y"), col("x.dst") === col("y.src"))
+        .filter(col("x.src") =!= col("y.dst"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      g = scoreRank(emb, g.unionByName(non).distinct())
+        .filter(col("rank") <= 10)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+    }
+    g
+  }
+
+  /** The SYMMETRIZED converged adjacency, staged per (session, sf dir,
+    * corpus choice) — `holdout = true` builds on the corpus EXCLUDING
+    * the standard query subset (the insert row's base), `false` on the
+    * full corpus. One build serves the converge diagnostics, the
+    * converged-beam row and every Round16Spec recall probe.
+    */
+  private def convergedGraphStaged(s: SparkSession, dir: String,
+      holdout: Boolean): DataFrame =
+    staged(s, dir, if (holdout) "conv_nohold_sym" else "conv_sym") {
+      val g10 =
+        if (holdout)
+          convergedAdjacency(embTable(s, dir).filter(col("vec_id") % 50 =!= 0))
+        else convergedDirStaged(s, dir) // share the full-corpus build
+      g10.unionByName(
+          g10.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+
+  /** The DIRECTED converged top-10 adjacency on the full corpus, staged
+    * (the converge row's own output surface; the serving rows use the
+    * symmetrized variant).
+    */
+  private def convergedDirStaged(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "conv_dir") {
+      convergedAdjacency(embTable(s, dir))
+    }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -2315,8 +2557,9 @@ object SimOps {
       // checkpointed so the hop lineage stays flat (the
       // eigenvector-power lesson). Scoring is the same portable double
       // cosine every sim oracle replays; output is BIGINT-only. The
-      // oracle unrolls the identical 3 hops as CTEs. SimSpec pins a
-      // recall@5 floor vs the exact sim_cosine_topk answer.
+      // oracle unrolls the identical 6 hops as CTEs (f1..f6 — ADVICE
+      // r15 stale-comment fix). SimSpec pins a recall@5 floor vs the
+      // exact sim_cosine_topk answer.
       (s, dir) => {
         val (graph0, v) = nndescentGraph(s, dir)
         val gdir = graph0.filter(col("rank") <= 6)
@@ -2324,46 +2567,9 @@ object SimOps {
         val graph = gdir.unionByName(
             gdir.select(col("dst").as("src"), col("src").as("dst")))
           .distinct().localCheckpoint(true)
-        val q = v.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("emb").as("q_emb"),
-            col("nrm").as("q_nrm"))
-        val entries = broadcast(
-          v.withColumn("bucket", lshBucket(col("emb"), 0))
-            .groupBy(col("bucket")).agg(min(col("vec_id")).as("node"))
-            .select(col("node")))
-        def rescore(cand: org.apache.spark.sql.DataFrame, beam: Int) =
-          cand.join(v.select(col("vec_id").as("node"), col("emb").as("c_emb"),
-              col("nrm").as("c_nrm")), "node")
-            .join(q, "qid")
-            .withColumn("cos", dot(col("q_emb"), col("c_emb")) /
-              (col("q_nrm") * col("c_nrm")))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("qid"))
-                .orderBy(col("cos").desc, col("node"))))
-            .filter(col("rn") <= beam)
-            .select(col("qid"), col("node"))
-        var frontier = rescore(
-          q.select(col("qid")).crossJoin(entries), 12).localCheckpoint(true)
-        for (_ <- 1 to 6) {
-          val cand = frontier.unionByName(
-              frontier.join(graph, col("node") === col("src"))
-                .select(col("qid"), col("dst").as("node")))
-            .distinct()
-          frontier = rescore(cand, 12).localCheckpoint(true)
-        }
-        frontier.filter(col("qid") =!= col("node"))
-          .join(v.select(col("vec_id").as("node"), col("emb").as("c_emb"),
-            col("nrm").as("c_nrm")), "node")
-          .join(q, "qid")
-          .withColumn("cos", dot(col("q_emb"), col("c_emb")) /
-            (col("q_nrm") * col("c_nrm")))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col("cos").desc, col("node"))).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("qid").as("query_id"), col("rank"),
-            col("node").as("neighbor_id"))
-          .orderBy(col("query_id"), col("rank"))
+        val q = beamQueries(v)
+        val f = beamFrontier(v, graph, q, bucketEntries(v), 12, 6)
+        rankFrontier(v, q, f.filter(col("qid") =!= col("node")), 5)
       },
       Some(
         s"""WITH $nndescentScoredCtes,
@@ -2418,43 +2624,8 @@ object SimOps {
       // The ring rank is a single global sort here; at 100 TB it
       // becomes a range-partitioned rank (zipWithIndex discipline).
       (s, dir) => {
-        val emb = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding").as("emb"))
-          .withColumn("nrm", norm(col("emb")))
-        val nTot = broadcast(emb.agg(
-          greatest(lit(1L), ceil(count(lit(1)) / lit(1024.0)).cast("long"))
-            .as("segs")))
-        val b = emb.crossJoin(nTot)
-          .withColumn("bucket", lshBucket(col("emb"), 0))
-          .withColumn("seg",
-            ((col("vec_id") % 1000003L) * 2654435761L) % col("segs"))
-          .select(col("vec_id"), col("bucket"), col("seg"))
-        val nb = b.select(col("vec_id").as("nb"), col("bucket"), col("seg"))
-        val bp = b.join(nb, Seq("bucket", "seg"))
-          .filter(col("vec_id") =!= col("nb"))
-          .select(col("vec_id").as("src"), col("nb").as("dst"))
-        val rr = emb.select(col("vec_id")).withColumn("rk",
-          row_number().over(Window.orderBy(
-            ((col("vec_id") % 1000003L) * 2654435761L) % 1000003L,
-            col("vec_id"))))
-        val links = rr.as("a").join(rr.as("b"),
-            col("b.rk") - col("a.rk") >= 1 && col("b.rk") - col("a.rk") <= 3)
-          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-        var g = scoreRank(emb, bp.unionByName(links).distinct())
-          .filter(col("rank") <= 10)
-          .select(col("src"), col("dst")).localCheckpoint(true)
-        for (_ <- 1 to 3) {
-          val sym = g.unionByName(
-              g.select(col("dst").as("src"), col("src").as("dst")))
-            .distinct()
-          val non = sym.as("x")
-            .join(sym.as("y"), col("x.dst") === col("y.src"))
-            .filter(col("x.src") =!= col("y.dst"))
-            .select(col("x.src").as("src"), col("y.dst").as("dst"))
-          g = scoreRank(emb, g.unionByName(non).distinct())
-            .filter(col("rank") <= 10)
-            .select(col("src"), col("dst")).localCheckpoint(true)
-        }
+        val emb = embTable(s, dir)
+        val g = convergedDirStaged(s, dir)
         scoreRank(emb, g.filter(col("src") % 50 === 0))
           .filter(col("rank") <= 3)
           .select(col("src").as("query_id"),
@@ -2462,56 +2633,132 @@ object SimOps {
             col("dst").as("neighbor_id"))
           .orderBy(col("query_id"), col("rank"))
       },
-      Some {
-        val selfDot =
-          "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))"
-        def top10(inScored: String, out: String) =
-          s"""$out AS (
-             |  SELECT src, dst FROM (
-             |    SELECT src, dst, row_number() OVER (PARTITION BY src
-             |                     ORDER BY cos DESC, dst) AS rn
-             |    FROM $inScored) t WHERE rn <= 10)""".stripMargin
-        s"""WITH nt AS (
-           |  SELECT greatest(1, CAST(ceil(count(*) / 1024.0) AS BIGINT)) AS segs
-           |  FROM embeddings),
-           |v AS (
-           |  SELECT vec_id, embedding AS emb, $selfDot AS nrm,
-           |         ${lshBucketSql("embedding", 0)} AS bucket,
-           |         ((vec_id % 1000003) * 2654435761) % segs AS seg
-           |  FROM embeddings CROSS JOIN nt),
-           |rr AS (
-           |  SELECT vec_id, CAST(row_number() OVER (ORDER BY
-           |           (vec_id % 1000003) * 2654435761 % 1000003, vec_id)
-           |         AS BIGINT) AS rk
-           |  FROM v),
-           |seed AS (
-           |  SELECT DISTINCT src, dst FROM (
-           |    SELECT a.vec_id AS src, b.vec_id AS dst
-           |    FROM v a JOIN v b ON a.bucket = b.bucket AND a.seg = b.seg
-           |    WHERE a.vec_id <> b.vec_id
-           |    UNION ALL
-           |    SELECT a.vec_id, b.vec_id FROM rr a JOIN rr b
-           |    ON b.rk - a.rk >= 1 AND b.rk - a.rk <= 3) u),
-           |s0scored AS (
-           |  SELECT seed.src, seed.dst,
-           |         list_sum(list_transform(range(1, 65),
-           |             i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
-           |           / (q.nrm * c.nrm) AS cos
-           |  FROM seed JOIN v q ON seed.src = q.vec_id
-           |            JOIN v c ON seed.dst = c.vec_id),
-           |${top10("s0scored", "g0")},
-           |${nndescentRoundCtes("g0", "r1")},
-           |${top10("r1scored", "gg1")},
-           |${nndescentRoundCtes("gg1", "r2")},
-           |${top10("r2scored", "gg2")},
-           |${nndescentRoundCtes("gg2", "r3")}
+      Some(
+        s"""WITH ${convergedCtes(where = "")}
            |SELECT query_id, rank, neighbor_id FROM (
            |  SELECT src AS query_id, dst AS neighbor_id,
            |         CAST(row_number() OVER (PARTITION BY src
            |                                 ORDER BY cos DESC, dst) AS BIGINT) AS rank
            |  FROM r3scored) t
            |WHERE rank <= 3 AND query_id % 50 = 0
-           |ORDER BY query_id, rank""".stripMargin
+           |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "sim_knn_graph_beam_converged",
+      // Beam search OVER the CONVERGED K=10 graph (r15 verdict #1 — the
+      // 0.80-recall index finally gets a serving path): identical
+      // navigation discipline to sim_knn_graph_beam (per-LSH-bucket
+      // min-id entries, beam 12, 6 expand→re-score→re-beam hops, final
+      // top-5), but the walked adjacency is sim_knn_graph_converge's
+      // symmetrized top-10 instead of the single-table graph whose
+      // intrinsic ceiling is ~0.57 — so the SAME corpus-size-independent
+      // O(Q·hops·beam·deg) search now reaches the index that actually
+      // contains the cross-bucket true neighbors (Round16Spec pins
+      // recall@5 ≥ 0.70 vs exact, strictly above the single-table
+      // beam's measured 0.52). Build once, serve many: the staged
+      // converged adjacency is built ONE time per (session, sf) and
+      // shared with the converge row — the serving tier never rebuilds
+      // per query, which is the entire economics of a graph index at
+      // 100 TB (build cost amortizes over every query batch; per-query
+      // cost stays ~beam·deg vector reads regardless of corpus size).
+      // The oracle replays the full converged build + the 6 unrolled
+      // hops as CTEs → hash-matched.
+      (s, dir) => {
+        val emb = embTable(s, dir)
+        val graph = convergedGraphStaged(s, dir, holdout = false)
+        val q = beamQueries(emb)
+        val f = beamFrontier(emb, graph, q, bucketEntries(emb), 12, 6)
+        rankFrontier(emb, q, f.filter(col("qid") =!= col("node")), 5)
+      },
+      Some(
+        s"""WITH ${convergedCtes(where = "")},
+           |${top10Cte("r3scored", "gdir")},
+           |g AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM gdir
+           |    UNION ALL SELECT dst AS src, src AS dst FROM gdir) u),
+           |qs AS MATERIALIZED (SELECT vec_id AS qid, emb AS q_emb, nrm AS q_nrm
+           |       FROM v WHERE vec_id % 50 = 0),
+           |ent AS MATERIALIZED (SELECT min(vec_id) AS node FROM v GROUP BY bucket),
+           |${beamHopSql("f0",
+              "SELECT qid, node FROM qs CROSS JOIN ent", 12)},
+           |${beamHopSql("f1", beamExpandSql("f0"), 12)},
+           |${beamHopSql("f2", beamExpandSql("f1"), 12)},
+           |${beamHopSql("f3", beamExpandSql("f2"), 12)},
+           |${beamHopSql("f4", beamExpandSql("f3"), 12)},
+           |${beamHopSql("f5", beamExpandSql("f4"), 12)},
+           |${beamHopSql("f6", beamExpandSql("f5"), 12)},
+           |${beamHopSql("f7",
+              "SELECT qid, node FROM f6 WHERE qid <> node", 5)}
+           |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+           |       node AS neighbor_id
+           |FROM f7 ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "sim_knn_graph_insert",
+      // ONLINE kNN-graph insert (r15 verdict #2 — the graph analogue of
+      // pipeline_dedup_incremental): a 100 TB corpus grows daily, and
+      // rebuilding the index per batch is the one cost a serving tier
+      // cannot pay — the HNSW insert discipline attaches each NEW
+      // vector by (a) beam-searching the EXISTING graph for its
+      // neighborhood (the same O(hops·beam·deg) walk serving uses), then
+      // (b) a LOCAL adjacency re-rank: widen the final frontier by one
+      // adjacency expansion and exact-score, so the attach sees the
+      // scored-but-just-outside-the-beam candidates, and keep the top-3
+      // as the new vector's edges. Here the standard query subset
+      // (vec_id % 50 = 0) is the HOLDOUT batch: the converged K=10 graph
+      // is built on the corpus WITHOUT it (staged once — the build is
+      // the batch-shared cost, each insert is walk+re-rank only), and
+      // every holdout vector attaches against that base. Round16Spec
+      // pins post-insert recall@3 within ε of the full REBUILD's recall
+      // (sim_knn_graph_converge) — the insert path must not degrade the
+      // index it maintains — and SCALE.md records insert-vs-rebuild
+      // cost. Scale: per insert batch the walk scores O(B·hops·beam·deg)
+      // pairs — independent of corpus size, vs the rebuild's
+      // O(n·(2K)²)·rounds; the crossover is immediate for any daily
+      // batch ≪ corpus, which is why every production graph index
+      // (HNSW/Vamana) inserts online and rebuilds rarely.
+      (s, dir) => {
+        val emb = embTable(s, dir)
+        val base = emb.filter(col("vec_id") % 50 =!= 0)
+        val graph = convergedGraphStaged(s, dir, holdout = true)
+        val q = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("emb").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        val f = beamFrontier(base, graph, q, bucketEntries(base), 12, 6)
+        // local adjacency re-rank: one expansion past the beam before
+        // the top-3 attach (no qid<>node filter — the holdout is
+        // disjoint from the base corpus by construction)
+        val cand = f.unionByName(
+            f.join(graph, col("node") === col("src"))
+              .select(col("qid"), col("dst").as("node")))
+          .distinct()
+        rankFrontier(base, q, cand, 3)
+      },
+      Some {
+        val selfDot =
+          "sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))"
+        s"""WITH ${convergedCtes(where = "WHERE vec_id % 50 <> 0")},
+           |${top10Cte("r3scored", "gdir")},
+           |g AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM gdir
+           |    UNION ALL SELECT dst AS src, src AS dst FROM gdir) u),
+           |qs AS MATERIALIZED (SELECT vec_id AS qid, embedding AS q_emb, $selfDot AS q_nrm
+           |       FROM embeddings WHERE vec_id % 50 = 0),
+           |ent AS MATERIALIZED (SELECT min(vec_id) AS node FROM v GROUP BY bucket),
+           |${beamHopSql("f0",
+              "SELECT qid, node FROM qs CROSS JOIN ent", 12)},
+           |${beamHopSql("f1", beamExpandSql("f0"), 12)},
+           |${beamHopSql("f2", beamExpandSql("f1"), 12)},
+           |${beamHopSql("f3", beamExpandSql("f2"), 12)},
+           |${beamHopSql("f4", beamExpandSql("f3"), 12)},
+           |${beamHopSql("f5", beamExpandSql("f4"), 12)},
+           |${beamHopSql("f6", beamExpandSql("f5"), 12)},
+           |${beamHopSql("f7", beamExpandSql("f6"), 3)}
+           |SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+           |       node AS neighbor_id
+           |FROM f7 ORDER BY query_id, rank""".stripMargin
       }
     ),
     Q(

@@ -2312,6 +2312,33 @@ object Aggregates {
       Some(kmvOverlapSql("//"))
     ),
     Q(
+      "agg_kmv_partial_merge",
+      // REAGGREGATABLE KMV signatures (r15 verdict #4 — the fourth and
+      // final mergeable-sketch family, joining HLL (:2188), quantiles
+      // (:2214) and heavy hitters (:2239) in the rollup toolkit a
+      // 100 TB cube maintains): each (priority, status) cell persists
+      // its k=64 minimum-value signature ONCE; the rollup to priority
+      // merges signatures by "k smallest of the union of partials" — a
+      // pure projection over O(cells·k) rows, the raw fact never
+      // rescans. The merge is LOSSLESS by construction: any hash in the
+      // union's global bottom-64 is necessarily in its own cell's
+      // bottom-64, so merged-min-64 ≡ the signature computed directly
+      // on the union — OperatorSpec pins that equality column-for-
+      // column, which is the associativity certificate that lets
+      // signatures merge up ANY hierarchy (status→priority→grand
+      // total) like the other three families. Estimator is the same
+      // integer-exact (k−1)·M DIV kth as agg_kmv_set_overlap, with
+      // sub-k merges emitting exact counts (the ADVICE r15 rule applied
+      // from birth). Scale: each partial is a map-side top-k
+      // (TakeOrderedAndProject) over its cell's distinct hashes; the
+      // merge shuffles k-row signatures, never data.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(kmvPartialMergeSql("DIV"))
+      },
+      Some(kmvPartialMergeSql("//"))
+    ),
+    Q(
       "agg_weighted_median",
       // Exact WEIGHTED median (price cents weighted by quantity): sort by
       // value within group, running weight, first value whose cumulative
@@ -4587,6 +4614,42 @@ object Aggregates {
       |       c AS kmv_common,
       |       c * n_union_est $idiv least(64, nu.n) AS n_intersect_est
       |FROM est CROSS JOIN common CROSS JOIN nu""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[agg_kmv_partial_merge]]: per-
+    * (priority, status) k=64 KMV signatures (the persisted partials),
+    * union-merged up to priority by "k smallest of the deduplicated
+    * union of partials" — no rescan of `orders` past the partial stage —
+    * then the integer-exact KMV estimator on the merged signature.
+    * `idiv` = the engine's integer-division token.
+    */
+  private def kmvPartialMergeSql(idiv: String): String =
+    s"""WITH cells AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS stat,
+      |         ((o_custkey % 1000003) * 2654435761) % 1000003 AS h
+      |  FROM orders GROUP BY 1, 2, 3),
+      |sig AS (
+      |  SELECT prio, stat, h FROM (
+      |    SELECT prio, stat, h,
+      |           row_number() OVER (PARTITION BY prio, stat ORDER BY h) AS rn
+      |    FROM cells) t WHERE rn <= 64),
+      |uh AS (SELECT DISTINCT prio, h FROM sig),
+      |msig AS (
+      |  SELECT prio, h FROM (
+      |    SELECT prio, h,
+      |           row_number() OVER (PARTITION BY prio ORDER BY h) AS rn
+      |    FROM uh) t WHERE rn <= 64),
+      |np AS (SELECT prio, CAST(count(DISTINCT stat) AS BIGINT) AS n_partials
+      |       FROM sig GROUP BY prio),
+      |stats AS (SELECT prio, CAST(count(*) AS BIGINT) AS k_filled,
+      |                 CAST(max(h) AS BIGINT) AS kth_hash
+      |          FROM msig GROUP BY prio)
+      |SELECT stats.prio AS o_orderpriority, np.n_partials,
+      |       stats.k_filled, stats.kth_hash,
+      |       CASE WHEN stats.k_filled < 64 THEN stats.k_filled
+      |            ELSE CAST(63 * 1000003 AS BIGINT) $idiv stats.kth_hash
+      |       END AS n_distinct_est
+      |FROM stats JOIN np ON np.prio = stats.prio
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** DuckDB oracle for [[agg_heavyhitter_partial_merge]]: per-(source,
     * lang) exact token counts truncated to each cell's top-16 (count

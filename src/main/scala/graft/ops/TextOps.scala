@@ -23,7 +23,30 @@ object TextOps {
     * `withVocab = false` skips the per-round countDistinct jobs for
     * callers that only need the ordered pairs (the encoder).
     */
+  /** Per-(session, sf dir, vocab flag) memo of the trained merge table
+    * (r15 verdict #6's build-once discipline applied to the tokenizer:
+    * the trainer is deterministic, so every consumer — the trainer row,
+    * the encoder, the BPE budget row — shares ONE 5-round training run
+    * per session instead of re-learning the same merges; this is
+    * exactly how a production tokenizer ships, trained once and applied
+    * everywhere).
+    */
+  private val bpeStage = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, Long, Long)]]()
+
   private def bpeTrain(s: SparkSession, dir: String, withVocab: Boolean)
+      : Seq[(Long, String, Long, Long)] = {
+    val key = s"${System.identityHashCode(s)}:$dir:$withVocab"
+    val cur = bpeStage.get(key)
+    if (cur != null) cur
+    else {
+      val v = bpeTrainBuild(s, dir, withVocab)
+      bpeStage.putIfAbsent(key, v)
+      v
+    }
+  }
+
+  private def bpeTrainBuild(s: SparkSession, dir: String, withVocab: Boolean)
       : Seq[(Long, String, Long, Long)] = {
     val bigramsOf = (tk: Column) => transform(
       sequence(lit(1), size(tk) - 1),
@@ -135,6 +158,26 @@ object TextOps {
          |      THEN acc || '_' || x ELSE acc || ' ' || x END) AS text
          |  FROM c${k - 1}, p$k)$vocabCte""".stripMargin
     }.mkString(",\n")
+
+  /** The encoder's merge-application CTEs e0..e5 (mirrors
+    * [[bpeEncodedCorpus]] via the oracle-side fold — see the equivalence
+    * argument there): e0 = the full English corpus, eK = e{K-1} with the
+    * round-K winning pair merged. Shared by the encode row and the BPE
+    * budget row. No leading WITH / trailing comma.
+    */
+  private lazy val bpeApplyCtes: String = {
+    val applies = (1 to 5).map { k =>
+      s"""e$k AS (
+         |  SELECT doc_id, list_reduce(string_split(text, ' '),
+         |    (acc, x) -> CASE
+         |      WHEN regexp_extract(acc, '([^ ]*)${"$"}', 1) = split_part(p$k.pair, ' ', 1)
+         |       AND x = split_part(p$k.pair, ' ', 2)
+         |      THEN acc || '_' || x ELSE acc || ' ' || x END) AS text
+         |  FROM e${k - 1}, p$k)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+       |$applies""".stripMargin
+  }
 
   /** Marker-token vocabularies for the n-gram/stopword language heuristic. */
   private val markers: Seq[(String, Seq[String])] = Seq(
@@ -1511,19 +1554,9 @@ object TextOps {
           .orderBy(col("doc_id"))
       },
       Some {
-        val applies = (1 to 5).map { k =>
-          s"""e$k AS (
-             |  SELECT doc_id, list_reduce(string_split(text, ' '),
-             |    (acc, x) -> CASE
-             |      WHEN regexp_extract(acc, '([^ ]*)${"$"}', 1) = split_part(p$k.pair, ' ', 1)
-             |       AND x = split_part(p$k.pair, ' ', 2)
-             |      THEN acc || '_' || x ELSE acc || ' ' || x END) AS text
-             |  FROM e${k - 1}, p$k)""".stripMargin
-        }.mkString(",\n")
         s"""WITH $bpeSampleCte,
            |${bpeRoundsSql(withVocab = false)},
-           |e0 AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
-           |$applies,
+           |$bpeApplyCtes,
            |tok AS (
            |  SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS tok
            |  FROM (SELECT doc_id, text,
@@ -2276,6 +2309,76 @@ object TextOps {
              |       CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
              |            / (max_len * n_docs)) * 1000000 + 0.5) AS BIGINT) AS globalpad_waste_e6
              |FROM g, mx ORDER BY bucket_len""".stripMargin)
+    ),
+    Q(
+      "pipeline_padding_waste_bpe",
+      // Padding-efficiency audit on REAL subword token counts (r15
+      // verdict #3, closing the r14 #3 residual): pipeline_padding_waste
+      // buckets on whitespace tokens, but a training loader budgets
+      // against what the TOKENIZER emits — so this row re-runs the same
+      // two-policy audit (64-multiple length buckets vs global max) on
+      // text_bpe_encode's per-doc BPE token counts over the English
+      // corpus, carrying the whitespace count per bucket side by side
+      // (`sum_tokens_ws`) so the estimator bias is visible in-row. The
+      // answer CHANGES under the real counts — merges shrink exactly
+      // the frequent-collocation docs, re-binning them across bucket
+      // boundaries (Round16Spec pins a measurable divergence from the
+      // whitespace-count audit on the same corpus). The merge table is
+      // staged once per session (bpeTrain memo), so this row costs one
+      // map-only encode pass + an O(buckets) aggregate — the same scan
+      // shape as the whitespace row, which is the point: real token
+      // accounting is NOT more expensive, it just needs the trained
+      // merges in executor memory like any tokenizer apply step.
+      (s, dir) => {
+        val enc = bpeEncodedCorpus(s, dir)
+        val ws = Tables(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ws_len"))
+        val d = enc.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("len"))
+          .join(ws, "doc_id")
+        val g = d.groupBy(
+            (ceil(col("len").cast("double") / 64) * 64).cast("long")
+              .as("bucket_len"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_tokens"),
+            sum(col("ws_len")).as("sum_tokens_ws"))
+        val mx = d.agg(max(col("len")).as("max_len"))
+        g.crossJoin(broadcast(mx))
+          .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
+            col("sum_tokens_ws"),
+            (col("bucket_len") * col("n_docs")).as("sum_padded"),
+            expr("""CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
+                    / (bucket_len * n_docs)) * 1000000 + 0.5) AS BIGINT)""")
+              .as("bucket_waste_e6"),
+            expr("""CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
+                    / (max_len * n_docs)) * 1000000 + 0.5) AS BIGINT)""")
+              .as("globalpad_waste_e6"))
+          .orderBy(col("bucket_len"))
+      },
+      Some(
+        s"""WITH $bpeSampleCte,
+           |${bpeRoundsSql(withVocab = false)},
+           |$bpeApplyCtes,
+           |d AS (
+           |  SELECT e5.doc_id,
+           |         CAST(len(string_split(e5.text, ' ')) AS BIGINT) AS len,
+           |         CAST(len(string_split(w.text, ' ')) AS BIGINT) AS ws_len
+           |  FROM e5 JOIN documents w ON w.doc_id = e5.doc_id),
+           |g AS (
+           |  SELECT CAST(ceil(CAST(len AS DOUBLE) / 64) * 64 AS BIGINT) AS bucket_len,
+           |         CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(len) AS BIGINT) AS sum_tokens,
+           |         CAST(sum(ws_len) AS BIGINT) AS sum_tokens_ws
+           |  FROM d GROUP BY 1),
+           |mx AS (SELECT CAST(max(len) AS BIGINT) AS max_len FROM d)
+           |SELECT bucket_len, n_docs, sum_tokens, sum_tokens_ws,
+           |       bucket_len * n_docs AS sum_padded,
+           |       CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
+           |            / (bucket_len * n_docs)) * 1000000 + 0.5) AS BIGINT) AS bucket_waste_e6,
+           |       CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
+           |            / (max_len * n_docs)) * 1000000 + 0.5) AS BIGINT) AS globalpad_waste_e6
+           |FROM g, mx ORDER BY bucket_len""".stripMargin)
     ),
     Q(
       "text_oov_rate",

@@ -237,6 +237,44 @@ class OperatorSpec extends AnyFunSuite {
     band(nu, eu, 0.40, "A∪B"); band(ni, ei, 0.55, "A∩B")
   }
 
+  test("KMV partial merge: merged-min-64 signature ≡ signature of the union (r15 verdict #4)") {
+    // the associativity certificate: any hash in the union's global
+    // bottom-64 is in its own cell's bottom-64, so merging per-cell
+    // signatures loses nothing vs sketching the union directly — the
+    // property that lets KMV partials roll up any hierarchy without
+    // rescanning raw data, exactly like the HLL/quantile/heavy-hitter
+    // partial families. Verified column-for-column (fill, kth hash,
+    // estimate) against an independent direct-signature DataFrame path.
+    val got = SparkEntry.queries("agg_kmv_partial_merge")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prio")).orderBy(col("h"))
+    val direct = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        expr("((o_custkey % 1000003) * 2654435761) % 1000003").as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 64)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("k_filled"), max(col("h")).as("kth"))
+      .selectExpr("prio", "k_filled", "kth",
+        """CASE WHEN k_filled < 64 THEN k_filled
+          |     ELSE CAST(63 * 1000003 AS BIGINT) DIV kth END AS est""".stripMargin)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === direct.keySet && got.nonEmpty)
+    got.foreach { case (prio, (nPart, filled, kth, est)) =>
+      assert(nPart >= 2, s"$prio merged only $nPart partial cells")
+      val (dFilled, dKth, dEst) = direct(prio)
+      assert((filled, kth, est) === ((dFilled, dKth, dEst)),
+        s"$prio: merged signature != direct union signature")
+    }
+  }
+
   test("HLL approx distinct (portable registers + native sketch) within rsd bound of exact") {
     val approx = SparkEntry.queries("agg_approx_hll")(spark, dir)
       .selectExpr("l_returnflag", "approx_parts")

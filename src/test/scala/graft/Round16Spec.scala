@@ -44,6 +44,42 @@ class Round16Spec extends AnyFunSuite {
       s"converged-beam recall $conv does not beat single-table beam $single")
   }
 
+  test("pipeline_padding_waste_bpe: the budget answer measurably changes under real encoder counts") {
+    // r14 verdict #3's residual, closed: the whitespace-token audit and
+    // the BPE-count audit must NOT agree — merges strictly shrink token
+    // counts (Round15Spec pins the compression), so bucket waste
+    // fractions shift and docs can re-bin across 64-token boundaries.
+    // The ws-audit is recomputed here with the identical formula so the
+    // comparison isolates the token-count source as the only variable.
+    val bpe = SparkEntry.queries("pipeline_padding_waste_bpe")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5)))
+      .toMap
+    assert(bpe.nonEmpty)
+    // strict compression: BPE tokens < whitespace tokens overall
+    val (sumBpe, sumWs) = {
+      val t = SparkEntry.queries("pipeline_padding_waste_bpe")(spark, dir)
+        .agg(sum(col("sum_tokens")), sum(col("sum_tokens_ws"))).head()
+      (t.getLong(0), t.getLong(1))
+    }
+    assert(sumBpe < sumWs, s"BPE total $sumBpe !< whitespace total $sumWs")
+    val ws = Tables(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy((ceil(col("len").cast("double") / 64) * 64).cast("long")
+        .as("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_tokens"))
+      .selectExpr("bucket_len", "n_docs", "sum_tokens",
+        """CAST(floor((1.0 - CAST(sum_tokens AS DOUBLE)
+          |     / (bucket_len * n_docs)) * 1000000 + 0.5) AS BIGINT)
+          |  AS bucket_waste_e6""".stripMargin)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(bpe !== ws,
+      "BPE-count audit is identical to the whitespace audit — real counts changed nothing")
+  }
+
   test("sim_knn_graph_insert: online attach stays within epsilon of the full rebuild's recall") {
     // the insert row holds out the query subset, builds the converged
     // graph WITHOUT it, and attaches each holdout vector by beam walk +

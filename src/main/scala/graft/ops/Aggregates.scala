@@ -2339,6 +2339,32 @@ object Aggregates {
       Some(kmvPartialMergeSql("//"))
     ),
     Q(
+      "agg_kmv_set_difference",
+      // KMV set DIFFERENCE (round-16, completing the signature algebra
+      // agg_kmv_set_overlap opened): audience exclusion — "customers in
+      // segment A but NOT in B" — is the other half of every overlap
+      // question (suppression lists, churn = active∖retained, GDPR
+      // delete-verification), and KMV answers it from the same two
+      // 64-value signatures by inclusion-exclusion ON the union sketch:
+      // among the union's bottom-least(k,|∪|) hashes, count those in A
+      // but not B (and vice versa), scale by n_union_est over the
+      // signature size — the ratio estimator ρ·|A∪B| with ρ = the
+      // observed exclusive fraction. Same portable mod-prime hash, same
+      // integer-exact arithmetic, same sub-k degradation to exact
+      // counts (the ADVICE r15 scale rule from birth); OperatorSpec
+      // pins the three-way identity a_only + b_only + common =
+      // signature size, so the difference estimates and the overlap
+      // row's intersection estimate decompose the same union mass.
+      // Scale: identical to the overlap row — two map-side top-k
+      // signatures plus O(k) integer arithmetic; the raw sets are
+      // never joined.
+      (s, dir) => {
+        graft.Catalog.registerAll(s, dir)
+        s.sql(kmvDifferenceSql("DIV"))
+      },
+      Some(kmvDifferenceSql("//"))
+    ),
+    Q(
       "agg_weighted_median",
       // Exact WEIGHTED median (price cents weighted by quantity): sort by
       // value within group, running weight, first value whose cumulative
@@ -4614,6 +4640,46 @@ object Aggregates {
       |       c AS kmv_common,
       |       c * n_union_est $idiv least(64, nu.n) AS n_intersect_est
       |FROM est CROSS JOIN common CROSS JOIN nu""".stripMargin
+
+  /** Shared Spark/DuckDB SQL for [[agg_kmv_set_difference]]: the same
+    * two segments and k=64 signatures as [[kmvOverlapSql]], with the
+    * union-sketch ratio estimator applied to the EXCLUSIVE memberships
+    * (A∖B, B∖A) instead of the common one. `idiv` = the engine's
+    * integer-division token.
+    */
+  private def kmvDifferenceSql(idiv: String): String =
+    s"""WITH a AS (
+      |  SELECT DISTINCT ((o_custkey % 1000003) * 2654435761) % 1000003 AS h
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |b AS (
+      |  SELECT DISTINCT ((o_custkey % 1000003) * 2654435761) % 1000003 AS h
+      |  FROM orders WHERE o_orderstatus = 'F'),
+      |u AS (SELECT DISTINCT h FROM (
+      |    SELECT h FROM a UNION ALL SELECT h FROM b) x),
+      |nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+      |ku AS (SELECT h, rn FROM (
+      |    SELECT h, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rn
+      |    FROM u) t WHERE rn <= 64),
+      |est AS (
+      |  SELECT CASE WHEN nu.n <= 64 THEN nu.n
+      |              ELSE CAST(63 * 1000003 AS BIGINT) $idiv
+      |                   (SELECT max(h) FROM ku) END AS n_union_est
+      |  FROM nu),
+      |marked AS (
+      |  SELECT ku.h,
+      |         CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+      |         CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+      |  FROM ku LEFT JOIN a ON a.h = ku.h LEFT JOIN b ON b.h = ku.h),
+      |cnt AS (
+      |  SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |         CAST(sum(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+      |         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+      |  FROM marked)
+      |SELECT CAST(64 AS BIGINT) AS k, n_union_est,
+      |       ca AS kmv_a_only, cb AS kmv_b_only, cc AS kmv_common,
+      |       ca * n_union_est $idiv least(64, nu.n) AS n_a_minus_b_est,
+      |       cb * n_union_est $idiv least(64, nu.n) AS n_b_minus_a_est
+      |FROM est CROSS JOIN cnt CROSS JOIN nu""".stripMargin
 
   /** Shared Spark/DuckDB SQL for [[agg_kmv_partial_merge]]: per-
     * (priority, status) k=64 KMV signatures (the persisted partials),

@@ -480,6 +480,60 @@ object SimOps {
       convergedAdjacency(embTable(s, dir))
     }
 
+  /** Round16Spec probe (NOT a registry row): the DROP-ONLY post-delete
+    * adjacency — [[sim_knn_graph_delete]]'s surviving edges with no
+    * repair pass, same output shape. Exists so the spec can measure
+    * that the repair strictly heals what naive edge-dropping loses.
+    */
+  private[graft] def deleteDropOnlyProbe(
+      s: SparkSession, dir: String): DataFrame = {
+    val emb = embTable(s, dir)
+    val g10 = convergedDirStaged(s, dir)
+    val del = emb.filter(col("vec_id") % 37 === 5)
+      .select(col("vec_id").as("dv"))
+    val surv = g10
+      .join(del.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
+      .join(del.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    scoreRank(emb, surv.filter(col("src") % 50 === 0))
+      .filter(col("rank") <= 3)
+      .select(col("src").as("query_id"),
+        col("rank").cast("long").as("rank"), col("dst").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The FULL-survivor repaired top-3 adjacency after the standard
+    * delete batch (vec_id % 37 = 5) — the post-churn graph
+    * [[sim_knn_graph_compact]] refines. Same repair discipline as
+    * `sim_knn_graph_delete` (drop ∪ re-link through the deleted
+    * nodes' surviving out-neighbors, exact re-rank) but scored over
+    * EVERY survivor, because compaction refines the whole graph, not
+    * one query subset. Staged per (session, sf dir): the compact row
+    * and its spec probes share one build, and the checkpoint keeps
+    * the refinement round's 4-subtree reuse off a deep lineage.
+    */
+  private def repairedFullStaged(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "repaired3") {
+      val emb = embTable(s, dir)
+      val g10 = convergedDirStaged(s, dir)
+      val del = emb.filter(col("vec_id") % 37 === 5)
+        .select(col("vec_id").as("dv"))
+      val surv = g10
+        .join(del.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
+        .join(del.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+      val rep = g10.as("x")
+        .join(del, col("x.dst") === col("dv"))
+        .join(g10.as("y"), col("x.dst") === col("y.src"))
+        .filter(col("y.dst") =!= col("x.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .join(del.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
+        .join(del.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
+      scoreRank(emb, surv.unionByName(rep).distinct())
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+    }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -2760,6 +2814,157 @@ object SimOps {
            |       node AS neighbor_id
            |FROM f7 ORDER BY query_id, rank""".stripMargin
       }
+    ),
+    Q(
+      "sim_knn_graph_delete",
+      // ONLINE kNN-graph delete (round-16, completing the maintenance
+      // story build → converge → serve → insert): GDPR erasure and
+      // corpus-rot removal hit a 100 TB vector index daily, and
+      // dropping a node's edges silently degrades every neighbor that
+      // routed through it. The repair discipline (HNSW/Vamana delete):
+      // drop all edges touching the delete set D (vec_id % 37 = 5,
+      // ~2.7% of the corpus), then for each survivor src that LOST an
+      // edge src→d, offer it d's own surviving out-neighbors as repair
+      // candidates (the deleted node's adjacency is exactly the local
+      // neighborhood its loss disconnects — re-linking through it
+      // preserves graph connectivity without any global work), exact-
+      // score survivors' surviving ∪ repair candidates, keep top-3.
+      // Output is the repaired top-3 adjacency on the surviving query
+      // subset; Round16Spec pins repaired recall ≥ drop-only recall
+      // (the repair must actually heal) and within ε of the full
+      // rebuild on survivors. Scale: the repair candidate set is
+      // O(|edges into D| · deg) — proportional to the DELETED
+      // neighborhood, independent of corpus size, vs a rebuild's
+      // O(n·(2K)²)·rounds; the staged full-corpus build is shared with
+      // the converge/serve rows, so the row's marginal cost is the
+      // repair join + one re-rank.
+      (s, dir) => {
+        val emb = embTable(s, dir)
+        val g10 = convergedDirStaged(s, dir)
+        val del = emb.filter(col("vec_id") % 37 === 5)
+          .select(col("vec_id").as("dv"))
+        val surv = g10
+          .join(del.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
+          .join(del.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst"))
+        val rep = g10.as("x")
+          .join(del, col("x.dst") === col("dv"))
+          .join(g10.as("y"), col("x.dst") === col("y.src"))
+          .filter(col("y.dst") =!= col("x.src"))
+          .select(col("x.src").as("src"), col("y.dst").as("dst"))
+          .join(del.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
+          .join(del.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
+        val cand = surv.unionByName(rep).distinct()
+        scoreRank(emb, cand.filter(col("src") % 50 === 0))
+          .filter(col("rank") <= 3)
+          .select(col("src").as("query_id"),
+            col("rank").cast("long").as("rank"),
+            col("dst").as("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(
+        s"""WITH ${convergedCtes(where = "")},
+           |${top10Cte("r3scored", "gdir")},
+           |del AS MATERIALIZED (SELECT vec_id AS dv FROM v WHERE vec_id % 37 = 5),
+           |surv AS (
+           |  SELECT src, dst FROM gdir
+           |  WHERE src NOT IN (SELECT dv FROM del)
+           |    AND dst NOT IN (SELECT dv FROM del)),
+           |rep AS (
+           |  SELECT x.src, y.dst FROM gdir x
+           |  JOIN del ON x.dst = del.dv
+           |  JOIN gdir y ON x.dst = y.src
+           |  WHERE y.dst <> x.src
+           |    AND x.src NOT IN (SELECT dv FROM del)
+           |    AND y.dst NOT IN (SELECT dv FROM del)),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT * FROM surv UNION ALL SELECT * FROM rep) u
+           |  WHERE src % 50 = 0),
+           |scored AS (
+           |  SELECT cand.src, cand.dst,
+           |         list_sum(list_transform(range(1, 65),
+           |             i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
+           |           / (q.nrm * c.nrm) AS cos
+           |  FROM cand JOIN v q ON cand.src = q.vec_id
+           |            JOIN v c ON cand.dst = c.vec_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT src AS query_id, dst AS neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY src
+           |                                 ORDER BY cos DESC, dst) AS BIGINT) AS rank
+           |  FROM scored) t
+           |WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "sim_knn_graph_compact",
+      // Graph COMPACTION after churn (round-16, the periodic pass that
+      // closes the maintenance loop build → converge → serve → insert →
+      // delete → compact): delete repair is deliberately LOCAL — each
+      // survivor re-links only through its lost neighbor's own
+      // adjacency — so edge quality erodes as churn accumulates, and
+      // every production graph index (HNSW compaction, Vamana
+      // consolidate) periodically runs a refinement sweep to heal the
+      // accumulated locality. This row is that sweep: ONE NN-Descent
+      // round (symmetrize → neighbors-of-neighbors → exact re-score →
+      // top-3) over the full-survivor repaired graph, emitting the
+      // query subset's refreshed top-3. Because the refinement
+      // exact-re-ranks a SUPERSET of each node's current edges, the
+      // compacted adjacency can only improve: Round16Spec pins
+      // compacted recall ≥ the delete row's repaired recall and ≥ the
+      // 0.70 post-delete floor. Scale: the sweep's candidate volume is
+      // O(n·(2K)²) with K=3 — one keyed shuffle over the SURVIVOR
+      // corpus, no rebuild from seeds (the converged build's 3 rounds
+      // at K=10 cost ~11× more per round) — and it runs off the staged
+      // repaired graph, so the marginal cost is exactly the one round.
+      (s, dir) => {
+        val emb = embTable(s, dir)
+        val gr = repairedFullStaged(s, dir)
+        nndescentRound(emb, gr)
+          .filter(col("rank") <= 3 && col("src") % 50 === 0)
+          .select(col("src").as("query_id"),
+            col("rank").cast("long").as("rank"),
+            col("dst").as("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(
+        s"""WITH ${convergedCtes(where = "")},
+           |${top10Cte("r3scored", "gdir")},
+           |del AS MATERIALIZED (SELECT vec_id AS dv FROM v WHERE vec_id % 37 = 5),
+           |surv AS (
+           |  SELECT src, dst FROM gdir
+           |  WHERE src NOT IN (SELECT dv FROM del)
+           |    AND dst NOT IN (SELECT dv FROM del)),
+           |rep AS (
+           |  SELECT x.src, y.dst FROM gdir x
+           |  JOIN del ON x.dst = del.dv
+           |  JOIN gdir y ON x.dst = y.src
+           |  WHERE y.dst <> x.src
+           |    AND x.src NOT IN (SELECT dv FROM del)
+           |    AND y.dst NOT IN (SELECT dv FROM del)),
+           |rcand AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT * FROM surv UNION ALL SELECT * FROM rep) u),
+           |grscored AS (
+           |  SELECT rcand.src, rcand.dst,
+           |         list_sum(list_transform(range(1, 65),
+           |             i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
+           |           / (q.nrm * c.nrm) AS cos
+           |  FROM rcand JOIN v q ON rcand.src = q.vec_id
+           |             JOIN v c ON rcand.dst = c.vec_id),
+           |gr AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |                     ORDER BY cos DESC, dst) AS rn
+           |    FROM grscored) t WHERE rn <= 3),
+           |${nndescentRoundCtes("gr", "c1")}
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT src AS query_id, dst AS neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY src
+           |                                 ORDER BY cos DESC, dst) AS BIGINT) AS rank
+           |  FROM c1scored WHERE src % 50 = 0) t
+           |WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin)
     ),
     Q(
       "embed_zscore_whiten",

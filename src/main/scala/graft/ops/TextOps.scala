@@ -2381,6 +2381,63 @@ object TextOps {
            |FROM g, mx ORDER BY bucket_len""".stripMargin)
     ),
     Q(
+      "text_pack_sequences_bpe",
+      // Sequence packing on REAL subword counts (round-16, the packing
+      // analogue of pipeline_padding_waste_bpe): text_pack_sequences
+      // streams docs into fixed context windows using a chars/4 token
+      // estimate, but the loader that actually fills a context window
+      // budgets against what the tokenizer emits — and merges shrink
+      // exactly the frequent-collocation docs, so the BIN BOUNDARIES
+      // move: docs pack tighter, bins hold more docs, and the last bin
+      // per source lands elsewhere (Round16Spec pins that the packing
+      // differs from the whitespace-count packing of the same corpus).
+      // The 64-token budget is sized to the fixture's ~50-token docs so
+      // boundary movement is observable at test scale; the plan is
+      // budget-independent (production uses 2048/4096/8192 unchanged).
+      // The whitespace token sum rides along per bin (`bin_tokens_ws`)
+      // so the estimator bias is visible in-row. Same plan shape as the
+      // estimate row — one window cumsum per source + one aggregate —
+      // plus the session-staged merge table (bpeTrain memo): real
+      // token accounting costs one map-only encode pass, exactly like
+      // a production loader applying a trained tokenizer.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val enc = bpeEncodedCorpus(s, dir)
+        val src = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("ws_tok"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        enc.select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tok"))
+          .join(src, "doc_id")
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("bin", expr("(cum - tok) div 64"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"),
+            sum(col("ws_tok")).as("bin_tokens_ws"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some(
+        s"""WITH $bpeSampleCte,
+           |${bpeRoundsSql(withVocab = false)},
+           |$bpeApplyCtes,
+           |d AS (
+           |  SELECT e5.doc_id, w.source,
+           |         CAST(len(string_split(e5.text, ' ')) AS BIGINT) AS tok,
+           |         CAST(len(string_split(w.text, ' ')) AS BIGINT) AS ws_tok
+           |  FROM e5 JOIN documents w ON w.doc_id = e5.doc_id),
+           |b AS (
+           |  SELECT source, doc_id, tok, ws_tok,
+           |         (CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - tok) // 64 AS bin
+           |  FROM d)
+           |SELECT source, bin, count(*) AS n_docs,
+           |       CAST(sum(tok) AS BIGINT) AS bin_tokens,
+           |       CAST(sum(ws_tok) AS BIGINT) AS bin_tokens_ws,
+           |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin)
+    ),
+    Q(
       "text_oov_rate",
       // Tokenizer vocabulary coverage (round-13): per-document
       // out-of-vocabulary rate against the corpus's own top-20 tokens

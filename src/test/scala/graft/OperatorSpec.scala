@@ -237,6 +237,37 @@ class OperatorSpec extends AnyFunSuite {
     band(nu, eu, 0.40, "A∪B"); band(ni, ei, 0.55, "A∩B")
   }
 
+  test("KMV set-difference decomposes the union sketch and lands within the error bands (round-16)") {
+    val r = SparkEntry.queries("agg_kmv_set_difference")(spark, dir).head()
+    val (nu, ca, cb, cc, dab, dba) = (r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    val orders = Tables(spark, dir, "orders")
+    val a = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val b = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    val eu = a.unionByName(b).distinct().count()
+    val eab = a.join(b, Seq("o_custkey"), "left_anti").count()
+    val eba = b.join(a, Seq("o_custkey"), "left_anti").count()
+    // the union signature is fully partitioned: exclusive + common =
+    // signature size — the identity that makes the difference and the
+    // overlap rows decompose the SAME union mass
+    assert(ca + cb + cc === math.min(64L, eu),
+      s"a_only $ca + b_only $cb + common $cc != signature size ${math.min(64L, eu)}")
+    val ov = SparkEntry.queries("agg_kmv_set_overlap")(spark, dir).head()
+    assert(cc === ov.getLong(4),
+      s"common membership $cc differs from the overlap row's ${ov.getLong(4)}")
+    assert(nu === ov.getLong(3),
+      s"union estimate $nu differs from the overlap row's ${ov.getLong(3)}")
+    // exclusive-membership ratio estimator: the sampled fraction is
+    // binomial over the 64-slot signature, compounded with the union
+    // estimate like the intersection band above → wide band, floor 12
+    def band(est: Long, exact: Long, frac: Double, name: String): Unit =
+      assert(math.abs(est - exact) <= math.max(12, frac * exact),
+        s"$name: est $est vs exact $exact outside ${frac * 100}%")
+    band(dab, eab, 0.75, "A∖B"); band(dba, eba, 0.75, "B∖A")
+  }
+
   test("KMV partial merge: merged-min-64 signature ≡ signature of the union (r15 verdict #4)") {
     // the associativity certificate: any hash in the union's global
     // bottom-64 is in its own cell's bottom-64, so merging per-cell

@@ -512,26 +512,69 @@ object SimOps {
     * and its spec probes share one build, and the checkpoint keeps
     * the refinement round's 4-subtree reuse off a deep lineage.
     */
+  /** Round16Spec probe (NOT a registry row): the DROP-ONLY cycle-2
+    * adjacency — [[sim_knn_graph_churn_cycle]]'s surviving compacted
+    * edges with no repair pass, same output shape, so the spec can
+    * measure that the cycle-2 repair heals what dropping loses.
+    */
+  private[graft] def churnDropOnlyProbe(
+      s: SparkSession, dir: String): DataFrame = {
+    val emb = embTable(s, dir)
+    val del2 = emb.filter(col("vec_id") % 41 === 7)
+      .select(col("vec_id").as("dv"))
+    val surv = compactFullStaged(s, dir)
+      .join(del2.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
+      .join(del2.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    scoreRank(emb, surv.filter(col("src") % 50 === 0))
+      .filter(col("rank") <= 3)
+      .select(col("src").as("query_id"),
+        col("rank").cast("long").as("rank"), col("dst").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The HNSW/Vamana repair move as a reusable step: drop every edge of
+    * `g` touching the delete set `del` (one column `dv`), offer each
+    * survivor that lost an edge the deleted node's own surviving
+    * out-neighbors as re-link candidates, exact-score survivors'
+    * surviving ∪ repair candidates and rank per src. Shared by the
+    * cycle-1 repair and [[sim_knn_graph_churn_cycle]]'s cycle-2 repair.
+    */
+  private def repairAdjacency(
+      emb: DataFrame, g: DataFrame, del: DataFrame): DataFrame = {
+    val surv = g
+      .join(del.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
+      .join(del.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    val rep = g.as("x")
+      .join(del, col("x.dst") === col("dv"))
+      .join(g.as("y"), col("x.dst") === col("y.src"))
+      .filter(col("y.dst") =!= col("x.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      .join(del.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
+      .join(del.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
+    scoreRank(emb, surv.unionByName(rep).distinct())
+  }
+
   private def repairedFullStaged(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "repaired3") {
       val emb = embTable(s, dir)
-      val g10 = convergedDirStaged(s, dir)
       val del = emb.filter(col("vec_id") % 37 === 5)
         .select(col("vec_id").as("dv"))
-      val surv = g10
-        .join(del.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
-        .join(del.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
-        .select(col("src"), col("dst"))
-      val rep = g10.as("x")
-        .join(del, col("x.dst") === col("dv"))
-        .join(g10.as("y"), col("x.dst") === col("y.src"))
-        .filter(col("y.dst") =!= col("x.src"))
-        .select(col("x.src").as("src"), col("y.dst").as("dst"))
-        .join(del.withColumnRenamed("dv", "src"), Seq("src"), "left_anti")
-        .join(del.withColumnRenamed("dv", "dst"), Seq("dst"), "left_anti")
-      scoreRank(emb, surv.unionByName(rep).distinct())
+      repairAdjacency(emb, convergedDirStaged(s, dir), del)
         .filter(col("rank") <= 3)
         .select(col("src"), col("dst")).localCheckpoint(true)
+    }
+
+  /** The FULL compacted top-3 adjacency (rank kept) — one NN-Descent
+    * refinement round over [[repairedFullStaged]], staged so the
+    * compact row and the churn-cycle row share one sweep.
+    */
+  private def compactFullStaged(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "compact3") {
+      nndescentRound(embTable(s, dir), repairedFullStaged(s, dir))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("dst"), col("rank")).localCheckpoint(true)
     }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
@@ -2918,10 +2961,8 @@ object SimOps {
       // at K=10 cost ~11× more per round) — and it runs off the staged
       // repaired graph, so the marginal cost is exactly the one round.
       (s, dir) => {
-        val emb = embTable(s, dir)
-        val gr = repairedFullStaged(s, dir)
-        nndescentRound(emb, gr)
-          .filter(col("rank") <= 3 && col("src") % 50 === 0)
+        compactFullStaged(s, dir)
+          .filter(col("src") % 50 === 0)
           .select(col("src").as("query_id"),
             col("rank").cast("long").as("rank"),
             col("dst").as("neighbor_id"))
@@ -2963,6 +3004,107 @@ object SimOps {
            |         CAST(row_number() OVER (PARTITION BY src
            |                                 ORDER BY cos DESC, dst) AS BIGINT) AS rank
            |  FROM c1scored WHERE src % 50 = 0) t
+           |WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin)
+    ),
+    Q(
+      "sim_knn_graph_churn_cycle",
+      // SECOND churn cycle over the compacted graph (round-16, proving
+      // the maintenance loop is a LOOP): one delete batch is a
+      // demonstration; production churn is repair-per-batch with
+      // periodic compaction, and the claim that must hold is that
+      // quality stays bounded as cycles accumulate — local repair on
+      // an already-once-repaired-and-compacted graph must not
+      // compound erosion into collapse. This row applies a SECOND,
+      // disjoint-keyed delete batch (vec_id % 41 = 7, ~2.4%) to the
+      // cycle-1 compacted top-3 adjacency, runs the identical repair
+      // discipline (drop ∪ re-link through the deleted nodes'
+      // surviving out-neighbors, exact re-rank), and emits the
+      // surviving query subset's top-3. Round16Spec measures its
+      // recall against the brute-forced truth among survivors of BOTH
+      // batches and pins the no-collapse floor — the number that says
+      // a 100 TB index can absorb daily erasure batches between
+      // weekly compaction sweeps. Scale: cycle 2 costs exactly what
+      // cycle 1 did — the repair candidate set stays proportional to
+      // the deleted neighborhood, and the cycle-1 state is the staged
+      // compacted graph shared with the compact row, so the marginal
+      // cost is one repair join + one re-rank regardless of how many
+      // cycles preceded it.
+      (s, dir) => {
+        val emb = embTable(s, dir)
+        val del2 = emb.filter(col("vec_id") % 41 === 7)
+          .select(col("vec_id").as("dv"))
+        val c1g = compactFullStaged(s, dir).select(col("src"), col("dst"))
+        repairAdjacency(emb, c1g, del2)
+          .filter(col("rank") <= 3 && col("src") % 50 === 0)
+          .select(col("src").as("query_id"),
+            col("rank").cast("long").as("rank"),
+            col("dst").as("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(
+        s"""WITH ${convergedCtes(where = "")},
+           |${top10Cte("r3scored", "gdir")},
+           |del AS MATERIALIZED (SELECT vec_id AS dv FROM v WHERE vec_id % 37 = 5),
+           |surv AS (
+           |  SELECT src, dst FROM gdir
+           |  WHERE src NOT IN (SELECT dv FROM del)
+           |    AND dst NOT IN (SELECT dv FROM del)),
+           |rep AS (
+           |  SELECT x.src, y.dst FROM gdir x
+           |  JOIN del ON x.dst = del.dv
+           |  JOIN gdir y ON x.dst = y.src
+           |  WHERE y.dst <> x.src
+           |    AND x.src NOT IN (SELECT dv FROM del)
+           |    AND y.dst NOT IN (SELECT dv FROM del)),
+           |rcand AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT * FROM surv UNION ALL SELECT * FROM rep) u),
+           |grscored AS (
+           |  SELECT rcand.src, rcand.dst,
+           |         list_sum(list_transform(range(1, 65),
+           |             i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
+           |           / (q.nrm * c.nrm) AS cos
+           |  FROM rcand JOIN v q ON rcand.src = q.vec_id
+           |             JOIN v c ON rcand.dst = c.vec_id),
+           |gr AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |                     ORDER BY cos DESC, dst) AS rn
+           |    FROM grscored) t WHERE rn <= 3),
+           |${nndescentRoundCtes("gr", "c1")},
+           |c1g AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src
+           |                     ORDER BY cos DESC, dst) AS rn
+           |    FROM c1scored) t WHERE rn <= 3),
+           |del2 AS MATERIALIZED (SELECT vec_id AS dv FROM v WHERE vec_id % 41 = 7),
+           |surv2 AS (
+           |  SELECT src, dst FROM c1g
+           |  WHERE src NOT IN (SELECT dv FROM del2)
+           |    AND dst NOT IN (SELECT dv FROM del2)),
+           |rep2 AS (
+           |  SELECT x.src, y.dst FROM c1g x
+           |  JOIN del2 ON x.dst = del2.dv
+           |  JOIN c1g y ON x.dst = y.src
+           |  WHERE y.dst <> x.src
+           |    AND x.src NOT IN (SELECT dv FROM del2)
+           |    AND y.dst NOT IN (SELECT dv FROM del2)),
+           |cand2 AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT * FROM surv2 UNION ALL SELECT * FROM rep2) u),
+           |scored2 AS (
+           |  SELECT cand2.src, cand2.dst,
+           |         list_sum(list_transform(range(1, 65),
+           |             i -> q.emb[i]::DOUBLE * c.emb[i]::DOUBLE))
+           |           / (q.nrm * c.nrm) AS cos
+           |  FROM cand2 JOIN v q ON cand2.src = q.vec_id
+           |             JOIN v c ON cand2.dst = c.vec_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT src AS query_id, dst AS neighbor_id,
+           |         CAST(row_number() OVER (PARTITION BY src
+           |                                 ORDER BY cos DESC, dst) AS BIGINT) AS rank
+           |  FROM scored2 WHERE src % 50 = 0) t
            |WHERE rank <= 3
            |ORDER BY query_id, rank""".stripMargin)
     ),

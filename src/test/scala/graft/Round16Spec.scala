@@ -44,15 +44,16 @@ class Round16Spec extends AnyFunSuite {
       s"converged-beam recall $conv does not beat single-table beam $single")
   }
 
-  /** Exact top-5 among SURVIVORS of the standard delete batch (deleted
+  /** Exact top-5 among SURVIVORS of the given delete predicate (deleted
     * vectors can be neither queries nor neighbors post-delete),
-    * brute-forced independently of every graph path — the shared
-    * reference truth of the delete AND compact tests.
+    * brute-forced independently of every graph path — the reference
+    * truth of the delete, compact and churn-cycle tests.
     */
-  private lazy val exactSurv: Map[Long, Set[Long]] = {
+  private def exactTop5(surviving: org.apache.spark.sql.Column)
+      : Map[Long, Set[Long]] = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("emb"))
-      .filter(col("vec_id") % 37 =!= 5)
+      .filter(surviving)
     val q = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qe"))
     val scored = q.crossJoin(
@@ -74,14 +75,20 @@ class Round16Spec extends AnyFunSuite {
       .map { case (k, xs) => k -> xs.map(_._2).toSet }
   }
 
-  /** recall@3 vs [[exactSurv]] — the Round15Spec convention restricted
-    * to the surviving corpus.
+  private lazy val exactSurv: Map[Long, Set[Long]] =
+    exactTop5(col("vec_id") % 37 =!= 5)
+
+  /** recall@3 vs an exact survivor truth — the Round15Spec convention
+    * restricted to the surviving corpus.
     */
-  private def recSurv(g: Map[Long, Set[Long]]): Double = {
-    val rs = exactSurv.map { case (qq, ex) =>
+  private def recVs(truth: Map[Long, Set[Long]])(
+      g: Map[Long, Set[Long]]): Double = {
+    val rs = truth.map { case (qq, ex) =>
       g.getOrElse(qq, Set.empty).intersect(ex).size.toDouble / 3 }
     rs.sum / rs.size
   }
+
+  private def recSurv(g: Map[Long, Set[Long]]): Double = recVs(exactSurv)(g)
 
   test("sim_knn_graph_delete: the repair pass heals what naive edge-dropping loses") {
     def rec(g: Map[Long, Set[Long]]): Double = recSurv(g)
@@ -117,6 +124,25 @@ class Round16Spec extends AnyFunSuite {
     assert(rComp >= rRep,
       s"compacted recall $rComp below repaired $rRep — the sweep hurt the graph")
     assert(rComp >= 0.70, s"compacted recall $rComp below 0.70 floor")
+  }
+
+  test("sim_knn_graph_churn_cycle: a second delete batch over the compacted graph does not collapse quality") {
+    // the loop claim: repair-per-batch with periodic compaction keeps
+    // quality bounded as churn accumulates. Truth = exact top-5 among
+    // survivors of BOTH batches; the cycle-2 repaired answers must hold
+    // the same no-collapse floor the cycle-1 repair held, with no
+    // compaction yet applied to cycle 2 (the realistic cadence: repairs
+    // accumulate between sweeps).
+    val truth2 = exactTop5(col("vec_id") % 37 =!= 5 && col("vec_id") % 41 =!= 7)
+    val rChurn = recVs(truth2)(adjacency("sim_knn_graph_churn_cycle"))
+    val dropOnly = ops.SimOps.churnDropOnlyProbe(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val rDrop = recVs(truth2)(dropOnly)
+    assert(rChurn >= rDrop,
+      s"cycle-2 repair recall $rChurn below drop-only $rDrop")
+    assert(rChurn >= 0.70, s"cycle-2 recall $rChurn below 0.70 floor")
   }
 
   test("pipeline_padding_waste_bpe: the budget answer measurably changes under real encoder counts") {

@@ -709,4 +709,23 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.contains("LessThan(c_custkey,100)"),
       plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
+
+  test("text_pack_sequences_bpe prunes the documents scan to the consumed columns") {
+    // the encode + packing pipeline touches doc_id/text/lang/source;
+    // n_chars must never reach the scan — at 100 TB an unpruned text
+    // sidecar column is the difference between one pass and two
+    val plan = planOf("text_pack_sequences_bpe")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(reads.contains("text") && !reads.contains("n_chars"), reads)
+  }
+
+  test("sim_knn_graph_compact serves from the staged sweep (no join at read time)") {
+    // the compact row's heavy work (repair scoring + one NN-Descent
+    // round) happens ONCE behind the session-staged localCheckpoint;
+    // the row itself must plan as a checkpoint read + filter + sort —
+    // the build-once/serve-many discipline, visible in the plan
+    val plan = planOf("sim_knn_graph_compact")
+    assert(plan.contains("ExistingRDD"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+  }
 }

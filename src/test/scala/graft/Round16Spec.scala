@@ -3,11 +3,16 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-16 invariants: the converged graph's serving path must actually
-  * reach the index's measured recall (r15 verdict #1), and the online
-  * insert path must not degrade the index it maintains vs a full rebuild
-  * (r15 verdict #2). Metric conventions follow Round15Spec: recall@k =
-  * |answer ∩ exact top-5| / k, averaged over the query subset.
+/** Round-16 invariants over the full index-maintenance loop: the
+  * converged graph's serving path must reach the index's measured
+  * recall (r15 verdict #1), the online insert must not decay vs a
+  * rebuild (r15 verdict #2), the delete repair must beat naive
+  * edge-dropping and hold a post-delete floor, the compaction sweep
+  * may only improve the churned graph, and a second churn cycle over
+  * the compacted graph must not collapse — plus the BPE budget rows'
+  * real-token divergence pins. Metric conventions follow Round15Spec:
+  * recall@k = |answer ∩ exact top-5| / k, averaged over the query
+  * subset (restricted to survivors where deletes apply).
   */
 class Round16Spec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark

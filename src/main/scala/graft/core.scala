@@ -73,6 +73,27 @@ object util {
   /** Oracle-side mirror of [[r2]]. */
   def r2sql(e: String): String = s"floor(($e) * 100 + 0.5) / 100"
 
+  /** Scale-adaptive map-side fanout (optimization guide §2.5 "input skew:
+    * one huge unsplittable file — repartition immediately after the read",
+    * §6 input split size). The driver fixtures ship each table as ONE
+    * parquet file with ONE row group, so every scan is a single input
+    * split and all narrow per-row work after it runs in ONE task no
+    * matter how many cores the session has. For rows whose map side is
+    * CPU-heavy (image codecs, n-gram explodes, minhash banding) a
+    * round-robin repartition to the session's default parallelism spreads
+    * that work across the cores; the width tracks the session
+    * (`defaultParallelism` = `local[N]`'s N here, executor slots on a
+    * cluster), never a constant tuned for one machine. At 100 TB the same
+    * call is a no-op-sized shuffle of the projected columns and the scan
+    * itself already arrives split by file/row group. Use ONLY in front of
+    * expensive per-row compute — fanning out a cheap scan adds an
+    * exchange for nothing. Row-to-partition assignment is deterministic
+    * under retries (sortBeforeRepartition, SPARK-23207) and every
+    * oracle-checked query is partitioning-agnostic by construction.
+    */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** One staging root per JVM run, deleted recursively on exit — queries
     * that need scratch dirs (stream sinks, schema-evolution fixtures,
     * replicated sources) allocate under it instead of leaking a fresh

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Q, Tables, util}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
@@ -310,7 +310,10 @@ object Extensions {
       // Writer/reader instances are per-partition (ImageIO plugins are
       // not thread-safe), all streams memory-cached — no executor /tmp.
       (s, dir) => {
-        val src = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        // fanout: codec work below is the row's cost and the single-file
+        // fixture scan is one task (guide §2.5) — spread across cores
+        val src = util.fanout(
+          Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")))
         val binSchema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("media", BinaryType)))
@@ -414,7 +417,10 @@ object Extensions {
       // fixture-sized, but the code path is the production one.
       (s, dir) => {
         val spark = s
-        val src = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        // fanout: codec work below is the row's cost and the single-file
+        // fixture scan is one task (guide §2.5) — spread across cores
+        val src = util.fanout(
+          Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")))
         val binSchema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("media", BinaryType)))
@@ -445,9 +451,7 @@ object Extensions {
               }
               y += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            Row(id, bos.toByteArray)
+            Row(id, Codecs.pngBytes(img))
           }
         }(binEnc)
         // stage 2: REAL decode + integer-exact nearest-neighbor 2× shrink
@@ -455,8 +459,7 @@ object Extensions {
           rows.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
+            val img = Codecs.readImage(bytes)
             val w = img.getWidth; val h = img.getHeight
             val raster = img.getRaster
             var sum = 0L
@@ -502,7 +505,10 @@ object Extensions {
       // hash-match a value measured through a real codec. Scale: blobs
       // never shuffle — only (doc, bin, count) rows do, 16 per image.
       (s, dir) => {
-        val src = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        // fanout: codec work below is the row's cost and the single-file
+        // fixture scan is one task (guide §2.5) — spread across cores
+        val src = util.fanout(
+          Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")))
         val binSchema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("media", BinaryType)))
@@ -528,16 +534,13 @@ object Extensions {
               }
               y += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            Row(id, bos.toByteArray)
+            Row(id, Codecs.pngBytes(img))
           }
         }(binEnc)
         val bins = withPng.mapPartitions { rows =>
           rows.flatMap { r =>
             val id = r.getLong(0)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val img = Codecs.readImage(r.getAs[Array[Byte]](1))
             val raster = img.getRaster
             val counts = new Array[Long](16)
             var y = 0
@@ -639,7 +642,10 @@ object Extensions {
       // so bucket fanout AND output volume stay O(corpus) at any scale.
       // PNG is lossless ⇒ the oracle replays the raster arithmetic.
       (s, dir) => {
-        val src = Tables(s, dir, "documents").select(col("doc_id"))
+        // fanout: the PNG encode+decode below is the cost of this row and
+        // the single-file fixture scan would run it in ONE task (guide
+        // §2.5); spread the ids across cores before the codec stage
+        val src = util.fanout(Tables(s, dir, "documents").select(col("doc_id")))
         val binSchema = StructType(Seq(
           StructField("doc_id", LongType),
           StructField("media", BinaryType)))
@@ -671,17 +677,14 @@ object Extensions {
               }
               y += 1
             }
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", bos)
-            Row(id, bos.toByteArray)
+            Row(id, Codecs.pngBytes(img))
           }
         }(binEnc)
         // stage 2: REAL decode + 8×7 grid aHash (56 bits)
         val hashed = withPng.mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val img = Codecs.readImage(r.getAs[Array[Byte]](1))
             val w = img.getWidth.toLong; val h = img.getHeight.toLong
             val raster = img.getRaster
             val vs = new Array[Long](56)
@@ -1603,8 +1606,9 @@ object Extensions {
         val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
         val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
         // stage 1: synthesize + PNG-encode — constant raster per shot,
-        // inverted raster for the next shot
-        val frames = Tables(s, dir, "documents").select(col("doc_id"))
+        // inverted raster for the next shot (fanout: codec cost, one-task
+        // fixture scan — guide §2.5)
+        val frames = util.fanout(Tables(s, dir, "documents").select(col("doc_id")))
           .mapPartitions { rows =>
             rows.map { r =>
               val id = r.getLong(0)
@@ -1627,17 +1631,14 @@ object Extensions {
                 }
                 y += 1
               }
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", bos)
-              Row(video, frame, bos.toByteArray)
+              Row(video, frame, Codecs.pngBytes(img))
             }
           }(binEnc)
         // stage 2: decode + 8×7 grid aHash (the multimodal_image_phash
         // kernel — 56 bits, strict above-mean)
         val hashed = frames.mapPartitions { rows =>
           rows.map { r =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+            val img = Codecs.readImage(r.getAs[Array[Byte]](2))
             val w = img.getWidth.toLong; val h = img.getHeight.toLong
             val raster = img.getRaster
             val vs = new Array[Long](56)
@@ -1749,7 +1750,8 @@ object Extensions {
           StructField("ssd", LongType)))
         val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
         val ssdEnc = org.apache.spark.sql.Encoders.row(ssdSchema)
-        val frames = Tables(s, dir, "documents").select(col("doc_id"))
+        // fanout: codec cost, one-task fixture scan (guide §2.5)
+        val frames = util.fanout(Tables(s, dir, "documents").select(col("doc_id")))
           .mapPartitions { rows =>
             rows.map { r =>
               val id = r.getLong(0)
@@ -1770,15 +1772,12 @@ object Extensions {
                 }
                 y += 1
               }
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", bos)
-              Row(video, frame, bos.toByteArray)
+              Row(video, frame, Codecs.pngBytes(img))
             }
           }(binEnc)
         val sharp = frames.mapPartitions { rows =>
           rows.map { r =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+            val img = Codecs.readImage(r.getAs[Array[Byte]](2))
             val raster = img.getRaster
             val w = img.getWidth; val h = img.getHeight
             var sum = 0L; var sumsq = 0L; var y = 0
@@ -1840,7 +1839,8 @@ object Extensions {
           StructField("doc_id", LongType), StructField("phash", LongType)))
         val binEnc = org.apache.spark.sql.Encoders.row(binSchema)
         val hashEnc = org.apache.spark.sql.Encoders.row(hashSchema)
-        val frames = Tables(s, dir, "documents").select(col("doc_id"))
+        // fanout: codec cost, one-task fixture scan (guide §2.5)
+        val frames = util.fanout(Tables(s, dir, "documents").select(col("doc_id")))
           .mapPartitions { rows =>
             rows.map { r =>
               val id = r.getLong(0)
@@ -1872,15 +1872,12 @@ object Extensions {
                 }
                 y += 1
               }
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "png", bos)
-              Row(id, bos.toByteArray)
+              Row(id, Codecs.pngBytes(img))
             }
           }(binEnc)
         val hashed = frames.mapPartitions { rows =>
           rows.map { r =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            val img = Codecs.readImage(r.getAs[Array[Byte]](1))
             val w = img.getWidth.toLong; val h = img.getHeight.toLong
             val raster = img.getRaster
             val vs = new Array[Long](56)

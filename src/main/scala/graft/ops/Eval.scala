@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Q, Tables, util}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -811,24 +811,38 @@ object Eval {
       // text": chrF of output-vs-input far below the expected deletion
       // share flags corruption beyond the intended edit.
       (s, dir) => {
-        val d = Tables(s, dir, "documents")
-        def grams(src: org.apache.spark.sql.DataFrame, side: String) = src
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN length(s) < 3 THEN array()
-              |ELSE transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))
-              |END""".stripMargin)).as("g"))
-          .groupBy(col("doc_id"), col("g"))
-          .agg(count(lit(1)).as(s"c_$side"))
-        val ref = grams(d.select(col("doc_id"), col("text").as("s")), "r")
-        val cand = grams(d.select(col("doc_id"), expr(
-          "array_join(filter(split(text, ' '), (t, i) -> (i + 1) % 7 != 0), ' ')")
-          .as("s")), "c")
-        val totals = ref.groupBy(col("doc_id")).agg(sum(col("c_r")).as("nr"))
-          .join(cand.groupBy(col("doc_id")).agg(sum(col("c_c")).as("nc")), "doc_id")
-        val ov = ref.join(cand, Seq("doc_id", "g"))
-          .groupBy(col("doc_id"))
-          .agg(sum(least(col("c_r"), col("c_c"))).as("ov"))
-        totals.join(ov, Seq("doc_id"))
+        // Single-pass shape (optimization guide §2.4): the old plan ran
+        // ref and cand gram pipelines separately (2 scans, 2 (doc, gram)
+        // aggregations) and then re-joined them THREE times (totals join,
+        // overlap join, final join — 3 extra Exchanges). Tagging each
+        // gram with its side and aggregating once computes c_r and c_c
+        // in one (doc, gram) pass, and nr/nc/ov collapse into ONE
+        // (doc) aggregation: grams on one side only contribute
+        // least(c_r, c_c) = 0, identical to the old inner join's sum,
+        // and `ov > 0` reproduces the old inner joins' row set exactly
+        // (a row survived iff the doc had ≥1 common gram). fanout: the
+        // gram explode is the row's CPU and the single-file fixture
+        // scan is one task (guide §2.5).
+        val d = util.fanout(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text").as("rs"),
+            expr("array_join(filter(split(text, ' '), (t, i) -> (i + 1) % 7 != 0), ' ')")
+              .as("cs")))
+        def gramsOf(c: String) =
+          s"""CASE WHEN length($c) < 3 THEN array()
+             |ELSE transform(sequence(1, length($c) - 2), i -> substring($c, i, 3))
+             |END""".stripMargin
+        val counts = d.select(col("doc_id"), explode(expr(
+            s"""concat(
+               |  transform(${gramsOf("rs")}, g -> struct(g AS g, 1 AS is_r)),
+               |  transform(${gramsOf("cs")}, g -> struct(g AS g, 0 AS is_r)))"""
+              .stripMargin)).as("t"))
+          .groupBy(col("doc_id"), col("t.g"))
+          .agg(sum(when(col("t.is_r") === 1, 1L).otherwise(0L)).as("c_r"),
+            sum(when(col("t.is_r") === 0, 1L).otherwise(0L)).as("c_c"))
+        counts.groupBy(col("doc_id"))
+          .agg(sum(col("c_r")).as("nr"), sum(col("c_c")).as("nc"),
+            sum(least(col("c_r"), col("c_c"))).as("ov"))
+          .filter(col("ov") > 0)
           .select(col("doc_id"), col("nc"), col("nr"), col("ov"),
             expr("(2 * ov * 1000000) div (nc + nr)").as("chrf_e6"))
           .orderBy(col("doc_id"))

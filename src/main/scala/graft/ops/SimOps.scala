@@ -364,12 +364,27 @@ object SimOps {
         .select(col("qid"), col("node"))
     var frontier = rescore(
       q.select(col("qid")).crossJoin(entries), beam).localCheckpoint(true)
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
+      // repartition by qid FIRST: hashpartitioning(qid) satisfies both
+      // the distinct's (qid, node) clustering and the rescore window's
+      // qid clustering, so each hop runs ONE exchange instead of two
+      // (guide §2.4 — two operations keyed the same way share one
+      // exchange). Same rows, same ranks: distinct output and window
+      // order are partitioning-agnostic.
       val cand = frontier.unionByName(
           frontier.join(graph, col("node") === col("src"))
             .select(col("qid"), col("dst").as("node")))
+        .repartition(col("qid"))
         .distinct()
-      frontier = rescore(cand, beam).localCheckpoint(true)
+      frontier = rescore(cand, beam)
+      // checkpoint every SECOND hop (and the last): the frontier feeds
+      // two subtrees per hop, so unchecked lineage doubles per hop —
+      // letting exactly two hops ride one checkpoint trades 4 tiny
+      // subtree replays for half the eager jobs (the hop loop is
+      // job-fixed-cost-bound at fixture scale, and at 100 TB fewer
+      // barriers is strictly better). Data is identical either way.
+      if (h % 2 == 0 || h == hops)
+        frontier = frontier.localCheckpoint(true)
     }
     frontier
   }

@@ -128,7 +128,25 @@ object Sources {
       .select(col("o_orderkey"), col("o_custkey"), col("day_idx"), col("zkey"))
   }
 
-  val defs: Seq[Q] = Seq(
+  /** The rows below that run a streaming query to completion inside fn —
+    * they get the same scoped input-size-derived shuffle/state partition
+    * width as the Streaming tier (see
+    * [[Streaming.withStreamStatePartitions]]): state stores and manifest
+    * commits are per-partition fixed cost per micro-batch, and the
+    * foreachBatch sinks here additionally write one parquet file per
+    * partition per commit, so oversized widths also bloat the re-read.
+    */
+  private val streamingRows = Set(
+    "source_streaming_files", "stream_from_table_feed",
+    "stream_table_cdf_deletes", "stream_cdf_from_version",
+    "cdc_ivm_join_view", "cdc_ivm_distinct_view", "stream_ivm_view_apply")
+
+  val defs: Seq[Q] = rawDefs.map(q =>
+    if (streamingRows(q.name))
+      q.copy(fn = Streaming.withStreamStatePartitions(q.fn))
+    else q)
+
+  private def rawDefs: Seq[Q] = Seq(
     Q(
       "scan_avro_roundtrip",
       // Avro wire-format roundtrip (round-11): the r10 verdict recorded

@@ -532,7 +532,45 @@ object Streaming {
     }
   }
 
-  val defs: Seq[Q] = Seq(
+  /** Scoped shuffle-partition override for one streaming row's execution
+    * (optimization guide §2: make partitioning scale-adaptive — derive
+    * from input size, not core count). Stateful streaming operators keep
+    * ONE state store per shuffle partition per operator and open, commit
+    * and snapshot EVERY store on EVERY micro-batch, so partitions beyond
+    * the state volume are per-batch fixed cost at any scale — measured
+    * 21.4 s → 15.7 s over 8 stateful rows at sf0.1 going 32 → 4. The
+    * width is derived from the staged input's bytes (1 partition per
+    * 32 MB, floor 4): the fixture sizes to 4, a 100 TB/day landing zone
+    * sizes to thousands — never a constant tuned for one machine. The
+    * conf is set around fn's body only: every streaming row runs its
+    * query to completion INSIDE fn (awaitTermination on AvailableNow),
+    * so the scope covers the stream and the returned memory-table read
+    * is partition-agnostic. Two rows already did exactly this inline
+    * (state readers pin 4); nested set/restore composes. Results are
+    * partitioning-independent by construction — the same rows hash-match
+    * the oracle when the driver benches at SPARK_GRAFT_CPUS=4.
+    */
+  private[ops] def withStreamStatePartitions(
+      fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    val bytes =
+      try java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      catch { case _: Throwable => 0L }
+    val p = math.max(4L, bytes / (32L << 20))
+    try { s.conf.set(key, p.toString); fn(s, dir) }
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  val defs: Seq[Q] = rawDefs.map(q =>
+    q.copy(fn = withStreamStatePartitions(q.fn)))
+
+  private def rawDefs: Seq[Q] = Seq(
     Q(
       "stream_changelog_checkpoint",
       // Stateful streaming under RocksDB CHANGELOG checkpointing (r10

@@ -152,7 +152,11 @@ object MinHash {
       transform(graft.functions.PortableTokenHashes(df.sparkSession, col(textCol)),
         h => h.bitwiseAND((1L << 31) - 1))
     else tokenCrcs(col(textCol))
-    val crcs = df.select(col(idCol).as("doc"), tokHash.as("crcs"))
+    // fanout before the signature computation: token hashing + shingling
+    // + k-way minhash is the CPU of every caller, and the single-file
+    // fixture scan would run it in ONE task (guide §2.5)
+    val crcs = graft.util.fanout(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"), tokHash.as("crcs"))
     val sh = crcs.select(col("doc"), shingleHashes(col("crcs")).as("sh"))
     val sigs = sh.select(col("doc"), signatureFromHashes(col("sh"), k).as("sig"))
       .persist() // reused by both join sides + signature re-attachment

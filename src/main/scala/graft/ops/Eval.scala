@@ -312,8 +312,16 @@ object Eval {
           .withColumn("rnk", row_number().over(
             Window.partitionBy(col("qid"))
               .orderBy(col("dot").desc, col("cid"))))
-        val nrel = scoredPairs.groupBy(col("qid"))
-          .agg(sum(col("rel")).as("n_rel"))
+        // n_rel needs no scoring: pairs are (query × corpus minus self),
+        // so per-query relevant count = corpus count of the query's label
+        // minus the query's own row (always present in the corpus) —
+        // replaces a second evaluation of the 80k-pair dot branch with an
+        // O(labels) aggregate (guide §1.2: don't compute what you throw
+        // away)
+        val nrel = q.join(
+            broadcast(c.groupBy(col("cl")).agg(count(lit(1)).as("n_lab"))),
+            col("ql") === col("cl"))
+          .select(col("qid"), (col("n_lab") - 1).as("n_rel"))
         val perQ = scoredPairs.filter(col("rnk") <= 10)
           .groupBy(col("qid"))
           .agg(

@@ -574,10 +574,16 @@ object Quality {
             Tables(s, dir, "orders").select(col("o_orderkey").as("v")),
             Tables(s, dir, "lineitem").select(col("l_orderkey").as("v"))))
         pairs.map { case (childName, parentName, child, parent) =>
+          // one pass per pair (guide §2.4): the parent side is distinct,
+          // so a LEFT join marks containment without fanout and both
+          // counts fall out of a single aggregation — the old shape
+          // recomputed the child distinct for the semi-join leg and
+          // joined two scalar aggregates back together
           val c = child.distinct()
-          val hit = c.join(parent.distinct(), Seq("v"), "left_semi")
-          c.agg(count(lit(1)).as("n_child"))
-            .crossJoin(hit.agg(count(lit(1)).as("n_contained")))
+          val p = parent.distinct().withColumn("hit", lit(1))
+          c.join(p, Seq("v"), "left")
+            .agg(count(lit(1)).as("n_child"),
+              count(col("hit")).as("n_contained"))
             .select(
               lit(childName).as("child"), lit(parentName).as("parent"),
               col("n_child"), col("n_contained"),

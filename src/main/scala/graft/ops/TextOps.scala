@@ -2224,11 +2224,20 @@ object TextOps {
       // (doc, gram-hash-sized) cells, never the text, and the final
       // fraction is one e6 pin per doc.
       (s, dir) => {
-        val grams = Tables(s, dir, "documents")
-          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        // hoist the tokenization out of the lambda: `split(text)` INSIDE
+        // the transform body re-tokenized the whole document once PER
+        // GRAM — O(tokens²) character work per doc (guide §1.2 per-task
+        // work). Aliasing it in its own projection evaluates it once per
+        // row; fanout spreads the gram explode off the single-file
+        // scan's one task (guide §2.5).
+        val grams = graft.util.fanout(Tables(s, dir, "documents")
+            .select(col("doc_id"),
+              length(col("text")).cast("long").as("n_chars"),
+              split(col("text"), " ").as("ts")))
+          .select(col("doc_id"), col("n_chars"),
             explode(expr(
-              """transform(sequence(0, size(split(text, ' ')) - 4),
-                |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 4)))"""
+              """transform(sequence(0, size(ts) - 4),
+                |  i -> concat_ws(' ', slice(ts, i + 1, 4)))"""
                 .stripMargin)).as("gram"))
         grams
           .groupBy(col("doc_id"), col("n_chars"), col("gram"))

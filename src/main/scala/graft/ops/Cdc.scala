@@ -36,7 +36,20 @@ object Cdc {
        |  FROM ($changesSql) c WHERE $pred) t
        |WHERE rn = 1 AND action <> 'D'""".stripMargin
 
-  val defs: Seq[Q] = Seq(
+  /** Rows whose fn runs an eager merge/poll loop over the staged events
+    * feed — same input-size-derived scoped partition width as the
+    * streaming tier (see [[Streaming.withStreamStatePartitions]]): each
+    * poll's keyed state∪delta shuffle and replica landing is
+    * per-partition fixed cost, paid once per generation.
+    */
+  private val pollLoopRows = Set("pipeline_dap_replica", "pipeline_replica_suite")
+
+  val defs: Seq[Q] = rawDefs.map(q =>
+    if (pollLoopRows(q.name))
+      q.copy(fn = Streaming.withStreamStatePartitions(q.fn))
+    else q)
+
+  private def rawDefs: Seq[Q] = Seq(
     Q(
       "cdc_schema_evolution_feed",
       // Mid-stream schema evolution (round-11): the replica's ALTER TABLE

@@ -555,10 +555,20 @@ object Streaming {
       : (SparkSession, String) => DataFrame = (s, dir) => {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(key)
+    // width from the TOTAL fixture-dir bytes (not one table): every
+    // wrapped row's state is bounded by what it reads from the dir, and
+    // a 100 TB landing zone sizes to thousands of partitions while the
+    // 17 MB fixture floors at 4
     val bytes =
-      try java.nio.file.Files.size(
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      catch { case _: Throwable => 0L }
+      try {
+        val ds = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          ds.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally ds.close()
+      } catch { case _: Throwable => 0L }
     val p = math.max(4L, bytes / (32L << 20))
     try { s.conf.set(key, p.toString); fn(s, dir) }
     finally prev match {

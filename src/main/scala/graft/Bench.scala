@@ -62,13 +62,32 @@ object Bench {
     */
   private def runChild(outFile: String, names: Set[String]): Unit = {
     val (_, _, results, failed) = runInProcess(names)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fr = firstRunMap(results)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val frag =
-      s"""{"queries":$qs,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"queries":$qs,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"first_run":$fr}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       frag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** Measurement-honesty guard (VERDICT r16 what's-wrong #2 / next-round
+    * #10): several rows serve from a per-(session, dir) memo built on
+    * iteration 1 — min-of-3 then reports only the serve cost and the
+    * declared computation disappears from every per-query number. Flag
+    * every row whose FIRST run cost ≥2× its reported min and ≥0.5 s more
+    * in absolute terms (memo builds and any other one-time staging; plain
+    * codegen warmup stays under the absolute bar) and carry the first-run
+    * seconds alongside, so a reader can separate "the computation got
+    * faster" from "the bookkeeping moved it to iteration 1".
+    */
+  private[graft] def firstRunMap(
+      results: Seq[(String, Double, Boolean, Double)]): Seq[(String, Double)] =
+    results.collect {
+      case (k, rep, _, first) if first >= 2 * rep && first - rep >= 0.5 =>
+        (k, first)
+    }
 
   /** Parent (driver mode): fork one child JVM per chunk, sequentially.
     *
@@ -126,6 +145,7 @@ object Bench {
     // (name -> seconds, name-order preserved by re-sorting at merge)
     val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
+    val firstRuns = scala.collection.mutable.LinkedHashMap[String, Double]()
     chunks.zipWithIndex.foreach { case (chunk, i) =>
       val frag = scratch.resolve(s"chunk-$i.json")
       val ok = forkChunk(chunk, frag)
@@ -135,6 +155,7 @@ object Bench {
       parsed match {
         case Some((qs, fs)) =>
           merged ++= qs; failed ++= fs
+          firstRuns ++= parseFirstRun(frag)
           System.err.println(
             s"[bench] chunk ${i + 1}/${chunks.size}: ${qs.size} queries, " +
               f"${qs.values.sum}%.1f s, ${fs.size} failed")
@@ -144,7 +165,8 @@ object Bench {
           System.err.println(
             s"[bench] chunk ${i + 1}/${chunks.size}: fork failed, re-running in-process")
           val (_, _, rs, fs) = runInProcess(chunk.toSet)
-          rs.foreach { case (k, v, _) => merged += k -> v }
+          rs.foreach { case (k, v, _, _) => merged += k -> v }
+          firstRuns ++= firstRunMap(rs)
           failed ++= fs
       }
     }
@@ -195,8 +217,10 @@ object Bench {
     val adjNormJson = adjudicated
       .collect { case (k, _, Some(n)) => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
+    val frJson = firstRuns.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],"adjudicated":$adjJson,"adjudicated_norm":$adjNormJson,"round":$cur}"""
+      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.sorted.map("\"" + _ + "\"").mkString(",")}],"adjudicated":$adjJson,"adjudicated_norm":$adjNormJson,"first_run":$frJson,"round":$cur}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -215,7 +239,27 @@ object Bench {
     // driver-mode runs leave nothing in the system temp dir (ADVICE r12)
     util.deleteRecursively(scratch)
     println(detail)
+    // r17 (VERDICT r16 #2): the full detail line overflows the driver's
+    // stdout tail capture at 691 queries, so PERF_r16 had no per-query
+    // data at all (`n_common: 0`). Emit a COMPACT second line — the 40
+    // most expensive per-query timings — directly before the final total
+    // line; both fit the captured tail together. Additions-only: the
+    // detail line and the trailing `{"metric":"total"}` line are
+    // unchanged, and `queries` values here are the same min-of-3 numbers.
+    println(heavyLine(ordered))
     println(summaryLine(total, ordered.size, failed.size))
+  }
+
+  /** Top-[[heavyCount]] per-query seconds as one compact JSON line (4
+    * decimals — 0.1 ms — keeps 40 entries under ~1.6 KB so the driver's
+    * tail capture retains this line plus the total line).
+    */
+  private[graft] val heavyCount = 40
+  private[graft] def heavyLine(ordered: Seq[(String, Double)]): String = {
+    val top = ordered.sortBy(-_._2).take(heavyCount).sortBy(_._1)
+    val vals = top.map { case (k, v) => f""""$k":$v%.4f""" }
+      .mkString("{", ",", "}")
+    s"""{"metric":"heavy","values":$vals}"""
   }
 
   /** Rounds of per-query history retained for the rolling adjudication
@@ -443,6 +487,20 @@ object Bench {
       Some((qs, fs))
     } catch { case _: Throwable => None }
 
+  /** Optional `first_run` map of a child fragment (absent pre-r17). */
+  private def parseFirstRun(p: java.nio.file.Path): Map[String, Double] =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val i = s.indexOf("\"first_run\"")
+      if (i < 0) Map.empty
+      else {
+        val body = s.substring(s.indexOf("{", i), s.indexOf("}", i) + 1)
+        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   private def summaryLine(total: Double, n: Int, nFailed: Int): String = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"n_failed":$nFailed,"sf":"$sfDir"}"""
@@ -452,7 +510,7 @@ object Bench {
     * given subset, sorted-name order, inside THIS JVM.
     */
   private def runInProcess(only: Set[String])
-      : (String, Double, Seq[(String, Double, Boolean)], Seq[String]) = {
+      : (String, Double, Seq[(String, Double, Boolean, Double)], Seq[String]) = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // one-time sweep of scratch dirs left by pre-round-3 runs (before the
@@ -482,18 +540,23 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-        val runs = Seq(time(fn), time(fn), time(fn)).sortBy(_._1)
-        val rep = if (name.startsWith("stream_")) runs(1) else runs.head
+        val runs = Seq(time(fn), time(fn), time(fn))
+        val sorted = runs.sortBy(_._1)
+        val rep = if (name.startsWith("stream_")) sorted(1) else sorted.head
         val ok = runs.forall(_._2)
-        (name, rep._1, ok)
+        // first AS-EXECUTED run — carries any one-time staging a memo
+        // absorbs before min-of-3 discards it (see firstRunMap)
+        (name, rep._1, ok, runs.head._1)
       }
     spark.stop()
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val failed = results.collect { case (k, _, false) => k }
+    val failed = results.collect { case (k, _, false, _) => k }
+    val fr = firstRunMap(results)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}"""
+      s"""{"metric":"detail","queries":$qs,"sf":"$sfDir","failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"first_run":$fr}"""
     (detail, total, results, failed)
   }
 }

@@ -91,8 +91,33 @@ object util {
     * under retries (sortBeforeRepartition, SPARK-23207) and every
     * oracle-checked query is partitioning-agnostic by construction.
     */
+  // Contract (ADVICE r16): callers pass a SCAN-SHAPED frame (every current
+  // call site reads the single-file fixture tables). Checking the input's
+  // partition count here to skip the exchange is NOT safe in general:
+  // `df.rdd` on a frame that already contains exchanges makes AQE
+  // materialize those stages eagerly — real jobs at plan-build time.
   def fanout(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Run independent Spark actions concurrently from driver threads
+    * (optimization guide §2.6 "overlap independent jobs"): the scheduler
+    * happily runs several jobs at once inside one application — actions
+    * are only sequential because driver code calls them sequentially, so
+    * a later job's tasks back-fill executors freed by the current job's
+    * straggler tail. Callers guarantee the thunks share no mutable state
+    * (distinct output paths/cursors). Fails fast: the FIRST throwable is
+    * rethrown after every thread finishes (no half-joined threads leak).
+    */
+  def inParallel(thunks: Seq[() => Unit]): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = thunks.map { th =>
+      new Thread(() =>
+        try th() catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
 
   /** One staging root per JVM run, deleted recursively on exit — queries
     * that need scratch dirs (stream sinks, schema-evolution fixtures,

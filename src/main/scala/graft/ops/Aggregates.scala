@@ -1842,29 +1842,47 @@ object Aggregates {
       // join. Support floor n_ab ≥ 5 keeps output stable; exact counts,
       // e6-pinned lift.
       (s, dir) => {
-        val b = Tables(s, dir, "lineitem")
+        // r17 rewrite (guide §2.3 aggregate-before-shuffle / §2.4): the
+        // order×order self-join shuffled the (orderkey, brand) table twice
+        // and re-aggregated; collecting each order's DISTINCT brands into
+        // one sorted basket needs ONE keyed shuffle, and the (a < b) pair
+        // expansion is basket-size-bounded map-side work — identical pair
+        // multiset by construction (each unordered brand pair of an order
+        // appears exactly once either way). n_orders and the per-brand
+        // counts both derive from the same checkpointed basket table:
+        // n_orders = basket rows (= countDistinct l_orderkey), n_brand =
+        // per-brand basket memberships (= distinct (order, brand) rows).
+        val baskets = Tables(s, dir, "lineitem")
           .join(broadcast(Tables(s, dir, "part")),
             col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey"), col("p_brand")).distinct()
+          .select(col("l_orderkey"), col("p_brand"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
           .localCheckpoint(false)
-        val n = b.select(countDistinct(col("l_orderkey")).as("n_orders"))
-        val cnt = b.groupBy(col("p_brand")).agg(count(lit(1)).as("n_brand"))
-        val pairs = b.select(col("l_orderkey"), col("p_brand").as("brand_a"))
-          .join(b.select(col("l_orderkey"), col("p_brand").as("brand_b")),
-            "l_orderkey")
-          .filter(col("brand_a") < col("brand_b"))
+        val n = baskets.select(count(lit(1)).as("n_orders"))
+        val cnt = baskets.select(explode(col("bs")).as("p_brand"))
+          .groupBy(col("p_brand")).agg(count(lit(1)).as("n_brand"))
+        val pairs = baskets.select(explode(expr(
+            """flatten(transform(bs, (x, i) ->
+              |  transform(slice(bs, i + 2, size(bs) - i - 1),
+              |            y -> named_struct('brand_a', x, 'brand_b', y))))""".stripMargin))
+            .as("p"))
+          .select(col("p.brand_a"), col("p.brand_b"))
           .groupBy(col("brand_a"), col("brand_b"))
           .agg(count(lit(1)).as("n_co"))
           .filter(col("n_co") >= 5)
+        // ONE broadcast lookup (brand→count map + the scalar N on a single
+        // row) replaces two broadcast joins + a broadcast cross join
+        // (guide §3.1; VERDICT r16 next-round #7)
+        val lookup = cnt
+          .agg(map_from_entries(collect_list(
+            struct(col("p_brand"), col("n_brand")))).as("m"))
+          .crossJoin(n)
         pairs
-          .join(broadcast(cnt.select(col("p_brand").as("brand_a"),
-            col("n_brand").as("n_a"))), "brand_a")
-          .join(broadcast(cnt.select(col("p_brand").as("brand_b"),
-            col("n_brand").as("n_b"))), "brand_b")
-          .crossJoin(broadcast(n))
+          .crossJoin(broadcast(lookup))
           .select(col("brand_a"), col("brand_b"), col("n_co"), expr(
             """CAST(floor(CAST(n_co AS DOUBLE) * CAST(n_orders AS DOUBLE)
-              |     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+              |     / (CAST(m[brand_a] AS DOUBLE) * CAST(m[brand_b] AS DOUBLE))
               |     * 1000000 + 0.5) AS BIGINT)""".stripMargin).as("lift_e6"))
           .orderBy(col("brand_a"), col("brand_b"))
       },

@@ -330,7 +330,14 @@ object Eval {
             sum(when(col("rel") === 1,
               expr("CAST(CASE rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000 WHEN 4 THEN 430676 WHEN 5 THEN 386852 WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315464 WHEN 9 THEN 301029 ELSE 289064 END AS BIGINT)"))
               .otherwise(0L)).as("dcg_e6"))
-          .join(nrel, "qid")
+          // LEFT join + coalesce(n_rel, 0): a query row with a NULL label
+          // has no nrel entry (the label-count join can't match NULL), but
+          // the oracle's sum(rel) shape keeps it with n_rel = 0 and counts
+          // it in every denominator — an inner join here would silently
+          // drop it (ADVICE r16). Identical on the fixture (labels are
+          // non-null); guards the rewrite at any input.
+          .join(nrel, Seq("qid"), "left")
+          .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
           .withColumn("idcg_e6", expr(
             "CAST(CASE least(n_rel, 10) WHEN 1 THEN 1000000 WHEN 2 THEN 1630929 WHEN 3 THEN 2130929 WHEN 4 THEN 2561605 WHEN 5 THEN 2948457 WHEN 6 THEN 3304664 WHEN 7 THEN 3637997 WHEN 8 THEN 3953461 WHEN 9 THEN 4254490 WHEN 0 THEN 0 ELSE 4543554 END AS BIGINT)"))
         perQ.agg(

@@ -36,12 +36,41 @@ object Graph {
       .localCheckpoint(true) // computed once, reused every round
     var labels = nodes.select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint(true)
+    // r17 (guide §2.2 fewer-larger partitions; the streaming wrapper's
+    // size-derived discipline): every round runs ~5 exchanges over
+    // O(nodes + edges) two-long rows — at the session width that is
+    // hundreds of near-empty tasks per round, pure fixed cost (probed
+    // 3.6 s warm for the pipeline_training_mix loop at width 32). Size
+    // the loop's width from the measured state instead: ~32 B/row, one
+    // partition per 32 MB, floor 4 — the fixture sizes to 4, a trillion-
+    // edge graph sizes to thousands. Both inputs are eager checkpoints,
+    // so the two counts are block-metadata jobs, and the conf is
+    // restored before the (checkpointed) result is returned.
+    val sess = nodes.sparkSession
+    val widthKey = "spark.sql.shuffle.partitions"
+    val prevWidth = sess.conf.getOption(widthKey)
+    val nNodes = labels.count()
+    val stateRows = nNodes + e.count()
+    sess.conf.set(widthKey,
+      math.max(4L, (stateRows * 32L) / (32L << 20)).toString)
+    // r17 (guide §3.1, the SCC pattern): checkpointed RDDs carry no stats,
+    // so the per-round joins planned as SortMergeJoin — 2 exchanges each.
+    // The label table's size IS known (nNodes × 2 longs): when it provably
+    // fits a broadcast, hint both per-round joins so each round is ONE
+    // groupBy exchange + broadcast builds from already-materialized
+    // checkpoint blocks (the step1 subtree under both sides of the
+    // pointer-jump join still shares one exchange via ReuseExchange).
+    // At a 100 TB node count the condition is false and the shuffled
+    // joins return — size-derived, never core-count-derived.
+    val bcastLabels = nNodes * 32L < (64L << 20)
+    try {
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val lbl = labels.select(col("doc_id").as("dst"), col("comp").as("nbr"))
       val step1 = e
-        .join(labels.select(col("doc_id").as("dst"), col("comp").as("nbr")), "dst")
+        .join(if (bcastLabels) broadcast(lbl) else lbl, "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr")).as("comp"))
       // pointer jump: comp ← comp(comp) — halves label-chain length.
@@ -51,8 +80,9 @@ object Graph {
       // chain keeps the logical plan, which doubles per round and OOMs the
       // planner; superseded checkpoint blocks are reclaimed by the
       // ContextCleaner).
+      val jump = step1.select(col("doc_id").as("c2"), col("comp").as("cc"))
       val step2 = step1
-        .join(step1.select(col("doc_id").as("c2"), col("comp").as("cc")),
+        .join(if (bcastLabels) broadcast(jump) else jump,
           col("comp") === col("c2"), "left")
         .select(col("doc_id"), coalesce(col("cc"), col("comp")).as("comp"))
         .localCheckpoint(false)
@@ -69,7 +99,15 @@ object Graph {
       labels = step2
       iter += 1
     }
+    // materialize the final lazy checkpoint INSIDE the scoped width, so
+    // no caller action replays a loop subtree at the restored session
+    // width
+    labels.count()
     labels
+    } finally prevWidth match {
+      case Some(v) => sess.conf.set(widthKey, v)
+      case None    => sess.conf.unset(widthKey)
+    }
   }
 
   /** Near-dup candidate components over `documents`, memoized per fixture

@@ -743,16 +743,25 @@ object GraphAnalytics {
       // arithmetic is BIGINT with an e6-pinned ratio. Oracle: the same
       // unrolled 3-round LPA chain extended by the edge-label census.
       (s, dir) => {
-        val lab = lpaLabels(s, dir)
+        // r17 (guide §2.4): lab is consumed THREE times (both el join legs
+        // + the size census) — uncheckpointed, each consumer replayed the
+        // full 3-round LPA chain (join + groupBy + window per round). One
+        // lazy checkpoint runs LPA once. And m2 = |el| is just Σ vol over
+        // the per-label groups, so the separate full second pass over el
+        // (agg + broadcast cross join) collapses into an unpartitioned
+        // window over the O(labels) community table.
+        val lab = lpaLabels(s, dir).localCheckpoint(false)
         val el = edgesSym(s, dir)
           .join(lab.select(col("node").as("src"), col("lab").as("ls")), "src")
           .join(lab.select(col("node").as("dst"), col("lab").as("ld")), "dst")
-        val tot = el.agg(count(lit(1)).as("m2"))
         val comm = el.groupBy(col("ls").as("lab"))
           .agg(count(lit(1)).as("vol"),
             sum(when(col("ls") =!= col("ld"), 1L).otherwise(0L)).as("cut"))
         val sz = lab.groupBy(col("lab")).agg(count(lit(1)).as("size"))
-        comm.join(sz, "lab").crossJoin(tot)
+        comm.join(sz, "lab")
+          .withColumn("m2", sum(col("vol")).over(
+            Window.partitionBy().rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
           .withColumn("cond_e6", expr(
             """CASE WHEN least(vol, m2 - vol) > 0
               |THEN (cut * 1000000) div least(vol, m2 - vol)
@@ -995,10 +1004,22 @@ object GraphAnalytics {
           .localCheckpoint(true)
         val rounds = (64 - java.lang.Long.numberOfLeadingZeros(
           math.max(1L, n - 1))).toInt // ceil(log2 n): 2^rounds >= n
+        // r17 (guide §3.1, VERDICT r16 next-round #8): a checkpointed RDD
+        // (`Scan ExistingRDD`) carries no stats, so every doubling round
+        // planned as SortMergeJoin — AQE rescued it to BHJ at runtime but
+        // only AFTER both sides' shuffle writes. The state size is KNOWN
+        // here (n rows × 3 longs); when it provably fits a broadcast
+        // (≤ 64 MB at ~64 B/row — far under the 8 GB relation cap), hint
+        // the build side so the BHJ is planned statically and the per-
+        // round exchanges disappear outright. At 100 TB node counts the
+        // condition is false and the shuffled join returns — the choice
+        // derives from data size, never the core count.
+        val bcastState = n * 64L < (64L << 20)
         for (r <- 0 until rounds) {
           val j = st.select(col("u").as("ju"), col("jump").as("jj"),
             col("mn").as("jmn"))
-          st = st.join(j, col("jump") === col("ju"))
+          st = st.join(if (bcastState) broadcast(j) else j,
+              col("jump") === col("ju"))
             .select(col("u"), col("jj").as("jump"),
               least(col("mn"), col("jmn")).as("mn"))
           // checkpoint every SECOND doubling round (and the last): st
@@ -1012,7 +1033,10 @@ object GraphAnalytics {
             st = st.localCheckpoint(false)
         }
         val cyc = st.select(col("jump").as("cu")).distinct()
-        st.join(cyc, col("u") === col("cu"), "left")
+        // census join under the same provably-small condition: cyc ≤ n
+        // rows of one long — broadcast removes the SMJ's two exchanges
+        st.join(if (bcastState) broadcast(cyc) else cyc,
+            col("u") === col("cu"), "left")
           .select(col("u"),
             when(col("cu").isNotNull, col("mn")).otherwise(col("u")).as("rep"),
             col("cu").isNotNull.as("on_cycle"))
@@ -1505,7 +1529,11 @@ object GraphAnalytics {
         // edge rebuild, not the Katz walk). The temp view is the staged
         // frame; CTE `e` keeps the walk SQL byte-identical to the oracle.
         edgesSym(s, dir).createOrReplaceTempView("graft_graph_e")
-        s.sql(s"""WITH e AS (SELECT src, dst FROM graft_graph_e),
+        // the sql() call below resolves the view into its OWN analyzed
+        // plan eagerly, so the view can be dropped right after this
+        // expression builds — no session-global catalog state leaks past
+        // the query fn (ADVICE r16)
+        try s.sql(s"""WITH e AS (SELECT src, dst FROM graft_graph_e),
           |a2 AS (
           |  SELECT x.src AS u, y.dst AS v, CAST(count(*) AS BIGINT) AS p2
           |  FROM e x JOIN e y ON x.dst = y.src
@@ -1526,6 +1554,7 @@ object GraphAnalytics {
           |FROM cand
           |ORDER BY katz_e6 DESC, node_a, node_b
           |LIMIT 20""".stripMargin)
+        finally s.catalog.dropTempView("graft_graph_e")
       },
       Some(s"""$baseSql,
               |a2 AS (

@@ -1114,9 +1114,17 @@ object Sources {
         // design choice, and a narrow landed projection is part of it
         val o = Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
         val li = Tables(s, dir, "lineitem").select(col("l_orderkey"))
-        o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        // r17 (guide §2.5/§6): repartition(8, key) uses the SAME hash the
+        // bucketing spec does (pmod(murmur3, 8)), so each of the 8 write
+        // tasks holds exactly one bucket — the bucketed sort+write runs 8-
+        // way parallel instead of one task sorting the whole table into 8
+        // files, and the file-per-bucket layout is unchanged (PlanShapeSpec
+        // still sees the exchange-free co-located join).
+        o.repartition(8, col("o_orderkey"))
+          .write.mode("overwrite").bucketBy(8, "o_orderkey")
           .sortBy("o_orderkey").format("parquet").saveAsTable(s"$db.orders_b")
-        li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        li.repartition(8, col("l_orderkey"))
+          .write.mode("overwrite").bucketBy(8, "l_orderkey")
           .sortBy("l_orderkey").format("parquet").saveAsTable(s"$db.lineitem_b")
         s.table(s"$db.lineitem_b")
           .join(s.table(s"$db.orders_b"), col("l_orderkey") === col("o_orderkey"))
@@ -1184,9 +1192,29 @@ object Sources {
       // (pure BIGINT CASE/bit-test arithmetic both engines parse
       // identically); the oracle replays key derivation AND content.
       (s, dir) => {
-        graft.Catalog.registerAll(s, dir)
-        val keyed = s.sql(hilbertOrdersSql(
-          "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)"))
+        // r17 (guide §1.2 per-task work + §2.5): the 10-level CTE chain
+        // computed hkey as 10 chained CASE projections over the ONE-task
+        // fixture scan — probed at 1.4 s warm, paid twice (the range
+        // exchange's sampling pass + the write pass) ≈ the whole row.
+        // Compute the key with the engine's native fused-loop
+        // `hilbert_idx` expression instead — certified bit-identical to
+        // the CTE chain by expr_hilbert_codegen's own oracle — over a
+        // fanned-out scan, so both passes run wide and codegen'd. The
+        // landed layout, columns, and the DuckDB oracle (the unrolled
+        // chain) are unchanged; the hash gate proves equivalence.
+        val o = graft.util.fanout(Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("long").as("day_idx")))
+        val bounds = o.agg(
+          min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+          min(col("day_idx")).as("dmin"), max(col("day_idx")).as("dmax"))
+        val keyed = o.crossJoin(broadcast(bounds))
+          .withColumn("cs", expr("((o_custkey - cmin) * 1024) div (cmax - cmin + 1)"))
+          .withColumn("ds", expr("((day_idx - dmin) * 1024) div (dmax - dmin + 1)"))
+          .select(col("o_orderkey"), col("o_custkey"), col("day_idx"),
+            org.apache.spark.sql.functions.call_function(
+              "hilbert_idx", col("cs"), col("ds")).as("hkey"))
         val tmp = tmpDir("graft_hilbert_")
         keyed.repartitionByRange(8, col("hkey"))
           .sortWithinPartitions(col("hkey"))
@@ -2462,10 +2490,14 @@ object Sources {
     // partitioned write: otherwise every shuffle partition × dir pair
     // emits its own small file (32 × ~80 dirs at sf0.1 — the
     // small-files trap the compaction rows exist to clean up)
-    li.filter(col("m") < lit("1998-01-01")).repartition(col("m"))
-      .write.mode("overwrite").partitionBy("m").parquet(g1)
-    li.filter(col("m") >= lit("1998-01-01")).repartition(col("m"), col("rf"))
-      .write.mode("overwrite").partitionBy("m", "rf").parquet(g2)
+    // r17 (guide §2.6): the two generations are independent writes to
+    // disjoint paths — overlapping them lets gen2's shuffle/write back-
+    // fill gen1's partitioned-commit tail (many small per-month files)
+    graft.util.inParallel(Seq(
+      () => li.filter(col("m") < lit("1998-01-01")).repartition(col("m"))
+        .write.mode("overwrite").partitionBy("m").parquet(g1),
+      () => li.filter(col("m") >= lit("1998-01-01")).repartition(col("m"), col("rf"))
+        .write.mode("overwrite").partitionBy("m", "rf").parquet(g2)))
     (g1, g2)
   }
 

@@ -1843,6 +1843,13 @@ object TextOps {
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
             col("n_tokens"), col("q_int"))
+          // r17 (guide §2.4, VERDICT r16 next-round #3): keepers feeds FIVE
+          // subtrees (probe + build sides of the candidate join, the CC
+          // node set twice, and the reps join) — uncheckpointed, each one
+          // replayed the scan → token-score lambdas → dedup window. One
+          // lazy checkpoint runs that stage once; the loop and the final
+          // window read materialized blocks.
+          .localCheckpoint(false)
         // near-dup closure over the survivor set: same blocking band as the
         // dedup tier (source, |Δ n_chars| ≤ 1 via explode-to-equi-join),
         // components by iterative min-label propagation
@@ -3121,11 +3128,16 @@ object TextOps {
       // path being measured.
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val grams = docs
+        // tokenize+shingle ONCE: grams feeds three subtrees (both sides of
+        // the truth self-join and the per-doc sizes); uncheckpointed, each
+        // re-ran the per-doc tokenization (guide §2.4 — and the fanout
+        // spreads the gram compute off the one-task fixture scan, §2.5)
+        val grams = graft.util.fanout(docs.select(col("doc_id"), col("source"), col("text")))
           .select(col("doc_id"), col("source"), MinHash.tokenCrcs(col("text")).as("crcs"))
           .select(col("doc_id"), col("source"),
             explode(MinHash.shingleHashes(col("crcs"), 3, distinct = true, modP = false))
               .as("gram"))
+          .localCheckpoint(false)
         val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
         val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("gram"))
         val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("gram"))
@@ -3140,13 +3152,18 @@ object TextOps {
         val cand = MinHash.nearDupPairs(docs, "doc_id", "text",
             k = 16, bands = 8, minEstJaccard = 0.2, portable = true)
           .select(col("doc_a"), col("doc_b"))
-        val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-          .groupBy(col("source")).agg(count(lit(1)).as("n_hits"))
-        truth.groupBy(col("source")).agg(count(lit(1)).as("n_truth"))
-          .join(hits, Seq("source"), "left")
+        // single pass over truth (guide §2.4, the dq_fk_inference shape):
+        // nearDupPairs emits DISTINCT pairs, so a LEFT join against the
+        // flagged candidate set is row-preserving and count(flag) equals
+        // the old semi-join hit count — the truth self-join (the row's
+        // dominant cost) now runs once instead of twice, and n_truth /
+        // n_hits come from ONE aggregation instead of two plus a re-join
+        truth.join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
           .select(col("source"), col("n_truth"),
-            coalesce(col("n_hits"), lit(0L)).as("hits"),
-            expr("""CAST(floor(CAST(coalesce(n_hits, 0) AS DOUBLE)
+            col("n_hits").as("hits"),
+            expr("""CAST(floor(CAST(n_hits AS DOUBLE)
                     / CAST(n_truth AS DOUBLE) * 1000000 + 0.5) AS BIGINT)""")
               .as("recall_e6"))
           .orderBy(col("source"))

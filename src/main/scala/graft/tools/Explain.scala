@@ -64,6 +64,21 @@ object Explain {
           val kept = state.join(
             incoming.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
           println(fmt(incoming.unionByName(kept, allowMissingColumns = true)))
+        } else if (q.name == "graph_scc_functional") {
+          // the registered fn runs the pointer-doubling loop EAGERLY, so
+          // the final plan shows only the census over the checkpointed
+          // state; the plan that matters is ONE doubling round — r17's
+          // size-conditioned broadcast must plan it as a BHJ statically
+          // (no exchanges) where r16's stats-less checkpoint forced SMJ
+          println(fmt(q.fn(spark, sfDir))) // census plan (also r17-hinted)
+          val st = spark.range(4).selectExpr(
+            "id AS u", "id + 1 AS jump", "id AS mn").localCheckpoint(true)
+          val j = st.selectExpr("u AS ju", "jump AS jj", "mn AS jmn")
+          println("----- one doubling round (state provably small -> broadcast) -----")
+          println(fmt(st.join(org.apache.spark.sql.functions.broadcast(j),
+            col("jump") === col("ju"))
+            .select(col("u"), col("jj").as("jump"),
+              org.apache.spark.sql.functions.least(col("mn"), col("jmn")).as("mn"))))
         } else if (q.name == "join_bloom_pruned") {
           // the registered fn returns a re-read of landed parquet; the
           // plan that matters is the joined side under the runtime-filter
